@@ -1,0 +1,661 @@
+"""Relational surface: joins, aggregations, windows, sorts, set ops, scalar fns.
+
+The reference has none of these (SURVEY §2.2 — its SQL sources execute
+joins inside the external datastore, transfer_service.go:375); our engine
+exposes them natively via DataFrame/Catalyst. Each query is written the
+way it should run at 100 TB: dimensions broadcast, predicates pushed to
+the parquet scan, aggregates exact-DECIMAL so partial aggregation order
+never changes the answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etly_spark.io.tables import load_table
+from etly_spark.queries.catalog import query
+
+
+def _dec(col, p=12, s=2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+# --------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 shape) — hash aggregate with exact sums
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                                                                       AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Full-scan hash aggregate; partial (map-side) agg + exact decimal sums.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q2: star join — revenue per nation; dims broadcast
+# --------------------------------------------------------------------------
+@query(
+    "q2_revenue_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="lineitem⋈orders shuffle join on orderkey; customer/nation broadcast.",
+)
+def q2_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3: window ranking — top-3 orders per customer
+# --------------------------------------------------------------------------
+@query(
+    "q3_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="row_number window; per-group top-k without a global sort.",
+)
+def q3_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q4: anti join — customers with no orders in a window
+# --------------------------------------------------------------------------
+@query(
+    "q4_customers_without_orders",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="left_anti join (NOT EXISTS decorrelated by Catalyst).",
+)
+def q4_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q5: semi join — suppliers that supply a filtered part set
+# --------------------------------------------------------------------------
+@query(
+    "q5_semi_join_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_suppkey = s.s_suppkey AND p.p_size > 40
+    )
+    ORDER BY s.s_name
+    """,
+    doc="left_semi join chain; part filter pushed below the join.",
+)
+def q5_semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    supp_keys = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("l_suppkey")
+    return (
+        s.join(supp_keys, s.s_suppkey == supp_keys.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q6: rollup / grouping sets
+# --------------------------------------------------------------------------
+@query(
+    "q6_rollup_status",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    doc="ROLLUP grouping sets; NULL group keys coalesced for portability.",
+)
+def q6_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q7: cube over lineitem flags
+# --------------------------------------------------------------------------
+@query(
+    "q7_cube_flags",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+)
+def q7_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+# --------------------------------------------------------------------------
+# q8: distinct aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q8_distinct_customers",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT o.o_custkey) AS n_active,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="count distinct (expand-based) with a broadcast dim join.",
+)
+def q8_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q9: set operations
+# --------------------------------------------------------------------------
+@query(
+    "q9_set_ops",
+    oracle="""
+    WITH big_spenders AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+    ), recent AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM big_spenders INTERSECT SELECT k FROM recent)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM big_spenders EXCEPT SELECT k FROM recent)
+    UNION ALL
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM big_spenders UNION SELECT k FROM recent)
+    ORDER BY op
+    """,
+)
+def q9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("k")).distinct()
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    rows = [
+        big.intersect(recent).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
+        big.exceptAll(recent).distinct().agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),
+        big.union(recent).distinct().agg(F.count("*").alias("n")).select(F.lit("union").alias("op"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# q10: global top-k with deterministic tiebreak
+# --------------------------------------------------------------------------
+@query(
+    "q10_top20_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TakeOrderedAndProject — no full sort materialization.",
+)
+def q10_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q11: scalar function battery (string/date/math parity library)
+# --------------------------------------------------------------------------
+@query(
+    "q11_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_u,
+           lower(p_type)                                    AS type_l,
+           length(p_name)                                   AS name_len,
+           substr(p_name, 1, 5)                             AS name_pfx,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR))    AS brand_size,
+           replace(p_type, ' ', '_')                        AS type_us,
+           ((p_size % 7) + 7) % 7                           AS size_mod,
+           abs(p_size - 25)                                 AS size_dist,
+           greatest(p_size, 10)                             AS size_floor10,
+           least(p_size, 40)                                AS size_cap40,
+           CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) / 10, 1) AS DOUBLE) AS price_tenth,
+           CAST(floor(p_retailprice) AS BIGINT)             AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT)              AS price_ceil,
+           regexp_extract(p_name, '([a-z]+)', 1)            AS first_word,
+           md5(p_name)                                      AS name_md5
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="Scalar fn parity table (SURVEY §2.2): string/math/regex/hash.",
+)
+def q11_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.pmod(F.col("p_size"), F.lit(7)).cast("int").alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
+        F.least(F.col("p_size"), F.lit(40)).alias("size_cap40"),
+        F.round(_dec("p_retailprice") / 10, 1).cast("double").alias("price_tenth"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# q12: date functions battery
+# --------------------------------------------------------------------------
+@query(
+    "q12_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)       AS yr,
+           CAST(month(o_orderdate) AS INT)      AS mo,
+           strftime(o_orderdate, '%Y-%m')       AS ym,
+           COUNT(*)                             AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY yr, mo
+    """,
+)
+def q12_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13: range join — events within 1h after each signup, per user
+# --------------------------------------------------------------------------
+@query(
+    "q13_range_join_follow_events",
+    oracle="""
+    SELECT e1.event_id AS signup_id,
+           COUNT(e2.event_id) AS follow_cnt,
+           CAST(COALESCE(SUM(CAST(e2.value AS DECIMAL(12,2))), 0) AS DOUBLE) AS follow_value
+    FROM events e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    WHERE e1.event_type = 'signup'
+    GROUP BY e1.event_id
+    ORDER BY e1.event_id
+    """,
+    doc="Range join: equi key (user_id) carries the shuffle; range is residual.",
+)
+def q13_range_join_follow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.filter(F.col("event_type") == "signup").alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        e1.join(e2, cond, "left")
+        .groupBy(F.col("e1.event_id").alias("signup_id"))
+        .agg(
+            F.count(F.col("e2.event_id")).alias("follow_cnt"),
+            F.coalesce(F.sum(_dec(F.col("e2.value"))), F.lit(0))
+            .cast("double")
+            .alias("follow_value"),
+        )
+        .orderBy("signup_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14: as-of join — latest event at-or-before each order date per customer
+# --------------------------------------------------------------------------
+@query(
+    "q14_asof_last_event",
+    oracle="""
+    SELECT o.o_orderkey,
+           strftime(max(e.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event_ts,
+           arg_max(e.event_type, e.ts)                 AS last_event_type
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts <= TIMESTAMP '2024-01-15' + INTERVAL (o.o_orderkey % 14) DAY
+    WHERE o.o_orderkey <= 1000
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+    doc="As-of join via max/max_by aggregation (portable formulation); "
+    "Spark-side uses max_by — same plan shape a dedicated ASOF op lowers to.",
+)
+def q14_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    e = load_table(spark, sf_dir, "events")
+    # synthesize a per-order "as-of" timestamp in events' time domain
+    o = o.withColumn(
+        "asof_ts",
+        F.lit("2024-01-15").cast("timestamp_ntz")
+        + F.make_dt_interval(F.pmod(F.col("o_orderkey"), F.lit(14))),
+    )
+    j = o.join(e, (e.user_id == o.o_custkey) & (e.ts <= o.asof_ts))
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_event_ts"),
+            F.max_by("event_type", "ts").alias("last_event_type"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q15: pivot — event_type counts per user
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q15_pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="pivot() with explicit value list (single-pass, no value scan).",
+)
+def q15_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# q16: sessionization (batch) — gap-based sessions via window functions
+# --------------------------------------------------------------------------
+@query(
+    "q16_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="lag + running sum = session ids; batch twin of session_window().",
+)
+def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("sess_id", F.sum("new_sess").over(wsum))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.countDistinct("sess_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17: analytic windows — lag/lead/moving average
+# --------------------------------------------------------------------------
+@query(
+    "q17_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)     AS mov_avg,
+           CAST(LAG(CAST(value AS DECIMAL(12,2)), 1) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)    AS prev_value,
+           CAST(LEAD(CAST(value AS DECIMAL(12,2)), 1) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)    AS next_value
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, event_id
+    """,
+    doc="Frame-bounded analytic window (ROWS BETWEEN).",
+)
+def q17_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    v = _dec("value")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(v).over(wf).cast("double") / F.count(F.lit(1)).over(wf)).alias("mov_avg"),
+        F.lag(v, 1).over(w).cast("double").alias("prev_value"),
+        F.lead(v, 1).over(w).cast("double").alias("next_value"),
+    ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# q18: scalar subquery + HAVING
+# --------------------------------------------------------------------------
+@query(
+    "q18_above_avg_orders",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_big
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    ORDER BY o_custkey
+    """,
+    doc="Scalar subquery (broadcast single-row) + post-agg filter.",
+)
+def q18_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_q18_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, COUNT(*) AS n_big
+        FROM _q18_orders
+        WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(12,2))) FROM _q18_orders)
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 5
+        ORDER BY o_custkey
+        """
+    )

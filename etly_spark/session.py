@@ -1,0 +1,67 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference hand-rolls its parallelism (goroutine fan-out, HTTP worker
+cluster — transfer_service.go:451-477,698-760; transfer_object_service_client.go:20-23).
+Here the cluster manager + AQE replace all of that; this module only pins
+the configs that matter for a 100 TB run and for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and desirable) to set on an existing session at
+# runtime — e.g. the session the correctness driver hands us.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic, engine-portable timestamps (DuckDB is tz-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
+    # parquet reader rejects; read as long and convert (io/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones. Essential at 100 TB, harmless at sf0.01.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF boundary (multimodal stubs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Builder-time configs for sessions we create ourselves.
+BUILD_CONFS: dict[str, str] = {
+    **RUNTIME_CONFS,
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "etly_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in BUILD_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to a session we did not build.
+
+    The correctness driver owns its SparkSession; these confs are all
+    runtime-settable SQL confs, so this is safe to call on any session.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — keep going
+    return spark
