@@ -1,0 +1,215 @@
+"""Pipeline spec: dataclasses mirroring the reference Transfer rule.
+
+Shape parity with config.go:15-147 (Transfer/Source/Target/Resource/
+Duration) and the JSON layout of test/transfer_config{1,2}.json, so a
+reference user's config ports with field-name fidelity. The spec is the
+engine's "query": it compiles to one DataFrame DAG per run
+(read → dispatch → enrich → filter → transform → route → write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import timedelta
+from typing import Any
+
+_UNITS = {
+    "day": timedelta(days=1),
+    "hour": timedelta(hours=1),
+    "min": timedelta(minutes=1),
+    "sec": timedelta(seconds=1),
+    "milli": timedelta(milliseconds=1),
+}
+
+
+@dataclass
+class Duration:
+    """config.go:145-186 — duration with unit ∈ day/hour/min/sec/milli."""
+
+    duration: int = 0
+    unit: str = "sec"
+
+    def to_timedelta(self) -> timedelta:
+        u = self.unit.lower()
+        if u not in _UNITS:
+            raise ValueError(f"Unsupported time unit {self.unit}")
+        return _UNITS[u] * self.duration
+
+    @classmethod
+    def from_dict(cls, d: dict | None) -> Duration | None:
+        if not d:
+            return None
+        return cls(duration=int(d.get("Duration", 0)), unit=d.get("Unit", "sec"))
+
+
+@dataclass
+class DataTypeMatch:
+    """Per-line decode-type dispatch (config.go:248-251): substring match
+    selects the schema; empty data_type ⇒ drop the line."""
+
+    matching_fragment: str
+    data_type: str = ""
+
+
+@dataclass
+class VariableExtraction:
+    """config.go:254-268 — declarative $var extraction: from sourceUrl via
+    regex capture group 1, or from source/target record via provider."""
+
+    name: str
+    source: str  # 'sourceUrl' | 'source' | 'target'
+    reg_expr: str | None = None
+    provider: str | None = None
+
+
+@dataclass
+class Resource:
+    """config.go:72-98 — URI + format + codec (+ schema/datastore config)."""
+
+    name: str = ""  # URL, SQL, or bq://project/dataset.table
+    type: str = "url"  # 'url' | 'datastore'
+    data_format: str = "ndjson"  # ndjson | json | csv | parquet | text
+    compression: str = ""  # '' | 'gzip'
+    credential_file: str = ""
+    data_type: str = ""  # registered schema name (Source side)
+    schema_url: str = ""  # BigQuery-style schema file (Target side)
+    ds_config: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class Source(Resource):
+    """config.go:113-118."""
+
+    filter_reg_exp: str = ""
+    data_type_match: list[DataTypeMatch] = field(default_factory=list)
+    batch_size: int = 0
+
+
+@dataclass
+class Target(Resource):
+    """config.go:132-136; default max batch 64 MiB (transfer_service.go:27)."""
+
+    transfer_method: str = ""
+    max_allowed_size: int = 64 * 1024 * 1024
+
+
+@dataclass
+class Transfer:
+    """The transfer rule (config.go:15-35): the engine's query unit."""
+
+    name: str = ""
+    source: Source = field(default_factory=Source)
+    target: Target = field(default_factory=Target)
+    meta: Resource | None = None
+    time_window: Duration | None = None
+    frequency: Duration | None = None
+    max_parallel_transfers: int = 0
+    max_transfers: int = 0
+    transformer: str = ""
+    filter: str = ""
+    content_enricher: str = ""
+    variable_extraction: list[VariableExtraction] = field(default_factory=list)
+    max_error_counts: int | None = None
+    time_out: Duration | None = None
+    repeat: int = 0
+    fail_retry: int = 1
+    base_dir: str = "."  # <pwd> expansion base (config file directory)
+
+    def validate(self) -> None:
+        """config.go:53-65: every named callable must be registered."""
+        from etly_spark import registry
+
+        if self.source.data_type and self.source.data_type not in registry.schemas:
+            raise ValueError(
+                f"failed to lookup schema for data type '{self.source.data_type}': "
+                f"{self.source.name} -> {self.target.name}"
+            )
+        for attr, reg in [
+            ("transformer", registry.transformers),
+            ("filter", registry.filters),
+            ("content_enricher", registry.enrichers),
+        ]:
+            nm = getattr(self, attr)
+            if nm and nm not in reg:
+                raise ValueError(f"failed to lookup {attr} '{nm}'")
+        for ve in self.variable_extraction:
+            if ve.source.lower() in ("source", "target") and (
+                not ve.provider or ve.provider not in registry.variable_providers
+            ):
+                raise ValueError(f"failed to lookup variable provider '{ve.provider}'")
+
+
+def _resource_from_dict(d: dict, cls=Resource):
+    kw = dict(
+        name=d.get("Name", ""),
+        type=d.get("Type", "url"),
+        data_format=d.get("DataFormat", "ndjson"),
+        compression=d.get("Compression", ""),
+        credential_file=d.get("CredentialFile", ""),
+        data_type=d.get("DataType", ""),
+        schema_url=d.get("Schema", "") if isinstance(d.get("Schema"), str) else "",
+        ds_config=d.get("DsConfig", {}) or {},
+    )
+    if cls is Source:
+        kw.update(
+            filter_reg_exp=d.get("FilterRegExp", ""),
+            batch_size=int(d.get("BatchSize", 0) or 0),
+            data_type_match=[
+                DataTypeMatch(m.get("MatchingFragment", ""), m.get("DataType", ""))
+                for m in d.get("DataTypeMatch", []) or []
+            ],
+        )
+    if cls is Target:
+        kw.update(
+            transfer_method=d.get("TransferMethod", ""),
+            max_allowed_size=int(d.get("MaxAllowedSize", 0) or 0) or 64 * 1024 * 1024,
+        )
+    return cls(**kw)
+
+
+def transfer_from_dict(d: dict, base_dir: str = ".") -> Transfer:
+    return Transfer(
+        name=d.get("Name", ""),
+        source=_resource_from_dict(d.get("Source", {}) or {}, Source),
+        target=_resource_from_dict(d.get("Target", {}) or {}, Target),
+        meta=_resource_from_dict(d["Meta"]) if d.get("Meta") else None,
+        time_window=Duration.from_dict(d.get("TimeWindow")),
+        frequency=Duration.from_dict(d.get("Frequency")),
+        max_parallel_transfers=int(d.get("MaxParallelTransfers", 0) or 0),
+        max_transfers=int(d.get("MaxTransfers", 0) or 0),
+        transformer=d.get("Transformer", ""),
+        filter=d.get("Filter", ""),
+        content_enricher=d.get("ContentEnricher", ""),
+        variable_extraction=[
+            VariableExtraction(
+                name=v.get("Name", ""),
+                source=v.get("Source", ""),
+                reg_expr=v.get("RegExpr"),
+                provider=v.get("Provider"),
+            )
+            for v in d.get("VariableExtraction", []) or []
+        ],
+        max_error_counts=d.get("MaxErrorCounts"),
+        time_out=Duration.from_dict(d.get("TimeOut")),
+        repeat=int(d.get("Repeat", 0) or 0),
+        fail_retry=max(1, int(d.get("FailRetry", 1) or 1)),
+        base_dir=base_dir,
+    )
+
+
+@dataclass
+class TransferConfig:
+    transfers: list[Transfer] = field(default_factory=list)
+
+    @classmethod
+    def from_json(cls, path: str) -> TransferConfig:
+        """Load {"Transfers": [...]} (config.go:284-296); <pwd> resolves
+        relative to the config file's directory."""
+        with open(path) as f:
+            raw = json.load(f)
+        base = os.path.dirname(os.path.abspath(path))
+        return cls(
+            transfers=[transfer_from_dict(t, base) for t in raw.get("Transfers", [])]
+        )

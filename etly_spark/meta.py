@@ -1,0 +1,127 @@
+"""Incremental, file-grain exactly-once state (the reference's meta.json).
+
+Mirrors meta.go:6-61 + persistence (transfer_service.go:113-162): a JSON
+ledger next to the target recording, per source URL, the outcome of its
+transfer — so re-runs skip processed files (transfer_service.go:503-505)
+and BigQuery-style failures are remembered and skipped next run
+(transfer_service.go:628-649).
+
+Hardening vs the reference (SURVEY §7.4): the meta write is atomic
+(tmp + rename) and happens only *after* the data commit, so a crash
+between data write and meta write re-processes (at-least-once into an
+overwrite-idempotent target) instead of silently losing files.
+
+At scale, per-file state is bounded by file count, not data volume; for
+streaming mode Spark's checkpoint/commit-log supersedes this ledger.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+from datetime import datetime, timezone
+
+
+def _now() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+@dataclass
+class ObjectMeta:
+    """meta.go:6-26 — per-source-file outcome."""
+
+    source: str
+    target: str = ""
+    record_processed: int = 0
+    record_skipped: int = 0
+    record_errors: int = 0
+    timestamp: str = field(default_factory=_now)
+    message: str = ""
+    error: str = ""
+
+
+@dataclass
+class ProcessingStatus:
+    """meta.go:28-32."""
+
+    resource_processed: int = 0
+    resource_pending: int = 0
+    record_processed: int = 0
+
+
+@dataclass
+class Meta:
+    """meta.go:39-61 — the per-target ledger."""
+
+    url: str
+    processed: dict[str, ObjectMeta] = field(default_factory=dict)
+    errors: list[dict] = field(default_factory=list)
+    resource_status: dict[str, ProcessingStatus] = field(default_factory=dict)
+    status: ProcessingStatus = field(default_factory=ProcessingStatus)
+
+    def is_processed(self, source_url: str) -> bool:
+        om = self.processed.get(source_url)
+        return om is not None and not om.error
+
+    def record(self, om: ObjectMeta) -> None:
+        self.processed[om.source] = om
+
+    def add_error(self, err: str) -> None:
+        self.errors.append({"error": err, "time": _now()})
+
+    def put_status(self, source: str, status: ProcessingStatus) -> None:
+        """Roll up per-source counters into a total (meta.go:48-61)."""
+        self.resource_status[source] = status
+        total = ProcessingStatus()
+        for s in self.resource_status.values():
+            total.resource_processed += s.resource_processed
+            total.resource_pending += s.resource_pending
+            total.record_processed += s.record_processed
+        self.status = total
+
+    # -- persistence (atomic; transfer_service.go:146-162 equivalent) -----
+
+    def save(self) -> None:
+        path = _strip_scheme(self.url)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "URL": self.url,
+            "Processed": {k: asdict(v) for k, v in self.processed.items()},
+            "Errors": self.errors,
+            "ResourceStatus": {k: asdict(v) for k, v in self.resource_status.items()},
+            "Status": asdict(self.status),
+        }
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".meta.tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    @classmethod
+    def load(cls, url: str) -> Meta:
+        """transfer_service.go:113-144 — missing file ⇒ fresh meta."""
+        path = _strip_scheme(url)
+        if not os.path.exists(path):
+            return cls(url=url)
+        with open(path) as f:
+            raw = json.load(f)
+        m = cls(url=url)
+        for k, v in (raw.get("Processed") or {}).items():
+            m.processed[k] = ObjectMeta(**v)
+        m.errors = raw.get("Errors") or []
+        for k, v in (raw.get("ResourceStatus") or {}).items():
+            m.resource_status[k] = ProcessingStatus(**v)
+        if raw.get("Status"):
+            m.status = ProcessingStatus(**raw["Status"])
+        return m
+
+
+def _strip_scheme(url: str) -> str:
+    if url.startswith("file://"):
+        return url[len("file://") :]
+    return url

@@ -1,0 +1,442 @@
+"""The transfer engine: a Transfer spec compiles to ONE DataFrame DAG.
+
+Reference lifecycle collapse (SURVEY §3): etly's master/worker fan-out
+(per-window goroutines → per-file goroutines → HTTP cluster scatter,
+transfer_service.go:451-477,698-760; transfer_object_service_client.go)
+is replaced by a single declarative plan per time-window:
+
+    read (S1,S2,S4,S5) → enrich (F2) → filter (F1) → transform (F3)
+      → route (R1-R6) → ndjson/gzip sink (K1,B1) → meta ledger (M1,M2)
+
+Spark's scheduler provides P1-P4; Catalyst fuses F1-F4 into whole-stage
+codegen. Per-file record counts for the meta ledger come from one extra
+aggregation over the persisted parse stage (the reference counts them
+record-at-a-time in Go, transfer.go:70-77).
+
+Scale notes:
+- the parse→write path is one distributed job regardless of file count;
+- routing uses `partitionBy` on a computed key column — the only
+  driver-side work after the job is renaming committed partition dirs to
+  their final target names (pure filesystem metadata);
+- `<file>`-style 1:1 naming constrains output parallelism by definition;
+  templates without it produce task-parallel multi-part output.
+"""
+
+from __future__ import annotations
+
+import base64
+import glob as globmod
+import os
+import re
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from etly_spark import registry
+from etly_spark.config import Transfer
+from etly_spark.meta import Meta, ObjectMeta, ProcessingStatus
+from etly_spark.sources.datastore import read_datastore
+from etly_spark.sources.storage import (
+    CORRUPT,
+    FILE,
+    RAW,
+    filter_storage_objects,
+    list_source_objects,
+    read_records,
+)
+from etly_spark.templates import (
+    expand_date,
+    expand_env,
+    expand_pwd,
+    expand_target_key,
+)
+
+TKEY = "__tkey__"
+KEEP = "__keep__"
+
+# task.go:9-14
+RUNNING, TRANSFERRING, NOOP, DONE, ERROR = "RUNNING", "TRANSFERRING", "NOOP", "DONE", "ERROR"
+
+
+@dataclass
+class TransferProgress:
+    """transfer_progress.go:8-17."""
+
+    record_read: int = 0
+    record_processed: int = 0
+    record_skipped: int = 0
+    record_errors: int = 0
+    file_processed: int = 0
+    elapsed_sec: float = 0.0
+
+
+@dataclass
+class TransferResult:
+    name: str
+    status: str = RUNNING
+    error: str = ""
+    progress: TransferProgress = field(default_factory=TransferProgress)
+    outputs: list[str] = field(default_factory=list)
+
+
+def _local(url: str) -> str:
+    return url[len("file://") :] if url.startswith("file://") else url
+
+
+def _norm_file_url(path_or_url: str) -> str:
+    """input_file_name() returns file:///abs/path — normalize ours to match."""
+    p = _local(path_or_url)
+    return "file://" + os.path.abspath(p)
+
+
+class TransferService:
+    """transfer_service.go:68-111 re-expressed on Spark."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ------------------------------------------------------------- run --
+
+    def run(self, transfer: Transfer, now: datetime | None = None) -> TransferResult:
+        transfer.validate()
+        now = now or datetime.now(timezone.utc)
+        result = TransferResult(name=transfer.name or transfer.source.name)
+        t0 = time.time()
+        try:
+            for ts in self._time_window(transfer, now):
+                if transfer.source.type == "datastore":
+                    self._run_datastore_window(transfer, ts, result)
+                else:
+                    self._run_url_window(transfer, ts, result)
+            result.status = DONE if result.progress.file_processed or result.progress.record_processed else NOOP
+        except Exception as e:  # status wrap: transfer_service.go:49-66
+            result.status = ERROR
+            result.error = str(e)
+        result.progress.elapsed_sec = time.time() - t0
+        return result
+
+    # ----------------------------------------------------- time window --
+
+    def _time_window(self, t: Transfer, now: datetime):
+        """W1 (transfer_service.go:820-861): one concrete timestamp per
+        unit step in the look-back window; duplicate template expansions
+        collapse. 2 days ⇒ 2 windows; 24 hours ⇒ 24 windows."""
+        if not t.time_window or not t.time_window.duration:
+            return [now]
+        step = t.time_window.to_timedelta() / max(t.time_window.duration, 1)
+        seen: set[tuple] = set()
+        out = []
+        for i in range(t.time_window.duration):
+            ts = now - step * i
+            key = (
+                expand_date(t.source.name, ts),
+                expand_date(t.target.name, ts),
+                expand_date(t.meta.name, ts) if t.meta else "",
+            )
+            if key not in seen:
+                seen.add(key)
+                out.append(ts)
+        return out
+
+    # ------------------------------------------------------ URL source --
+
+    def _run_url_window(self, t: Transfer, ts: datetime, result: TransferResult) -> None:
+        src_url = expand_date(expand_env(expand_pwd(t.source.name, t.base_dir)), ts)
+        target_template = expand_date(expand_env(expand_pwd(t.target.name, t.base_dir)), ts)
+        meta_url = (
+            expand_date(expand_env(expand_pwd(t.meta.name, t.base_dir)), ts)
+            if t.meta
+            else os.path.join(_local(src_url), ".etly_meta.json")
+        )
+        meta = Meta.load(meta_url)
+
+        objects = list_source_objects(src_url)
+        processed_urls = {u for u in meta.processed if meta.is_processed(u)}
+        eligible = filter_storage_objects(
+            objects,
+            filter_reg_exp=t.source.filter_reg_exp,
+            processed=processed_urls,
+            max_transfers=t.max_transfers,
+        )
+        # M2 status roll-up even on NOOP (transfer_service.go:547-564)
+        pending = len(
+            [u for u, s in objects if s > 0 and u not in processed_urls]
+        ) - len(eligible)
+        if not eligible:
+            meta.put_status(
+                src_url,
+                ProcessingStatus(
+                    resource_processed=len(processed_urls),
+                    resource_pending=max(pending, 0),
+                    record_processed=meta.status.record_processed,
+                ),
+            )
+            meta.save()
+            return
+
+        # R1-R6 master side: per-file target key (template + sourceUrl vars)
+        file_keys: dict[str, str] = {}
+        for url in eligible:
+            variables = self._master_variables(t, url)
+            file_keys[_norm_file_url(url)] = expand_target_key(
+                target_template, url, ts, variables, t.base_dir
+            )
+
+        df = read_records(self.spark, t.source, [_local(u) for u in eligible])
+        df = self._enrich(df, t, src_url)
+        df = df.withColumn(KEEP, self._keep_column(df, t))
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            per_file = {
+                r[FILE]: r
+                for r in df.groupBy(FILE)
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
+                    F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
+                    F.first(F.when(F.col(CORRUPT), F.col(RAW)), ignorenulls=True).alias(
+                        "corrupt_sample"
+                    ),
+                )
+                .collect()
+            }
+
+            total_corrupt = sum(r["corrupt"] for r in per_file.values())
+            # E1 bounded error tolerance (transfer.go:17-25): nil ⇒ tolerate all
+            if t.max_error_counts is not None and 0 < total_corrupt and total_corrupt >= max(
+                t.max_error_counts, 1
+            ):
+                raise RuntimeError(
+                    f"reached max errors {total_corrupt} >= {t.max_error_counts}"
+                )
+
+            out = df.filter(~F.col(CORRUPT) & F.col(KEEP))
+            out = self._transform(out, t)
+            key_col = self._routed_key_column(t, file_keys)
+            outputs = self._write_routed(out, key_col, t)
+            result.outputs.extend(outputs)
+        finally:
+            df.unpersist()
+
+        # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757)
+        n_rec = 0
+        for url in eligible:
+            norm = _norm_file_url(url)
+            r = per_file.get(norm)
+            total = r["total"] if r is not None else 0
+            corrupt = int(r["corrupt"]) if r is not None else 0
+            kept = int(r["kept"]) if r is not None else 0
+            err_msg = ""
+            if corrupt and r is not None and r["corrupt_sample"]:
+                err_msg = f"failed to decode json ({corrupt} times): {r['corrupt_sample'][:200]}"
+                meta.add_error(err_msg)
+            meta.record(
+                ObjectMeta(
+                    source=url,
+                    target=file_keys[norm],
+                    record_processed=kept,
+                    record_skipped=total - corrupt - kept,
+                    record_errors=corrupt,
+                    message=err_msg,
+                )
+            )
+            n_rec += kept
+            result.progress.record_read += total
+            result.progress.record_processed += kept
+            result.progress.record_skipped += total - corrupt - kept
+            result.progress.record_errors += corrupt
+            result.progress.file_processed += 1
+
+        meta.put_status(
+            src_url,
+            ProcessingStatus(
+                resource_processed=len([u for u in meta.processed if meta.is_processed(u)]),
+                resource_pending=max(pending, 0),
+                record_processed=meta.status.record_processed + n_rec,
+            ),
+        )
+        meta.save()
+
+    # ------------------------------------------------ datastore source --
+
+    def _run_datastore_window(self, t: Transfer, ts: datetime, result: TransferResult) -> None:
+        src = t.source
+        # resolve <pwd>/env/date templates inside DsConfig parameter values
+        params = dict((src.ds_config or {}).get("Parameters") or {})
+        for k, v in params.items():
+            if isinstance(v, str):
+                params[k] = expand_date(expand_env(expand_pwd(v, t.base_dir)), ts)
+        src.ds_config = {**(src.ds_config or {}), "Parameters": params}
+
+        df = read_datastore(self.spark, src)
+        data_cols = list(df.columns)
+        df = (
+            df.withColumn(RAW, F.to_json(F.struct(*data_cols)))
+            .withColumn(FILE, F.lit(src.name))
+            .withColumn(CORRUPT, F.lit(False))
+        )
+        df = self._enrich(df, t, src.name)
+        df = df.withColumn(KEEP, self._keep_column(df, t))
+
+        target_template = expand_date(expand_env(expand_pwd(t.target.name, t.base_dir)), ts)
+        meta_url = (
+            expand_date(expand_env(expand_pwd(t.meta.name, t.base_dir)), ts) if t.meta else ""
+        )
+
+        out = df.filter(F.col(KEEP))
+        out = self._transform(out, t)
+        key_col = self._record_key_column(t, F.lit(target_template))
+        outputs = self._write_routed(out, key_col, t)
+        result.outputs.extend(outputs)
+
+        # progress: one logical "file" = the SQL source
+        kept = sum(1 for _ in [])  # filled from observation below
+        counts = df.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col(KEEP).cast("long")).alias("kept"),
+        ).collect()[0]
+        result.progress.record_read += counts["total"]
+        result.progress.record_processed += int(counts["kept"] or 0)
+        result.progress.record_skipped += counts["total"] - int(counts["kept"] or 0)
+        result.progress.file_processed += 1
+
+        if meta_url:
+            meta = Meta.load(meta_url)
+            meta.record(
+                ObjectMeta(
+                    source=src.name,
+                    target=target_template,
+                    record_processed=int(counts["kept"] or 0),
+                    record_skipped=counts["total"] - int(counts["kept"] or 0),
+                )
+            )
+            meta.put_status(
+                src.name,
+                ProcessingStatus(
+                    resource_processed=1,
+                    record_processed=int(counts["kept"] or 0),
+                ),
+            )
+            meta.save()
+
+    # ------------------------------------------------- operator chain ---
+
+    def _enrich(self, df: DataFrame, t: Transfer, source_url: str) -> DataFrame:
+        """F2 (content_enricher.go:9-30): context-aware column adds."""
+        if not t.content_enricher:
+            return df
+        fn = registry.enrichers.get(t.content_enricher)
+        return fn(df, {"source_url": source_url, "transfer": t})
+
+    def _keep_column(self, df: DataFrame, t: Transfer):
+        """F1 (filter.go:11-30): predicate; null-safe (null ⇒ skip)."""
+        if not t.filter:
+            return F.lit(True)
+        pred = registry.filters.get(t.filter)(df)
+        return F.coalesce(pred, F.lit(False))
+
+    def _transform(self, df: DataFrame, t: Transfer) -> DataFrame:
+        """F3 (transformer.go:7-31): 1→1 projection to a new shape.
+
+        A transformer returns either a list[Column] (projection — engine
+        preserves routing metadata columns) or a full DataFrame (advanced;
+        must keep metadata columns itself).
+        """
+        meta_cols = [c for c in (RAW, FILE, CORRUPT, KEEP) if c in df.columns]
+        if not t.transformer:
+            data_cols = [c for c in df.columns if c not in meta_cols]
+            return df.select(*meta_cols, *data_cols)
+        fn = registry.transformers.get(t.transformer)
+        out = fn(df)
+        if isinstance(out, DataFrame):
+            return out
+        return df.select(*[F.col(c) for c in meta_cols], *out)
+
+    # ------------------------------------------------------- routing ----
+
+    def _master_variables(self, t: Transfer, source_url: str) -> dict[str, str]:
+        """R6 master side (util.go:190-213): regex capture group 1."""
+        out: dict[str, str] = {}
+        for ve in t.variable_extraction:
+            if (ve.source or "").lower() == "sourceurl" and ve.reg_expr:
+                m = re.search(ve.reg_expr, source_url)
+                out[ve.name] = m.group(1) if m else ""
+        return out
+
+    def _routed_key_column(self, t: Transfer, file_keys: dict[str, str]):
+        """R1: per-file key via a literal map on input_file_name, then
+        record-level $vars substituted as column expressions."""
+        pairs: list = []
+        for k, v in file_keys.items():
+            pairs.extend([F.lit(k), F.lit(v)])
+        key = F.create_map(*pairs)[F.col(FILE)]
+        return self._record_key_column(t, key)
+
+    def _record_key_column(self, t: Transfer, key):
+        """R1 worker side (util.go:215-242) + $thread/$batchCount state
+        (transfer_service.go:204-206,242-243). $thread ⇒ partition id;
+        $batchCount ⇒ 0 in batch mode (micro-batch id in streaming)."""
+        key = F.replace(key, F.lit("$thread"), F.shiftright(F.spark_partition_id(), 0).cast("string"))
+        key = F.replace(key, F.lit("$batchCount"), F.lit("0"))
+        for ve in t.variable_extraction:
+            if (ve.source or "").lower() in ("source", "target") and ve.provider:
+                col = registry.variable_providers.get(ve.provider)()
+                key = F.replace(key, F.lit(f"${ve.name}"), col.cast("string"))
+        return key
+
+    # --------------------------------------------------------- sink -----
+
+    def _write_routed(self, out: DataFrame, key_col, t: Transfer) -> list[str]:
+        """K1 + B1 (target_transformation.go:29-53; transfer_service.go:
+        193-274): ndjson-encode, group by computed target key, write.
+
+        One distributed job: partitionBy(TKEY) into a staging dir, then
+        rename each committed partition to its final target path
+        (driver-side metadata only). Multi-part partitions are
+        concatenated — valid for ndjson and for gzip (multi-member)."""
+        meta_cols = {RAW, FILE, CORRUPT, KEEP, TKEY}
+        data_cols = [c for c in out.columns if c not in meta_cols]
+        encoded = out.withColumn(TKEY, key_col).select(
+            F.col(TKEY),
+            F.to_json(F.struct(*[F.col(c) for c in data_cols])).alias("value"),
+        )
+
+        gzip = (t.target.compression or "").lower() == "gzip"
+        staging = os.path.join(
+            t.base_dir, f".etly_staging_{uuid.uuid4().hex[:12]}"
+        )
+        writer = encoded.write.mode("append").partitionBy(TKEY)
+        if gzip:
+            writer = writer.option("compression", "gzip")
+        writer.text(staging)
+
+        outputs: list[str] = []
+        try:
+            for part_dir in sorted(globmod.glob(os.path.join(staging, f"{TKEY}=*"))):
+                key = os.path.basename(part_dir)[len(TKEY) + 1 :]
+                final = _local(_unescape_partition_value(key))
+                os.makedirs(os.path.dirname(final) or ".", exist_ok=True)
+                parts = sorted(
+                    p
+                    for p in globmod.glob(os.path.join(part_dir, "part-*"))
+                    if not p.endswith(".crc")
+                )
+                with open(final, "wb") as dst:
+                    for p in parts:
+                        with open(p, "rb") as s:
+                            shutil.copyfileobj(s, dst)
+                outputs.append(final)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return outputs
+
+
+def _unescape_partition_value(value: str) -> str:
+    """Spark escapes partition values like Hive (%XX for special chars)."""
+    return re.sub(r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value)

@@ -1,0 +1,237 @@
+"""End-to-end pipeline parity with the reference smoke test.
+
+Reproduces service_test.go:81-127 semantics: 3 ndjson files (2 valid + 1
+corrupt line; 2 valid; 1 empty), Log1→Log2 transform, <mod:2>_<file>
+routing, meta ledger with 4 processed records + 1 decode error whose
+message contains the corrupt line, idempotent re-run (meta skip), and the
+datastore(csv)→storage path of service_test.go:129-172.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etly_spark import registry
+from etly_spark.config import TransferConfig
+from etly_spark.meta import Meta
+from etly_spark.pipeline import DONE, NOOP, TransferService
+from etly_spark.templates import fnv64
+
+LOG1 = StructType(
+    [
+        StructField("Id", LongType()),
+        StructField("Name", StringType()),
+        StructField("Type", StringType()),
+    ]
+)
+
+if "test.Log1" not in registry.schemas:
+    registry.schemas.register("test.Log1", LOG1)
+
+    @registry.transformers.register("test.Log1ToLog2")
+    def log1_to_log2(df):
+        # service_test.go:46-52: Key = Id, Value = Name + "/" + Type
+        return [
+            F.col("Id").alias("Key"),
+            F.concat_ws("/", F.col("Name"), F.col("Type")).alias("Value"),
+        ]
+
+    registry.schemas.register(
+        "test.AppLog1",
+        StructType(
+            [
+                StructField("APP_ID", StringType()),
+                StructField("NAME", StringType()),
+                StructField("URL", StringType()),
+            ]
+        ),
+    )
+
+    @registry.transformers.register("test.AppLog1ToLog2")
+    def applog1_to_log2(df):
+        # service_test.go:54-65: string→int cast + payload carry
+        return [
+            F.col("APP_ID").cast("long").alias("AppId"),
+            F.col("NAME").alias("Name"),
+            F.col("URL").alias("URL"),
+            F.col("__raw__").alias("Payload"),
+        ]
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "file1.log").write_text(
+        '{"Id":1,"Name":"test1","Type":"a"}\n'
+        '{"werwe:\n'
+        '{"Id":2,"Name":"test2","Type":"b"}\n'
+    )
+    (src / "file2.log").write_text(
+        '{"Id":3,"Name":"test3","Type":"a"}\n'
+        '{"Id":4,"Name":"test4","Type":"b"}\n'
+    )
+    (src / "emptyfile.log").write_text("")
+    (tmp_path / "out").mkdir()
+    return tmp_path
+
+
+def make_config(tmp_path) -> TransferConfig:
+    cfg = {
+        "Transfers": [
+            {
+                "Name": "smoke",
+                "Source": {
+                    "Name": "file://<pwd>in",
+                    "Type": "url",
+                    "DataFormat": "ndjson",
+                    "DataType": "test.Log1",
+                },
+                "Target": {
+                    "Name": "file://<pwd>out/<mod:2>_<file>",
+                    "Type": "url",
+                    "DataFormat": "ndjson",
+                },
+                "Meta": {"Name": "file://<pwd>out/meta.json"},
+                "Transformer": "test.Log1ToLog2",
+                "MaxParallelTransfers": 2,
+                "MaxTransfers": 10,
+            }
+        ]
+    }
+    path = tmp_path / "transfer.json"
+    path.write_text(json.dumps(cfg))
+    return TransferConfig.from_json(str(path))
+
+
+def test_url_pipeline_end_to_end(spark, workdir):
+    cfg = make_config(workdir)
+    svc = TransferService(spark)
+    result = svc.run(cfg.transfers[0])
+    assert result.status == DONE, result.error
+
+    # bucketed 1:1 outputs exist (service_test.go:120-123)
+    b1 = fnv64("file1.log") % 2
+    b2 = fnv64("file2.log") % 2
+    out1 = workdir / "out" / f"{b1}_file1.log"
+    out2 = workdir / "out" / f"{b2}_file2.log"
+    assert out1.exists() and out2.exists()
+    # empty file produced no output
+    assert not list((workdir / "out").glob("*emptyfile*"))
+
+    lines1 = [json.loads(l) for l in out1.read_text().splitlines()]
+    assert {l["Key"] for l in lines1} == {1, 2}
+    assert {l["Value"] for l in lines1} == {"test1/a", "test2/b"}
+    lines2 = [json.loads(l) for l in out2.read_text().splitlines()]
+    assert {(l["Key"], l["Value"]) for l in lines2} == {(3, "test3/a"), (4, "test4/b")}
+
+    # meta: 4 records processed, 1 error containing the corrupt line
+    meta = Meta.load(str(workdir / "out" / "meta.json"))
+    assert sum(m.record_processed for m in meta.processed.values()) == 4
+    assert len(meta.errors) == 1
+    assert '{"werwe:' in meta.errors[0]["error"]
+    assert result.progress.record_processed == 4
+    assert result.progress.record_errors == 1
+
+    # second run: everything already processed ⇒ NOOP (meta skip, M1)
+    result2 = svc.run(cfg.transfers[0])
+    assert result2.status == NOOP
+    assert result2.progress.record_processed == 0
+
+
+def test_max_error_counts_aborts(spark, workdir):
+    cfg = make_config(workdir)
+    t = cfg.transfers[0]
+    t.max_error_counts = 1  # first decode error aborts (transfer.go:21-24)
+    result = TransferService(spark).run(t)
+    assert result.status == "ERROR"
+    assert "max errors" in result.error
+
+
+def test_filter_skips_records(spark, workdir):
+    if "test.OnlyTypeA" not in registry.filters:
+
+        @registry.filters.register("test.OnlyTypeA")
+        def only_type_a(df):
+            return df["Type"] == "a"
+
+    cfg = make_config(workdir)
+    t = cfg.transfers[0]
+    t.filter = "test.OnlyTypeA"
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 2  # ids 1 and 3
+    assert result.progress.record_skipped == 2  # ids 2 and 4
+
+
+def test_datastore_csv_pipeline(spark, tmp_path):
+    # service_test.go:129-172 shape: csv datastore → routed ndjson target
+    ds = tmp_path / "ds" / "in"
+    ds.mkdir(parents=True)
+    (ds / "apps.csv").write_text(
+        '"APP_ID","NAME","URL"\n'
+        '"1","Mobiquite-Thermometer-iOS","http://www.mobiquite.fr/"\n'
+        '"2","App2","http://ex.com/2"\n'
+        '"3","App3","http://ex.com/3"\n'
+        '"4","App4","http://ex.com/4"\n'
+    )
+    cfg = {
+        "Transfers": [
+            {
+                "Source": {
+                    "Name": "SELECT * FROM apps",
+                    "Type": "datastore",
+                    "DataFormat": "ndjson",
+                    "DataType": "test.AppLog1",
+                    "DsConfig": {
+                        "DriverName": "csv",
+                        "Parameters": {"ext": "csv", "url": "file://<pwd>ds/in"},
+                    },
+                },
+                "Target": {
+                    "Name": "file://<pwd>ds/out/app-$thread-$batchCount.log",
+                    "Type": "url",
+                    "DataFormat": "ndjson",
+                },
+                "Meta": {"Name": "file://<pwd>ds/meta.json"},
+                "Transformer": "test.AppLog1ToLog2",
+                "MaxErrorCounts": 0,
+            }
+        ]
+    }
+    cfg_path = tmp_path / "transfer2.json"
+    cfg_path.write_text(json.dumps(cfg))
+    conf = TransferConfig.from_json(str(cfg_path))
+    result = TransferService(spark).run(conf.transfers[0])
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 4
+
+    out_files = sorted((tmp_path / "ds" / "out").glob("app-*.log"))
+    assert out_files, "routed datastore outputs missing"
+    recs = []
+    for f in out_files:
+        recs += [json.loads(l) for l in f.read_text().splitlines()]
+    # golden style: AppId string→int cast (service_test.go:162-169)
+    assert sorted(r["AppId"] for r in recs) == [1, 2, 3, 4]
+    assert all(isinstance(r["AppId"], int) for r in recs)
+    assert any("Mobiquite" in r["Payload"] for r in recs)
+
+
+def test_gzip_sink(spark, workdir):
+    import gzip as gz
+
+    cfg = make_config(workdir)
+    t = cfg.transfers[0]
+    t.target.compression = "gzip"
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    b1 = fnv64("file1.log") % 2
+    out1 = workdir / "out" / f"{b1}_file1.log"
+    with gz.open(out1, "rt") as f:
+        lines = [json.loads(l) for l in f.read().splitlines()]
+    assert {l["Key"] for l in lines} == {1, 2}
