@@ -56,53 +56,80 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
     )
 
 
-def lsh_bands(signature: Column, bands: int = 4, rows: int = 2) -> Column:
-    """Band the signature: band b key = md5 of its `rows` concatenated
-    sig elements. Docs sharing any (band, key) become join candidates —
-    the shuffle key that replaces the cross join."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at(signature, (b * rows + r + 1).cast("int"))
-                    if hasattr(b, "cast")
-                    else F.element_at(signature, b * rows + r + 1)
-                    for r in range(rows)
-                ],
-            ).cast("binary")
-        ),
+def lsh_bands(signature: Column, bands: int = 2, rows: int = 4) -> Column:
+    """Band the signature into `bands` structs (band_idx, band_key): key =
+    md5 of the band's `rows` comma-joined sig elements. Docs sharing any
+    (band_idx, band_key) become join candidates — the shuffle key that
+    replaces the O(n²) cross join. Unrolled Python-side (band count is a
+    small constant), so the whole thing is one codegen'd expression."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.element_at(signature, b * rows + r + 1) for r in range(rows)]
+                    ).cast("binary")
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
 
 
-def token_hash32(tok: Column) -> Column:
-    """32-bit integer hash of a token: first 8 md5 hex chars, base-16.
-    conv() keeps it in [0, 2^32) — portable via the same digits in SQL."""
-    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("bigint")
+def token_hash(tok: Column, hex_chars: int = 8) -> Column:
+    """Integer hash of a token: first `hex_chars` md5 hex chars, base-16.
+    conv() keeps it non-negative — portable via the same digits in SQL
+    (`CAST('0x' || substr(md5(t),1,n) AS BIGINT)`)."""
+    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, hex_chars), 16, 10).cast("bigint")
 
 
-def simhash32(tokens_col: Column) -> Column:
-    """32-bit SimHash over a token array.
+def simhash48(tokens_col: Column) -> Column:
+    """48-bit SimHash over a token array (bits 0..47 of a BIGINT — stays
+    clear of the sign bit in both engines).
 
     For each bit b: sum over tokens of (+1 if bit set else -1); result bit
-    is 1 when the (integer, order-independent) sum is positive.
+    is 1 when the (integer, order-independent) sum is positive. The bit
+    loop is unrolled Python-side into one codegen'd expression; the only
+    per-row cost is |tokens|·48 integer ops after a single md5 per token —
+    embarrassingly parallel, no shuffle.
     """
-    hashes = F.transform(tokens_col, token_hash32)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
+    hashes = F.transform(tokens_col, lambda t: token_hash(t, 12))
+    bit_terms = [
+        F.when(
             F.aggregate(
                 hashes,
                 F.lit(0).cast("bigint"),
-                lambda s, h: s + F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) * 2 - 1,
+                lambda s, h: s + (h.bitwiseAND(F.lit(1 << b)) != 0).cast("bigint") * 2 - 1,
             )
             > 0,
-            F.shiftleft(F.lit(1).cast("bigint"), b.cast("int")),
-        ).otherwise(F.lit(0).cast("bigint")),
+            F.lit(1 << b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(48)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_bands16(sim: Column, bands: int = 3) -> Column:
+    """Split a 48-bit simhash into `bands` 16-bit band keys as structs
+    (band_idx, band_key); candidate pairs share at least one band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sim, b * 16).bitwiseAND(F.lit(65535)).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
+
+
+def hamming48(a: Column, b: Column) -> Column:
+    """Hamming distance between two 48-bit simhashes."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def dot_product(a: Column, b: Column) -> Column:

@@ -1,1 +1,207 @@
-"""(populated in a later milestone)"""
+"""Text-analysis queries over the documents table.
+
+North-star surface (absent in the reference — SURVEY §2.2 scalar-library
+row): language-ID (marker-token heuristic), quality scoring, token
+counting (whitespace + BPE-ish chunking), document fingerprinting.
+
+Every query is a scan-project (+ one small aggregation) — no joins, no
+per-row Python — so at 100 TB each runs embarrassingly parallel with
+column pruning to exactly (doc_id, text[, lang, source]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etly_spark.functions import text as T
+from etly_spark.io.tables import load_table
+from etly_spark.queries.catalog import query
+
+# DuckDB twin of functions.text.tokens(...)
+_SQL_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _sql_marker_hits(markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(toks, t -> list_contains({arr}, t)))"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, {_SQL_TOKS} AS toks FROM documents
+    ), ex AS (
+      SELECT lang, unnest(toks) AS tok, len(toks) AS n FROM tok
+    )
+    SELECT lang,
+           COUNT(DISTINCT tok) AS distinct_tokens,
+           SUM(length(tok)) AS total_token_chars,
+           COUNT(*) AS total_tokens
+    FROM ex
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Whitespace tokenization + per-language token statistics "
+    "(explode → partial agg; one shuffle on the 5-value lang key).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("lang", F.explode(T.tokens("text")).alias("tok"))
+    return (
+        ex.groupBy("lang")
+        .agg(
+            F.countDistinct("tok").alias("distinct_tokens"),
+            F.sum(F.length("tok")).alias("total_token_chars"),
+            F.count(F.lit(1)).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(list_sum(list_transform(toks, t -> (length(t)+3)//4)) AS BIGINT) AS n_bpe_tokens,
+           n_chars
+    FROM tok
+    ORDER BY doc_id
+    """,
+    doc="Per-document token counting: whitespace tokens + BPE-ish "
+    "ceil(len/4) subword chunks. Pure scan-project, zero shuffles.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+_SQL_STOP = _sql_marker_hits(T.STOPWORDS)
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id,
+             least(len(toks) / 100.0, 1.0) AS length_c,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS diversity,
+             1.0 - (CASE WHEN len(toks) > 0
+                         THEN {_SQL_STOP} / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) AS stop_c
+      FROM tok
+    )
+    SELECT doc_id,
+           round(length_c * 0.3 + diversity * 0.4 + stop_c * 0.3, 6) AS quality,
+           CASE WHEN length_c * 0.3 + diversity * 0.4 + stop_c * 0.3 >= 0.75 THEN 'high'
+                WHEN length_c * 0.3 + diversity * 0.4 + stop_c * 0.3 >= 0.55 THEN 'medium'
+                ELSE 'low' END AS bucket
+    FROM c
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: length + lexical-diversity + stopword-density "
+    "composite, bucketed for filtering a training corpus.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    length_c = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    stop_c = F.lit(1.0) - T.stopword_ratio(toks)
+    raw = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
+    return d.select(
+        "doc_id",
+        F.round(raw, 6).alias("quality"),
+        F.when(raw >= 0.75, F.lit("high"))
+        .when(raw >= 0.55, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("bucket"),
+    ).orderBy("doc_id")
+
+
+_S = {lang: _sql_marker_hits(m) for lang, m in T.LANG_MARKERS.items()}
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             {_S['en']} AS s_en, {_S['es']} AS s_es,
+             {_S['de']} AS s_de, {_S['fr']} AS s_fr
+      FROM tok
+    ), p AS (
+      SELECT lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                  WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                  WHEN s_fr > 0 THEN 'fr'
+                  ELSE 'und' END AS predicted
+      FROM s
+    )
+    SELECT lang AS label, predicted, COUNT(*) AS n
+    FROM p GROUP BY label, predicted
+    ORDER BY label, predicted
+    """,
+    doc="Language-ID by marker-token profile scoring (n-gram-heuristic "
+    "shape) + label confusion counts. Swap-in point for real trigram "
+    "profiles; the plan (scan-project + small agg) is the deliverable.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pred = T.langid(T.tokens("text"))
+    return (
+        d.select(F.col("lang").alias("label"), pred.alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40)) AS fp
+      FROM documents
+    )
+    SELECT fp, COUNT(*) AS cluster_size, MIN(doc_id) AS keep_doc
+    FROM fp
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    ORDER BY fp
+    """,
+    doc="Document fingerprinting: md5 of the normalized 40-char prefix "
+    "(rolling-hash stand-in); clusters >1 are duplicate candidates.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(T.normalize_text("text"), 1, 40).cast("binary"))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("fp")
+    )
