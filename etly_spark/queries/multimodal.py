@@ -1,1 +1,98 @@
-"""(populated in a later milestone)"""
+"""Multimodal-column queries: binary payloads with typed metadata,
+decode/feature-extract via Arrow-batched mapInPandas, frame sampling.
+
+The decode codec is stubbed deterministically (no media libs in the
+container — etly_spark.operators.multimodal); everything Spark-side
+(binary column, metadata struct, pandas batch shape, explode plan) is
+real. Oracles replicate the byte arithmetic (payload is utf-8 text, so
+DuckDB's ascii() over chars equals the byte values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etly_spark.io.tables import load_table
+from etly_spark.operators.multimodal import attach_binary_payload, decode_features
+from etly_spark.queries.catalog import query
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS payload_md5,
+           upper(hex(substr(text, 1, 8))) AS header_hex,
+           16 + doc_id % 32 AS height,
+           16 + octet_length(CAST(text AS BLOB)) % 64 AS width,
+           1 + doc_id % 8 AS n_frames
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Binary payload + typed metadata: length, checksum, header bytes, "
+    "declared dimensions. Scan-project over an opaque blob column.",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.upper(F.hex(F.substring(F.col("text"), 1, 8).cast("binary"))).alias("header_hex"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS byte_len,
+             CAST(list_sum(list_transform(generate_series(1, length(text)),
+                  i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
+      FROM documents
+    )
+    SELECT doc_id, byte_len, byte_sum,
+           round(byte_sum / CAST(greatest(byte_len, 1) AS DOUBLE), 6) AS mean_byte,
+           16 + byte_len % 64 AS width,
+           16 + doc_id % 32 AS height,
+           round(32.0 / greatest(16 + byte_len % 64, 16 + doc_id % 32), 6) AS resize_scale
+    FROM b
+    ORDER BY doc_id
+    """,
+    doc="Arrow-batched pandas decode stub (mapInPandas): byte stats + "
+    "resize geometry per payload. Exercises the real multimodal plumbing "
+    "— schema, batch iterator, partition-parallel map, no shuffle.",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return decode_features(d).orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(generate_series(0, doc_id % 8, 2)) AS frame_no
+    FROM documents
+    ORDER BY doc_id, frame_no
+    """,
+    doc="Frame sampling: every 2nd frame of each payload's declared "
+    "n_frames (explode of a generated sequence — the video-sampling plan "
+    "shape; the per-frame codec call is the stubbed stage).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(2))
+            ).alias("frame_no"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )

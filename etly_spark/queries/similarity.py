@@ -1,1 +1,217 @@
-"""(populated in a later milestone)"""
+"""Similarity-search queries over the embeddings table (north-star
+surface; absent in the reference).
+
+Three plans, one semantics (cosine top-k):
+
+- brute-force: broadcast the tiny query set, one scan of the corpus,
+  per-query top-k. The O(Q·N) baseline — at 100 TB this is the *right*
+  plan when Q is small: one pass, no index, no shuffle except the final
+  tiny top-k aggregation.
+- LSH: sign-bucket blocking → only same-bucket candidates scored.
+- IVF: deterministic coarse centroids → assign every vector to its
+  nearest cell (broadcast centroids) → probe only the query's cell.
+
+Floats: dot products are left-fold array lambdas (bit-identical to the
+DuckDB list_reduce twin); ranking ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etly_spark.functions import hashing as H
+from etly_spark.io.tables import load_table
+from etly_spark.queries.catalog import query
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x,y) -> x+y)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+
+
+_BF_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_cos('q.qe', 'e.embedding')} AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=_BF_SQL,
+    doc="Brute-force cosine top-5 for 8 query vectors: broadcast queries, "
+    "single corpus scan, window top-k. The exact-answer ANN baseline.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = F.broadcast(q).join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        H.cosine_similarity(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_SIGN_BUCKET_SQL = """
+         (CASE WHEN embedding[1] > 0 THEN 32 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 16 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 8 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[5] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END)
+"""
+
+_LSH_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket FROM s WHERE vec_id < 32
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         {_sql_cos('q.qe', 's.embedding')} AS cos_sim
+  FROM q JOIN s ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+def _sign_bucket() -> F.Column:
+    return sum(
+        F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (5 - i))).otherwise(F.lit(0))
+        for i in range(6)
+    )
+
+
+@query(
+    "sim_lsh_ann",
+    oracle=_LSH_SQL,
+    doc="LSH-bucketed ANN: sign-bucket (64 cells) as the blocking key; "
+    "candidates scored only within the query's cell. The shuffle is "
+    "keyed on bucket — corpus-size-proportional work per query gone.",
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select("vec_id", "embedding", _sign_bucket().alias("bucket"))
+    q = s.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = F.broadcast(q).join(
+        s, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        H.cosine_similarity(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id % 61 = 0
+), assign0 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cent_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, embedding, cent_id FROM assign0 WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, cent_id FROM assign WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_sql_cos('q.qe', 'a.embedding')} AS cos_sim
+  FROM q JOIN assign a ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "sim_ivf_ann",
+    oracle=_IVF_SQL,
+    doc="IVF ANN: deterministic coarse centroids (vec_id % 61), each "
+    "vector assigned to its nearest cell via a broadcast centroid join "
+    "(linear scan, no shuffle), probe = query's cell only.",
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            H.cosine_similarity(F.col("embedding"), F.col("ce")).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = assign.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cent_id"
+    )
+    scored = F.broadcast(q).join(
+        assign, (assign["cent_id"] == q["cent_id"]) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        H.cosine_similarity(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,79 @@
+"""Unit tests for the column-function library and multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etly_spark.functions import hashing as H
+from etly_spark.functions import text as T
+from etly_spark.operators import multimodal as MM
+
+
+def test_char_shingles_and_minhash(spark):
+    df = spark.createDataFrame([("abcdef",)], "s string")
+    row = df.select(
+        H.char_shingles(F.col("s"), 3).alias("sh"),
+        H.minhash_signature(H.char_shingles(F.col("s"), 3), 4).alias("sig"),
+    ).first()
+    assert row.sh == ["abc", "bcd", "cde", "def"]
+    # permutation 0 of shingle 'abc' is md5(b"0:abc") — verify the min
+    # really is the lexicographic min over all shingles.
+    expect0 = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in row.sh)
+    assert row.sig[0] == expect0 and len(row.sig) == 4
+
+
+def test_token_hash_matches_python(spark):
+    df = spark.createDataFrame([("abcdef",)], "s string")
+    row = df.select(H.token_hash(F.col("s"), 12).alias("h")).first()
+    assert row.h == int(hashlib.md5(b"abcdef").hexdigest()[:12], 16)
+
+
+def test_simhash48_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([("the quick brown fox",), ("the quick brown fox",)], "s string")
+    rows = df.select(H.simhash48(T.tokens("s")).alias("h")).collect()
+    assert rows[0].h == rows[1].h
+    assert 0 <= rows[0].h < (1 << 48)
+
+
+def test_hamming48(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    assert df.select(H.hamming48(F.col("a"), F.col("b")).alias("d")).first().d == 2
+
+
+def test_tokens_and_quality(spark):
+    df = spark.createDataFrame([("the the quick  fox",), ("",)], "text string")
+    rows = df.select(
+        T.token_count("text").alias("n"),
+        T.quality_score("text").alias("q"),
+        T.langid(T.tokens("text")).alias("lang"),
+    ).collect()
+    assert rows[0].n == 4
+    assert 0.0 <= rows[0].q <= 1.0
+    assert rows[0].lang == "en"
+    assert rows[1].n == 0 and rows[1].lang == "und"
+
+
+def test_decode_real_raises_without_codec():
+    if MM.HAVE_PIL:
+        pytest.skip("PIL unexpectedly present")
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(b"\x89PNG...")
+
+
+def test_decode_features_batch_shape(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "wxyz")], "doc_id long, text string")
+    out = MM.decode_features(MM.attach_binary_payload(df))
+    assert out.schema == MM.DECODED_SCHEMA
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].byte_len == 3 and got[1].byte_sum == sum(b"abc")
+    assert got[2].width == 16 + 4 and got[2].height == 16 + 2
+    assert got[2].mean_byte == round(sum(b"wxyz") / 4, 6)
+
+
+def test_cosine_similarity_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<double>")
+    val = df.select(H.cosine_similarity(F.col("v"), F.col("v")).alias("c")).first().c
+    assert abs(val - 1.0) < 1e-12
