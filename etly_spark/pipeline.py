@@ -369,21 +369,21 @@ class TransferService:
                 out[ve.name] = m.group(1) if m else ""
         return out
 
-    def _routed_key_column(self, t: Transfer, file_keys: dict[str, str]):
+    def _routed_key_column(self, t: Transfer, file_keys: dict[str, str], batch_count: int = 0):
         """R1: per-file key via a literal map on input_file_name, then
         record-level $vars substituted as column expressions."""
         pairs: list = []
         for k, v in file_keys.items():
             pairs.extend([F.lit(k), F.lit(v)])
         key = F.create_map(*pairs)[F.col(FILE)]
-        return self._record_key_column(t, key)
+        return self._record_key_column(t, key, batch_count)
 
-    def _record_key_column(self, t: Transfer, key):
+    def _record_key_column(self, t: Transfer, key, batch_count: int = 0):
         """R1 worker side (util.go:215-242) + $thread/$batchCount state
         (transfer_service.go:204-206,242-243). $thread ⇒ partition id;
         $batchCount ⇒ 0 in batch mode (micro-batch id in streaming)."""
         key = F.replace(key, F.lit("$thread"), F.shiftright(F.spark_partition_id(), 0).cast("string"))
-        key = F.replace(key, F.lit("$batchCount"), F.lit("0"))
+        key = F.replace(key, F.lit("$batchCount"), F.lit(str(batch_count)))
         for ve in t.variable_extraction:
             if (ve.source or "").lower() in ("source", "target") and ve.provider:
                 col = registry.variable_providers.get(ve.provider)()

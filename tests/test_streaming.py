@@ -1,0 +1,222 @@
+"""Streaming-mode tests: incremental exactly-once transfer, event-time
+windows with watermark, streaming dedupe, custom stateful operator."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etly_spark import registry
+from etly_spark.config import Source, Target, Transfer
+from etly_spark.meta import Meta
+from etly_spark.streaming import (
+    StreamingTransferService,
+    session_agg,
+    stateful_running_totals,
+    streaming_dedupe,
+    tumbling_agg,
+)
+
+if "stream.Log" not in registry.schemas:
+    registry.schemas.register(
+        "stream.Log",
+        StructType(
+            [
+                StructField("Id", LongType()),
+                StructField("Name", StringType()),
+                StructField("Type", StringType()),
+            ]
+        ),
+    )
+
+    @registry.transformers.register("stream.LogToKV")
+    def log_to_kv(df):
+        return [
+            F.col("Id").alias("Key"),
+            F.concat_ws("/", F.col("Name"), F.col("Type")).alias("Value"),
+        ]
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+
+
+def _transfer(tmp_path) -> Transfer:
+    return Transfer(
+        name="stream-smoke",
+        source=Source(name=str(tmp_path / "in"), data_type="stream.Log"),
+        target=Target(name=str(tmp_path / "out" / "batch-$batchCount.log")),
+        transformer="stream.LogToKV",
+        base_dir=str(tmp_path),
+    )
+
+
+def test_streaming_transfer_exactly_once(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "f1.log").write_text(
+        '{"Id":1,"Name":"a","Type":"x"}\n{"werwe:\n{"Id":2,"Name":"b","Type":"y"}\n'
+    )
+    t = _transfer(tmp_path)
+    svc = StreamingTransferService(spark)
+
+    q = svc.start(t, available_now=True)
+    _await(q)
+    out1 = sorted(p.name for p in (tmp_path / "out").glob("*.log"))
+    assert out1 == ["batch-0.log"]
+    lines = (tmp_path / "out" / "batch-0.log").read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert {json.loads(ln)["Key"] for ln in lines} == {1, 2}
+
+    meta = Meta.load(str(src / ".etly_meta.json"))
+    assert len(meta.processed) == 1
+    om = next(iter(meta.processed.values()))
+    assert om.record_processed == 2 and om.record_errors == 1
+    assert meta.errors and "werwe" in str(meta.errors[0])
+
+    # second file arrives; only IT is processed (checkpoint skip of f1)
+    (src / "f2.log").write_text('{"Id":3,"Name":"c","Type":"z"}\n')
+    q = svc.start(t, available_now=True)
+    _await(q)
+    out2 = sorted(p.name for p in (tmp_path / "out").glob("*.log"))
+    assert out2 == ["batch-0.log", "batch-1.log"]
+    lines2 = (tmp_path / "out" / "batch-1.log").read_text().strip().splitlines()
+    assert [json.loads(ln)["Key"] for ln in lines2] == [3]
+    meta = Meta.load(str(src / ".etly_meta.json"))
+    assert len(meta.processed) == 2
+
+    # no new files → re-run is a no-op (no batch-2 output)
+    q = svc.start(t, available_now=True)
+    _await(q)
+    assert sorted(p.name for p in (tmp_path / "out").glob("*.log")) == out2
+
+
+def _event_stream(spark, tmp_path, rows_per_file: list[list[tuple]]):
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, rows in enumerate(rows_per_file):
+        (src / f"ev{i}.json").write_text(
+            "".join(
+                json.dumps({"user": u, "ts": ts, "v": v}) + "\n" for (u, ts, v) in rows
+            )
+        )
+    schema = "user STRING, ts TIMESTAMP, v LONG"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+
+def test_tumbling_window_with_watermark(spark, tmp_path):
+    stream = _event_stream(
+        spark,
+        tmp_path,
+        [
+            [
+                ("u1", "2024-01-01 00:05:00", 1),
+                ("u1", "2024-01-01 00:55:00", 2),
+                ("u2", "2024-01-01 01:10:00", 3),
+            ]
+        ],
+    )
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", ["user"], [F.sum("v").alias("total")], watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = {
+        (r["user"], r["win"]["start"].isoformat(), r["total"])
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    assert rows == {
+        ("u1", "2024-01-01T00:00:00", 3),
+        ("u2", "2024-01-01T01:00:00", 3),
+    }
+
+
+def test_session_window(spark, tmp_path):
+    stream = _event_stream(
+        spark,
+        tmp_path,
+        [
+            [
+                ("u1", "2024-01-01 00:00:00", 1),
+                ("u1", "2024-01-01 00:10:00", 1),  # same session (gap 30m)
+                ("u1", "2024-01-01 02:00:00", 1),  # new session
+            ]
+        ],
+    )
+    agg = session_agg(
+        stream, "ts", "30 minutes", ["user"], [F.count(F.lit(1)).alias("n")],
+        watermark="1 minute",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    ns = sorted(r["n"] for r in spark.sql("SELECT * FROM session_t").collect())
+    assert ns == [1, 2]
+
+
+def test_streaming_dedupe(spark, tmp_path):
+    stream = _event_stream(
+        spark,
+        tmp_path,
+        [
+            [("u1", "2024-01-01 00:00:00", 1), ("u1", "2024-01-01 00:01:00", 1)],
+            [("u1", "2024-01-01 00:02:00", 1), ("u2", "2024-01-01 00:03:00", 1)],
+        ],
+    )
+    dd = streaming_dedupe(stream, ["user"], ts_col="ts", watermark="1 hour")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedupe_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    users = sorted(r["user"] for r in spark.sql("SELECT * FROM dedupe_t").collect())
+    assert users == ["u1", "u2"]  # u1 kept once across micro-batches
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    stream = _event_stream(
+        spark,
+        tmp_path,
+        [
+            [("u1", "2024-01-01 00:00:00", 10), ("u1", "2024-01-01 00:01:00", 5)],
+            [("u1", "2024-01-01 00:02:00", 1)],
+        ],
+    )
+    totals = stateful_running_totals(stream, "user", "v")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("state_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = sorted(
+        (r["key"], r["batch_rows"], r["total_rows"], r["total_value"])
+        for r in spark.sql("SELECT * FROM state_t").collect()
+    )
+    # state carries across the two micro-batches (maxFilesPerTrigger=1)
+    assert rows == [("u1", 1, 3, 16), ("u1", 2, 2, 15)]
