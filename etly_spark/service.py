@@ -1,0 +1,229 @@
+"""Scheduler + task registry + management service (reference C1/C2).
+
+- Frequency scheduling with next-run bookkeeping (service.go:48-98,
+  config.go:189-197): a 1 s ticker fires `run()`; a Transfer runs when
+  its next-run time has passed and it is not already running; next run =
+  now + Frequency.
+- `transfer_once` (service.go:100-129): run-now API with the `Repeat`
+  loop, optionally async.
+- Task registry (task_registry.go:8-18): active + bounded history (20).
+- Status roll-up (service.go:32-46): worst-of recent task statuses.
+
+Intentional fixes vs reference quirks (SURVEY §7.4): `GetTasksList`
+limit is a count, not an end index; no unsynchronized error shadowing —
+all registry mutation is behind one lock.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+import time
+from dataclasses import asdict, dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import SparkSession
+
+from etly_spark.config import Transfer
+from etly_spark.pipeline import DONE, ERROR, NOOP, RUNNING, TransferResult, TransferService
+
+MAX_HISTORY = 20  # task_registry.go:8
+MAX_STATUS_TASK_COUNT = 10  # service.go:20
+
+VERSION = "0.1.0"
+
+
+@dataclass
+class Task:
+    """task.go:24-33."""
+
+    id: str
+    name: str
+    status: str = RUNNING
+    start_time: str = ""
+    error: str = ""
+    progress: dict = field(default_factory=dict)
+    outputs: list[str] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+class TaskRegistry:
+    """Active + bounded history (task_registry.go:8-18), lock-protected."""
+
+    def __init__(self, max_history: int = MAX_HISTORY):
+        self._lock = threading.Lock()
+        self._active: dict[str, Task] = {}
+        self._history: list[Task] = []
+        self._max_history = max_history
+
+    def register(self, task: Task) -> None:
+        with self._lock:
+            self._active[task.id] = task
+
+    def archive(self, task: Task) -> None:
+        with self._lock:
+            self._active.pop(task.id, None)
+            self._history.insert(0, task)
+            del self._history[self._max_history :]
+
+    def tasks(self, status: str | None = None, limit: int = 0) -> list[Task]:
+        with self._lock:
+            out = list(self._active.values()) + list(self._history)
+        if status:
+            out = [t for t in out if t.status == status]
+        return out[:limit] if limit else out
+
+    def get(self, ids: list[str]) -> list[Task]:
+        with self._lock:
+            all_tasks = {t.id: t for t in itertools.chain(self._active.values(), self._history)}
+        return [all_tasks[i] for i in ids if i in all_tasks]
+
+
+class Service:
+    """The scheduled engine (service.go:48-142) minus the HTTP layer."""
+
+    def __init__(self, spark: SparkSession, transfers: list[Transfer]):
+        self.transfers = transfers
+        self.engine = TransferService(spark)
+        self.registry = TaskRegistry()
+        self._next_run: dict[str, datetime] = {}
+        self._running: set[str] = set()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._task_seq = itertools.count(1)
+
+    # ------------------------------------------------------ scheduling --
+
+    def start(self, tick_sec: float = 1.0) -> None:
+        """service.go:48-71: background ticker loop."""
+        if self._thread and self._thread.is_alive():
+            return
+        self._stop.clear()
+
+        def loop() -> None:
+            while not self._stop.is_set():
+                try:
+                    self.run_due()
+                except Exception:
+                    pass  # per-transfer errors are captured in tasks
+                self._stop.wait(tick_sec)
+
+        self._thread = threading.Thread(target=loop, name="etly-scheduler", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        """No infinite recursion here (server.go:42-45 quirk)."""
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def run_due(self, now: datetime | None = None) -> list[Task]:
+        """service.go:77-98: run every due transfer (sequentially — Spark
+        owns intra-job parallelism; concurrent DAGs can be layered on via
+        driver threads when jobs are genuinely independent)."""
+        now = now or datetime.now(timezone.utc)
+        ran: list[Task] = []
+        for t in self.transfers:
+            key = t.name or t.source.name
+            with self._lock:
+                due = self._next_run.get(key)
+                if key in self._running:
+                    continue
+                if due is not None and now < due:
+                    continue
+                # schedule next run BEFORE running (config.go:189-197)
+                freq = t.frequency.to_timedelta() if t.frequency else timedelta(seconds=0)
+                self._next_run[key] = now + freq
+                if due is None and t.frequency:
+                    # first tick only arms the schedule when a frequency
+                    # exists; frequency-less transfers run immediately
+                    pass
+                self._running.add(key)
+            try:
+                ran.append(self._run_one(t, now))
+            finally:
+                with self._lock:
+                    self._running.discard(key)
+        return ran
+
+    def transfer_once(
+        self, transfers: list[Transfer] | None = None, *, async_: bool = False
+    ) -> list[Task]:
+        """service.go:100-129 with the Repeat loop."""
+        targets = transfers if transfers is not None else self.transfers
+
+        def run_all() -> list[Task]:
+            out: list[Task] = []
+            for t in targets:
+                out.append(self._run_one(t, datetime.now(timezone.utc)))
+                for _ in range(max(t.repeat, 0)):
+                    out.append(self._run_one(t, datetime.now(timezone.utc)))
+            return out
+
+        if async_:
+            th = threading.Thread(target=run_all, daemon=True)
+            th.start()
+            return []
+        return run_all()
+
+    # ------------------------------------------------------------ runs --
+
+    def _run_one(self, t: Transfer, now: datetime) -> Task:
+        task = Task(
+            id=f"task-{next(self._task_seq)}",
+            name=t.name or t.source.name,
+            start_time=now.isoformat(),
+        )
+        self.registry.register(task)
+        result: TransferResult = self.engine.run(t, now)
+        task.status = result.status
+        task.error = result.error
+        task.progress = asdict(result.progress)
+        task.outputs = result.outputs
+        self.registry.archive(task)
+        return task
+
+    # ---------------------------------------------------------- status --
+
+    def status(self) -> dict:
+        """service.go:32-46: worst status over the recent tasks."""
+        recent = self.registry.tasks(limit=MAX_STATUS_TASK_COUNT)
+        overall = "ok"
+        if any(t.status == ERROR for t in recent):
+            overall = "error"
+        elif any(t.status == RUNNING for t in recent):
+            overall = "running"
+        return {
+            "status": overall,
+            "tasks": [t.to_dict() for t in recent],
+        }
+
+    def errors(self) -> list[dict]:
+        return [t.to_dict() for t in self.registry.tasks(status=ERROR)]
+
+    def info(self, name: str) -> dict:
+        """service.go:201-261: re-read the transfer's meta from storage."""
+        from etly_spark.meta import Meta
+        from etly_spark.templates import expand_date, expand_env, expand_pwd
+
+        for t in self.transfers:
+            if (t.name or t.source.name) == name:
+                if not t.meta:
+                    return {"name": name, "meta": None}
+                url = expand_date(
+                    expand_env(expand_pwd(t.meta.name, t.base_dir)), datetime.now(timezone.utc)
+                )
+                m = Meta.load(url)
+                return {
+                    "name": name,
+                    "meta": {
+                        "url": m.url,
+                        "processed": {k: asdict(v) for k, v in m.processed.items()},
+                        "errors": list(m.errors),
+                        "status": asdict(m.status),
+                    },
+                }
+        raise KeyError(f"unknown transfer: {name!r}")

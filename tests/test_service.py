@@ -1,0 +1,153 @@
+"""Scheduler + task registry + management HTTP API tests
+(reference semantics: service_test.go:81-127, 174-216)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etly_spark import registry
+from etly_spark.config import Duration, Resource, Source, Target, Transfer
+from etly_spark.pipeline import DONE, NOOP
+from etly_spark.server import Server
+from etly_spark.service import Service
+
+if "svc.Log" not in registry.schemas:
+    registry.schemas.register(
+        "svc.Log",
+        StructType(
+            [
+                StructField("Id", LongType()),
+                StructField("Name", StringType()),
+                StructField("Type", StringType()),
+            ]
+        ),
+    )
+
+    @registry.transformers.register("svc.LogToKV")
+    def log_to_kv(df):
+        return [
+            F.col("Id").alias("Key"),
+            F.concat_ws("/", F.col("Name"), F.col("Type")).alias("Value"),
+        ]
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "file1.log").write_text(
+        '{"Id":1,"Name":"n1","Type":"a"}\n{"Id":2,"Name":"n2","Type":"b"}\n'
+    )
+    (tmp_path / "out").mkdir()
+    return tmp_path
+
+
+def _transfer(tmp_path, frequency=None) -> Transfer:
+    return Transfer(
+        name="svc-smoke",
+        source=Source(name=str(tmp_path / "in"), data_type="svc.Log"),
+        target=Target(name=str(tmp_path / "out" / "out-<file>")),
+        meta=Resource(name=str(tmp_path / "meta.json")),
+        transformer="svc.LogToKV",
+        frequency=frequency,
+        base_dir=str(tmp_path),
+    )
+
+
+def test_transfer_once_and_noop(spark, workdir):
+    svc = Service(spark, [_transfer(workdir)])
+    tasks = svc.transfer_once()
+    assert [t.status for t in tasks] == [DONE]
+    assert tasks[0].progress["record_processed"] == 2
+    assert (workdir / "out" / "out-file1.log").exists()
+
+    # idempotent: meta skip ⇒ NOOP (transfer_service.go:49-66 semantics)
+    tasks2 = svc.transfer_once()
+    assert [t.status for t in tasks2] == [NOOP]
+
+    # registry: history holds both tasks, newest first
+    all_tasks = svc.registry.tasks()
+    assert [t.status for t in all_tasks] == [NOOP, DONE]
+    assert svc.status()["status"] == "ok"
+
+
+def test_scheduler_frequency_gate(spark, workdir):
+    t = _transfer(workdir, frequency=Duration(duration=1, unit="hour"))
+    svc = Service(spark, [t])
+    ran1 = svc.run_due()
+    assert len(ran1) == 1 and ran1[0].status == DONE
+    # not due again for an hour
+    assert svc.run_due() == []
+
+
+def test_repeat_loop(spark, workdir):
+    t = _transfer(workdir)
+    t.repeat = 2
+    svc = Service(spark, [t])
+    tasks = svc.transfer_once()
+    assert [x.status for x in tasks] == [DONE, NOOP, NOOP]
+
+
+def test_http_api(spark, workdir):
+    svc = Service(spark, [_transfer(workdir)])
+    server = Server(svc, port=0)
+    server.start(scheduler=False)
+    base = f"http://127.0.0.1:{server.port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=30) as r:
+            return json.loads(r.read())
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    try:
+        assert get("/etly/version")["version"]
+        resp = post("/etly/transferOnce", {})
+        assert resp["status"] == "ok"
+        assert [t["status"] for t in resp["tasks"]] == [DONE]
+
+        done = get("/etly/tasks?status=DONE")["tasks"]
+        assert len(done) == 1 and done[0]["progress"]["record_processed"] == 2
+        assert get("/etly/tasklist/?limit=1")["tasks"][0]["id"] == done[0]["id"]
+        assert get(f"/etly/tasks/{done[0]['id']}")["tasks"][0]["name"] == "svc-smoke"
+        assert get("/etly/errors")["tasks"] == []
+        info = get("/etly/info/svc-smoke")
+        assert info["meta"]["status"]["record_processed"] == 2
+        assert get("/etly/status")["status"] == "ok"
+    finally:
+        server.stop()
+
+
+def test_bq_schema_converter():
+    from etly_spark.io.bigquery import bq_schema_to_struct, parse_bq_url
+
+    assert parse_bq_url("bg://proj/ds.tbl") == ("proj", "ds", "tbl")
+    with pytest.raises(ValueError):
+        parse_bq_url("gs://bucket/x")
+
+    st = bq_schema_to_struct(
+        json.dumps(
+            [
+                {"name": "id", "type": "integer", "mode": "required"},
+                {"name": "tags", "type": "string", "mode": "repeated"},
+                {
+                    "name": "nested",
+                    "type": "record",
+                    "fields": [{"name": "x", "type": "float"}],
+                },
+            ]
+        )
+    )
+    assert st["id"].dataType.typeName() == "long" and not st["id"].nullable
+    assert st["tags"].dataType.typeName() == "array"
+    assert st["nested"].dataType["x"].dataType.typeName() == "double"
