@@ -12,3 +12,4 @@ from etly_spark.queries import dedup  # noqa: E402,F401
 from etly_spark.queries import similarity  # noqa: E402,F401
 from etly_spark.queries import text  # noqa: E402,F401
 from etly_spark.queries import multimodal  # noqa: E402,F401
+from etly_spark.queries import windows  # noqa: E402,F401
