@@ -12,7 +12,7 @@ not with corpus size squared.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etly_spark.functions import hashing as H
@@ -55,34 +55,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # MinHash parameters (shared by the Spark builder and the SQL oracle):
-# 5-char shingles, 8 permutations, 2 bands x 4 rows => candidate P ≈ 1-(1-j^4)^2.
-_MH_SQL = r"""
-WITH sh AS (
+# 5-char shingles; permutation j of shingle s = a + j*b where (a, b) are
+# the first/second 56-bit halves of ONE md5(s) (tabulation-style — one
+# digest per shingle occurrence instead of k); 8 permutations, 2 bands x
+# 4 rows => candidate P ≈ 1-(1-j^4)^2. 56-bit halves keep a + 7b < 2^59,
+# well inside signed-64 (no ANSI overflow on either engine).
+_MH_PERM_MIN_SQL = ", ".join(f"min(a + {j}*b)" for j in range(8))
+_MH_SQL = rf"""
+WITH ex AS (
   SELECT doc_id,
-         list_distinct(list_transform(generate_series(1, greatest(length(text)-4,1)),
-                       i -> substr(text, i, 5))) AS sg
+         unnest(list_transform(generate_series(1, greatest(length(text)-4,1)),
+                i -> substr(text, i, 5))) AS s
   FROM documents
-), mh AS (
-  SELECT doc_id, sg,
-         list_transform(generate_series(0,7),
-             j -> list_min(list_transform(sg, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-  FROM sh
+), h AS (
+  SELECT doc_id, s,
+         CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) AS a,
+         CAST('0x' || substr(md5(s), 17, 14) AS BIGINT) AS b
+  FROM ex
+), sig AS (
+  SELECT doc_id, list(DISTINCT s) AS sg, [{_MH_PERM_MIN_SQL}] AS sig
+  FROM h GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, sg, b,
-         md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_key
-  FROM mh, generate_series(0,1) t(b)
+  SELECT doc_id, b,
+         md5(CAST(sig[b*4+1] AS VARCHAR) || ',' || CAST(sig[b*4+2] AS VARCHAR) || ','
+             || CAST(sig[b*4+3] AS VARCHAR) || ',' || CAST(sig[b*4+4] AS VARCHAR)) AS band_key
+  FROM sig, generate_series(0,1) t(b)
+), sized AS (
+  SELECT doc_id, b, band_key, COUNT(*) OVER (PARTITION BY b, band_key) AS bucket_n
+  FROM bands
 ), cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         any_value(a.sg) AS sga, any_value(b.sg) AS sgb
-  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.bucket_n <= 64
+), ver AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.sg, sb.sg))::DOUBLE
+           / len(list_distinct(list_concat(sa.sg, sb.sg))) AS jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b
 )
-SELECT doc_a, doc_b,
-       len(list_intersect(sga, sgb))::DOUBLE
-         / len(list_distinct(list_concat(sga, sgb))) AS jaccard
-FROM cand
-WHERE len(list_intersect(sga, sgb))::DOUBLE
-        / len(list_distinct(list_concat(sga, sgb))) >= 0.5
+SELECT doc_a, doc_b, jaccard FROM ver
+WHERE jaccard >= 0.5
 ORDER BY doc_a, doc_b
 """
 
@@ -90,21 +104,58 @@ ORDER BY doc_a, doc_b
 @query(
     "dedup_minhash_lsh",
     oracle=_MH_SQL,
-    doc="MinHash+LSH near-dup: shingle → 8-perm minhash → 2x4 band keys → "
-    "band self-join → exact shingle-jaccard verify >= 0.5. The band join "
-    "is the scale trick: shuffle keyed on band hash, pairs ~ true dups.",
+    doc="MinHash+LSH near-dup: shingle → 8-perm tabulation minhash → 2x4 "
+    "band keys → capped band self-join → exact shingle-jaccard verify "
+    ">= 0.5. Buckets larger than 64 docs are dropped before pairing — "
+    "they carry no pairwise signal and are exactly the skew that turns "
+    "an LSH join quadratic (a 687-doc hot bucket at sf0.1 alone would "
+    "emit 236k candidate pairs).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode-shingle formulation: higher-order-function lambdas run
+    # interpreted in Spark, so shingling is done as explode(sequence) +
+    # a codegen'd substring, the 8 permutation hashes as a flat codegen'd
+    # projection, and ONE hash aggregate rebuilds both the signature
+    # (min per permutation — duplicates can't change a min, so no
+    # distinct needed) and the shingle set (collect_set, for the exact
+    # jaccard verify). The shuffle carries one row per doc.
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(H.char_shingles(F.col("text"), 5)).alias("sg")
+    ex = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.substring("text", F.col("i"), 5).alias("s"))
+    digest = F.md5(F.col("s").cast("binary"))
+    perms = ex.select(
+        "doc_id",
+        "s",
+        F.conv(F.substring(digest, 1, 14), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring(digest, 17, 14), 16, 10).cast("bigint").alias("b"),
     )
-    sig = sh.select("doc_id", "sg", H.minhash_signature(F.col("sg"), 8).alias("sig"))
+    sig = perms.groupBy("doc_id").agg(
+        F.collect_set("s").alias("sg"),
+        F.array(*[F.min(F.col("a") + j * F.col("b")) for j in range(8)]).alias("sig"),
+    )
+    # The plan reads this subtree four times (band join x2, verify join
+    # x2); persist + eager count so the signature build runs exactly once
+    # — lazily-populated cache would be rebuilt by each concurrent stage.
+    # (ContextCleaner drops the cache when the plan is released.) At
+    # cluster scale this is the standard "materialize the sketch table"
+    # step.
+    sig = sig.persist()
+    sig.count()
+    # Slim band rows (no shingle arrays) for pair generation; hot buckets
+    # (>64 docs) dropped — the anti-skew cap.
     bands = sig.select(
-        "doc_id", "sg", F.explode(H.lsh_bands(F.col("sig"), bands=2, rows=4)).alias("bk")
-    ).select("doc_id", "sg", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+        "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=2, rows=4)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
     cand = (
         a.join(
             b,
@@ -112,12 +163,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.first("a.sg").alias("sga"), F.first("b.sg").alias("sgb"))
+        .filter(F.col("a.bucket_n") <= 64)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    # Exact verify: shingle sets joined back only for surviving pairs.
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sga"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sgb"))
     jac = F.size(F.array_intersect("sga", "sgb")) / F.size(F.array_union("sga", "sgb"))
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
@@ -158,8 +215,30 @@ ORDER BY doc_a, doc_b
     "hamming <= 3 verify. Band join replaces all-pairs hamming scan.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode-token formulation (same reasoning as dedup_minhash_lsh):
+    # one codegen'd md5 per token occurrence, then 48 integer-sum
+    # aggregates vote the bits — all map-side combinable.
     d = load_table(spark, sf_dir, "documents")
-    sim = d.select("doc_id", H.simhash48(T.tokens("text")).alias("s"))
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    h = tok.select("doc_id", H.token_hash(F.col("tok"), 12).alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("h").bitwiseAND(F.lit(1 << b)) != 0).cast("long") * 2 - 1).alias(
+                f"v{b}"
+            )
+            for b in range(48)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for b in range(48)
+    ]
+    sim_col = bit_terms[0]
+    for term in bit_terms[1:]:
+        sim_col = sim_col + term
+    sim = votes.select("doc_id", sim_col.alias("s"))
     bands = sim.select(
         "doc_id", "s", F.explode(H.simhash_bands16(F.col("s"), 3)).alias("bk")
     ).select("doc_id", "s", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
@@ -211,16 +290,32 @@ ORDER BY doc_a, doc_b
     "prefix fingerprint (sorted-neighborhood-style candidate key).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bigram build via explode + codegen'd element_at/concat + collect_set
+    # (interpreted-lambda avoidance — see dedup_minhash_lsh). collect_set
+    # is unordered, which is fine: only intersection/union *sizes* feed
+    # the jaccard.
     d = load_table(spark, sf_dir, "documents")
     t = T.tokens("text")
-    bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
-            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
-        )
-    )
     blk = F.md5(F.substring(T.normalize_text("text"), 1, 16).cast("binary"))
-    ng = d.select("doc_id", bigrams.alias("g"), blk.alias("blk"))
+    ex = d.select(
+        "doc_id",
+        t.alias("toks"),
+        blk.alias("blk"),
+    ).select(
+        "doc_id",
+        "blk",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1)))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "blk",
+        F.concat(
+            F.element_at("toks", F.col("i")), F.lit(" "), F.element_at("toks", F.col("i") + 1)
+        ).alias("bg"),
+    )
+    ng = ex.groupBy("doc_id", "blk").agg(F.collect_set("bg").alias("g"))
     a = ng.alias("a")
     b = ng.alias("b")
     jac = F.size(F.array_intersect("a.g", "b.g")) / F.size(F.array_union("a.g", "b.g"))
