@@ -659,3 +659,89 @@ def q18_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q22: GROUPING SETS via the SQL pass-through surface
+# --------------------------------------------------------------------------
+@query(
+    "q22_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY rf, ls
+    """,
+    doc="GROUPING SETS through spark.sql() — the raw-SQL query surface "
+    "over registered table views.",
+)
+def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q22_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        FROM _q22_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q23: approximate sketches — engine-specific estimators, rows-only check
+# --------------------------------------------------------------------------
+@query(
+    "q23_approx_sketches",
+    oracle=None,  # HLL/KLL sketches are engine-specific by design; the
+    # exact twins are covered by q8 (countDistinct) and q24 (percentile).
+    doc="approx_count_distinct (HyperLogLog++) + approx_percentile (KLL) "
+    "per order-status — the constant-memory profiling path for 100 TB "
+    "scans. No SQL oracle: estimator outputs differ across engines.",
+)
+def q23_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("price_p50_p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q24: exact percentiles (sort-based order statistics)
+# --------------------------------------------------------------------------
+@query(
+    "q24_exact_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (median/p90) per group — the "
+    "sort-based exact twin of q23's sketches.",
+)
+def q24_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -235,3 +235,32 @@ def test_gzip_sink(spark, workdir):
     with gz.open(out1, "rt") as f:
         lines = [json.loads(l) for l in f.read().splitlines()]
     assert {l["Key"] for l in lines} == {1, 2}
+
+
+def test_gzip_source(spark, tmp_path):
+    """Reference reads gzipped ndjson inputs (transfer_object_service.go:
+    89-109); Spark decompresses .gz transparently on read."""
+    import gzip as gz
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    with gz.open(src / "data.log.gz", "wt") as f:
+        f.write('{"Id":7,"Name":"gz","Type":"z"}\n{"Id":8,"Name":"gz2","Type":"y"}\n')
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+
+    t = Transfer(
+        name="gz-smoke",
+        source=Source(name=str(src), data_type="test.Log1", compression="gzip"),
+        target=Target(name=str(tmp_path / "out" / "<file>.out")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 2
+    out = tmp_path / "out" / "data.log.gz.out"
+    assert out.exists()
+    assert {json.loads(l)["Key"] for l in out.read_text().splitlines()} == {7, 8}
