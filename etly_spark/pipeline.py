@@ -104,11 +104,11 @@ class TransferService:
     # ------------------------------------------------------------- run --
 
     def run(self, transfer: Transfer, now: datetime | None = None) -> TransferResult:
-        transfer.validate()
         now = now or datetime.now(timezone.utc)
         result = TransferResult(name=transfer.name or transfer.source.name)
         t0 = time.time()
         try:
+            transfer.validate()
             for ts in self._time_window(transfer, now):
                 if transfer.source.type == "datastore":
                     self._run_datastore_window(transfer, ts, result)
@@ -416,6 +416,11 @@ class TransferService:
             writer = writer.option("compression", "gzip")
         writer.text(staging)
 
+        # B1 (transfer_service.go:27,209-212): bound output object size.
+        # When a key's concatenated output would exceed MaxAllowedSize the
+        # overflow rolls to numbered siblings (key, key.1, key.2, …) — the
+        # Spark analogue of the reference's 64 MiB flush-per-batch.
+        max_bytes = t.target.max_allowed_size or 0
         outputs: list[str] = []
         try:
             for part_dir in sorted(globmod.glob(os.path.join(staging, f"{TKEY}=*"))):
@@ -427,11 +432,26 @@ class TransferService:
                     for p in globmod.glob(os.path.join(part_dir, "part-*"))
                     if not p.endswith(".crc")
                 )
-                with open(final, "wb") as dst:
+                roll = 0
+                written = 0
+                dst_path = final
+                dst = open(dst_path, "wb")
+                outputs.append(dst_path)
+                try:
                     for p in parts:
+                        psize = os.path.getsize(p)
+                        if max_bytes and written and written + psize > max_bytes:
+                            dst.close()
+                            roll += 1
+                            dst_path = f"{final}.{roll}"
+                            dst = open(dst_path, "wb")
+                            outputs.append(dst_path)
+                            written = 0
                         with open(p, "rb") as s:
                             shutil.copyfileobj(s, dst)
-                outputs.append(final)
+                        written += psize
+                finally:
+                    dst.close()
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return outputs

@@ -178,13 +178,26 @@ class Service:
             start_time=now.isoformat(),
         )
         self.registry.register(task)
+        # E2 (big_query.go:127-139; config.go:37-42): on failure retry
+        # `FailRetry` times with 3^i-second backoff.
+        attempts = max(t.fail_retry, 0) + 1
         result: TransferResult = self.engine.run(t, now)
+        for i in range(attempts - 1):
+            if result.status != ERROR:
+                break
+            time.sleep(self._backoff(i))
+            result = self.engine.run(t, now)
         task.status = result.status
         task.error = result.error
         task.progress = asdict(result.progress)
         task.outputs = result.outputs
         self.registry.archive(task)
         return task
+
+    @staticmethod
+    def _backoff(attempt: int) -> float:
+        """3^i seconds (big_query.go:133); overridable in tests."""
+        return float(3**attempt)
 
     # ---------------------------------------------------------- status --
 

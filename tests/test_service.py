@@ -151,3 +151,53 @@ def test_bq_schema_converter():
     assert st["id"].dataType.typeName() == "long" and not st["id"].nullable
     assert st["tags"].dataType.typeName() == "array"
     assert st["nested"].dataType["x"].dataType.typeName() == "double"
+
+
+def test_fail_retry_backoff(spark, workdir, monkeypatch):
+    t = _transfer(workdir)
+    t.transformer = "svc.DoesNotExist"  # validate() fails ⇒ ERROR status
+    t.fail_retry = 2
+    monkeypatch.setattr(Service, "_backoff", staticmethod(lambda i: 0.0))
+    svc = Service(spark, [t])
+
+    calls = []
+    orig = svc.engine.run
+
+    def counting_run(transfer, now=None):
+        calls.append(1)
+        return orig(transfer, now)
+
+    svc.engine.run = counting_run
+    tasks = svc.transfer_once()
+    assert tasks[0].status == "ERROR"
+    assert len(calls) == 3  # initial + FailRetry=2 retries (E2)
+
+
+def test_max_allowed_size_rolls_outputs(spark, tmp_path):
+    """B1: outputs roll to numbered siblings past MaxAllowedSize."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    # two source files → two staged parts under the single target key
+    (src / "a.log").write_text('{"Id":1,"Name":"n1","Type":"a"}\n')
+    (src / "b.log").write_text('{"Id":2,"Name":"n2","Type":"b"}\n')
+    from etly_spark.config import Resource, Source, Target, Transfer
+
+    t = Transfer(
+        name="roll",
+        source=Source(name=str(src), data_type="svc.Log"),
+        target=Target(name=str(tmp_path / "out" / "all.log"), max_allowed_size=10),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        transformer="svc.LogToKV",
+        base_dir=str(tmp_path),
+    )
+    svc = Service(spark, [t])
+    tasks = svc.transfer_once()
+    assert tasks[0].status == DONE
+    names = sorted(p.name for p in (tmp_path / "out").glob("all.log*"))
+    assert names == ["all.log", "all.log.1"]
+    keys = set()
+    for n in names:
+        for line in (tmp_path / "out" / n).read_text().splitlines():
+            keys.add(json.loads(line)["Key"])
+    assert keys == {1, 2}
