@@ -61,7 +61,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4 rows => candidate P ≈ 1-(1-j^4)^2. 56-bit halves keep a + 7b < 2^59,
 # well inside signed-64 (no ANSI overflow on either engine).
 _MH_PERM_MIN_SQL = ", ".join(f"min(a + {j}*b)" for j in range(8))
-_MH_SQL = rf"""
+_MH_PAIRS_CTE = rf"""
 WITH ex AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, greatest(length(text)-4,1)),
@@ -94,9 +94,13 @@ WITH ex AS (
   FROM cand
   JOIN sig sa ON sa.doc_id = cand.doc_a
   JOIN sig sb ON sb.doc_id = cand.doc_b
+), pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.5
 )
-SELECT doc_a, doc_b, jaccard FROM ver
-WHERE jaccard >= 0.5
+"""
+
+_MH_SQL = _MH_PAIRS_CTE + """
+SELECT doc_a, doc_b, jaccard FROM pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -388,4 +392,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# Connected components over the verified near-dup pair graph by K=6
+# unrolled min-label-propagation steps — identical fixed iteration count
+# in BOTH engines, so the result is deterministic even if a component's
+# diameter were to exceed K (labels then simply haven't fully converged,
+# identically on both sides). K=6 covers diameter-6 chains; observed dup
+# clusters are pairs/triples.
+_CLUSTER_STEPS = "".join(
+    f""", l{k+1} AS (
+  SELECT a.u AS doc_id, MIN(l{k}.label) AS label
+  FROM adj a JOIN l{k} ON l{k}.doc_id = a.v
+  GROUP BY a.u
+)"""
+    for k in range(6)
+)
+
+_CLUSTERS_SQL = (
+    _MH_PAIRS_CTE
+    + """, nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+  )
+), adj AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+  UNION ALL SELECT doc_id, doc_id FROM nodes
+), l0 AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+)"""
+    + _CLUSTER_STEPS
+    + """
+SELECT label AS cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+FROM l6
+GROUP BY label
+ORDER BY cluster_id
+"""
+)
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_SQL,
+    doc="Near-dup clustering: connected components over the MinHash-LSH "
+    "pair graph via 6 unrolled min-label-propagation joins (cluster id = "
+    "min doc_id). The iterative-algorithm pattern: tiny edge set after "
+    "LSH+verify, each step one small shuffle — at 100 TB the components "
+    "run over the pair table, never the corpus.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs.count()
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    adj = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .unionAll(nodes.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v")))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(6):
+        labels = (
+            adj.join(labels, adj["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("u").alias("doc_id"), "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc"))
+        .orderBy("cluster_id")
     )

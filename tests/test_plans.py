@@ -1,0 +1,72 @@
+"""Physical-plan hygiene gates — the properties that keep the catalog
+fast at 100 TB, asserted so they can't silently regress:
+
+- filters reach the parquet scan (PushedFilters non-empty where expected)
+- small dimensions broadcast (no shuffle join for nation/customer)
+- no accidental CartesianProduct anywhere in the catalog
+- multimodal decode runs as Arrow-batched MapInPandas, not row Python
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etly_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert any("l_shipdate" in p for p in pushed), plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q2_revenue_per_nation")
+    assert "BroadcastHashJoin" in plan
+    # column pruning: lineitem scan must not read unused columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_comment" not in m.group(1)
+
+
+def test_no_cartesian_products_anywhere(spark):
+    offenders = []
+    for name in sorted(REGISTRY):
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], f"cartesian products in: {offenders}"
+
+
+def test_bruteforce_ann_is_broadcast_nested_loop(spark):
+    # Q tiny side broadcast + corpus scan is the intended exact-ANN plan;
+    # a ShuffledNestedLoop/Cartesian here would be a scale bug.
+    plan = plan_of(spark, "sim_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_multimodal_decode_is_arrow_batched(spark):
+    plan = plan_of(spark, "mm_decode_features")
+    assert "MapInPandas" in plan
+    # input pruned to the two used columns before the Python boundary
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "lang" not in m.group(1)
+
+
+def test_minhash_has_single_sketch_aggregate(spark):
+    # the sketch is built by ONE grouped aggregate over the exploded
+    # shingle stream (map-side combinable) — HOF lambdas would show up
+    # as ArrayAggregate/TransformValues operators in the final plan
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryRelation" in plan  # sketch materialized once
