@@ -205,3 +205,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_size") > 1)
         .orderBy("fp")
     )
+
+
+@query(
+    "text_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKS}) AS term FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+      FROM counts
+    )
+    SELECT rank, term, n FROM ranked WHERE rank <= 20 ORDER BY rank
+    """,
+    doc="Vocabulary top-k: global term frequencies, top-20 with "
+    "deterministic (count, term) tie-break — the tokenizer-vocab "
+    "building block. Explode → map-side-combined count → tiny top-k.",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "term", "n")
+        .orderBy("rank")
+    )
