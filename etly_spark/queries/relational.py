@@ -745,3 +745,57 @@ def q24_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# q25: full outer join — coverage accounting across two aggregates
+# --------------------------------------------------------------------------
+@query(
+    "q25_full_outer_join",
+    oracle="""
+    WITH buyers AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), eventers AS (
+      SELECT user_id % 2000 AS custkey, COUNT(*) AS n_events
+      FROM events GROUP BY user_id % 2000
+    )
+    SELECT COALESCE(b.custkey, e.custkey) AS custkey,
+           COALESCE(b.n_orders, 0) AS n_orders,
+           COALESCE(e.n_events, 0) AS n_events,
+           CASE WHEN b.custkey IS NULL THEN 'events_only'
+                WHEN e.custkey IS NULL THEN 'orders_only'
+                ELSE 'both' END AS side
+    FROM buyers b FULL OUTER JOIN eventers e ON b.custkey = e.custkey
+    ORDER BY custkey
+    """,
+    doc="FULL OUTER join of two aggregates with side accounting — the "
+    "unmatched-rows-on-both-sides join variant (left/semi/anti live in "
+    "q4/q5, inner in q2).",
+)
+def q25_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    buyers = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    eventers = ev.groupBy((F.col("user_id") % 2000).alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    b = buyers.alias("b")
+    e = eventers.alias("e")
+    return (
+        b.join(e, F.col("b.custkey") == F.col("e.custkey"), "full_outer")
+        .select(
+            F.coalesce("b.custkey", "e.custkey").alias("custkey"),
+            F.coalesce("b.n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("e.n_events", F.lit(0)).alias("n_events"),
+            F.when(F.col("b.custkey").isNull(), F.lit("events_only"))
+            .when(F.col("e.custkey").isNull(), F.lit("orders_only"))
+            .otherwise(F.lit("both"))
+            .alias("side"),
+        )
+        .orderBy("custkey")
+    )

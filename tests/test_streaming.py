@@ -99,12 +99,19 @@ def test_streaming_transfer_exactly_once(spark, tmp_path):
 def _event_stream(spark, tmp_path, rows_per_file: list[list[tuple]]):
     src = tmp_path / "ev"
     src.mkdir()
+    import os
+
+    base = time.time() - 3600
     for i, rows in enumerate(rows_per_file):
-        (src / f"ev{i}.json").write_text(
+        p = src / f"ev{i}.json"
+        p.write_text(
             "".join(
                 json.dumps({"user": u, "ts": ts, "v": v}) + "\n" for (u, ts, v) in rows
             )
         )
+        # FileStreamSource orders batches by modification time; same-ms
+        # writes would make micro-batch order nondeterministic.
+        os.utime(p, (base + i, base + i))
     schema = "user STRING, ts TIMESTAMP, v LONG"
     return (
         spark.readStream.schema(schema)
@@ -220,3 +227,44 @@ def test_stateful_running_totals(spark, tmp_path):
     )
     # state carries across the two micro-batches (maxFilesPerTrigger=1)
     assert rows == [("u1", 1, 3, 16), ("u1", 2, 2, 15)]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg: a row arriving behind the watermark is
+    dropped; only watermark-closed windows are emitted."""
+    stream = _event_stream(
+        spark,
+        tmp_path,
+        [
+            # batch 0: one row in [00:00,01:00) and one at 02:00 that
+            # advances the watermark to 01:50 (10-minute delay)
+            [("u1", "2024-01-01 00:05:00", 1), ("u1", "2024-01-01 02:00:00", 100)],
+            # batch 1: keeps the stream moving — the late-row filter uses
+            # the watermark with one extra batch of lag, so the 00:00
+            # window is evicted (emitted) here
+            [("u1", "2024-01-01 02:01:00", 100)],
+            # batch 2: late row for the closed 00:00 window → dropped
+            # (if accepted it would re-emit a duplicate 00:00 row)
+            [("u1", "2024-01-01 00:10:00", 7)],
+        ],
+    )
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", ["user"], [F.sum("v").alias("total")],
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = {
+        (r["user"], r["win"]["start"].isoformat(), r["total"])
+        for r in spark.sql("SELECT * FROM late_t").collect()
+    }
+    # the 00:00 window closed with total=1 — the late 7 was DROPPED; the
+    # 02:00 window is still open (not yet past the watermark), so append
+    # mode has not emitted it.
+    assert rows == {("u1", "2024-01-01T00:00:00", 1)}
