@@ -799,3 +799,41 @@ def q25_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q26: salted two-phase aggregation — the hot-key shuffle pattern
+# --------------------------------------------------------------------------
+@query(
+    "q26_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Two-phase salted aggregation over a 5-value hot key: phase 1 "
+    "groups by (key, salt=pmod(event_id,16)) so the shuffle spreads each "
+    "hot key over 16 reducers; phase 2 merges the partials. Same result "
+    "as the direct group-by (the oracle) — decimal sums reassociate "
+    "exactly. This is the manual pattern for skew that AQE can't split "
+    "(pre-aggregated hot keys).",
+)
+def q26_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.groupBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(16)).alias("__salt__")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("ptotal"),
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("ptotal").cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
