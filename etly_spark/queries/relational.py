@@ -837,3 +837,38 @@ def q26_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q27: correlated EXISTS subquery (decorrelated to a semi-join)
+# --------------------------------------------------------------------------
+@query(
+    "q27_exists_subquery",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="Correlated EXISTS through spark.sql() — Catalyst decorrelates "
+    "to a left-semi hash join (the DataFrame twin is q5).",
+)
+def q27_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_q27_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q27_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_customers
+        FROM _q27_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM _q27_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
