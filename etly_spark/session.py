@@ -33,6 +33,10 @@ RUNTIME_CONFS: dict[str, str] = {
 BUILD_CONFS: dict[str, str] = {
     **RUNTIME_CONFS,
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # keep managed tables (bucketing demos/tests) out of the repo tree
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/etly_spark_warehouse"
+    ),
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
