@@ -240,3 +240,51 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "term", "n")
         .orderBy("rank")
     )
+
+
+@query(
+    "text_curation_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+    doc="Deterministic stratified train/val/test split: hash-mod bucket "
+    "on doc_id (NOT seeded sample() — reproducible across engines, "
+    "runs, and cluster sizes; re-running on grown data keeps prior "
+    "assignments stable). The curation-sampling building block.",
+)
+def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise("test")
+    )
+    return (
+        d.groupBy("lang", split.alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "split")
+    )
