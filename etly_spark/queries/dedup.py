@@ -338,7 +338,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sign-bucket blocking on the first 6 embedding components (mean-zero
 # data → ~64 balanced buckets), then exact cosine on candidates. The
 # float comparisons (x > 0) and the left-fold dot product are
-# bit-deterministic in both engines.
+# bit-deterministic in both engines. Norms are precomputed per vector
+# (one fold each) instead of per pair — same bits, 3x fewer folds.
 _EC_SQL = """
 WITH s AS (
   SELECT vec_id, embedding,
@@ -347,17 +348,15 @@ WITH s AS (
         + CASE WHEN embedding[3] > 0 THEN 8 ELSE 0 END
         + CASE WHEN embedding[4] > 0 THEN 4 ELSE 0 END
         + CASE WHEN embedding[5] > 0 THEN 2 ELSE 0 END
-        + CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) AS bucket
+        + CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) AS bucket,
+         sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x,y) -> x+y)) AS nrm
   FROM embeddings
 ), pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_reduce(list_transform(generate_series(1, len(a.embedding)),
              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
-         / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
-               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y))
-          * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
-               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)))
-           AS cos_sim
+           / (a.nrm * b.nrm) AS cos_sim
   FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
@@ -378,10 +377,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (5 - i))).otherwise(F.lit(0))
         for i in range(6)
     )
-    s = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    s = e.select(
+        "vec_id", "embedding", bucket.alias("bucket"), H.l2_norm(F.col("embedding")).alias("nrm")
+    )
     a = s.alias("a")
     b = s.alias("b")
-    cos = H.cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    cos = H.dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
