@@ -872,3 +872,35 @@ def q27_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_mktsegment
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q28: array functions — collect_set → sort → join/contains/size
+# --------------------------------------------------------------------------
+@query(
+    "q28_array_functions",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+           len(list(DISTINCT event_type)) AS n_types,
+           list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Array surface: set-aggregate per key, deterministic sort, "
+    "stringify/membership/size — the array scalar-library row of "
+    "SURVEY §2.2 under the oracle gate.",
+)
+def q28_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(types, ",").alias("types_csv"),
+            F.size(types).alias("n_types"),
+            F.array_contains(types, "purchase").alias("has_purchase"),
+        )
+        .orderBy("user_id")
+    )
