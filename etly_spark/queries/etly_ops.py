@@ -258,3 +258,32 @@ def etly_meta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("resource")
     )
+
+
+@query(
+    "etly_datastore_source",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="S3 datastore source through the engine's own read_datastore "
+    "path (driver dispatch + SQL-over-view, transfer_service.go:343-405 "
+    "semantics) — not a direct spark.read: the transfer engine's SQL "
+    "source is itself under the oracle gate.",
+)
+def etly_datastore_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etly_spark.config import Source
+    from etly_spark.sources.datastore import read_datastore
+
+    src = Source(
+        name="SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+        type="datastore",
+        ds_config={"DriverName": "parquet", "Parameters": {"url": sf_dir}},
+    )
+    return read_datastore(spark, src)
