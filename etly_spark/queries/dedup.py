@@ -471,3 +471,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc"))
         .orderBy("cluster_id")
     )
+
+
+_LEV_SQL = r"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text) AS edit_dist,
+       levenshtein(a.text, b.text) / CAST(greatest(a.n, b.n) AS DOUBLE) AS edit_ratio
+FROM b a JOIN b b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 0.2 * greatest(a.n, b.n)
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_levenshtein",
+    oracle=_LEV_SQL,
+    doc="Edit-distance near-dup: normalized-prefix blocking, then exact "
+    "levenshtein on candidates with a 20%-of-length threshold. The O(n²)"
+    "-per-pair cost is why it only ever runs AFTER blocking.",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    blk = F.md5(F.substring(T.normalize_text("text"), 1, 16).cast("binary"))
+    b = d.select("doc_id", "text", F.length("text").alias("n"), blk.alias("blk"))
+    a2 = b.alias("a")
+    b2 = b.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    mx = F.greatest(F.col("a.n"), F.col("b.n"))
+    return (
+        a2.join(b2, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(dist <= 0.2 * mx)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+            (dist / mx.cast("double")).alias("edit_ratio"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
