@@ -33,6 +33,78 @@ def run_query(spark, builder, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+def bench_pipeline(spark, sf_dir: str) -> dict:
+    """Throughput of the transfer engine itself (the reference's core
+    workload): export events as ndjson files, run a full Transfer
+    (decode → filter → transform → mod-routed ndjson sink + meta)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etly_spark import registry
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import TransferService
+
+    work = tempfile.mkdtemp(prefix="etly_bench_")
+    try:
+        src_dir = os.path.join(work, "in")
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        n_records = ev.count()
+        ev.select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id").alias("Id"),
+                    F.col("event_type").alias("Type"),
+                    F.col("user_id").alias("User"),
+                )
+            ).alias("value")
+        ).repartition(8).write.mode("overwrite").text(src_dir)
+
+        if "bench.Event" not in registry.schemas:
+            from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+            registry.schemas.register(
+                "bench.Event",
+                StructType(
+                    [
+                        StructField("Id", LongType()),
+                        StructField("Type", StringType()),
+                        StructField("User", LongType()),
+                    ]
+                ),
+            )
+            registry.transformers.register(
+                "bench.EventToKV",
+                lambda df: [
+                    F.col("Id").alias("Key"),
+                    F.concat_ws("/", F.col("Type"), F.col("User").cast("string")).alias(
+                        "Value"
+                    ),
+                ],
+            )
+        t = Transfer(
+            name="bench-transfer",
+            source=Source(name=src_dir, data_type="bench.Event", filter_reg_exp=r"part-"),
+            target=Target(name=os.path.join(work, "out", "bucket-<mod:4>.log")),
+            meta=Resource(name=os.path.join(work, "meta.json")),
+            transformer="bench.EventToKV",
+            base_dir=work,
+        )
+        t0 = time.monotonic()
+        result = TransferService(spark).run(t)
+        sec = time.monotonic() - t0
+        ok = result.status == "DONE" and result.progress.record_processed == n_records
+        return {
+            "records": n_records,
+            "sec": round(sec, 4),
+            "records_per_sec": round(n_records / sec, 1),
+            "ok": ok,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("etly-spark-bench")
@@ -53,6 +125,12 @@ def main() -> int:
             print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
             times[name] = -1.0
 
+    try:
+        pipeline = bench_pipeline(spark, sf_dir)
+    except Exception as exc:
+        print(f"# pipeline bench FAIL: {exc}", file=sys.stderr)
+        pipeline = {"ok": False, "error": str(exc)}
+
     ok = [v for v in times.values() if v >= 0]
     total = round(sum(ok), 4)
     print(
@@ -65,6 +143,7 @@ def main() -> int:
                 "sf": sf_from_dir(sf_dir),
                 "n_queries": len(times),
                 "n_failed": len(times) - len(ok),
+                "pipeline": pipeline,
             }
         )
     )

@@ -74,7 +74,7 @@ def java_date_format_to_strftime(fmt: str) -> str:
     return "".join(out)
 
 
-_DATE_RE = re.compile(r"<dateFormat:([^>]{1,10})>")
+_DATE_RE = re.compile(r"<dateFormat:([^>]{1,64})>")
 _MOD_RE = re.compile(r"<mod:(\d{1,10})>")
 _ENV_RE = re.compile(r"##env\.([A-Za-z_][A-Za-z0-9_]*)##|\$\{env\.([A-Za-z_][A-Za-z0-9_]*)\}")
 
