@@ -483,7 +483,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.text, b.text) AS edit_dist,
        levenshtein(a.text, b.text) / CAST(greatest(a.n, b.n) AS DOUBLE) AS edit_ratio
 FROM b a JOIN b b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.text, b.text) <= 0.2 * greatest(a.n, b.n)
+WHERE abs(a.n - b.n) <= 0.2 * greatest(a.n, b.n)
+  AND levenshtein(a.text, b.text) <= 0.2 * greatest(a.n, b.n)
 ORDER BY doc_a, doc_b
 """
 
@@ -493,19 +494,31 @@ ORDER BY doc_a, doc_b
     oracle=_LEV_SQL,
     doc="Edit-distance near-dup: normalized-prefix blocking, then exact "
     "levenshtein on candidates with a 20%-of-length threshold. The O(n²)"
-    "-per-pair cost is why it only ever runs AFTER blocking.",
+    "-per-pair cost is why it only ever runs AFTER blocking — and why "
+    "the cheap conjuncts (doc order, length-difference lower bound on "
+    "the distance) sit FIRST in the join predicate: they short-circuit "
+    "the DP for most same-block pairs.",
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     blk = F.md5(F.substring(T.normalize_text("text"), 1, 16).cast("binary"))
     b = d.select("doc_id", "text", F.length("text").alias("n"), blk.alias("blk"))
-    a2 = b.alias("a")
+    # spread block groups over tasks — the probe side of the broadcast
+    # join otherwise inherits the (few) scan partitions
+    a2 = b.repartition(32, "blk").alias("a")
     b2 = b.alias("b")
     dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
     mx = F.greatest(F.col("a.n"), F.col("b.n"))
+    # |len(a)-len(b)| is an exact lower bound for levenshtein, so the
+    # length conjunct never changes the result — it only prunes DP work.
+    cond = (
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n") - F.col("b.n")) <= 0.2 * mx)
+        & (dist <= 0.2 * mx)
+    )
     return (
-        a2.join(b2, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter(dist <= 0.2 * mx)
+        a2.join(b2, cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
