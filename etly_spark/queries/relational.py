@@ -904,3 +904,41 @@ def q28_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q29: RANGE window frame — trailing 24-hour per-user activity
+# --------------------------------------------------------------------------
+@query(
+    "q29_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+           ) AS events_24h,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_24h
+    FROM events
+    WHERE user_id < 40
+    ORDER BY user_id, event_id
+    """,
+    doc="RANGE frame (value-based, not row-based): trailing 24-hour "
+    "window keyed on event-time seconds — q17's ROWS twin. One shuffle "
+    "on user_id, frame scan is sort-local.",
+)
+def q29_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_24h"),
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("value_24h"),
+    ).orderBy("user_id", "event_id")

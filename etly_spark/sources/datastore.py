@@ -29,6 +29,9 @@ def normalize_sql(text: str) -> str:
 
 def read_datastore(spark: SparkSession, source: Source) -> DataFrame:
     """Dispatch on DsConfig.DriverName: csv | parquet | jdbc."""
+    from etly_spark.session import tune_session
+
+    tune_session(spark)
     sql = normalize_sql(source.name)
     cfg = source.ds_config or {}
     driver = (cfg.get("DriverName") or "").lower()
