@@ -133,6 +133,18 @@ def main() -> int:
 
     ok = [v for v in times.values() if v >= 0]
     total = round(sum(ok), 4)
+
+    def group_of(name: str) -> str:
+        for prefix in ("etly", "dedup", "sim", "text", "mm"):
+            if name.startswith(prefix + "_"):
+                return prefix
+        return "relational"
+
+    groups: dict[str, float] = {}
+    for name, sec in times.items():
+        if sec >= 0:
+            groups[group_of(name)] = round(groups.get(group_of(name), 0.0) + sec, 4)
+
     print(
         json.dumps(
             {
@@ -140,6 +152,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "groups": groups,
                 "sf": sf_from_dir(sf_dir),
                 "n_queries": len(times),
                 "n_failed": len(times) - len(ok),
