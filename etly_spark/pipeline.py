@@ -59,6 +59,7 @@ from etly_spark.templates import (
 
 TKEY = "__tkey__"
 KEEP = "__keep__"
+VAR_PREFIX = "__var_"
 
 # task.go:9-14
 RUNNING, TRANSFERRING, NOOP, DONE, ERROR = "RUNNING", "TRANSFERRING", "NOOP", "DONE", "ERROR"
@@ -348,7 +349,12 @@ class TransferService:
         preserves routing metadata columns) or a full DataFrame (advanced;
         must keep metadata columns itself).
         """
-        meta_cols = [c for c in (RAW, FILE, CORRUPT, KEEP) if c in df.columns]
+        df = self._attach_source_vars(df, t)
+        meta_cols = [
+            c
+            for c in df.columns
+            if c in (RAW, FILE, CORRUPT, KEEP) or c.startswith(VAR_PREFIX)
+        ]
         if not t.transformer:
             data_cols = [c for c in df.columns if c not in meta_cols]
             return df.select(*meta_cols, *data_cols)
@@ -357,6 +363,17 @@ class TransferService:
         if isinstance(out, DataFrame):
             return out
         return df.select(*[F.col(c) for c in meta_cols], *out)
+
+    def _attach_source_vars(self, df: DataFrame, t: Transfer) -> DataFrame:
+        """R6 worker side, `Source: "source"` (util.go:215-242): a
+        source-record variable evaluates against the record BEFORE the
+        transformer reshapes it — materialized as a hidden column that
+        rides through the transform into the routing key."""
+        for ve in t.variable_extraction:
+            if (ve.source or "").lower() == "source" and ve.provider:
+                col = registry.variable_providers.get(ve.provider)()
+                df = df.withColumn(f"{VAR_PREFIX}{ve.name}__", col.cast("string"))
+        return df
 
     # ------------------------------------------------------- routing ----
 
@@ -385,7 +402,15 @@ class TransferService:
         key = F.replace(key, F.lit("$thread"), F.shiftright(F.spark_partition_id(), 0).cast("string"))
         key = F.replace(key, F.lit("$batchCount"), F.lit(str(batch_count)))
         for ve in t.variable_extraction:
-            if (ve.source or "").lower() in ("source", "target") and ve.provider:
+            if not ve.provider:
+                continue
+            src = (ve.source or "").lower()
+            if src == "source":
+                # evaluated pre-transform; materialized by _attach_source_vars
+                key = F.replace(
+                    key, F.lit(f"${ve.name}"), F.col(f"{VAR_PREFIX}{ve.name}__")
+                )
+            elif src == "target":
                 col = registry.variable_providers.get(ve.provider)()
                 key = F.replace(key, F.lit(f"${ve.name}"), col.cast("string"))
         return key
@@ -400,7 +425,9 @@ class TransferService:
         rename each committed partition to its final target path
         (driver-side metadata only). Multi-part partitions are
         concatenated — valid for ndjson and for gzip (multi-member)."""
-        meta_cols = {RAW, FILE, CORRUPT, KEEP, TKEY}
+        meta_cols = {RAW, FILE, CORRUPT, KEEP, TKEY} | {
+            c for c in out.columns if c.startswith(VAR_PREFIX)
+        }
         data_cols = [c for c in out.columns if c not in meta_cols]
         encoded = out.withColumn(TKEY, key_col).select(
             F.col(TKEY),

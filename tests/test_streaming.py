@@ -268,3 +268,38 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # 02:00 window is still open (not yet past the watermark), so append
     # mode has not emitted it.
     assert rows == {("u1", "2024-01-01T00:00:00", 1)}
+
+
+def test_streaming_record_level_routing(spark, tmp_path):
+    """R1/R6 in streaming mode: a record-extracted $var routes records of
+    one micro-batch to different target files."""
+    from etly_spark.config import VariableExtraction
+
+    if "stream.TypeVar" not in registry.variable_providers:
+        registry.variable_providers.register("stream.TypeVar", lambda: F.col("Type"))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "f1.log").write_text(
+        '{"Id":1,"Name":"a","Type":"x"}\n'
+        '{"Id":2,"Name":"b","Type":"y"}\n'
+        '{"Id":3,"Name":"c","Type":"x"}\n'
+    )
+    t = Transfer(
+        name="stream-routed",
+        source=Source(name=str(src), data_type="stream.Log"),
+        target=Target(name=str(tmp_path / "out" / "type=$t" / "b$batchCount.log")),
+        transformer="stream.LogToKV",
+        variable_extraction=[
+            VariableExtraction(name="t", source="source", provider="stream.TypeVar")
+        ],
+        base_dir=str(tmp_path),
+    )
+    q = StreamingTransferService(spark).start(t, available_now=True)
+    _await(q)
+    out_x = tmp_path / "out" / "type=x" / "b0.log"
+    out_y = tmp_path / "out" / "type=y" / "b0.log"
+    assert out_x.exists() and out_y.exists()
+    assert {json.loads(l)["Key"] for l in out_x.read_text().splitlines()} == {1, 3}
+    assert {json.loads(l)["Key"] for l in out_y.read_text().splitlines()} == {2}
