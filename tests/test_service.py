@@ -201,3 +201,24 @@ def test_max_allowed_size_rolls_outputs(spark, tmp_path):
         for line in (tmp_path / "out" / n).read_text().splitlines():
             keys.add(json.loads(line)["Key"])
     assert keys == {1, 2}
+
+
+def test_scheduler_ticker_loop(spark, workdir):
+    """C1: the background 1s ticker fires due transfers repeatedly
+    (service.go:48-98); first run DONE, repeats NOOP via meta skip."""
+    import time as _time
+
+    t = _transfer(workdir, frequency=Duration(duration=1, unit="sec"))
+    svc = Service(spark, [t])
+    svc.start(tick_sec=0.2)
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            statuses = [x.status for x in svc.registry.tasks()]
+            if DONE in statuses and NOOP in statuses:
+                break
+            _time.sleep(0.5)
+        statuses = [x.status for x in svc.registry.tasks()]
+        assert DONE in statuses and NOOP in statuses, statuses
+    finally:
+        svc.stop()
