@@ -117,10 +117,14 @@ def main() -> int:
     except Exception:
         pass
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     for name, spec in specs:
         try:
-            times[name] = round(run_query(spark, spec.spark, sf_dir), 4)
+            # min-of-N: steady-state time, insulated from GC/compilation
+            times[name] = round(
+                min(run_query(spark, spec.spark, sf_dir) for _ in range(runs)), 4
+            )
         except Exception as exc:  # record failures as -1, keep benching
             print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
             times[name] = -1.0

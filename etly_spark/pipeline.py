@@ -399,7 +399,7 @@ class TransferService:
         """R1 worker side (util.go:215-242) + $thread/$batchCount state
         (transfer_service.go:204-206,242-243). $thread ⇒ partition id;
         $batchCount ⇒ 0 in batch mode (micro-batch id in streaming)."""
-        key = F.replace(key, F.lit("$thread"), F.shiftright(F.spark_partition_id(), 0).cast("string"))
+        key = F.replace(key, F.lit("$thread"), F.spark_partition_id().cast("string"))
         key = F.replace(key, F.lit("$batchCount"), F.lit(str(batch_count)))
         for ve in t.variable_extraction:
             if not ve.provider:
