@@ -28,7 +28,12 @@ def md5_hex(col: Column | str) -> Column:
 
 
 def char_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct k-char shingles (SQL twin: list_distinct of substr windows)."""
+    """Distinct k-char shingles (SQL twin: list_distinct of substr windows).
+
+    Note: higher-order-function lambdas evaluate interpreted in Spark —
+    fine for per-row use, but bulk sketch builds should use the
+    explode(sequence) + codegen'd substring formulation instead (see
+    queries.dedup.dedup_minhash_lsh)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_distinct(
         F.transform(
@@ -42,8 +47,10 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
     """k-permutation MinHash: permutation j = md5(j || ':' || shingle);
     the signature element is the lexicographic min hex digest.
 
-    Scale: O(|shingles|·k) md5 calls per row, all JVM-side; at 100 TB this
-    is embarrassingly parallel with no shuffle.
+    Per-row convenience form (interpreted lambdas). The bulk path is the
+    tabulation variant in queries.dedup.dedup_minhash_lsh: ONE md5 per
+    shingle, permutations as a+j*b integer arithmetic, built via explode
+    + hash aggregate — fully codegen'd, shuffle carries one row per doc.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
