@@ -126,7 +126,7 @@ def etly_mod_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN contains(props, '"k": 2') THEN 'typeB'
                 ELSE 'other' END AS data_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1
     ORDER BY data_type
@@ -156,7 +156,7 @@ def etly_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     ORDER BY CAST(src_num AS INT)

@@ -710,7 +710,8 @@ def q23_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderstatus")
         .agg(
             F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("price_p50_p90"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("price_p50"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("price_p90"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderstatus")

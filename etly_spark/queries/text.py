@@ -37,7 +37,7 @@ def _sql_marker_hits(markers: list[str]) -> str:
     )
     SELECT lang,
            COUNT(DISTINCT tok) AS distinct_tokens,
-           SUM(length(tok)) AS total_token_chars,
+           CAST(SUM(length(tok)) AS BIGINT) AS total_token_chars,
            COUNT(*) AS total_tokens
     FROM ex
     GROUP BY lang
@@ -256,7 +256,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned
     GROUP BY 1, 2
     ORDER BY lang, split
