@@ -48,6 +48,7 @@ DECODED_SCHEMA = StructType(
         StructField("mean_byte", DoubleType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
+        StructField("n_frames", LongType()),
         StructField("resize_scale", DoubleType()),
     ]
 )
@@ -101,6 +102,7 @@ def _decode_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
             "mean_byte": mean_byte,
             "width": width,
             "height": height,
+            "n_frames": (1 + pdf["doc_id"] % 8).astype("int64"),
             "resize_scale": resize_scale,
         }
     )

@@ -398,21 +398,29 @@ class TransferService:
     def _record_key_column(self, t: Transfer, key, batch_count: int = 0):
         """R1 worker side (util.go:215-242) + $thread/$batchCount state
         (transfer_service.go:204-206,242-243). $thread ⇒ partition id;
-        $batchCount ⇒ 0 in batch mode (micro-batch id in streaming)."""
-        key = F.replace(key, F.lit("$thread"), F.spark_partition_id().cast("string"))
-        key = F.replace(key, F.lit("$batchCount"), F.lit(str(batch_count)))
+        $batchCount ⇒ 0 in batch mode (micro-batch id in streaming).
+
+        Replacements are applied longest-name-first — including the
+        built-in $thread/$batchCount — mirroring templates.expand_vars
+        (util.go:244-251 parity): a variable whose name is a prefix of
+        another ($a vs $ab, or a user var named $threadX) must not be
+        clobbered by the shorter substitution."""
+        subs: list[tuple[str, object]] = [
+            ("thread", F.spark_partition_id().cast("string")),
+            ("batchCount", F.lit(str(batch_count))),
+        ]
         for ve in t.variable_extraction:
             if not ve.provider:
                 continue
             src = (ve.source or "").lower()
             if src == "source":
                 # evaluated pre-transform; materialized by _attach_source_vars
-                key = F.replace(
-                    key, F.lit(f"${ve.name}"), F.col(f"{VAR_PREFIX}{ve.name}__")
-                )
+                subs.append((ve.name, F.col(f"{VAR_PREFIX}{ve.name}__")))
             elif src == "target":
                 col = registry.variable_providers.get(ve.provider)()
-                key = F.replace(key, F.lit(f"${ve.name}"), col.cast("string"))
+                subs.append((ve.name, col.cast("string")))
+        for name, col in sorted(subs, key=lambda nv: len(nv[0]), reverse=True):
+            key = F.replace(key, F.lit(f"${name}"), col)
         return key
 
     # --------------------------------------------------------- sink -----

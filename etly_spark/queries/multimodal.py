@@ -48,7 +48,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "mm_decode_features",
+    "mm_decode_frames",
     oracle="""
     WITH b AS (
       SELECT doc_id,
@@ -56,43 +56,46 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_sum(list_transform(generate_series(1, length(text)),
                   i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
       FROM documents
+    ), feats AS (
+      SELECT doc_id, byte_len, byte_sum,
+             round(byte_sum / CAST(greatest(byte_len, 1) AS DOUBLE), 6) AS mean_byte,
+             16 + byte_len % 64 AS width,
+             16 + doc_id % 32 AS height,
+             1 + doc_id % 8 AS n_frames,
+             round(32.0 / greatest(16 + byte_len % 64, 16 + doc_id % 32), 6) AS resize_scale
+      FROM b
     )
-    SELECT doc_id, byte_len, byte_sum,
-           round(byte_sum / CAST(greatest(byte_len, 1) AS DOUBLE), 6) AS mean_byte,
-           16 + byte_len % 64 AS width,
-           16 + doc_id % 32 AS height,
-           round(32.0 / greatest(16 + byte_len % 64, 16 + doc_id % 32), 6) AS resize_scale
-    FROM b
-    ORDER BY doc_id
-    """,
-    doc="Arrow-batched pandas decode stub (mapInPandas): byte stats + "
-    "resize geometry per payload. Exercises the real multimodal plumbing "
-    "— schema, batch iterator, partition-parallel map, no shuffle.",
-)
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return decode_features(d).orderBy("doc_id")
-
-
-@query(
-    "mm_frame_sample",
-    oracle="""
-    SELECT doc_id, unnest(generate_series(0, doc_id % 8, 2)) AS frame_no
-    FROM documents
+    SELECT doc_id, unnest(generate_series(0, n_frames - 1, 2)) AS frame_no,
+           byte_len, byte_sum, mean_byte, width, height, n_frames, resize_scale
+    FROM feats
     ORDER BY doc_id, frame_no
     """,
-    doc="Frame sampling: every 2nd frame of each payload's declared "
-    "n_frames (explode of a generated sequence — the video-sampling plan "
-    "shape; the per-frame codec call is the stubbed stage).",
+    doc="Decode → frame-sample pipeline in one checked row: Arrow-batched "
+    "pandas decode stub (mapInPandas — byte stats, resize geometry, frame "
+    "count per payload), then every-2nd-frame sampling as an explode of a "
+    "generated sequence (the video-sampling plan shape; the per-frame "
+    "codec call is the stubbed stage). Exercises the real multimodal "
+    "plumbing — schema, batch iterator, partition-parallel map, no "
+    "shuffle before the explode.",
 )
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_features(d)
     return (
-        d.select(
+        feats.withColumn(
+            "frame_no",
+            F.explode(F.sequence(F.lit(0), (F.col("n_frames") - 1).cast("int"), F.lit(2))),
+        )
+        .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(2))
-            ).alias("frame_no"),
+            "frame_no",
+            "byte_len",
+            "byte_sum",
+            "mean_byte",
+            "width",
+            "height",
+            "n_frames",
+            "resize_scale",
         )
         .orderBy("doc_id", "frame_no")
     )

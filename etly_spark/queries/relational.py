@@ -110,12 +110,12 @@ def q2_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q3: window ranking — top-3 orders per customer
+# q3: top-k — per-group (window) AND global (TakeOrderedAndProject)
 # --------------------------------------------------------------------------
 @query(
-    "q3_top_orders_per_customer",
+    "q3_topk_orders",
     oracle="""
-    SELECT o_custkey, o_orderkey, rn
+    SELECT 'per_customer' AS scope, o_custkey, o_orderkey, rn
     FROM (
       SELECT o_custkey, o_orderkey,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -123,30 +123,58 @@ def q2_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     WHERE rn <= 3
-    ORDER BY o_custkey, rn
+    UNION ALL
+    SELECT 'global' AS scope, o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20
+    )
+    ORDER BY scope, o_custkey, rn
     """,
-    doc="row_number window; per-group top-k without a global sort.",
+    doc="Top-k both ways in one checked row: per-customer top-3 via a "
+    "row_number window (per-group top-k, no global sort) and global "
+    "top-20 via orderBy+limit (TakeOrderedAndProject — per-partition "
+    "heaps, no full sort materialization; the rank window runs over the "
+    "already-reduced 20 rows only).",
 )
-def q3_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q3_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
+    per_customer = (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn")
-        .orderBy("o_custkey", "rn")
+        .select(F.lit("per_customer").alias("scope"), "o_custkey", "o_orderkey", "rn")
     )
 
+    # TakeOrderedAndProject first (top-20 via per-partition heaps), then
+    # rank the 20 survivors — the global window never sees the full table.
+    top20 = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+    wg = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    global_top = (
+        top20.withColumn("rn", F.row_number().over(wg))
+        .select(F.lit("global").alias("scope"), "o_custkey", "o_orderkey", "rn")
+    )
+
+    return per_customer.unionByName(global_top).orderBy("scope", "o_custkey", "rn")
+
 
 # --------------------------------------------------------------------------
-# q4: anti join — customers with no orders in a window
+# q4: existence joins — NOT EXISTS (anti) + correlated EXISTS (semi)
 # --------------------------------------------------------------------------
 @query(
-    "q4_customers_without_orders",
+    "q4_anti_exists_customers",
     oracle="""
-    SELECT c.c_mktsegment, COUNT(*) AS n_inactive
+    SELECT 'anti' AS kind, c.c_mktsegment, COUNT(*) AS n
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
@@ -154,21 +182,49 @@ def q3_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate >= TIMESTAMP '2000-01-01'
     )
     GROUP BY c.c_mktsegment
-    ORDER BY c.c_mktsegment
+    UNION ALL
+    SELECT 'exists' AS kind, c.c_mktsegment, COUNT(*) AS n
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY kind, c_mktsegment
     """,
-    doc="left_anti join (NOT EXISTS decorrelated by Catalyst).",
+    doc="Existence joins in one checked row: NOT EXISTS as an explicit "
+    "left_anti join, and a correlated EXISTS subquery through spark.sql() "
+    "(Catalyst decorrelates it to a left_semi join). Both aggregate to "
+    "per-segment counts.",
 )
-def q4_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q4_anti_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
     )
-    return (
+    anti = (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_inactive"))
-        .orderBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("kind"), "c_mktsegment", "n")
     )
+
+    # Correlated EXISTS through the SQL surface — Catalyst decorrelates
+    # this to a left_semi join (asserted in tests/test_plans.py).
+    c.createOrReplaceTempView("_q4_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q4_orders")
+    exists = spark.sql(
+        """
+        SELECT 'exists' AS kind, c.c_mktsegment, COUNT(*) AS n
+        FROM _q4_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM _q4_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        GROUP BY c.c_mktsegment
+        """
+    )
+    return anti.unionByName(exists).orderBy("kind", "c_mktsegment")
 
 
 # --------------------------------------------------------------------------
@@ -200,65 +256,92 @@ def q5_semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q6: rollup / grouping sets
+# q6: grouping analytics — ROLLUP + CUBE + GROUPING SETS in one checked row
 # --------------------------------------------------------------------------
 @query(
-    "q6_rollup_status",
+    "q6_grouping_analytics",
     oracle="""
-    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-           COALESCE(o_orderpriority, 'ALL') AS priority,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    SELECT 'rollup' AS gkind,
+           COALESCE(o_orderstatus, 'ALL') AS k1,
+           COALESCE(o_orderpriority, 'ALL') AS k2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS val
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    ORDER BY status, priority
-    """,
-    doc="ROLLUP grouping sets; NULL group keys coalesced for portability.",
-)
-def q6_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n_orders",
-            "total",
-        )
-        .orderBy("status", "priority")
-    )
-
-
-# --------------------------------------------------------------------------
-# q7: cube over lineitem flags
-# --------------------------------------------------------------------------
-@query(
-    "q7_cube_flags",
-    oracle="""
-    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
-           COALESCE(l_linestatus, 'ALL') AS ls,
-           COUNT(*) AS cnt
+    UNION ALL
+    SELECT 'cube' AS gkind,
+           COALESCE(l_returnflag, 'ALL') AS k1,
+           COALESCE(l_linestatus, 'ALL') AS k2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS val
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY rf, ls
+    UNION ALL
+    SELECT 'gsets' AS gkind,
+           COALESCE(l_returnflag, 'ALL') AS k1,
+           COALESCE(l_linestatus, 'ALL') AS k2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS val
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gkind, k1, k2
     """,
+    doc="Grouping analytics, all three shapes in one checked row: ROLLUP "
+    "(orders status/priority with decimal-exact total), CUBE (lineitem "
+    "flags with quantity sum), and GROUPING SETS through the spark.sql() "
+    "raw-SQL surface over a registered view. NULL group keys coalesced "
+    "for portability; each branch keeps its own Expand-based plan.",
 )
-def q7_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q6_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-            "cnt",
+
+    rollup = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("val"),
         )
-        .orderBy("rf", "ls")
+        .select(
+            F.lit("rollup").alias("gkind"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+            "n",
+            "val",
+        )
     )
+
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("val"),
+        )
+        .select(
+            F.lit("cube").alias("gkind"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
+            "n",
+            "val",
+        )
+    )
+
+    # GROUPING SETS has no DataFrame API — exercised via the raw-SQL
+    # pass-through surface over a registered view.
+    li.createOrReplaceTempView("_q6_lineitem")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS gkind,
+               COALESCE(l_returnflag, 'ALL') AS k1,
+               COALESCE(l_linestatus, 'ALL') AS k2,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS val
+        FROM _q6_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+    return rollup.unionByName(cube).unionByName(gsets).orderBy("gkind", "k1", "k2")
 
 
 # --------------------------------------------------------------------------
@@ -327,28 +410,6 @@ def q9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("op")
-
-
-# --------------------------------------------------------------------------
-# q10: global top-k with deterministic tiebreak
-# --------------------------------------------------------------------------
-@query(
-    "q10_top20_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 20
-    """,
-    doc="TakeOrderedAndProject — no full sort materialization.",
-)
-def q10_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .limit(20)
-    )
 
 
 # --------------------------------------------------------------------------
@@ -662,38 +723,6 @@ def q18_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q22: GROUPING SETS via the SQL pass-through surface
-# --------------------------------------------------------------------------
-@query(
-    "q22_grouping_sets",
-    oracle="""
-    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
-           COALESCE(l_linestatus, 'ALL') AS ls,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    ORDER BY rf, ls
-    """,
-    doc="GROUPING SETS through spark.sql() — the raw-SQL query surface "
-    "over registered table views.",
-)
-def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q22_lineitem")
-    return spark.sql(
-        """
-        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
-               COALESCE(l_linestatus, 'ALL') AS ls,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
-        FROM _q22_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        ORDER BY rf, ls
-        """
-    )
-
-
-# --------------------------------------------------------------------------
 # q23: approximate sketches — engine-specific estimators, rows-only check
 # --------------------------------------------------------------------------
 @query(
@@ -837,41 +866,6 @@ def q26_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ptotal").cast("double").alias("total"),
         )
         .orderBy("event_type")
-    )
-
-
-# --------------------------------------------------------------------------
-# q27: correlated EXISTS subquery (decorrelated to a semi-join)
-# --------------------------------------------------------------------------
-@query(
-    "q27_exists_subquery",
-    oracle="""
-    SELECT c.c_mktsegment, COUNT(*) AS n_customers
-    FROM customer c
-    WHERE EXISTS (
-      SELECT 1 FROM orders o
-      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
-    )
-    GROUP BY c.c_mktsegment
-    ORDER BY c.c_mktsegment
-    """,
-    doc="Correlated EXISTS through spark.sql() — Catalyst decorrelates "
-    "to a left-semi hash join (the DataFrame twin is q5).",
-)
-def q27_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_q27_customer")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q27_orders")
-    return spark.sql(
-        """
-        SELECT c.c_mktsegment, COUNT(*) AS n_customers
-        FROM _q27_customer c
-        WHERE EXISTS (
-          SELECT 1 FROM _q27_orders o
-          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
-        )
-        GROUP BY c.c_mktsegment
-        ORDER BY c.c_mktsegment
-        """
     )
 
 

@@ -75,12 +75,6 @@ ORDER BY query_id, rank
 """
 
 
-@query(
-    "sim_topk_bruteforce",
-    oracle=_BF_SQL,
-    doc="Brute-force cosine top-5 for 8 query vectors: broadcast queries, "
-    "single corpus scan, window top-k. The exact-answer ANN baseline.",
-)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _normed(load_table(spark, sf_dir, "embeddings"))
     q = s.filter(F.col("vec_id") < 8).select(
@@ -131,13 +125,6 @@ def _sign_bucket() -> F.Column:
     )
 
 
-@query(
-    "sim_lsh_ann",
-    oracle=_LSH_SQL,
-    doc="LSH-bucketed ANN: sign-bucket (64 cells) as the blocking key; "
-    "candidates scored only within the query's cell. The shuffle is "
-    "keyed on bucket — corpus-size-proportional work per query gone.",
-)
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     s = e.select(
@@ -187,13 +174,6 @@ ORDER BY query_id, rank
 """
 
 
-@query(
-    "sim_ivf_ann",
-    oracle=_IVF_SQL,
-    doc="IVF ANN: deterministic coarse centroids (vec_id % 61), each "
-    "vector assigned to its nearest cell via a broadcast centroid join "
-    "(linear scan, no shuffle), probe = query's cell only.",
-)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _normed(load_table(spark, sf_dir, "embeddings"))
     cent = s.filter(F.col("vec_id") % 61 == 0).select(
@@ -220,3 +200,37 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign, (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id"))
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), _cos_pair().alias("cos_sim"))
     return _topk(scored, 5)
+
+
+_ANN_SQL = f"""
+SELECT 'brute' AS method, * FROM ({_BF_SQL})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({_LSH_SQL})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({_IVF_SQL})
+ORDER BY method, query_id, rank
+"""
+
+
+@query(
+    "sim_ann_methods",
+    oracle=_ANN_SQL,
+    doc="Similarity search, all three plans in one checked row (same "
+    "cosine-top-k semantics, tagged by method): brute-force — broadcast "
+    "the tiny query set, one corpus scan, per-query top-k (the "
+    "exact-answer baseline; at 100 TB the right plan when Q is small); "
+    "lsh — sign-bucket (64 cells) blocking key, candidates scored only "
+    "within the query's cell; ivf — deterministic coarse centroids "
+    "(vec_id % 61), every vector assigned to its nearest cell via a "
+    "broadcast centroid join, probe = the query's cell only.",
+)
+def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = [
+        sim_topk_bruteforce(spark, sf_dir).select(F.lit("brute").alias("method"), "*"),
+        sim_lsh_ann(spark, sf_dir).select(F.lit("lsh").alias("method"), "*"),
+        sim_ivf_ann(spark, sf_dir).select(F.lit("ivf").alias("method"), "*"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("method", "query_id", "rank")

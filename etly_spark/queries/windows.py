@@ -1,4 +1,4 @@
-"""Event-time window operators as oracle-checked batch queries.
+"""Event-time window operators as one oracle-checked batch query.
 
 These exercise the SAME helpers the streaming surface uses
 (etly_spark.streaming.windows) — window()/session_window() are ordinary
@@ -6,9 +6,15 @@ Catalyst expressions, so running them on the batch events table puts the
 streaming operator semantics under the DuckDB correctness gate; the
 streaming tests then cover triggers/watermark/state on top.
 
-Scale: one shuffle on (key, window); tumbling/sliding windows are
-computed row-side (no explode for tumbling; sliding emits one row per
-covering window), sessions merge in the aggregation.
+The three window shapes (tumbling / sliding / session) are union'd into
+a single catalog entry with a `wkind` tag so the external driver's
+50-query check covers all of them in one row; each branch still runs
+its own dedicated helper and plan.
+
+Scale: one shuffle on (key, window) per branch; tumbling windows are
+computed row-side (no explode), sliding emits one row per covering
+window, sessions merge in the aggregation. The union is plan-level
+(each branch independent) — no extra shuffle is introduced.
 """
 
 from __future__ import annotations
@@ -22,108 +28,104 @@ from etly_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
 @query(
-    "q19_tumbling_window",
+    "q19_event_time_windows",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-           event_type,
+    SELECT 'tumbling' AS wkind,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type AS grp,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS metric
     FROM events
-    GROUP BY 1, 2
-    ORDER BY win_start, event_type
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS wkind, win_start, 'ALL' AS grp, n,
+           CAST(users AS DOUBLE) AS metric
+    FROM (
+      SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+             COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS users
+      FROM (
+        SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                       time_bucket(INTERVAL 30 MINUTE, ts)]) AS win_start,
+               user_id
+        FROM events
+      )
+      GROUP BY 1
+    )
+    UNION ALL
+    SELECT 'session' AS wkind,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(user_id AS VARCHAR) AS grp,
+           COUNT(*) AS n,
+           0.0 AS metric
+    FROM (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    )
+    GROUP BY user_id, sess_id
+    ORDER BY wkind, win_start, grp
     """,
-    doc="Tumbling 1-hour event-time windows per type (streaming operator "
-    "semantics, batch-checked).",
+    doc="Event-time windows, all three shapes in one checked row: "
+    "tumbling 1-hour per event_type (metric = decimal-exact value sum), "
+    "sliding 1 h / 30 min global (metric = distinct users), and native "
+    "session_window() 30-min gap per user (oracle derives identical "
+    "sessions via gaps-and-islands). Streaming operator semantics, "
+    "batch-checked.",
 )
-def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    agg = tumbling_agg(
+
+    tumbling = tumbling_agg(
         ev,
         "ts",
         "1 hour",
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("metric"),
         ],
-    )
-    return agg.select(
+    ).select(
+        F.lit("tumbling").alias("wkind"),
         F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-        "event_type",
+        F.col("event_type").alias("grp"),
         "n",
-        "total_value",
-    ).orderBy("win_start", "event_type")
-
-
-@query(
-    "q20_sliding_window",
-    oracle="""
-    WITH expanded AS (
-      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
-                     time_bucket(INTERVAL 30 MINUTE, ts)]) AS win_start,
-             user_id
-      FROM events
+        "metric",
     )
-    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
-           COUNT(*) AS n,
-           COUNT(DISTINCT user_id) AS users
-    FROM expanded
-    GROUP BY 1
-    ORDER BY win_start
-    """,
-    doc="Sliding windows (1 h / 30 min): every event covered by exactly "
-    "two windows; the oracle expands the two covering starts explicitly.",
-)
-def q20_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    agg = sliding_agg(
+
+    sliding = sliding_agg(
         ev,
         "ts",
         "1 hour",
         "30 minutes",
         [],
         [F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("users")],
-    )
-    return agg.select(
+    ).select(
+        F.lit("sliding").alias("wkind"),
         F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.lit("ALL").alias("grp"),
         "n",
-        "users",
-    ).orderBy("win_start")
-
-
-@query(
-    "q21_session_window",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-      SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sess_id
-      FROM flagged
+        F.col("users").cast("double").alias("metric"),
     )
-    SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           COUNT(*) AS n_events
-    FROM sess
-    GROUP BY user_id, sess_id
-    ORDER BY user_id, session_start
-    """,
-    doc="Native session_window() (30-min gap) per user — one row per "
-    "session; oracle derives identical sessions via gaps-and-islands.",
-)
-def q21_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    agg = session_agg(
-        ev, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+
+    session = session_agg(
+        ev, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    ).select(
+        F.lit("session").alias("wkind"),
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.col("user_id").cast("string").alias("grp"),
+        "n",
+        F.lit(0.0).alias("metric"),
     )
-    return agg.select(
-        "user_id",
-        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        "n_events",
-    ).orderBy("user_id", "session_start")
+
+    return tumbling.unionByName(sliding).unionByName(session).orderBy(
+        "wkind", "win_start", "grp"
+    )

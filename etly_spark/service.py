@@ -134,13 +134,11 @@ class Service:
                     continue
                 if due is not None and now < due:
                     continue
-                # schedule next run BEFORE running (config.go:189-197)
+                # schedule next run BEFORE running (config.go:189-197);
+                # the first tick runs the transfer immediately — matching
+                # reference service.go:80 — and arms the next slot here
                 freq = t.frequency.to_timedelta() if t.frequency else timedelta(seconds=0)
                 self._next_run[key] = now + freq
-                if due is None and t.frequency:
-                    # first tick only arms the schedule when a frequency
-                    # exists; frequency-less transfers run immediately
-                    pass
                 self._running.add(key)
             try:
                 ran.append(self._run_one(t, now))

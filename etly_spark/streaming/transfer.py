@@ -21,7 +21,7 @@ the per-batch driver work is O(files in batch), never O(records).
 from __future__ import annotations
 
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,8 +52,11 @@ class StreamingTransferService:
     ) -> StreamingQuery:
         """Start the stream. ``available_now=True`` ≈ one `transferOnce`
         sweep (drains the backlog then stops); otherwise the trigger
-        interval is ``t.frequency`` — the scheduler loop, in-engine."""
-        now = now or datetime.now()
+        interval is ``t.frequency`` — the scheduler loop, in-engine.
+
+        ``now`` is UTC, matching the batch engine (pipeline.py run()) so
+        <dateFormat:> expansion resolves identically in both modes."""
+        now = now or datetime.now(timezone.utc)
         src_url = expand_date(expand_env(expand_pwd(t.source.name, t.base_dir)), now)
         target_template = expand_date(expand_env(expand_pwd(t.target.name, t.base_dir)), now)
         meta_url = (

@@ -264,3 +264,31 @@ def test_gzip_source(spark, tmp_path):
     out = tmp_path / "out" / "data.log.gz.out"
     assert out.exists()
     assert {json.loads(l)["Key"] for l in out.read_text().splitlines()} == {7, 8}
+
+
+def test_record_key_longest_first_substitution(spark):
+    """util.go:244-251 parity: $var replacement must be longest-name-first
+    (including the built-in $thread/$batchCount) so a variable whose name
+    is a prefix of another — $a vs $ab, or a user var named $threadX —
+    is never clobbered by the shorter substitution."""
+    from etly_spark.config import Transfer, Source, Target, VariableExtraction
+    from etly_spark.pipeline import TransferService
+
+    for nm, val in [("test.PfxA", "A"), ("test.PfxAB", "AB"), ("test.PfxThreadX", "TX")]:
+        if nm not in registry.variable_providers:
+            registry.variable_providers.register(nm, lambda v=val: F.lit(v))
+
+    t = Transfer(
+        name="pfx",
+        source=Source(name="unused"),
+        target=Target(name="unused"),
+        variable_extraction=[
+            VariableExtraction(name="a", source="target", provider="test.PfxA"),
+            VariableExtraction(name="ab", source="target", provider="test.PfxAB"),
+            VariableExtraction(name="threadX", source="target", provider="test.PfxThreadX"),
+        ],
+    )
+    svc = TransferService(spark)
+    df = spark.range(1).coalesce(1)
+    key = svc._record_key_column(t, F.lit("$ab|$a|$threadX|$thread|$batchCount"), 7)
+    assert df.select(key.alias("k")).collect()[0]["k"] == "AB|A|TX|0|7"

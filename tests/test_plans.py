@@ -51,12 +51,12 @@ def test_no_cartesian_products_anywhere(spark):
 def test_bruteforce_ann_is_broadcast_nested_loop(spark):
     # Q tiny side broadcast + corpus scan is the intended exact-ANN plan;
     # a ShuffledNestedLoop/Cartesian here would be a scale bug.
-    plan = plan_of(spark, "sim_topk_bruteforce")
+    plan = plan_of(spark, "sim_ann_methods")
     assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_multimodal_decode_is_arrow_batched(spark):
-    plan = plan_of(spark, "mm_decode_features")
+    plan = plan_of(spark, "mm_decode_frames")
     assert "MapInPandas" in plan
     # input pruned to the two used columns before the Python boundary
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)

@@ -5,6 +5,14 @@ same parquet dir, then compares row count, sorted column names, and an
 order-insensitive value hash. Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+Both sides are materialized as *pandas* frames (Spark ``toPandas()``,
+DuckDB ``.df()``) and cells are canonicalized through pandas dtypes,
+mimicking the external driver: an uncast DuckDB ``SUM(BIGINT)`` comes
+back HUGEINT → pandas float64 → ``460117.0`` while Spark yields int64
+``460117`` — a value-hash mismatch this checker must reproduce, not
+normalize away. Array/bytes cells are rejected the way the driver's
+sort-based canonicalizer rejects them (unhashable).
 """
 
 from __future__ import annotations
@@ -26,18 +34,25 @@ def norm_cell(v) -> str:
     import datetime
     import math
 
-    if v is None:
+    import numpy as np
+
+    if isinstance(v, (np.ndarray, list, tuple, bytes, bytearray, dict)):
+        # the driver's canonicalizer dies on these (unhashable in a
+        # pandas sort) — surface them as hard failures here too
+        raise TypeError(f"non-scalar cell of type {type(v).__name__} in result")
+    if v is None or v is getattr(np, "nan", None):
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        # pandas str() formatting: integral floats keep their '.0',
+        # exposing int64-vs-float64 dtype drift exactly like the driver
+        return str(f)
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
+        return str(v)
     return str(v)
 
 
@@ -70,21 +85,32 @@ def main() -> int:
         t0 = time.time()
         try:
             df = spec.spark(spark, sf_dir)
-            sp_cols = df.columns
-            sp_rows = [tuple(r) for r in df.collect()]
+            pdf_s = df.toPandas()
+            sp_cols = list(pdf_s.columns)
+            sp_rows = [tuple(r) for r in pdf_s.itertuples(index=False, name=None)]
         except Exception:
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc(limit=3)
             n_fail += 1
             continue
         if spec.oracle is None:
+            # the driver still canonicalizes rows-only results — reject
+            # non-scalar cells exactly like the hash path would
+            try:
+                for r in sp_rows:
+                    for v in r:
+                        norm_cell(v)
+            except TypeError as e:
+                print(f"FAIL {name}: rows-only canon error: {e}")
+                n_fail += 1
+                continue
             print(f"rows {name}: {len(sp_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(spec.oracle)
-            du_cols = [d[0] for d in cur.description]
-            du_rows = cur.fetchall()
+            pdf_d = con.execute(spec.oracle).df()
+            du_cols = list(pdf_d.columns)
+            du_rows = [tuple(r) for r in pdf_d.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: ORACLE ERROR {str(e).splitlines()[0][:160]}")
             n_fail += 1
@@ -95,7 +121,12 @@ def main() -> int:
         if sorted(sp_cols) != sorted(du_cols):
             problems.append(f"cols spark={sorted(sp_cols)} duckdb={sorted(du_cols)}")
         else:
-            hs, hd = table_hash(sp_cols, sp_rows), table_hash(du_cols, du_rows)
+            try:
+                hs, hd = table_hash(sp_cols, sp_rows), table_hash(du_cols, du_rows)
+            except TypeError as e:
+                print(f"FAIL {name}: canon error: {e}")
+                n_fail += 1
+                continue
             if hs != hd:
                 problems.append(f"valuehash spark={hs} duckdb={hd}")
                 order_s = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
