@@ -1,0 +1,123 @@
+"""Vectorized embedding kernels — the numpy/Arrow scoring path.
+
+The fold twins in ``functions.hashing`` (``aggregate(zip_with(...))``)
+are JVM-side but *interpreted*: Spark evaluates HOF lambdas element by
+element, ~5-10x slower than a vectorized kernel, and at 100 TB the
+scoring kernel IS the cost of similarity search. These replacements move
+the arithmetic into numpy over Arrow batches:
+
+- ``dot_pd`` / ``l2_norm_pd``: scalar pandas UDFs (ArrowEvalPython —
+  whole Arrow batch per call, ``einsum`` row-wise reduction). einsum's
+  per-row sum is sequential left-to-right, the same association order as
+  the SQL fold, so results stay bit-compatible with the DuckDB oracle's
+  ``list_reduce`` twin (verified at sf0.01 by the correctness gate).
+- ``matmul_scores``: a mapInPandas scorer for the dense one-scan case
+  (brute-force ANN): broadcast the tiny query matrix into the closure,
+  run one BLAS ``emb @ Q.T`` per Arrow batch, emit long-form scores.
+  One corpus scan, no shuffle, per-executor BLAS parallelism — the plan
+  you want when Q is small and N is 100 TB.
+
+The fold versions remain in ``functions.hashing`` as the documented
+parity twins (and for engines where Arrow is unavailable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+
+def _rows(series) -> "object":
+    """Stack an Arrow list column into a 2-D float64 matrix."""
+    import numpy as np
+
+    if len(series) == 0:
+        return np.empty((0, 0), dtype="float64")
+    return np.vstack([np.asarray(v, dtype="float64") for v in series])
+
+
+@pandas_udf(DoubleType())
+def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    av, bv = _rows(a), _rows(b)
+    return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+
+@pandas_udf(DoubleType())
+def l2_norm_pd(a: pd.Series) -> pd.Series:
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    av = _rows(a)
+    return pd.Series(np.sqrt(np.einsum("ij,ij->i", av, av)))
+
+
+def dot(a, b) -> F.Column:
+    """Vectorized dot product of two array<numeric> columns."""
+    return dot_pd(F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b)
+
+
+def l2_norm(a) -> F.Column:
+    return l2_norm_pd(F.col(a) if isinstance(a, str) else a)
+
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ]
+)
+
+
+def matmul_scores(
+    corpus: DataFrame,
+    query_pdf: pd.DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_col: str = "nrm",
+) -> DataFrame:
+    """Score every (query, corpus vector) pair with one BLAS matmul per
+    Arrow batch: ``emb(Bxd) @ Q.T(dxq)`` → long-form
+    (query_id, neighbor_id, cos_sim).
+
+    ``query_pdf`` needs columns (query_id, qe, qn) and is tiny (it rides
+    into the task closure — the explicit form of a broadcast join).
+    Division order matches the oracle exactly: ``dot / (qn * nrm)``.
+    Self-pairs are emitted; filter them downstream if unwanted.
+    """
+    import numpy as np
+
+    qids = query_pdf["query_id"].to_numpy(dtype="int64")
+    qmat = _rows(query_pdf["qe"])
+    qn = query_pdf["qn"].to_numpy(dtype="float64")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = _rows(pdf[vec_col])
+            nrm = pdf[norm_col].to_numpy(dtype="float64")
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            dots = emb @ qmat.T  # B x Q
+            cos = dots / (nrm[:, None] * qn[None, :])
+            b, q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids[None, :], b, axis=0).ravel(),
+                    "neighbor_id": np.repeat(ids, q),
+                    "cos_sim": cos.ravel(),
+                }
+            )
+
+    return corpus.select(id_col, vec_col, norm_col).mapInPandas(score, _SCORE_SCHEMA)

@@ -377,12 +377,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (5 - i))).otherwise(F.lit(0))
         for i in range(6)
     )
+    from etly_spark.functions import vector as V
+
     s = e.select(
-        "vec_id", "embedding", bucket.alias("bucket"), H.l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", bucket.alias("bucket"), V.l2_norm_pd(F.col("embedding")).alias("nrm")
     )
     a = s.alias("a")
     b = s.alias("b")
-    cos = H.dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+    cos = V.dot_pd(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (

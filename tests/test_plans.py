@@ -48,11 +48,16 @@ def test_no_cartesian_products_anywhere(spark):
     assert offenders == [], f"cartesian products in: {offenders}"
 
 
-def test_bruteforce_ann_is_broadcast_nested_loop(spark):
-    # Q tiny side broadcast + corpus scan is the intended exact-ANN plan;
-    # a ShuffledNestedLoop/Cartesian here would be a scale bug.
+def test_ann_scoring_is_vectorized(spark):
+    # The scoring kernel must be the numpy/Arrow path, not interpreted
+    # HOF folds: brute-force scores via a mapInPandas BLAS matmul (one
+    # corpus scan, query matrix in the closure), LSH/IVF per-pair scores
+    # via ArrowEvalPython pandas UDFs. aggregate(zip_with(...)) in this
+    # plan would be the 5-10x-slower interpreted regression.
     plan = plan_of(spark, "sim_ann_methods")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan  # brute-force matmul scorer
+    assert "ArrowEvalPython" in plan  # einsum dot/norm pandas UDFs
+    assert "zip_with" not in plan and "aggregate(" not in plan
 
 
 def test_multimodal_decode_is_arrow_batched(spark):
