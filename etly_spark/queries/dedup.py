@@ -400,23 +400,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Connected components over the verified near-dup pair graph by K=6
-# unrolled min-label-propagation steps — identical fixed iteration count
-# in BOTH engines, so the result is deterministic even if a component's
-# diameter were to exceed K (labels then simply haven't fully converged,
-# identically on both sides). K=6 covers diameter-6 chains; observed dup
-# clusters are pairs/triples.
-_CLUSTER_STEPS = "".join(
-    f""", l{k+1} AS (
-  SELECT a.u AS doc_id, MIN(l{k}.label) AS label
-  FROM adj a JOIN l{k} ON l{k}.doc_id = a.v
-  GROUP BY a.u
-)"""
-    for k in range(6)
-)
-
+# Connected components to CONVERGENCE on both sides: the Spark builder
+# iterates min-label propagation until a round changes nothing
+# (operators/graph.py), and the oracle computes the exact transitive
+# closure with a recursive CTE — both reach the same unique fixpoint for
+# ANY component diameter (a fixed unroll would silently mislabel deep
+# chains; regression-tested with a diameter-8 fixture in tests).
 _CLUSTERS_SQL = (
-    _MH_PAIRS_CTE
+    _MH_PAIRS_CTE.replace("WITH ex AS", "WITH RECURSIVE ex AS", 1)
     + """, nodes AS (
   SELECT DISTINCT doc_id FROM (
     SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
@@ -425,13 +416,15 @@ _CLUSTERS_SQL = (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
   UNION ALL SELECT doc_id, doc_id FROM nodes
-), l0 AS (
-  SELECT doc_id, doc_id AS label FROM nodes
-)"""
-    + _CLUSTER_STEPS
-    + """
+), reach AS (
+  SELECT u, v FROM adj
+  UNION
+  SELECT r.u, a.v FROM reach r JOIN adj a ON r.v = a.u
+), labels AS (
+  SELECT u AS doc_id, MIN(v) AS label FROM reach GROUP BY u
+)
 SELECT label AS cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
-FROM l6
+FROM labels
 GROUP BY label
 ORDER BY cluster_id
 """
@@ -442,32 +435,19 @@ ORDER BY cluster_id
     "dedup_clusters",
     oracle=_CLUSTERS_SQL,
     doc="Near-dup clustering: connected components over the MinHash-LSH "
-    "pair graph via 6 unrolled min-label-propagation joins (cluster id = "
-    "min doc_id). The iterative-algorithm pattern: tiny edge set after "
-    "LSH+verify, each step one small shuffle — at 100 TB the components "
-    "run over the pair table, never the corpus.",
+    "pair graph via min-label propagation iterated to convergence "
+    "(operators/graph.py; cluster id = min doc_id; oracle = recursive-"
+    "CTE transitive closure — same fixpoint). The iterative-algorithm "
+    "pattern: tiny edge set after LSH+verify, each round one small "
+    "shuffle with lineage checkpointed — at 100 TB the components run "
+    "over the pair table, never the corpus.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etly_spark.operators.graph import connected_components
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     pairs.count()
-    nodes = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    adj = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .unionAll(nodes.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v")))
-    )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(6):
-        labels = (
-            adj.join(labels, adj["v"] == labels["doc_id"])
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("u").alias("doc_id"), "label")
-        )
+    labels = connected_components(pairs, "doc_a", "doc_b")
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc"))

@@ -77,3 +77,18 @@ def test_cosine_similarity_identity(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<double>")
     val = df.select(H.cosine_similarity(F.col("v"), F.col("v")).alias("c")).first().c
     assert abs(val - 1.0) < 1e-12
+
+
+def test_connected_components_converges_past_fixed_unroll(spark):
+    """A duplicate chain of diameter 8 (0-1-2-...-8) must collapse to ONE
+    cluster labeled 0 — the regression a fixed-K label-propagation unroll
+    (K=6 in round 1) would silently get wrong. Plus a disjoint pair and
+    the iteration count staying O(diameter)."""
+    from etly_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(8)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels = {r["doc_id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert {labels[i] for i in range(9)} == {0}
+    assert labels[100] == 100 and labels[101] == 100
+    assert len(labels) == 11
