@@ -34,9 +34,8 @@ import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from etly_spark import registry
 from etly_spark.config import Transfer
@@ -192,40 +191,63 @@ class TransferService:
         df = read_records(self.spark, t.source, [_local(u) for u in eligible])
         df = self._enrich(df, t, src_url)
         df = df.withColumn(KEEP, self._keep_column(df, t))
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            per_file = {
-                r[FILE]: r
-                for r in df.groupBy(FILE)
-                .agg(
-                    F.count(F.lit(1)).alias("total"),
-                    F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
-                    F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
-                    F.first(F.when(F.col(CORRUPT), F.col(RAW)), ignorenulls=True).alias(
-                        "corrupt_sample"
-                    ),
-                )
-                .collect()
-            }
 
-            total_corrupt = sum(r["corrupt"] for r in per_file.values())
-            # E1 bounded error tolerance (transfer.go:17-25): nil ⇒ tolerate all
-            if t.max_error_counts is not None and 0 < total_corrupt and total_corrupt >= max(
-                t.max_error_counts, 1
-            ):
-                raise RuntimeError(
-                    f"reached max errors {total_corrupt} >= {t.max_error_counts}"
-                )
+        # E1 + progress counters ride the write job itself (observe():
+        # CollectMetrics below the keep/corrupt filter, so the metrics see
+        # every decoded row) — no persist of the decoded input, no second
+        # full pass for global counts. Reference parity: the reference
+        # also counts while streaming the transfer (transfer.go:17-25) —
+        # an abort happens after work was spent; meta is then NOT
+        # recorded, so the next run reprocesses the window.
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
+            F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
+        )
+        out = observed.filter(~F.col(CORRUPT) & F.col(KEEP))
+        out = self._transform(out, t)
+        key_col = self._routed_key_column(t, file_keys)
+        outputs = self._write_routed(out, key_col, t)
+        counts = obs.get
+        total_corrupt = int(counts["corrupt"] or 0)
+        # E1 bounded error tolerance (transfer.go:17-25): nil ⇒ tolerate all
+        if t.max_error_counts is not None and 0 < total_corrupt and total_corrupt >= max(
+            t.max_error_counts, 1
+        ):
+            raise RuntimeError(
+                f"reached max errors {total_corrupt} >= {t.max_error_counts}"
+            )
+        result.outputs.extend(outputs)
 
-            out = df.filter(~F.col(CORRUPT) & F.col(KEEP))
-            out = self._transform(out, t)
-            key_col = self._routed_key_column(t, file_keys)
-            outputs = self._write_routed(out, key_col, t)
-            result.outputs.extend(outputs)
-        finally:
-            df.unpersist()
+        # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757).
+        # Per-file stats are computed as a DataFrame aggregate and written
+        # executor-side to a parquet sidecar (the scale-proof audit store:
+        # at millions of files nothing per-file ever sits on the driver
+        # beyond this window's ≤ MaxTransfers rows, which the JSON ledger
+        # — the reference-compatible status surface — still records).
+        per_file_df = (
+            df.groupBy(FILE)
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
+                F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
+                F.first(F.when(F.col(CORRUPT), F.col(RAW)), ignorenulls=True).alias(
+                    "corrupt_sample"
+                ),
+            )
+            .withColumn("run_ts", F.lit(ts.isoformat()))
+        )
+        stats_dir = _local(meta_url) + ".files"
+        per_file_df.write.mode("append").parquet(stats_dir)
+        per_file = {
+            r[FILE]: r
+            for r in self.spark.read.parquet(stats_dir)
+            .filter(F.col("run_ts") == ts.isoformat())
+            .collect()
+        }
 
-        # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757)
         n_rec = 0
         for url in eligible:
             norm = _norm_file_url(url)
@@ -290,18 +312,24 @@ class TransferService:
             expand_date(expand_env(expand_pwd(t.meta.name, t.base_dir)), ts) if t.meta else ""
         )
 
-        out = df.filter(F.col(KEEP))
+        # Counters ride the write job via observe() — the datastore/JDBC
+        # source query executes exactly ONCE (a live or non-deterministic
+        # SQL source must not be re-run for the counts, and source load
+        # must not double).
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col(KEEP).cast("long")).alias("kept"),
+        )
+        out = observed.filter(F.col(KEEP))
         out = self._transform(out, t)
         key_col = self._record_key_column(t, F.lit(target_template))
         outputs = self._write_routed(out, key_col, t)
         result.outputs.extend(outputs)
 
         # progress: one logical "file" = the SQL source
-        kept = sum(1 for _ in [])  # filled from observation below
-        counts = df.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.col(KEEP).cast("long")).alias("kept"),
-        ).collect()[0]
+        counts = obs.get
         result.progress.record_read += counts["total"]
         result.progress.record_processed += int(counts["kept"] or 0)
         result.progress.record_skipped += counts["total"] - int(counts["kept"] or 0)

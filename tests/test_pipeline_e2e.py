@@ -138,6 +138,13 @@ def test_url_pipeline_end_to_end(spark, workdir):
     assert result.progress.record_processed == 4
     assert result.progress.record_errors == 1
 
+    # per-file stats sidecar: executor-written parquet audit table next
+    # to the JSON ledger (3 files incl. the empty one's absent row ⇒ 2)
+    import glob as _glob
+
+    sidecar = _glob.glob(str(workdir / "out" / "meta.json.files" / "*.parquet"))
+    assert sidecar, "per-file stats parquet sidecar missing"
+
     # second run: everything already processed ⇒ NOOP (meta skip, M1)
     result2 = svc.run(cfg.transfers[0])
     assert result2.status == NOOP
