@@ -179,18 +179,59 @@ class Service:
         # E2 (big_query.go:127-139; config.go:37-42): on failure retry
         # `FailRetry` times with 3^i-second backoff.
         attempts = max(t.fail_retry, 0) + 1
-        result: TransferResult = self.engine.run(t, now)
+        result: TransferResult = self._run_bounded(t, now)
         for i in range(attempts - 1):
             if result.status != ERROR:
                 break
             time.sleep(self._backoff(i))
-            result = self.engine.run(t, now)
+            result = self._run_bounded(t, now)
         task.status = result.status
         task.error = result.error
         task.progress = asdict(result.progress)
         task.outputs = result.outputs
         self.registry.archive(task)
         return task
+
+    def _run_bounded(self, t: Transfer, now: datetime) -> TransferResult:
+        """Enforce ``Transfer.TimeOut`` (util.go:253-262,
+        transfer_service.go:472-477): bound each transfer run by a wall
+        clock; on expiry cancel the transfer's Spark job group (so the
+        cluster stops burning on it, not just the driver thread) and
+        surface ERROR — a hung transfer must not wedge its scheduler slot.
+        """
+        secs = t.time_out.to_timedelta().total_seconds() if t.time_out else 0.0
+        if secs <= 0:
+            return self.engine.run(t, now)
+
+        sc = self.engine.spark.sparkContext
+        group = f"etly-timeout-{t.name or t.source.name}-{next(self._task_seq)}"
+        box: dict[str, TransferResult | BaseException] = {}
+
+        def target() -> None:
+            # job group is per-calling-thread (pinned-thread mode), so the
+            # cancel below hits exactly this run's Spark jobs
+            sc.setJobGroup(group, f"etly transfer {t.name or t.source.name}", True)
+            try:
+                box["result"] = self.engine.run(t, now)
+            except BaseException as exc:  # surfaced as ERROR below
+                box["exc"] = exc
+
+        th = threading.Thread(target=target, name=group, daemon=True)
+        th.start()
+        th.join(secs)
+        if th.is_alive():
+            try:
+                sc.cancelJobGroup(group)
+            except Exception:
+                pass
+            return TransferResult(
+                name=t.name or t.source.name,
+                status=ERROR,
+                error=f"transfer timed out after {secs:g}s (TimeOut)",
+            )
+        if "exc" in box:
+            raise box["exc"]  # non-transfer failure: propagate as before
+        return box["result"]
 
     @staticmethod
     def _backoff(attempt: int) -> float:

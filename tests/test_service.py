@@ -222,3 +222,37 @@ def test_scheduler_ticker_loop(spark, workdir):
         assert DONE in statuses and NOOP in statuses, statuses
     finally:
         svc.stop()
+
+
+def test_transfer_timeout_enforced(spark, workdir, monkeypatch):
+    """P3/TimeOut (util.go:253-262, transfer_service.go:472-477): a hung
+    transfer is bounded by Transfer.TimeOut — the task surfaces ERROR
+    with a timeout message instead of wedging the scheduler slot."""
+    import time as _time
+
+    t = _transfer(workdir)
+    t.time_out = Duration(duration=1, unit="sec")
+    t.fail_retry = 0  # don't retry the deliberate hang
+    svc = Service(spark, [t])
+
+    def hang(transfer, now=None):
+        _time.sleep(10)
+        raise AssertionError("unreachable in the bounded path")
+
+    svc.engine.run = hang
+    t0 = _time.monotonic()
+    tasks = svc.transfer_once()
+    elapsed = _time.monotonic() - t0
+    assert tasks[0].status == "ERROR"
+    assert "timed out" in tasks[0].error
+    assert elapsed < 5, f"timeout not enforced, took {elapsed:.1f}s"
+
+
+def test_no_timeout_runs_inline(spark, workdir):
+    """Without TimeOut the transfer runs on the scheduler thread and
+    completes normally (the smoke config has no timeout)."""
+    t = _transfer(workdir)
+    assert t.time_out is None
+    svc = Service(spark, [t])
+    tasks = svc.transfer_once()
+    assert tasks[0].status == DONE
