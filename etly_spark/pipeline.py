@@ -43,6 +43,7 @@ from etly_spark.meta import Meta, ObjectMeta, ProcessingStatus
 from etly_spark.sources.datastore import read_datastore
 from etly_spark.sources.storage import (
     CORRUPT,
+    DTYPE,
     FILE,
     RAW,
     filter_storage_objects,
@@ -381,7 +382,7 @@ class TransferService:
         meta_cols = [
             c
             for c in df.columns
-            if c in (RAW, FILE, CORRUPT, KEEP) or c.startswith(VAR_PREFIX)
+            if c in (RAW, FILE, CORRUPT, DTYPE, KEEP) or c.startswith(VAR_PREFIX)
         ]
         if not t.transformer:
             data_cols = [c for c in df.columns if c not in meta_cols]
@@ -461,7 +462,7 @@ class TransferService:
         rename each committed partition to its final target path
         (driver-side metadata only). Multi-part partitions are
         concatenated — valid for ndjson and for gzip (multi-member)."""
-        meta_cols = {RAW, FILE, CORRUPT, KEEP, TKEY} | {
+        meta_cols = {RAW, FILE, CORRUPT, DTYPE, KEEP, TKEY} | {
             c for c in out.columns if c.startswith(VAR_PREFIX)
         }
         data_cols = [c for c in out.columns if c not in meta_cols]

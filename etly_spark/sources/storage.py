@@ -33,6 +33,7 @@ from etly_spark.registry import get_schema
 RAW = "__raw__"
 FILE = "__file__"
 CORRUPT = "__corrupt__"
+DTYPE = "__dtype__"
 META_COLS = [RAW, FILE, CORRUPT]
 
 
@@ -97,7 +98,7 @@ def read_records(
     if fmt in ("ndjson", "json"):
         if schema is None and source.data_type:
             schema = get_schema(source.data_type)
-        if schema is None:
+        if schema is None and not source.data_type_match:
             raise ValueError(f"ndjson source requires a registered DataType schema: {source.name}")
         raw = (
             spark.read.text(paths)
@@ -135,29 +136,77 @@ def _parse(col, schema: StructType):
     return F.from_json(col, _with_corrupt(schema), _JSON_OPTS)
 
 
-def _decode_ndjson(raw: DataFrame, source: Source, schema: StructType) -> DataFrame:
+def _merged_schema(source: Source, default: StructType | None) -> StructType:
+    """Union of the default schema and every DataTypeMatch schema's
+    fields (first occurrence of a name wins). For JSON, parsing with the
+    merged superset is equivalent to per-type parsing (absent fields
+    decode to null), which is what lets multi-schema dispatch run in ONE
+    pass — batch and streaming share this."""
+    fields: dict[str, StructField] = {}
+    for f in (default.fields if default is not None else []):
+        fields.setdefault(f.name, f)
+    for m in source.data_type_match:
+        if m.data_type:
+            for f in get_schema(m.data_type).fields:
+                fields.setdefault(f.name, f)
+    return StructType(list(fields.values()))
+
+
+def _decode_ndjson(raw: DataFrame, source: Source, schema: StructType | None) -> DataFrame:
+    """S4/S5 decode (transfer_object_service.go:163-207,180-195).
+
+    DataTypeMatch semantics, reference-parity:
+    - first matching fragment wins; its DataType tags the line (DTYPE);
+    - a match with an EMPTY DataType excludes the line silently —
+      before corrupt accounting, so exclusions never pollute meta errors
+      or count toward MaxErrorCounts;
+    - a line matching NO fragment parses with the default
+      ``Source.DataType`` (dropped only when no default is configured).
+
+    All types decode in one pass against the merged field superset
+    (per-type fields of other types are simply null), so the plan stays
+    a single codegen'd projection — no per-type sub-scans, no union.
+    """
     trimmed = F.trim(F.col(RAW))
     nonempty = trimmed != ""
 
     if source.data_type_match:
-        # S5: substring match selects decode type per line (first match
-        # wins); empty DataType ⇒ drop the line.
-        keep = F.lit(False)
-        parsed = F.lit(None).cast(_with_corrupt(schema))
+        merged = _merged_schema(source, schema)
+        exclude = F.lit(False)  # first-match-wins exclusion
+        dtype = None
+        prior = F.lit(False)
+        cases: list[tuple] = []
         for m in source.data_type_match:
             frag = F.col(RAW).contains(m.matching_fragment)
+            first_here = frag & ~prior
             if m.data_type:
-                mschema = get_schema(m.data_type)
-                parsed = F.when(frag & ~keep, _parse(F.col(RAW), mschema)).otherwise(parsed)
-            keep = keep | frag
-        df = raw.filter(nonempty).withColumn("__parsed__", parsed).filter(keep)
+                cases.append((first_here, m.data_type))
+            else:
+                exclude = exclude | first_here
+            prior = prior | frag
+        default_type = source.data_type or ""
+        dtype = F.lit(default_type)
+        for cond, name in reversed(cases):
+            dtype = F.when(cond, F.lit(name)).otherwise(dtype)
+        df = raw.filter(nonempty).filter(~exclude)
+        if not source.data_type:
+            # no default type: unmatched lines have no decode schema
+            df = df.filter(prior)
+        df = df.withColumn(DTYPE, dtype).withColumn(
+            "__parsed__", _parse(F.col(RAW), merged)
+        )
+        out_schema = merged
     else:
+        if schema is None:
+            raise ValueError(f"ndjson source requires a registered DataType schema: {source.name}")
         df = raw.filter(nonempty).withColumn("__parsed__", _parse(F.col(RAW), schema))
+        df = df.withColumn(DTYPE, F.lit(source.data_type or ""))
+        out_schema = schema
 
     df = df.withColumn(
         CORRUPT,
         F.col("__parsed__").isNull()
         | F.col(f"__parsed__.{_CORRUPT_FIELD}").isNotNull(),
     )
-    data_cols = [F.col(f"__parsed__.{f.name}").alias(f.name) for f in schema.fields]
-    return df.select(RAW, FILE, CORRUPT, *data_cols)
+    data_cols = [F.col(f"__parsed__.{f.name}").alias(f.name) for f in out_schema.fields]
+    return df.select(RAW, FILE, CORRUPT, DTYPE, *data_cols)

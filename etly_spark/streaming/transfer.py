@@ -80,7 +80,7 @@ class StreamingTransferService:
             # (transfer_service.go:488-495), applied to the file URL.
             raw = raw.filter(F.col(FILE).rlike(t.source.filter_reg_exp))
 
-        schema = get_schema(t.source.data_type)
+        schema = get_schema(t.source.data_type) if t.source.data_type else None
         decoded = _decode_ndjson(raw, t.source, schema)
         decoded = self._batch._enrich(decoded, t, src_url)
 

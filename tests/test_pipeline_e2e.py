@@ -299,3 +299,68 @@ def test_record_key_longest_first_substitution(spark):
     df = spark.range(1).coalesce(1)
     key = svc._record_key_column(t, F.lit("$ab|$a|$threadX|$thread|$batchCount"), 7)
     assert df.select(key.alias("k")).collect()[0]["k"] == "AB|A|TX|0|7"
+
+
+def test_type_dispatch_exclusion_and_default(spark, tmp_path):
+    """S5 DataTypeMatch reference parity (transfer_object_service.go:
+    180-195): first matching fragment picks the decode type; an
+    empty-DataType fragment EXCLUDES the line silently (no corrupt
+    count, no meta error); a line matching no fragment parses with the
+    default Source.DataType. All types decode in one pass."""
+    if "dt.TypeA" not in registry.schemas:
+        registry.schemas.register(
+            "dt.TypeA",
+            StructType([StructField("Id", LongType()), StructField("A", StringType())]),
+        )
+        registry.schemas.register(
+            "dt.TypeB",
+            StructType([StructField("Id", LongType()), StructField("B", StringType())]),
+        )
+        registry.schemas.register(
+            "dt.Default",
+            StructType([StructField("Id", LongType()), StructField("Name", StringType())]),
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "mixed.log").write_text(
+        '{"Id":1,"A":"x","kind":"ta"}\n'      # fragment ta  -> dt.TypeA
+        '{"Id":2,"B":"y","kind":"tb"}\n'      # fragment tb  -> dt.TypeB
+        '{"Id":3,"skipme":1}\n'               # excluded fragment (empty type)
+        '{"Id":4,"Name":"deflt"}\n'           # no fragment -> default schema
+        '{"broken-ta\n'                        # matches ta, malformed -> corrupt
+    )
+    from etly_spark.config import DataTypeMatch, Resource, Source, Target, Transfer
+
+    t = Transfer(
+        name="dispatch",
+        source=Source(
+            name=str(src),
+            data_type="dt.Default",
+            data_type_match=[
+                DataTypeMatch("ta", "dt.TypeA"),
+                DataTypeMatch("tb", "dt.TypeB"),
+                DataTypeMatch("skipme", ""),
+            ],
+        ),
+        target=Target(name=str(tmp_path / "out" / "<file>")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    # excluded line is invisible: 4 read (not 5), 3 processed, 1 corrupt
+    assert result.progress.record_read == 4
+    assert result.progress.record_processed == 3
+    assert result.progress.record_errors == 1
+    meta = Meta.load(str(tmp_path / "out" / "meta.json"))
+    assert len(meta.errors) == 1 and "broken-ta" in meta.errors[0]["error"]
+
+    out = (tmp_path / "out" / "mixed.log").read_text().strip().splitlines()
+    recs = {json.loads(ln)["Id"]: json.loads(ln) for ln in out}
+    # one pass, merged fields: each record keeps its own type's fields
+    assert recs[1]["A"] == "x" and "B" not in recs[1]
+    assert recs[2]["B"] == "y" and "A" not in recs[2]
+    assert recs[4]["Name"] == "deflt"
+    assert 3 not in recs

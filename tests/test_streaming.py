@@ -303,3 +303,66 @@ def test_streaming_record_level_routing(spark, tmp_path):
     assert out_x.exists() and out_y.exists()
     assert {json.loads(l)["Key"] for l in out_x.read_text().splitlines()} == {1, 3}
     assert {json.loads(l)["Key"] for l in out_y.read_text().splitlines()} == {2}
+
+
+def test_streaming_multi_schema_dispatch(spark, tmp_path):
+    """Single-pass DataTypeMatch in streaming mode (reference
+    transfer_object_service.go:180-195): two record types decode in one
+    micro-batch pass against the merged schema, an excluded fragment is
+    silently skipped (no corrupt count), and unmatched lines parse with
+    the default Source.DataType."""
+    if "sdt.TypeA" not in registry.schemas:
+        registry.schemas.register(
+            "sdt.TypeA",
+            StructType([StructField("Id", LongType()), StructField("A", StringType())]),
+        )
+        registry.schemas.register(
+            "sdt.TypeB",
+            StructType([StructField("Id", LongType()), StructField("B", StringType())]),
+        )
+        registry.schemas.register(
+            "sdt.Default",
+            StructType([StructField("Id", LongType()), StructField("Name", StringType())]),
+        )
+
+    from etly_spark.config import DataTypeMatch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "mixed.log").write_text(
+        '{"Id":1,"A":"x","kind":"ta"}\n'
+        '{"Id":2,"B":"y","kind":"tb"}\n'
+        '{"Id":3,"skipme":1}\n'
+        '{"Id":4,"Name":"deflt"}\n'
+    )
+    t = Transfer(
+        name="stream-dispatch",
+        source=Source(
+            name=str(src),
+            data_type="sdt.Default",
+            data_type_match=[
+                DataTypeMatch("ta", "sdt.TypeA"),
+                DataTypeMatch("tb", "sdt.TypeB"),
+                DataTypeMatch("skipme", ""),
+            ],
+        ),
+        target=Target(name=str(tmp_path / "out" / "batch-$batchCount.log")),
+        base_dir=str(tmp_path),
+    )
+    svc = StreamingTransferService(spark)
+    q = svc.start(t, available_now=True)
+    _await(q)
+
+    out = (tmp_path / "out" / "batch-0.log").read_text().strip().splitlines()
+    recs = {json.loads(ln)["Id"]: json.loads(ln) for ln in out}
+    assert recs[1]["A"] == "x" and "B" not in recs[1]
+    assert recs[2]["B"] == "y" and "A" not in recs[2]
+    assert recs[4]["Name"] == "deflt"
+    assert 3 not in recs
+
+    meta = Meta.load(str(src / ".etly_meta.json"))
+    om = next(iter(meta.processed.values()))
+    assert om.record_processed == 3
+    assert om.record_errors == 0  # excluded line never counted corrupt
+    assert not meta.errors
