@@ -62,8 +62,11 @@ class Meta:
     status: ProcessingStatus = field(default_factory=ProcessingStatus)
 
     def is_processed(self, source_url: str) -> bool:
-        om = self.processed.get(source_url)
-        return om is not None and not om.error
+        """Presence-based, matching transfer_service.go:503-505: ANY
+        recorded entry — including a load-failure entry (error set) —
+        is skipped on the next run ('log this to meta so we can skip
+        it next time', transfer_service.go:640-648)."""
+        return source_url in self.processed
 
     def record(self, om: ObjectMeta) -> None:
         self.processed[om.source] = om
