@@ -466,9 +466,15 @@ class TransferService:
             c for c in out.columns if c.startswith(VAR_PREFIX)
         }
         data_cols = [c for c in out.columns if c not in meta_cols]
+        # F4 line encode — or the RawMarshaler hook (encoding.go:21-23,
+        # util.go:156-168): a Target.DataType with a registered
+        # raw_encoder produces the output line itself, bypassing JSON.
+        if t.target.data_type and t.target.data_type in registry.raw_encoders:
+            line = registry.raw_encoders.get(t.target.data_type)(out, data_cols)
+        else:
+            line = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
         encoded = out.withColumn(TKEY, key_col).select(
-            F.col(TKEY),
-            F.to_json(F.struct(*[F.col(c) for c in data_cols])).alias("value"),
+            F.col(TKEY), line.alias("value")
         )
 
         gzip = (t.target.compression or "").lower() == "gzip"

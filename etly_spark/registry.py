@@ -14,6 +14,15 @@ Registered shapes:
 - enricher:           (DataFrame, ctx: dict) -> DataFrame # add columns w/ context
 - schema:             StructType | () -> StructType       # replaces MessageProvider
 - variable_provider:  () -> Column                        # record-level $var value
+- raw_decoder:        (raw: Column, schema) -> Column     # struct; RawUnmarshaler
+- raw_encoder:        (DataFrame, data_cols) -> Column    # line str; RawMarshaler
+
+Raw codecs (reference encoding.go:17-23, dispatch util.go:141-168): a
+DataType registered in ``raw_decoders`` bypasses ``from_json`` on the
+source side (null struct ⇒ corrupt line); a Target.DataType registered
+in ``raw_encoders`` bypasses ``to_json`` on the sink side. Both stay
+Column expressions — the custom codec fuses into codegen like the JSON
+path it replaces.
 """
 
 from __future__ import annotations
@@ -62,6 +71,8 @@ filters: Registry = Registry("filter")
 enrichers: Registry = Registry("content_enricher")
 schemas: Registry = Registry("schema")  # replaces MessageProvider: name -> StructType
 variable_providers: Registry = Registry("variable_provider")
+raw_decoders: Registry = Registry("raw_decoder")  # encoding.go:17-19
+raw_encoders: Registry = Registry("raw_encoder")  # encoding.go:21-23
 
 
 def get_schema(name: str):

@@ -169,6 +169,7 @@ def _decode_ndjson(raw: DataFrame, source: Source, schema: StructType | None) ->
     """
     trimmed = F.trim(F.col(RAW))
     nonempty = trimmed != ""
+    has_corrupt_field = True  # _parse() always adds _corrupt_record
 
     if source.data_type_match:
         merged = _merged_schema(source, schema)
@@ -199,14 +200,23 @@ def _decode_ndjson(raw: DataFrame, source: Source, schema: StructType | None) ->
     else:
         if schema is None:
             raise ValueError(f"ndjson source requires a registered DataType schema: {source.name}")
-        df = raw.filter(nonempty).withColumn("__parsed__", _parse(F.col(RAW), schema))
+        from etly_spark import registry as _registry
+
+        if source.data_type and source.data_type in _registry.raw_decoders:
+            # RawUnmarshaler hook (encoding.go:17-19, util.go:141-145):
+            # the registered codec decodes the raw line itself — a null
+            # struct marks the line corrupt; _corrupt_record is optional.
+            decode = _registry.raw_decoders.get(source.data_type)
+            df = raw.filter(nonempty).withColumn("__parsed__", decode(F.col(RAW), schema))
+            has_corrupt_field = _CORRUPT_FIELD in schema.fieldNames()
+        else:
+            df = raw.filter(nonempty).withColumn("__parsed__", _parse(F.col(RAW), schema))
         df = df.withColumn(DTYPE, F.lit(source.data_type or ""))
         out_schema = schema
 
-    df = df.withColumn(
-        CORRUPT,
-        F.col("__parsed__").isNull()
-        | F.col(f"__parsed__.{_CORRUPT_FIELD}").isNotNull(),
-    )
+    corrupt = F.col("__parsed__").isNull()
+    if has_corrupt_field:
+        corrupt = corrupt | F.col(f"__parsed__.{_CORRUPT_FIELD}").isNotNull()
+    df = df.withColumn(CORRUPT, corrupt)
     data_cols = [F.col(f"__parsed__.{f.name}").alias(f.name) for f in out_schema.fields]
     return df.select(RAW, FILE, CORRUPT, DTYPE, *data_cols)

@@ -364,3 +364,65 @@ def test_type_dispatch_exclusion_and_default(spark, tmp_path):
     assert recs[2]["B"] == "y" and "A" not in recs[2]
     assert recs[4]["Name"] == "deflt"
     assert 3 not in recs
+
+
+def test_raw_codec_hooks_bypass_json(spark, tmp_path):
+    """Raw codec registry (encoding.go:17-23, dispatch util.go:141-168,
+    payload carry of service_test.go:28-44): a DataType with a
+    registered raw_decoder decodes non-JSON lines itself (null struct ⇒
+    corrupt), and a Target.DataType raw_encoder produces the output
+    line, bypassing to_json — the payload rides through verbatim."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+
+    if "raw.PipeLog" not in registry.schemas:
+        registry.schemas.register(
+            "raw.PipeLog",
+            StructType(
+                [
+                    StructField("Id", LongType()),
+                    StructField("Name", StringType()),
+                    StructField("Type", StringType()),
+                ]
+            ),
+        )
+
+        @registry.raw_decoders.register("raw.PipeLog")
+        def decode_pipe(raw, schema):
+            # "id|name|type" — a non-JSON wire format; malformed ⇒ null
+            parts = F.split(raw, r"\|")
+            ok = (F.size(parts) == 3) & parts[0].rlike("^[0-9]+$")
+            return F.when(
+                ok,
+                F.struct(
+                    parts[0].cast("long").alias("Id"),
+                    parts[1].alias("Name"),
+                    parts[2].alias("Type"),
+                ),
+            )
+
+        @registry.raw_encoders.register("raw.PipeOut")
+        def encode_pipe(df, data_cols):
+            # RawMarshal: emit the record as pipe-text, carrying the raw
+            # payload through verbatim as the trailing field
+            return F.concat_ws("|", *[F.col(c) for c in data_cols], F.col("__raw__"))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "pipe.log").write_text("1|alpha|a\nnot-a-record\n2|beta|b\n")
+
+    t = Transfer(
+        name="rawcodec",
+        source=Source(name=str(src), data_type="raw.PipeLog", data_format="ndjson"),
+        target=Target(name=str(tmp_path / "out" / "<file>"), data_type="raw.PipeOut"),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 2
+    assert result.progress.record_errors == 1  # the non-decodable line
+
+    out = (tmp_path / "out" / "pipe.log").read_text().strip().splitlines()
+    # encoder output: data cols pipe-joined + raw payload carried through
+    assert sorted(out) == ["1|alpha|a|1|alpha|a", "2|beta|b|2|beta|b"]
