@@ -122,6 +122,50 @@ class TransferService:
         result.progress.elapsed_sec = time.time() - t0
         return result
 
+    def run_object(self, transfer: Transfer, source_url: str, now: datetime | None = None) -> dict:
+        """Worker RPC semantics (POST /etly/transfer; reference
+        transfer_object_service.go:15-33 + server.go:91-96): transfer ONE
+        storage object through the full operator chain and report counts
+        — no meta ledger write (the caller owns the ledger, as the
+        reference's master does). Also the on-demand reprocess hook.
+        """
+        now = now or datetime.now(timezone.utc)
+        transfer.validate()
+        target_template = expand_date(
+            expand_env(expand_pwd(transfer.target.name, transfer.base_dir)), now
+        )
+        variables = self._master_variables(transfer, source_url)
+        file_keys = {
+            _norm_file_url(source_url): expand_target_key(
+                target_template, source_url, now, variables, transfer.base_dir
+            )
+        }
+        df = read_records(self.spark, transfer.source, [_local(source_url)])
+        df = self._enrich(df, transfer, source_url)
+        df = df.withColumn(KEEP, self._keep_column(df, transfer))
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
+            F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
+        )
+        out = observed.filter(~F.col(CORRUPT) & F.col(KEEP))
+        out = self._transform(out, transfer)
+        key_col = self._routed_key_column(transfer, file_keys)
+        outputs = self._write_routed(out, key_col, transfer)
+        counts = obs.get
+        total = int(counts["total"] or 0)
+        corrupt = int(counts["corrupt"] or 0)
+        kept = int(counts["kept"] or 0)
+        return {
+            "RecordProcessed": kept,
+            "RecordSkipped": total - corrupt - kept,
+            "RecordErrors": corrupt,
+            "Outputs": outputs,
+            "Error": "",
+        }
+
     # ----------------------------------------------------- time window --
 
     def _time_window(self, t: Transfer, now: datetime):

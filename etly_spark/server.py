@@ -12,9 +12,14 @@ Routes (same paths, JSON responses):
     GET  /etly/version
     POST /etly/transferOnce    {"Async": bool, "Transfers": [spec, ...]}
 
-The reference's POST /etly/transfer (per-object worker RPC — its hand
-rolled cluster scatter, transfer_object_service_client.go) has no
-equivalent: Spark's cluster manager owns distribution (SURVEY P4).
+    POST /etly/transfer        {"TaskID": s, "SourceURL": s, "Transfer": spec}
+                               — the reference's per-object worker RPC
+                               (transfer_object_service.go:15-33). Spark's
+                               cluster manager owns distribution (SURVEY
+                               P4), so this is not a scatter target here;
+                               it transfers ONE object through the full
+                               chain (counts only, no meta write) — the
+                               API-surface superset + on-demand reprocess.
 """
 
 from __future__ import annotations
@@ -92,6 +97,25 @@ def make_handler(service: Service):
                     )
                     return self._json(
                         {"status": "ok", "tasks": [t.to_dict() for t in tasks]}
+                    )
+                if path == "/etly/transfer":
+                    # worker RPC (server.go:91-96): one object, full chain
+                    t = transfer_from_dict(payload.get("Transfer") or {})
+                    resp = service.engine.run_object(t, payload.get("SourceURL", ""))
+                    return self._json(
+                        {
+                            "ProcessedTransfers": [
+                                {
+                                    "RecordProcessed": resp["RecordProcessed"],
+                                    "RecordSkipped": resp["RecordSkipped"],
+                                    "RecordErrors": resp["RecordErrors"],
+                                    "Error": resp["Error"],
+                                }
+                            ],
+                            "RecordProcessed": resp["RecordProcessed"],
+                            "RecordSkipped": resp["RecordSkipped"],
+                            "Error": resp["Error"],
+                        }
                     )
                 return self._json({"error": "not found"}, 404)
             except Exception as e:

@@ -256,3 +256,38 @@ def test_no_timeout_runs_inline(spark, workdir):
     svc = Service(spark, [t])
     tasks = svc.transfer_once()
     assert tasks[0].status == DONE
+
+
+def test_http_transfer_worker_endpoint(spark, workdir):
+    """POST /etly/transfer (server.go:91-96 + transfer_object_service.go:
+    15-33): one object through the full chain, counts in the response,
+    no meta ledger write — the worker-RPC surface superset."""
+    svc = Service(spark, [])
+    server = Server(svc, port=0)
+    server.start(scheduler=False)
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        spec = {
+            "Name": "one-object",
+            "Source": {"Name": str(workdir / "in"), "DataType": "svc.Log"},
+            "Target": {"Name": str(workdir / "out" / "obj-<file>")},
+            "Transformer": "svc.LogToKV",
+        }
+        payload = {
+            "TaskID": "t-1",
+            "SourceURL": str(workdir / "in" / "file1.log"),
+            "Transfer": spec,
+        }
+        req = urllib.request.Request(
+            base + "/etly/transfer", data=json.dumps(payload).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            resp = json.loads(r.read())
+        assert resp["RecordProcessed"] == 2 and resp["Error"] == ""
+        assert resp["ProcessedTransfers"][0]["RecordErrors"] == 0
+        out = (workdir / "out" / "obj-file1.log").read_text().strip().splitlines()
+        assert len(out) == 2
+        # worker writes no ledger (the master owns it)
+        assert not (workdir / "meta.json").exists()
+    finally:
+        server.stop()
