@@ -1,0 +1,146 @@
+"""Scheme-aware filesystem primitives for sink finalization (K1).
+
+The reference serves multiple storage namespaces through its storage
+providers (storage_provider.go:5-7) and uploads output from its workers
+(target_transformation.go:29-53). This module is the Spark-side
+equivalent surface: local paths (and ``file://``) map to ``os``
+primitives; any other scheme (``s3a://``, ``gs://``, ``s3://``,
+``hdfs://``, ...) routes through ``fsspec`` when it is installed
+(import-gated — the test container has no object-store client).
+
+Two classes of operation, deliberately separated:
+
+- **metadata ops** (`listdir`, `makedirs`, `move`, `delete_tree`):
+  O(1)-per-object bookkeeping the driver may perform — a local rename is
+  an inode update, an object-store ``mv`` is a server-side copy. This is
+  the same class of work Spark's own FileOutputCommitter does on commit.
+- **byte ops** (`concat`): O(total bytes). These must run in executor
+  tasks, never on the driver — `pipeline._finalize_routed` distributes
+  them with ``sc.parallelize``. Everything here is a plain picklable
+  module function (no py4j/JVM handles) precisely so tasks can ship to
+  workers.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+_COPY_CHUNK = 8 * 1024 * 1024
+
+
+def scheme_of(url: str) -> str:
+    m = _SCHEME_RE.match(url)
+    return m.group(0)[:-3].lower() if m else ""
+
+
+def is_local(url: str) -> bool:
+    return scheme_of(url) in ("", "file")
+
+
+def strip_file_scheme(url: str) -> str:
+    return url[len("file://") :] if url.startswith("file://") else url
+
+
+def _fsspec_fs(url: str):
+    """Resolve a non-local URL to an (fsspec filesystem, path) pair."""
+    try:
+        import fsspec  # type: ignore
+    except ImportError as e:  # environment gate, not a stub
+        raise NotImplementedError(
+            f"remote target '{url}' needs the fsspec package for scheme "
+            f"'{scheme_of(url)}' (object-store client not installed in "
+            "this environment)"
+        ) from e
+    from fsspec.core import url_to_fs  # type: ignore
+
+    return url_to_fs(url)
+
+
+def listdir(url: str) -> list[tuple[str, int, bool]]:
+    """List direct children as (name, size, is_dir). Metadata only."""
+    if is_local(url):
+        path = strip_file_scheme(url)
+        if not os.path.isdir(path):
+            return []
+        out = []
+        with os.scandir(path) as it:
+            for e in it:
+                st = e.stat(follow_symlinks=False)
+                out.append((e.name, st.st_size, e.is_dir(follow_symlinks=False)))
+        return out
+    fs, path = _fsspec_fs(url)
+    out = []
+    for info in fs.ls(path, detail=True):
+        name = info["name"].rstrip("/").rsplit("/", 1)[-1]
+        out.append((name, int(info.get("size") or 0), info.get("type") == "directory"))
+    return out
+
+
+def makedirs(url: str) -> None:
+    if is_local(url):
+        path = strip_file_scheme(url)
+        if path:
+            os.makedirs(path, exist_ok=True)
+        return
+    fs, path = _fsspec_fs(url)
+    fs.makedirs(path, exist_ok=True)
+
+
+def move(src: str, dst: str) -> None:
+    """Rename/upload one object. Local→local is a rename (EXDEV falls
+    back to copy+unlink); local→remote is an upload; remote→remote is a
+    server-side move on the same filesystem."""
+    if is_local(src) and is_local(dst):
+        s, d = strip_file_scheme(src), strip_file_scheme(dst)
+        try:
+            os.replace(s, d)
+        except OSError:  # cross-device: copy then unlink
+            shutil.copyfile(s, d)
+            os.unlink(s)
+        return
+    if is_local(src):
+        fs, path = _fsspec_fs(dst)
+        fs.put_file(strip_file_scheme(src), path)
+        os.unlink(strip_file_scheme(src))
+        return
+    fs, spath = _fsspec_fs(src)
+    _, dpath = _fsspec_fs(dst)
+    fs.mv(spath, dpath)
+
+
+def open_read(url: str):
+    if is_local(url):
+        return open(strip_file_scheme(url), "rb")
+    fs, path = _fsspec_fs(url)
+    return fs.open(path, "rb")
+
+
+def open_write(url: str):
+    if is_local(url):
+        return open(strip_file_scheme(url), "wb")
+    fs, path = _fsspec_fs(url)
+    return fs.open(path, "wb")
+
+
+def concat(srcs: list[str], dst: str) -> None:
+    """Stream-concatenate srcs into dst. O(bytes) — executor-side only
+    (see module docstring). An empty srcs list creates an empty object.
+    Valid for ndjson and for gzip (multi-member streams)."""
+    with open_write(dst) as out:
+        for s in srcs:
+            with open_read(s) as f:
+                shutil.copyfileobj(f, out, _COPY_CHUNK)
+
+
+def delete_tree(url: str) -> None:
+    if is_local(url):
+        shutil.rmtree(strip_file_scheme(url), ignore_errors=True)
+        return
+    fs, path = _fsspec_fs(url)
+    try:
+        fs.rm(path, recursive=True)
+    except FileNotFoundError:
+        pass

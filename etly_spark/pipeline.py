@@ -15,9 +15,12 @@ record-at-a-time in Go, transfer.go:70-77).
 
 Scale notes:
 - the parse→write path is one distributed job regardless of file count;
-- routing uses `partitionBy` on a computed key column — the only
-  driver-side work after the job is renaming committed partition dirs to
-  their final target names (pure filesystem metadata);
+- routing uses `partitionBy` on a computed key column; finalization is
+  two-tier — single-part rolls become metadata renames on the driver
+  (the same class of work as Spark's own commit protocol) and
+  multi-part rolls are concatenated by executor tasks, so no output
+  byte ever streams through the driver (reference parity: workers own
+  the upload, target_transformation.go:29-53);
 - `<file>`-style 1:1 naming constrains output parallelism by definition;
   templates without it produce task-parallel multi-part output.
 """
@@ -25,10 +28,8 @@ Scale notes:
 from __future__ import annotations
 
 import base64
-import glob as globmod
 import os
 import re
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -39,6 +40,7 @@ from pyspark.sql import functions as F
 
 from etly_spark import registry
 from etly_spark.config import Transfer
+from etly_spark.io import fs as fsio
 from etly_spark.meta import Meta, ObjectMeta, ProcessingStatus
 from etly_spark.sources.datastore import read_datastore
 from etly_spark.sources.storage import (
