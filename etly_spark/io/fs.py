@@ -23,6 +23,7 @@ Two classes of operation, deliberately separated:
 
 from __future__ import annotations
 
+import errno
 import os
 import re
 import shutil
@@ -73,7 +74,11 @@ def listdir(url: str) -> list[tuple[str, int, bool]]:
         return out
     fs, path = _fsspec_fs(url)
     out = []
-    for info in fs.ls(path, detail=True):
+    try:
+        infos = fs.ls(path, detail=True)
+    except FileNotFoundError:
+        return []
+    for info in infos:
         name = info["name"].rstrip("/").rsplit("/", 1)[-1]
         out.append((name, int(info.get("size") or 0), info.get("type") == "directory"))
     return out
@@ -97,8 +102,14 @@ def move(src: str, dst: str) -> None:
         s, d = strip_file_scheme(src), strip_file_scheme(dst)
         try:
             os.replace(s, d)
-        except OSError:  # cross-device: copy then unlink
-            shutil.copyfile(s, d)
+        except OSError as e:
+            if e.errno != errno.EXDEV:  # only cross-device falls back
+                raise
+            # copy to a temp sibling, then atomic replace — a crash never
+            # leaves a half-written object at the final name
+            tmp = f"{d}.__etly_tmp__{os.getpid()}"
+            shutil.copyfile(s, tmp)
+            os.replace(tmp, d)
             os.unlink(s)
         return
     if is_local(src):

@@ -269,31 +269,32 @@ class TransferService:
         result.outputs.extend(outputs)
 
         # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757).
-        # Per-file stats are computed as a DataFrame aggregate and written
-        # executor-side to a parquet sidecar (the scale-proof audit store:
-        # at millions of files nothing per-file ever sits on the driver
-        # beyond this window's ≤ MaxTransfers rows, which the JSON ledger
-        # — the reference-compatible status surface — still records).
-        per_file_df = (
-            df.groupBy(FILE)
-            .agg(
-                F.count(F.lit(1)).alias("total"),
-                F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
-                F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
-                F.first(F.when(F.col(CORRUPT), F.col(RAW)), ignorenulls=True).alias(
-                    "corrupt_sample"
-                ),
-            )
-            .withColumn("run_ts", F.lit(ts.isoformat()))
+        # Per-file stats are ONE distributed aggregate collected once —
+        # bounded by this window's ≤ MaxTransfers files, so nothing
+        # per-record ever sits on the driver. The collected rows feed the
+        # JSON ledger (the reference-compatible status surface) and are
+        # appended to a run_ts-partitioned parquet sidecar (the audit
+        # store): later audits read one run's directory, never a
+        # whole-history rescan.
+        per_file_df = df.groupBy(FILE).agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
+            F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
+            F.first(F.when(F.col(CORRUPT), F.col(RAW)), ignorenulls=True).alias(
+                "corrupt_sample"
+            ),
         )
+        per_file_rows = per_file_df.collect()
         stats_dir = _local(meta_url) + ".files"
-        per_file_df.write.mode("append").parquet(stats_dir)
-        per_file = {
-            r[FILE]: r
-            for r in self.spark.read.parquet(stats_dir)
-            .filter(F.col("run_ts") == ts.isoformat())
-            .collect()
-        }
+        (
+            self.spark.createDataFrame(per_file_rows, per_file_df.schema)
+            .withColumn("run_ts", F.lit(ts.isoformat()))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("run_ts")
+            .parquet(stats_dir)
+        )
+        per_file = {r[FILE]: r for r in per_file_rows}
 
         n_rec = 0
         for url in eligible:
@@ -505,9 +506,9 @@ class TransferService:
         193-274): ndjson-encode, group by computed target key, write.
 
         One distributed job: partitionBy(TKEY) into a staging dir, then
-        rename each committed partition to its final target path
-        (driver-side metadata only). Multi-part partitions are
-        concatenated — valid for ndjson and for gzip (multi-member)."""
+        two-tier finalization (`_finalize_routed`) — metadata renames on
+        the driver for local single-part rolls, executor tasks for
+        anything that moves bytes (concat / remote upload)."""
         meta_cols = {RAW, FILE, CORRUPT, DTYPE, KEEP, TKEY} | {
             c for c in out.columns if c.startswith(VAR_PREFIX)
         }
@@ -532,45 +533,73 @@ class TransferService:
             writer = writer.option("compression", "gzip")
         writer.text(staging)
 
-        # B1 (transfer_service.go:27,209-212): bound output object size.
-        # When a key's concatenated output would exceed MaxAllowedSize the
-        # overflow rolls to numbered siblings (key, key.1, key.2, …) — the
-        # Spark analogue of the reference's 64 MiB flush-per-batch.
+        try:
+            return self._finalize_routed(staging, t)
+        finally:
+            fsio.delete_tree(staging)
+
+    def _finalize_routed(self, staging: str, t: Transfer) -> list[str]:
+        """Two-tier staging→target finalization.
+
+        B1 (transfer_service.go:27,209-212): bound output object size.
+        When a key's concatenated output would exceed MaxAllowedSize the
+        overflow rolls to numbered siblings (key, key.1, key.2, …) — the
+        Spark analogue of the reference's 64 MiB flush-per-batch.
+
+        Scale contract: the driver only PLANS rolls from the staging
+        listing (O(#parts) metadata) and performs local renames (inode
+        updates — the same class of work as Spark's FileOutputCommitter).
+        Every byte-moving job (multi-part concat, upload to a remote
+        scheme) is shipped to executor tasks via ``sc.parallelize`` so no
+        output byte ever streams through the driver (reference parity:
+        workers own the upload, target_transformation.go:29-53)."""
         max_bytes = t.target.max_allowed_size or 0
         outputs: list[str] = []
-        try:
-            for part_dir in sorted(globmod.glob(os.path.join(staging, f"{TKEY}=*"))):
-                key = os.path.basename(part_dir)[len(TKEY) + 1 :]
-                final = _local(_unescape_partition_value(key))
-                os.makedirs(os.path.dirname(final) or ".", exist_ok=True)
-                parts = sorted(
-                    p
-                    for p in globmod.glob(os.path.join(part_dir, "part-*"))
-                    if not p.endswith(".crc")
-                )
-                roll = 0
-                written = 0
-                dst_path = final
-                dst = open(dst_path, "wb")
-                outputs.append(dst_path)
-                try:
-                    for p in parts:
-                        psize = os.path.getsize(p)
-                        if max_bytes and written and written + psize > max_bytes:
-                            dst.close()
-                            roll += 1
-                            dst_path = f"{final}.{roll}"
-                            dst = open(dst_path, "wb")
-                            outputs.append(dst_path)
-                            written = 0
-                        with open(p, "rb") as s:
-                            shutil.copyfileobj(s, dst)
-                        written += psize
-                finally:
-                    dst.close()
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        renames: list[tuple[str, str]] = []  # driver-side metadata only
+        byte_jobs: list[tuple[list[str], str]] = []  # executor-side
+        for name, _, is_dir in sorted(fsio.listdir(staging)):
+            if not is_dir or not name.startswith(f"{TKEY}="):
+                continue
+            key = name[len(TKEY) + 1 :]
+            final = _unescape_partition_value(key)
+            if fsio.is_local(final):
+                final = _local(final)
+            part_dir = os.path.join(staging, name)
+            parts = sorted(
+                (pname, psize)
+                for pname, psize, pdir in fsio.listdir(part_dir)
+                if pname.startswith("part-") and not pname.endswith(".crc") and not pdir
+            )
+            fsio.makedirs(os.path.dirname(final) or ".")
+            # plan rolls: greedy pack of committed parts under max_bytes
+            rolls: list[list[str]] = [[]]
+            written = 0
+            for pname, psize in parts:
+                if max_bytes and rolls[-1] and written + psize > max_bytes:
+                    rolls.append([])
+                    written = 0
+                rolls[-1].append(os.path.join(part_dir, pname))
+                written += psize
+            for i, roll in enumerate(rolls):
+                dst = final if i == 0 else f"{final}.{i}"
+                outputs.append(dst)
+                if len(roll) == 1 and fsio.is_local(dst):
+                    renames.append((roll[0], dst))
+                else:
+                    byte_jobs.append((roll, dst))
+        for src, dst in renames:
+            fsio.move(src, dst)
+        if byte_jobs:
+            self._run_byte_jobs(byte_jobs)
         return outputs
+
+    def _run_byte_jobs(self, byte_jobs: list[tuple[list[str], str]]) -> None:
+        """Ship O(bytes) finalization (concat / remote upload) to executor
+        tasks — one task per output object."""
+        sc = self.spark.sparkContext
+        sc.parallelize(byte_jobs, len(byte_jobs)).foreach(
+            lambda job: fsio.concat(job[0], job[1])
+        )
 
 
 def _unescape_partition_value(value: str) -> str:

@@ -142,8 +142,10 @@ def test_url_pipeline_end_to_end(spark, workdir):
     # to the JSON ledger (3 files incl. the empty one's absent row ⇒ 2)
     import glob as _glob
 
-    sidecar = _glob.glob(str(workdir / "out" / "meta.json.files" / "*.parquet"))
-    assert sidecar, "per-file stats parquet sidecar missing"
+    sidecar = _glob.glob(
+        str(workdir / "out" / "meta.json.files" / "run_ts=*" / "*.parquet")
+    )
+    assert sidecar, "per-file stats parquet sidecar missing (run_ts-partitioned)"
 
     # second run: everything already processed ⇒ NOOP (meta skip, M1)
     result2 = svc.run(cfg.transfers[0])

@@ -203,6 +203,76 @@ def test_max_allowed_size_rolls_outputs(spark, tmp_path):
     assert keys == {1, 2}
 
 
+def test_single_part_finalization_is_rename_only(spark, tmp_path, monkeypatch):
+    """K1 scale contract: a key whose staged output is one part file is
+    finalized by a metadata rename — zero bytes stream through the
+    driver and no executor concat job is launched."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "a.log").write_text('{"Id":1,"Name":"n1","Type":"a"}\n')
+
+    concats = []
+    monkeypatch.setattr(
+        TransferService,
+        "_run_byte_jobs",
+        lambda self, jobs: concats.extend(jobs),
+    )
+    t = Transfer(
+        name="rename-only",
+        source=Source(name=str(src), data_type="svc.Log"),
+        target=Target(name=str(tmp_path / "out" / "all.log")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        transformer="svc.LogToKV",
+        base_dir=str(tmp_path),
+    )
+    tasks = Service(spark, [t]).transfer_once()
+    assert tasks[0].status == DONE
+    assert (tmp_path / "out" / "all.log").exists()
+    assert concats == [], "single-part key must not byte-copy"
+
+
+def test_multi_part_finalization_concats_executor_side(spark, tmp_path, monkeypatch):
+    """K1: a key staged as multiple parts is concatenated by an executor
+    task (fsio.concat inside sc.parallelize), yielding one object with
+    every record."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import TransferService
+
+    jobs_seen = []
+    orig = TransferService._run_byte_jobs
+    monkeypatch.setattr(
+        TransferService,
+        "_run_byte_jobs",
+        lambda self, jobs: (jobs_seen.extend(jobs), orig(self, jobs))[1],
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    # two source files → two tasks → two staged parts under one key
+    (src / "a.log").write_text('{"Id":1,"Name":"n1","Type":"a"}\n')
+    (src / "b.log").write_text('{"Id":2,"Name":"n2","Type":"b"}\n')
+    t = Transfer(
+        name="concat",
+        source=Source(name=str(src), data_type="svc.Log"),
+        target=Target(name=str(tmp_path / "out" / "all.log")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        transformer="svc.LogToKV",
+        base_dir=str(tmp_path),
+    )
+    tasks = Service(spark, [t]).transfer_once()
+    assert tasks[0].status == DONE
+    out = tmp_path / "out" / "all.log"
+    assert out.exists() and not (tmp_path / "out" / "all.log.1").exists()
+    keys = {json.loads(l)["Key"] for l in out.read_text().splitlines()}
+    assert keys == {1, 2}
+    assert len(jobs_seen) == 1 and len(jobs_seen[0][0]) == 2, jobs_seen
+
+
 def test_scheduler_ticker_loop(spark, workdir):
     """C1: the background 1s ticker fires due transfers repeatedly
     (service.go:48-98); first run DONE, repeats NOOP via meta skip."""
