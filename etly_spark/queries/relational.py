@@ -727,24 +727,51 @@ def q18_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q23_approx_sketches",
-    oracle=None,  # HLL/KLL sketches are engine-specific by design; the
-    # exact twins are covered by q8 (countDistinct) and q24 (percentile).
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           CAST(1 AS INT) AS customers_ok,
+           CAST(1 AS INT) AS p50_ok,
+           CAST(1 AS INT) AS p90_ok,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
     doc="approx_count_distinct (HyperLogLog++) + approx_percentile (KLL) "
     "per order-status — the constant-memory profiling path for 100 TB "
-    "scans. No SQL oracle: estimator outputs differ across engines.",
+    "scans. Sketch estimates are engine-specific, so the checkable "
+    "surface is: the oracle-computable exact values plus "
+    "within-tolerance flags (|approx−exact|/exact bounded — HLL++ rsd "
+    "0.02 checked at 3σ=0.06; KLL accuracy 10000 at 2% relative). The "
+    "oracle emits literal 1s: a drifting estimator flips the Spark flag "
+    "to 0 and the hash check catches it.",
 )
 def q23_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", 0.5, 10000).alias("price_p50"),
-            F.percentile_approx("o_totalprice", 0.9, 10000).alias("price_p90"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("o_orderstatus")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("ap90"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("ep50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("ep90"),
+        F.count(F.lit(1)).alias("n"),
     )
+
+    def within(approx, exact, tol):
+        return (
+            (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= tol
+        ).cast("int")
+
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        within("approx_customers", "exact_customers", 0.06).alias("customers_ok"),
+        within("ap50", "ep50", 0.02).alias("p50_ok"),
+        within("ap90", "ep90", 0.02).alias("p90_ok"),
+        "n",
+    ).orderBy("o_orderstatus")
 
 
 # --------------------------------------------------------------------------
