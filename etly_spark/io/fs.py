@@ -122,6 +122,28 @@ def move(src: str, dst: str) -> None:
     fs.mv(spath, dpath)
 
 
+def exists(url: str) -> bool:
+    if is_local(url):
+        return os.path.exists(strip_file_scheme(url))
+    fs, path = _fsspec_fs(url)
+    return bool(fs.exists(path))
+
+
+def delete(url: str) -> None:
+    """Remove one object; missing is a no-op (idempotent cleanup)."""
+    if is_local(url):
+        try:
+            os.unlink(strip_file_scheme(url))
+        except FileNotFoundError:
+            pass
+        return
+    fs, path = _fsspec_fs(url)
+    try:
+        fs.rm_file(path)
+    except FileNotFoundError:
+        pass
+
+
 def open_read(url: str):
     if is_local(url):
         return open(strip_file_scheme(url), "rb")

@@ -587,6 +587,15 @@ class TransferService:
                     renames.append((roll[0], dst))
                 else:
                     byte_jobs.append((roll, dst))
+            # replay idempotency: a crashed earlier attempt (e.g. a
+            # streaming micro-batch retried from the checkpoint) may have
+            # left MORE roll siblings than this attempt plans — moves
+            # overwrite plan positions 0..n-1, so clear any stale tail.
+            # One stat past the plan per key; O(stale) when crash-recovering.
+            i = max(len(rolls), 1)
+            while fsio.exists(f"{final}.{i}"):
+                fsio.delete(f"{final}.{i}")
+                i += 1
         for src, dst in renames:
             fsio.move(src, dst)
         if byte_jobs:

@@ -96,6 +96,87 @@ def test_streaming_transfer_exactly_once(spark, tmp_path):
     assert sorted(p.name for p in (tmp_path / "out").glob("*.log")) == out2
 
 
+def test_streaming_crash_after_write_recovers_exactly_once(spark, tmp_path, monkeypatch):
+    """Kill mid-batch AFTER the routed sink write but BEFORE meta.save()
+    — the worst crash point: side effects landed, checkpoint commit did
+    not. On restart the checkpoint replays the batch; the run must end
+    with no duplicate output records and a consistent ledger (reference
+    semantics: meta skip, transfer_service.go:503-505; here carried by
+    the commit log + idempotent finalization)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "f1.log").write_text(
+        '{"Id":1,"Name":"a","Type":"x"}\n{"Id":2,"Name":"b","Type":"y"}\n'
+    )
+    t = _transfer(tmp_path)
+    svc = StreamingTransferService(spark)
+
+    real_save = Meta.save
+    crashed = {"n": 0}
+
+    def crash_once(self):
+        if crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash between sink write and meta.save")
+        return real_save(self)
+
+    monkeypatch.setattr(Meta, "save", crash_once)
+    q = svc.start(t, available_now=True)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+        q.stop()
+        raise RuntimeError(str(q.exception() or "query did not fail"))
+
+    # the crash landed after the write: output exists, ledger does not
+    assert (tmp_path / "out" / "batch-0.log").exists()
+    assert crashed["n"] == 1
+    assert not (src / ".etly_meta.json").exists()
+
+    # restart with the SAME checkpoint: the uncommitted batch replays
+    q = svc.start(t, available_now=True)
+    _await(q)
+
+    lines = (tmp_path / "out" / "batch-0.log").read_text().strip().splitlines()
+    assert sorted(json.loads(ln)["Key"] for ln in lines) == [1, 2]  # no dups
+    assert sorted(p.name for p in (tmp_path / "out").glob("batch-*")) == [
+        "batch-0.log"
+    ]
+    meta = Meta.load(str(src / ".etly_meta.json"))
+    assert len(meta.processed) == 1
+    om = next(iter(meta.processed.values()))
+    assert om.record_processed == 2 and om.record_errors == 0
+
+    # and the stream is drained: a third start processes nothing new
+    q = svc.start(t, available_now=True)
+    _await(q)
+    meta = Meta.load(str(src / ".etly_meta.json"))
+    assert len(meta.processed) == 1
+
+
+def test_replay_clears_stale_roll_siblings(spark, tmp_path):
+    """A crashed attempt may leave more `key.N` roll siblings than the
+    replay plans; finalization must clear the stale tail or the replay
+    silently double-counts (`batch-0.log` fresh + `batch-0.log.1`
+    stale)."""
+    from etly_spark.pipeline import TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    (src / "f1.log").write_text('{"Id":1,"Name":"a","Type":"x"}\n')
+    # stale siblings from a hypothetical crashed attempt
+    (out / "batch-0.log.1").write_text('{"Key":99,"Value":"stale"}\n')
+    (out / "batch-0.log.2").write_text('{"Key":98,"Value":"stale"}\n')
+    t = _transfer(tmp_path)
+    result = TransferService(spark).run(t)
+    assert result.status == "DONE"
+    assert sorted(p.name for p in out.glob("batch-0*")) == ["batch-0.log"]
+    lines = (out / "batch-0.log").read_text().strip().splitlines()
+    assert [json.loads(ln)["Key"] for ln in lines] == [1]
+
+
 def _event_stream(spark, tmp_path, rows_per_file: list[list[tuple]]):
     src = tmp_path / "ev"
     src.mkdir()
