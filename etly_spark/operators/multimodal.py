@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -72,12 +73,104 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_real(payload: bytes) -> dict:
-    """Real image decode — requires PIL, absent here by design."""
+    """Full pixel decode — requires PIL, absent here by design. Header
+    metadata (format/dimensions) does NOT need PIL: `parse_image_header`
+    below reads real bytes for BMP/PPM/PNG/GIF."""
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image codec not available in this container; use decode_fake"
+            "image codec not available in this container; use decode_fake "
+            "for features or parse_image_header for real header metadata"
         )
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Pure-Python header parse → (format, width, height), or None if the
+    bytes are not a recognized image.
+
+    Real decode of real bytes, no codec library: these four container
+    formats put dimensions at fixed/trivially-scanned offsets (BMP
+    BITMAPINFOHEADER, PNG IHDR, GIF logical screen descriptor, PPM/PGM
+    ASCII preamble). Rich formats (JPEG/WebP/video) stay behind the PIL
+    gate in `decode_real`.
+    """
+    import struct
+
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        # BITMAPINFOHEADER: int32 width @18, int32 height @22 (LE;
+        # height may be negative = top-down rows)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return ("bmp", int(w), abs(int(h)))
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is always the first chunk: uint32 width @16, height @20 (BE)
+        w, h = struct.unpack_from(">II", payload, 16)
+        return ("png", int(w), int(h))
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        # logical screen descriptor: uint16 width @6, height @8 (LE)
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return ("gif", int(w), int(h))
+    if len(payload) >= 2 and payload[:1] == b"P" and payload[1:2] in b"123456":
+        # Netpbm (PPM/PGM/PBM): ASCII "P6 <w> <h> <maxval>" with
+        # whitespace/comments between tokens
+        tokens: list[int] = []
+        i = 2
+        while len(tokens) < 2 and i < min(len(payload), 4096):
+            c = payload[i : i + 1]
+            if c == b"#":  # comment to end of line
+                j = payload.find(b"\n", i)
+                i = len(payload) if j < 0 else j + 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(payload) and payload[j : j + 1].isdigit():
+                    j += 1
+                tokens.append(int(payload[i:j]))
+                i = j
+            else:
+                return None
+        if len(tokens) == 2:
+            return ("ppm", tokens[0], tokens[1])
+    return None
+
+
+IMAGE_HEADER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def decode_image_headers(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header decode: (doc_id, payload) → format/dims.
+
+    Same plumbing contract as `decode_features` (pure map, pruned input,
+    one Arrow batch resident); unrecognized payloads yield nulls rather
+    than failing the batch — corrupt media is data, not an exception,
+    at 100 TB.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            parsed = [parse_image_header(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": [p[0] if p else None for p in parsed],
+                    "width": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, IMAGE_HEADER_SCHEMA)
 
 
 def _decode_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":

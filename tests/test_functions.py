@@ -63,6 +63,59 @@ def test_decode_real_raises_without_codec():
         MM.decode_real(b"\x89PNG...")
 
 
+def _bmp_bytes(w: int, h: int) -> bytes:
+    """Minimal real BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+    one row of padded BGR pixels."""
+    import struct
+
+    row = (w * 3 + 3) & ~3
+    pixels = b"\x00" * (row * h)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def test_parse_image_header_real_bytes():
+    """Real header decode of real bytes — no codec library (the PIL gate
+    covers pixel decode only)."""
+    assert MM.parse_image_header(_bmp_bytes(17, 9)) == ("bmp", 17, 9)
+    assert MM.parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\0" * 3
+    assert MM.parse_image_header(gif) == ("gif", 320, 200)
+    ppm = b"P6\n# a comment\n  1024 768\n255\n" + b"\0" * 12
+    assert MM.parse_image_header(ppm) == ("ppm", 1024, 768)
+    assert MM.parse_image_header(b"not an image at all") is None
+    assert MM.parse_image_header(b"") is None
+    assert MM.parse_image_header(b"P6 \xff\xfe") is None  # truncated/garbled
+
+
+def test_decode_image_headers_spark(spark):
+    """The mapInPandas stage parses real image bytes inside Spark and
+    yields nulls (not failures) for unrecognized payloads."""
+    rows = [
+        (1, _bmp_bytes(17, 9)),
+        (2, _png_bytes(640, 480)),
+        (3, b"P5 8 4 255 " + b"\0" * 32),
+        (4, b"opaque-non-image-payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in MM.decode_image_headers(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("bmp", 17, 9)
+    assert (got[2].format, got[2].width, got[2].height) == ("png", 640, 480)
+    assert (got[3].format, got[3].width, got[3].height) == ("ppm", 8, 4)
+    assert got[4].format is None and got[4].width is None
+
+
 def test_decode_features_batch_shape(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "wxyz")], "doc_id long, text string")
     out = MM.decode_features(MM.attach_binary_payload(df))
