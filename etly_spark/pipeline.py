@@ -203,7 +203,7 @@ class TransferService:
         )
         meta = Meta.load(meta_url)
 
-        objects = list_source_objects(src_url)
+        objects = list_source_objects(src_url, self.spark)
         processed_urls = {u for u in meta.processed if meta.is_processed(u)}
         eligible = filter_storage_objects(
             objects,

@@ -41,20 +41,77 @@ def _local_path(url: str) -> str:
     return url[len("file://") :] if url.startswith("file://") else url
 
 
-def list_source_objects(source_url: str) -> list[tuple[str, int]]:
+def _walk_local(root: str) -> list[tuple[str, int]]:
+    """Serial recursive walk of one subtree → (url, size). Module-level
+    and picklable so executor tasks can run it."""
+    out: list[tuple[str, int]] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            p = os.path.join(dirpath, fn)
+            try:
+                out.append(("file://" + os.path.abspath(p), os.path.getsize(p)))
+            except FileNotFoundError:
+                pass  # deleted between list and stat — not an error
+    return out
+
+
+def list_source_objects(
+    source_url: str,
+    spark: SparkSession | None = None,
+    distribute_threshold: int = 16,
+) -> list[tuple[str, int]]:
     """Recursively list (url, size) under a folder URL (util.go:170-188).
 
-    Local filesystem implementation; for object stores the same contract
-    is served by Hadoop FS globbing (spark.read ... recursiveFileLookup).
+    Scale: at millions of objects a serial driver walk dominates the
+    transfer, so when the root has ≥ ``distribute_threshold`` immediate
+    subdirectories (and a session is supplied) the subtrees are listed by
+    executor tasks in parallel — one task per top-level prefix, the same
+    sharding an object-store lister uses. Non-local schemes route through
+    fsspec's ``find`` (server-side recursive listing). The returned list
+    is the eligibility universe (reference parity: the reference also
+    materializes the listing before filtering, transfer_service.go:481);
+    it is O(#objects) driver memory — bounded upstream by prefix layout,
+    downstream by MaxTransfers.
     """
+    from etly_spark.io import fs as fsio
+
+    if not fsio.is_local(source_url):
+        fs, path = fsio._fsspec_fs(source_url)
+        scheme = fsio.scheme_of(source_url)
+        infos = fs.find(path, detail=True)
+        return sorted(
+            (f"{scheme}://{info['name']}", int(info.get("size") or 0))
+            for info in infos.values()
+            if info.get("type") != "directory"
+        )
+
     root = _local_path(source_url)
-    out: list[tuple[str, int]] = []
     if os.path.isfile(root):
         return [("file://" + os.path.abspath(root), os.path.getsize(root))]
-    for dirpath, _dirnames, filenames in os.walk(root):
-        for fn in sorted(filenames):
-            p = os.path.join(dirpath, fn)
-            out.append(("file://" + os.path.abspath(p), os.path.getsize(p)))
+    subdirs: list[str] = []
+    top_files: list[tuple[str, int]] = []
+    try:
+        with os.scandir(root) as it:
+            for e in it:
+                if e.is_dir(follow_symlinks=False):
+                    subdirs.append(e.path)
+                elif e.is_file():
+                    top_files.append(
+                        ("file://" + os.path.abspath(e.path), e.stat().st_size)
+                    )
+    except FileNotFoundError:
+        return []
+    if spark is not None and len(subdirs) >= distribute_threshold:
+        sc = spark.sparkContext
+        listed = (
+            sc.parallelize(sorted(subdirs), len(subdirs))
+            .flatMap(_walk_local)
+            .collect()
+        )
+        return sorted(top_files + listed)
+    out = list(top_files)
+    for d in subdirs:
+        out.extend(_walk_local(d))
     return sorted(out)
 
 

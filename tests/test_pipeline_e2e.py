@@ -153,6 +153,40 @@ def test_url_pipeline_end_to_end(spark, workdir):
     assert result2.progress.record_processed == 0
 
 
+def test_distributed_listing_matches_serial(spark, tmp_path):
+    """S1 at scale: with many top-level prefixes the listing shards to
+    executor tasks; the result must be identical to the serial walk —
+    same URLs, sizes, order — including deep nesting, empty dirs, and
+    top-level loose files."""
+    from etly_spark.sources.storage import list_source_objects
+
+    root = tmp_path / "src"
+    root.mkdir()
+    (root / "loose.log").write_text("x" * 7)
+    (root / "empty_dir").mkdir()
+    n_files = 0
+    for i in range(20):  # ≥ distribute_threshold top-level prefixes
+        d = root / f"prefix{i:02d}" / "deep" / "deeper"
+        d.mkdir(parents=True)
+        for j in range(3):
+            (d / f"f{j}.log").write_text("y" * (i + j + 1))
+            n_files += 1
+
+    serial = list_source_objects(str(root))  # no session → serial walk
+    distributed = list_source_objects(str(root), spark, distribute_threshold=16)
+    assert len(serial) == n_files + 1
+    assert distributed == serial
+
+    # below the threshold the session is ignored (no job for tiny trees)
+    small = tmp_path / "small"
+    (small / "a").mkdir(parents=True)
+    (small / "a" / "f.log").write_text("z")
+    assert list_source_objects(str(small), spark) == list_source_objects(str(small))
+
+    # missing root lists empty, both paths
+    assert list_source_objects(str(tmp_path / "nope"), spark) == []
+
+
 def test_max_error_counts_aborts(spark, workdir):
     cfg = make_config(workdir)
     t = cfg.transfers[0]
