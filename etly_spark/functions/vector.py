@@ -79,6 +79,58 @@ _SCORE_SCHEMA = StructType(
 )
 
 
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ]
+)
+
+
+def bucket_pair_scores(
+    bucketed: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Within-bucket all-pairs cosine via ONE BLAS gram matrix per bucket
+    (``applyInPandas``): each vector ships through the shuffle once, the
+    k·k/2 pair scores come out of ``M @ M.T`` — no pair join is ever
+    materialized, which is what made the join+per-pair-UDF formulation
+    quadratic in Arrow transfer, not just flops. Buckets must be
+    size-capped upstream so the gram matrix stays bounded (cap² floats).
+    Emits (vec_a < vec_b, cos_sim) for pairs at/above ``threshold``;
+    division order ``dot / (nrm_a * nrm_b)`` matches the SQL oracle.
+    """
+    import numpy as np
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = len(pdf)
+        if k < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        M = _rows(pdf[vec_col])
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        cos = (M @ M.T) / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(k, 1)
+        keep = cos[iu, ju] >= threshold
+        ii, jj = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ii, jj),
+                "vec_b": np.maximum(ii, jj),
+                "cos_sim": cos[iu[keep], ju[keep]],
+            }
+        )
+
+    return bucketed.groupBy(bucket_col).applyInPandas(score, _PAIR_SCHEMA)
+
+
 def matmul_scores(
     corpus: DataFrame,
     query_pdf: pd.DataFrame,
