@@ -130,7 +130,12 @@ def main() -> int:
             times[name] = -1.0
 
     try:
-        pipeline = bench_pipeline(spark, sf_dir)
+        # best-of-N, same steady-state policy as the queries: the engine's
+        # throughput, not the session's first-job codegen/worker spin-up
+        pipeline = max(
+            (bench_pipeline(spark, sf_dir) for _ in range(runs)),
+            key=lambda p: p["records_per_sec"] if p["ok"] else -1.0,
+        )
     except Exception as exc:
         print(f"# pipeline bench FAIL: {exc}", file=sys.stderr)
         pipeline = {"ok": False, "error": str(exc)}

@@ -275,7 +275,10 @@ class TransferService:
         # JSON ledger (the reference-compatible status surface) and are
         # appended to a run_ts-partitioned parquet sidecar (the audit
         # store): later audits read one run's directory, never a
-        # whole-history rescan.
+        # whole-history rescan. The sidecar file itself is written with
+        # Arrow on the driver — the rows are already here and bounded, so
+        # launching a Spark write job (with its per-task commit protocol)
+        # for ≤ MaxTransfers rows is pure overhead at any scale.
         per_file_df = df.groupBy(FILE).agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
@@ -286,14 +289,7 @@ class TransferService:
         )
         per_file_rows = per_file_df.collect()
         stats_dir = _local(meta_url) + ".files"
-        (
-            self.spark.createDataFrame(per_file_rows, per_file_df.schema)
-            .withColumn("run_ts", F.lit(ts.isoformat()))
-            .coalesce(1)
-            .write.mode("append")
-            .partitionBy("run_ts")
-            .parquet(stats_dir)
-        )
+        _write_stats_sidecar(stats_dir, ts.isoformat(), per_file_rows)
         per_file = {r[FILE]: r for r in per_file_rows}
 
         n_rec = 0
@@ -614,3 +610,39 @@ class TransferService:
 def _unescape_partition_value(value: str) -> str:
     """Spark escapes partition values like Hive (%XX for special chars)."""
     return re.sub(r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value)
+
+
+# Hive's reserved path characters (Spark ExternalCatalogUtils.escapePathName):
+# values containing these are %XX-escaped in partition directory names.
+_HIVE_PATH_RESERVED = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(32)} | {chr(127)}
+
+
+def _escape_partition_value(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_PATH_RESERVED else ch for ch in value
+    )
+
+
+def _write_stats_sidecar(stats_dir: str, run_ts: str, rows) -> None:
+    """Append one run's per-file stats as a Hive-partitioned parquet file,
+    written driver-side with Arrow (rows are already collected and bounded
+    by MaxTransfers — a Spark write job here is per-task commit overhead
+    for a KB of data). Spark partition discovery reads it back with
+    `run_ts` as a partition column, one directory per run (pruned reads)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    part_dir = os.path.join(stats_dir, f"run_ts={_escape_partition_value(run_ts)}")
+    os.makedirs(part_dir, exist_ok=True)
+    table = pa.table(
+        {
+            FILE: pa.array([r[FILE] for r in rows], pa.string()),
+            "total": pa.array([r["total"] for r in rows], pa.int64()),
+            "corrupt": pa.array([r["corrupt"] for r in rows], pa.int64()),
+            "kept": pa.array([r["kept"] for r in rows], pa.int64()),
+            "corrupt_sample": pa.array(
+                [r["corrupt_sample"] for r in rows], pa.string()
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(part_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"))
