@@ -123,11 +123,21 @@ def filter_storage_objects(
     max_transfers: int = 0,
 ) -> list[str]:
     """S2 (transfer_service.go:481-526): regex filter, processed-skip,
-    zero-byte skip, MaxTransfers cap. Returns eligible URLs."""
+    zero-byte skip, MaxTransfers cap. Returns eligible URLs.
+
+    Hidden files ('.'/'_'-prefixed basenames: Hadoop checksum ``.crc``
+    sidecars, ``_SUCCESS`` markers, in-flight ``.tmp``) are never
+    eligible — the same PathFilter convention Spark's own FileIndex
+    applies, so a directory written by one Spark job is readable as a
+    source by the next without the markers leaking into the record
+    stream (a ``part-`` regex would otherwise substring-match
+    ``.part-….crc`` and decode checksum bytes as corrupt ndjson)."""
     rx = re.compile(filter_reg_exp) if filter_reg_exp else None
     processed = processed or set()
     eligible: list[str] = []
     for url, size in objects:
+        if url.rsplit("/", 1)[-1][:1] in (".", "_"):
+            continue
         if rx and not rx.search(url):
             continue
         if url in processed:

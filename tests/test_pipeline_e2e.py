@@ -187,6 +187,29 @@ def test_distributed_listing_matches_serial(spark, tmp_path):
     assert list_source_objects(str(tmp_path / "nope"), spark) == []
 
 
+def test_hidden_files_never_eligible(tmp_path):
+    """S2: Hadoop data-plane metadata (.crc checksum sidecars, _SUCCESS
+    markers) must not become source records even when the user's regex
+    substring-matches them — a Spark-written directory is a valid source
+    for the next transfer."""
+    from etly_spark.sources.storage import filter_storage_objects, list_source_objects
+
+    root = tmp_path / "src"
+    root.mkdir()
+    (root / "part-00000.txt").write_text('{"Id": 1}\n')
+    (root / ".part-00000.txt.crc").write_bytes(b"\x00" * 12)
+    (root / "_SUCCESS").write_text("")
+    (root / "._SUCCESS.crc").write_bytes(b"\x00" * 8)
+    (root / ".etly_meta.json").write_text("{}")
+
+    objects = list_source_objects(str(root))
+    assert len(objects) == 5  # the listing is the raw universe
+    eligible = filter_storage_objects(objects, filter_reg_exp=r"part-")
+    assert [u.rsplit("/", 1)[-1] for u in eligible] == ["part-00000.txt"]
+    # no regex: still only the visible file
+    assert filter_storage_objects(objects) == eligible
+
+
 def test_max_error_counts_aborts(spark, workdir):
     cfg = make_config(workdir)
     t = cfg.transfers[0]
