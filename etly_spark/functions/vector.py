@@ -173,3 +173,46 @@ def matmul_scores(
             )
 
     return corpus.select(id_col, vec_col, norm_col).mapInPandas(score, _SCORE_SCHEMA)
+
+
+def assign_nearest(
+    corpus: DataFrame,
+    cent_pdf: pd.DataFrame,
+    *,
+    vec_col: str = "embedding",
+    norm_col: str = "nrm",
+    out_col: str = "cent_id",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid per vector via one BLAS
+    ``emb @ C.T`` per Arrow batch, centroid matrix in the task closure
+    (the explicit broadcast join). The crossJoin + per-pair-UDF
+    formulation ships N·C array pairs through Arrow — quadratic transfer
+    for what is one matmul of flops.
+
+    ``cent_pdf`` needs columns (cent_id, ce, cn). Ties break to the
+    smallest cent_id (centroids are scanned in cent_id order and argmax
+    keeps the first maximum) — the same ordering as the oracle's
+    ``ORDER BY cos DESC, cent_id``. Output: the corpus columns plus
+    ``out_col``."""
+    import numpy as np
+
+    order = np.argsort(cent_pdf["cent_id"].to_numpy(dtype="int64"), kind="stable")
+    C = _rows(cent_pdf["ce"])[order]
+    cn = cent_pdf["cn"].to_numpy(dtype="float64")[order]
+    cids = cent_pdf["cent_id"].to_numpy(dtype="int64")[order]
+    # StructType.add mutates in place — build a fresh schema object so
+    # the input DataFrame's own schema is untouched
+    schema = StructType(list(corpus.schema.fields) + [StructField(out_col, LongType())])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = _rows(pdf[vec_col])
+            nrm = pdf[norm_col].to_numpy(dtype="float64")
+            cos = (emb @ C.T) / (nrm[:, None] * cn[None, :])
+            out = pdf.copy()
+            out[out_col] = cids[cos.argmax(axis=1)]
+            yield out
+
+    return corpus.mapInPandas(assign, schema)

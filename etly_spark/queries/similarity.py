@@ -182,20 +182,20 @@ ORDER BY query_id, rank
 def sim_ivf_ann(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:
     if s is None:
         s = _normed(load_table(spark, sf_dir, "embeddings"))
-    cent = s.filter(F.col("vec_id") % 61 == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
+    # coarse assignment: centroid matrix to the driver (C ≈ N/61 rows —
+    # tiny), one BLAS matmul per Arrow batch of the corpus. The previous
+    # crossJoin + per-pair scoring UDF moved N·C array pairs through
+    # Arrow — quadratic transfer, 10.9 s vs 0.4 s at the 10× corpus.
+    cent_pdf = (
+        s.filter(F.col("vec_id") % 61 == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+        .toPandas()
     )
-    cent_cos = V.dot_pd(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
-    assign = (
-        s.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "nrm", "cent_id", cent_cos.alias("cent_cos"))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", "cent_id")
-    )
+    assign = V.assign_nearest(s.select("vec_id", "embedding", "nrm"), cent_pdf)
     q = assign.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
