@@ -749,26 +749,25 @@ def q18_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    # Three separate passes joined on the tiny group key, NOT one agg:
-    # mixing COUNT(DISTINCT) with buffering aggregates (percentile)
-    # forces an Expand (row duplication per distinct group) and pushes
-    # the whole aggregation onto the duplicated stream — measured 26 s
-    # vs 5.4 s for the split at sf1.0. Each pass below keeps map-side
-    # partial aggregation; the joins move 3 rows.
+    # Two passes joined on the tiny group key, NOT one agg: mixing
+    # COUNT(DISTINCT) with buffering aggregates (percentile) forces an
+    # Expand (row duplication per distinct group) and pushes the whole
+    # aggregation onto the duplicated stream — measured 26 s vs 5.4 s
+    # for the split at sf1.0. Only the exact distinct count needs its
+    # own pass; sketches and exact percentiles share one (no distinct ⇒
+    # no Expand, map-side partial agg kept). The join moves 3 rows.
     sketches = o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("ap90"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("ep50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("ep90"),
         F.count(F.lit(1)).alias("n"),
     )
     exact_cnt = o.groupBy("o_orderstatus").agg(
         F.count_distinct("o_custkey").alias("exact_customers")
     )
-    exact_pct = o.groupBy("o_orderstatus").agg(
-        F.percentile("o_totalprice", F.lit(0.5)).alias("ep50"),
-        F.percentile("o_totalprice", F.lit(0.9)).alias("ep90"),
-    )
-    agg = sketches.join(exact_cnt, "o_orderstatus").join(exact_pct, "o_orderstatus")
+    agg = sketches.join(exact_cnt, "o_orderstatus")
 
     def within(approx, exact, tol):
         return (
