@@ -196,7 +196,12 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) ->
         .toPandas()
     )
     assign = V.assign_nearest(s.select("vec_id", "embedding", "nrm"), cent_pdf)
-    q = assign.filter(F.col("vec_id") < 8).select(
+    # assign the 8-row query side in its own (tiny) pass instead of
+    # filtering `assign` — that diamond would run the corpus-wide
+    # mapInPandas twice, once per side of the probe join
+    q = V.assign_nearest(
+        s.filter(F.col("vec_id") < 8).select("vec_id", "embedding", "nrm"), cent_pdf
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
