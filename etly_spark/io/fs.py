@@ -45,8 +45,61 @@ def strip_file_scheme(url: str) -> str:
     return url[len("file://") :] if url.startswith("file://") else url
 
 
+class _MockObjectStore:
+    """A local filesystem wearing a remote scheme (``mock://``): every
+    call takes the *non-local* branch of the fsio primitives, so the
+    scheme-aware finalization path (executor uploads, no driver renames)
+    is end-to-end testable in a container with no object-store client.
+    The API is the subset of fsspec's AbstractFileSystem this module
+    uses; paths are absolute local paths (``mock:///tmp/x`` → ``/tmp/x``),
+    which also makes it visible identically from driver and executor
+    worker processes."""
+
+    def ls(self, path: str, detail: bool = True):
+        if not os.path.isdir(path):
+            raise FileNotFoundError(path)
+        out = []
+        with os.scandir(path) as it:
+            for e in it:
+                st = e.stat(follow_symlinks=False)
+                out.append(
+                    {
+                        "name": e.path,
+                        "size": st.st_size,
+                        "type": "directory" if e.is_dir(follow_symlinks=False) else "file",
+                    }
+                )
+        return out
+
+    def makedirs(self, path: str, exist_ok: bool = True) -> None:
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def put_file(self, lpath: str, rpath: str) -> None:
+        shutil.copyfile(lpath, rpath)
+
+    def mv(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def rm_file(self, path: str) -> None:
+        os.unlink(path)
+
+    def open(self, path: str, mode: str = "rb"):
+        return open(path, mode)
+
+    def rm(self, path: str, recursive: bool = False) -> None:
+        if recursive:
+            shutil.rmtree(path)
+        else:
+            os.unlink(path)
+
+
 def _fsspec_fs(url: str):
     """Resolve a non-local URL to an (fsspec filesystem, path) pair."""
+    if scheme_of(url) == "mock":
+        return _MockObjectStore(), url[len("mock://") :]
     try:
         import fsspec  # type: ignore
     except ImportError as e:  # environment gate, not a stub

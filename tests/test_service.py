@@ -273,6 +273,61 @@ def test_multi_part_finalization_concats_executor_side(spark, tmp_path, monkeypa
     assert len(jobs_seen) == 1 and len(jobs_seen[0][0]) == 2, jobs_seen
 
 
+def test_remote_scheme_sink_finalizes_executor_side(spark, tmp_path, monkeypatch):
+    """K1 to an object store: with a non-local target scheme every roll —
+    even single-part — is an executor byte job (an upload; there is no
+    driver-side rename to a remote store), routed through the fsio
+    non-local branches. ``mock://`` is the remote-dressed local store, so
+    this exercises the exact code path an ``s3a://``/``gs://`` target
+    takes, minus the client library."""
+    import json as _json
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.io import fs as fsio
+    from etly_spark.pipeline import TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = tmp_path / "store"
+    store.mkdir()
+    (src / "a.log").write_text('{"Id":1,"Name":"n1","Type":"a"}\n{"Id":3,"Name":"n3","Type":"a"}\n')
+    (src / "b.log").write_text('{"Id":2,"Name":"n2","Type":"b"}\n')
+
+    jobs_seen = []
+    orig = TransferService._run_byte_jobs
+    monkeypatch.setattr(
+        TransferService,
+        "_run_byte_jobs",
+        lambda self, jobs: (jobs_seen.extend(jobs), orig(self, jobs))[1],
+    )
+    t = Transfer(
+        name="remote-sink",
+        source=Source(name=str(src), data_type="svc.Log"),
+        target=Target(name=f"mock://{store}/bucket-<mod:2>.log"),
+        meta=Resource(name=str(tmp_path / "meta.json")),
+        transformer="svc.LogToKV",
+        base_dir=str(tmp_path),
+    )
+    tasks = Service(spark, [t]).transfer_once()
+    assert tasks[0].status == DONE
+
+    outputs = sorted(p.name for p in store.iterdir())
+    assert outputs and all(n.startswith("bucket-") for n in outputs)
+    keys = set()
+    for n in outputs:
+        for line in (store / n).read_text().splitlines():
+            keys.add(_json.loads(line)["Key"])
+    assert keys == {1, 2, 3}
+    # every output object was produced by an executor byte job with a
+    # mock:// destination — nothing was finalized via local rename
+    assert len(jobs_seen) == len(outputs)
+    assert all(dst.startswith("mock://") for _, dst in jobs_seen)
+    # fsio primitives agree through the remote branch
+    assert fsio.exists(f"mock://{store}/{outputs[0]}")
+    listed = {name for name, _, is_dir in fsio.listdir(f"mock://{store}") if not is_dir}
+    assert listed == set(outputs)
+
+
 def test_scheduler_ticker_loop(spark, workdir):
     """C1: the background 1s ticker fires due transfers repeatedly
     (service.go:48-98); first run DONE, repeats NOOP via meta skip."""
