@@ -509,6 +509,9 @@ class TransferService:
             c for c in out.columns if c.startswith(VAR_PREFIX)
         }
         data_cols = [c for c in out.columns if c not in meta_cols]
+        fmt = (t.target.data_format or "ndjson").lower()
+        if fmt in ("parquet", "csv"):
+            return self._write_routed_dataset(out, key_col, t, data_cols, fmt)
         # F4 line encode — or the RawMarshaler hook (encoding.go:21-23,
         # util.go:156-168): a Target.DataType with a registered
         # raw_encoder produces the output line itself, bypassing JSON.
@@ -596,6 +599,72 @@ class TransferService:
             fsio.move(src, dst)
         if byte_jobs:
             self._run_byte_jobs(byte_jobs)
+        return outputs
+
+    def _write_routed_dataset(
+        self, out: DataFrame, key_col, t: Transfer, data_cols: list[str], fmt: str
+    ) -> list[str]:
+        """Columnar dataset sink (Spark-native extension beyond the
+        reference's ndjson K1; the sink a training-data pipeline actually
+        lands on): each routed key becomes a DATASET DIRECTORY of
+        parquet/csv parts. Columnar objects are not concatenatable, and
+        multi-file datasets are the native shape, so finalization never
+        moves bytes for local targets (per-part renames) and ships one
+        upload task per part for remote schemes — B1's byte-roll is
+        meaningless here and is intentionally not applied."""
+        encoded = out.withColumn(TKEY, key_col).select(TKEY, *data_cols)
+        staging = os.path.join(
+            t.base_dir, f".etly_staging_{uuid.uuid4().hex[:12]}"
+        )
+        writer = encoded.write.mode("append").partitionBy(TKEY)
+        if fmt == "csv":
+            writer = writer.option("header", True)
+            ext = "csv"
+            if (t.target.compression or "").lower() == "gzip":
+                writer = writer.option("compression", "gzip")
+                ext = "csv.gz"  # codec suffix must survive the rename
+            writer.csv(staging)
+        else:
+            writer.parquet(staging)
+            ext = "parquet"
+
+        outputs: list[str] = []
+        renames: list[tuple[str, str]] = []
+        byte_jobs: list[tuple[list[str], str]] = []
+        try:
+            for name, _, is_dir in sorted(fsio.listdir(staging)):
+                if not is_dir or not name.startswith(f"{TKEY}="):
+                    continue
+                final = _unescape_partition_value(name[len(TKEY) + 1 :])
+                if fsio.is_local(final):
+                    final = _local(final)
+                part_dir = os.path.join(staging, name)
+                parts = sorted(
+                    pname
+                    for pname, _, pdir in fsio.listdir(part_dir)
+                    if pname.startswith("part-") and not pname.endswith(".crc") and not pdir
+                )
+                fsio.makedirs(final)
+                for i, pname in enumerate(parts):
+                    dst = f"{final.rstrip('/')}/part-{i:05d}.{ext}"
+                    src = os.path.join(part_dir, pname)
+                    if fsio.is_local(dst):
+                        renames.append((src, dst))
+                    else:
+                        byte_jobs.append(([src], dst))  # single-file upload
+                # replay idempotency: drop stale parts from a richer
+                # earlier attempt
+                i = len(parts)
+                while fsio.exists(f"{final.rstrip('/')}/part-{i:05d}.{ext}"):
+                    fsio.delete(f"{final.rstrip('/')}/part-{i:05d}.{ext}")
+                    i += 1
+                outputs.append(final)
+            for src, dst in renames:
+                fsio.move(src, dst)
+            if byte_jobs:
+                self._run_byte_jobs(byte_jobs)
+        finally:
+            fsio.delete_tree(staging)
         return outputs
 
     def _run_byte_jobs(self, byte_jobs: list[tuple[list[str], str]]) -> None:

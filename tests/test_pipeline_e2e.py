@@ -187,6 +187,81 @@ def test_distributed_listing_matches_serial(spark, tmp_path):
     assert list_source_objects(str(tmp_path / "nope"), spark) == []
 
 
+def test_parquet_dataset_sink(spark, workdir):
+    """Columnar sink: each routed key is a parquet dataset directory;
+    read-back via Spark matches the transformed records; re-run is a
+    NOOP (meta skip unchanged by sink format)."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+
+    t = Transfer(
+        name="pq-sink",
+        source=Source(name=str(workdir / "in"), data_type="test.Log1"),
+        target=Target(
+            name=str(workdir / "out" / "bucket=<mod:2>"), data_format="parquet"
+        ),
+        meta=Resource(name=str(workdir / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(workdir),
+    )
+    svc = TransferService(spark)
+    result = svc.run(t)
+    assert result.status == DONE
+    assert result.progress.record_processed == 4
+    assert sorted(os.path.basename(o) for o in set(result.outputs)) == [
+        "bucket=0",
+        "bucket=1",
+    ]
+    got = {
+        (r.Key, r.Value)
+        for o in set(result.outputs)
+        for r in spark.read.parquet(o).collect()
+    }
+    assert got == {
+        (1, "test1/a"),
+        (2, "test2/b"),
+        (3, "test3/a"),
+        (4, "test4/b"),
+    }
+    assert svc.run(t).status == NOOP
+
+
+def test_csv_dataset_sink_remote_scheme(spark, workdir, monkeypatch):
+    """CSV dataset to a mock:// object store: every part is one executor
+    upload job (no local renames to a remote store); gzip rides the
+    writer's codec option."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+
+    store = workdir / "store"
+    store.mkdir()
+    jobs_seen = []
+    orig = TransferService._run_byte_jobs
+    monkeypatch.setattr(
+        TransferService,
+        "_run_byte_jobs",
+        lambda self, jobs: (jobs_seen.extend(jobs), orig(self, jobs))[1],
+    )
+    t = Transfer(
+        name="csv-sink",
+        source=Source(name=str(workdir / "in"), data_type="test.Log1"),
+        target=Target(
+            name=f"mock://{store}/k=<mod:2>", data_format="csv", compression="gzip"
+        ),
+        meta=Resource(name=str(workdir / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(workdir),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE
+    assert jobs_seen and all(
+        dst.startswith("mock://") and len(srcs) == 1 for srcs, dst in jobs_seen
+    )
+    rows = set()
+    for d in sorted(store.iterdir()):
+        df = spark.read.option("header", True).csv(str(d))
+        rows |= {(int(r.Key), r.Value) for r in df.collect()}
+    assert rows == {(1, "test1/a"), (2, "test2/b"), (3, "test3/a"), (4, "test4/b")}
+
+
 def test_hidden_files_never_eligible(tmp_path):
     """S2: Hadoop data-plane metadata (.crc checksum sidecars, _SUCCESS
     markers) must not become source records even when the user's regex
