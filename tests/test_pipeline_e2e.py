@@ -262,6 +262,82 @@ def test_csv_dataset_sink_remote_scheme(spark, workdir, monkeypatch):
     assert rows == {(1, "test1/a"), (2, "test2/b"), (3, "test3/a"), (4, "test4/b")}
 
 
+def test_document_curation_pipeline(spark, tmp_path):
+    """The LLM-curation job as a config-driven transfer: datastore
+    source over the documents parquet table → registered quality filter
+    (length + alpha-ratio, Column-builder UDF surface) → transformer
+    projecting curation features (token count) → parquet dataset sink
+    routed per-language via a $lang record variable. Every stage is the
+    etly engine surface; nothing is bespoke to this test but the names."""
+    from etly_spark.config import (
+        Resource,
+        Source,
+        Target,
+        Transfer,
+        VariableExtraction,
+    )
+
+    if "cur.QualityGate" not in registry.filters:
+
+        @registry.filters.register("cur.QualityGate")
+        def quality_gate(df):
+            alpha_ratio = F.length(F.regexp_replace("text", r"[^A-Za-z ]", "")) / F.greatest(
+                F.length("text"), F.lit(1)
+            )
+            return (F.col("n_chars") >= 200) & (alpha_ratio >= 0.5)
+
+        @registry.transformers.register("cur.DocFeatures")
+        def doc_features(df):
+            return [
+                F.col("doc_id"),
+                F.col("lang"),
+                F.col("n_chars"),
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+            ]
+
+        @registry.variable_providers.register("cur.LangOf")
+        def lang_of():
+            return F.col("lang")
+
+    t = Transfer(
+        name="curate-documents",
+        source=Source(
+            name="SELECT doc_id, text, lang, n_chars FROM documents",
+            type="datastore",
+            ds_config={
+                "DriverName": "parquet",
+                "Parameters": {"url": "file:///root/testdata/sf0.001"},
+            },
+        ),
+        target=Target(
+            name=str(tmp_path / "curated" / "lang=$lang"), data_format="parquet"
+        ),
+        meta=Resource(name=str(tmp_path / "meta.json")),
+        transformer="cur.DocFeatures",
+        filter="cur.QualityGate",
+        variable_extraction=[
+            VariableExtraction(name="lang", source="target", provider="cur.LangOf")
+        ],
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed > 0
+    assert result.progress.record_skipped > 0  # the gate actually gated
+
+    # read each per-language dataset back (the data files carry `lang`
+    # themselves, so no partition-discovery read over the parent)
+    total = 0
+    for o in sorted(set(result.outputs)):
+        d = spark.read.parquet(o)
+        assert set(d.columns) == {"doc_id", "lang", "n_chars", "n_tokens"}
+        want_lang = os.path.basename(o).split("=", 1)[1]
+        assert d.filter(F.col("lang") != want_lang).count() == 0
+        assert d.filter(F.col("n_chars") < 200).count() == 0  # gate held
+        total += d.count()
+    assert total == result.progress.record_processed
+
+
 def test_hidden_files_never_eligible(tmp_path):
     """S2: Hadoop data-plane metadata (.crc checksum sidecars, _SUCCESS
     markers) must not become source records even when the user's regex
