@@ -242,7 +242,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_col = bit_terms[0]
     for term in bit_terms[1:]:
         sim_col = sim_col + term
-    sim = votes.select("doc_id", sim_col.alias("s"))
+    # (doc_id, s) is 2 longs/doc; the band self-join reads this subtree
+    # twice and the 48-vote aggregation is the expensive part — persist +
+    # eager count so it runs once (the minhash sketch-table pattern)
+    sim = votes.select("doc_id", sim_col.alias("s")).persist()
+    sim.count()
     bands = sim.select(
         "doc_id", "s", F.explode(H.simhash_bands16(F.col("s"), 3)).alias("bk")
     ).select("doc_id", "s", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
