@@ -324,6 +324,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     )
     ng = ex.groupBy("doc_id", "blk").agg(F.collect_set("bg").alias("g"))
+    # the blk self-join reads the bigram-set build twice — persist + eager
+    # count (the sketch-table pattern; see dedup_simhash/minhash)
+    ng = ng.persist()
+    ng.count()
     a = ng.alias("a")
     b = ng.alias("b")
     jac = F.size(F.array_intersect("a.g", "b.g")) / F.size(F.array_union("a.g", "b.g"))
