@@ -447,3 +447,34 @@ def test_streaming_multi_schema_dispatch(spark, tmp_path):
     assert om.record_processed == 3
     assert om.record_errors == 0  # excluded line never counted corrupt
     assert not meta.errors
+
+
+def test_streaming_parquet_dataset_sink(spark, tmp_path):
+    """The columnar dataset sink through the streaming path: foreachBatch
+    shares _write_routed, so a parquet Target works per micro-batch with
+    checkpoint exactly-once intact."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f1.log").write_text('{"Id":1,"Name":"a","Type":"x"}\n{"Id":2,"Name":"b","Type":"y"}\n')
+    t = Transfer(
+        name="stream-pq",
+        source=Source(name=str(src), data_type="stream.Log"),
+        target=Target(
+            name=str(tmp_path / "out" / "batch=$batchCount"), data_format="parquet"
+        ),
+        transformer="stream.LogToKV",
+        base_dir=str(tmp_path),
+    )
+    svc = StreamingTransferService(spark)
+    q = svc.start(t, available_now=True)
+    _await(q)
+    d0 = spark.read.parquet(str(tmp_path / "out" / "batch=0"))
+    assert {(r.Key, r.Value) for r in d0.collect()} == {(1, "a/x"), (2, "b/y")}
+
+    # second file → second micro-batch dataset; first untouched
+    (src / "f2.log").write_text('{"Id":3,"Name":"c","Type":"z"}\n')
+    q = svc.start(t, available_now=True)
+    _await(q)
+    d1 = spark.read.parquet(str(tmp_path / "out" / "batch=1"))
+    assert {(r.Key, r.Value) for r in d1.collect()} == {(3, "c/z")}
+    assert spark.read.parquet(str(tmp_path / "out" / "batch=0")).count() == 2
