@@ -110,10 +110,15 @@ def main() -> int:
     spark = get_spark("etly-spark-bench")
 
     # Warm the JVM/codegen path once on the cheapest query so the first
-    # measured query doesn't pay session startup.
+    # measured query doesn't pay session startup, and spin up the Python
+    # workers with a no-op Arrow pass so the first pandas-UDF query isn't
+    # charged their fork+import cost either.
     specs = sorted(REGISTRY.items())
     try:
         run_query(spark, specs[0][1].spark, sf_dir)
+        spark.range(0, 128, 1, 32).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 

@@ -225,6 +225,39 @@ def test_parquet_dataset_sink(spark, workdir):
     assert svc.run(t).status == NOOP
 
 
+def test_parquet_dataset_sink_replay_cleans_stale_parts(spark, workdir):
+    """Replay idempotency for the columnar sink: a retried window whose
+    new attempt stages FEWER parts must overwrite positions 0..n-1 and
+    delete the stale tail, so readers never see a mix of attempts."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+
+    t = Transfer(
+        name="pq-replay",
+        source=Source(name=str(workdir / "in"), data_type="test.Log1"),
+        target=Target(
+            name=str(workdir / "out" / "bucket=<mod:1>"), data_format="parquet"
+        ),
+        meta=Resource(name=str(workdir / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(workdir),
+    )
+    svc = TransferService(spark)
+    assert svc.run(t).status == DONE
+    ds = workdir / "out" / "bucket=0"
+    parts = sorted(p.name for p in ds.glob("part-*.parquet"))
+    # a stale part from a richer crashed attempt
+    import shutil as _shutil
+
+    stale = ds / f"part-{len(parts):05d}.parquet"
+    _shutil.copyfile(ds / parts[0], stale)
+    # force reprocessing of the same window (crash-before-meta semantics)
+    (workdir / "out" / "meta.json").unlink()
+    assert svc.run(t).status == DONE
+    assert not stale.exists(), "stale roll sibling must be cleaned on replay"
+    total = spark.read.parquet(str(ds)).count()
+    assert total == 4  # exactly one attempt's records
+
+
 def test_csv_dataset_sink_remote_scheme(spark, workdir, monkeypatch):
     """CSV dataset to a mock:// object store: every part is one executor
     upload job (no local renames to a remote store); gzip rides the
