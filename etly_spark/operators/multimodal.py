@@ -96,11 +96,20 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     """
     import struct
 
+    if payload is None:
+        return None
     if len(payload) >= 26 and payload[:2] == b"BM":
-        # BITMAPINFOHEADER: int32 width @18, int32 height @22 (LE;
-        # height may be negative = top-down rows)
-        w, h = struct.unpack_from("<ii", payload, 18)
-        return ("bmp", int(w), abs(int(h)))
+        # dispatch on the DIB header size @14: BITMAPCOREHEADER (12)
+        # carries uint16 dims, BITMAPINFOHEADER and its v4/v5 extensions
+        # (>=40) carry int32 dims (height may be negative = top-down)
+        (dib,) = struct.unpack_from("<I", payload, 14)
+        if dib == 12:
+            w, h = struct.unpack_from("<HH", payload, 18)
+            return ("bmp", int(w), int(h))
+        if dib >= 40:
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return ("bmp", int(w), abs(int(h)))
+        return None  # unknown DIB variant: don't emit garbage dims
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         # IHDR is always the first chunk: uint32 width @16, height @20 (BE)
         w, h = struct.unpack_from(">II", payload, 16)

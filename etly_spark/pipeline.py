@@ -49,6 +49,7 @@ from etly_spark.sources.storage import (
     FILE,
     RAW,
     filter_storage_objects,
+    is_hidden,
     list_source_objects,
     read_records,
 )
@@ -211,9 +212,16 @@ class TransferService:
             processed=processed_urls,
             max_transfers=t.max_transfers,
         )
-        # M2 status roll-up even on NOOP (transfer_service.go:547-564)
+        # M2 status roll-up even on NOOP (transfer_service.go:547-564).
+        # Hidden files are excluded like zero-byte ones: both classes are
+        # permanently ineligible, so counting them would report pending
+        # work that can never drain.
         pending = len(
-            [u for u, s in objects if s > 0 and u not in processed_urls]
+            [
+                u
+                for u, s in objects
+                if s > 0 and not is_hidden(u) and u not in processed_urls
+            ]
         ) - len(eligible)
         if not eligible:
             meta.put_status(

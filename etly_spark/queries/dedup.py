@@ -343,11 +343,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sign-bucket blocking on the first 6 embedding components (mean-zero
-# data → ~64 balanced buckets), then exact cosine on candidates. The
-# float comparisons (x > 0) and the left-fold dot product are
-# bit-deterministic in both engines. Norms are precomputed per vector
-# (one fold each) instead of per pair — same bits, 3x fewer folds.
+# Sign-bucket blocking on the first 8 embedding components (mean-zero
+# data → ~256 balanced buckets), capped per bucket, then within-bucket
+# all-pairs cosine via ONE BLAS gram matrix per bucket
+# (functions.vector.bucket_pair_scores). The sign comparisons (x > 0)
+# are bit-exact in both engines; the gram-matrix scores match the
+# oracle's sequential list_reduce fold through round(6) — matmul
+# pairwise-summation drift is ULP-scale, absorbed by the rounding
+# (verified by the hash gate at sf0.01, and the same guarantee the
+# sim_ann matmul kernels rely on).
 _EC_CAP = 128  # hot-bucket cap — mirrored in the oracle QUALIFY below
 
 _EC_SQL = f"""

@@ -91,16 +91,21 @@ def list_source_objects(
     subdirs: list[str] = []
     top_files: list[tuple[str, int]] = []
     try:
-        with os.scandir(root) as it:
-            for e in it:
+        it = os.scandir(root)
+    except FileNotFoundError:
+        return []
+    with it:
+        for e in it:
+            try:
                 if e.is_dir(follow_symlinks=False):
                     subdirs.append(e.path)
                 elif e.is_file():
                     top_files.append(
                         ("file://" + os.path.abspath(e.path), e.stat().st_size)
                     )
-    except FileNotFoundError:
-        return []
+            except FileNotFoundError:
+                pass  # deleted between scandir and stat — skip the entry,
+                # never the whole listing (the _walk_local contract)
     if spark is not None and len(subdirs) >= distribute_threshold:
         sc = spark.sparkContext
         listed = (
@@ -113,6 +118,12 @@ def list_source_objects(
     for d in subdirs:
         out.extend(_walk_local(d))
     return sorted(out)
+
+
+def is_hidden(url: str) -> bool:
+    """Hadoop/Spark PathFilter convention: '.'/'_'-prefixed basenames are
+    data-plane metadata (.crc sidecars, _SUCCESS markers), never records."""
+    return url.rsplit("/", 1)[-1][:1] in (".", "_")
 
 
 def filter_storage_objects(
@@ -136,7 +147,7 @@ def filter_storage_objects(
     processed = processed or set()
     eligible: list[str] = []
     for url, size in objects:
-        if url.rsplit("/", 1)[-1][:1] in (".", "_"):
+        if is_hidden(url):
             continue
         if rx and not rx.search(url):
             continue

@@ -97,6 +97,17 @@ def test_parse_image_header_real_bytes():
     assert MM.parse_image_header(b"not an image at all") is None
     assert MM.parse_image_header(b"") is None
     assert MM.parse_image_header(b"P6 \xff\xfe") is None  # truncated/garbled
+    assert MM.parse_image_header(None) is None  # null payload is data
+    # OS/2 BITMAPCOREHEADER: DIB size 12, uint16 dims — not int32 garbage
+    import struct as _struct
+
+    core = _struct.pack("<2sIHHI", b"BM", 26 + 12, 0, 0, 26) + _struct.pack(
+        "<IHHHH", 12, 100, 50, 1, 24
+    )
+    assert MM.parse_image_header(core) == ("bmp", 100, 50)
+    # unknown DIB variant: refuse rather than emit garbage dimensions
+    odd = _struct.pack("<2sIHHI", b"BM", 40, 0, 0, 26) + _struct.pack("<I", 16) + b"\0" * 12
+    assert MM.parse_image_header(odd) is None
 
 
 def test_decode_image_headers_spark(spark):

@@ -393,6 +393,16 @@ def test_hidden_files_never_eligible(tmp_path):
     # no regex: still only the visible file
     assert filter_storage_objects(objects) == eligible
 
+    # status roll-up must agree: permanently-ineligible classes (hidden,
+    # zero-byte) never count as pending, or the ledger reports work that
+    # can never drain
+    from etly_spark.sources.storage import is_hidden
+
+    pending = len([u for u, s in objects if s > 0 and not is_hidden(u)]) - len(
+        eligible
+    )
+    assert pending == 0
+
 
 def test_max_error_counts_aborts(spark, workdir):
     cfg = make_config(workdir)
