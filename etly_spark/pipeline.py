@@ -564,19 +564,7 @@ class TransferService:
         outputs: list[str] = []
         renames: list[tuple[str, str]] = []  # driver-side metadata only
         byte_jobs: list[tuple[list[str], str]] = []  # executor-side
-        for name, _, is_dir in sorted(fsio.listdir(staging)):
-            if not is_dir or not name.startswith(f"{TKEY}="):
-                continue
-            key = name[len(TKEY) + 1 :]
-            final = _unescape_partition_value(key)
-            if fsio.is_local(final):
-                final = _local(final)
-            part_dir = os.path.join(staging, name)
-            parts = sorted(
-                (pname, psize)
-                for pname, psize, pdir in fsio.listdir(part_dir)
-                if pname.startswith("part-") and not pname.endswith(".crc") and not pdir
-            )
+        for final, part_dir, parts in _staged_partitions(staging):
             fsio.makedirs(os.path.dirname(final) or ".")
             # plan rolls: greedy pack of committed parts under max_bytes
             rolls: list[list[str]] = [[]]
@@ -640,18 +628,8 @@ class TransferService:
         renames: list[tuple[str, str]] = []
         byte_jobs: list[tuple[list[str], str]] = []
         try:
-            for name, _, is_dir in sorted(fsio.listdir(staging)):
-                if not is_dir or not name.startswith(f"{TKEY}="):
-                    continue
-                final = _unescape_partition_value(name[len(TKEY) + 1 :])
-                if fsio.is_local(final):
-                    final = _local(final)
-                part_dir = os.path.join(staging, name)
-                parts = sorted(
-                    pname
-                    for pname, _, pdir in fsio.listdir(part_dir)
-                    if pname.startswith("part-") and not pname.endswith(".crc") and not pdir
-                )
+            for final, part_dir, sized_parts in _staged_partitions(staging):
+                parts = [pname for pname, _ in sized_parts]
                 fsio.makedirs(final)
                 for i, pname in enumerate(parts):
                     dst = f"{final.rstrip('/')}/part-{i:05d}.{ext}"
@@ -687,6 +665,27 @@ class TransferService:
 def _unescape_partition_value(value: str) -> str:
     """Spark escapes partition values like Hive (%XX for special chars)."""
     return re.sub(r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value)
+
+
+def _staged_partitions(staging: str):
+    """Iterate a partitionBy(TKEY) staging dir: yield each key's
+    (final_target, part_dir, [(part_name, size), …]) with the key
+    unescaped and localized — the shared front half of both finalizers
+    (roll sink and dataset sink), so the key-parsing and committed-part
+    selection can't drift between them."""
+    for name, _, is_dir in sorted(fsio.listdir(staging)):
+        if not is_dir or not name.startswith(f"{TKEY}="):
+            continue
+        final = _unescape_partition_value(name[len(TKEY) + 1 :])
+        if fsio.is_local(final):
+            final = _local(final)
+        part_dir = os.path.join(staging, name)
+        parts = sorted(
+            (pname, psize)
+            for pname, psize, pdir in fsio.listdir(part_dir)
+            if pname.startswith("part-") and not pname.endswith(".crc") and not pdir
+        )
+        yield final, part_dir, parts
 
 
 # Hive's reserved path characters (Spark ExternalCatalogUtils.escapePathName):
