@@ -109,16 +109,21 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("etly-spark-bench")
 
-    # Warm the JVM/codegen path once on the cheapest query so the first
-    # measured query doesn't pay session startup, and spin up the Python
-    # workers with a no-op Arrow pass so the first pandas-UDF query isn't
-    # charged their fork+import cost either.
+    # Warm-up: (a) one full query for the JVM/codegen path, (b) a no-op
+    # Arrow pass to fork the Python workers, (c) one scan of every input
+    # table so the OS page cache holds the parquet bytes — otherwise the
+    # numbers measure the disk state of the machine (cold-cache runs
+    # showed +40% on text-heavy queries), not the engine.
     specs = sorted(REGISTRY.items())
     try:
         run_query(spark, specs[0][1].spark, sf_dir)
         spark.range(0, 128, 1, 32).mapInPandas(
             lambda it: it, "id long"
         ).write.format("noop").mode("overwrite").save()
+        from etly_spark.io.tables import TABLES, load_table
+
+        for tbl in TABLES:
+            load_table(spark, sf_dir, tbl).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 
