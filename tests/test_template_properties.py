@@ -98,3 +98,21 @@ def test_target_key_deterministic_and_complete(fname):
 def test_expand_file_uses_basename(name):
     out = expand_file("<file>", f"s3://bucket/a/b/{name}")
     assert "/" not in out
+
+
+@given(st.text(min_size=0, max_size=80))
+@settings(max_examples=200)
+def test_partition_value_escape_roundtrip(value):
+    """The sink finalizers and the stats sidecar rely on Hive-style
+    partition-path escaping being a true inverse of Spark's unescape —
+    for ANY key value (URLs with '://', timestamps with ':', spaces,
+    unicode)."""
+    from etly_spark.pipeline import (
+        _escape_partition_value,
+        _unescape_partition_value,
+    )
+
+    escaped = _escape_partition_value(value)
+    assert _unescape_partition_value(escaped) == value
+    # escaped form is path-safe: no separators or reserved chars left
+    assert "/" not in escaped and ":" not in escaped
