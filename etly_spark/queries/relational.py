@@ -395,12 +395,21 @@ def q8_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    big = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("k")).distinct()
+    # each deduped key set feeds THREE set ops — persist + eager count or
+    # the orders scan and the distinct shuffle run once per op (6 scans)
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .persist()
+    )
     recent = (
         o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
         .select(F.col("o_custkey").alias("k"))
         .distinct()
+        .persist()
     )
+    big.count(), recent.count()
     rows = [
         big.intersect(recent).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
         big.exceptAll(recent).distinct().agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),
