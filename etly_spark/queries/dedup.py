@@ -157,7 +157,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
     sized = bands.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
-    )
+    ).persist()
+    sized.count()
     a = sized.alias("a")
     b = sized.alias("b")
     cand = (
