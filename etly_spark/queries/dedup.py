@@ -139,7 +139,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(digest, 17, 14), 16, 10).cast("bigint").alias("b"),
     )
     sig = perms.groupBy("doc_id").agg(
-        F.collect_set("s").alias("sg"),
         F.array(*[F.min(F.col("a") + j * F.col("b")) for j in range(8)]).alias("sig"),
     )
     # The plan reads this subtree four times (band join x2, verify join
@@ -172,9 +171,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verify: shingle sets joined back only for surviving pairs.
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sga"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sgb"))
+    # Exact verify: recompute shingle sets for CANDIDATE docs only (the
+    # candidate universe is density-bounded by the bucket cap, so this
+    # second shingle pass is ∝ duplicates, not corpus, and the heavy
+    # sets never cross a corpus-wide shuffle or sit in the cache).
+    cand = cand.persist()
+    cand.count()
+    need = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sg = (
+        d.join(F.broadcast(need), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.substring("text", F.col("i"), 5).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sg"))
+    )
+    sa = sg.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sga"))
+    sb = sg.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sgb"))
     jac = F.size(F.array_intersect("sga", "sgb")) / F.size(F.array_union("sga", "sgb"))
     return (
         cand.join(sa, "doc_a")

@@ -45,29 +45,32 @@ def test_fk_integrity_holds_across_copies(spark, corpus):
     c = spark.read.parquet(os.path.join(out, "customer.parquet"))
     li = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
     n = spark.read.parquet(os.path.join(out, "nation.parquet"))
-    # every shifted FK resolves (no orphans), and joins never cross copies
+    # every shifted FK resolves (no orphans)
     orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
     assert orphans == 0
     li_orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
     assert li_orphans == 0
+    # and joins never cross copies: exactly one customer match per order
+    # (cross-copy key reuse would multiply the join cardinality)
+    assert o.join(c, o.o_custkey == c.c_custkey).count() == o.count()
     # unshifted nationkey FKs still resolve from every copy
     assert c.join(n, c.c_nationkey == n.n_nationkey, "left_anti").count() == 0
 
 
 def test_copies_are_not_near_duplicates(spark, corpus):
+    import build_scaled_corpus as bsc
+
     base, out, _ = corpus
     d = spark.read.parquet(os.path.join(out, "documents.parquet"))
     n_base = load_table(spark, base, "documents").count()
     # copy 1 of a doc must not share its text with copy 0 (consonant
-    # rotation changes shingles) — exact-dup count across copies is zero
-    pairs = (
-        d.alias("x")
-        .join(
-            d.alias("y"),
-            (F.col("x.doc_id") + 10_000_000 == F.col("y.doc_id"))
-            & (F.col("x.text") == F.col("y.text")),
-        )
-        .count()
+    # rotation changes shingles). Pair copy-0 docs with their copy-1
+    # twins by the builder's own OFFSET: the pairing must be complete
+    # (guards against the assertion passing vacuously on an empty join)
+    # and share zero texts.
+    paired = d.alias("x").join(
+        d.alias("y"), F.col("x.doc_id") + bsc.OFFSET == F.col("y.doc_id")
     )
-    assert pairs == 0
+    assert paired.count() == n_base
+    assert paired.filter(F.col("x.text") == F.col("y.text")).count() == 0
     assert d.select("doc_id").distinct().count() == 2 * n_base
