@@ -48,6 +48,19 @@ def test_no_cartesian_products_anywhere(spark):
     assert offenders == [], f"cartesian products in: {offenders}"
 
 
+def test_no_row_at_a_time_python_udfs_anywhere(spark):
+    """Stay JVM-side or Arrow-batched: a BatchEvalPython node means a
+    row-at-a-time Python UDF crept into a hot path — 10-100× slower than
+    the pandas/Arrow boundary and the first thing that dies at 100 TB.
+    Allowed Python boundaries are ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas only."""
+    offenders = []
+    for name in sorted(REGISTRY):
+        if "BatchEvalPython" in plan_of(spark, name):
+            offenders.append(name)
+    assert offenders == [], f"row-at-a-time Python UDFs in: {offenders}"
+
+
 def test_ann_scoring_is_vectorized(spark):
     # The scoring kernel must be the numpy/Arrow path, not interpreted
     # HOF folds: brute-force scores via a mapInPandas BLAS matmul (one
