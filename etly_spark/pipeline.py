@@ -51,6 +51,7 @@ from etly_spark.sources.storage import (
     filter_storage_objects,
     is_hidden,
     list_source_objects,
+    probe_unreadable,
     read_records,
 )
 from etly_spark.templates import (
@@ -66,6 +67,11 @@ VAR_PREFIX = "__var_"
 
 # task.go:9-14
 RUNNING, TRANSFERRING, NOOP, DONE, ERROR = "RUNNING", "TRANSFERRING", "NOOP", "DONE", "ERROR"
+
+
+class MaxErrorsExceeded(RuntimeError):
+    """E1 abort (transfer.go:17-25) — a policy decision, not a file
+    fault, so the fault-isolation probe must not swallow or retry it."""
 
 
 @dataclass
@@ -235,6 +241,67 @@ class TransferService:
             meta.save()
             return
 
+        # Per-file fault isolation (transfer_service.go:718-737 parity,
+        # Spark-shaped): the window reads all files in ONE job (the fast
+        # path — no per-file overhead when everything is healthy). If that
+        # job fails, a distributed probe reads each file end-to-end to
+        # attribute the failure: unreadable files (truncated gzip, missing
+        # object, permission) get an error ledger entry — recorded as
+        # processed, so the next run skips them, matching the reference's
+        # "log this to meta so we can skip it next time"
+        # (transfer_service.go:640-648) — and the window retries with the
+        # healthy files. The probe is O(window bytes) but runs ONLY on the
+        # failure path. Divergence from the reference, by design: a file
+        # failing mid-stream contributes ZERO records (the reference keeps
+        # records decoded before a gzip.ErrChecksum, :731, making counts
+        # depend on the truncation point); all-or-nothing per file keeps
+        # the ledger deterministic under replay.
+        n_rec = 0
+        try:
+            n_rec = self._transfer_url_files(
+                t, ts, eligible, target_template, meta, meta_url, result, src_url
+            )
+        except MaxErrorsExceeded:
+            raise
+        except Exception:
+            bad = probe_unreadable(self.spark, eligible)
+            if not bad:
+                raise
+            for url, perr in sorted(bad.items()):
+                msg = f"failed to read source object {url}: {perr}"
+                meta.add_error(msg)
+                meta.record(ObjectMeta(source=url, error=msg, message=msg))
+                result.progress.file_processed += 1
+            meta.save()  # bad entries survive even if the retry fails too
+            healthy = [u for u in eligible if u not in bad]
+            if healthy:
+                n_rec = self._transfer_url_files(
+                    t, ts, healthy, target_template, meta, meta_url, result, src_url
+                )
+
+        meta.put_status(
+            src_url,
+            ProcessingStatus(
+                resource_processed=len([u for u in meta.processed if meta.is_processed(u)]),
+                resource_pending=max(pending, 0),
+                record_processed=meta.status.record_processed + n_rec,
+            ),
+        )
+        meta.save()
+
+    def _transfer_url_files(
+        self,
+        t: Transfer,
+        ts: datetime,
+        eligible: list[str],
+        target_template: str,
+        meta: Meta,
+        meta_url: str,
+        result: TransferResult,
+        src_url: str,
+    ) -> int:
+        """Transfer one window's eligible files: read → operator chain →
+        routed write → per-file ledger records. Returns records landed."""
         # R1-R6 master side: per-file target key (template + sourceUrl vars)
         file_keys: dict[str, str] = {}
         for url in eligible:
@@ -271,7 +338,7 @@ class TransferService:
         if t.max_error_counts is not None and 0 < total_corrupt and total_corrupt >= max(
             t.max_error_counts, 1
         ):
-            raise RuntimeError(
+            raise MaxErrorsExceeded(
                 f"reached max errors {total_corrupt} >= {t.max_error_counts}"
             )
         result.outputs.extend(outputs)
@@ -327,16 +394,7 @@ class TransferService:
             result.progress.record_skipped += total - corrupt - kept
             result.progress.record_errors += corrupt
             result.progress.file_processed += 1
-
-        meta.put_status(
-            src_url,
-            ProcessingStatus(
-                resource_processed=len([u for u in meta.processed if meta.is_processed(u)]),
-                resource_pending=max(pending, 0),
-                record_processed=meta.status.record_processed + n_rec,
-            ),
-        )
-        meta.save()
+        return n_rec
 
     # ------------------------------------------------ datastore source --
 
@@ -538,9 +596,9 @@ class TransferService:
         writer = encoded.write.mode("append").partitionBy(TKEY)
         if gzip:
             writer = writer.option("compression", "gzip")
-        writer.text(staging)
-
         try:
+            writer.text(staging)  # inside the finally-scope: a failed
+            # write job must not leak its partial staging dir
             return self._finalize_routed(staging, t)
         finally:
             fsio.delete_tree(staging)
@@ -613,21 +671,20 @@ class TransferService:
             t.base_dir, f".etly_staging_{uuid.uuid4().hex[:12]}"
         )
         writer = encoded.write.mode("append").partitionBy(TKEY)
-        if fmt == "csv":
-            writer = writer.option("header", True)
-            ext = "csv"
-            if (t.target.compression or "").lower() == "gzip":
-                writer = writer.option("compression", "gzip")
-                ext = "csv.gz"  # codec suffix must survive the rename
-            writer.csv(staging)
-        else:
-            writer.parquet(staging)
-            ext = "parquet"
-
         outputs: list[str] = []
         renames: list[tuple[str, str]] = []
         byte_jobs: list[tuple[list[str], str]] = []
         try:
+            if fmt == "csv":
+                writer = writer.option("header", True)
+                ext = "csv"
+                if (t.target.compression or "").lower() == "gzip":
+                    writer = writer.option("compression", "gzip")
+                    ext = "csv.gz"  # codec suffix must survive the rename
+                writer.csv(staging)
+            else:
+                writer.parquet(staging)
+                ext = "parquet"
             for final, part_dir, sized_parts in _staged_partitions(staging):
                 parts = [pname for pname, _ in sized_parts]
                 fsio.makedirs(final)

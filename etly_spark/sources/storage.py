@@ -120,6 +120,44 @@ def list_source_objects(
     return sorted(out)
 
 
+def probe_object(url: str) -> str | None:
+    """Read one object end-to-end (decompressing ``.gz``) and return an
+    error string if it is unreadable, else None. Module-level and
+    picklable — runs in executor tasks. O(object bytes): only ever run
+    on the fault-isolation path (a window read job already failed), so
+    the healthy fast path pays nothing."""
+    import gzip as _gzip
+
+    from etly_spark.io import fs as fsio
+
+    try:
+        with fsio.open_read(url) as f:
+            stream = _gzip.GzipFile(fileobj=f) if url.endswith(".gz") else f
+            while stream.read(1 << 20):
+                pass
+        return None
+    except Exception as e:  # noqa: BLE001 — the error string IS the result
+        return f"{type(e).__name__}: {e}"
+
+
+def probe_unreadable(spark: SparkSession, urls: list[str]) -> dict[str, str]:
+    """Distributed per-file readability check: one executor task per
+    object, returning {url: error} for every unreadable one. The Spark
+    analogue of the reference's per-file goroutine error isolation
+    (transfer_service.go:718-737): a truncated gzip, permission error,
+    or object deleted mid-run is attributed to ITS file instead of
+    failing the window."""
+    if not urls:
+        return {}
+    sc = spark.sparkContext
+    results = (
+        sc.parallelize(sorted(urls), len(urls))
+        .map(lambda u: (u, probe_object(u)))
+        .collect()
+    )
+    return {u: err for u, err in results if err is not None}
+
+
 def is_hidden(url: str) -> bool:
     """Hadoop/Spark PathFilter convention: '.'/'_'-prefixed basenames are
     data-plane metadata (.crc sidecars, _SUCCESS markers), never records."""
