@@ -62,6 +62,7 @@ def _config(tmp_path) -> TransferConfig:
                     "Name": "file://<pwd>out/<file>",
                     "Type": "url",
                     "DataFormat": "ndjson",
+                    "Compression": "gzip",
                 },
                 "Meta": {"Name": "file://<pwd>out/meta.json"},
                 "MaxTransfers": 10,
