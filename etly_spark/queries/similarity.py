@@ -150,11 +150,23 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str, base: DataFrame | None = None)
     return _topk(scored, 3)
 
 
+# IVF coarse-centroid count: FIXED, corpus-independent. Centroids are
+# the K vectors with the smallest Knuth multiplicative hash of vec_id
+# ((vec_id * 2654435761) mod 2^32 — odd multiplier, so injective: no
+# ties). A deterministic uniform sample both engines compute with plain
+# int64 arithmetic, selected by top-k (TakeOrdered in Spark — one scan,
+# no full sort), so the driver collects exactly K rows at any N. The
+# previous rule (vec_id % 61 = 0) collected N/61 rows — a driver-side
+# collect growing linearly with the corpus.
+K_CENTROIDS = 32
+_CENT_HASH_SQL = "(vec_id * 2654435761) % 4294967296"
+
 _IVF_SQL = f"""
 WITH s AS (
   SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings
 ), cent AS (
-  SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s WHERE vec_id % 61 = 0
+  SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s
+  ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {K_CENTROIDS}
 ), assign0 AS (
   SELECT s.vec_id, s.embedding, s.nrm, c.cent_id,
          row_number() OVER (PARTITION BY s.vec_id
@@ -179,22 +191,35 @@ ORDER BY query_id, rank
 """
 
 
-def sim_ivf_ann(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:
-    if s is None:
-        s = _normed(load_table(spark, sf_dir, "embeddings"))
-    # coarse assignment: centroid matrix to the driver (C ≈ N/61 rows —
-    # tiny), one BLAS matmul per Arrow batch of the corpus. The previous
-    # crossJoin + per-pair scoring UDF moved N·C array pairs through
-    # Arrow — quadratic transfer, 10.9 s vs 0.4 s at the 10× corpus.
-    cent_pdf = (
-        s.filter(F.col("vec_id") % 61 == 0)
-        .select(
+def select_centroids(s: DataFrame, k: int = K_CENTROIDS):
+    """Collect the IVF coarse-centroid set: exactly ``k`` rows (pandas),
+    chosen by top-k of the Knuth multiplicative hash — `.limit(k)`
+    compiles to TakeOrderedAndProject, so this is one corpus scan with a
+    per-partition top-k, never a full sort or an O(N) collect."""
+    return (
+        s.select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("ce"),
             F.col("nrm").alias("cn"),
+            ((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("__h"),
         )
+        .orderBy("__h", "cent_id")
+        .limit(k)
+        .drop("__h")
         .toPandas()
     )
+
+
+def sim_ivf_ann(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:
+    if s is None:
+        s = _normed(load_table(spark, sf_dir, "embeddings"))
+    # coarse assignment: centroid matrix to the driver (exactly
+    # K_CENTROIDS rows at any corpus size — hash-sample top-k, O(k)
+    # driver memory), one BLAS matmul per Arrow batch of the corpus.
+    # The previous crossJoin + per-pair scoring UDF moved N·C array
+    # pairs through Arrow — quadratic transfer, 10.9 s vs 0.4 s at the
+    # 10× corpus; the rule before this one collected N/61 centroids.
+    cent_pdf = select_centroids(s)
     assign = V.assign_nearest(s.select("vec_id", "embedding", "nrm"), cent_pdf)
     # assign the 8-row query side in its own (tiny) pass instead of
     # filtering `assign` — that diamond would run the corpus-wide
@@ -231,9 +256,11 @@ ORDER BY method, query_id, rank
     "the tiny query set, one corpus scan, per-query top-k (the "
     "exact-answer baseline; at 100 TB the right plan when Q is small); "
     "lsh — sign-bucket (64 cells) blocking key, candidates scored only "
-    "within the query's cell; ivf — deterministic coarse centroids "
-    "(vec_id % 61), every vector assigned to its nearest cell via a "
-    "broadcast centroid join, probe = the query's cell only.",
+    "within the query's cell; ivf — a FIXED-SIZE deterministic coarse "
+    "centroid set (top-K_CENTROIDS by multiplicative hash of vec_id — "
+    "O(k) driver memory at any corpus size), every vector assigned to "
+    "its nearest cell via a broadcast centroid matrix, probe = the "
+    "query's cell only.",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan + one norm pass, shared by all three branches (cached —

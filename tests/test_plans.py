@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from etly_spark.queries import REGISTRY
 
@@ -71,6 +72,33 @@ def test_ann_scoring_is_vectorized(spark):
     assert "MapInPandas" in plan  # brute-force matmul scorer
     assert "ArrowEvalPython" in plan  # einsum dot/norm pandas UDFs
     assert "zip_with" not in plan and "aggregate(" not in plan
+
+
+def test_ivf_centroid_collect_is_bounded(spark):
+    """The IVF centroid set must be corpus-independent: exactly
+    K_CENTROIDS rows reach the driver at any N (the old vec_id % 61
+    rule collected N/61 — a driver collect growing with the corpus),
+    and the selection plan is a top-k (TakeOrderedAndProject), never a
+    global sort or full collect."""
+    from etly_spark.io.tables import load_table
+    from etly_spark.queries.similarity import K_CENTROIDS, _normed, select_centroids
+
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent = select_centroids(s)
+    assert len(cent) == min(K_CENTROIDS, s.count())
+    assert list(cent.columns) == ["cent_id", "ce", "cn"]
+    # deterministic across runs (hash order, vec_id tiebreak)
+    assert list(cent.cent_id) == list(select_centroids(s).cent_id)
+    plan = (
+        s.select("vec_id")
+        .orderBy(((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296)))
+        .limit(K_CENTROIDS)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_multimodal_decode_is_arrow_batched(spark):
