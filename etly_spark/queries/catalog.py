@@ -15,6 +15,7 @@ parquet tables. Cross-engine conventions that make value-hash parity hold:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -31,12 +32,54 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# ------------------------------------------------------- cache scope --
+# Sketch tables (minhash signatures, simhash votes, deduped key sets …)
+# are persisted so multi-read plan subtrees run once. CacheManager holds
+# a persisted relation until an explicit unpersist — ContextCleaner only
+# reclaims RDDs that become garbage, and a CachedData entry pins its
+# plan — so a long-lived session running the catalog repeatedly would
+# accumulate dead cache entries. Every catalog persist therefore goes
+# through scoped_persist(), and each query invocation releases the
+# previous one's scope: at most ONE query's intermediates are cached at
+# any moment, and release_cache() empties even that.
+_CACHE_SCOPE: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Persist an intermediate for the current catalog query and register
+    it for release at the next query invocation (or ``release_cache()``).
+    ``eager`` materializes immediately — required when concurrent stages
+    would otherwise each rebuild a lazily-populated cache."""
+    df = df.persist()
+    if eager:
+        df.count()
+    _CACHE_SCOPE.append(df)
+    return df
+
+
+def release_cache() -> None:
+    """Unpersist every scoped intermediate. Called automatically at the
+    start of each catalog query; call explicitly after collecting the
+    final query's result to leave the session cache-clean."""
+    while _CACHE_SCOPE:
+        _CACHE_SCOPE.pop().unpersist()
+
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator registering a Spark query builder with its DuckDB oracle."""
+    """Decorator registering a Spark query builder with its DuckDB oracle.
+
+    The registered callable releases the PREVIOUS query's scoped cache
+    before building its plan — callers must finish collecting one
+    query's result before invoking the next (the driver, bench, and the
+    correctness gate all do)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
+        @functools.wraps(fn)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_cache()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name=name, spark=run, oracle=oracle, doc=doc)
         return fn
 
     return deco

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from etly_spark.functions import hashing as H
 from etly_spark.functions import text as T
 from etly_spark.io.tables import load_table
-from etly_spark.queries.catalog import query
+from etly_spark.queries.catalog import query, scoped_persist
 
 _SQL_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 
@@ -144,20 +144,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The plan reads this subtree four times (band join x2, verify join
     # x2); persist + eager count so the signature build runs exactly once
     # — lazily-populated cache would be rebuilt by each concurrent stage.
-    # (ContextCleaner drops the cache when the plan is released.) At
-    # cluster scale this is the standard "materialize the sketch table"
-    # step.
-    sig = sig.persist()
-    sig.count()
+    # Scoped: released at the next catalog query (catalog.scoped_persist).
+    # At cluster scale this is the standard "materialize the sketch
+    # table" step.
+    sig = scoped_persist(sig)
     # Slim band rows (no shingle arrays) for pair generation; hot buckets
     # (>64 docs) dropped — the anti-skew cap.
     bands = sig.select(
         "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=2, rows=4)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
-    sized = bands.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
-    ).persist()
-    sized.count()
+    sized = scoped_persist(
+        bands.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
+        )
+    )
     a = sized.alias("a")
     b = sized.alias("b")
     cand = (
@@ -175,8 +175,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate universe is density-bounded by the bucket cap, so this
     # second shingle pass is ∝ duplicates, not corpus, and the heavy
     # sets never cross a corpus-wide shuffle or sit in the cache).
-    cand = cand.persist()
-    cand.count()
+    cand = scoped_persist(cand)
     need = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -268,8 +267,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, s) is 2 longs/doc; the band self-join reads this subtree
     # twice and the 48-vote aggregation is the expensive part — persist +
     # eager count so it runs once (the minhash sketch-table pattern)
-    sim = votes.select("doc_id", sim_col.alias("s")).persist()
-    sim.count()
+    sim = scoped_persist(votes.select("doc_id", sim_col.alias("s")))
     bands = sim.select(
         "doc_id", "s", F.explode(H.simhash_bands16(F.col("s"), 3)).alias("bk")
     ).select("doc_id", "s", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
@@ -349,8 +347,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = ex.groupBy("doc_id", "blk").agg(F.collect_set("bg").alias("g"))
     # the blk self-join reads the bigram-set build twice — persist + eager
     # count (the sketch-table pattern; see dedup_simhash/minhash)
-    ng = ng.persist()
-    ng.count()
+    ng = scoped_persist(ng)
     a = ng.alias("a")
     b = ng.alias("b")
     jac = F.size(F.array_intersect("a.g", "b.g")) / F.size(F.array_union("a.g", "b.g"))

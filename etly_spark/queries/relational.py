@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etly_spark.io.tables import load_table
-from etly_spark.queries.catalog import query
+from etly_spark.queries.catalog import query, scoped_persist
 
 
 def _dec(col, p=12, s=2):
@@ -396,20 +396,18 @@ def q8_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     # each deduped key set feeds THREE set ops — persist + eager count or
-    # the orders scan and the distinct shuffle run once per op (6 scans)
-    big = (
+    # the orders scan and the distinct shuffle run once per op (6 scans);
+    # scoped: released at the next catalog query (catalog.scoped_persist)
+    big = scoped_persist(
         o.filter(F.col("o_totalprice") > 300000)
         .select(F.col("o_custkey").alias("k"))
         .distinct()
-        .persist()
     )
-    recent = (
+    recent = scoped_persist(
         o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
         .select(F.col("o_custkey").alias("k"))
         .distinct()
-        .persist()
     )
-    big.count(), recent.count()
     rows = [
         big.intersect(recent).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
         big.exceptAll(recent).distinct().agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from etly_spark.functions import vector as V
 from etly_spark.io.tables import load_table
-from etly_spark.queries.catalog import query
+from etly_spark.queries.catalog import query, scoped_persist
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -80,7 +80,7 @@ ORDER BY query_id, rank
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:
     if s is None:
-        s = _normed(load_table(spark, sf_dir, "embeddings")).cache()
+        s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")), eager=False)
     # the tiny query side rides into the scorer closure — the explicit
     # form of a broadcast join; the corpus is scanned exactly once and
     # each Arrow batch is scored with one BLAS matmul (functions.vector)
@@ -263,9 +263,10 @@ ORDER BY method, query_id, rank
     "query's cell only.",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one scan + one norm pass, shared by all three branches (cached —
-    # the corpus sketch is the common input, materialized once)
-    s = _normed(load_table(spark, sf_dir, "embeddings")).cache()
+    # one scan + one norm pass, shared by all three branches (persisted —
+    # the corpus sketch is the common input, materialized once; scoped:
+    # released at the next catalog query)
+    s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")))
     tagged = [
         sim_topk_bruteforce(spark, sf_dir, s).select(F.lit("brute").alias("method"), "*"),
         sim_lsh_ann(spark, sf_dir, s).select(F.lit("lsh").alias("method"), "*"),
