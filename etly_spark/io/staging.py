@@ -1,0 +1,110 @@
+"""Run-scoped staged intermediate tables.
+
+A staged table is an intermediate DataFrame materialized ONCE per
+process as parquet under a run-scoped directory and re-read by every
+downstream consumer — the engine-level way to declare "this artifact
+is shared between pipeline stages". The reference re-runs each query
+from raw inputs (it has no intermediate store); a real training-data
+pipeline persists stage outputs (the verified near-dup pair table,
+a sketch table) and fans consumers out from them — this primitive is
+that contract.
+
+Semantics:
+- the first consumer builds the DataFrame and commits it atomically
+  (write to a tmp dir, then one `os.rename`); every later consumer in
+  the same process — regardless of which SparkSession asks — reads
+  the committed parquet;
+- invalidation is by dependency fingerprint: the stage path hashes the
+  logical key plus (path, size, mtime_ns) of every declared input
+  file, so a changed input yields a NEW stage directory, never a
+  stale read;
+- the stage root is per-process (`mkdtemp`) and deleted at
+  interpreter exit, so cross-run staleness is structurally
+  impossible; the schema is saved alongside the data, so an EMPTY
+  staged table (e.g. a corpus with no duplicate pairs) reads back
+  with its schema intact.
+
+Scale: at 100 TB the stage write is one shuffle-free parquet write of
+an intermediate that is already proportional to result density (the
+pair table), and it saves every downstream recompute of the stage —
+exactly the trade a cluster pipeline makes when it lands stage output
+on the cluster FS between jobs.
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_STAGE_ROOT: str | None = None
+
+# observability (and test hooks): how often a stage was reused vs built
+stats = {"hits": 0, "misses": 0}
+
+
+def _root() -> str:
+    global _STAGE_ROOT
+    if _STAGE_ROOT is None:
+        _STAGE_ROOT = tempfile.mkdtemp(prefix="etly_stage_")
+        atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
+    return _STAGE_ROOT
+
+
+def _dep_sig(path: str) -> str:
+    """(path, size, mtime_ns) for a file; recursed for a directory —
+    any byte-level change to an input flips the stage fingerprint."""
+    p = os.path.abspath(path)
+    if os.path.isdir(p):
+        parts = []
+        for dirpath, _dirs, files in os.walk(p):
+            for fn in sorted(files):
+                fp = os.path.join(dirpath, fn)
+                st = os.stat(fp)
+                parts.append(f"{os.path.relpath(fp, p)}:{st.st_size}:{st.st_mtime_ns}")
+        return f"{p}|dir|{';'.join(parts)}"
+    st = os.stat(p)
+    return f"{p}|{st.st_size}|{st.st_mtime_ns}"
+
+
+def stage_table(
+    spark: SparkSession,
+    key: str,
+    build: Callable[[], DataFrame],
+    deps: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Return the staged table for ``key``: build + commit it on first
+    use, read the committed parquet afterwards. ``deps`` are the input
+    files/dirs whose content the stage derives from (fingerprinted into
+    the stage identity)."""
+    fp = hashlib.sha1(
+        "\n".join([key, *(_dep_sig(d) for d in deps)]).encode()
+    ).hexdigest()[:24]
+    path = os.path.join(_root(), fp)
+    if not os.path.exists(path):
+        stats["misses"] += 1
+        df = build()
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_schema.json"), "w") as f:
+            f.write(df.schema.json())
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # concurrent builder won the rename — use its commit
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(path):
+                raise
+    else:
+        stats["hits"] += 1
+    with open(os.path.join(path, "_schema.json")) as f:
+        schema = StructType.fromJson(json.loads(f.read()))
+    return spark.read.schema(schema).parquet(path)

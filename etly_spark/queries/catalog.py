@@ -61,7 +61,20 @@ def release_cache() -> None:
     """Unpersist every scoped intermediate. Called automatically at the
     start of each catalog query; call explicitly after collecting the
     final query's result to leave the session cache-clean."""
-    while _CACHE_SCOPE:
+    release_scope(0)
+
+
+def scope_mark() -> int:
+    """Current scope depth — pair with ``release_scope`` to free only
+    the intermediates persisted after the mark (used by stage builds:
+    once the stage is parquet-committed, its build-time persists are
+    dead, but the caller's earlier persists must survive)."""
+    return len(_CACHE_SCOPE)
+
+
+def release_scope(mark: int) -> None:
+    """Unpersist scoped intermediates registered after ``mark``."""
+    while len(_CACHE_SCOPE) > mark:
         _CACHE_SCOPE.pop().unpersist()
 
 

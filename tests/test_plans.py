@@ -19,11 +19,23 @@ from etly_spark.queries import REGISTRY
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].spark(spark, SF)
+def explain(spark, df) -> str:
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def plan_of(spark, name: str) -> str:
+    return explain(spark, REGISTRY[name].spark(spark, SF))
+
+
+def extra_plans(spark):
+    """Plans hidden behind the staging layer: the registered query reads
+    the committed stage parquet, so the hygiene gates must also cover
+    the stage BUILD plan or the expensive subtree escapes them."""
+    from etly_spark.queries.dedup import _build_minhash_pairs
+
+    return {"_build_minhash_pairs": explain(spark, _build_minhash_pairs(spark, SF))}
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -42,8 +54,9 @@ def test_star_join_broadcasts_dimensions(spark):
 
 def test_no_cartesian_products_anywhere(spark):
     offenders = []
-    for name in sorted(REGISTRY):
-        plan = plan_of(spark, name)
+    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
+    plans.update(extra_plans(spark))
+    for name, plan in plans.items():
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], f"cartesian products in: {offenders}"
@@ -56,8 +69,10 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
     Allowed Python boundaries are ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas only."""
     offenders = []
-    for name in sorted(REGISTRY):
-        if "BatchEvalPython" in plan_of(spark, name):
+    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
+    plans.update(extra_plans(spark))
+    for name, plan in plans.items():
+        if "BatchEvalPython" in plan:
             offenders.append(name)
     assert offenders == [], f"row-at-a-time Python UDFs in: {offenders}"
 
@@ -112,7 +127,43 @@ def test_multimodal_decode_is_arrow_batched(spark):
 def test_minhash_has_single_sketch_aggregate(spark):
     # the sketch is built by ONE grouped aggregate over the exploded
     # shingle stream (map-side combinable) — HOF lambdas would show up
-    # as ArrayAggregate/TransformValues operators in the final plan
-    plan = plan_of(spark, "dedup_minhash_lsh")
+    # as ArrayAggregate/TransformValues operators in the final plan.
+    # Asserted on the stage BUILD plan: the registered query reads the
+    # committed stage parquet (see extra_plans).
+    plan = extra_plans(spark)["_build_minhash_pairs"]
     assert "CartesianProduct" not in plan
     assert "InMemoryRelation" in plan  # sketch materialized once
+
+
+def test_dedup_queries_read_the_staged_pair_table(spark):
+    """dedup_clusters must consume the committed pair stage, not rebuild
+    the LSH stage inline (the r5 40%-of-catalog recompute): the
+    reporting query's plan is a parquet scan of the stage, and running
+    BOTH pair consumers builds the stage at most once per process."""
+    from etly_spark.io import staging
+
+    plan = plan_of(spark, "dedup_minhash_lsh")  # commits the stage
+    assert "etly_stage_" in plan, f"stage not read:\n{plan}"
+    assert "collect_set" not in plan and "substring" not in plan, plan
+    misses_before = staging.stats["misses"]
+    REGISTRY["dedup_clusters"].spark(spark, SF).collect()
+    assert staging.stats["misses"] == misses_before, (
+        "dedup_clusters rebuilt the pair stage instead of reusing it"
+    )
+
+
+def test_catalog_twice_leaves_no_cache_growth(spark):
+    """Cache hygiene (r4 done-criterion, shipped r6): build every
+    catalog query twice in one session — eager scoped persists and
+    stage builds all execute at build time — then release; the SQL
+    CacheManager must end EMPTY. A raw .persist() anywhere in the
+    catalog (the r5 dedup_clusters leak) pins a CachedData entry
+    forever and fails this."""
+    from etly_spark.queries.catalog import release_cache
+
+    for _ in range(2):
+        for name in sorted(REGISTRY):
+            REGISTRY[name].spark(spark, SF)
+    release_cache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "CacheManager not empty after release_cache()"
