@@ -152,14 +152,18 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str, base: DataFrame | None = None)
 
 # IVF coarse-centroid count: FIXED, corpus-independent. Centroids are
 # the K vectors with the smallest Knuth multiplicative hash of vec_id
-# ((vec_id * 2654435761) mod 2^32 — odd multiplier, so injective: no
-# ties). A deterministic uniform sample both engines compute with plain
-# int64 arithmetic, selected by top-k (TakeOrdered in Spark — one scan,
-# no full sort), so the driver collects exactly K rows at any N. The
-# previous rule (vec_id % 61 = 0) collected N/61 rows — a driver-side
-# collect growing linearly with the corpus.
+# (((vec_id mod 2^31) * 2654435761) mod 2^32 — odd multiplier, so
+# injective on the reduced domain; ties broken by vec_id). The mod-2^31
+# pre-reduction keeps the product < 2^63 so the arithmetic is
+# overflow-free IN BOTH ENGINES at any vec_id (Spark non-ANSI would
+# silently wrap a raw vec_id*multiplier past ~3.5e9 while DuckDB raises
+# — cross-engine parity would break exactly at extreme corpus sizes).
+# A deterministic uniform sample selected by top-k (TakeOrdered in
+# Spark — one scan, no full sort), so the driver collects exactly K
+# rows at any N. The previous rule (vec_id % 61 = 0) collected N/61
+# rows — a driver-side collect growing linearly with the corpus.
 K_CENTROIDS = 32
-_CENT_HASH_SQL = "(vec_id * 2654435761) % 4294967296"
+_CENT_HASH_SQL = "((vec_id % 2147483648) * 2654435761) % 4294967296"
 
 _IVF_SQL = f"""
 WITH s AS (
@@ -191,23 +195,31 @@ ORDER BY query_id, rank
 """
 
 
-def select_centroids(s: DataFrame, k: int = K_CENTROIDS):
-    """Collect the IVF coarse-centroid set: exactly ``k`` rows (pandas),
-    chosen by top-k of the Knuth multiplicative hash — `.limit(k)`
-    compiles to TakeOrderedAndProject, so this is one corpus scan with a
-    per-partition top-k, never a full sort or an O(N) collect."""
+def centroid_plan(s: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
+    """The IVF coarse-centroid selection as a DataFrame: top-k of the
+    Knuth multiplicative hash of vec_id (mod-2^31 pre-reduction keeps
+    the product overflow-free on both engines — see _CENT_HASH_SQL).
+    `.limit(k)` compiles to TakeOrderedAndProject: one corpus scan with
+    a per-partition top-k, never a full sort. Factored out of
+    ``select_centroids`` so plan tests assert on the PRODUCTION plan."""
     return (
         s.select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("ce"),
             F.col("nrm").alias("cn"),
-            ((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("__h"),
+            (((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761))
+             % F.lit(4294967296)).alias("__h"),
         )
         .orderBy("__h", "cent_id")
         .limit(k)
         .drop("__h")
-        .toPandas()
     )
+
+
+def select_centroids(s: DataFrame, k: int = K_CENTROIDS):
+    """Collect the coarse-centroid set: exactly ``k`` rows (pandas) at
+    any corpus size — O(k) driver memory."""
+    return centroid_plan(s, k).toPandas()
 
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:

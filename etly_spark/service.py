@@ -119,6 +119,11 @@ class Service:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+        # long-lived servers end cache-clean: drop any catalog-query
+        # intermediates still scoped-persisted in this session
+        from etly_spark.queries.catalog import release_cache
+
+        release_cache()
 
     def run_due(self, now: datetime | None = None) -> list[Task]:
         """service.go:77-98: run every due transfer (sequentially — Spark

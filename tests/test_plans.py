@@ -12,7 +12,6 @@ from __future__ import annotations
 import re
 
 import pytest
-from pyspark.sql import functions as F
 
 from etly_spark.queries import REGISTRY
 
@@ -96,7 +95,12 @@ def test_ivf_centroid_collect_is_bounded(spark):
     and the selection plan is a top-k (TakeOrderedAndProject), never a
     global sort or full collect."""
     from etly_spark.io.tables import load_table
-    from etly_spark.queries.similarity import K_CENTROIDS, _normed, select_centroids
+    from etly_spark.queries.similarity import (
+        K_CENTROIDS,
+        _normed,
+        centroid_plan,
+        select_centroids,
+    )
 
     s = _normed(load_table(spark, SF, "embeddings"))
     cent = select_centroids(s)
@@ -104,15 +108,9 @@ def test_ivf_centroid_collect_is_bounded(spark):
     assert list(cent.columns) == ["cent_id", "ce", "cn"]
     # deterministic across runs (hash order, vec_id tiebreak)
     assert list(cent.cent_id) == list(select_centroids(s).cent_id)
-    plan = (
-        s.select("vec_id")
-        .orderBy(((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296)))
-        .limit(K_CENTROIDS)
-        ._jdf.queryExecution()
-        .explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
-    )
+    # the EXACT plan production collects (centroid_plan is what
+    # select_centroids .toPandas()es — no drift possible)
+    plan = explain(spark, centroid_plan(s))
     assert "TakeOrderedAndProject" in plan, plan
 
 
