@@ -11,8 +11,19 @@ Hardening vs the reference (SURVEY §7.4): the meta write is atomic
 between data write and meta write re-processes (at-least-once into an
 overwrite-idempotent target) instead of silently losing files.
 
-At scale, per-file state is bounded by file count, not data volume; for
-streaming mode Spark's checkpoint/commit-log supersedes this ledger.
+Scale (the 100× design): the reference rewrites its whole Processed map
+every window — O(history) serialization per window, unbounded driver
+JSON. Here the durable per-file history lives in the run_ts-partitioned
+parquet ledger SIDECAR next to the JSON (`<meta>.files/`, appended
+O(new-files) per window — flat forever), and the skip-set is answered
+by ``ProcessedIndex.processed_among(listed)``: a columnar membership
+probe that pushes the listed-URL set into the parquet scan, so driver
+memory is O(listed ∩ history), never O(history). The JSON keeps only
+the ``MAX_JSON_PROCESSED`` most recent entries — it is the BOUNDED
+etly-compatible status surface (`/etly/info`, the reference's
+meta.json shape), not the source of truth for skipping.
+
+For streaming mode Spark's checkpoint/commit-log supersedes this ledger.
 """
 
 from __future__ import annotations
@@ -22,6 +33,10 @@ import os
 import tempfile
 from dataclasses import asdict, dataclass, field
 from datetime import datetime, timezone
+
+# JSON ledger bound: the most recent entries kept in the
+# reference-compatible meta.json; the parquet sidecar holds full history.
+MAX_JSON_PROCESSED = 10_000
 
 
 def _now() -> str:
@@ -89,9 +104,19 @@ class Meta:
     def save(self) -> None:
         path = _strip_scheme(self.url)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        processed = self.processed
+        if len(processed) > MAX_JSON_PROCESSED:
+            # keep the most recent entries (ISO timestamps sort
+            # chronologically); the parquet sidecar holds full history
+            # and the skip-set (ProcessedIndex) consults it, so
+            # eviction here never causes reprocessing
+            keep = sorted(processed, key=lambda k: processed[k].timestamp)[
+                -MAX_JSON_PROCESSED:
+            ]
+            processed = {k: processed[k] for k in keep}
         payload = {
             "URL": self.url,
-            "Processed": {k: asdict(v) for k, v in self.processed.items()},
+            "Processed": {k: asdict(v) for k, v in processed.items()},
             "Errors": self.errors,
             "ResourceStatus": {k: asdict(v) for k, v in self.resource_status.items()},
             "Status": asdict(self.status),
@@ -128,3 +153,42 @@ def _strip_scheme(url: str) -> str:
     if url.startswith("file://"):
         return url[len("file://") :]
     return url
+
+
+def sidecar_dir(meta_url: str) -> str:
+    """The run_ts-partitioned parquet ledger directory for a meta URL."""
+    return _strip_scheme(meta_url) + ".files"
+
+
+class ProcessedIndex:
+    """Scalable skip-set over the parquet ledger sidecar.
+
+    ``processed_among(urls)`` answers "which of THESE listed urls were
+    ever recorded?" by pushing the url set into a columnar scan of the
+    sidecar's ``source`` column (pyarrow dataset filter — parquet
+    dictionary/statistics prune most row groups). Cost per window:
+    read O(history bytes of ONE column, pruned), driver memory
+    O(listed ∩ history) — never the O(history) dict the monolithic
+    JSON ledger materialized. Presence-based like ``Meta.is_processed``
+    (an error entry also skips: transfer_service.go:640-648)."""
+
+    def __init__(self, meta_url: str):
+        self.dir = sidecar_dir(meta_url)
+
+    def processed_among(self, urls) -> set[str]:
+        urls = set(urls)
+        if not urls or not os.path.isdir(self.dir):
+            return set()
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        try:
+            data = ds.dataset(self.dir, format="parquet", partitioning="hive")
+        except (OSError, pa.ArrowInvalid):
+            return set()
+        if "source" not in data.schema.names:
+            return set()  # pre-r6 stats-only sidecar: no skip info
+        table = data.to_table(
+            columns=["source"], filter=ds.field("source").isin(sorted(urls))
+        )
+        return set(table["source"].to_pylist())

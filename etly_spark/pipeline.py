@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from etly_spark import registry
 from etly_spark.config import Transfer
 from etly_spark.io import fs as fsio
-from etly_spark.meta import Meta, ObjectMeta, ProcessingStatus
+from etly_spark.meta import Meta, ObjectMeta, ProcessedIndex, ProcessingStatus, sidecar_dir
 from etly_spark.sources.datastore import read_datastore
 from etly_spark.sources.storage import (
     CORRUPT,
@@ -211,7 +211,14 @@ class TransferService:
         meta = Meta.load(meta_url)
 
         objects = list_source_objects(src_url, self.spark)
-        processed_urls = {u for u in meta.processed if meta.is_processed(u)}
+        # M1 skip-set at scale: the bounded JSON holds only recent
+        # entries; full history is answered by the parquet-sidecar index
+        # scoped to THIS listing (driver memory O(listed), never
+        # O(history)). Union keeps just-written entries visible even
+        # before any sidecar exists (and legacy metas keep working).
+        processed_urls = set(meta.processed) | ProcessedIndex(meta_url).processed_among(
+            u for u, _ in objects
+        )
         eligible = filter_storage_objects(
             objects,
             filter_reg_exp=t.source.filter_reg_exp,
@@ -267,11 +274,17 @@ class TransferService:
             bad = probe_unreadable(self.spark, eligible)
             if not bad:
                 raise
+            bad_entries = []
             for url, perr in sorted(bad.items()):
                 msg = f"failed to read source object {url}: {perr}"
                 meta.add_error(msg)
-                meta.record(ObjectMeta(source=url, error=msg, message=msg))
+                om = ObjectMeta(source=url, error=msg, message=msg)
+                meta.record(om)
+                bad_entries.append(om)
                 result.progress.file_processed += 1
+            # error entries reach the durable sidecar too — the skip-set
+            # source of truth must remember them past the JSON bound
+            _append_ledger_sidecar(sidecar_dir(meta_url), ts.isoformat(), bad_entries)
             meta.save()  # bad entries survive even if the retry fails too
             healthy = [u for u in eligible if u not in bad]
             if healthy:
@@ -282,7 +295,9 @@ class TransferService:
         meta.put_status(
             src_url,
             ProcessingStatus(
-                resource_processed=len([u for u in meta.processed if meta.is_processed(u)]),
+                # listing-scoped history ∪ this run's records — stays
+                # correct after the JSON evicts old entries
+                resource_processed=len(processed_urls | set(meta.processed)),
                 resource_pending=max(pending, 0),
                 record_processed=meta.status.record_processed + n_rec,
             ),
@@ -346,14 +361,17 @@ class TransferService:
         # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757).
         # Per-file stats are ONE distributed aggregate collected once —
         # bounded by this window's ≤ MaxTransfers files, so nothing
-        # per-record ever sits on the driver. The collected rows feed the
-        # JSON ledger (the reference-compatible status surface) and are
-        # appended to a run_ts-partitioned parquet sidecar (the audit
-        # store): later audits read one run's directory, never a
-        # whole-history rescan. The sidecar file itself is written with
-        # Arrow on the driver — the rows are already here and bounded, so
-        # launching a Spark write job (with its per-task commit protocol)
-        # for ≤ MaxTransfers rows is pure overhead at any scale.
+        # per-record ever sits on the driver. The collected rows feed
+        # (a) the BOUNDED JSON ledger (the reference-compatible status
+        # surface — most recent MAX_JSON_PROCESSED entries) and (b) the
+        # run_ts-partitioned parquet sidecar, which is the DURABLE full
+        # history and the skip-set source of truth (meta.ProcessedIndex):
+        # appends are O(this window's files) forever — per-window ledger
+        # cost is flat at any history size, vs the reference's full
+        # Processed-map rewrite per window. The sidecar file itself is
+        # written with Arrow on the driver — the rows are already here
+        # and bounded, so launching a Spark write job (with its per-task
+        # commit protocol) for ≤ MaxTransfers rows is pure overhead.
         per_file_df = df.groupBy(FILE).agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
@@ -363,11 +381,10 @@ class TransferService:
             ),
         )
         per_file_rows = per_file_df.collect()
-        stats_dir = _local(meta_url) + ".files"
-        _write_stats_sidecar(stats_dir, ts.isoformat(), per_file_rows)
         per_file = {r[FILE]: r for r in per_file_rows}
 
         n_rec = 0
+        entries: list[ObjectMeta] = []
         for url in eligible:
             norm = _norm_file_url(url)
             r = per_file.get(norm)
@@ -378,22 +395,23 @@ class TransferService:
             if corrupt and r is not None and r["corrupt_sample"]:
                 err_msg = f"failed to decode json ({corrupt} times): {r['corrupt_sample'][:200]}"
                 meta.add_error(err_msg)
-            meta.record(
-                ObjectMeta(
-                    source=url,
-                    target=file_keys[norm],
-                    record_processed=kept,
-                    record_skipped=total - corrupt - kept,
-                    record_errors=corrupt,
-                    message=err_msg,
-                )
+            om = ObjectMeta(
+                source=url,
+                target=file_keys[norm],
+                record_processed=kept,
+                record_skipped=total - corrupt - kept,
+                record_errors=corrupt,
+                message=err_msg,
             )
+            meta.record(om)
+            entries.append(om)
             n_rec += kept
             result.progress.record_read += total
             result.progress.record_processed += kept
             result.progress.record_skipped += total - corrupt - kept
             result.progress.record_errors += corrupt
             result.progress.file_processed += 1
+        _append_ledger_sidecar(sidecar_dir(meta_url), ts.isoformat(), entries)
         return n_rec
 
     # ------------------------------------------------ datastore source --
@@ -447,14 +465,14 @@ class TransferService:
 
         if meta_url:
             meta = Meta.load(meta_url)
-            meta.record(
-                ObjectMeta(
-                    source=src.name,
-                    target=target_template,
-                    record_processed=int(counts["kept"] or 0),
-                    record_skipped=counts["total"] - int(counts["kept"] or 0),
-                )
+            om = ObjectMeta(
+                source=src.name,
+                target=target_template,
+                record_processed=int(counts["kept"] or 0),
+                record_skipped=counts["total"] - int(counts["kept"] or 0),
             )
+            meta.record(om)
+            _append_ledger_sidecar(sidecar_dir(meta_url), ts.isoformat(), [om])
             meta.put_status(
                 src.name,
                 ProcessingStatus(
@@ -756,26 +774,30 @@ def _escape_partition_value(value: str) -> str:
     )
 
 
-def _write_stats_sidecar(stats_dir: str, run_ts: str, rows) -> None:
-    """Append one run's per-file stats as a Hive-partitioned parquet file,
-    written driver-side with Arrow (rows are already collected and bounded
-    by MaxTransfers — a Spark write job here is per-task commit overhead
-    for a KB of data). Spark partition discovery reads it back with
-    `run_ts` as a partition column, one directory per run (pruned reads)."""
+def _append_ledger_sidecar(
+    stats_dir: str, run_ts: str, entries: list[ObjectMeta]
+) -> None:
+    """Append one run's per-file ledger entries as a Hive-partitioned
+    parquet file — the durable full-history ledger behind the bounded
+    JSON (`meta.ProcessedIndex` answers the skip-set from its `source`
+    column; audits read one run's directory via partition pruning).
+    Written driver-side with Arrow: the rows are already collected and
+    bounded by MaxTransfers — a Spark write job here is per-task commit
+    overhead for a KB of data. Per-window cost is O(this run's files),
+    flat at any history size."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if not entries:
+        return
     part_dir = os.path.join(stats_dir, f"run_ts={_escape_partition_value(run_ts)}")
     os.makedirs(part_dir, exist_ok=True)
+    str_cols = ["source", "target", "error", "message", "timestamp"]
+    int_cols = ["record_processed", "record_skipped", "record_errors"]
     table = pa.table(
         {
-            FILE: pa.array([r[FILE] for r in rows], pa.string()),
-            "total": pa.array([r["total"] for r in rows], pa.int64()),
-            "corrupt": pa.array([r["corrupt"] for r in rows], pa.int64()),
-            "kept": pa.array([r["kept"] for r in rows], pa.int64()),
-            "corrupt_sample": pa.array(
-                [r["corrupt_sample"] for r in rows], pa.string()
-            ),
+            **{c: pa.array([getattr(e, c) for e in entries], pa.string()) for c in str_cols},
+            **{c: pa.array([getattr(e, c) for e in entries], pa.int64()) for c in int_cols},
         }
     )
     pq.write_table(table, os.path.join(part_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"))

@@ -250,8 +250,10 @@ def test_parquet_dataset_sink_replay_cleans_stale_parts(spark, workdir):
 
     stale = ds / f"part-{len(parts):05d}.parquet"
     _shutil.copyfile(ds / parts[0], stale)
-    # force reprocessing of the same window (crash-before-meta semantics)
+    # force reprocessing of the same window (crash-before-ledger
+    # semantics: both the JSON surface and the durable sidecar are gone)
     (workdir / "out" / "meta.json").unlink()
+    _shutil.rmtree(workdir / "out" / "meta.json.files")
     assert svc.run(t).status == DONE
     assert not stale.exists(), "stale roll sibling must be cleaned on replay"
     total = spark.read.parquet(str(ds)).count()
