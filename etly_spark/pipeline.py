@@ -30,8 +30,10 @@ from __future__ import annotations
 import base64
 import os
 import re
+import threading
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -67,6 +69,12 @@ VAR_PREFIX = "__var_"
 
 # task.go:9-14
 RUNNING, TRANSFERRING, NOOP, DONE, ERROR = "RUNNING", "TRANSFERRING", "NOOP", "DONE", "ERROR"
+
+# P3: bound on concurrent window-group submissions per transfer run. The
+# reference spawns one goroutine per window group unboundedly
+# (transfer_service.go:451-477); a bounded pool keeps driver thread count
+# and simultaneous Spark job graphs predictable at 24h+ look-backs.
+MAX_WINDOW_THREADS = 8
 
 
 class MaxErrorsExceeded(RuntimeError):
@@ -119,11 +127,7 @@ class TransferService:
         t0 = time.time()
         try:
             transfer.validate()
-            for ts in self._time_window(transfer, now):
-                if transfer.source.type == "datastore":
-                    self._run_datastore_window(transfer, ts, result)
-                else:
-                    self._run_url_window(transfer, ts, result)
+            self._run_windows(transfer, self._time_window(transfer, now), result)
             result.status = DONE if result.progress.file_processed or result.progress.record_processed else NOOP
         except Exception as e:  # status wrap: transfer_service.go:49-66
             result.status = ERROR
@@ -175,6 +179,70 @@ class TransferService:
             "Error": "",
         }
 
+    # -------------------------------------------- window orchestration --
+
+    def _run_windows(self, t: Transfer, windows: list, result: TransferResult) -> None:
+        """P3 (transfer_service.go:451-477): windows grouped by their
+        meta URL; groups submit CONCURRENTLY from a bounded driver
+        thread pool, windows within a group sequentially — a group owns
+        its ledger file, so ledger writes never race. Spark schedules
+        the concurrent window DAGs across the cluster (a 24-hour
+        look-back no longer runs 24 serial jobs with the cluster idle
+        between DAGs). Each worker wraps ``inheritable_thread_target``
+        so the caller's job-group property propagates: a TimeOut cancel
+        (service._run_bounded) still kills exactly this run's jobs.
+        Per-window progress merges under a lock; the first window
+        failure is re-raised after every group finishes (reference
+        parity: goroutines run to completion independently)."""
+        merge_lock = threading.Lock()
+
+        def run_group(tss: list) -> None:
+            for ts in tss:
+                wres = TransferResult(name=result.name)
+                try:
+                    if t.source.type == "datastore":
+                        self._run_datastore_window(t, ts, wres)
+                    else:
+                        self._run_url_window(t, ts, wres)
+                finally:
+                    with merge_lock:
+                        _merge_result(result, wres)
+
+        groups: dict[str, list] = {}
+        for ts in windows:
+            groups.setdefault(self._meta_url_for(t, ts), []).append(ts)
+
+        if len(groups) <= 1 or MAX_WINDOW_THREADS <= 1:
+            for tss in groups.values():
+                run_group(tss)
+            return
+
+        from pyspark import inheritable_thread_target
+
+        # session form: child threads inherit local properties (the
+        # TimeOut job group) AND session tags; captured at submit time
+        # in the calling thread — exactly where _run_bounded set them
+        inherit = inheritable_thread_target(self.spark)
+        with ThreadPoolExecutor(
+            max_workers=min(MAX_WINDOW_THREADS, len(groups)),
+            thread_name_prefix="etly-window",
+        ) as pool:
+            futures = [pool.submit(inherit(run_group), tss) for tss in groups.values()]
+            errors = [f.exception() for f in futures]
+        for exc in errors:
+            if exc is not None:
+                raise exc
+
+    def _meta_url_for(self, t: Transfer, ts: datetime) -> str:
+        """The ledger URL a window writes — also the P3 grouping key
+        (windows sharing a ledger must not run concurrently)."""
+        if t.meta:
+            return expand_date(expand_env(expand_pwd(t.meta.name, t.base_dir)), ts)
+        if t.source.type == "datastore":
+            return ""
+        src_url = expand_date(expand_env(expand_pwd(t.source.name, t.base_dir)), ts)
+        return os.path.join(_local(src_url), ".etly_meta.json")
+
     # ----------------------------------------------------- time window --
 
     def _time_window(self, t: Transfer, now: datetime):
@@ -203,11 +271,7 @@ class TransferService:
     def _run_url_window(self, t: Transfer, ts: datetime, result: TransferResult) -> None:
         src_url = expand_date(expand_env(expand_pwd(t.source.name, t.base_dir)), ts)
         target_template = expand_date(expand_env(expand_pwd(t.target.name, t.base_dir)), ts)
-        meta_url = (
-            expand_date(expand_env(expand_pwd(t.meta.name, t.base_dir)), ts)
-            if t.meta
-            else os.path.join(_local(src_url), ".etly_meta.json")
-        )
+        meta_url = self._meta_url_for(t, ts)
         meta = Meta.load(meta_url)
 
         objects = list_source_objects(src_url, self.spark)
@@ -735,6 +799,18 @@ class TransferService:
         sc.parallelize(byte_jobs, len(byte_jobs)).foreach(
             lambda job: fsio.concat(job[0], job[1])
         )
+
+
+def _merge_result(total: TransferResult, w: TransferResult) -> None:
+    """Fold one window's result into the run total (caller holds the
+    merge lock when windows run concurrently)."""
+    total.outputs.extend(w.outputs)
+    tp, wp = total.progress, w.progress
+    tp.record_read += wp.record_read
+    tp.record_processed += wp.record_processed
+    tp.record_skipped += wp.record_skipped
+    tp.record_errors += wp.record_errors
+    tp.file_processed += wp.file_processed
 
 
 def _unescape_partition_value(value: str) -> str:
