@@ -39,6 +39,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from collections.abc import Callable
 
@@ -47,8 +48,10 @@ from pyspark.sql.types import StructType
 
 _STAGE_ROOT: str | None = None
 
-# observability (and test hooks): how often a stage was reused vs built
-stats = {"hits": 0, "misses": 0}
+# observability (and test hooks): how often a stage was reused vs built,
+# and the cumulative one-time build+commit cost (reported by bench.py so
+# the amortized stage cost is never invisible)
+stats = {"hits": 0, "misses": 0, "build_sec": 0.0}
 
 
 def _root() -> str:
@@ -91,11 +94,13 @@ def stage_table(
     path = os.path.join(_root(), fp)
     if not os.path.exists(path):
         stats["misses"] += 1
+        t0 = time.monotonic()
         df = build()
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_schema.json"), "w") as f:
             f.write(df.schema.json())
+        stats["build_sec"] = round(stats["build_sec"] + time.monotonic() - t0, 4)
         try:
             os.rename(tmp, path)
         except OSError:
