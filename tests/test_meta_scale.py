@@ -10,6 +10,7 @@ import os
 import pytest
 
 from etly_spark import meta as meta_mod
+from etly_spark import pipeline as pipeline_mod
 from etly_spark.config import TransferConfig
 from etly_spark.meta import Meta, ObjectMeta, ProcessedIndex, sidecar_dir
 from etly_spark.pipeline import DONE, NOOP, TransferService, _append_ledger_sidecar
@@ -64,6 +65,35 @@ def test_ledger_write_is_flat_per_window(tmp_path, monkeypatch):
     }
     assert idx.processed_among(probe) == probe - {"file:///src/w07/nonexistent.log"}
     assert "file:///src/w00/f000.log" not in Meta.load(meta_url).processed
+
+
+def test_sidecar_compaction_bounds_directory_count(tmp_path, monkeypatch):
+    """Log-structured sidecar: once loose run partitions exceed the
+    threshold they fold into a compacted segment (never rewritten), so
+    directory count stays bounded at any window count and the index
+    still answers the full history."""
+    monkeypatch.setattr(pipeline_mod, "COMPACT_THRESHOLD", 8)
+    meta_url = str(tmp_path / "meta.json")
+    all_urls = set()
+    for w in range(30):
+        entries = [
+            ObjectMeta(source=f"file:///s/w{w:02d}/f{i}.log", record_processed=1)
+            for i in range(5)
+        ]
+        all_urls.update(e.source for e in entries)
+        _append_ledger_sidecar(sidecar_dir(meta_url), f"2024-01-01T{w:02d}:00:00", entries)
+
+    names = sorted(os.listdir(sidecar_dir(meta_url)))
+    segs = [d for d in names if d.startswith("run_ts=_compacted-")]
+    loose = [d for d in names if d.startswith("run_ts=") and d not in segs]
+    assert segs, "no compacted segment created"
+    assert len(loose) <= 8, f"loose partitions not bounded: {len(loose)}"
+    # full history still answered — across segments AND loose runs
+    idx = ProcessedIndex(meta_url)
+    assert idx.processed_among(all_urls) == all_urls
+    assert idx.processed_among({"file:///s/w00/f0.log", "file:///nope"}) == {
+        "file:///s/w00/f0.log"
+    }
 
 
 @pytest.fixture()
