@@ -16,6 +16,7 @@ parquet tables. Cross-engine conventions that make value-hash parity hold:
 from __future__ import annotations
 
 import functools
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -42,7 +43,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # through scoped_persist(), and each query invocation releases the
 # previous one's scope: at most ONE query's intermediates are cached at
 # any moment, and release_cache() empties even that.
+#
+# Contract: catalog queries are invoked SEQUENTIALLY — finish collecting
+# one query's result before invoking the next (the driver, bench, and
+# correctness gate all do). The scope list itself is lock-protected so
+# accidental concurrent invocation cannot corrupt the bookkeeping or
+# double-unpersist; but a second thread invoking a query would still
+# release the first thread's live intermediates (they recompute — a
+# silent slowdown, not a wrong answer).
 _CACHE_SCOPE: list[DataFrame] = []
+_SCOPE_LOCK = threading.Lock()
 
 
 def scoped_persist(df: DataFrame, *, eager: bool = True) -> DataFrame:
@@ -53,7 +63,8 @@ def scoped_persist(df: DataFrame, *, eager: bool = True) -> DataFrame:
     df = df.persist()
     if eager:
         df.count()
-    _CACHE_SCOPE.append(df)
+    with _SCOPE_LOCK:
+        _CACHE_SCOPE.append(df)
     return df
 
 
@@ -69,13 +80,18 @@ def scope_mark() -> int:
     the intermediates persisted after the mark (used by stage builds:
     once the stage is parquet-committed, its build-time persists are
     dead, but the caller's earlier persists must survive)."""
-    return len(_CACHE_SCOPE)
+    with _SCOPE_LOCK:
+        return len(_CACHE_SCOPE)
 
 
 def release_scope(mark: int) -> None:
     """Unpersist scoped intermediates registered after ``mark``."""
-    while len(_CACHE_SCOPE) > mark:
-        _CACHE_SCOPE.pop().unpersist()
+    while True:
+        with _SCOPE_LOCK:
+            if len(_CACHE_SCOPE) <= mark:
+                return
+            df = _CACHE_SCOPE.pop()
+        df.unpersist()
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
