@@ -108,18 +108,16 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The verified near-dup pair table (doc_a, doc_b, jaccard) — the
-    expensive stage shared by ``dedup_minhash_lsh`` (reports it) and
-    ``dedup_clusters`` (clusters over it). Built once per process via
-    ``minhash_pairs`` (io/staging.py); this function is the raw plan."""
-    # Explode-shingle formulation: higher-order-function lambdas run
-    # interpreted in Spark, so shingling is done as explode(sequence) +
-    # a codegen'd substring, the 8 permutation hashes as a flat codegen'd
-    # projection, and ONE hash aggregate rebuilds both the signature
-    # (min per permutation — duplicates can't change a min, so no
-    # distinct needed) and the shingle set (collect_set, for the exact
-    # jaccard verify). The shuffle carries one row per doc.
+def _build_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash SKETCH table (doc_id, sig[8]) — the per-document
+    signature every LSH consumer derives bands from. Explode-shingle
+    formulation: higher-order-function lambdas run interpreted in
+    Spark, so shingling is explode(sequence) + a codegen'd substring,
+    the 8 permutation hashes a flat codegen'd projection, and ONE hash
+    aggregate builds the signature (min per permutation — duplicates
+    can't change a min, so no distinct needed). The shuffle carries one
+    row per doc. In production this is the persistent sketch index an
+    incremental ingest updates."""
     d = load_table(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id",
@@ -135,16 +133,35 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(digest, 1, 14), 16, 10).cast("bigint").alias("a"),
         F.conv(F.substring(digest, 17, 14), 16, 10).cast("bigint").alias("b"),
     )
-    sig = perms.groupBy("doc_id").agg(
+    return perms.groupBy("doc_id").agg(
         F.array(*[F.min(F.col("a") + j * F.col("b")) for j in range(8)]).alias("sig"),
     )
-    # The plan reads this subtree four times (band join x2, verify join
-    # x2); persist + eager count so the signature build runs exactly once
-    # — lazily-populated cache would be rebuilt by each concurrent stage.
-    # Scoped: released at the next catalog query (catalog.scoped_persist).
-    # At cluster scale this is the standard "materialize the sketch
-    # table" step.
-    sig = scoped_persist(sig)
+
+
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged sketch table — built once per process; consumed by the
+    batch pair build AND the incremental path (two-level staging:
+    sigs → pairs)."""
+    mark = scope_mark()
+    df = stage_table(
+        spark,
+        f"minhash_sigs::{os.path.abspath(sf_dir)}",
+        lambda: _build_minhash_sigs(spark, sf_dir),
+        deps=[os.path.join(sf_dir, "documents.parquet")],
+    )
+    release_scope(mark)
+    return df
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair table (doc_a, doc_b, jaccard) — the
+    expensive stage shared by ``dedup_minhash_lsh`` (reports it) and
+    ``dedup_clusters`` (clusters over it). Built once per process via
+    ``minhash_pairs`` (io/staging.py); this function is the raw plan."""
+    d = load_table(spark, sf_dir, "documents")
+    # signatures from the staged sketch table (parquet-backed: the band
+    # self-join's two reads are cheap columnar scans, no persist needed)
+    sig = minhash_sigs(spark, sf_dir)
     # Slim band rows (no shingle arrays) for pair generation; hot buckets
     # (>64 docs) dropped — the anti-skew cap.
     bands = sig.select(
@@ -168,10 +185,16 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verify: recompute shingle sets for CANDIDATE docs only (the
-    # candidate universe is density-bounded by the bucket cap, so this
-    # second shingle pass is ∝ duplicates, not corpus, and the heavy
-    # sets never cross a corpus-wide shuffle or sit in the cache).
+    return _verify_candidates(d, cand)
+
+
+def _verify_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-jaccard verify of a candidate pair table: recompute shingle
+    sets for CANDIDATE docs only (the candidate universe is
+    density-bounded by the bucket cap, so this second shingle pass is
+    ∝ duplicates, not corpus, and the heavy sets never cross a
+    corpus-wide shuffle or sit in the cache). Shared by the batch pair
+    build and the incremental path."""
     cand = scoped_persist(cand)
     need = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -232,6 +255,62 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+# Incremental ingest split: docs with doc_id % 10 >= 8 model the
+# incoming batch; the rest are the already-ingested corpus whose sketch
+# index (the staged signature table) already exists. Scale-free and
+# bit-identical on both engines.
+_INC_SQL = _MH_PAIRS_CTE + """
+SELECT doc_a, doc_b, jaccard FROM pairs
+WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=_INC_SQL,
+    doc="Incremental near-dup: verify ONLY pairs involving the incoming "
+    "batch (new-vs-corpus and new-vs-new) against the STAGED signature "
+    "index — the daily-crawl shape: band rows for the batch probe the "
+    "full band table, so join work is O(batch x density), never a "
+    "corpus self-join; the corpus sketch is read, not recomputed. "
+    "Results provably equal the batch pair table restricted to "
+    "new-involving rows (bucket membership is split-independent), which "
+    "is what the oracle computes.",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_sigs(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=2, rows=4)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
+    # bucket sizes over the FULL band table (corpus + batch) — the cap
+    # must see true bucket density, same as the batch plan
+    sized = scoped_persist(
+        bands.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
+        )
+    )
+    is_new = F.col("doc_id") % 10 >= 8
+    new_side = sized.filter(is_new).alias("n")
+    full = sized.alias("f")
+    cand = (
+        new_side.join(
+            full,
+            (F.col("n.b") == F.col("f.b"))
+            & (F.col("n.band_key") == F.col("f.band_key"))
+            & (F.col("n.doc_id") != F.col("f.doc_id")),
+        )
+        .filter(F.col("n.bucket_n") <= 64)
+        .select(
+            F.least("n.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_candidates(d, cand).orderBy("doc_a", "doc_b")
 
 
 _SH_SQL = rf"""
