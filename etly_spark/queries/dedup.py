@@ -110,32 +110,12 @@ ORDER BY doc_a, doc_b
 
 def _build_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The minhash SKETCH table (doc_id, sig[8]) — the per-document
-    signature every LSH consumer derives bands from. Explode-shingle
-    formulation: higher-order-function lambdas run interpreted in
-    Spark, so shingling is explode(sequence) + a codegen'd substring,
-    the 8 permutation hashes a flat codegen'd projection, and ONE hash
-    aggregate builds the signature (min per permutation — duplicates
-    can't change a min, so no distinct needed). The shuffle carries one
-    row per doc. In production this is the persistent sketch index an
-    incremental ingest updates."""
-    d = load_table(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
-        ).alias("i"),
-        "text",
-    ).select("doc_id", F.substring("text", F.col("i"), 5).alias("s"))
-    digest = F.md5(F.col("s").cast("binary"))
-    perms = ex.select(
-        "doc_id",
-        "s",
-        F.conv(F.substring(digest, 1, 14), 16, 10).cast("bigint").alias("a"),
-        F.conv(F.substring(digest, 17, 14), 16, 10).cast("bigint").alias("b"),
-    )
-    return perms.groupBy("doc_id").agg(
-        F.array(*[F.min(F.col("a") + j * F.col("b")) for j in range(8)]).alias("sig"),
-    )
+    signature every LSH consumer derives bands from (bulk builder:
+    operators/sketch.py). In production this is the persistent sketch
+    index an incremental ingest updates."""
+    from etly_spark.operators.sketch import minhash_signatures
+
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
 def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,6 +263,17 @@ ORDER BY doc_a, doc_b
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_sigs(spark, sf_dir)
+    return lsh_incremental_pairs(d, sig, F.col("doc_id") % 10 >= 8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def lsh_incremental_pairs(d: DataFrame, sig: DataFrame, is_new: F.Column) -> DataFrame:
+    """Band-probe of the NEW docs (``is_new`` over doc_id) against the
+    full sketch table, then exact verify — the reusable incremental
+    shape: also run by the streaming ingest path against a streamed
+    signature index (streaming/dedup.py). ``sig`` may come from the
+    batch stage or any index with the same (doc_id, sig) shape."""
     bands = sig.select(
         "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=2, rows=4)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
@@ -293,7 +284,6 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
         )
     )
-    is_new = F.col("doc_id") % 10 >= 8
     new_side = sized.filter(is_new).alias("n")
     full = sized.alias("f")
     cand = (
@@ -310,7 +300,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verify_candidates(d, cand).orderBy("doc_a", "doc_b")
+    return _verify_candidates(d, cand)
 
 
 _SH_SQL = rf"""

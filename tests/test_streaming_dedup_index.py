@@ -1,0 +1,94 @@
+"""Continuous-ingest dedup: a streamed signature index must be
+bit-identical to the batch-built sketch, and the incremental band-probe
+must work against it unchanged (streaming/dedup.py)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etly_spark.operators.sketch import minhash_signatures
+from etly_spark.queries.catalog import release_cache
+from etly_spark.queries.dedup import lsh_incremental_pairs
+from etly_spark.streaming.dedup import read_signature_index, start_signature_index
+
+SCHEMA = "doc_id long, text string"
+
+
+def _write_batch(src_dir, name, docs):
+    (src_dir / name).write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs) + "\n"
+    )
+
+
+def test_streamed_index_matches_batch_and_serves_probes(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    base = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog while "
+             f"document {i} rambles about topic {i * 37 % 11} at length")
+        for i in range(1, 9)
+    ]
+    _write_batch(src, "b1.json", base)
+    _write_batch(
+        src,
+        "b2.json",
+        [(100 + i, f"batch two text {i} with entirely different words like "
+                   f"zephyr quartz {i} and nothing shared") for i in range(1, 9)],
+    )
+    # batch 3: 201 = EXACT dup of doc 1 (guaranteed band match + jaccard
+    # 1.0), 202 = fresh text — the incoming crawl increment
+    _write_batch(src, "b3.json", [(201, base[0][1]), (202, "completely novel text "
+                                  "that matches nothing else in the corpus at all")])
+
+    # one file per micro-batch: three epochs fold into the index
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = start_signature_index(stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    idx_sigs = read_signature_index(spark, str(tmp_path / "idx"))
+    all_docs = spark.read.schema(SCHEMA).json(str(src))
+    batch_sigs = minhash_signatures(all_docs)
+
+    got = sorted((r.doc_id, tuple(r.sig)) for r in idx_sigs.collect())
+    want = sorted((r.doc_id, tuple(r.sig)) for r in batch_sigs.collect())
+    assert got == want and len(got) == 18  # streamed == batch, bit-identical
+
+    # the band-probe of the new batch runs unchanged against the
+    # streamed index, and agrees with the same probe on batch sigs
+    is_new = F.col("doc_id") >= 200
+    via_index = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in lsh_incremental_pairs(all_docs, idx_sigs, is_new).collect()
+    )
+    via_batch = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in lsh_incremental_pairs(all_docs, batch_sigs, is_new).collect()
+    )
+    release_cache()
+    assert via_index == via_batch
+    assert (1, 201, 1.0) in via_index  # the exact dup vs history is caught
+    assert all(a >= 200 or b >= 200 for a, b, _ in via_index)  # only new-involving
+
+
+def test_streamed_index_is_idempotent_on_epoch_replay(spark, tmp_path):
+    """A replayed micro-batch (crash between parquet write and
+    checkpoint commit) overwrites its own epoch dir — no duplicate
+    signatures ever reach readers."""
+    from etly_spark.streaming.dedup import start_signature_index as ssi
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "only.json", [(7, "some document text that is long enough")])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    ssi(stream, str(tmp_path / "idx"), str(tmp_path / "ckpt")).awaitTermination(60)
+    # simulate the replay: run the SAME epoch's fold again by streaming
+    # with a fresh checkpoint into the same index dir (epoch ids restart
+    # at 0 — the overwrite lands on the same epoch=0 directory)
+    stream2 = spark.readStream.schema(SCHEMA).json(str(src))
+    ssi(stream2, str(tmp_path / "idx"), str(tmp_path / "ckpt2")).awaitTermination(60)
+    idx = read_signature_index(spark, str(tmp_path / "idx"))
+    assert idx.count() == 1  # overwritten, not duplicated
