@@ -67,6 +67,22 @@ def test_ledger_write_is_flat_per_window(tmp_path, monkeypatch):
     assert "file:///src/w00/f000.log" not in Meta.load(meta_url).processed
 
 
+def test_index_tolerates_legacy_stats_sidecar(tmp_path):
+    """A pre-r6 sidecar (stats-only schema, no `source` column) must
+    degrade to 'no skip info' — never crash, never skip wrongly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta_url = str(tmp_path / "meta.json")
+    part = tmp_path / "meta.json.files" / "run_ts=2017-06-12T00%3A00%3A00"
+    part.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"__file__": ["file:///a"], "total": [1], "kept": [1]}),
+        str(part / "part-legacy.parquet"),
+    )
+    assert ProcessedIndex(meta_url).processed_among({"file:///a"}) == set()
+
+
 def test_sidecar_compaction_bounds_directory_count(tmp_path, monkeypatch):
     """Log-structured sidecar: once loose run partitions exceed the
     threshold they fold into a compacted segment (never rewritten), so
