@@ -862,40 +862,11 @@ def compact_ledger_sidecar(stats_dir: str, threshold: int = COMPACT_THRESHOLD) -
     """Fold loose per-run partitions into one numbered compacted segment
     once their count exceeds ``threshold`` — the log-structured answer
     to "a window per hour for a year is 8 760 directories". Per-row
-    provenance survives in the ``timestamp`` column; the segment commits
-    atomically (tmp dir + rename) BEFORE the loose dirs are removed, so
-    a crash mid-compaction at worst leaves duplicates (the skip-set is
-    presence-based — duplicates are harmless)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    provenance survives in the ``timestamp`` column. Shared machinery:
+    io/compact.py (also used by the streaming signature index)."""
+    from etly_spark.io.compact import compact_partitions
 
-    if not os.path.isdir(stats_dir):
-        return
-    names = [d for d in os.listdir(stats_dir) if d.startswith("run_ts=")]
-    loose = sorted(d for d in names if not d.startswith("run_ts=_compacted-"))
-    if len(loose) <= threshold:
-        return
-    n_segs = sum(1 for d in names if d.startswith("run_ts=_compacted-"))
-    tables = []
-    for d in loose:
-        pdir = os.path.join(stats_dir, d)
-        for f in sorted(os.listdir(pdir)):
-            if f.endswith(".parquet"):
-                tables.append(pq.read_table(os.path.join(pdir, f)))
-    if not tables:
-        return
-    import shutil
-
-    seg = os.path.join(stats_dir, f"run_ts=_compacted-{n_segs + 1:06d}")
-    # underscore-prefixed tmp: ignored by pyarrow/Spark dataset discovery
-    # (default ignore prefixes "_" and "."), so a crashed compaction can
-    # never surface a partial file to readers
-    tmp = os.path.join(stats_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
-    os.makedirs(tmp, exist_ok=True)
-    pq.write_table(pa.concat_tables(tables), os.path.join(tmp, "part-00000.parquet"))
-    os.rename(tmp, seg)
-    for d in loose:
-        shutil.rmtree(os.path.join(stats_dir, d), ignore_errors=True)
+    compact_partitions(stats_dir, "run_ts", threshold)
 
 
 def _append_ledger_sidecar(

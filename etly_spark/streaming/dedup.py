@@ -62,3 +62,19 @@ def read_signature_index(spark: SparkSession, index_dir: str) -> DataFrame:
     epochs — partition-discovered, epoch column dropped (consumers see
     exactly the batch ``minhash_sigs`` shape)."""
     return spark.read.parquet(index_dir).drop("epoch")
+
+
+def compact_signature_index(index_dir: str, threshold: int = 64) -> None:
+    """Fold loose per-epoch partitions into a never-rewritten compacted
+    segment once their count exceeds ``threshold`` (io/compact.py — the
+    same tiering as the meta ledger sidecar): a long-running ingest is
+    one small directory per micro-batch forever otherwise.
+
+    Contract: run while the index has NO active writer (e.g. after an
+    availableNow drain). Compacting an epoch whose checkpoint commit is
+    still pending would let a replayed micro-batch re-create its epoch
+    dir next to the segment holding the same rows — duplicate
+    signatures inflate band-bucket sizes at probe time."""
+    from etly_spark.io.compact import compact_partitions
+
+    compact_partitions(index_dir, "epoch", threshold)

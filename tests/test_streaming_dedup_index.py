@@ -74,6 +74,44 @@ def test_streamed_index_matches_batch_and_serves_probes(spark, tmp_path):
     assert all(a >= 200 or b >= 200 for a, b, _ in via_index)  # only new-involving
 
 
+def test_index_compaction_preserves_signatures(spark, tmp_path):
+    """After a drain, epoch partitions fold into a segment; the index
+    reads back identically and further ingest appends new epochs."""
+    from etly_spark.streaming.dedup import compact_signature_index
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for b in range(4):
+        _write_batch(
+            src, f"b{b}.json",
+            [(b * 10 + i, f"text for doc {b * 10 + i} with enough characters") for i in range(3)],
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    idx_dir = str(tmp_path / "idx")
+    start_signature_index(stream, idx_dir, str(tmp_path / "ck")).awaitTermination(120)
+    before = sorted(
+        (r.doc_id, tuple(r.sig)) for r in read_signature_index(spark, idx_dir).collect()
+    )
+    compact_signature_index(idx_dir, threshold=2)
+    import os
+
+    names = sorted(os.listdir(idx_dir))
+    assert any("_compacted-" in n for n in names)
+    assert len([n for n in names if n.startswith("epoch=") and "_compacted-" not in n]) <= 2
+    after = sorted(
+        (r.doc_id, tuple(r.sig)) for r in read_signature_index(spark, idx_dir).collect()
+    )
+    assert after == before  # byte-identical content, fewer directories
+    # continued ingest appends new epochs next to the segment
+    _write_batch(src, "b9.json", [(99, "a brand new late-arriving document text")])
+    stream2 = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    start_signature_index(stream2, idx_dir, str(tmp_path / "ck")).awaitTermination(120)
+    final = read_signature_index(spark, idx_dir)
+    assert final.count() == 13 and final.filter("doc_id = 99").count() == 1
+
+
 def test_streamed_index_is_idempotent_on_epoch_replay(spark, tmp_path):
     """A replayed micro-batch (crash between parquet write and
     checkpoint commit) overwrites its own epoch dir — no duplicate
