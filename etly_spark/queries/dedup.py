@@ -471,7 +471,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_ann matmul kernels rely on).
 _EC_CAP = 128  # hot-bucket cap — mirrored in the oracle QUALIFY below
 
-_EC_SQL = f"""
+_EC_PAIRS_CTE = f"""
 WITH s AS (
   SELECT vec_id, embedding,
          (CASE WHEN embedding[1] > 0 THEN 128 ELSE 0 END
@@ -495,6 +495,9 @@ WITH s AS (
            / (a.nrm * b.nrm) AS cos_sim
   FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
+"""
+
+_EC_SQL = _EC_PAIRS_CTE + """
 SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
 FROM pairs WHERE cos_sim >= 0.4
 ORDER BY vec_a, vec_b
@@ -535,6 +538,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("vec_a", "vec_b")
+
+
+_ECI_SQL = _EC_PAIRS_CTE + """
+SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
+FROM pairs WHERE cos_sim >= 0.4 AND (vec_a % 10 >= 8 OR vec_b % 10 >= 8)
+ORDER BY vec_a, vec_b
+"""
+
+
+@query(
+    "dedup_embedding_incremental",
+    oracle=_ECI_SQL,
+    doc="Incremental embedding near-dup (the vector-modality twin of "
+    "dedup_incremental_lsh): score ONLY sign-buckets that contain an "
+    "incoming vector (vec_id % 10 >= 8 models the batch), keep "
+    "new-involving pairs — gram-matrix work is O(buckets-with-new x "
+    "cap^2), independent of corpus bucket count. Bucket membership and "
+    "the hot-bucket cap are split-independent, so results provably "
+    "equal the batch pair table restricted to new-involving rows (the "
+    "oracle).",
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etly_spark.functions import vector as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (7 - i))).otherwise(F.lit(0))
+        for i in range(8)
+    )
+    is_new = (F.col("vec_id") % 10 >= 8).cast("int")
+    w = Window.partitionBy("bucket")
+    s = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    # one Window operator computes both: the cap (full-bucket density,
+    # same as batch) and the has-new pruning flag
+    flagged = (
+        s.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .withColumn("has_new", F.max(is_new).over(w))
+        .filter((F.col("bsz") <= _EC_CAP) & (F.col("has_new") == 1))
+        .drop("bsz", "has_new")
+    )
+    pairs = V.bucket_pair_scores(flagged, threshold=0.4)
+    return (
+        pairs.filter((F.col("vec_a") % 10 >= 8) | (F.col("vec_b") % 10 >= 8))
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 # Connected components to CONVERGENCE on both sides: the Spark builder
