@@ -288,3 +288,95 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------
+# The composite curation pipeline: what a user actually runs end-to-end
+# over a crawl — quality-gate, exact-dedup survivors, split assignment —
+# expressed as ONE DataFrame DAG (score/filter/dedup fuse into the scan;
+# the only shuffles are the survivor window and the final tiny agg).
+
+_CURATE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang, text, len(toks) AS n_toks,
+         least(len(toks) / 100.0, 1.0) * 0.3
+         + (CASE WHEN len(toks) > 0
+                 THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END) * 0.4
+         + (1.0 - (CASE WHEN len(toks) > 0
+                        THEN {_SQL_STOP} / CAST(len(toks) AS DOUBLE)
+                        ELSE 0.0 END)) * 0.3 AS q
+  FROM tok
+), kept AS (
+  SELECT * FROM scored WHERE q >= 0.55
+), survivors AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), assigned AS (
+  SELECT lang, n_toks, q,
+         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM survivors
+)
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+FROM assigned
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@query(
+    "curate_corpus",
+    oracle=_CURATE_SQL,
+    doc="The curation pipeline as one DAG: quality-gate (composite "
+    "score >= 0.55), exact-dedup survivors (min doc_id per md5(text) — "
+    "deterministic), hash-split assignment, per-(lang, split) corpus "
+    "accounting. Quality sums go through exact DECIMAL so the result "
+    "is shuffle-order-independent (the cross-engine float contract).",
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    length_c = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    stop_c = F.lit(1.0) - T.stopword_ratio(toks)
+    q = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
+    scored = d.select("doc_id", "lang", "text", n.alias("n_toks"), q.alias("q"))
+    kept = scored.filter(F.col("q") >= 0.55)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    survivors = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise("test")
+    )
+    return (
+        survivors.groupBy("lang", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum(F.round("q", 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_quality"),
+        )
+        .orderBy("lang", "split")
+    )
