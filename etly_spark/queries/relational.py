@@ -981,3 +981,91 @@ def q29_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("events_24h"),
         F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("value_24h"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q30_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), su AS (
+      SELECT v.user_id, v.t1, c.t2, p.t3
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    ), tot AS (
+      SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM su
+    )
+    SELECT '1_view' AS stage, n1 AS users, 1.0 AS conv_from_prev FROM tot
+    UNION ALL
+    SELECT '2_click', n2, round(n2 / CAST(NULLIF(n1, 0) AS DOUBLE), 6) FROM tot
+    UNION ALL
+    SELECT '3_purchase', n3, round(n3 / CAST(NULLIF(n2, 0) AS DOUBLE), 6) FROM tot
+    ORDER BY stage
+    """,
+    doc="Sequential funnel (view -> click -> purchase, each step within "
+    "7 days of the previous): per-stage first-event times via "
+    "conditional aggregation chained through two joins — the classic "
+    "event-sequence operator. Each stage shuffles once on user_id; the "
+    "final counts collapse to ONE row exploded into stage rows, so no "
+    "cross join and no driver-side loop.",
+)
+def q30_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    step = F.expr("INTERVAL 7 DAY")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    su = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    tot = su.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    conv2 = F.when(F.col("n1") > 0, F.round(F.col("n2") / F.col("n1"), 6))
+    conv3 = F.when(F.col("n2") > 0, F.round(F.col("n3") / F.col("n2"), 6))
+    stages = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"),
+                    F.col("n1").alias("users"),
+                    F.lit(1.0).alias("conv_from_prev"),
+                ),
+                F.struct(
+                    F.lit("2_click").alias("stage"),
+                    F.col("n2").alias("users"),
+                    conv2.alias("conv_from_prev"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"),
+                    F.col("n3").alias("users"),
+                    conv3.alias("conv_from_prev"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return stages.orderBy("stage")
