@@ -658,7 +658,7 @@ class TransferService:
         }
         data_cols = [c for c in out.columns if c not in meta_cols]
         fmt = (t.target.data_format or "ndjson").lower()
-        if fmt in ("parquet", "csv"):
+        if fmt in ("parquet", "csv", "orc"):
             return self._write_routed_dataset(out, key_col, t, data_cols, fmt)
         # F4 line encode — or the RawMarshaler hook (encoding.go:21-23,
         # util.go:156-168): a Target.DataType with a registered
@@ -764,6 +764,9 @@ class TransferService:
                     writer = writer.option("compression", "gzip")
                     ext = "csv.gz"  # codec suffix must survive the rename
                 writer.csv(staging)
+            elif fmt == "orc":
+                writer.orc(staging)
+                ext = "orc"
             else:
                 writer.parquet(staging)
                 ext = "parquet"

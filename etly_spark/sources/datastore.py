@@ -37,7 +37,7 @@ def read_datastore(spark: SparkSession, source: Source) -> DataFrame:
     driver = (cfg.get("DriverName") or "").lower()
     params = cfg.get("Parameters") or {}
 
-    if driver in ("csv", "parquet", "ndjson", "json"):
+    if driver in ("csv", "parquet", "orc", "ndjson", "json"):
         url = params.get("url", "")
         base = url[len("file://") :] if url.startswith("file://") else url
         m = _FROM_RE.search(sql)
@@ -50,6 +50,8 @@ def read_datastore(spark: SparkSession, source: Source) -> DataFrame:
             df = spark.read.option("header", "true").csv(path)
         elif driver == "parquet":
             df = spark.read.parquet(path)
+        elif driver == "orc":
+            df = spark.read.orc(path)
         else:
             df = spark.read.json(path)
         df.createOrReplaceTempView(table)

@@ -681,3 +681,49 @@ def test_raw_codec_hooks_bypass_json(spark, tmp_path):
     out = (tmp_path / "out" / "pipe.log").read_text().strip().splitlines()
     # encoder output: data cols pipe-joined + raw payload carried through
     assert sorted(out) == ["1|alpha|a|1|alpha|a", "2|beta|b|2|beta|b"]
+
+
+def test_orc_dataset_sink_and_datastore_source(spark, workdir):
+    """ORC round-trip: the dataset sink lands mod-routed ORC dirs, and
+    the datastore source reads ORC through the same SQL defaulting as
+    csv/parquet (Spark-native format — no extra packages)."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.sources.datastore import read_datastore
+
+    t = Transfer(
+        name="orc-sink",
+        source=Source(name=str(workdir / "in"), data_type="test.Log1"),
+        target=Target(
+            name=str(workdir / "out" / "bucket=<mod:2>"), data_format="orc"
+        ),
+        meta=Resource(name=str(workdir / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(workdir),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 4
+    got = {
+        (r.Key, r.Value)
+        for o in set(result.outputs)
+        for r in spark.read.orc(o).collect()
+    }
+    assert got == {(1, "test1/a"), (2, "test2/b"), (3, "test3/a"), (4, "test4/b")}
+    parts = list((workdir / "out").glob("bucket=*/part-*.orc"))
+    assert parts, "orc parts missing the .orc extension"
+
+    # datastore source: bare-table SQL over the landed ORC data
+    store = workdir / "store"
+    spark.read.orc(str(workdir / "out" / "bucket=0")).write.orc(
+        str(store / "log2.orc")
+    )
+    src = Source(
+        name="SELECT Key, Value FROM log2 ORDER BY Key",
+        type="datastore",
+        ds_config={
+            "DriverName": "orc",
+            "Parameters": {"url": f"file://{store}"},
+        },
+    )
+    rows = read_datastore(spark, src).collect()
+    assert [r.Key for r in rows] == sorted(r.Key for r in rows) and len(rows) >= 1

@@ -114,6 +114,18 @@ def test_ivf_centroid_collect_is_bounded(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_ivf_probe_has_no_assign_pass(spark):
+    """The staged IVF index makes query-time assignment disappear: the
+    probe plan must contain NO MapInPandas (the assign kernel) — only
+    the staged-parquet scan, the broadcast cell join, and the
+    ArrowEvalPython scoring UDFs."""
+    from etly_spark.queries.similarity import sim_ivf_ann
+
+    plan = explain(spark, sim_ivf_ann(spark, SF))
+    assert "MapInPandas" not in plan, plan
+    assert "etly_stage_" in plan, plan
+
+
 def test_multimodal_decode_is_arrow_batched(spark):
     plan = plan_of(spark, "mm_decode_frames")
     assert "MapInPandas" in plan
