@@ -380,3 +380,76 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# Per-stratum rates for the balanced corpus sample: downsample the
+# over-represented strata, keep the rest whole. Deterministic membership
+# (md5 of doc_id — independent of the split hash salt) so the sample is
+# reproducible across engines and runs, unlike rand()-based sampleBy.
+_SAMPLE_RATES = {"en": 40, "de": 100, "es": 100, "fr": 100}  # percent
+
+
+def _sample_bucket(doc_id):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("sample:"), doc_id.cast("string")).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(_SAMPLE_RATES.items())
+) + " ELSE 100 END"
+
+_BAL_SQL = f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+         {_RATE_SQL} AS rate
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_before,
+       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+FROM b
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "text_balanced_sample",
+    oracle=_BAL_SQL,
+    doc="Balanced corpus sampling: deterministic hash-threshold "
+    "downsampling with a per-stratum rate (over-represented languages "
+    "cut to a target share, small strata kept whole) — the reproducible "
+    "alternative to rand()-based sampleBy: membership is a pure "
+    "function of doc_id, so re-runs and both engines agree exactly. "
+    "One scan, one small aggregate; at 100 TB the sample predicate "
+    "fuses into the scan and the shuffle carries one row per stratum.",
+)
+def text_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(100)
+    for lang, pct in sorted(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    kept = (_sample_bucket(F.col("doc_id")) < rate).cast("long")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
