@@ -174,8 +174,13 @@ def _verify_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
     density-bounded by the bucket cap, so this second shingle pass is
     ∝ duplicates, not corpus, and the heavy sets never cross a
     corpus-wide shuffle or sit in the cache). Shared by the batch pair
-    build and the incremental path."""
-    cand = scoped_persist(cand)
+    build and the incremental path.
+
+    The candidate persist is LAZY: its two consumers (the broadcast
+    id-set build, then the probe join) run as sequential jobs, so the
+    first fills the cache for the second — an eager count here is one
+    extra job barrier for nothing."""
+    cand = scoped_persist(cand, eager=False)
     need = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -592,7 +597,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closure with a recursive CTE — both reach the same unique fixpoint for
 # ANY component diameter (a fixed unroll would silently mislabel deep
 # chains; regression-tested with a diameter-8 fixture in tests).
-_CLUSTERS_SQL = (
+_LABELS_CTE = (
     _MH_PAIRS_CTE.replace("WITH ex AS", "WITH RECURSIVE ex AS", 1)
     + """, nodes AS (
   SELECT DISTINCT doc_id FROM (
@@ -609,12 +614,15 @@ _CLUSTERS_SQL = (
 ), labels AS (
   SELECT u AS doc_id, MIN(v) AS label FROM reach GROUP BY u
 )
+"""
+)
+
+_CLUSTERS_SQL = _LABELS_CTE + """
 SELECT label AS cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
 FROM labels
 GROUP BY label
 ORDER BY cluster_id
 """
-)
 
 
 @query(
@@ -641,6 +649,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc"))
+        .orderBy("cluster_id")
+    )
+
+
+_KEEPERS_SQL = _LABELS_CTE + """
+, docs AS (
+  SELECT l.doc_id, l.label, d.n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id) AS rn
+  FROM docs
+)
+SELECT label AS cluster_id,
+       COUNT(*) AS n_docs,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc,
+       MAX(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars
+FROM ranked
+GROUP BY label
+ORDER BY cluster_id
+"""
+
+
+@query(
+    "dedup_cluster_keepers",
+    oracle=_KEEPERS_SQL,
+    doc="Representative selection — the decision a dedup pipeline "
+    "actually emits: per near-dup cluster keep the longest document "
+    "(ties to the smallest doc_id), everything else is dropped. "
+    "Clusters come from CC over the STAGED pair table; the keeper pick "
+    "is one window over (cluster, n_chars) — at 100 TB the join to "
+    "documents touches only clustered docs (broadcast of the tiny "
+    "label table).",
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etly_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = scoped_persist(
+        minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"), eager=False
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    docs = d.join(F.broadcast(labels), "doc_id")
+    w = Window.partitionBy("label").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keeper_chars"),
+        )
         .orderBy("cluster_id")
     )
 
