@@ -103,8 +103,11 @@ WITH ex AS (
 """
 
 _MH_SQL = _MH_PAIRS_CTE + """
-SELECT doc_a, doc_b, jaccard FROM pairs
-ORDER BY doc_a, doc_b
+SELECT 'batch' AS mode, doc_a, doc_b, jaccard FROM pairs
+UNION ALL
+SELECT 'incremental', doc_a, doc_b, jaccard FROM pairs
+WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8
+ORDER BY mode, doc_a, doc_b
 """
 
 
@@ -230,47 +233,29 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh",
     oracle=_MH_SQL,
-    doc="MinHash+LSH near-dup: shingle → 8-perm tabulation minhash → 2x4 "
+    doc="MinHash+LSH near-dup, batch AND incremental in one checked row "
+    "(tag: mode). batch — shingle → 8-perm tabulation minhash → 2x4 "
     "band keys → capped band self-join → exact shingle-jaccard verify "
-    ">= 0.5. Buckets larger than 64 docs are dropped before pairing — "
-    "they carry no pairwise signal and are exactly the skew that turns "
-    "an LSH join quadratic (a 687-doc hot bucket at sf0.1 alone would "
-    "emit 236k candidate pairs). The pair table is a STAGED artifact "
-    "(io/staging.py): built once per process, reused by dedup_clusters.",
+    ">= 0.5; buckets larger than 64 docs are dropped before pairing "
+    "(the skew that turns an LSH join quadratic). The pair table is a "
+    "STAGED artifact (io/staging.py): built once per process, reused "
+    "by dedup_clusters. incremental — the daily-crawl shape: docs with "
+    "doc_id % 10 >= 8 model the incoming batch; their band rows probe "
+    "the full STAGED signature index, so join work is O(batch x "
+    "density), never a corpus self-join, and the corpus sketch is "
+    "read, not recomputed. Incremental results provably equal the "
+    "batch pairs restricted to new-involving rows (bucket membership "
+    "is split-independent) — exactly what the oracle computes.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
-
-
-# Incremental ingest split: docs with doc_id % 10 >= 8 model the
-# incoming batch; the rest are the already-ingested corpus whose sketch
-# index (the staged signature table) already exists. Scale-free and
-# bit-identical on both engines.
-_INC_SQL = _MH_PAIRS_CTE + """
-SELECT doc_a, doc_b, jaccard FROM pairs
-WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8
-ORDER BY doc_a, doc_b
-"""
-
-
-@query(
-    "dedup_incremental_lsh",
-    oracle=_INC_SQL,
-    doc="Incremental near-dup: verify ONLY pairs involving the incoming "
-    "batch (new-vs-corpus and new-vs-new) against the STAGED signature "
-    "index — the daily-crawl shape: band rows for the batch probe the "
-    "full band table, so join work is O(batch x density), never a "
-    "corpus self-join; the corpus sketch is read, not recomputed. "
-    "Results provably equal the batch pair table restricted to "
-    "new-involving rows (bucket membership is split-independent), which "
-    "is what the oracle computes.",
-)
-def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_sigs(spark, sf_dir)
-    return lsh_incremental_pairs(d, sig, F.col("doc_id") % 10 >= 8).orderBy(
-        "doc_a", "doc_b"
+    batch = minhash_pairs(spark, sf_dir).select(
+        F.lit("batch").alias("mode"), "doc_a", "doc_b", "jaccard"
     )
+    inc = lsh_incremental_pairs(
+        d, minhash_sigs(spark, sf_dir), F.col("doc_id") % 10 >= 8
+    ).select(F.lit("incremental").alias("mode"), "doc_a", "doc_b", "jaccard")
+    return batch.unionByName(inc).orderBy("mode", "doc_a", "doc_b")
 
 
 def lsh_incremental_pairs(d: DataFrame, sig: DataFrame, is_new: F.Column) -> DataFrame:
@@ -503,92 +488,71 @@ WITH s AS (
 """
 
 _EC_SQL = _EC_PAIRS_CTE + """
-SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
+SELECT 'batch' AS mode, vec_a, vec_b, round(cos_sim, 6) AS cos_sim
 FROM pairs WHERE cos_sim >= 0.4
-ORDER BY vec_a, vec_b
+UNION ALL
+SELECT 'incremental', vec_a, vec_b, round(cos_sim, 6) AS cos_sim
+FROM pairs WHERE cos_sim >= 0.4 AND (vec_a % 10 >= 8 OR vec_b % 10 >= 8)
+ORDER BY mode, vec_a, vec_b
 """
+
+
+def _sign_bucket8() -> F.Column:
+    return sum(
+        F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (7 - i))).otherwise(F.lit(0))
+        for i in range(8)
+    )
 
 
 @query(
     "dedup_embedding_cosine",
     oracle=_EC_SQL,
-    doc="Embedding-cosine near-dup: sign-bucket blocking (8 hyperplane "
+    doc="Embedding-cosine near-dup, batch AND incremental in one checked "
+    "row (tag: mode). batch — sign-bucket blocking (8 hyperplane "
     "components → 256 buckets) with a deterministic hot-bucket cap "
     f"({_EC_CAP}, the MinHash-LSH precedent), then exact cosine >= 0.4 "
     "scored per bucket as ONE BLAS gram matrix (applyInPandas) — each "
-    "vector crosses the shuffle once and no pair join is materialized. "
-    "The earlier join+per-pair-UDF formulation moved every candidate "
-    "pair's two arrays through Arrow: measured 88 s at sf1.0 vs ~2 s for "
-    "the gram kernel. At larger corpora the cap skips dense sign-regions "
-    "(bounding worst-case work at cap²·buckets); the bit-width is the "
-    "documented knob that scales bucket count with N.",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    bucket = sum(
-        F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (7 - i))).otherwise(F.lit(0))
-        for i in range(8)
-    )
-    from pyspark.sql.window import Window
-
-    from etly_spark.functions import vector as V
-
-    s = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    capped = (
-        s.withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
-        .filter(F.col("bsz") <= _EC_CAP)
-        .drop("bsz")
-    )
-    pairs = V.bucket_pair_scores(capped, threshold=0.4)
-    return pairs.select(
-        "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
-    ).orderBy("vec_a", "vec_b")
-
-
-_ECI_SQL = _EC_PAIRS_CTE + """
-SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
-FROM pairs WHERE cos_sim >= 0.4 AND (vec_a % 10 >= 8 OR vec_b % 10 >= 8)
-ORDER BY vec_a, vec_b
-"""
-
-
-@query(
-    "dedup_embedding_incremental",
-    oracle=_ECI_SQL,
-    doc="Incremental embedding near-dup (the vector-modality twin of "
-    "dedup_incremental_lsh): score ONLY sign-buckets that contain an "
-    "incoming vector (vec_id % 10 >= 8 models the batch), keep "
-    "new-involving pairs — gram-matrix work is O(buckets-with-new x "
-    "cap^2), independent of corpus bucket count. Bucket membership and "
-    "the hot-bucket cap are split-independent, so results provably "
-    "equal the batch pair table restricted to new-involving rows (the "
+    "vector crosses the shuffle once and no pair join is materialized "
+    "(the join+per-pair-UDF formulation measured 88 s at sf1.0 vs ~2 s). "
+    "incremental — the vector-modality ingest shape: only sign-buckets "
+    "containing an incoming vector (vec_id % 10 >= 8) are scored and "
+    "only new-involving pairs kept, so gram work is O(buckets-with-new "
+    "x cap^2), independent of corpus bucket count; cap and bucket "
+    "membership are split-independent, so incremental rows provably "
+    "equal the batch pairs restricted to new-involving ones (the "
     "oracle).",
 )
-def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.functions import vector as V
 
     e = load_table(spark, sf_dir, "embeddings")
-    bucket = sum(
-        F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (7 - i))).otherwise(F.lit(0))
-        for i in range(8)
-    )
     is_new = (F.col("vec_id") % 10 >= 8).cast("int")
     w = Window.partitionBy("bucket")
-    s = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    # one Window operator computes both: the cap (full-bucket density,
-    # same as batch) and the has-new pruning flag
-    flagged = (
-        s.withColumn("bsz", F.count(F.lit(1)).over(w))
+    # one pass computes bucket size (the cap — full-bucket density on
+    # both variants) and the has-new pruning flag; persisted: both
+    # variants' gram stages read it
+    s = scoped_persist(
+        e.select("vec_id", "embedding", _sign_bucket8().alias("bucket"))
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
         .withColumn("has_new", F.max(is_new).over(w))
-        .filter((F.col("bsz") <= _EC_CAP) & (F.col("has_new") == 1))
-        .drop("bsz", "has_new")
+        .filter(F.col("bsz") <= _EC_CAP)
+        .drop("bsz"),
+        eager=False,
     )
-    pairs = V.bucket_pair_scores(flagged, threshold=0.4)
-    return (
-        pairs.filter((F.col("vec_a") % 10 >= 8) | (F.col("vec_b") % 10 >= 8))
-        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
+    batch = V.bucket_pair_scores(s.drop("has_new"), threshold=0.4).select(
+        F.lit("batch").alias("mode"), "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
     )
+    inc = (
+        V.bucket_pair_scores(s.filter(F.col("has_new") == 1).drop("has_new"), threshold=0.4)
+        .filter((F.col("vec_a") % 10 >= 8) | (F.col("vec_b") % 10 >= 8))
+        .select(
+            F.lit("incremental").alias("mode"),
+            "vec_a",
+            "vec_b",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+    return batch.unionByName(inc).orderBy("mode", "vec_a", "vec_b")
 
 
 # Connected components to CONVERGENCE on both sides: the Spark builder
@@ -618,27 +582,50 @@ _LABELS_CTE = (
 )
 
 _CLUSTERS_SQL = _LABELS_CTE + """
-SELECT label AS cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
-FROM labels
-GROUP BY label
-ORDER BY cluster_id
+, summary AS (
+  SELECT label AS cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS ref_doc
+  FROM labels GROUP BY label
+), docs AS (
+  SELECT l.doc_id, l.label, d.n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id) AS rn
+  FROM docs
+), keepers AS (
+  SELECT label AS cluster_id,
+         COUNT(*) AS n_docs,
+         MAX(CASE WHEN rn = 1 THEN doc_id END) AS ref_doc,
+         MAX(CASE WHEN rn = 1 THEN n_chars END) AS ref_chars
+  FROM ranked GROUP BY label
+)
+SELECT 'summary' AS variant, cluster_id, n_docs, ref_doc,
+       CAST(-1 AS BIGINT) AS ref_chars
+FROM summary
+UNION ALL
+SELECT 'keeper', cluster_id, n_docs, ref_doc, ref_chars FROM keepers
+ORDER BY variant, cluster_id
 """
 
 
 @query(
     "dedup_clusters",
     oracle=_CLUSTERS_SQL,
-    doc="Near-dup clustering: connected components over the MinHash-LSH "
-    "pair graph via min-label propagation iterated to convergence "
-    "(operators/graph.py; cluster id = min doc_id; oracle = recursive-"
-    "CTE transitive closure — same fixpoint). Consumes the STAGED pair "
-    "table (minhash_pairs) instead of recomputing the LSH stage inline "
-    "— at 100 TB the components run over the staged pair parquet, never "
-    "the corpus, and the stage is built once per process.",
+    doc="Near-dup clustering, summary AND representative selection in "
+    "one checked row (tag: variant). Connected components over the "
+    "MinHash-LSH pair graph via min-label propagation iterated to "
+    "convergence (operators/graph.py; cluster id = min doc_id; oracle "
+    "= recursive-CTE transitive closure — same fixpoint), consuming "
+    "the STAGED pair table; the CC labels are computed ONCE and feed "
+    "both variants. summary — (cluster size, max doc, ref_chars=-1 "
+    "sentinel). keeper — the decision a dedup pipeline actually emits: "
+    "per cluster keep the longest document (ties to smallest doc_id), "
+    "picked by one window over (cluster, n_chars) with the tiny label "
+    "table broadcast into the documents join.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.operators.graph import connected_components
 
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     # scoped (not raw .persist) — released at the next catalog query, so
     # repeated catalog runs can't accumulate dead cache entries. Lazy:
     # the CC loop's first join materializes it.
@@ -646,62 +633,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"), eager=False
     )
     labels = connected_components(pairs, "doc_a", "doc_b")
-    return (
+    summary = (
         labels.groupBy(F.col("label").alias("cluster_id"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc"))
-        .orderBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("ref_doc"))
+        .select(
+            F.lit("summary").alias("variant"),
+            "cluster_id",
+            "n_docs",
+            "ref_doc",
+            F.lit(-1).cast("bigint").alias("ref_chars"),
+        )
     )
-
-
-_KEEPERS_SQL = _LABELS_CTE + """
-, docs AS (
-  SELECT l.doc_id, l.label, d.n_chars
-  FROM labels l JOIN documents d USING (doc_id)
-), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id) AS rn
-  FROM docs
-)
-SELECT label AS cluster_id,
-       COUNT(*) AS n_docs,
-       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc,
-       MAX(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars
-FROM ranked
-GROUP BY label
-ORDER BY cluster_id
-"""
-
-
-@query(
-    "dedup_cluster_keepers",
-    oracle=_KEEPERS_SQL,
-    doc="Representative selection — the decision a dedup pipeline "
-    "actually emits: per near-dup cluster keep the longest document "
-    "(ties to the smallest doc_id), everything else is dropped. "
-    "Clusters come from CC over the STAGED pair table; the keeper pick "
-    "is one window over (cluster, n_chars) — at 100 TB the join to "
-    "documents touches only clustered docs (broadcast of the tiny "
-    "label table).",
-)
-def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etly_spark.operators.graph import connected_components
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    pairs = scoped_persist(
-        minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"), eager=False
-    )
-    labels = connected_components(pairs, "doc_a", "doc_b")
-    docs = d.join(F.broadcast(labels), "doc_id")
     w = Window.partitionBy("label").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = docs.withColumn("rn", F.row_number().over(w))
-    return (
+    ranked = d.join(F.broadcast(labels), "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    keepers = (
         ranked.groupBy(F.col("label").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_doc"),
-            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keeper_chars"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("ref_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("ref_chars"),
         )
-        .orderBy("cluster_id")
+        .select(F.lit("keeper").alias("variant"), "cluster_id", "n_docs", "ref_doc", "ref_chars")
     )
+    return summary.unionByName(keepers).orderBy("variant", "cluster_id")
 
 
 _LEV_SQL = r"""

