@@ -59,13 +59,19 @@ def read_datastore(spark: SparkSession, source: Source) -> DataFrame:
 
     if driver == "jdbc":
         reader = spark.read.format("jdbc").option("url", params.get("url", ""))
-        reader = reader.option("query", sql)
+        # partitioned JDBC reads (partitionColumn/lowerBound/upperBound/
+        # numPartitions) are the 100 TB path — Spark rejects `query` +
+        # `partitionColumn` together, so the SQL becomes a dbtable
+        # subquery (live-executed against embedded Derby in
+        # tests/test_jdbc_live.py); a single-connection `query` read is
+        # the degenerate case.
+        if "partitionColumn" in params:
+            reader = reader.option("dbtable", f"({sql}) etly_sub")
+        else:
+            reader = reader.option("query", sql)
         for k, v in params.items():
             if k not in ("url",):
                 reader = reader.option(k, v)
-        # partitioned JDBC reads (partitionColumn/lowerBound/upperBound/
-        # numPartitions) pass straight through `params` — that is the
-        # 100 TB path; a single-connection read is the degenerate case.
         return reader.load()
 
     if driver == "bigquery":
