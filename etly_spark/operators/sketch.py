@@ -3,7 +3,8 @@ the per-row column expressions in ``functions.hashing``.
 
 ``minhash_signatures`` is the canonical sketch-index builder: one row
 per document, consumed by batch LSH (queries/dedup.py), incremental
-ingest (dedup_incremental_lsh), and the streaming index maintainer
+ingest (queries.dedup.lsh_incremental_pairs), and the streaming
+index maintainer
 (streaming/dedup.py). Keeping it here means every consumer computes
 bit-identical signatures — the property that lets a batch-built index
 serve streamed batches and vice versa.

@@ -16,7 +16,8 @@ two pieces:
   drop-in for the batch ``minhash_sigs`` stage: signatures are built by
   the SAME bulk builder (operators/sketch.py), so a streamed index is
   bit-identical to a batch-built one and every LSH consumer
-  (dedup_incremental_lsh's band-probe shape) can run against it.
+  (queries.dedup.lsh_incremental_pairs — the band-probe shape) can
+  run against it.
 
 Scale: per-trigger work is O(batch) — shingle explode + one hash
 aggregate per micro-batch; the index grows one small parquet dir per
