@@ -34,9 +34,11 @@ import tempfile
 from dataclasses import asdict, dataclass, field
 from datetime import datetime, timezone
 
-# JSON ledger bound: the most recent entries kept in the
-# reference-compatible meta.json; the parquet sidecar holds full history.
+# JSON ledger bounds: the most recent entries kept in the
+# reference-compatible meta.json; the parquet sidecar holds full history
+# (including every error message, in the `error`/`message` columns).
 MAX_JSON_PROCESSED = 10_000
+MAX_JSON_ERRORS = 1_000
 
 
 def _now() -> str:
@@ -117,7 +119,10 @@ class Meta:
         payload = {
             "URL": self.url,
             "Processed": {k: asdict(v) for k, v in processed.items()},
-            "Errors": self.errors,
+            # bounded like Processed: a decade of corrupt-line messages
+            # must not balloon the status surface (full history is in
+            # the sidecar's error/message columns)
+            "Errors": self.errors[-MAX_JSON_ERRORS:],
             "ResourceStatus": {k: asdict(v) for k, v in self.resource_status.items()},
             "Status": asdict(self.status),
         }

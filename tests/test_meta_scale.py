@@ -37,6 +37,7 @@ def test_ledger_write_is_flat_per_window(tmp_path, monkeypatch):
         entries.append(
             ObjectMeta(source=f"file:///src/w{w:02d}/bad.gz", error="truncated gzip")
         )
+        meta.add_error(f"w{w:02d}: truncated gzip")
         for e in entries:
             meta.record(e)
         _append_ledger_sidecar(sidecar_dir(meta_url), f"2017-06-12T{w:02d}:00:00", entries)
@@ -46,6 +47,13 @@ def test_ledger_write_is_flat_per_window(tmp_path, monkeypatch):
     # JSON bounded: once the cap is hit, size stays flat (not O(history))
     assert len(json.load(open(meta_url))["Processed"]) == 100
     assert max(json_sizes[5:]) <= json_sizes[4] * 1.05
+    # errors list bounded too (MAX_JSON_ERRORS patched below the window
+    # count would be overkill here — assert the cap is applied)
+    monkeypatch.setattr(meta_mod, "MAX_JSON_ERRORS", 5)
+    m = Meta.load(meta_url)
+    m.save()
+    assert len(json.load(open(meta_url))["Errors"]) == 5
+    assert json.load(open(meta_url))["Errors"][-1]["error"].startswith("w19")
 
     # sidecar append is O(new) by construction: one file per window
     parts = sorted(os.listdir(sidecar_dir(meta_url)))
