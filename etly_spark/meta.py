@@ -19,9 +19,13 @@ O(new-files) per window — flat forever), and the skip-set is answered
 by ``ProcessedIndex.processed_among(listed)``: a columnar membership
 probe that pushes the listed-URL set into the parquet scan, so driver
 memory is O(listed ∩ history), never O(history). The JSON keeps only
-the ``MAX_JSON_PROCESSED`` most recent entries — it is the BOUNDED
-etly-compatible status surface (`/etly/info`, the reference's
-meta.json shape), not the source of truth for skipping.
+the ``MAX_JSON_PROCESSED`` most recent entries (and ``MAX_JSON_ERRORS``
+error messages) — it is the BOUNDED etly-compatible status surface
+(`/etly/info`, the reference's meta.json shape), not the source of
+truth for skipping. ``resource_status`` stays per-source (reference
+parity, meta.go:48-61): one entry per distinct expanded source URL,
+bounded per meta FILE because each date-templated window writes its
+own ledger (the P3 grouping key) — a window's meta sees one source.
 
 For streaming mode Spark's checkpoint/commit-log supersedes this ledger.
 """
