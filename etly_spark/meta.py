@@ -191,13 +191,21 @@ class ProcessedIndex:
         import pyarrow as pa
         import pyarrow.dataset as ds
 
-        try:
-            data = ds.dataset(self.dir, format="parquet", partitioning="hive")
-        except (OSError, pa.ArrowInvalid):
-            return set()
-        if "source" not in data.schema.names:
-            return set()  # pre-r6 stats-only sidecar: no skip info
-        table = data.to_table(
-            columns=["source"], filter=ds.field("source").isin(sorted(urls))
-        )
-        return set(table["source"].to_pylist())
+        # one retry: a concurrent compaction (another transfer sharing
+        # this meta URL) may delete loose partition dirs between our
+        # discovery and the scan — re-discovering then sees the
+        # committed segment instead (duplicates across the race are
+        # harmless: membership is presence-based)
+        for attempt in (0, 1):
+            try:
+                data = ds.dataset(self.dir, format="parquet", partitioning="hive")
+                if "source" not in data.schema.names:
+                    return set()  # pre-r6 stats-only sidecar: no skip info
+                table = data.to_table(
+                    columns=["source"], filter=ds.field("source").isin(sorted(urls))
+                )
+                return set(table["source"].to_pylist())
+            except (OSError, pa.ArrowInvalid):
+                if attempt:
+                    return set()
+        return set()
