@@ -192,10 +192,14 @@ def _decode_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
     byte_sum = payloads.map(lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())).astype(
         "int64"
     )
-    mean_byte = (byte_sum / byte_len.clip(lower=1)).round(6)
+    # RAW doubles — rounding happens Spark-side with F.round (HALF_UP,
+    # matching SQL round). numpy's .round is half-to-EVEN: on an exact
+    # 6-dp half-boundary (one row per ~10^5 at sf1.0 hit 92.6640625)
+    # the two rules disagree and the cross-engine hash gate fails.
+    mean_byte = byte_sum / byte_len.clip(lower=1)
     width = (16 + byte_len % 64).astype("int64")
     height = (16 + pdf["doc_id"] % 32).astype("int64")
-    resize_scale = (32.0 / np.maximum(width, height)).round(6)
+    resize_scale = 32.0 / np.maximum(width, height)
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].astype("int64"),

@@ -91,11 +91,13 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_no",
             "byte_len",
             "byte_sum",
-            "mean_byte",
+            # HALF_UP rounding on the Spark side (= SQL round): the
+            # decode kernel emits raw doubles; see operators/multimodal
+            F.round("mean_byte", 6).alias("mean_byte"),
             "width",
             "height",
             "n_frames",
-            "resize_scale",
+            F.round("resize_scale", 6).alias("resize_scale"),
         )
         .orderBy("doc_id", "frame_no")
     )

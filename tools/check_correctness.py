@@ -72,11 +72,18 @@ def main() -> int:
     spark = get_spark("correctness-check")
 
     con = duckdb.connect()
+    import os as _os
+
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata tables are single files; scaled-corpus tables are
+        # directories of part files — glob the dir form for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_pass = n_fail = n_rowsonly = 0
     for name, spec in sorted(REGISTRY.items()):
