@@ -137,6 +137,31 @@ def test_decode_features_batch_shape(spark):
     assert got[2].mean_byte == round(sum(b"wxyz") / 4, 6)
 
 
+def test_decode_rounding_is_half_up_like_sql(spark):
+    """Regression for the sf1.0-only hash mismatch: a payload whose
+    mean lands EXACTLY on a 6-dp half boundary (11861/128 =
+    92.6640625) must round HALF_UP like SQL round (→ 92.664063), not
+    half-to-even like numpy (→ 92.664062). The kernel emits the raw
+    double; F.round on the result must match DuckDB bit-for-bit."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    payload = bytes([93] * 127 + [50])  # sum 11861, len 128
+    assert sum(payload) == 11861 and len(payload) == 128
+    df = spark.createDataFrame(
+        [(1, payload)],
+        StructType([StructField("doc_id", LongType()), StructField("payload", BinaryType())]),
+    )
+    row = (
+        MM.decode_features(df)
+        .select(F.round("mean_byte", 6).alias("mean_byte"))
+        .collect()[0]
+    )
+    sql_val = duckdb.sql("SELECT round(11861 / CAST(128 AS DOUBLE), 6)").fetchone()[0]
+    assert row.mean_byte == sql_val == 92.664063
+
+
 def test_cosine_similarity_identity(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<double>")
     val = df.select(H.cosine_similarity(F.col("v"), F.col("v")).alias("c")).first().c
