@@ -660,11 +660,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.unionByName(keepers).orderBy("variant", "cluster_id")
 
 
-_LEV_SQL = r"""
-WITH b AS (
+# Hot-block cap for the levenshtein blocking key: 30×-corpus stress
+# showed this was the ONLY uncapped blocking strategy — a shared
+# normalized prefix (real corpora: boilerplate headers) grows a block's
+# all-pairs O(n²·len²) DP cost quadratically. The cap mirrors the
+# MinHash (64) / embedding (128) precedent; blocks past it carry no
+# pairwise signal worth a quadratic scan.
+_LEV_CAP = 64
+
+_LEV_SQL = rf"""
+WITH b0 AS (
   SELECT doc_id, text, length(text) AS n,
          md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)) AS blk
   FROM documents
+), b AS (
+  SELECT * FROM b0
+  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= {_LEV_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.text, b.text) AS edit_dist,
@@ -679,17 +690,25 @@ ORDER BY doc_a, doc_b
 @query(
     "dedup_levenshtein",
     oracle=_LEV_SQL,
-    doc="Edit-distance near-dup: normalized-prefix blocking, then exact "
-    "levenshtein on candidates with a 20%-of-length threshold. The O(n²)"
-    "-per-pair cost is why it only ever runs AFTER blocking — and why "
-    "the cheap conjuncts (doc order, length-difference lower bound on "
-    "the distance) sit FIRST in the join predicate: they short-circuit "
-    "the DP for most same-block pairs.",
+    doc="Edit-distance near-dup: normalized-prefix blocking with a "
+    f"deterministic hot-block cap ({_LEV_CAP} — found necessary by the "
+    "30x corpus stress: an uncapped shared prefix grows O(block²) DP "
+    "work), then exact levenshtein on candidates with a 20%-of-length "
+    "threshold. The O(n²)-per-pair cost is why it only ever runs AFTER "
+    "blocking — and why the cheap conjuncts (doc order, "
+    "length-difference lower bound on the distance) sit FIRST in the "
+    "join predicate: they short-circuit the DP for most same-block "
+    "pairs.",
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     blk = F.md5(F.substring(T.normalize_text("text"), 1, 16).cast("binary"))
-    b = d.select("doc_id", "text", F.length("text").alias("n"), blk.alias("blk"))
+    b = (
+        d.select("doc_id", "text", F.length("text").alias("n"), blk.alias("blk"))
+        .withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("blk")))
+        .filter(F.col("bsz") <= _LEV_CAP)
+        .drop("bsz")
+    )
     # spread block groups over tasks — the probe side of the broadcast
     # join otherwise inherits the (few) scan partitions
     a2 = b.repartition(32, "blk").alias("a")

@@ -16,6 +16,12 @@ circularly shifts its 64 dims per copy (cosine between a vector and its
 rotation is ~random). events keeps timestamps, so time-window density
 grows N× — what a real N× traffic scale-up does.
 
+DENSITY GUARANTEE HOLDS TO ~20 COPIES ONLY: the consonant rotation is
+periodic in the consonant-set size, so distant copies collide (the 30×
+run measured candidate pairs growing 34× for 3× docs once copies
+wrapped — see STRESS.md). Use ≤ 20 copies for density-constant dedup
+stress; beyond that the corpus deliberately measures rising density.
+
 Usage: python tools/build_scaled_corpus.py [copies] [out_dir]
 """
 
