@@ -1,0 +1,313 @@
+"""Real media codecs in pure numpy + stdlib — no PIL required.
+
+The reference treats media as opaque bytes it moves without decoding
+(transfer_object_service.go:89-109). A training-data pipeline must look
+inside: decode, featurize, perceptually hash. This container has no
+image/audio libraries, but several real container formats need none —
+their codecs are pure byte layout (BMP, PPM/PGM) or stdlib zlib (PNG)
+or stdlib struct (WAV/PCM). Those are decoded HERE, for real:
+
+- BMP: 24/32-bit uncompressed BI_RGB, bottom-up and top-down rows,
+  4-byte row padding, BGR(A)->RGB.
+- PPM (P6) / PGM (P5): binary Netpbm, maxval <= 255.
+- PNG: 8-bit gray/RGB/RGBA, non-interlaced; zlib-inflated IDAT,
+  all five scanline filters (None/Sub/Up/Average/Paeth) unfiltered.
+- WAV: RIFF/PCM 8- and 16-bit, mono/stereo, manual chunk walk.
+
+Only entropy-coded formats (JPEG, WebP, video) stay behind the PIL
+gate in `operators.multimodal.decode_real`.
+
+Everything returns numpy arrays; the Spark face of these codecs is
+Arrow-batched `mapInPandas` in `operators.multimodal` — a pure map,
+no shuffle, codec parallelism = executor parallelism at 100 TB.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Image pixel decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray | None:
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (dib,) = struct.unpack_from("<I", payload, 14)
+    if dib < 40:  # BITMAPCOREHEADER etc. — header parse only, no pixels
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = rows.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    if nch == 4:  # BGRA -> RGBA (alpha preserved)
+        return np.ascontiguousarray(rows[:, :, [2, 1, 0, 3]])
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR -> RGB
+
+
+def _decode_netpbm(payload: bytes) -> np.ndarray | None:
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        return None
+    binary_rgb = payload[1:2] == b"6"
+    # tokenize the ASCII preamble: magic, width, height, maxval
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3 and i < min(len(payload), 4096):
+        c = payload[i : i + 1]
+        if c == b"#":
+            j = payload.find(b"\n", i)
+            i = len(payload) if j < 0 else j + 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(tokens) < 3 or not payload[i : i + 1].isspace():
+        return None
+    i += 1  # exactly ONE whitespace byte separates maxval from raster
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    nch = 3 if binary_rgb else 1
+    need = w * h * nch
+    if len(payload) - i < need:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    return arr.reshape(h, w, nch) if binary_rgb else arr.reshape(h, w)
+
+
+_PNG_CH = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels (8-bit only)
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. Rows carry a leading filter-type byte;
+    Sub/Average/Paeth have intra-row serial dependencies, so the scan is
+    per-row Python over vectorized numpy rows — still thousands of rows
+    per second, and the Spark layer batches per partition."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = rows[y, 0]
+        cur = rows[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            line = cur
+        elif ftype == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            line = cur.copy()
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            line = cur.copy()
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = line.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack_from(
+        ">IIBBBBB", payload, 16
+    )
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CH:
+        return None  # paletted/16-bit/Adam7 stay out of scope
+    nch = _PNG_CH[color_type]
+    # walk chunks, concatenate IDAT
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat += payload[i + 8 : i + 8 + clen]
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if not idat:
+        return None
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error:
+        return None
+    stride = w * nch
+    if raw.size != h * (stride + 1):
+        return None
+    out = _png_unfilter(raw, h, stride, nch)
+    arr = out.reshape(h, w, nch)
+    return arr[:, :, 0] if nch == 1 else arr
+
+
+def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
+    """Full REAL pixel decode: bytes -> uint8 array (h, w[, channels]).
+
+    Supports BMP (24/32-bit BI_RGB), PPM/PGM binary, PNG 8-bit
+    gray/RGB/RGBA non-interlaced. Returns None for anything else —
+    corrupt or exotic media is data, not an exception, at 100 TB.
+    """
+    if not payload:
+        return None
+    try:
+        for dec in (_decode_bmp, _decode_png, _decode_netpbm):
+            arr = dec(payload)
+            if arr is not None:
+                return arr
+    except (ValueError, struct.error):
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Image features: luminance stats, nearest-neighbor resize, perceptual hash
+# ---------------------------------------------------------------------------
+
+
+def luminance(arr: np.ndarray) -> np.ndarray:
+    """Per-pixel luma as float64. Gray passes through; color uses the
+    integer-exact channel mean so byte-arithmetic oracles can mirror it."""
+    if arr.ndim == 2:
+        return arr.astype(np.float64)
+    return arr[:, :, :3].astype(np.float64).mean(axis=2)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample via index gather — the real thumbnailing
+    primitive (no interpolation libs needed)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """Average hash: 8x8 nearest-neighbor luma thumbnail, 1 bit per cell
+    (above/below thumbnail mean), MSB-first row-major -> uint64. The
+    image twin of simhash: hamming distance ~ perceptual distance."""
+    thumb = resize_nearest(luminance(arr), 8, 8)
+    bits = (thumb > thumb.mean()).astype(np.uint64).ravel()
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """Difference hash: 8x9 luma thumbnail, bit = left<right gradient.
+    More robust than ahash to global brightness shifts."""
+    thumb = resize_nearest(luminance(arr), 8, 9)
+    bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.uint64).ravel()
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
+def image_stats(arr: np.ndarray) -> dict:
+    """Deterministic per-image features over REAL decoded pixels.
+
+    mean_luma is ONE division of exact integers (byte_sum / byte_count)
+    rather than numpy's accumulated float mean: both engines of the
+    oracle gate then produce the bit-identical double, so HALF_UP
+    rounding at 6 dp can't diverge on a boundary (the mm_decode_frames
+    mean_byte precedent)."""
+    h, w = arr.shape[:2]
+    nch = 1 if arr.ndim == 2 else min(arr.shape[2], 3)
+    rgb = arr if arr.ndim == 2 else arr[:, :, :3]
+    byte_sum = int(rgb.astype(np.int64).sum())
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(h * w),
+        "mean_luma": byte_sum / (h * w * nch),
+        "std_luma": float(luminance(arr).std()),
+        "ahash64": ahash64(arr),
+        "dhash64": dhash64(arr),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Audio decode (WAV / RIFF, PCM)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes | None) -> tuple[int, np.ndarray] | None:
+    """REAL WAV decode: RIFF chunk walk -> (sample_rate, float32 samples
+    in [-1, 1], shape (n_samples, n_channels)). PCM 8-bit unsigned and
+    16-bit signed little-endian. None for anything else."""
+    if not payload or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        n = len(data) // (2 * n_ch)
+        samples = np.frombuffer(data, dtype="<i2", count=n * n_ch).astype(np.float32) / 32768.0
+    else:
+        n = len(data) // n_ch
+        samples = (
+            np.frombuffer(data, dtype=np.uint8, count=n * n_ch).astype(np.float32) - 128.0
+        ) / 128.0
+    if n == 0:
+        return None
+    return rate, samples.reshape(n, n_ch)
+
+
+def audio_stats(rate: int, samples: np.ndarray) -> dict:
+    """Waveform features over REAL decoded PCM: duration, RMS energy,
+    peak, zero-crossing rate (mono mixdown)."""
+    mono = samples.mean(axis=1)
+    n = mono.shape[0]
+    zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    return {
+        "sample_rate": int(rate),
+        "n_channels": int(samples.shape[1]),
+        "n_samples": int(n),
+        "duration_s": float(n / rate),
+        "rms": float(np.sqrt(np.mean(mono**2))),
+        "peak": float(np.abs(mono).max()),
+        "zero_cross_rate": float(zc / max(n - 1, 1)),
+    }

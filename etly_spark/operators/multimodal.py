@@ -3,12 +3,19 @@ decoded/feature-extracted via Arrow-batched pandas (mapInPandas).
 
 The reference moves opaque bytes (gzipped ndjson blobs) without looking
 inside them (transfer_object_service.go:89-109); here the binary column
-is a first-class value with a decode stage. Image/audio libs are not in
-this container, so the *codec* step is stubbed: `decode_real` raises
-NotImplementedError unless PIL is importable, and the default pipeline
-uses `decode_fake` — a deterministic byte-level featurizer — so the
-Spark-side plumbing (schema, Arrow batch shape, partition-parallel
-mapInPandas, no shuffle) is real and oracle-checkable end-to-end.
+is a first-class value with a decode stage. Decode comes in three tiers:
+
+- REAL header parse (`parse_image_header`): BMP/PNG/GIF/PPM dims from
+  actual bytes, no codec library.
+- REAL pixel/audio decode (`decode_pixel_features` /
+  `decode_audio_features` over `operators.codecs`): BMP, PPM/PGM, PNG
+  (stdlib zlib) pixels and WAV PCM samples, pure numpy — luminance
+  stats, perceptual hashes (ahash/dhash), waveform features.
+- Entropy-coded formats (JPEG/WebP/video): gated on PIL
+  (`decode_real`), absent in this container; `_decode_batch` is the
+  deterministic byte-level featurizer stand-in so the full-pipeline
+  plumbing (schema, Arrow batch shape, partition-parallel mapInPandas,
+  no shuffle) stays oracle-checkable end-to-end.
 
 Scale: mapInPandas streams Arrow batches per input partition — no
 shuffle, no driver collection; at 100 TB the decode stage is a pure
@@ -75,11 +82,16 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_real(payload: bytes) -> dict:
     """Full pixel decode — requires PIL, absent here by design. Header
     metadata (format/dimensions) does NOT need PIL: `parse_image_header`
-    below reads real bytes for BMP/PPM/PNG/GIF."""
+    below reads real bytes for BMP/PPM/PNG/GIF. Full PIXEL decode does
+    not need PIL either for byte-layout formats: `operators.codecs.
+    decode_image_pixels` really decodes BMP/PPM/PGM/PNG (stdlib zlib),
+    and `operators.codecs.decode_wav` really decodes RIFF/PCM audio —
+    only entropy-coded formats (JPEG/WebP/video) remain gated here."""
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image codec not available in this container; use decode_fake "
-            "for features or parse_image_header for real header metadata"
+            "entropy-coded image formats (JPEG/WebP) need a codec library "
+            "absent in this container; BMP/PPM/PGM/PNG pixels decode for "
+            "real via operators.codecs.decode_image_pixels"
         )
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 
@@ -226,3 +238,231 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield _decode_batch(pdf)
 
     return df.select("doc_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/audio decode operators (pure numpy + stdlib codecs)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_ppm_payload(df: DataFrame, w: int = 16, h: int = 16, text_col: str = "text") -> DataFrame:
+    """Build a REAL image payload column from text bytes: a valid binary
+    PPM (P6) whose raster is the text space-padded/truncated to w*h*3
+    bytes. The result decodes with any conformant Netpbm reader — and
+    because the raster is pure byte arithmetic over the text, a SQL
+    oracle can mirror every decoded statistic without a codec.
+    """
+    n = w * h * 3
+    header = f"P6\n{w} {h}\n255\n"
+    return df.withColumn(
+        "payload",
+        F.concat(
+            F.lit(header.encode()),
+            F.rpad(F.col(text_col), n, " ").cast("binary"),
+        ),
+    )
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_md5", StringType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("std_luma", DoubleType()),
+        StructField("ahash64", LongType()),
+        StructField("dhash64", LongType()),
+    ]
+)
+
+
+def decode_pixel_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel decode: (doc_id, payload) → per-image
+    features over actual decoded pixels (BMP/PPM/PGM/PNG — see
+    `operators.codecs`). `pixel_md5` digests the decoded raster bytes,
+    so a mismatch anywhere in the codec fails the oracle gate, not just
+    the summary stats. ahash64/dhash64 are perceptual hashes (the image
+    twin of simhash) used by the image near-dup operator.
+
+    Unrecognized/corrupt payloads yield null features — bad media is
+    data at 100 TB. Pure map: no shuffle, pruned input, one Arrow batch
+    resident per thread.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from etly_spark.operators import codecs
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in PIXEL_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                arr = codecs.decode_image_pixels(payload)
+                if arr is None:
+                    hdr = parse_image_header(payload)
+                    out["format"].append(hdr[0] if hdr else None)
+                    for k in (
+                        "width",
+                        "height",
+                        "n_pixels",
+                        "pixel_md5",
+                        "mean_luma",
+                        "std_luma",
+                        "ahash64",
+                        "dhash64",
+                    ):
+                        out[k].append(None)
+                    continue
+                hdr = parse_image_header(payload)
+                st = codecs.image_stats(arr)
+                out["format"].append(hdr[0] if hdr else "raw")
+                out["width"].append(st["width"])
+                out["height"].append(st["height"])
+                out["n_pixels"].append(st["n_pixels"])
+                out["pixel_md5"].append(hashlib.md5(arr.tobytes()).hexdigest())
+                out["mean_luma"].append(st["mean_luma"])
+                out["std_luma"].append(st["std_luma"])
+                # perceptual hashes live in [0, 2^64); store as the
+                # sign-wrapped int64 twin (bit pattern preserved)
+                out["ahash64"].append(st["ahash64"] - (1 << 64) if st["ahash64"] >= (1 << 63) else st["ahash64"])
+                out["dhash64"].append(st["dhash64"] - (1 << 64) if st["dhash64"] >= (1 << 63) else st["dhash64"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "format": out["format"],
+                    "width": pd.array(out["width"], dtype="Int64"),
+                    "height": pd.array(out["height"], dtype="Int64"),
+                    "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                    "pixel_md5": out["pixel_md5"],
+                    "mean_luma": pd.array(out["mean_luma"], dtype="float64"),
+                    "std_luma": pd.array(out["std_luma"], dtype="float64"),
+                    "ahash64": pd.array(out["ahash64"], dtype="Int64"),
+                    "dhash64": pd.array(out["dhash64"], dtype="Int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, PIXEL_SCHEMA)
+
+
+def image_near_dup(
+    feat: DataFrame, max_hamming: int = 6, bucket_cap: int = 64
+) -> DataFrame:
+    """Perceptual image near-dup over decoded pixels: band-blocked
+    ahash64 self-join + hamming verify — the image modality of the
+    text near-dup family (same plan shape as dedup_simhash, same
+    hot-bucket cap contract).
+
+    ``feat`` is `decode_pixel_features` output (doc_id, ahash64).
+    4x16-bit bands of the 64-bit average hash: two images within
+    hamming 6 of each other collide on at least one band (pigeonhole:
+    6 bit flips cannot touch all 4 bands... they can touch at most 6;
+    with 4 bands a pair at hamming <= 3 is guaranteed a clean band,
+    and empirically near-dup thumbnails differ in clustered bits, so
+    recall at hamming 6 stays high while the join stays band-local).
+    Buckets larger than ``bucket_cap`` are flat-color boilerplate
+    (e.g. all-black frames), not duplication signal — dropped, same
+    rationale as the MinHash/embedding caps. Returns (doc_a, doc_b,
+    hamming) with doc_a < doc_b.
+
+    Scale: the only shuffle is the band-key self-join, skew-bounded by
+    the cap; hamming is codegen'd bit_count(xor) — no Python.
+    """
+    from pyspark.sql import Window
+
+    h = feat.select("doc_id", F.col("ahash64").alias("h")).where(F.col("h").isNotNull())
+    bands = h.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftrightunsigned(F.col("h"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "h", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
+    ).filter(F.col("bucket_n") <= bucket_cap)
+    a, bb = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: (doc_id, payload) → waveform
+    features over actual decoded PCM (WAV 8/16-bit via
+    `operators.codecs.decode_wav`). Null row for non-WAV payloads.
+    Same plumbing contract as `decode_pixel_features`.
+    """
+    import pandas as pd
+
+    from etly_spark.operators import codecs
+
+    cols = [f.name for f in AUDIO_SCHEMA.fields]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                dec = codecs.decode_wav(payload)
+                if dec is None:
+                    for k in cols[1:]:
+                        out[k].append(None)
+                    continue
+                st = codecs.audio_stats(*dec)
+                for k in cols[1:]:
+                    out[k].append(st[k])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int64"),
+                    "n_channels": pd.array(out["n_channels"], dtype="Int64"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "duration_s": pd.array(out["duration_s"], dtype="float64"),
+                    "rms": pd.array(out["rms"], dtype="float64"),
+                    "peak": pd.array(out["peak"], dtype="float64"),
+                    "zero_cross_rate": pd.array(out["zero_cross_rate"], dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)

@@ -14,29 +14,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etly_spark.io.tables import load_table
-from etly_spark.operators.multimodal import attach_binary_payload, decode_features
+from etly_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    decode_pixel_features,
+    synthesize_ppm_payload,
+)
 from etly_spark.queries.catalog import query
 
 
 @query(
     "mm_binary_metadata",
     oracle="""
-    SELECT doc_id,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
-           md5(text) AS payload_md5,
-           upper(hex(substr(text, 1, 8))) AS header_hex,
-           16 + doc_id % 32 AS height,
-           16 + octet_length(CAST(text AS BLOB)) % 64 AS width,
-           1 + doc_id % 8 AS n_frames
-    FROM documents
-    ORDER BY doc_id
+    WITH meta AS (
+      SELECT 'meta' AS variant, doc_id,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             md5(text) AS payload_md5,
+             upper(hex(substr(text, 1, 8))) AS header_hex,
+             16 + doc_id % 32 AS height,
+             16 + octet_length(CAST(text AS BLOB)) % 64 AS width,
+             1 + doc_id % 8 AS n_frames,
+             CAST(NULL AS DOUBLE) AS mean_luma
+      FROM documents
+    ), raster AS (
+      -- the pixels the REAL Netpbm decoder must recover: text
+      -- space-padded/truncated to a 16x16x3 raster (ASCII corpus,
+      -- so chars == bytes — same contract as mm_decode_frames)
+      SELECT doc_id, rpad(text, 768, ' ') AS px FROM documents
+    ), pixels AS (
+      SELECT 'pixels' AS variant, doc_id,
+             768 AS n_bytes,
+             md5(px) AS payload_md5,
+             CAST(NULL AS VARCHAR) AS header_hex,
+             16 AS height,
+             16 AS width,
+             CAST(NULL AS BIGINT) AS n_frames,
+             round(CAST(list_sum(list_transform(generate_series(1, 768),
+                    i -> ascii(substr(px, i, 1)))) AS DOUBLE) / 768, 6) AS mean_luma
+      FROM raster
+    )
+    SELECT * FROM meta
+    UNION ALL BY NAME
+    SELECT * FROM pixels
+    ORDER BY variant, doc_id
     """,
-    doc="Binary payload + typed metadata: length, checksum, header bytes, "
-    "declared dimensions. Scan-project over an opaque blob column.",
+    doc="Tagged union: 'meta' = binary payload + typed metadata (length, "
+    "checksum, header bytes, declared dims — scan-project over an opaque "
+    "blob column); 'pixels' = REAL image decode: each doc's text is "
+    "packed into a valid binary PPM (P6) container, decoded back to "
+    "pixels by the pure-numpy Netpbm codec (operators/codecs.py — no "
+    "codec library), and checked value-for-value against byte "
+    "arithmetic: payload_md5 digests the DECODED raster, width/height "
+    "come from the REAL header parse, mean_luma from the decoded "
+    "array. A codec bug anywhere (tokenizer, offset, reshape) fails "
+    "the hash gate. Perceptual-hash columns (ahash/dhash) and the "
+    "BMP/PNG/WAV codecs are pytest-covered (tests/test_codecs.py).",
 )
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return d.select(
+    docs = load_table(spark, sf_dir, "documents")
+    d = attach_binary_payload(docs)
+    meta = d.select(
+        F.lit("meta").alias("variant"),
         "doc_id",
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
@@ -44,7 +82,21 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.n_frames").alias("n_frames"),
-    ).orderBy("doc_id")
+        F.lit(None).cast("double").alias("mean_luma"),
+    )
+    px = decode_pixel_features(synthesize_ppm_payload(docs, w=16, h=16))
+    pixels = px.select(
+        F.lit("pixels").alias("variant"),
+        "doc_id",
+        (F.col("n_pixels") * 3).alias("n_bytes"),
+        F.col("pixel_md5").alias("payload_md5"),
+        F.lit(None).cast("string").alias("header_hex"),
+        F.col("height"),
+        F.col("width"),
+        F.lit(None).cast("long").alias("n_frames"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+    return meta.unionByName(pixels).orderBy("variant", "doc_id")
 
 
 @query(

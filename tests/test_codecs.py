@@ -1,0 +1,287 @@
+"""Real-codec round-trips: hand-encoded BMP/PPM/PGM/PNG/WAV fixtures
+decoded by `operators.codecs` against ground-truth numpy arrays, then
+the Spark-side operators (decode_pixel_features / decode_audio_features
+/ image_near_dup) end-to-end."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from etly_spark.operators import codecs as C
+from etly_spark.operators import multimodal as MM
+
+RNG = np.random.default_rng(7)
+
+
+# ---------------------------------------------------------------------------
+# encoders (test-side ground truth)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray, top_down: bool = False, bpp: int = 24) -> bytes:
+    h, w = arr.shape[:2]
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    rows = arr[:, :, ::-1]  # RGB -> BGR
+    if nch == 4:
+        rows = np.concatenate([arr[:, :, 2::-1], arr[:, :, 3:4]], axis=2)
+    if not top_down:
+        rows = rows[::-1]
+    body = bytearray()
+    for y in range(h):
+        line = rows[y].tobytes()
+        body += line + b"\x00" * (row_bytes - len(line))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return header + info + bytes(body)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    return magic + f"\n# c\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Real PNG encoder with selectable per-row filter types — the exact
+    inverse of the decoder's unfilter, so every filter path is proven."""
+    if arr.ndim == 2:
+        color_type, nch = 0, 1
+        arr3 = arr[:, :, None]
+    elif arr.shape[2] == 3:
+        color_type, nch = 2, 3
+        arr3 = arr
+    else:
+        color_type, nch = 6, 4
+        arr3 = arr
+    h, w = arr.shape[:2]
+    stride = w * nch
+    flat = arr3.reshape(h, stride).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y]
+        left = np.concatenate([np.zeros(nch, dtype=np.int32), cur[:-nch]])
+        upleft = np.concatenate([np.zeros(nch, dtype=np.int32), prev[:-nch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        raw += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    n, nch = samples.shape
+    if bits == 16:
+        data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        data = (np.clip(samples, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * bits // 8, nch * bits // 8, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def rand_img(h: int, w: int, nch: int = 3) -> np.ndarray:
+    shape = (h, w, nch) if nch > 1 else (h, w)
+    return RNG.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# pure-codec round trips
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_exact():
+    img = rand_img(13, 17)  # width*3 not divisible by 4 -> real padding path
+    assert np.array_equal(C.decode_image_pixels(encode_bmp(img)), img)
+    assert np.array_equal(C.decode_image_pixels(encode_bmp(img, top_down=True)), img)
+
+
+def test_bmp_32bit_roundtrip():
+    img = rand_img(5, 7, 4)
+    dec = C.decode_image_pixels(encode_bmp(img, bpp=32))
+    # decoder returns RGBA slice reversed from BGRA -> first 3 = RGB
+    assert dec.shape == (5, 7, 4)
+    assert np.array_equal(dec[:, :, :3], img[:, :, :3])
+
+
+def test_netpbm_roundtrip_exact():
+    rgb, gray = rand_img(9, 11), rand_img(6, 4, 1)
+    assert np.array_equal(C.decode_image_pixels(encode_ppm(rgb)), rgb)
+    assert np.array_equal(C.decode_image_pixels(encode_ppm(gray)), gray)
+
+
+@pytest.mark.parametrize("nch", [1, 3, 4])
+def test_png_all_filters_roundtrip_exact(nch):
+    img = rand_img(10, 8, nch)
+    # one row per filter type, cycling — proves every unfilter branch
+    filters = [y % 5 for y in range(10)]
+    assert np.array_equal(C.decode_image_pixels(encode_png(img, filters)), img)
+
+
+def test_decode_rejects_garbage():
+    assert C.decode_image_pixels(b"not an image") is None
+    assert C.decode_image_pixels(b"") is None
+    assert C.decode_image_pixels(None) is None
+    # truncated BMP: header promises more pixels than present
+    assert C.decode_image_pixels(encode_bmp(rand_img(8, 8))[:-40]) is None
+    # PNG with corrupt zlib stream
+    png = bytearray(encode_png(rand_img(4, 4)))
+    png[60] ^= 0xFF
+    assert C.decode_image_pixels(bytes(png)) is None
+
+
+def test_wav_roundtrip_and_stats():
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples = np.stack([sine, sine], axis=1)
+    dec = C.decode_wav(encode_wav(samples, rate))
+    assert dec is not None
+    got_rate, got = dec
+    st = C.audio_stats(got_rate, got)
+    assert st["sample_rate"] == rate and st["n_channels"] == 2
+    assert abs(st["duration_s"] - 1.0) < 1e-9
+    assert abs(st["rms"] - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt(2)
+    assert abs(st["zero_cross_rate"] - 2 * 440 / rate) < 0.01
+    assert C.decode_wav(b"RIFFxxxxWAVE") is None
+    assert C.decode_wav(b"not audio") is None
+    # 8-bit path
+    dec8 = C.decode_wav(encode_wav(samples, rate, bits=8))
+    assert dec8 is not None and abs(C.audio_stats(*dec8)["rms"] - 0.5 / np.sqrt(2)) < 0.01
+
+
+def test_perceptual_hash_properties():
+    base = rand_img(64, 64)
+    # identical -> identical hashes
+    assert C.ahash64(base) == C.ahash64(base.copy())
+    # light noise -> small hamming; inversion -> huge hamming
+    noisy = np.clip(base.astype(np.int16) + RNG.integers(-8, 9, base.shape), 0, 255).astype(
+        np.uint8
+    )
+    inv = (255 - base).astype(np.uint8)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(C.ahash64(base), C.ahash64(noisy)) <= 6
+    assert ham(C.ahash64(base), C.ahash64(inv)) >= 40
+    assert ham(C.dhash64(base), C.dhash64(noisy)) <= 10
+    assert 0 <= C.ahash64(base) < (1 << 64)
+
+
+def test_resize_nearest_geometry():
+    img = rand_img(32, 48)
+    small = C.resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+    # exact gather: output pixel (0,0) is input pixel (0,0)
+    assert np.array_equal(small[0, 0], img[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Spark operators over the real codecs
+# ---------------------------------------------------------------------------
+
+
+def test_decode_pixel_features_spark(spark):
+    img = rand_img(12, 12)
+    rows = [
+        (0, bytearray(encode_bmp(img))),
+        (1, bytearray(encode_ppm(img))),
+        (2, bytearray(encode_png(img, [y % 5 for y in range(12)]))),
+        (3, bytearray(b"garbage bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.decode_pixel_features(df).collect()}
+    lum = C.luminance(img)
+    for did, fmt in [(0, "bmp"), (1, "ppm"), (2, "png")]:
+        r = out[did]
+        assert r.format == fmt and r.width == 12 and r.height == 12 and r.n_pixels == 144
+        assert r.pixel_md5 == hashlib.md5(img.tobytes()).hexdigest()
+        assert abs(r.mean_luma - lum.mean()) < 1e-9
+        assert abs(r.std_luma - lum.std()) < 1e-9
+    # all three containers decode to the SAME pixels -> same perceptual hash
+    assert out[0].ahash64 == out[1].ahash64 == out[2].ahash64
+    bad = out[3]
+    assert bad.format is None and bad.pixel_md5 is None and bad.ahash64 is None
+
+
+def test_decode_audio_features_spark(spark):
+    rate = 4000
+    t = np.arange(rate // 2) / rate
+    wav = encode_wav(np.stack([0.25 * np.sin(2 * np.pi * 100 * t)], axis=1), rate)
+    df = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(b"nope"))], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in MM.decode_audio_features(df).collect()}
+    assert out[0].sample_rate == rate and out[0].n_channels == 1
+    assert abs(out[0].duration_s - 0.5) < 1e-9
+    assert abs(out[0].rms - 0.25 / np.sqrt(2)) < 1e-2
+    assert out[1].sample_rate is None and out[1].rms is None
+
+
+def test_image_near_dup_spark(spark):
+    base1, base2 = rand_img(32, 32), rand_img(32, 32)
+    jitter = lambda im: np.clip(
+        im.astype(np.int16) + RNG.integers(-4, 5, im.shape), 0, 255
+    ).astype(np.uint8)
+    rows = [
+        (0, bytearray(encode_bmp(base1))),
+        (1, bytearray(encode_bmp(jitter(base1)))),  # near-dup of 0
+        (2, bytearray(encode_png(base2))),
+        (3, bytearray(encode_ppm(jitter(base2)))),  # near-dup of 2, across formats
+        (4, bytearray(encode_bmp(rand_img(32, 32)))),  # unrelated
+        (5, bytearray(b"corrupt")),  # null hash must not join
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = MM.decode_pixel_features(df)
+    pairs = {(r.doc_a, r.doc_b) for r in MM.image_near_dup(feats, max_hamming=8).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_synthesized_ppm_oracle_arithmetic(spark):
+    """The catalog path: payload synthesized from text decodes with the
+    REAL codec, and every stat equals plain byte arithmetic over the
+    space-padded text — the property the DuckDB oracle mirrors."""
+    texts = [(0, "hello pixel world"), (1, "x" * 2000), (2, "")]
+    df = MM.synthesize_ppm_payload(
+        spark.createDataFrame(texts, "doc_id long, text string"), w=16, h=16
+    )
+    out = {r.doc_id: r for r in MM.decode_pixel_features(df).collect()}
+    for did, text in texts:
+        raster = text.encode()[:768].ljust(768, b" ")
+        arr = np.frombuffer(raster, dtype=np.uint8).reshape(16, 16, 3)
+        r = out[did]
+        assert r.format == "ppm" and r.width == 16 and r.height == 16
+        assert r.pixel_md5 == hashlib.md5(raster).hexdigest()
+        assert abs(r.mean_luma - C.luminance(arr).mean()) < 1e-9
