@@ -313,6 +313,31 @@ SELECT 'curate', lang, split,
        CAST(SUM(n_toks) AS BIGINT),
        CAST(SUM(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE)
 FROM curated GROUP BY lang, split
+UNION ALL
+SELECT 'decontam', lang, grp, n_docs, measure, score FROM (
+  WITH ngx AS (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 3),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))) AS ng
+    FROM tok WHERE len(toks) >= 4
+  ), eng AS (
+    SELECT DISTINCT ng FROM ngx WHERE doc_id % 41 = 0
+  ), th AS (
+    SELECT n.doc_id, count(DISTINCT n.ng) AS n_hits
+    FROM ngx n JOIN eng USING (ng)
+    WHERE n.doc_id % 41 <> 0
+    GROUP BY 1
+  ), flag AS (
+    SELECT d.lang, coalesce(th.n_hits, 0) AS n_hits
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 41 <> 0) d
+    LEFT JOIN th USING (doc_id)
+  )
+  SELECT lang,
+         CASE WHEN n_hits > 0 THEN 'contaminated' ELSE 'clean' END AS grp,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_hits) AS BIGINT) AS measure,
+         round(CAST(SUM(n_hits) AS DOUBLE) / COUNT(*), 6) AS score
+  FROM flag GROUP BY 1, 2
+)
 ORDER BY variant, lang, grp
 """
 
@@ -357,7 +382,12 @@ def _sample_bucket():
 @query(
     "text_curation_split",
     oracle=_CURATION_SQL,
-    doc="Corpus curation family, three variants in one checked row. "
+    doc="Corpus curation family, four variants in one checked row. "
+    "decontam — benchmark decontamination: whitespace 4-gram overlap "
+    "between training docs and a deterministic held-out eval subset "
+    "(doc_id % 41); the eval n-gram set broadcasts, so the check is a "
+    "map-side probe at any corpus size. Per (lang, clean/contaminated): "
+    "doc count, total shared-distinct-ngram hits, hits per doc. "
     "split — deterministic stratified train/val/test assignment "
     "(hash-mod bucket on doc_id, NOT seeded sample(): reproducible "
     "across engines, runs, and cluster sizes; re-running on grown data "
@@ -434,8 +464,51 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("curate").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
     )
 
+    # decontam — benchmark-contamination hygiene: docs with doc_id % 41
+    # == 0 stand in for the held-out eval set; a training doc is
+    # contaminated if it shares any whitespace 4-gram with it. Plan:
+    # the eval n-gram set is tiny relative to the corpus at any SF, so
+    # it BROADCASTS into the train-side n-gram stream — contamination
+    # checking at 100 TB is one map-side hash probe per n-gram, no
+    # corpus-vs-corpus shuffle (the GPT-3/Llama 13-gram overlap rule,
+    # shortened to 4 for this corpus's doc lengths).
+    ngrams = F.expr(
+        "transform(sequence(1, size(toks) - 3), i -> concat_ws(' ', slice(toks, i, 4)))"
+    )
+    ng = (
+        d.select("doc_id", T.tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 4)
+        .select("doc_id", F.explode(ngrams).alias("ng"))
+    )
+    eval_ng = ng.filter(F.col("doc_id") % 41 == 0).select("ng").distinct()
+    hits = (
+        ng.filter(F.col("doc_id") % 41 != 0)
+        .join(F.broadcast(eval_ng), "ng")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_hits"))
+    )
+    decon_rows = (
+        d.filter(F.col("doc_id") % 41 != 0)
+        .select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .groupBy(
+            "lang",
+            F.when(F.col("n_hits") > 0, F.lit("contaminated"))
+            .otherwise(F.lit("clean"))
+            .alias("grp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_hits").alias("measure"),
+            F.round(F.sum("n_hits") / F.count(F.lit(1)), 6).alias("score"),
+        )
+        .select(F.lit("decontam").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+    )
+
     return (
         split_rows.unionByName(sample_rows)
         .unionByName(curate_rows)
+        .unionByName(decon_rows)
         .orderBy("variant", "lang", "grp")
     )
