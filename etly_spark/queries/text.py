@@ -108,25 +108,69 @@ _SQL_STOP = _sql_marker_hits(T.STOPWORDS)
                          ELSE 0.0 END) AS stop_c
       FROM tok
     )
-    SELECT doc_id,
+    , tmodal AS (
+      SELECT doc_id, max(cnt) AS m FROM (
+        SELECT doc_id, t, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2
+      ) GROUP BY 1
+    ), bmodal AS (
+      SELECT doc_id, max(cnt) AS m FROM (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+              FROM tok WHERE len(toks) >= 2) GROUP BY 1, 2
+      ) GROUP BY 1
+    ), rep AS (
+      SELECT tok.doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN tmodal.m / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS top_token_frac,
+             CASE WHEN len(toks) > 1
+                  THEN bmodal.m / CAST(len(toks) - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac
+      FROM tok
+      LEFT JOIN tmodal ON tok.doc_id = tmodal.doc_id
+      LEFT JOIN bmodal ON tok.doc_id = bmodal.doc_id
+    )
+    SELECT c.doc_id,
            round(length_c * 0.3 + diversity * 0.4 + stop_c * 0.3, 6) AS quality,
            CASE WHEN length_c * 0.3 + diversity * 0.4 + stop_c * 0.3 >= 0.75 THEN 'high'
                 WHEN length_c * 0.3 + diversity * 0.4 + stop_c * 0.3 >= 0.55 THEN 'medium'
-                ELSE 'low' END AS bucket
-    FROM c
-    ORDER BY doc_id
+                ELSE 'low' END AS bucket,
+           round(top_token_frac, 6) AS top_token_frac,
+           round(top_bigram_frac, 6) AS top_bigram_frac,
+           top_token_frac > 0.2 OR top_bigram_frac > 0.18 AS repetitive
+    FROM c JOIN rep ON c.doc_id = rep.doc_id
+    ORDER BY c.doc_id
     """,
     doc="Quality scoring: length + lexical-diversity + stopword-density "
-    "composite, bucketed for filtering a training corpus.",
+    "composite, bucketed for filtering a training corpus; plus "
+    "Gopher-style repetition signals (modal-token fraction, modal-bigram "
+    "fraction, and a repetitive flag at the 0.2/0.18 thresholds). "
+    "Repetition is computed INSIDE the row — sort + one fold tracking "
+    "the longest equal-run (functions.text.modal_count), O(n log n) per "
+    "doc, zero shuffle — instead of explode + groupBy, which would "
+    "shuffle the whole token stream at 100 TB to answer a per-document "
+    "question. (The oracle, which has no such constraint, uses plain "
+    "unnest + GROUP BY.)",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
+    # materialize the token array as a CHILD projection column: lambda
+    # bodies then bind a cheap attribute, not the split+filter tree —
+    # inlined, element_at(tokens_expr, i) re-tokenizes per element,
+    # O(n^2) regex work per doc (measured 25x slower at sf0.1).
+    # CollapseProject keeps the step: the array is non-cheap and
+    # multi-referenced.
+    d = d.select("doc_id", T.tokens("text").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     length_c = F.least(n / F.lit(100.0), F.lit(1.0))
     diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
     stop_c = F.lit(1.0) - T.stopword_ratio(toks)
     raw = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
+    # modal-token / modal-bigram fractions, shuffle-free (see doc)
+    top_tok = F.when(n > 0, T.modal_count(toks) / n).otherwise(F.lit(0.0))
+    top_bg = F.when(n > 1, T.modal_count(T.bigrams(toks)) / (n - 1)).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
         F.round(raw, 6).alias("quality"),
@@ -134,6 +178,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(raw >= 0.55, F.lit("medium"))
         .otherwise(F.lit("low"))
         .alias("bucket"),
+        F.round(top_tok, 6).alias("top_token_frac"),
+        F.round(top_bg, 6).alias("top_bigram_frac"),
+        ((top_tok > 0.2) | (top_bg > 0.18)).alias("repetitive"),
     ).orderBy("doc_id")
 
 

@@ -56,6 +56,23 @@ def test_tokens_and_quality(spark):
     assert rows[1].n == 0 and rows[1].lang == "und"
 
 
+def test_modal_count_and_bigrams(spark):
+    df = spark.createDataFrame(
+        [("a b a c a b",), ("solo",), ("",), ("x x x x",)], "text string"
+    )
+    rows = df.select(
+        T.modal_count(T.tokens("text")).alias("m"),
+        T.modal_count(T.bigrams(T.tokens("text"))).alias("mb"),
+        T.bigrams(T.tokens("text")).alias("bg"),
+    ).collect()
+    assert rows[0].m == 3  # 'a' x3
+    assert rows[0].mb == 2  # 'a b' x2
+    assert rows[0].bg == ["a b", "b a", "a c", "c a", "a b"]
+    assert rows[1].m == 1 and rows[1].mb == 0 and rows[1].bg == []
+    assert rows[2].m == 0 and rows[2].bg == []
+    assert rows[3].m == 4 and rows[3].mb == 3  # 'x x' x3
+
+
 def test_decode_real_raises_without_codec():
     if MM.HAVE_PIL:
         pytest.skip("PIL unexpectedly present")
