@@ -385,6 +385,44 @@ SELECT 'decontam', lang, grp, n_docs, measure, score FROM (
          round(CAST(SUM(n_hits) AS DOUBLE) / COUNT(*), 6) AS score
   FROM flag GROUP BY 1, 2
 )
+UNION ALL
+SELECT 'pack', lang, 'b2048', n_docs, measure, score FROM (
+  WITH bpe AS (
+    SELECT doc_id, lang,
+           CAST(list_sum(list_transform({_SQL_TOKS}, t -> (length(t)+3)//4)) AS BIGINT) AS n_bpe
+    FROM documents
+  ), w AS (
+    SELECT lang, n_bpe,
+           SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM bpe
+  )
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(MAX((cum + 2047) // 2048) AS BIGINT) AS measure,
+         round(CAST(MAX(cum) AS DOUBLE) / (CAST(MAX((cum + 2047) // 2048) AS BIGINT) * 2048), 6) AS score
+  FROM w GROUP BY lang
+)
+UNION ALL
+SELECT 'pack', lang, 'straddle', n_docs, measure, score FROM (
+  WITH bpe AS (
+    SELECT doc_id, lang,
+           CAST(list_sum(list_transform({_SQL_TOKS}, t -> (length(t)+3)//4)) AS BIGINT) AS n_bpe
+    FROM documents
+  ), w AS (
+    SELECT lang, n_bpe,
+           SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM bpe
+  )
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN n_bpe > 0 AND (cum - n_bpe) // 2048 < (cum - 1) // 2048
+                       THEN 1 ELSE 0 END) AS BIGINT) AS measure,
+         round(CAST(SUM(CASE WHEN n_bpe > 0 AND (cum - n_bpe) // 2048 < (cum - 1) // 2048
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS score
+  FROM w GROUP BY lang
+)
 ORDER BY variant, lang, grp
 """
 
@@ -429,7 +467,11 @@ def _sample_bucket():
 @query(
     "text_curation_split",
     oracle=_CURATION_SQL,
-    doc="Corpus curation family, four variants in one checked row. "
+    doc="Corpus curation family, five variants in one checked row. "
+    "pack — sequence packing for training: per-lang concat-and-split "
+    "into 2048-BPE-token sequences via one windowed cumsum; reports "
+    "sequences produced, packing efficiency, and boundary-straddling "
+    "docs ('b2048' / 'straddle' rows). "
     "decontam — benchmark decontamination: whitespace 4-gram overlap "
     "between training docs and a deterministic held-out eval subset "
     "(doc_id % 41); the eval n-gram set broadcasts, so the check is a "
@@ -553,9 +595,53 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("decontam").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
     )
 
+    # pack — sequence packing for training: docs are concatenated in
+    # doc_id order per lang and split into fixed 2048-BPE-token
+    # sequences (the standard pretraining concat-and-split). Reports
+    # per lang: sequences produced + packing efficiency ('b2048' row)
+    # and how many docs straddle a sequence boundary ('straddle' row).
+    # One windowed cumsum per lang partition — a single shuffle on the
+    # lang key; at 100 TB the order-by-doc_id window runs inside each
+    # lang partition with no global sort.
+    wspec = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wdf = (
+        d.select("doc_id", "lang", T.bpe_token_count("text").alias("n_bpe"))
+        .withColumn("cum", F.sum("n_bpe").over(wspec))
+    )
+    nseq = F.floor((F.col("cum") + 2047) / 2048)
+    straddle = (F.col("n_bpe") > 0) & (
+        F.floor((F.col("cum") - F.col("n_bpe")) / 2048) < F.floor((F.col("cum") - 1) / 2048)
+    )
+    pack_rows = (
+        wdf.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(nseq).alias("measure"),
+            F.round(F.max("cum") / (F.max(nseq) * F.lit(2048)), 6).alias("score"),
+        )
+        .select(F.lit("pack").alias("variant"), "lang", F.lit("b2048").alias("grp"),
+                "n_docs", "measure", "score")
+    )
+    straddle_rows = (
+        wdf.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(straddle.cast("long")).alias("measure"),
+            F.round(F.sum(straddle.cast("long")) / F.count(F.lit(1)), 6).alias("score"),
+        )
+        .select(F.lit("pack").alias("variant"), "lang", F.lit("straddle").alias("grp"),
+                "n_docs", "measure", "score")
+    )
+
     return (
         split_rows.unionByName(sample_rows)
         .unionByName(curate_rows)
         .unionByName(decon_rows)
+        .unionByName(pack_rows)
+        .unionByName(straddle_rows)
         .orderBy("variant", "lang", "grp")
     )
