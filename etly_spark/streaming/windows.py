@@ -80,6 +80,46 @@ def session_agg(
     return d.groupBy(F.session_window(ts_col, gap).alias("win"), *keys).agg(*aggs)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    horizon: str,
+    left_watermark: str | None = None,
+    right_watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: right rows within
+    ``[left_ts, left_ts + horizon]`` of a matching-key left row (the
+    impression→click attribution shape). On streams BOTH sides carry
+    watermarks and the join condition carries the time bound — exactly
+    what Spark requires to expire join state, so the state store holds
+    only `horizon + watermark` worth of rows at any corpus rate;
+    without the bound a stream-stream join buffers forever. Outer
+    variants emit unmatched rows once the watermark passes the bound.
+    Works identically on batch frames (watermarks no-op) — the batch
+    twin is oracle-checked as q13's range join; this operator is the
+    streaming-native form.
+    """
+    lt, rt = f"l_{left_ts}", f"r_{right_ts}"
+    lw = _watermarked(left, left_ts, left_watermark).withColumnRenamed(left_ts, lt)
+    rw = _watermarked(right, right_ts, right_watermark)
+    # prefix every right column so the joined schema is unambiguous
+    rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns])
+    rt = f"r_{right_ts}"
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+    cond = (
+        cond
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def streaming_dedupe(
     df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str | None = None
 ) -> DataFrame:

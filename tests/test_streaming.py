@@ -262,6 +262,67 @@ def test_session_window(spark, tmp_path):
     assert ns == [1, 2]
 
 
+def _two_streams(spark, tmp_path, imps, clicks):
+    import os
+
+    base = time.time() - 3600
+    schema = "user STRING, ts TIMESTAMP, v LONG"
+    out = []
+    for sub, rows in (("imps", imps), ("clicks", clicks)):
+        src = tmp_path / sub
+        src.mkdir()
+        p = src / "b0.json"
+        p.write_text(
+            "".join(json.dumps({"user": u, "ts": ts, "v": v}) + "\n" for (u, ts, v) in rows)
+        )
+        os.utime(p, (base, base))
+        out.append(spark.readStream.schema(schema).json(str(src)))
+    return out
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from etly_spark.streaming import interval_join
+
+    imps = [
+        ("u1", "2024-01-01 00:00:00", 1),
+        ("u2", "2024-01-01 00:00:00", 2),
+        ("u3", "2024-01-01 00:30:00", 3),
+    ]
+    clicks = [
+        ("u1", "2024-01-01 00:10:00", 101),  # within 30 min -> match
+        ("u2", "2024-01-01 00:50:00", 102),  # outside horizon -> no match
+        ("u3", "2024-01-01 00:29:00", 103),  # before the impression -> no match
+    ]
+    left, right = _two_streams(spark, tmp_path, imps, clicks)
+    joined = interval_join(
+        left,
+        right,
+        keys=["user"],
+        left_ts="ts",
+        right_ts="ts",
+        horizon="30 minutes",
+        left_watermark="10 minutes",
+        right_watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = {(r.user, r.r_v) for r in spark.sql("SELECT user, r_v FROM ssj_t").collect()}
+    assert rows == {("u1", 101)}
+
+    # batch twin: same operator, same answer, watermarks no-op
+    schema = "user STRING, ts TIMESTAMP, v LONG"
+    lb = spark.createDataFrame([(u, __import__("datetime").datetime.fromisoformat(t), v) for u, t, v in imps], schema)
+    rb = spark.createDataFrame([(u, __import__("datetime").datetime.fromisoformat(t), v) for u, t, v in clicks], schema)
+    batch = interval_join(lb, rb, ["user"], "ts", "ts", "30 minutes", "10 minutes", "10 minutes")
+    assert {(r.user, r.r_v) for r in batch.select("user", "r_v").collect()} == {("u1", 101)}
+
+
 def test_streaming_dedupe(spark, tmp_path):
     stream = _event_stream(
         spark,
