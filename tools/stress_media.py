@@ -1,0 +1,119 @@
+"""Media-codec scale stress: REAL pixel decode throughput + perceptual
+near-dup recall/containment at sf0.1 scale.
+
+Two measurements:
+1. Decode throughput — 20x the sf0.1 doc count of valid binary PPM
+   containers decoded by the pure-numpy codec through the Arrow
+   mapInPandas operator (the plan a 100 TB image corpus would run: a
+   pure map, no shuffle; throughput scales with executor count).
+2. Image near-dup — a diverse seeded-random image per sf0.1 document
+   plus a jittered copy (+-4 per byte) fed to image_near_dup: the band
+   join must recover ~every (original, jitter) pair WITHOUT comparing
+   all pairs, with no false positives among the distinct images.
+
+Usage: python tools/stress_media.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etly_spark.operators.multimodal import (  # noqa: E402
+    decode_pixel_features,
+    image_near_dup,
+    synthesize_ppm_payload,
+)
+from etly_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("stress-media")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+
+    # -- decode throughput over real PPM containers (32x32 = 3 KiB
+    # raster), 20x the document count so Python-worker spin-up and
+    # Arrow init amortize (at 5k images the wall clock measures worker
+    # startup, not the codec). 64 partitions model the many-file layout
+    # a real media corpus has.
+    n_images = 20 * n_docs
+    ids = spark.range(n_images).select(F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    ppm = synthesize_ppm_payload(
+        ids.withColumn("text", F.repeat(F.lit("abcdefgh"), 384)).repartition(64),
+        w=32,
+        h=32,
+    )
+    payload_bytes = ppm.select(F.sum(F.octet_length("payload"))).first()[0]
+    t0 = time.monotonic()
+    feats = decode_pixel_features(ppm)
+    n_ok = feats.filter(F.col("pixel_md5").isNotNull()).count()
+    sec_decode = time.monotonic() - t0
+    assert n_ok == n_images, (n_ok, n_images)
+
+    # -- near-dup: a DIVERSE image corpus (seeded-random 32x32 RGB per
+    # doc — text-derived rasters are degenerate for perceptual hashing:
+    # space padding makes every image "gray block on white" and 2000
+    # docs collapse to 13 distinct ahashes) + one jittered copy per
+    # image (+-4 per byte: survives area-resampled hashing, far beyond
+    # exact-dup detection).
+    import pandas as pd
+
+    def gen_images(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_pl = [], []
+            hdr = b"P6\n32 32\n255\n"
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.default_rng(int(doc_id))
+                arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                out_id.append(int(doc_id))
+                out_pl.append(hdr + arr.tobytes())
+                jit = np.clip(
+                    arr.astype(np.int16) + rng.integers(-4, 5, arr.shape), 0, 255
+                ).astype(np.uint8)
+                out_id.append(int(doc_id) + 10_000_000)
+                out_pl.append(hdr + jit.tobytes())
+            yield pd.DataFrame({"doc_id": out_id, "payload": out_pl})
+
+    corpus = docs.select("doc_id").mapInPandas(gen_images, "doc_id long, payload binary")
+
+    t0 = time.monotonic()
+    feats2 = decode_pixel_features(corpus)
+    pairs = image_near_dup(feats2, max_hamming=8)
+    planted = pairs.filter(F.col("doc_b") - F.col("doc_a") == 10_000_000)
+    n_pairs = pairs.count()
+    n_planted = planted.count()
+    sec_neardup = time.monotonic() - t0
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_images_decoded": n_images,
+                "payload_mb": round(payload_bytes / 1e6, 1),
+                "sec_decode": round(sec_decode, 2),
+                "decode_mb_per_sec": round(payload_bytes / 1e6 / sec_decode, 1),
+                "n_images_neardup_corpus": 2 * n_docs,
+                "sec_neardup": round(sec_neardup, 2),
+                "n_pairs": n_pairs,
+                "n_planted_recovered": n_planted,
+                "planted_recall": round(n_planted / n_docs, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
