@@ -658,7 +658,7 @@ class TransferService:
         }
         data_cols = [c for c in out.columns if c not in meta_cols]
         fmt = (t.target.data_format or "ndjson").lower()
-        if fmt in ("parquet", "csv", "orc"):
+        if fmt in ("parquet", "csv", "orc", "xml"):
             return self._write_routed_dataset(out, key_col, t, data_cols, fmt)
         # F4 line encode — or the RawMarshaler hook (encoding.go:21-23,
         # util.go:156-168): a Target.DataType with a registered
@@ -767,6 +767,10 @@ class TransferService:
             elif fmt == "orc":
                 writer.orc(staging)
                 ext = "orc"
+            elif fmt == "xml":
+                # Spark 4 built-in XML source; one <row> element per record
+                writer.format("xml").option("rowTag", "row").save(staging)
+                ext = "xml"
             else:
                 writer.parquet(staging)
                 ext = "parquet"

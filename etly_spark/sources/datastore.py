@@ -37,7 +37,7 @@ def read_datastore(spark: SparkSession, source: Source) -> DataFrame:
     driver = (cfg.get("DriverName") or "").lower()
     params = cfg.get("Parameters") or {}
 
-    if driver in ("csv", "parquet", "orc", "ndjson", "json"):
+    if driver in ("csv", "parquet", "orc", "ndjson", "json", "xml"):
         url = params.get("url", "")
         base = url[len("file://") :] if url.startswith("file://") else url
         m = _FROM_RE.search(sql)
@@ -52,6 +52,13 @@ def read_datastore(spark: SparkSession, source: Source) -> DataFrame:
             df = spark.read.parquet(path)
         elif driver == "orc":
             df = spark.read.orc(path)
+        elif driver == "xml":
+            # Spark 4 built-in XML source (rowTag selects the record element)
+            df = (
+                spark.read.format("xml")
+                .option("rowTag", params.get("rowTag", "row"))
+                .load(path)
+            )
         else:
             df = spark.read.json(path)
         df.createOrReplaceTempView(table)

@@ -683,6 +683,52 @@ def test_raw_codec_hooks_bypass_json(spark, tmp_path):
     assert sorted(out) == ["1|alpha|a|1|alpha|a", "2|beta|b|2|beta|b"]
 
 
+def test_xml_dataset_sink_and_datastore_source(spark, workdir):
+    """XML round-trip (Spark 4 built-in XML source): the dataset sink
+    lands mod-routed XML dirs (<row> per record), and the datastore
+    source reads them back through the same SQL defaulting."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.sources.datastore import read_datastore
+
+    t = Transfer(
+        name="xml-sink",
+        source=Source(name=str(workdir / "in"), data_type="test.Log1"),
+        target=Target(
+            name=str(workdir / "out" / "bucket=<mod:2>"), data_format="xml"
+        ),
+        meta=Resource(name=str(workdir / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(workdir),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 4
+    got = {
+        (r.Key, r.Value)
+        for o in set(result.outputs)
+        for r in spark.read.format("xml").option("rowTag", "row").load(o).collect()
+    }
+    assert got == {(1, "test1/a"), (2, "test2/b"), (3, "test3/a"), (4, "test4/b")}
+    parts = list((workdir / "out").glob("bucket=*/part-*.xml"))
+    assert parts, "xml parts missing the .xml extension"
+
+    # datastore source: bare-table SQL over the landed XML data
+    store = workdir / "store"
+    spark.read.format("xml").option("rowTag", "row").load(
+        str(workdir / "out" / "bucket=0")
+    ).write.format("xml").option("rowTag", "row").save(str(store / "log2.xml"))
+    src = Source(
+        name="SELECT Key, Value FROM log2 ORDER BY Key",
+        type="datastore",
+        ds_config={
+            "DriverName": "xml",
+            "Parameters": {"url": f"file://{store}"},
+        },
+    )
+    rows = read_datastore(spark, src).collect()
+    assert [r.Key for r in rows] == sorted(r.Key for r in rows) and len(rows) >= 1
+
+
 def test_orc_dataset_sink_and_datastore_source(spark, workdir):
     """ORC round-trip: the dataset sink lands mod-routed ORC dirs, and
     the datastore source reads ORC through the same SQL defaulting as
