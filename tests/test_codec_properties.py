@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the pure-numpy media codecs:
+any image round-trips bit-exactly through every container/filter
+combination, any PCM waveform round-trips through WAV, and corrupt
+truncations never crash — they return None (corrupt media is data)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etly_spark.operators import codecs as C
+from tests.test_codecs import encode_bmp, encode_png, encode_ppm, encode_wav
+
+dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+def _img(h: int, w: int, nch: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    shape = (h, w, nch) if nch > 1 else (h, w)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@given(dims, st.integers(0, 2**32 - 1), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_dims(hw, seed, top_down):
+    h, w = hw
+    img = _img(h, w, 3, seed)
+    assert np.array_equal(C.decode_image_pixels(encode_bmp(img, top_down=top_down)), img)
+
+
+@given(dims, st.integers(0, 2**32 - 1), st.sampled_from([1, 3]))
+@settings(max_examples=60, deadline=None)
+def test_netpbm_roundtrip_any_dims(hw, seed, nch):
+    h, w = hw
+    img = _img(h, w, nch, seed)
+    assert np.array_equal(C.decode_image_pixels(encode_ppm(img)), img)
+
+
+@given(dims, st.integers(0, 2**32 - 1), st.sampled_from([1, 3, 4]), st.data())
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_filters(hw, seed, nch, data):
+    h, w = hw
+    img = _img(h, w, nch, seed)
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    assert np.array_equal(C.decode_image_pixels(encode_png(img, filters)), img)
+
+
+@given(dims, st.integers(0, 2**32 - 1), st.integers(0, 200))
+@settings(max_examples=60, deadline=None)
+def test_truncation_never_crashes(hw, seed, cut):
+    """Any prefix of a valid container either decodes to the exact image
+    (nothing essential cut) or returns None — never raises, never
+    returns wrong pixels."""
+    h, w = hw
+    img = _img(h, w, 3, seed)
+    for enc in (encode_bmp(img), encode_ppm(img), encode_png(img)):
+        payload = enc[: max(0, len(enc) - cut)]
+        out = C.decode_image_pixels(payload)
+        assert out is None or np.array_equal(out, img)
+
+
+@given(
+    st.integers(1, 3000),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 44100]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_any_shape(n, nch, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1, 1, (n, nch))
+    dec = C.decode_wav(encode_wav(samples, rate))
+    assert dec is not None
+    got_rate, got = dec
+    assert got_rate == rate and got.shape == (n, nch)
+    # 16-bit quantization: encoder truncates at 32767 scale, decoder
+    # divides by 32768 -> up to ~2 LSB combined
+    assert np.abs(got - np.clip(samples, -1, 1)).max() <= 2.5 / 32768
+
+
+@given(dims, st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_hashes_total_and_stable(hw, seed):
+    """Perceptual hashes are defined for EVERY image (any dims, both
+    upsample and downsample paths) and identical across containers of
+    the same pixels."""
+    h, w = hw
+    img = _img(h, w, 3, seed)
+    a = C.ahash64(img)
+    assert 0 <= a < (1 << 64)
+    assert C.ahash64(C.decode_image_pixels(encode_png(img))) == a
+    assert C.dhash64(C.decode_image_pixels(encode_bmp(img))) == C.dhash64(img)
