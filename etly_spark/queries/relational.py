@@ -630,13 +630,46 @@ def q15_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
+    ), base AS (
+      SELECT 'sessions' AS variant, user_id,
+             COUNT(DISTINCT sess_id) AS n_sessions, COUNT(*) AS n_events
+      FROM sess
+      GROUP BY user_id
+    ), ev2 AS (
+      SELECT user_id, event_type, ts,
+             LAG(ts) OVER w AS prev_ts, LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sflag AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL OR prev_type <> event_type
+                  OR ts - prev_ts > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS root
+      FROM ev2
+    ), streak AS (
+      SELECT user_id,
+             SUM(root) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM sflag
+    ), slen AS (
+      SELECT user_id, sid, COUNT(*) AS len FROM streak GROUP BY user_id, sid
+    ), streaks AS (
+      SELECT 'streaks' AS variant, user_id,
+             COUNT(*) AS n_sessions, CAST(MAX(len) AS BIGINT) AS n_events
+      FROM slen GROUP BY user_id
     )
-    SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(*) AS n_events
-    FROM sess
-    GROUP BY user_id
-    ORDER BY user_id
+    SELECT * FROM base UNION ALL BY NAME SELECT * FROM streaks
+    ORDER BY variant, user_id
     """,
-    doc="lag + running sum = session ids; batch twin of session_window().",
+    doc="Two sessionization paradigms, tagged. 'sessions' — lag + "
+    "running sum session ids (batch twin of session_window()). "
+    "'streaks' — same-event-type streak chains (<= 10 min apart) "
+    "computed with Spark 4's NATIVE recursive CTE: roots are events "
+    "whose predecessor breaks the streak, the recursive member walks "
+    "successor edges (acyclic: time-ordered, so UNION ALL recursion "
+    "terminates; depth = streak length, bounded by the session gap). "
+    "Reports streak count + longest streak per user. The ORACLE "
+    "computes streaks with the gaps-and-islands window formulation "
+    "instead — the two paradigms must agree value-for-value, a "
+    "cross-paradigm check on the recursion itself.",
 )
 def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -653,14 +686,54 @@ def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     sess = flagged.withColumn("sess_id", F.sum("new_sess").over(wsum))
-    return (
+    base = (
         sess.groupBy("user_id")
         .agg(
             F.countDistinct("sess_id").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("user_id")
+        .select(F.lit("sessions").alias("variant"), "user_id", "n_sessions", "n_events")
     )
+
+    # streaks — Spark 4 native WITH RECURSIVE (see doc); the successor
+    # relation is precomputed with one window pass, then the recursion
+    # walks it. Acyclic by construction (strict time order), so the
+    # UNION ALL recursion terminates at depth = longest streak.
+    ev.createOrReplaceTempView("q16_events")
+    streaks = spark.sql(
+        """
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_type, ts, event_id,
+                 LEAD(event_id) OVER w AS next_id,
+                 LEAD(ts) OVER w AS next_ts,
+                 LEAD(event_type) OVER w AS next_type,
+                 LAG(ts) OVER w AS prev_ts,
+                 LAG(event_type) OVER w AS prev_type
+          FROM q16_events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), chain AS (
+          SELECT user_id, event_id, event_type, ts,
+                 next_id, next_ts, next_type, 1 AS depth
+          FROM ev
+          WHERE prev_ts IS NULL OR prev_type <> event_type
+                OR ts - prev_ts > INTERVAL 10 MINUTE
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.event_type, e.ts,
+                 e.next_id, e.next_ts, e.next_type, c.depth + 1
+          FROM chain c
+          JOIN ev e ON e.user_id = c.user_id AND e.event_id = c.next_id
+          WHERE c.next_type = c.event_type
+                AND c.next_ts - c.ts <= INTERVAL 10 MINUTE
+        )
+        SELECT 'streaks' AS variant, user_id,
+               CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sessions,
+               CAST(MAX(depth) AS BIGINT) AS n_events
+        FROM chain
+        GROUP BY user_id
+        """
+    )
+    return base.unionByName(streaks).orderBy("variant", "user_id")
 
 
 # --------------------------------------------------------------------------
