@@ -126,13 +126,18 @@ def etly_mod_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN contains(props, '"k": 2') THEN 'typeB'
                 ELSE 'other' END AS data_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_variant
     FROM events
     GROUP BY 1
     ORDER BY data_type
     """,
     doc="S5: per-line substring dispatch selects the decode schema; "
-    "payload still parsed (from_json/get_json_object).",
+    "payload parsed through BOTH Spark JSON paths — the string path "
+    "(get_json_object) and Spark 4's binary VARIANT path "
+    "(parse_json + variant_get, the columnar semi-structured encoding "
+    "that avoids re-tokenizing JSON per extraction at scale) — and "
+    "both must agree with the oracle's json_extract.",
 )
 def etly_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -146,6 +151,9 @@ def etly_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.sum(
+                F.expr("cast(variant_get(parse_json(props), '$.k') as bigint)")
+            ).alias("sum_k_variant"),
         )
         .orderBy("data_type")
     )
