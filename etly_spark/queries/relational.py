@@ -695,22 +695,31 @@ def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("sessions").alias("variant"), "user_id", "n_sessions", "n_events")
     )
 
-    # streaks — Spark 4 native WITH RECURSIVE (see doc); the successor
-    # relation is precomputed with one window pass, then the recursion
-    # walks it. Acyclic by construction (strict time order), so the
-    # UNION ALL recursion terminates at depth = longest streak.
-    ev.createOrReplaceTempView("q16_events")
+    # streaks — Spark 4 native WITH RECURSIVE (see doc). The successor
+    # relation is ONE window pass, scope-persisted and exposed as a
+    # view: every recursion iteration re-reads the cached successor
+    # table instead of recomputing the scan+window per depth step.
+    # Acyclic by construction (strict time order), so the UNION ALL
+    # recursion terminates at depth = longest streak.
+    wspec2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    succ = scoped_persist(
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lead("event_id").over(wspec2).alias("next_id"),
+            F.lead("ts").over(wspec2).alias("next_ts"),
+            F.lead("event_type").over(wspec2).alias("next_type"),
+            F.lag("ts").over(wspec2).alias("prev_ts"),
+            F.lag("event_type").over(wspec2).alias("prev_type"),
+        )
+    )
+    succ.createOrReplaceTempView("q16_succ")
     streaks = spark.sql(
         """
         WITH RECURSIVE ev AS (
-          SELECT user_id, event_type, ts, event_id,
-                 LEAD(event_id) OVER w AS next_id,
-                 LEAD(ts) OVER w AS next_ts,
-                 LEAD(event_type) OVER w AS next_type,
-                 LAG(ts) OVER w AS prev_ts,
-                 LAG(event_type) OVER w AS prev_type
-          FROM q16_events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          SELECT * FROM q16_succ
         ), chain AS (
           SELECT user_id, event_id, event_type, ts,
                  next_id, next_ts, next_type, 1 AS depth
