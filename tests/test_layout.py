@@ -1,0 +1,76 @@
+"""Z-order layout: parquet min/max file pruning must work on BOTH
+clustered columns — a 1-D sort prunes perfectly on its sort column and
+not at all on the other; Z-order trades a little x-pruning for real
+pruning on every clustered column. Measured from real parquet footers
+by counting files a narrow range predicate cannot skip."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from etly_spark.operators.layout import zorder_by, zorder_key
+
+
+def _files_hit(path_glob: str, col_idx: int, lo: int, hi: int) -> tuple[int, int]:
+    """(files whose [min,max] intersects [lo,hi], total files)."""
+    hit = total = 0
+    for p in glob.glob(path_glob):
+        md = pq.ParquetFile(p).metadata
+        fmin = min(
+            md.row_group(i).column(col_idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        fmax = max(
+            md.row_group(i).column(col_idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        total += 1
+        if fmax >= lo and fmin <= hi:
+            hit += 1
+    return hit, total
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    n = 200_000
+    full = 100_000
+    df = spark.range(n).selectExpr(
+        "cast(pmod(hash(id), 100000) as long) as x",
+        "cast(pmod(hash(id + 7), 100000) as long) as y",
+    )
+    plain = str(tmp_path / "plain")
+    zed = str(tmp_path / "zed")
+    # baseline: cluster on x only (what a naive ORDER BY x write does)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(plain)
+    zorder_by(df, ["x", "y"], n_files=16).write.parquet(zed)
+
+    # a 2%-wide range predicate on each column
+    lo, hi = 30_000, 32_000  # inside one rank quartile, away from z-quadrant edges
+    pg, zg = plain + "/part-*.parquet", zed + "/part-*.parquet"
+    plain_x_hit, plain_n = _files_hit(pg, 0, lo, hi)
+    plain_y_hit, _ = _files_hit(pg, 1, lo, hi)
+    zed_x_hit, zed_n = _files_hit(zg, 0, lo, hi)
+    zed_y_hit, _ = _files_hit(zg, 1, lo, hi)
+    assert plain_n == 16 and zed_n == 16
+
+    # 1-D sort: perfect on x, useless on y (every file must be read)
+    assert plain_x_hit <= 2
+    assert plain_y_hit == 16
+    # z-order: BOTH columns prune — a selective predicate on either
+    # column skips at least half the files
+    assert zed_x_hit <= 8, zed_x_hit
+    assert zed_y_hit <= 8, zed_y_hit
+    # and y goes from no pruning to real pruning
+    assert zed_y_hit <= plain_y_hit // 2
+
+
+def test_zorder_key_locality(spark):
+    """Interleaving preserves order on equal coordinates: the key of
+    (r, r) is strictly monotone in r, and distinct points get distinct
+    keys."""
+    df = spark.range(64).selectExpr("id as x", "id as y")
+    rows = df.withColumn("z", zorder_key(df, ["x", "y"])).orderBy("x").collect()
+    zs = [r.z for r in rows]
+    assert zs == sorted(zs)
+    assert len(set(zs)) == len(zs)
