@@ -1,0 +1,59 @@
+"""End-to-end media curation: the operators compose into the pipeline a
+multimodal training corpus needs — REAL decode -> quality gate on
+decoded stats -> perceptual near-dup keep-one -> columnar dataset sink
+-> read-back verification. No shuffle before the dedup band join; the
+sink lands partitioned parquet."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etly_spark.operators.multimodal import decode_pixel_features, image_near_dup
+from tests.test_codecs import encode_bmp, encode_png, rand_img
+
+
+def test_media_curation_end_to_end(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    rows = []
+    originals = {}
+    for i in range(20):
+        img = rand_img(24, 24)
+        originals[i] = img
+        rows.append((i, bytearray(encode_bmp(img))))
+    # near-dup copies of the first five (ids 100..104)
+    for i in range(5):
+        jit = np.clip(
+            originals[i].astype(np.int16) + rng.integers(-3, 4, originals[i].shape),
+            0,
+            255,
+        ).astype(np.uint8)
+        rows.append((100 + i, bytearray(encode_png(jit))))
+    # corrupt payloads that must be gated out, not crash anything
+    rows.append((200, bytearray(b"definitely not an image")))
+    rows.append((201, bytearray(encode_bmp(rand_img(8, 8))[:-30])))
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = decode_pixel_features(df)
+
+    # quality gate: decodable + sane dimensions
+    good = feats.filter(
+        F.col("pixel_md5").isNotNull() & (F.col("n_pixels") >= 64)
+    )
+    assert good.count() == 25  # 20 originals + 5 near-dups; corrupt gated
+
+    # perceptual dedup: keep the lowest doc_id of each near-dup pair
+    pairs = image_near_dup(good, max_hamming=8)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = good.join(drop, "doc_id", "left_anti")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == set(range(20))  # every jittered copy dropped, originals kept
+
+    # land on the dataset sink shape and read back
+    out = str(tmp_path / "curated")
+    kept.select("doc_id", "format", "width", "height", "mean_luma", "ahash64").write.partitionBy(
+        "format"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert {r.format for r in back.select("format").distinct().collect()} == {"bmp"}
