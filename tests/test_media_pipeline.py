@@ -13,6 +13,34 @@ from etly_spark.operators.multimodal import decode_pixel_features, image_near_du
 from tests.test_codecs import encode_bmp, encode_png, rand_img
 
 
+def test_streaming_media_decode(spark, tmp_path):
+    """The decode operator is a pure map, so it runs unchanged on a
+    stream: a file-stream of binary payloads decodes micro-batch by
+    micro-batch (the continuous-ingest shape for a media corpus)."""
+    img = rand_img(16, 16)
+    src = tmp_path / "mstream"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, bytearray(encode_bmp(img))), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    ).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+        str(src / "*.parquet")
+    )
+    q = (
+        decode_pixel_features(stream)
+        .writeStream.format("memory")
+        .queryName("mdec_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM mdec_t").collect()}
+    assert rows[1].format == "bmp" and rows[1].width == 16
+    assert rows[2].pixel_md5 is None
+
+
 def test_media_curation_end_to_end(spark, tmp_path):
     rng = np.random.default_rng(11)
     rows = []
