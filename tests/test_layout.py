@@ -65,6 +65,26 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
     assert zed_y_hit <= plain_y_hit // 2
 
 
+def test_zorder_approx_prunes_like_exact(spark, tmp_path):
+    """The sampled-quantile scale path must deliver the same pruning
+    property as the exact-rank form: both clustered columns prune."""
+    from etly_spark.operators.layout import zorder_by_approx
+
+    df = spark.range(200_000).selectExpr(
+        "cast(pmod(hash(id), 100000) as long) as x",
+        "cast(pmod(hash(id + 7), 100000) as long) as y",
+    )
+    zed = str(tmp_path / "zedq")
+    zorder_by_approx(df, ["x", "y"], n_files=16).write.parquet(zed)
+    lo, hi = 30_000, 32_000
+    zg = zed + "/part-*.parquet"
+    x_hit, n = _files_hit(zg, 0, lo, hi)
+    y_hit, _ = _files_hit(zg, 1, lo, hi)
+    assert n == 16
+    assert x_hit <= 8, x_hit
+    assert y_hit <= 8, y_hit
+
+
 def test_zorder_key_locality(spark):
     """Interleaving preserves order on equal coordinates: the key of
     (r, r) is strictly monotone in r, and distinct points get distinct
