@@ -10,9 +10,10 @@ Scale design: training reads a SAMPLE (tokenizers are always trained
 on samples — the merge table converges long before the corpus ends)
 with a hard byte budget, so driver memory is O(sample), never
 O(corpus). Encoding broadcasts the merge ranks and runs as a pure
-Arrow map — per-executor parallelism, no shuffle, word-level LRU
-caching inside each batch (natural-language corpora repeat words;
-the cache turns per-word O(n^2) merging into a dict hit).
+Arrow map — per-executor parallelism, no shuffle, word-level
+caching inside each Arrow batch (natural-language corpora repeat
+words; the cache turns per-word merging into a dict hit, and resetting
+per batch bounds task memory).
 """
 
 from __future__ import annotations
@@ -36,22 +37,25 @@ def train_bpe(
     is reproducible across runs/partitionings). Returns merges in
     application order.
     """
-    # deterministic sample: take docs by ascending md5(text) until the
-    # byte budget — independent of partitioning and corpus order
-    sample = (
+    # deterministic sample: docs by ascending md5(text) until the byte
+    # budget — independent of partitioning and corpus order. Streamed
+    # with toLocalIterator so the driver holds one partition of docs,
+    # not the whole candidate set; per-doc contributions are clipped to
+    # the remaining budget so one huge document cannot blow past it.
+    it = (
         df.select(F.col(text_col).alias("t"))
         .withColumn("h", F.md5(F.col("t").cast("binary")))
         .orderBy("h")
         .limit(5000)
-        .collect()
+        .toLocalIterator()
     )
     corpus: dict[tuple[str, ...], int] = {}
     used = 0
-    for row in sample:
+    for row in it:
         if used >= sample_bytes:
             break
-        text = row.t or ""
-        used += len(text)
+        text = (row.t or "")[: sample_bytes - used]
+        used += len(text.encode("utf-8", "ignore"))
         for w in text.split():
             key = tuple(w) + ("</w>",)
             corpus[key] = corpus.get(key, 0) + 1
@@ -122,8 +126,11 @@ def bpe_encode(
     def run(batches):
         import pandas as pd
 
-        cache: dict[str, list[str]] = {}
         for pdf in batches:
+            # per-batch cache: bounded by the batch's vocabulary, reset
+            # between Arrow batches so task memory never tracks the
+            # whole partition's vocabulary
+            cache: dict[str, list[str]] = {}
             counts, tokens = [], []
             for text in pdf[text_col]:
                 toks: list[str] = []

@@ -34,8 +34,19 @@ BITS = 16  # per-column resolution; 2 cols x 16 bits -> 32-bit morton
 def _interleave(cols: list[Column], bits: int = BITS) -> Column:
     """Morton-interleave n fixed-point columns (each in [0, 2^bits)):
     output bit (i*n + j) = bit i of column j. Pure long arithmetic —
-    whole-stage codegen, no UDF."""
+    whole-stage codegen, no UDF.
+
+    n*bits must fit in the non-sign bits of a long: Spark's shiftleft
+    masks the shift amount to 6 bits (Java semantics), so an
+    out-of-range position would silently fold onto low bits, and bit
+    63 would flip the key's sign and break range partitioning —
+    rejected here instead."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} key bits; max 63 "
+            "(lower bits= or cluster fewer columns)"
+        )
     out = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -45,7 +56,7 @@ def _interleave(cols: list[Column], bits: int = BITS) -> Column:
     return out
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = BITS) -> Column:
+def zorder_key(cols: list[str], bits: int = BITS) -> Column:
     """Morton key over the given columns' rank space. percent_rank makes
     the key distribution-uniform (equal-depth), so range partitions are
     balanced regardless of skew in the raw values."""
@@ -67,7 +78,7 @@ def zorder_by(df: DataFrame, cols: list[str], n_files: int, bits: int = BITS) ->
     bottleneck on a real cluster. `zorder_by_approx` below is the
     scale path: sampled quantile cut-points instead of exact ranks.
     """
-    keyed = df.withColumn("__z", zorder_key(df, cols, bits))
+    keyed = df.withColumn("__z", zorder_key(cols, bits))
     return (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
@@ -95,9 +106,10 @@ def zorder_by_approx(
     """
     n_cuts = (1 << bits) - 1
     probs = [(i + 1) / (n_cuts + 1) for i in range(n_cuts)]
+    # ONE sketch pass computes every column's cut-points together
+    all_cuts = df.approxQuantile(cols, probs, relative_error)
     ranked = []
-    for c in cols:
-        cuts = df.approxQuantile(c, probs, relative_error)
+    for c, cuts in zip(cols, all_cuts):
         arr = F.array(*[F.lit(float(x)) for x in cuts])
         ranked.append(
             F.size(F.filter(arr, lambda x: x <= F.col(c).cast("double"))).cast("long")

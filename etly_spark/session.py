@@ -27,6 +27,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-UDF boundary (multimodal stubs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Recursive CTEs (q16 streaks) emit one row per input row across
+    # all depth levels — linear in the table, so the 1M-row safety
+    # default trips at ~sf1.0. The level limit (100) is the real
+    # runaway guard and stays at its default.
+    "spark.sql.cteRecursionRowLimit": "2000000000",
 }
 
 # Builder-time configs for sessions we create ourselves.

@@ -105,10 +105,9 @@ def interval_join(
     """
     lt, rt = f"l_{left_ts}", f"r_{right_ts}"
     lw = _watermarked(left, left_ts, left_watermark).withColumnRenamed(left_ts, lt)
-    rw = _watermarked(right, right_ts, right_watermark)
     # prefix every right column so the joined schema is unambiguous
+    rw = _watermarked(right, right_ts, right_watermark)
     rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns])
-    rt = f"r_{right_ts}"
     cond = F.lit(True)
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"r_{k}"))
