@@ -1,0 +1,59 @@
+"""Built-in named callables: the engine's own operators exposed through
+the reference's name-in-config contract (transformer.go:10-31 — logic
+referenced by string name from a Transfer JSON).
+
+A config that says `"Transformer": "etly.DecodePixelFeatures"` runs the
+real media codec stage; nothing here is test-only. Imports happen
+inside each callable so registering the names costs nothing at package
+import and cannot cycle.
+"""
+
+from __future__ import annotations
+
+from etly_spark import registry
+
+
+@registry.transformers.register("etly.DecodePixelFeatures")
+def _decode_pixel_features(df):
+    from etly_spark.operators.multimodal import decode_pixel_features
+
+    return decode_pixel_features(df)
+
+
+@registry.transformers.register("etly.DecodeAudioFeatures")
+def _decode_audio_features(df):
+    from etly_spark.operators.multimodal import decode_audio_features
+
+    return decode_audio_features(df)
+
+
+@registry.transformers.register("etly.DecodeImageHeaders")
+def _decode_image_headers(df):
+    from etly_spark.operators.multimodal import decode_image_headers
+
+    return decode_image_headers(df)
+
+
+@registry.filters.register("etly.DecodableImage")
+def _decodable_image(df):
+    """Predicate form for pre-decode gating: payload starts with a known
+    raster container magic (cheap byte check; the decode stage itself
+    still null-handles corrupt bodies)."""
+    from pyspark.sql import functions as F
+
+    h2 = F.upper(F.hex(F.substring(F.col("payload"), 1, 2)))
+    return h2.isin("424D", "8950", "5035", "5036")  # BM, \x89P(NG), P5, P6
+
+
+@registry.transformers.register("etly.TextQualitySignals")
+def _text_quality_signals(df):
+    """Per-doc quality + language signals (the text_quality composite)
+    appended to whatever shape the record already has."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.functions import text as T
+
+    toks = T.tokens("text")
+    return df.withColumn("quality", T.quality_score("text")).withColumn(
+        "lang_pred", T.langid(toks)
+    )

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from etly_spark import registry
+from etly_spark import builtins as _builtins  # noqa: F401  (registers etly.* names)
 from etly_spark.config import Transfer
 from etly_spark.io import fs as fsio
 from etly_spark.meta import Meta, ObjectMeta, ProcessedIndex, ProcessingStatus, sidecar_dir

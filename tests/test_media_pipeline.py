@@ -13,6 +13,54 @@ from etly_spark.operators.multimodal import decode_pixel_features, image_near_du
 from tests.test_codecs import encode_bmp, encode_png, rand_img
 
 
+def test_config_driven_media_transfer(spark, tmp_path):
+    """The media pipeline as a config-driven Transfer using only
+    BUILT-IN registry names: datastore source over a parquet table of
+    binary payloads -> 'etly.DecodableImage' filter (magic-byte gate)
+    -> 'etly.DecodePixelFeatures' transformer (real codec) -> parquet
+    dataset sink. The reference's name-in-config contract, media-native.
+    """
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    store = tmp_path / "store"
+    img = rand_img(10, 10)
+    rows = [
+        (1, bytearray(encode_bmp(img))),
+        (2, bytearray(encode_png(img))),
+        (3, bytearray(b"not media at all")),  # gated by the filter
+    ]
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(
+        str(store / "media.parquet")
+    )
+    t = Transfer(
+        name="media-decode",
+        source=Source(
+            name="SELECT doc_id, payload FROM media",
+            type="datastore",
+            ds_config={
+                "DriverName": "parquet",
+                "Parameters": {"url": f"file://{store}"},
+            },
+        ),
+        target=Target(name=str(tmp_path / "out" / "features"), data_format="parquet"),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        filter="etly.DecodableImage",
+        transformer="etly.DecodePixelFeatures",
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    back = spark.read.parquet(str(tmp_path / "out" / "features"))
+    got = {r.doc_id: r for r in back.collect()}
+    assert set(got) == {1, 2}  # non-media row filtered before decode
+    import hashlib
+
+    want_md5 = hashlib.md5(img.tobytes()).hexdigest()
+    assert got[1].pixel_md5 == want_md5 and got[2].pixel_md5 == want_md5
+    assert got[1].ahash64 == got[2].ahash64
+
+
 def test_streaming_media_decode(spark, tmp_path):
     """The decode operator is a pure map, so it runs unchanged on a
     stream: a file-stream of binary payloads decodes micro-batch by
