@@ -60,6 +60,45 @@ def test_empty_stage_round_trips_schema(spark):
     assert out2.schema == out.schema
 
 
+def test_concurrent_builders_one_commit(spark):
+    """Two threads racing to build the same stage: exactly one commit
+    wins the os.rename, the loser adopts it, both read identical rows —
+    the P3 parallel-window world where two window DAGs want the same
+    staged artifact."""
+    import threading
+
+    from etly_spark.io import staging
+
+    key = "race-stage"
+    results = []
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def build():
+        return spark.range(100).selectExpr("id", "id * 2 as v")
+
+    def run():
+        try:
+            barrier.wait()
+            df = staging.stage_table(spark, key, build)
+            results.append(sorted((r.id, r.v) for r in df.collect()))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert not errors, errors
+    assert len(results) == 2 and results[0] == results[1]
+    assert results[0][0] == (0, 0) and len(results[0]) == 100
+    # later consumers hit the single commit
+    before = dict(staging.stats)
+    staging.stage_table(spark, key, build).count()
+    assert staging.stats["hits"] == before["hits"] + 1
+
+
 def test_stage_root_is_process_scoped(spark):
     staging.stage_table(spark, "root-check", lambda: spark.range(1))
     assert staging._STAGE_ROOT and os.path.isdir(staging._STAGE_ROOT)
