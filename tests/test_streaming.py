@@ -323,6 +323,61 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert {(r.user, r.r_v) for r in batch.select("user", "r_v").collect()} == {("u1", 101)}
 
 
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """Join state is checkpointed: an impression buffered in batch 1
+    matches a click that only arrives in a LATER restart of the query —
+    the state store carried the impression across process boundaries
+    (the recovery semantic etly's meta-skip cannot express)."""
+    import os
+
+    from etly_spark.streaming import interval_join
+
+    schema = "user STRING, ts TIMESTAMP, v LONG"
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "joined_out")
+    base = time.time() - 3600
+
+    def write(d, name, rows, age):
+        p = d / name
+        p.write_text(
+            "".join(json.dumps({"user": u, "ts": ts, "v": v}) + "\n" for (u, ts, v) in rows)
+        )
+        os.utime(p, (base + age, base + age))
+
+    def start():
+        left = spark.readStream.schema(schema).json(str(imp_dir))
+        right = spark.readStream.schema(schema).json(str(clk_dir))
+        joined = interval_join(
+            left, right, ["user"], "ts", "ts", "30 minutes",
+            left_watermark="10 minutes", right_watermark="10 minutes",
+        )
+        return (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: impression only — no match possible yet
+    write(imp_dir, "i0.json", [("u1", "2024-01-01 00:00:00", 1)], 0)
+    write(clk_dir, "c0.json", [], 0)
+    q = start()
+    _await(q)
+    assert spark.read.parquet(out).count() == 0
+
+    # run 2 (fresh query object, same checkpoint): the click arrives
+    write(clk_dir, "c1.json", [("u1", "2024-01-01 00:20:00", 101)], 1)
+    q = start()
+    _await(q)
+    rows = {(r.user, r.r_v) for r in spark.read.parquet(out).collect()}
+    assert rows == {("u1", 101)}
+
+
 def test_streaming_dedupe(spark, tmp_path):
     stream = _event_stream(
         spark,
