@@ -416,6 +416,72 @@ def image_near_dup(
     )
 
 
+def image_near_dup_incremental(
+    new_feats: DataFrame,
+    index_feats: DataFrame,
+    max_hamming: int = 6,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Incremental perceptual near-dup: band-probe a NEW batch of image
+    features against the full accumulated index (which includes the
+    batch) — work is O(batch x density), never an index self-join.
+    Same contract as the text/vector incremental paths
+    (queries.dedup.lsh_incremental_pairs): bucket density is measured
+    over the FULL band table so the hot-bucket cap sees true bucket
+    size, and results provably equal the batch `image_near_dup` pairs
+    restricted to new-involving rows (band membership of a hash is
+    batch-independent). Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    from pyspark.sql import Window
+
+    def bands_of(feats: DataFrame) -> DataFrame:
+        h = feats.select("doc_id", F.col("ahash64").alias("h")).where(
+            F.col("h").isNotNull()
+        )
+        return h.select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.shiftrightunsigned(F.col("h"), 16 * b)
+                            .bitwiseAND(F.lit(65535))
+                            .alias("band_key"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "doc_id", "h", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key")
+        )
+
+    full = bands_of(index_feats)
+    sized = full.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
+    ).filter(F.col("bucket_n") <= bucket_cap)
+    new_ids = new_feats.select("doc_id").distinct()
+    new_side = sized.join(F.broadcast(new_ids), "doc_id").alias("n")
+    fullb = sized.alias("f")
+    return (
+        new_side.join(
+            fullb,
+            (F.col("n.b") == F.col("f.b"))
+            & (F.col("n.band_key") == F.col("f.band_key"))
+            & (F.col("n.doc_id") != F.col("f.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "f.doc_id").alias("doc_b"),
+            F.bit_count(F.col("n.h").bitwiseXOR(F.col("f.h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

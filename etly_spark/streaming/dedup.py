@@ -65,6 +65,33 @@ def read_signature_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(index_dir).drop("epoch")
 
 
+def start_pixel_index(
+    media_stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a perceptual-hash image index from a streaming media
+    source (doc_id, payload): each micro-batch is REAL-decoded
+    (operators.multimodal.decode_pixel_features) and folded into an
+    epoch-partitioned parquet index with the same idempotent-overwrite
+    contract as the text signature index. The accumulated index feeds
+    `image_near_dup_incremental` — continuous-ingest image dedup."""
+    from etly_spark.operators.multimodal import decode_pixel_features
+
+    def fold_batch(bdf: DataFrame, epoch_id: int) -> None:
+        feats = decode_pixel_features(bdf)
+        feats.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+
+    writer = media_stream.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_signature_index(index_dir: str, threshold: int = 64) -> None:
     """Fold loose per-epoch partitions into a never-rewritten compacted
     segment once their count exceeds ``threshold`` (io/compact.py — the

@@ -89,6 +89,66 @@ def test_streaming_media_decode(spark, tmp_path):
     assert rows[2].pixel_md5 is None
 
 
+def test_incremental_image_near_dup_equals_batch(spark, tmp_path):
+    """Continuous-ingest image dedup: stream media batches into the
+    perceptual-hash index (idempotent epoch folds), then band-probe a
+    new batch against the accumulated index — incremental results must
+    equal the batch self-join restricted to new-involving pairs."""
+    import os
+
+    from etly_spark.operators.multimodal import (
+        image_near_dup,
+        image_near_dup_incremental,
+    )
+    from etly_spark.streaming.dedup import start_pixel_index
+
+    rng = np.random.default_rng(5)
+    base_imgs = {i: rand_img(24, 24) for i in range(12)}
+    corpus_rows = [(i, bytearray(encode_bmp(img))) for i, img in base_imgs.items()]
+    # "new" batch: jittered copies of images 0..2 + one fresh image
+    jitter = lambda im: np.clip(
+        im.astype(np.int16) + rng.integers(-3, 4, im.shape), 0, 255
+    ).astype(np.uint8)
+    new_rows = [(100 + i, bytearray(encode_bmp(jitter(base_imgs[i])))) for i in range(3)]
+    new_rows.append((199, bytearray(encode_bmp(rand_img(24, 24)))))
+
+    # stream the corpus, then the new batch, into the index
+    src = tmp_path / "media_in"
+    src.mkdir()
+    base = __import__("time").time() - 3600
+    for i, rows in enumerate([corpus_rows, new_rows]):
+        p = str(src / f"b{i}.parquet")
+        spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(1).write.parquet(p)
+        for dirpath, _d, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (base + i, base + i))
+    stream = spark.readStream.schema("doc_id long, payload binary").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "b*.parquet"))
+    q = start_pixel_index(
+        stream, str(tmp_path / "pix_index"), str(tmp_path / "pix_ckpt")
+    )
+    q.awaitTermination(120)
+
+    index = spark.read.parquet(str(tmp_path / "pix_index")).drop("epoch")
+    assert index.count() == len(corpus_rows) + len(new_rows)
+
+    new_feats = index.filter(F.col("doc_id") >= 100)
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in image_near_dup_incremental(new_feats, index, max_hamming=8).collect()
+    }
+    assert inc == {(0, 100), (1, 101), (2, 102)}
+
+    # equivalence: batch pairs restricted to new-involving rows
+    batch = {
+        (r.doc_a, r.doc_b)
+        for r in image_near_dup(index, max_hamming=8).collect()
+        if r.doc_a >= 100 or r.doc_b >= 100
+    }
+    assert inc == batch
+
+
 def test_media_curation_end_to_end(spark, tmp_path):
     rng = np.random.default_rng(11)
     rows = []
