@@ -313,6 +313,27 @@ def decode_wav(payload: bytes | None) -> tuple[int, np.ndarray] | None:
     return rate, samples.reshape(n, n_ch)
 
 
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit perceptual audio fingerprint: mono mixdown, 65 equal
+    energy frames, bit i = energy rises from frame i to i+1 (the
+    energy-delta comparison scheme classic audio fingerprinting is
+    built on). Invariant to amplitude scaling (a monotone gain scales
+    every frame's energy equally, preserving all comparisons) and
+    robust to mild noise; hamming distance ~ waveform dissimilarity —
+    the audio twin of dhash."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = mono.shape[0]
+    if n < 65:
+        mono = np.pad(mono, (0, 65 - n))
+        n = 65
+    edges = (np.arange(66) * n) // 65
+    energy = np.array(
+        [float(np.sum(mono[edges[i] : edges[i + 1]] ** 2)) for i in range(65)]
+    )
+    bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
 def audio_stats(rate: int, samples: np.ndarray) -> dict:
     """Waveform features over REAL decoded PCM: duration, RMS energy,
     peak, zero-crossing rate (mono mixdown)."""

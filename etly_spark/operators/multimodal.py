@@ -349,16 +349,21 @@ def decode_pixel_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, PIXEL_SCHEMA)
 
 
-def image_near_dup(
-    feat: DataFrame, max_hamming: int = 6, bucket_cap: int = 64
+def hash64_near_dup(
+    feat: DataFrame,
+    hash_col: str,
+    max_hamming: int = 6,
+    bucket_cap: int = 64,
+    bands: int = 4,
 ) -> DataFrame:
-    """Perceptual image near-dup over decoded pixels: band-blocked
-    ahash64 self-join + hamming verify — the image modality of the
-    text near-dup family (same plan shape as dedup_simhash, same
-    hot-bucket cap contract).
+    """Band-blocked near-dup self-join over ANY 64-bit perceptual hash
+    column + hamming verify — the shared engine behind image
+    (ahash64) and audio (afp64) near-dup, same plan shape as
+    dedup_simhash, same hot-bucket cap contract.
 
-    ``feat`` is `decode_pixel_features` output (doc_id, ahash64).
-    4x16-bit bands of the 64-bit average hash. Recall contract:
+    ``feat`` carries (doc_id, <hash_col>).
+    ``bands`` x (64/bands)-bit bands of the 64-bit hash (image default
+    4x16, audio 8x8). Recall contract:
     pigeonhole GUARANTEES a band collision only for hamming <= 3;
     above that it is probabilistic — a pair whose >=4 differing bits
     land one-per-band is missed. In practice near-dup thumbnails
@@ -377,8 +382,11 @@ def image_near_dup(
     """
     from pyspark.sql import Window
 
-    h = feat.select("doc_id", F.col("ahash64").alias("h")).where(F.col("h").isNotNull())
-    bands = h.select(
+    assert 64 % bands == 0, bands
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = feat.select("doc_id", F.col(hash_col).alias("h")).where(F.col("h").isNotNull())
+    band_rows = h.select(
         "doc_id",
         "h",
         F.explode(
@@ -386,16 +394,16 @@ def image_near_dup(
                 *[
                     F.struct(
                         F.lit(b).alias("b"),
-                        F.shiftrightunsigned(F.col("h"), 16 * b)
-                        .bitwiseAND(F.lit(65535))
+                        F.shiftrightunsigned(F.col("h"), width * b)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_key"),
                     )
-                    for b in range(4)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "h", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
-    sized = bands.withColumn(
+    sized = band_rows.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
     ).filter(F.col("bucket_n") <= bucket_cap)
     a, bb = sized.alias("a"), sized.alias("b")
@@ -414,6 +422,30 @@ def image_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def image_near_dup(
+    feat: DataFrame, max_hamming: int = 6, bucket_cap: int = 64
+) -> DataFrame:
+    """Perceptual image near-dup over ahash64 (see hash64_near_dup)."""
+    return hash64_near_dup(feat, "ahash64", max_hamming, bucket_cap)
+
+
+def audio_near_dup(
+    feat: DataFrame, max_hamming: int = 7, bucket_cap: int = 64
+) -> DataFrame:
+    """Perceptual audio near-dup over the 64-bit energy-delta
+    fingerprint (afp64 from decode_audio_features) — same band-join
+    plan and cap contract as the image/text near-dup family; the
+    fingerprint is gain-invariant, so re-encoded / re-levelled copies
+    of the same recording pair up without waveform comparison.
+
+    8x8-bit bands (vs the image default 4x16): noise flips
+    energy-delta bits at SCATTERED frame positions (wherever adjacent
+    energies are close), unlike image thumbnails where flips cluster
+    spatially — so audio needs the pigeonhole guarantee (collision
+    for hamming <= bands-1 = 7) rather than clustered-flip luck."""
+    return hash64_near_dup(feat, "afp64", max_hamming, bucket_cap, bands=8)
 
 
 def image_near_dup_incremental(
@@ -492,6 +524,7 @@ AUDIO_SCHEMA = StructType(
         StructField("rms", DoubleType()),
         StructField("peak", DoubleType()),
         StructField("zero_cross_rate", DoubleType()),
+        StructField("afp64", LongType()),
     ]
 )
 
@@ -519,6 +552,8 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                         out[k].append(None)
                     continue
                 st = codecs.audio_stats(*dec)
+                fp = codecs.audio_fingerprint64(dec[1])
+                st["afp64"] = fp - (1 << 64) if fp >= (1 << 63) else fp
                 for k in cols[1:]:
                     out[k].append(st[k])
             yield pd.DataFrame(
@@ -531,6 +566,7 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                     "rms": pd.array(out["rms"], dtype="float64"),
                     "peak": pd.array(out["peak"], dtype="float64"),
                     "zero_cross_rate": pd.array(out["zero_cross_rate"], dtype="float64"),
+                    "afp64": pd.array(out["afp64"], dtype="Int64"),
                 }
             )
 

@@ -199,6 +199,64 @@ def test_perceptual_hash_properties():
     assert 0 <= C.ahash64(base) < (1 << 64)
 
 
+def test_audio_fingerprint_properties():
+    rate = 8000
+    t = np.arange(rate) / rate
+    melody = (
+        0.4 * np.sin(2 * np.pi * 220 * t) * (np.sin(2 * np.pi * 3 * t) > 0)
+        + 0.3 * np.sin(2 * np.pi * 440 * t) * (np.sin(2 * np.pi * 5 * t) < 0)
+    )
+    other = 0.4 * np.sin(2 * np.pi * 330 * t) * (np.sin(2 * np.pi * 7 * t) > 0)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    fp = C.audio_fingerprint64(melody)
+    assert 0 <= fp < (1 << 64)
+    # gain invariance: a re-levelled copy fingerprints IDENTICALLY
+    assert C.audio_fingerprint64(0.5 * melody) == fp
+    # mild noise: small hamming
+    rng = np.random.default_rng(3)
+    noisy = melody + rng.normal(0, 0.01, melody.shape)
+    assert ham(C.audio_fingerprint64(noisy), fp) <= 8
+    # different melody: far
+    assert ham(C.audio_fingerprint64(other), fp) >= 16
+    # short clips are padded, not crashed
+    assert 0 <= C.audio_fingerprint64(np.ones(10)) < (1 << 64)
+
+
+def test_audio_near_dup_spark(spark):
+    from etly_spark.operators.multimodal import audio_near_dup, decode_audio_features
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    rng = np.random.default_rng(9)
+
+    def clip(seed):
+        r = np.random.default_rng(seed)
+        f1, f2 = r.uniform(150, 500), r.uniform(150, 500)
+        g1, g2 = r.uniform(2, 9), r.uniform(2, 9)
+        return 0.4 * np.sin(2 * np.pi * f1 * t) * (np.sin(2 * np.pi * g1 * t) > 0) + 0.3 * np.sin(
+            2 * np.pi * f2 * t
+        ) * (np.sin(2 * np.pi * g2 * t) < 0)
+
+    rows = []
+    for i in range(6):
+        w = clip(i)
+        rows.append((i, bytearray(encode_wav(w[:, None], rate))))
+        # re-levelled + lightly noised copy of clips 0 and 1
+        if i < 2:
+            dup = 0.6 * w + rng.normal(0, 0.005, w.shape)
+            rows.append((100 + i, bytearray(encode_wav(dup[:, None], rate))))
+    rows.append((200, bytearray(b"not audio")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = decode_audio_features(df)
+    pairs = {(r.doc_a, r.doc_b) for r in audio_near_dup(feats, max_hamming=7).collect()}
+    assert (0, 100) in pairs and (1, 101) in pairs
+    assert all(p[0] not in (200,) and p[1] not in (200,) for p in pairs)
+    assert all({a, b} & {0, 100} or {a, b} & {1, 101} for a, b in pairs) or pairs == {
+        (0, 100),
+        (1, 101),
+    }
+
+
 def test_resize_nearest_geometry():
     img = rand_img(32, 48)
     small = C.resize_nearest(img, 8, 8)
