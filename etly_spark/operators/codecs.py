@@ -275,6 +275,103 @@ def image_stats(arr: np.ndarray) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Video decode (Y4M / YUV4MPEG2 — uncompressed, the PPM of video)
+# ---------------------------------------------------------------------------
+
+
+def decode_y4m(
+    payload: bytes | None, max_frames: int = 256
+) -> tuple[float, np.ndarray] | None:
+    """REAL video decode: YUV4MPEG2 container -> (fps, luma frames as
+    uint8 array (n, h, w)). Parses the ASCII stream header (W/H/F
+    tags), walks FRAME markers, and reads each frame's Y plane (chroma
+    planes are skipped per the declared subsampling; 420/422/444
+    supported). None for anything else — same corrupt-is-data contract
+    as the image/audio codecs. ``max_frames`` bounds memory per record.
+    """
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    fps = 0.0
+    chroma = "420"
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        c, val = tag[:1], tag[1:]
+        try:
+            if c == b"W":
+                w = int(val)
+            elif c == b"H":
+                h = int(val)
+            elif c == b"F":
+                num, den = val.split(b":")
+                fps = int(num) / int(den)
+            elif c == b"C":
+                chroma = val.decode("ascii", "ignore")
+        except (ValueError, ZeroDivisionError):
+            return None
+    if w <= 0 or h <= 0 or fps <= 0:
+        return None
+    y_size = w * h
+    if chroma.startswith("420"):
+        frame_size = y_size + 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("422"):
+        frame_size = y_size + 2 * ((w // 2) * h)
+    elif chroma.startswith("444"):
+        frame_size = 3 * y_size
+    else:
+        return None
+    frames: list[np.ndarray] = []
+    i = nl + 1
+    while i < len(payload) and len(frames) < max_frames:
+        if payload[i : i + 5] != b"FRAME":
+            return None  # torn stream: refuse rather than emit garbage
+        j = payload.find(b"\n", i)
+        if j < 0 or len(payload) - (j + 1) < frame_size:
+            return None
+        y = np.frombuffer(payload, dtype=np.uint8, count=y_size, offset=j + 1)
+        frames.append(y.reshape(h, w))
+        i = j + 1 + frame_size
+    if not frames:
+        return None
+    return fps, np.stack(frames)
+
+
+def video_fingerprint64(frames: np.ndarray) -> int:
+    """64-bit temporal video fingerprint: per-frame mean luma resampled
+    to 65 points, bit i = luma rises from point i to i+1 — the same
+    rise/fall comparison scheme as the audio fingerprint, over the
+    scene-brightness curve. Invariant to global gain/contrast scaling;
+    hamming ~ temporal dissimilarity (cuts, motion)."""
+    curve = frames.reshape(frames.shape[0], -1).mean(axis=1)
+    n = curve.shape[0]
+    idx = (np.arange(65) * max(n - 1, 1)) // 64
+    pts = curve[idx]
+    bits = (pts[1:] > pts[:-1]).astype(np.uint64)
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
+def video_stats(fps: float, frames: np.ndarray) -> dict:
+    """Per-video features over REAL decoded luma frames: geometry,
+    duration, luminance stats, temporal fingerprint, and the spatial
+    ahash of the middle frame (thumbnail identity)."""
+    n, h, w = frames.shape
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n),
+        "fps": float(fps),
+        "duration_s": float(n / fps),
+        "mean_luma": float(frames.mean()),
+        "vhash64": video_fingerprint64(frames),
+        "mid_ahash64": ahash64(frames[n // 2]),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Audio decode (WAV / RIFF, PCM)
 # ---------------------------------------------------------------------------
 

@@ -571,3 +571,83 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("fps", DoubleType()),
+        StructField("duration_s", DoubleType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("vhash64", LongType()),
+        StructField("mid_ahash64", LongType()),
+    ]
+)
+
+
+def decode_video_features(df: DataFrame, max_frames: int = 256) -> DataFrame:
+    """Arrow-batched REAL video decode: (doc_id, payload) -> per-video
+    features over actual decoded Y4M luma frames (operators.codecs.
+    decode_y4m — YUV4MPEG2, the uncompressed container; entropy-coded
+    video stays behind the PIL/codec gate). Emits geometry, duration,
+    luminance, the temporal fingerprint (vhash64 — scene-brightness
+    rise/fall curve, the video twin of the audio fingerprint) and the
+    middle frame's spatial ahash. Null row for non-video payloads.
+    Same plumbing contract as the image/audio decoders: pure map, one
+    Arrow batch resident, max_frames bounds per-record memory.
+    """
+    import pandas as pd
+
+    from etly_spark.operators import codecs
+
+    cols = [f.name for f in VIDEO_SCHEMA.fields]
+
+    def wrap(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                dec = codecs.decode_y4m(payload, max_frames=max_frames)
+                if dec is None:
+                    for k in cols[1:]:
+                        out[k].append(None)
+                    continue
+                st = codecs.video_stats(*dec)
+                st["vhash64"] = wrap(st["vhash64"])
+                st["mid_ahash64"] = wrap(st["mid_ahash64"])
+                for k in cols[1:]:
+                    out[k].append(st[k])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "width": pd.array(out["width"], dtype="Int64"),
+                    "height": pd.array(out["height"], dtype="Int64"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "fps": pd.array(out["fps"], dtype="float64"),
+                    "duration_s": pd.array(out["duration_s"], dtype="float64"),
+                    "mean_luma": pd.array(out["mean_luma"], dtype="float64"),
+                    "vhash64": pd.array(out["vhash64"], dtype="Int64"),
+                    "mid_ahash64": pd.array(out["mid_ahash64"], dtype="Int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, VIDEO_SCHEMA)
+
+
+def video_near_dup(
+    feat: DataFrame, max_hamming: int = 7, bucket_cap: int = 64
+) -> DataFrame:
+    """Perceptual video near-dup over the temporal fingerprint (vhash64
+    from decode_video_features). Like audio, temporal rise/fall bits
+    flip at scattered positions under noise, so 8x8-bit bands provide
+    the pigeonhole recall guarantee at hamming <= 7. Candidates sharing
+    a temporal band can be second-pass-verified on mid_ahash64 by the
+    caller when temporal curves alone are too coarse (e.g. static
+    scenes)."""
+    return hash64_near_dup(feat, "vhash64", max_hamming, bucket_cap, bands=8)

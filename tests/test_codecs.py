@@ -257,6 +257,85 @@ def test_audio_near_dup_spark(spark):
     }
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 25, chroma: str = "420") -> bytes:
+    """Real Y4M encoder (test-side ground truth): luma frames get neutral
+    chroma planes per the declared subsampling."""
+    n, h, w = frames.shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{chroma}\n".encode())
+    if chroma == "420":
+        cpl = (w // 2) * (h // 2) * 2
+    elif chroma == "422":
+        cpl = (w // 2) * h * 2
+    else:
+        cpl = w * h * 2
+    for f in frames:
+        out += b"FRAME\n" + f.tobytes() + b"\x80" * cpl
+    return bytes(out)
+
+
+def test_y4m_roundtrip_exact():
+    frames = RNG.integers(0, 256, size=(6, 8, 12), dtype=np.uint8)
+    for chroma in ("420", "422", "444"):
+        dec = C.decode_y4m(encode_y4m(frames, fps=30, chroma=chroma))
+        assert dec is not None
+        fps, got = dec
+        assert fps == 30.0
+        assert np.array_equal(got, frames)
+    # truncated / torn streams refuse rather than emit garbage
+    payload = encode_y4m(frames)
+    assert C.decode_y4m(payload[:-5]) is None
+    assert C.decode_y4m(b"YUV4MPEG2 W0 H0 F25:1\n") is None
+    assert C.decode_y4m(b"not video") is None
+    # frame cap bounds memory per record
+    fps, got = C.decode_y4m(payload, max_frames=3)
+    assert got.shape[0] == 3
+
+
+def test_video_fingerprint_properties():
+    t = np.linspace(0, 4 * np.pi, 120)
+    curve = (np.sin(t) * 60 + 120).astype(np.uint8)
+    frames = np.repeat(curve[:, None, None], 16 * 16, axis=1).reshape(120, 16, 16)
+    other = np.repeat(
+        ((np.cos(2.3 * t) * 60 + 120).astype(np.uint8))[:, None, None], 16 * 16, axis=1
+    ).reshape(120, 16, 16)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    fp = C.video_fingerprint64(frames)
+    # contrast/gain scaling preserves the brightness ordering -> same fp
+    scaled = np.clip(frames.astype(np.float64) * 0.7 + 20, 0, 255).astype(np.uint8)
+    assert C.video_fingerprint64(scaled) == fp
+    assert ham(C.video_fingerprint64(other), fp) >= 16
+
+
+def test_video_near_dup_spark(spark):
+    from etly_spark.operators.multimodal import decode_video_features, video_near_dup
+
+    rng = np.random.default_rng(21)
+
+    def vid(seed):
+        r = np.random.default_rng(seed)
+        t = np.linspace(0, r.uniform(2, 6) * np.pi, 80)
+        curve = np.sin(t + r.uniform(0, 6)) * 50 + 120
+        base = np.repeat(curve[:, None, None], 12 * 12, axis=1).reshape(80, 12, 12)
+        return np.clip(base + r.normal(0, 3, base.shape), 0, 255).astype(np.uint8)
+
+    rows = []
+    for i in range(5):
+        v = vid(i)
+        rows.append((i, bytearray(encode_y4m(v))))
+        if i < 2:  # re-graded + noised copy
+            dup = np.clip(v.astype(np.float64) * 0.8 + 10 + rng.normal(0, 1, v.shape), 0, 255)
+            rows.append((100 + i, bytearray(encode_y4m(dup.astype(np.uint8)))))
+    rows.append((200, bytearray(b"not video")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = decode_video_features(df)
+    got = {r.doc_id: r for r in feats.collect()}
+    assert got[0].width == 12 and got[0].n_frames == 80 and got[0].fps == 25.0
+    assert got[200].vhash64 is None
+    pairs = {(r.doc_a, r.doc_b) for r in video_near_dup(feats).collect()}
+    assert (0, 100) in pairs and (1, 101) in pairs
+    assert all(200 not in p for p in pairs)
+
+
 def test_resize_nearest_geometry():
     img = rand_img(32, 48)
     small = C.resize_nearest(img, 8, 8)
