@@ -45,6 +45,28 @@ def _decodable_image(df):
     return h2.isin("424D", "8950", "5035", "5036")  # BM, \x89P(NG), P5, P6
 
 
+@registry.transformers.register("etly.DecodeVideoFeatures")
+def _decode_video_features(df):
+    from etly_spark.operators.multimodal import decode_video_features
+
+    return decode_video_features(df)
+
+
+@registry.filters.register("etly.DecodableMedia")
+def _decodable_media(df):
+    """Any supported media container magic: raster image, WAV, or Y4M."""
+    from pyspark.sql import functions as F
+
+    h2 = F.upper(F.hex(F.substring(F.col("payload"), 1, 2)))
+    h4 = F.upper(F.hex(F.substring(F.col("payload"), 1, 4)))
+    h9 = F.upper(F.hex(F.substring(F.col("payload"), 1, 9)))
+    return (
+        h2.isin("424D", "8950", "5035", "5036")  # BM, \x89P, P5, P6
+        | (h4 == "52494646")  # RIFF (WAV)
+        | (h9 == F.upper(F.lit("595556344d50454732")))  # YUV4MPEG2
+    )
+
+
 @registry.transformers.register("etly.TextQualitySignals")
 def _text_quality_signals(df):
     """Per-doc quality + language signals (the text_quality composite)

@@ -7,11 +7,13 @@ is a first-class value with a decode stage. Decode comes in three tiers:
 
 - REAL header parse (`parse_image_header`): BMP/PNG/GIF/PPM dims from
   actual bytes, no codec library.
-- REAL pixel/audio decode (`decode_pixel_features` /
-  `decode_audio_features` over `operators.codecs`): BMP, PPM/PGM, PNG
-  (stdlib zlib) pixels and WAV PCM samples, pure numpy — luminance
-  stats, perceptual hashes (ahash/dhash), waveform features.
-- Entropy-coded formats (JPEG/WebP/video): gated on PIL
+- REAL pixel/audio/video decode (`decode_pixel_features` /
+  `decode_audio_features` / `decode_video_features` over
+  `operators.codecs`): BMP, PPM/PGM, PNG (stdlib zlib) pixels, WAV
+  PCM samples, Y4M video frames — pure numpy; luminance stats,
+  perceptual hashes (ahash/dhash/vhash/audio fingerprint), waveform
+  features; near-dup across all three modalities.
+- Entropy-coded formats (JPEG/WebP, H.26x/VP9 video): gated on PIL
   (`decode_real`), absent in this container; `_decode_batch` is the
   deterministic byte-level featurizer stand-in so the full-pipeline
   plumbing (schema, Arrow batch shape, partition-parallel mapInPandas,

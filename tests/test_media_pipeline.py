@@ -89,6 +89,25 @@ def test_streaming_media_decode(spark, tmp_path):
     assert rows[2].pixel_md5 is None
 
 
+def test_decodable_media_filter(spark):
+    from etly_spark import builtins  # noqa: F401
+    from etly_spark import registry
+    from tests.test_codecs import encode_wav, encode_y4m
+
+    wav = encode_wav(np.zeros((100, 1)), 8000)
+    y4m = encode_y4m(np.zeros((2, 4, 4), dtype=np.uint8))
+    rows = [
+        (1, bytearray(encode_bmp(rand_img(4, 4)))),
+        (2, bytearray(wav)),
+        (3, bytearray(y4m)),
+        (4, bytearray(b"plain text payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pred = registry.filters.get("etly.DecodableMedia")(df)
+    kept = {r.doc_id for r in df.filter(pred).collect()}
+    assert kept == {1, 2, 3}
+
+
 def test_incremental_image_near_dup_equals_batch(spark, tmp_path):
     """Continuous-ingest image dedup: stream media batches into the
     perceptual-hash index (idempotent epoch folds), then band-probe a
