@@ -10,6 +10,9 @@ Two measurements:
    plus a jittered copy (+-4 per byte) fed to image_near_dup: the band
    join must recover ~every (original, jitter) pair WITHOUT comparing
    all pairs, with no false positives among the distinct images.
+3. Audio/video — 2k synthesized WAV clips and Y4M videos (real
+   containers), each with a re-levelled+noised copy: decode
+   throughput + fingerprint near-dup recall per modality.
 
 Usage: python tools/stress_media.py [sf_dir]
 """
@@ -26,9 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from etly_spark.operators.multimodal import (  # noqa: E402
+    decode_audio_features,
     decode_pixel_features,
+    decode_video_features,
     image_near_dup,
     synthesize_ppm_payload,
+    video_near_dup,
 )
 from etly_spark.session import get_spark  # noqa: E402
 
@@ -96,6 +102,83 @@ def main() -> int:
     n_planted = planted.count()
     sec_neardup = time.monotonic() - t0
 
+    # -- audio + video: decode throughput and near-dup recall on
+    # synthesized real containers (WAV sines / Y4M brightness curves),
+    # one re-levelled+noised copy per original
+    def gen_av(batches):
+        import struct
+
+        import numpy as np
+
+        def wav_bytes(samples, rate=8000):
+            data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+        def y4m_bytes(frames):
+            n, h, w = frames.shape
+            out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode())
+            cpl = (w // 2) * (h // 2) * 2
+            for f in frames:
+                out += b"FRAME\n" + f.tobytes() + b"\x80" * cpl
+            return bytes(out)
+
+        rate = 8000
+        n_samp = rate // 2
+        for pdf in batches:
+            ids, pls, kinds = [], [], []
+            for doc_id in pdf["doc_id"]:
+                r = np.random.default_rng(int(doc_id))
+                # random-walk energy envelope over 65 fingerprint frames:
+                # rise/fall bits are i.i.d. across clips, the entropy a
+                # real recording's energy curve has (smooth synthetic
+                # sines collapse every band bucket past the cap — the
+                # same degeneracy text rasters showed for image hashing)
+                env = np.abs(np.cumsum(r.normal(0, 1, 65))) + 0.1
+                env /= env.max()
+                envelope = np.repeat(env, n_samp // 65 + 1)[:n_samp]
+                carrier = r.normal(0, 0.2, n_samp)
+                wave = envelope * carrier
+                dup_w = 0.7 * wave + r.normal(0, 0.002, wave.shape)
+                curve = np.clip(120 + np.cumsum(r.normal(0, 8, 60)), 10, 245)
+                vid = np.clip(
+                    np.repeat(curve[:, None, None], 16 * 16, axis=1).reshape(60, 16, 16)
+                    + r.normal(0, 1.5, (60, 16, 16)),
+                    0, 255,
+                ).astype(np.uint8)
+                dup_v = np.clip(vid.astype(np.float64) * 0.85 + 8, 0, 255).astype(np.uint8)
+                for off, payload, kind in (
+                    (0, wav_bytes(wave), "audio"),
+                    (1_000_000, wav_bytes(dup_w), "audio"),
+                    (2_000_000, y4m_bytes(vid), "video"),
+                    (3_000_000, y4m_bytes(dup_v), "video"),
+                ):
+                    ids.append(int(doc_id) + off)
+                    pls.append(payload)
+                    kinds.append(kind)
+            yield pd.DataFrame({"doc_id": ids, "payload": pls, "kind": kinds})
+
+    av = docs.select("doc_id").limit(2000).repartition(16).mapInPandas(
+        gen_av, "doc_id long, payload binary, kind string"
+    )
+    t0 = time.monotonic()
+    afeat = decode_audio_features(av.filter(F.col("kind") == "audio"))
+    a_ok = afeat.filter(F.col("afp64").isNotNull()).count()
+    sec_audio = time.monotonic() - t0
+    t0 = time.monotonic()
+    vfeat = decode_video_features(av.filter(F.col("kind") == "video"))
+    v_ok = vfeat.filter(F.col("vhash64").isNotNull()).count()
+    sec_video = time.monotonic() - t0
+
+    from etly_spark.operators.multimodal import audio_near_dup
+
+    a_pairs = audio_near_dup(afeat).filter(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+    v_pairs = video_near_dup(vfeat).filter(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+    a_recall = a_pairs.count() / 2000
+    v_recall = v_pairs.count() / 2000
+
     print(
         json.dumps(
             {
@@ -109,6 +192,14 @@ def main() -> int:
                 "n_pairs": n_pairs,
                 "n_planted_recovered": n_planted,
                 "planted_recall": round(n_planted / n_docs, 4),
+                "n_audio_clips": 4000,
+                "sec_audio_decode": round(sec_audio, 2),
+                "audio_ok": a_ok,
+                "audio_planted_recall": round(a_recall, 4),
+                "n_videos": 4000,
+                "sec_video_decode": round(sec_video, 2),
+                "video_ok": v_ok,
+                "video_planted_recall": round(v_recall, 4),
             }
         )
     )
