@@ -653,3 +653,71 @@ def video_near_dup(
     caller when temporal curves alone are too coarse (e.g. static
     scenes)."""
     return hash64_near_dup(feat, "vhash64", max_hamming, bucket_cap, bands=8)
+
+
+def synthesize_y4m_payload(
+    df: DataFrame, w: int = 8, h: int = 8, n_frames: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Build a REAL video payload column from text bytes: a valid
+    YUV4MPEG2 stream whose frame lumas are consecutive w*h slices of
+    the text space-padded to n_frames*w*h bytes (neutral 4:2:0 chroma).
+    Decodes with any conformant Y4M reader, and every decoded frame
+    statistic is mirrorable by byte arithmetic in a SQL oracle — the
+    video twin of synthesize_ppm_payload."""
+    luma = w * h
+    padded = F.rpad(F.col(text_col), n_frames * luma, " ")
+    header = F.lit(f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode())
+    chroma = F.lit(b"\x80" * ((w // 2) * (h // 2) * 2))
+    parts = [header]
+    for f in range(n_frames):
+        parts += [
+            F.lit(b"FRAME\n"),
+            F.substring(padded, f * luma + 1, luma).cast("binary"),
+            chroma,
+        ]
+    return df.withColumn("payload", F.concat(*parts))
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("f_sum", LongType()),
+    ]
+)
+
+
+def decode_frame_samples(df: DataFrame, step: int = 2) -> DataFrame:
+    """Arrow-batched REAL frame sampling: decode the video container
+    (operators.codecs.decode_y4m) and emit one row per SAMPLED frame
+    (every ``step``-th) with that frame's decoded luma sum — the
+    decode -> frame-sample -> featurize pipeline with an actual codec
+    in the loop. Pure map; per-record memory bounded by the decoder's
+    frame cap; corrupt payloads contribute no rows (a count-level
+    oracle catches silent drops)."""
+    import pandas as pd
+
+    from etly_spark.operators import codecs
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SAMPLE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = codecs.decode_y4m(payload)
+                if dec is None:
+                    continue
+                _fps, frames = dec
+                n, h, w = frames.shape
+                for f in range(0, n, step):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(n)
+                    out["f_sum"].append(int(frames[f].astype("int64").sum()))
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SAMPLE_SCHEMA)

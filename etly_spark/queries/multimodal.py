@@ -1,11 +1,14 @@
 """Multimodal-column queries: binary payloads with typed metadata,
 decode/feature-extract via Arrow-batched mapInPandas, frame sampling.
 
-The decode codec is stubbed deterministically (no media libs in the
-container — etly_spark.operators.multimodal); everything Spark-side
-(binary column, metadata struct, pandas batch shape, explode plan) is
-real. Oracles replicate the byte arithmetic (payload is utf-8 text, so
-DuckDB's ascii() over chars equals the byte values).
+REAL codecs run under the oracle gate: the 'pixels' variant packs each
+doc's text into a valid PPM and decodes it with the pure-numpy Netpbm
+codec; the 'y4m' variant packs it into a valid YUV4MPEG2 stream and
+frame-samples the REAL decoder's output. Only entropy-coded formats
+stay stubbed ('stub'/'meta' variants keep the deterministic
+featurizer). Oracles replicate the byte arithmetic (payload bytes
+derive from ASCII text, so DuckDB's ascii() over chars equals the
+decoded byte values).
 """
 
 from __future__ import annotations
@@ -17,8 +20,10 @@ from etly_spark.io.tables import load_table
 from etly_spark.operators.multimodal import (
     attach_binary_payload,
     decode_features,
+    decode_frame_samples,
     decode_pixel_features,
     synthesize_ppm_payload,
+    synthesize_y4m_payload,
 )
 from etly_spark.queries.catalog import query
 
@@ -116,31 +121,55 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
              1 + doc_id % 8 AS n_frames,
              round(32.0 / greatest(16 + byte_len % 64, 16 + doc_id % 32), 6) AS resize_scale
       FROM b
+    ), stub AS (
+      SELECT 'stub' AS variant, doc_id,
+             unnest(generate_series(0, n_frames - 1, 2)) AS frame_no,
+             byte_len, byte_sum, mean_byte, width, height, n_frames, resize_scale
+      FROM feats
+    ), vid AS (
+      -- the lumas the REAL Y4M decoder must recover: text space-padded
+      -- to 6 frames x 64 bytes (ASCII corpus: chars == bytes)
+      SELECT doc_id, rpad(text, 384, ' ') AS px FROM documents
+    ), y4m AS (
+      SELECT 'y4m' AS variant, doc_id,
+             f AS frame_no,
+             64 AS byte_len,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  j -> ascii(substr(px, f * 64 + j, 1)))) AS BIGINT) AS byte_sum,
+             round(CAST(list_sum(list_transform(generate_series(1, 64),
+                  j -> ascii(substr(px, f * 64 + j, 1)))) AS DOUBLE) / 64, 6) AS mean_byte,
+             8 AS width, 8 AS height, 6 AS n_frames,
+             4.0 AS resize_scale
+      FROM vid, (SELECT unnest([0, 2, 4]) AS f)
     )
-    SELECT doc_id, unnest(generate_series(0, n_frames - 1, 2)) AS frame_no,
-           byte_len, byte_sum, mean_byte, width, height, n_frames, resize_scale
-    FROM feats
-    ORDER BY doc_id, frame_no
+    SELECT * FROM stub UNION ALL BY NAME SELECT * FROM y4m
+    ORDER BY variant, doc_id, frame_no
     """,
-    doc="Decode → frame-sample pipeline in one checked row: Arrow-batched "
-    "pandas decode stub (mapInPandas — byte stats, resize geometry, frame "
-    "count per payload), then every-2nd-frame sampling as an explode of a "
-    "generated sequence (the video-sampling plan shape; the per-frame "
-    "codec call is the stubbed stage). Exercises the real multimodal "
-    "plumbing — schema, batch iterator, partition-parallel map, no "
-    "shuffle before the explode.",
+    doc="Decode → frame-sample, two tagged variants in one checked row. "
+    "'stub' — Arrow-batched pandas decode stand-in (byte stats, resize "
+    "geometry) + every-2nd-frame sampling as an explode (the plan "
+    "shape, codec stubbed). 'y4m' — the SAME pipeline with a REAL "
+    "codec in the loop: each doc's text is packed into a valid "
+    "YUV4MPEG2 stream (6 frames of 8x8 luma), decoded back frame by "
+    "frame by the pure-numpy Y4M decoder (operators/codecs.py), and "
+    "every sampled frame's decoded luma sum / mean is hash-checked "
+    "against byte arithmetic — a codec bug in header parse, frame "
+    "walk, plane offsets, or reshape fails the gate. Both variants: "
+    "pure map, no shuffle before the explode.",
 )
 def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    d = attach_binary_payload(docs)
     feats = decode_features(d)
-    return (
+    stub = (
         feats.withColumn(
             "frame_no",
             F.explode(F.sequence(F.lit(0), (F.col("n_frames") - 1).cast("int"), F.lit(2))),
         )
         .select(
+            F.lit("stub").alias("variant"),
             "doc_id",
-            "frame_no",
+            F.col("frame_no").cast("long").alias("frame_no"),
             "byte_len",
             "byte_sum",
             # HALF_UP rounding on the Spark side (= SQL round): the
@@ -151,5 +180,18 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frames",
             F.round("resize_scale", 6).alias("resize_scale"),
         )
-        .orderBy("doc_id", "frame_no")
     )
+    samples = decode_frame_samples(synthesize_y4m_payload(docs, w=8, h=8, n_frames=6))
+    y4m = samples.select(
+        F.lit("y4m").alias("variant"),
+        "doc_id",
+        "frame_no",
+        (F.col("width") * F.col("height")).alias("byte_len"),
+        F.col("f_sum").alias("byte_sum"),
+        F.round(F.col("f_sum") / (F.col("width") * F.col("height")), 6).alias("mean_byte"),
+        "width",
+        "height",
+        "n_frames",
+        F.round(F.lit(32.0) / F.greatest("width", "height"), 6).alias("resize_scale"),
+    )
+    return stub.unionByName(y4m).orderBy("variant", "doc_id", "frame_no")
