@@ -450,26 +450,33 @@ def audio_near_dup(
     return hash64_near_dup(feat, "afp64", max_hamming, bucket_cap, bands=8)
 
 
-def image_near_dup_incremental(
+def hash64_near_dup_incremental(
     new_feats: DataFrame,
     index_feats: DataFrame,
+    hash_col: str,
     max_hamming: int = 6,
     bucket_cap: int = 64,
+    bands: int = 4,
 ) -> DataFrame:
-    """Incremental perceptual near-dup: band-probe a NEW batch of image
-    features against the full accumulated index (which includes the
-    batch) — work is O(batch x density), never an index self-join.
-    Same contract as the text/vector incremental paths
-    (queries.dedup.lsh_incremental_pairs): bucket density is measured
-    over the FULL band table so the hot-bucket cap sees true bucket
-    size, and results provably equal the batch `image_near_dup` pairs
-    restricted to new-involving rows (band membership of a hash is
-    batch-independent). Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """Incremental perceptual near-dup over ANY 64-bit hash column:
+    band-probe a NEW batch of features against the full accumulated
+    index (which includes the batch) — work is O(batch x density),
+    never an index self-join. Same contract as the text/vector
+    incremental paths (queries.dedup.lsh_incremental_pairs): bucket
+    density is measured over the FULL band table so the hot-bucket cap
+    sees true bucket size, and results provably equal the batch
+    `hash64_near_dup` pairs restricted to new-involving rows (band
+    membership of a hash is batch-independent). Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
     """
     from pyspark.sql import Window
 
+    assert 64 % bands == 0, bands
+    width = 64 // bands
+    mask = (1 << width) - 1
+
     def bands_of(feats: DataFrame) -> DataFrame:
-        h = feats.select("doc_id", F.col("ahash64").alias("h")).where(
+        h = feats.select("doc_id", F.col(hash_col).alias("h")).where(
             F.col("h").isNotNull()
         )
         return h.select(
@@ -480,11 +487,11 @@ def image_near_dup_incremental(
                     *[
                         F.struct(
                             F.lit(b).alias("b"),
-                            F.shiftrightunsigned(F.col("h"), 16 * b)
-                            .bitwiseAND(F.lit(65535))
+                            F.shiftrightunsigned(F.col("h"), width * b)
+                            .bitwiseAND(F.lit(mask))
                             .alias("band_key"),
                         )
-                        for b in range(4)
+                        for b in range(bands)
                     ]
                 )
             ).alias("bk"),
@@ -513,6 +520,43 @@ def image_near_dup_incremental(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def image_near_dup_incremental(
+    new_feats: DataFrame,
+    index_feats: DataFrame,
+    max_hamming: int = 6,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Incremental image near-dup over ahash64 (4x16 bands)."""
+    return hash64_near_dup_incremental(
+        new_feats, index_feats, "ahash64", max_hamming, bucket_cap, bands=4
+    )
+
+
+def audio_near_dup_incremental(
+    new_feats: DataFrame,
+    index_feats: DataFrame,
+    max_hamming: int = 7,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Incremental audio near-dup over afp64 (8x8 bands — see
+    audio_near_dup for the band-width rationale)."""
+    return hash64_near_dup_incremental(
+        new_feats, index_feats, "afp64", max_hamming, bucket_cap, bands=8
+    )
+
+
+def video_near_dup_incremental(
+    new_feats: DataFrame,
+    index_feats: DataFrame,
+    max_hamming: int = 7,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Incremental video near-dup over vhash64 (8x8 bands)."""
+    return hash64_near_dup_incremental(
+        new_feats, index_feats, "vhash64", max_hamming, bucket_cap, bands=8
     )
 
 

@@ -336,6 +336,51 @@ def test_video_near_dup_spark(spark):
     assert all(200 not in p for p in pairs)
 
 
+def test_audio_video_incremental_equals_batch(spark):
+    """The generalized incremental probe matches the batch self-join
+    restricted to new-involving pairs, for BOTH AV modalities."""
+    from etly_spark.operators.multimodal import (
+        audio_near_dup,
+        audio_near_dup_incremental,
+        decode_audio_features,
+        decode_video_features,
+        video_near_dup,
+        video_near_dup_incremental,
+    )
+
+    from pyspark.sql import functions as F
+
+    rate = 8000
+    n = rate // 2
+    rows_a, rows_v = [], []
+    for i in range(8):
+        r = np.random.default_rng(50 + i)
+        env = np.abs(np.cumsum(r.normal(0, 1, 65))) + 0.1
+        wave = np.repeat(env / env.max(), n // 65 + 1)[:n] * r.normal(0, 0.2, n)
+        rows_a.append((i, bytearray(encode_wav(wave[:, None], rate))))
+        curve = np.clip(120 + np.cumsum(r.normal(0, 8, 40)), 10, 245)
+        vid = np.repeat(curve[:, None, None], 64, axis=1).reshape(40, 8, 8).astype(np.uint8)
+        rows_v.append((i, bytearray(encode_y4m(vid))))
+        if i < 2:  # "new batch": re-levelled copies of clips 0 and 1
+            rows_a.append((100 + i, bytearray(encode_wav((0.7 * wave)[:, None], rate))))
+            dv = np.clip(vid.astype(np.float64) * 0.8 + 5, 0, 255).astype(np.uint8)
+            rows_v.append((100 + i, bytearray(encode_y4m(dv))))
+
+    for rows, dec, batch_fn, inc_fn in (
+        (rows_a, decode_audio_features, audio_near_dup, audio_near_dup_incremental),
+        (rows_v, decode_video_features, video_near_dup, video_near_dup_incremental),
+    ):
+        feats = dec(spark.createDataFrame(rows, "doc_id long, payload binary"))
+        new = feats.filter(F.col("doc_id") >= 100)
+        inc = {(r.doc_a, r.doc_b) for r in inc_fn(new, feats).collect()}
+        batch = {
+            (r.doc_a, r.doc_b)
+            for r in batch_fn(feats).collect()
+            if r.doc_a >= 100 or r.doc_b >= 100
+        }
+        assert inc == batch and {(0, 100), (1, 101)} <= inc
+
+
 def test_resize_nearest_geometry():
     img = rand_img(32, 48)
     small = C.resize_nearest(img, 8, 8)
