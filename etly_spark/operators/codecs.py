@@ -348,7 +348,10 @@ def video_fingerprint64(frames: np.ndarray) -> int:
     hamming ~ temporal dissimilarity (cuts, motion)."""
     curve = frames.reshape(frames.shape[0], -1).mean(axis=1)
     n = curve.shape[0]
-    idx = (np.arange(65) * max(n - 1, 1)) // 64
+    # n == 1: a flat "curve" — every comparison false, fingerprint 0
+    # (indexing with (n-1)=0 keeps idx in range; max(n-1,1) did NOT
+    # and crashed the task on single-frame clips)
+    idx = (np.arange(65) * (n - 1)) // 64
     pts = curve[idx]
     bits = (pts[1:] > pts[:-1]).astype(np.uint64)
     return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())

@@ -50,6 +50,11 @@ except ImportError:
     HAVE_PIL = False
 
 
+def _signed64(v: int) -> int:
+    """uint64 bit pattern -> the int64 Spark stores (two's complement)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -331,8 +336,8 @@ def decode_pixel_features(df: DataFrame) -> DataFrame:
                 out["std_luma"].append(st["std_luma"])
                 # perceptual hashes live in [0, 2^64); store as the
                 # sign-wrapped int64 twin (bit pattern preserved)
-                out["ahash64"].append(st["ahash64"] - (1 << 64) if st["ahash64"] >= (1 << 63) else st["ahash64"])
-                out["dhash64"].append(st["dhash64"] - (1 << 64) if st["dhash64"] >= (1 << 63) else st["dhash64"])
+                out["ahash64"].append(_signed64(st["ahash64"]))
+                out["dhash64"].append(_signed64(st["dhash64"]))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(out["doc_id"], dtype="int64"),
@@ -349,6 +354,35 @@ def decode_pixel_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, PIXEL_SCHEMA)
+
+
+def _band_table(feat: DataFrame, hash_col: str, bands: int) -> DataFrame:
+    """(doc_id, h, b, band_key) rows: the 64-bit hash split into
+    ``bands`` contiguous (64/bands)-bit keys — the single definition
+    both the batch self-join and the incremental probe build on, so
+    the two paths cannot diverge."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = feat.select("doc_id", F.col(hash_col).alias("h")).where(F.col("h").isNotNull())
+    return h.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftrightunsigned(F.col("h"), width * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "h", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
 
 
 def hash64_near_dup(
@@ -384,27 +418,7 @@ def hash64_near_dup(
     """
     from pyspark.sql import Window
 
-    assert 64 % bands == 0, bands
-    width = 64 // bands
-    mask = (1 << width) - 1
-    h = feat.select("doc_id", F.col(hash_col).alias("h")).where(F.col("h").isNotNull())
-    band_rows = h.select(
-        "doc_id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.shiftrightunsigned(F.col("h"), width * b)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "h", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
+    band_rows = _band_table(feat, hash_col, bands)
     sized = band_rows.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
     ).filter(F.col("bucket_n") <= bucket_cap)
@@ -471,35 +485,7 @@ def hash64_near_dup_incremental(
     """
     from pyspark.sql import Window
 
-    assert 64 % bands == 0, bands
-    width = 64 // bands
-    mask = (1 << width) - 1
-
-    def bands_of(feats: DataFrame) -> DataFrame:
-        h = feats.select("doc_id", F.col(hash_col).alias("h")).where(
-            F.col("h").isNotNull()
-        )
-        return h.select(
-            "doc_id",
-            "h",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("b"),
-                            F.shiftrightunsigned(F.col("h"), width * b)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(
-            "doc_id", "h", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key")
-        )
-
-    full = bands_of(index_feats)
+    full = _band_table(index_feats, hash_col, bands)
     sized = full.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
     ).filter(F.col("bucket_n") <= bucket_cap)
@@ -598,8 +584,7 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                         out[k].append(None)
                     continue
                 st = codecs.audio_stats(*dec)
-                fp = codecs.audio_fingerprint64(dec[1])
-                st["afp64"] = fp - (1 << 64) if fp >= (1 << 63) else fp
+                st["afp64"] = _signed64(codecs.audio_fingerprint64(dec[1]))
                 for k in cols[1:]:
                     out[k].append(st[k])
             yield pd.DataFrame(
@@ -651,9 +636,6 @@ def decode_video_features(df: DataFrame, max_frames: int = 256) -> DataFrame:
 
     cols = [f.name for f in VIDEO_SCHEMA.fields]
 
-    def wrap(v: int) -> int:
-        return v - (1 << 64) if v >= (1 << 63) else v
-
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
@@ -665,8 +647,8 @@ def decode_video_features(df: DataFrame, max_frames: int = 256) -> DataFrame:
                         out[k].append(None)
                     continue
                 st = codecs.video_stats(*dec)
-                st["vhash64"] = wrap(st["vhash64"])
-                st["mid_ahash64"] = wrap(st["mid_ahash64"])
+                st["vhash64"] = _signed64(st["vhash64"])
+                st["mid_ahash64"] = _signed64(st["mid_ahash64"])
                 for k in cols[1:]:
                     out[k].append(st[k])
             yield pd.DataFrame(

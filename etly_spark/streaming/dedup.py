@@ -33,6 +33,32 @@ from pyspark.sql.streaming import StreamingQuery
 from etly_spark.operators.sketch import minhash_signatures
 
 
+def start_feature_index(
+    stream: DataFrame,
+    transform,
+    index_dir: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain ANY per-record feature index from a stream: each
+    micro-batch runs ``transform`` (DataFrame -> DataFrame) and lands
+    in its own ``epoch=N`` dir with mode("overwrite") — the idempotent
+    fold shared by every modality's index (text sketches, image
+    perceptual hashes, ...). ``available_now=True`` drains the backlog
+    then stops; otherwise the query runs continuously."""
+
+    def fold_batch(bdf: DataFrame, epoch_id: int) -> None:
+        transform(bdf).write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+
+    writer = stream.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_signature_index(
     doc_stream: DataFrame,
     index_dir: str,
@@ -42,20 +68,14 @@ def start_signature_index(
     text_col: str = "text",
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Maintain a minhash signature index from a streaming document
-    source. ``available_now=True`` drains the backlog then stops (one
-    ingest sweep); otherwise the query runs continuously."""
-
-    def fold_batch(bdf: DataFrame, epoch_id: int) -> None:
-        sigs = minhash_signatures(bdf, id_col=id_col, text_col=text_col)
-        sigs.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
-
-    writer = doc_stream.writeStream.foreachBatch(fold_batch).option(
-        "checkpointLocation", checkpoint
+    """Minhash signature index from a streaming document source."""
+    return start_feature_index(
+        doc_stream,
+        lambda bdf: minhash_signatures(bdf, id_col=id_col, text_col=text_col),
+        index_dir,
+        checkpoint,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_signature_index(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -72,24 +92,25 @@ def start_pixel_index(
     *,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Maintain a perceptual-hash image index from a streaming media
-    source (doc_id, payload): each micro-batch is REAL-decoded
-    (operators.multimodal.decode_pixel_features) and folded into an
-    epoch-partitioned parquet index with the same idempotent-overwrite
-    contract as the text signature index. The accumulated index feeds
+    """Perceptual-hash image index from a streaming media source
+    (doc_id, payload): micro-batches are REAL-decoded and folded via
+    the shared idempotent epoch contract; the accumulated index feeds
     `image_near_dup_incremental` — continuous-ingest image dedup."""
     from etly_spark.operators.multimodal import decode_pixel_features
 
-    def fold_batch(bdf: DataFrame, epoch_id: int) -> None:
-        feats = decode_pixel_features(bdf)
-        feats.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
-
-    writer = media_stream.writeStream.foreachBatch(fold_batch).option(
-        "checkpointLocation", checkpoint
+    return start_feature_index(
+        media_stream,
+        decode_pixel_features,
+        index_dir,
+        checkpoint,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+
+
+def read_pixel_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The accumulated image feature table across all epochs (epoch
+    column dropped — consumers see the decode_pixel_features shape)."""
+    return spark.read.parquet(index_dir).drop("epoch")
 
 
 def compact_signature_index(index_dir: str, threshold: int = 64) -> None:

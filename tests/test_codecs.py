@@ -306,6 +306,20 @@ def test_video_fingerprint_properties():
     assert ham(C.video_fingerprint64(other), fp) >= 16
 
 
+def test_single_frame_video_is_data_not_exception(spark):
+    """Regression: a valid 1-frame clip must yield a feature row (flat
+    temporal fingerprint = 0), not an IndexError that kills the task."""
+    from etly_spark.operators.multimodal import decode_video_features
+
+    one = np.full((1, 4, 4), 7, dtype=np.uint8)
+    assert C.video_fingerprint64(one) == 0
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(one)))], "doc_id long, payload binary"
+    )
+    row = decode_video_features(df).first()
+    assert row.n_frames == 1 and row.vhash64 == 0 and row.duration_s == 1 / 25
+
+
 def test_video_near_dup_spark(spark):
     from etly_spark.operators.multimodal import decode_video_features, video_near_dup
 

@@ -160,6 +160,7 @@ def main() -> int:
                     kinds.append(kind)
             yield pd.DataFrame({"doc_id": ids, "payload": pls, "kind": kinds})
 
+    n_av = min(n_docs, 2000)
     av = docs.select("doc_id").limit(2000).repartition(16).mapInPandas(
         gen_av, "doc_id long, payload binary, kind string"
     )
@@ -176,8 +177,8 @@ def main() -> int:
 
     a_pairs = audio_near_dup(afeat).filter(F.col("doc_b") - F.col("doc_a") == 1_000_000)
     v_pairs = video_near_dup(vfeat).filter(F.col("doc_b") - F.col("doc_a") == 1_000_000)
-    a_recall = a_pairs.count() / 2000
-    v_recall = v_pairs.count() / 2000
+    a_recall = a_pairs.count() / n_av
+    v_recall = v_pairs.count() / n_av
 
     print(
         json.dumps(
@@ -192,11 +193,11 @@ def main() -> int:
                 "n_pairs": n_pairs,
                 "n_planted_recovered": n_planted,
                 "planted_recall": round(n_planted / n_docs, 4),
-                "n_audio_clips": 4000,
+                "n_audio_clips": 2 * n_av,
                 "sec_audio_decode": round(sec_audio, 2),
                 "audio_ok": a_ok,
                 "audio_planted_recall": round(a_recall, 4),
-                "n_videos": 4000,
+                "n_videos": 2 * n_av,
                 "sec_video_decode": round(sec_video, 2),
                 "video_ok": v_ok,
                 "video_planted_recall": round(v_recall, 4),
