@@ -79,6 +79,30 @@ def test_wav_roundtrip_any_shape(n, nch, rate, seed):
     assert np.abs(got - np.clip(samples, -1, 1)).max() <= 2.5 / 32768
 
 
+@given(
+    st.integers(1, 8),
+    st.tuples(st.integers(1, 8), st.integers(1, 8)),
+    st.sampled_from(["420", "422", "444"]),
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 120),
+)
+@settings(max_examples=60, deadline=None)
+def test_y4m_roundtrip_and_truncation(n_frames, hw, chroma, seed, cut):
+    from tests.test_codecs import encode_y4m
+
+    h2, w2 = hw
+    h, w = h2 * 2, w2 * 2  # even dims (chroma subsampling grids)
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8)
+    payload = encode_y4m(frames, fps=25, chroma=chroma)
+    dec = C.decode_y4m(payload)
+    assert dec is not None and np.array_equal(dec[1], frames)
+    out = C.decode_y4m(payload[: max(0, len(payload) - cut)])
+    # any truncation either drops nothing (cut inside trailing chroma
+    # would corrupt -> decoder refuses) or returns None — never garbage
+    assert out is None or np.array_equal(out[1], frames)
+
+
 @given(dims, st.integers(0, 2**32 - 1))
 @settings(max_examples=40, deadline=None)
 def test_hashes_total_and_stable(hw, seed):
