@@ -98,9 +98,9 @@ def test_y4m_roundtrip_and_truncation(n_frames, hw, chroma, seed, cut):
     dec = C.decode_y4m(payload)
     assert dec is not None and np.array_equal(dec[1], frames)
     out = C.decode_y4m(payload[: max(0, len(payload) - cut)])
-    # any truncation either drops nothing (cut inside trailing chroma
-    # would corrupt -> decoder refuses) or returns None — never garbage
-    assert out is None or np.array_equal(out[1], frames)
+    # truncation mid-frame -> the decoder refuses (None); truncation at
+    # an exact frame boundary -> a clean PREFIX of frames; never garbage
+    assert out is None or np.array_equal(out[1], frames[: out[1].shape[0]])
 
 
 @given(dims, st.integers(0, 2**32 - 1))
