@@ -195,6 +195,72 @@ def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
     return None
 
 
+def batch_uniform_p6(payloads: list) -> np.ndarray | None:
+    """Vectorized fast path: if EVERY payload is a P6 with the
+    identical header (same dims) and identical total length, decode
+    the whole Arrow batch as ONE frombuffer+reshape -> (n, h, w, 3).
+    Returns None when the batch is mixed — callers fall back to the
+    per-payload scalar decoder, whose results are bit-identical (the
+    fast path is pure layout, no arithmetic).
+
+    This is the thumbnail-pipeline case (uniform-shape rasters), where
+    per-image Python dispatch dominates scalar decode cost; one
+    reshape amortizes it across the batch."""
+    if not payloads:
+        return None
+    first = bytes(payloads[0])
+    if not first.startswith(b"P6"):
+        return None
+    arr0 = _decode_netpbm(first)
+    if arr0 is None or arr0.ndim != 3:
+        return None
+    h, w, _ = arr0.shape
+    hdr_len = len(first) - h * w * 3
+    header = first[:hdr_len]
+    total = len(first)
+    for p in payloads:
+        if len(p) != total or not bytes(p[:hdr_len]) == header:
+            return None
+    big = np.frombuffer(b"".join(bytes(p) for p in payloads), dtype=np.uint8)
+    return big.reshape(len(payloads), total)[:, hdr_len:].reshape(len(payloads), h, w, 3)
+
+
+def batch_image_stats(stack: np.ndarray) -> dict:
+    """Vectorized image_stats over a uniform (n, h, w, 3) stack —
+    value-identical to per-image `image_stats` (same single-division
+    mean, same block-mean hash construction, broadcast across n)."""
+    n, h, w, _ = stack.shape
+    flat = stack.reshape(n, -1).astype(np.int64)
+    byte_sum = flat.sum(axis=1)
+    lum = stack.astype(np.float64).mean(axis=3)  # (n, h, w)
+    # ahash: 8x8 area thumbnail per image
+    bh, bw = h // 8, w // 8
+    weights = np.arange(63, -1, -1, dtype=np.uint64)
+    if bh >= 1 and bw >= 1:
+        thumb = lum[:, : bh * 8, : bw * 8].reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
+        bits = (thumb > thumb.mean(axis=(1, 2), keepdims=True)).astype(np.uint64)
+        ahash = (bits.reshape(n, 64) << weights).sum(axis=1)
+    else:
+        ahash = np.array([ahash64(stack[i]) for i in range(n)], dtype=np.uint64)
+    # dhash: 8x9 area thumbnail per image
+    dh, dw = h // 8, w // 9
+    if dh >= 1 and dw >= 1:
+        t9 = lum[:, : dh * 8, : dw * 9].reshape(n, 8, dh, 9, dw).mean(axis=(2, 4))
+        dbits = (t9[:, :, 1:] > t9[:, :, :-1]).astype(np.uint64)
+        dhash = (dbits.reshape(n, 64) << weights).sum(axis=1)
+    else:
+        dhash = np.array([dhash64(stack[i]) for i in range(n)], dtype=np.uint64)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": h * w,
+        "mean_luma": byte_sum / (h * w * 3),
+        "std_luma": lum.std(axis=(1, 2)),
+        "ahash64": ahash,
+        "dhash64": dhash,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Image features: luminance stats, nearest-neighbor resize, perceptual hash
 # ---------------------------------------------------------------------------

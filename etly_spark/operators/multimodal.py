@@ -306,6 +306,34 @@ def decode_pixel_features(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            # vectorized fast path: a uniform-shape P6 batch (the
+            # thumbnail-pipeline case) decodes as ONE reshape and
+            # featurizes broadcast — bit-identical to the scalar loop
+            stack = codecs.batch_uniform_p6(list(pdf["payload"]))
+            if stack is not None:
+                st = codecs.batch_image_stats(stack)
+                n = stack.shape[0]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                        "format": ["ppm"] * n,
+                        "width": pd.array([st["width"]] * n, dtype="Int64"),
+                        "height": pd.array([st["height"]] * n, dtype="Int64"),
+                        "n_pixels": pd.array([st["n_pixels"]] * n, dtype="Int64"),
+                        "pixel_md5": [
+                            hashlib.md5(stack[i].tobytes()).hexdigest() for i in range(n)
+                        ],
+                        "mean_luma": pd.array(st["mean_luma"], dtype="float64"),
+                        "std_luma": pd.array(st["std_luma"], dtype="float64"),
+                        "ahash64": pd.array(
+                            [_signed64(int(v)) for v in st["ahash64"]], dtype="Int64"
+                        ),
+                        "dhash64": pd.array(
+                            [_signed64(int(v)) for v in st["dhash64"]], dtype="Int64"
+                        ),
+                    }
+                )
+                continue
             out: dict[str, list] = {k.name: [] for k in PIXEL_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(int(doc_id))

@@ -395,6 +395,27 @@ def test_audio_video_incremental_equals_batch(spark):
         assert inc == batch and {(0, 100), (1, 101)} <= inc
 
 
+def test_batch_p6_fast_path_matches_scalar():
+    """The vectorized uniform-P6 batch kernel must be value-identical
+    to the scalar per-image path (the oracle gate rides on it)."""
+    imgs = [rand_img(16, 16) for _ in range(40)]
+    payloads = [encode_ppm(im) for im in imgs]
+    stack = C.batch_uniform_p6(payloads)
+    assert stack is not None and stack.shape == (40, 16, 16, 3)
+    st = C.batch_image_stats(stack)
+    for i, im in enumerate(imgs):
+        ref = C.image_stats(im)
+        assert np.array_equal(stack[i], im)
+        assert st["mean_luma"][i] == ref["mean_luma"]  # bit-identical
+        assert int(st["ahash64"][i]) == ref["ahash64"]
+        assert int(st["dhash64"][i]) == ref["dhash64"]
+        assert abs(st["std_luma"][i] - ref["std_luma"]) < 1e-12
+    # mixed batches refuse the fast path
+    assert C.batch_uniform_p6(payloads + [encode_ppm(rand_img(8, 8))]) is None
+    assert C.batch_uniform_p6([encode_bmp(imgs[0])] + payloads) is None
+    assert C.batch_uniform_p6([]) is None
+
+
 def test_resize_nearest_geometry():
     img = rand_img(32, 48)
     small = C.resize_nearest(img, 8, 8)
