@@ -12,10 +12,13 @@ or stdlib struct (WAV/PCM). Those are decoded HERE, for real:
 - PPM (P6) / PGM (P5): binary Netpbm, maxval <= 255.
 - PNG: 8-bit gray/RGB/RGBA, non-interlaced; zlib-inflated IDAT,
   all five scanline filters (None/Sub/Up/Average/Paeth) unfiltered.
+- GIF: 87a/89a first frame, global/local color tables, pure-Python
+  variable-width LZW (non-interlaced).
 - WAV: RIFF/PCM 8- and 16-bit, mono/stereo, manual chunk walk.
+- Y4M: YUV4MPEG2 uncompressed video -> luma frame stack.
 
-Only entropy-coded formats (JPEG, WebP, video) stay behind the PIL
-gate in `operators.multimodal.decode_real`.
+Only entropy-coded formats (JPEG, WebP, H.26x video) stay behind the
+PIL gate in `operators.multimodal.decode_real`.
 
 Everything returns numpy arrays; the Spark face of these codecs is
 Arrow-batched `mapInPandas` in `operators.multimodal` — a pure map,
@@ -96,6 +99,111 @@ def _decode_netpbm(payload: bytes) -> np.ndarray | None:
         return None
     arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
     return arr.reshape(h, w, nch) if binary_rgb else arr.reshape(h, w)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int] | None:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    CLEAR resets the table, EOI terminates. Returns pixel indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = 0
+    next_code = 0
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None  # corrupt stream
+            out.extend(entry)
+            if len(out) > max_pixels:
+                return out[:max_pixels]
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray | None:
+    """GIF87a/89a first frame: global/local color table, pure-Python
+    LZW, no interlace. Animated GIFs yield their first image."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        packed = payload[10]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 0x07) + 1)
+            gct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+            i += n * 3
+        while i < len(payload):
+            b0 = payload[i]
+            if b0 == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(payload) and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+            elif b0 == 0x2C:  # image descriptor
+                w, h = struct.unpack_from("<HH", payload, i + 5)
+                ipacked = payload[i + 9]
+                i += 10
+                ct = gct
+                if ipacked & 0x80:
+                    n = 2 ** ((ipacked & 0x07) + 1)
+                    ct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+                    i += n * 3
+                if ipacked & 0x40 or ct is None or w <= 0 or h <= 0:
+                    return None  # interlace out of scope; no color table
+                min_code = payload[i]
+                i += 1
+                data = bytearray()
+                while i < len(payload) and payload[i] != 0:
+                    ln = payload[i]
+                    data += payload[i + 1 : i + 1 + ln]
+                    i += 1 + ln
+                idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                arr = np.asarray(idx[: w * h], dtype=np.int32)
+                if arr.max() >= ct.shape[0]:
+                    return None
+                return ct[arr].reshape(h, w, 3)
+            elif b0 == 0x3B:  # trailer
+                return None
+            else:
+                return None
+    except (IndexError, struct.error):
+        return None
+    return None
 
 
 _PNG_CH = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels (8-bit only)
@@ -180,13 +288,15 @@ def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
     """Full REAL pixel decode: bytes -> uint8 array (h, w[, channels]).
 
     Supports BMP (24/32-bit BI_RGB), PPM/PGM binary, PNG 8-bit
-    gray/RGB/RGBA non-interlaced. Returns None for anything else —
-    corrupt or exotic media is data, not an exception, at 100 TB.
+    gray/RGB/RGBA non-interlaced, GIF87a/89a non-interlaced (pure-
+    Python LZW; first frame of animations). Returns None for anything
+    else — corrupt or exotic media is data, not an exception, at
+    100 TB.
     """
     if not payload:
         return None
     try:
-        for dec in (_decode_bmp, _decode_png, _decode_netpbm):
+        for dec in (_decode_bmp, _decode_png, _decode_netpbm, _decode_gif):
             arr = dec(payload)
             if arr is not None:
                 return arr

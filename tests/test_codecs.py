@@ -113,6 +113,153 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Real GIF89a encoder using the classic 'uncompressed LZW' trick:
+    a CLEAR code before every pixel keeps the code width fixed, so the
+    emitter needs no string table — valid per spec, decodable by any
+    conformant reader."""
+    h, w = idx.shape
+    log2n = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n = 1 << log2n
+    mcs = log2n
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (log2n - 1), 0, 0])
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([mcs])
+    # bit-pack LSB-first: CLEAR, then (pixel, CLEAR)*, EOI
+    acc = nbits = 0
+    data = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for px in idx.ravel():
+        emit(int(px))
+        emit(clear)
+    emit(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_lzw(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Real compressing GIF encoder (greedy LZW with table growth and
+    width escalation) — exercises the decoder's dictionary-building
+    branches incl. the KwKwK (code == next_code) case."""
+    h, w = idx.shape
+    log2n = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n = 1 << log2n
+    mcs = log2n
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (log2n - 1), 0, 0])
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([mcs])
+
+    acc = nbits = 0
+    width = mcs + 1
+    data = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    seq: tuple = ()
+    for px in map(int, idx.ravel()):
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # decoder widens when next_code hits 1<<width; the encoder
+            # must widen at the same boundary
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        seq = (px,)
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_real_lzw_roundtrip():
+    rng = np.random.default_rng(4)
+    palette = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    # repetitive image -> deep LZW table, width growth, KwKwK patterns
+    idx = np.tile(np.array([0, 0, 1, 1, 2, 2, 3, 3, 0, 1, 2, 3], dtype=np.uint8), 200).reshape(
+        40, 60
+    )
+    dec = C.decode_image_pixels(encode_gif_lzw(idx, palette))
+    assert dec is not None
+    assert np.array_equal(dec, palette[idx])
+    # pure run (aaaa...) is the canonical KwKwK stream
+    runs = np.zeros((16, 16), dtype=np.uint8)
+    dec2 = C.decode_image_pixels(encode_gif_lzw(runs, palette))
+    assert np.array_equal(dec2, palette[runs])
+    # random large image stresses width escalation to many bits
+    big = rng.integers(0, 4, (64, 64), dtype=np.uint8)
+    dec3 = C.decode_image_pixels(encode_gif_lzw(big, palette))
+    assert np.array_equal(dec3, palette[big])
+
+
+def test_gif_roundtrip_exact():
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, (13, 3), dtype=np.uint8)
+    idx = rng.integers(0, 13, (9, 14), dtype=np.uint8)
+    payload = encode_gif(idx, palette)
+    dec = C.decode_image_pixels(payload)
+    assert dec is not None and dec.shape == (9, 14, 3)
+    assert np.array_equal(dec, palette[idx])
+    # header parse agrees
+    from etly_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(payload) == ("gif", 14, 9)
+    # truncation: refused, not garbage
+    assert C.decode_image_pixels(payload[:-10]) is None
+    # tiny palette exercises the 2-bit minimum code size
+    small = C.decode_image_pixels(
+        encode_gif(np.array([[0, 1], [1, 0]], dtype=np.uint8), palette[:2])
+    )
+    assert np.array_equal(small, palette[:2][np.array([[0, 1], [1, 0]])])
+
+
 def rand_img(h: int, w: int, nch: int = 3) -> np.ndarray:
     shape = (h, w, nch) if nch > 1 else (h, w)
     return RNG.integers(0, 256, size=shape, dtype=np.uint8)
