@@ -9,8 +9,9 @@ is a first-class value with a decode stage. Decode comes in three tiers:
   actual bytes, no codec library.
 - REAL pixel/audio/video decode (`decode_pixel_features` /
   `decode_audio_features` / `decode_video_features` over
-  `operators.codecs`): BMP, PPM/PGM, PNG (stdlib zlib) pixels, WAV
-  PCM samples, Y4M video frames — pure numpy; luminance stats,
+  `operators.codecs`): BMP, PPM/PGM, PNG (stdlib zlib), GIF
+  (pure-Python LZW) pixels, WAV PCM samples, Y4M video frames —
+  pure numpy; luminance stats,
   perceptual hashes (ahash/dhash/vhash/audio fingerprint), waveform
   features; near-dup across all three modalities.
 - Entropy-coded formats (JPEG/WebP, H.26x/VP9 video): gated on PIL
