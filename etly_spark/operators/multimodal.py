@@ -91,15 +91,16 @@ def decode_real(payload: bytes) -> dict:
     """Full pixel decode — requires PIL, absent here by design. Header
     metadata (format/dimensions) does NOT need PIL: `parse_image_header`
     below reads real bytes for BMP/PPM/PNG/GIF. Full PIXEL decode does
-    not need PIL either for byte-layout formats: `operators.codecs.
-    decode_image_pixels` really decodes BMP/PPM/PGM/PNG (stdlib zlib),
-    and `operators.codecs.decode_wav` really decodes RIFF/PCM audio —
-    only entropy-coded formats (JPEG/WebP/video) remain gated here."""
+    not need PIL either for self-contained formats: `operators.codecs.
+    decode_image_pixels` really decodes BMP/PPM/PGM/PNG/GIF (stdlib
+    zlib + pure-Python LZW), `operators.codecs.decode_wav` RIFF/PCM
+    audio, `operators.codecs.decode_y4m` uncompressed video — only
+    entropy-coded formats (JPEG/WebP, H.26x) remain gated here."""
     if not HAVE_PIL:
         raise NotImplementedError(
             "entropy-coded image formats (JPEG/WebP) need a codec library "
-            "absent in this container; BMP/PPM/PGM/PNG pixels decode for "
-            "real via operators.codecs.decode_image_pixels"
+            "absent in this container; BMP/PPM/PGM/PNG/GIF pixels decode "
+            "for real via operators.codecs.decode_image_pixels"
         )
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 
