@@ -42,7 +42,7 @@ def _decodable_image(df):
     from pyspark.sql import functions as F
 
     h2 = F.upper(F.hex(F.substring(F.col("payload"), 1, 2)))
-    return h2.isin("424D", "8950", "5035", "5036")  # BM, \x89P(NG), P5, P6
+    return h2.isin("424D", "8950", "5035", "5036", "4749")  # BM, \x89P, P5, P6, GI(F)
 
 
 @registry.transformers.register("etly.DecodeVideoFeatures")
@@ -61,7 +61,7 @@ def _decodable_media(df):
     h4 = F.upper(F.hex(F.substring(F.col("payload"), 1, 4)))
     h9 = F.upper(F.hex(F.substring(F.col("payload"), 1, 9)))
     return (
-        h2.isin("424D", "8950", "5035", "5036")  # BM, \x89P, P5, P6
+        h2.isin("424D", "8950", "5035", "5036", "4749")  # BM, \x89P, P5, P6, GI(F)
         | (h4 == "52494646")  # RIFF (WAV)
         | (h9 == F.upper(F.lit("595556344d50454732")))  # YUV4MPEG2
     )
