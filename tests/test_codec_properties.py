@@ -103,6 +103,28 @@ def test_y4m_roundtrip_and_truncation(n_frames, hw, chroma, seed, cut):
     assert out is None or np.array_equal(out[1], frames[: out[1].shape[0]])
 
 
+@given(
+    st.tuples(st.integers(1, 16), st.integers(1, 16)),
+    st.integers(2, 32),
+    st.integers(0, 2**32 - 1),
+    st.booleans(),
+    st.integers(0, 60),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_any_palette(hw, n_colors, seed, compressed, cut):
+    from tests.test_codecs import encode_gif, encode_gif_lzw
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+    enc = encode_gif_lzw if compressed else encode_gif
+    payload = enc(idx, palette)
+    assert np.array_equal(C.decode_image_pixels(payload), palette[idx])
+    out = C.decode_image_pixels(payload[: max(0, len(payload) - cut)])
+    assert out is None or np.array_equal(out, palette[idx])
+
+
 @given(dims, st.integers(0, 2**32 - 1))
 @settings(max_examples=40, deadline=None)
 def test_hashes_total_and_stable(hw, seed):

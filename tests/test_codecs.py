@@ -583,6 +583,8 @@ def test_decode_pixel_features_spark(spark):
         (1, bytearray(encode_ppm(img))),
         (2, bytearray(encode_png(img, [y % 5 for y in range(12)]))),
         (3, bytearray(b"garbage bytes")),
+        (4, bytearray(encode_gif(np.zeros((5, 5), dtype=np.uint8),
+                                 np.array([[9, 9, 9]], dtype=np.uint8)))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r.doc_id: r for r in MM.decode_pixel_features(df).collect()}
@@ -597,6 +599,8 @@ def test_decode_pixel_features_spark(spark):
     assert out[0].ahash64 == out[1].ahash64 == out[2].ahash64
     bad = out[3]
     assert bad.format is None and bad.pixel_md5 is None and bad.ahash64 is None
+    gif = out[4]
+    assert gif.format == "gif" and gif.n_pixels == 25 and gif.mean_luma == 9.0
 
 
 def test_decode_audio_features_spark(spark):
