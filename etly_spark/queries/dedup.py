@@ -390,20 +390,30 @@ WITH tok AS (
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.g, b.g))::DOUBLE
-           / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+           / len(list_distinct(list_concat(a.g, b.g))) AS jaccard,
+         len(list_intersect(a.g, b.g))::DOUBLE
+           / least(len(a.g), len(b.g)) AS containment
   FROM ng a JOIN ng b ON a.blk = b.blk AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, jaccard FROM pairs
-WHERE jaccard >= 0.3
-ORDER BY doc_a, doc_b
+SELECT 'jaccard' AS mode, doc_a, doc_b, jaccard AS score
+FROM pairs WHERE jaccard >= 0.3
+UNION ALL
+SELECT 'containment', doc_a, doc_b, containment
+FROM pairs WHERE containment >= 0.6
+ORDER BY mode, doc_a, doc_b
 """
 
 
 @query(
     "dedup_ngram_jaccard",
     oracle=_NG_SQL,
-    doc="Word-bigram jaccard near-dup, blocked on the normalized 16-char "
-    "prefix fingerprint (sorted-neighborhood-style candidate key).",
+    doc="Word-bigram set similarity, blocked on the normalized 16-char "
+    "prefix fingerprint (sorted-neighborhood-style candidate key), two "
+    "tagged modes from ONE blocked join: 'jaccard' (symmetric near-dup, "
+    ">= 0.3) and 'containment' (one-sided coverage |A-and-B| / "
+    "min(|A|,|B|) >= 0.6 — catches a document subsumed by a longer one, "
+    "which jaccard misses when lengths differ; the ExactSubstr-style "
+    "curation rule in set form).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bigram build via explode + codegen'd element_at/concat + collect_set
@@ -438,16 +448,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ng.alias("a")
     b = ng.alias("b")
     jac = F.size(F.array_intersect("a.g", "b.g")) / F.size(F.array_union("a.g", "b.g"))
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.3)
-        .orderBy("doc_a", "doc_b")
+    cont = F.size(F.array_intersect("a.g", "b.g")) / F.least(
+        F.size("a.g"), F.size("b.g")
     )
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
+        cont.alias("containment"),
+    )
+    pairs = scoped_persist(pairs, eager=False)
+    jrows = (
+        pairs.filter(F.col("jaccard") >= 0.3)
+        .select(F.lit("jaccard").alias("mode"), "doc_a", "doc_b",
+                F.col("jaccard").alias("score"))
+    )
+    crows = (
+        pairs.filter(F.col("containment") >= 0.6)
+        .select(F.lit("containment").alias("mode"), "doc_a", "doc_b",
+                F.col("containment").alias("score"))
+    )
+    return jrows.unionByName(crows).orderBy("mode", "doc_a", "doc_b")
 
 
 # Sign-bucket blocking on the first 8 embedding components (mean-zero
