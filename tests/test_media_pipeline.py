@@ -89,6 +89,21 @@ def test_streaming_media_decode(spark, tmp_path):
     assert rows[2].pixel_md5 is None
 
 
+def test_text_quality_signals_builtin(spark):
+    from etly_spark import builtins  # noqa: F401
+    from etly_spark import registry
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in registry.transformers.get("etly.TextQualitySignals")(df).collect()}
+    assert 0.0 <= out[1].quality <= 1.0 and out[1].lang_pred == "en"
+    assert out[2].lang_pred == "und"
+    # shape contract: appends columns, keeps the record's own
+    assert set(out[1].asDict()) == {"doc_id", "text", "quality", "lang_pred"}
+
+
 def test_decodable_media_filter(spark):
     from etly_spark import builtins  # noqa: F401
     from etly_spark import registry
