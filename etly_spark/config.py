@@ -93,6 +93,11 @@ class Target(Resource):
 
     transfer_method: str = ""
     max_allowed_size: int = 64 * 1024 * 1024
+    # Z-order clustering for columnar dataset sinks: rows are Morton-
+    # clustered on these columns before the write so parquet min/max
+    # pruning works on every listed column (operators/layout.py).
+    cluster_by: list[str] = field(default_factory=list)
+    cluster_files: int = 8
 
 
 @dataclass
@@ -165,6 +170,8 @@ def _resource_from_dict(d: dict, cls=Resource):
         kw.update(
             transfer_method=d.get("TransferMethod", ""),
             max_allowed_size=int(d.get("MaxAllowedSize", 0) or 0) or 64 * 1024 * 1024,
+            cluster_by=list(d.get("ClusterBy", []) or []),
+            cluster_files=int(d.get("ClusterFiles", 0) or 0) or 8,
         )
     return cls(**kw)
 

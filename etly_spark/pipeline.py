@@ -750,6 +750,15 @@ class TransferService:
         upload task per part for remote schemes — B1's byte-roll is
         meaningless here and is intentionally not applied."""
         encoded = out.withColumn(TKEY, key_col).select(TKEY, *data_cols)
+        if t.target.cluster_by:
+            # Z-order the whole output before the partitioned write:
+            # within every routed key dir, each file then covers a
+            # compact hyper-rectangle of the clustered columns, so
+            # parquet min/max pruning works on ANY of them
+            # (operators/layout.py; footer-verified e2e).
+            from etly_spark.operators.layout import zorder_by
+
+            encoded = zorder_by(encoded, t.target.cluster_by, t.target.cluster_files)
         staging = os.path.join(
             t.base_dir, f".etly_staging_{uuid.uuid4().hex[:12]}"
         )

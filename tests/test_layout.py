@@ -98,6 +98,50 @@ def test_interleave_rejects_overflow(spark):
         _interleave([F.lit(0)] * 5, bits=16)
 
 
+def test_cluster_by_target_config(spark, tmp_path):
+    """Z-order via the Transfer config surface: a parquet dataset sink
+    with ClusterBy lands files whose footers prune on BOTH clustered
+    columns (the reference's name-in-config contract over the layout
+    operator)."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    store = tmp_path / "store"
+    spark.range(120_000).selectExpr(
+        "id",
+        "cast(pmod(hash(id), 100000) as long) as x",
+        "cast(pmod(hash(id + 7), 100000) as long) as y",
+    ).write.parquet(str(store / "facts.parquet"))
+    t = Transfer(
+        name="clustered-sink",
+        source=Source(
+            name="SELECT id, x, y FROM facts",
+            type="datastore",
+            ds_config={"DriverName": "parquet", "Parameters": {"url": f"file://{store}"}},
+        ),
+        target=Target(
+            name=str(tmp_path / "out" / "clustered"),
+            data_format="parquet",
+            cluster_by=["x", "y"],
+            cluster_files=16,
+        ),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    glob_pat = str(tmp_path / "out" / "clustered" / "part-*.parquet")
+    lo, hi = 30_000, 32_000
+    x_hit, n = _files_hit(glob_pat, 1, lo, hi)
+    y_hit, _ = _files_hit(glob_pat, 2, lo, hi)
+    assert n >= 8
+    assert x_hit <= n * 2 // 3, (x_hit, n)
+    assert y_hit <= n * 2 // 3, (y_hit, n)
+    # and nothing lost
+    back = spark.read.parquet(str(tmp_path / "out" / "clustered"))
+    assert back.count() == 120_000
+
+
 def test_zorder_key_locality(spark):
     """Interleaving preserves order on equal coordinates: the key of
     (r, r) is strictly monotone in r, and distinct points get distinct
