@@ -683,6 +683,105 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.unionByName(keepers).orderBy("variant", "cluster_id")
 
 
+# ExactSubstr-style repeated-span detection (the Lee et al. 2021
+# "Deduplicating Training Data" shape at token-n-gram granularity): a
+# span is "duplicated" when the SAME 5-token window appears in >= 2
+# distinct documents anywhere in the corpus. Per-document output is the
+# curation decision surface: how much of each doc is corpus-repeated
+# boilerplate, and a flag at 50% coverage (exact-duplicate docs score
+# ~1.0; organic text scores ~0). All keys are md5 span hashes —
+# high-cardinality, map-side-combinable aggregates; the only join keys
+# on the span hash, where a boilerplate span shared by M docs makes one
+# hot key — AQE skew-join splits that partition (the stats side is one
+# row per span, freely replicated), so no manual salt is needed.
+_SPAN_N = 5
+_SPAN_FLAG = 0.5
+
+_SPAN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-{_SPAN_N - 1}),
+         i -> md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))) AS h
+  FROM tok WHERE len(t) >= {_SPAN_N}
+), occ AS (
+  SELECT doc_id, h, COUNT(*) AS n_occ FROM ex GROUP BY 1, 2
+), stats AS (
+  SELECT h, COUNT(*) AS n_docs FROM occ GROUP BY 1
+), per_doc AS (
+  SELECT occ.doc_id,
+         CAST(SUM(n_occ) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM occ JOIN stats USING (h) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       ROUND(COALESCE(n_dup_spans / n_spans, 0.0), 6) AS dup_frac,
+       (COALESCE(n_dup_spans / n_spans, 0.0) >= {_SPAN_FLAG}) AS flagged
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "dedup_exact_spans",
+    oracle=_SPAN_SQL,
+    doc="ExactSubstr-style repeated-span detection (token 5-gram "
+    "granularity): per document, the count and fraction of spans that "
+    "appear verbatim in >= 2 distinct corpus documents, flagged at "
+    f"{_SPAN_FLAG:.0%} coverage. Plan: explode spans -> md5 span hash "
+    "-> (doc, span) occurrence agg -> span doc-count agg -> hash join "
+    "back -> per-doc agg -> left join to keep span-less docs. Every "
+    "shuffle keys on a high-cardinality hash and every aggregate is "
+    "map-side combinable; a corpus-wide boilerplate span is ONE hot "
+    "join key whose probe rows AQE skew-join splits. Nothing is "
+    "collected or broadcast, so the plan is corpus-size independent.",
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", T.tokens("text").alias("t"))
+    ex = (
+        docs.filter(F.size("t") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (_SPAN_N - 1))
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            H.md5_hex(F.concat_ws(" ", F.slice("t", F.col("i"), _SPAN_N))).alias("h"),
+        )
+    )
+    occ = ex.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("n_occ"))
+    stats = occ.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        occ.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("n_occ")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+    )
+    frac = F.coalesce(F.col("n_dup_spans") / F.col("n_spans"), F.lit(0.0))
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(frac, 6).alias("dup_frac"),
+            (frac >= _SPAN_FLAG).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Hot-block cap for the levenshtein blocking key: 30×-corpus stress
 # showed this was the ONLY uncapped blocking strategy — a shared
 # normalized prefix (real corpora: boilerplate headers) grows a block's
