@@ -697,7 +697,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_N = 5
 _SPAN_FLAG = 0.5
 
-_SPAN_SQL = f"""
+# Per-doc span-dup CTE shared with the curation family's oracle
+# (text.py 'spans' variant) — defines per_doc(doc_id, n_spans,
+# n_dup_spans) over all docs with >= _SPAN_N tokens.
+SPAN_PERDOC_CTE = f"""
 WITH tok AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents
 ), ex AS (
@@ -714,31 +717,26 @@ WITH tok AS (
          CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS n_dup_spans
   FROM occ JOIN stats USING (h) GROUP BY 1
 )
-SELECT d.doc_id,
-       COALESCE(n_spans, 0) AS n_spans,
-       COALESCE(n_dup_spans, 0) AS n_dup_spans,
-       ROUND(COALESCE(n_dup_spans / n_spans, 0.0), 6) AS dup_frac,
-       (COALESCE(n_dup_spans / n_spans, 0.0) >= {_SPAN_FLAG}) AS flagged
-FROM documents d LEFT JOIN per_doc USING (doc_id)
-ORDER BY doc_id
 """
 
 
-@query(
-    "dedup_exact_spans",
-    oracle=_SPAN_SQL,
-    doc="ExactSubstr-style repeated-span detection (token 5-gram "
-    "granularity): per document, the count and fraction of spans that "
-    "appear verbatim in >= 2 distinct corpus documents, flagged at "
-    f"{_SPAN_FLAG:.0%} coverage. Plan: explode spans -> md5 span hash "
-    "-> (doc, span) occurrence agg -> span doc-count agg -> hash join "
-    "back -> per-doc agg -> left join to keep span-less docs. Every "
-    "shuffle keys on a high-cardinality hash and every aggregate is "
-    "map-side combinable; a corpus-wide boilerplate span is ONE hot "
-    "join key whose probe rows AQE skew-join splits. Nothing is "
-    "collected or broadcast, so the plan is corpus-size independent.",
-)
-def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (token 5-gram
+    granularity, the Lee et al. 2021 'Deduplicating Training Data'
+    shape): per document, the count and fraction of spans that appear
+    verbatim in >= 2 distinct corpus documents, flagged at
+    ``_SPAN_FLAG`` coverage (exact-duplicate docs score ~1.0, organic
+    text ~0). Plan: explode spans -> md5 span hash -> (doc, span)
+    occurrence agg -> span doc-count agg -> hash join back -> per-doc
+    agg -> left join to keep span-less docs. Every shuffle keys on a
+    high-cardinality hash and every aggregate is map-side combinable; a
+    corpus-wide boilerplate span is ONE hot join key whose probe rows
+    AQE skew-join splits. Nothing is collected or broadcast, so the
+    plan is corpus-size independent.
+
+    Surfaced through the checked catalog as the 'spans' variant of
+    ``text_curation_split`` (the 50-entry registry cap); unit-tested
+    per-doc against DuckDB in tests/test_span_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", T.tokens("text").alias("t"))
     ex = (
@@ -769,16 +767,16 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frac = F.coalesce(F.col("n_dup_spans") / F.col("n_spans"), F.lit(0.0))
     return (
-        d.select("doc_id")
+        d.select("doc_id", "lang")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
+            "lang",
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
             F.round(frac, 6).alias("dup_frac"),
             (frac >= _SPAN_FLAG).alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 

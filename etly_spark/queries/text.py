@@ -464,10 +464,135 @@ def _sample_bucket():
     )
 
 
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring with a corpus-internal unigram LM:
+    per document, the cross-entropy (bits/token) of the doc's tokens
+    under the corpus unigram distribution, bucketed per language into
+    head/middle/tail terciles (CCNet keeps 'head' — the lowest-
+    perplexity, most-fluent slice; with a real KenLM the scoring column
+    changes, the plan shape does not).
+
+    Plan: (doc, tok) counts -> corpus frequency table -> join counts
+    back to frequencies -> per-doc aggregate. The frequency join is
+    Zipf-skewed (every doc hits 'the'), so it routes through
+    ``operators.skew.split_broadcast_join``: the top-1024 tokens
+    broadcast (covering the bulk of occurrences map-side), the rare
+    tail shuffle-joins on naturally balanced keys. Tercile assignment
+    is an exact per-lang percent_rank here; the 100 TB path swaps in
+    approxQuantile cut-points (the layout.py zorder precedent) without
+    changing the contract. Surfaced through the checked catalog as the
+    'ppx' variant of ``text_curation_split`` (50-entry registry cap)."""
+    from pyspark.sql import Window
+
+    from etly_spark.operators.skew import split_broadcast_join
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    freq = tf.groupBy("tok").agg(F.sum("n").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    joined = split_broadcast_join(tf, freq, "tok", "cnt", hot_k=1024).crossJoin(
+        F.broadcast(total)
+    )
+    per_doc = (
+        joined.groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("n") * -F.log2(F.col("cnt") / F.col("n_total"))).alias("num"),
+            F.sum("n").alias("n_toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("num") / F.col("n_toks"), 6).alias("bits"),
+            "n_toks",
+        )
+    )
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("bits", "doc_id"))
+    return per_doc.withColumn(
+        "bucket",
+        F.when(pr < 1.0 / 3, F.lit("head"))
+        .when(pr < 2.0 / 3, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+_PPX_SQL_BLOCK = f"""
+SELECT 'ppx' AS variant, lang, grp, n_docs, measure, score FROM (
+  WITH tf AS (
+    SELECT doc_id, lang, tok, COUNT(*) AS n
+    FROM (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok FROM documents)
+    GROUP BY 1, 2, 3
+  ), freq AS (
+    SELECT tok, CAST(SUM(n) AS BIGINT) AS cnt FROM tf GROUP BY 1
+  ), tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM freq
+  ), per_doc AS (
+    SELECT doc_id, lang,
+           round(SUM(n * -log2(cnt / CAST(n_total AS DOUBLE))) / SUM(n), 6) AS bits,
+           CAST(SUM(n) AS BIGINT) AS n_toks
+    FROM tf JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY 1, 2
+  ), bucketed AS (
+    SELECT lang, n_toks, bits,
+           CASE WHEN percent_rank() OVER (PARTITION BY lang ORDER BY bits, doc_id) < 1.0/3
+                  THEN 'head'
+                WHEN percent_rank() OVER (PARTITION BY lang ORDER BY bits, doc_id) < 2.0/3
+                  THEN 'middle'
+                ELSE 'tail' END AS grp
+    FROM per_doc
+  )
+  SELECT lang, grp, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS measure,
+         CAST(SUM(CAST(bits AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM bucketed GROUP BY 1, 2
+)
+"""
+
+
+def _spans_sql_block() -> str:
+    from etly_spark.queries.dedup import SPAN_PERDOC_CTE, _SPAN_FLAG
+
+    return f"""
+SELECT 'spans' AS variant, lang, grp, n_docs, measure, score FROM (
+  {SPAN_PERDOC_CTE}
+  , sp AS (
+    SELECT d.lang,
+           ROUND(COALESCE(n_dup_spans / n_spans, 0.0), 6) AS dup_frac,
+           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           (COALESCE(n_dup_spans / n_spans, 0.0) >= {_SPAN_FLAG}) AS flagged
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+  )
+  SELECT lang, CASE WHEN flagged THEN 'flagged' ELSE 'clean' END AS grp,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_dup_spans) AS BIGINT) AS measure,
+         CAST(SUM(CAST(dup_frac AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM sp GROUP BY 1, 2
+)
+"""
+
+
+_CURATION_SQL = _CURATION_SQL.replace(
+    "ORDER BY variant, lang, grp",
+    "UNION ALL" + _PPX_SQL_BLOCK + "UNION ALL" + _spans_sql_block()
+    + "ORDER BY variant, lang, grp",
+)
+
+
 @query(
     "text_curation_split",
     oracle=_CURATION_SQL,
-    doc="Corpus curation family, five variants in one checked row. "
+    doc="Corpus curation family, seven variants in one checked row. "
+    "ppx — CCNet-style perplexity filter: per-doc bits/token under the "
+    "corpus unigram LM, per-lang head/middle/tail terciles (builder "
+    "unigram_perplexity; the Zipf-skewed frequency join routes through "
+    "operators/skew.py split_broadcast_join — top-1024 tokens "
+    "broadcast, rare tail shuffle-joined). "
+    "spans — ExactSubstr-style repeated-span coverage: fraction of "
+    "each doc's token 5-grams appearing verbatim in >= 2 corpus docs, "
+    "flagged at 50% (builder queries/dedup.py:repeated_span_stats). "
     "pack — sequence packing for training: per-lang concat-and-split "
     "into 2048-BPE-token sequences via one windowed cumsum; reports "
     "sequences produced, packing efficiency, and boundary-straddling "
@@ -637,11 +762,42 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_docs", "measure", "score")
     )
 
+    # ppx — CCNet-style perplexity terciles (builder above)
+    ppx_rows = (
+        unigram_perplexity(spark, sf_dir)
+        .groupBy("lang", F.col("bucket").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("measure"),
+            F.sum(F.col("bits").cast("decimal(18,6)")).cast("double").alias("score"),
+        )
+        .select(F.lit("ppx").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+    )
+
+    # spans — ExactSubstr repeated-span coverage (builder in dedup.py)
+    from etly_spark.queries.dedup import repeated_span_stats
+
+    span_rows = (
+        repeated_span_stats(spark, sf_dir)
+        .groupBy(
+            "lang",
+            F.when(F.col("flagged"), F.lit("flagged")).otherwise(F.lit("clean")).alias("grp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_dup_spans").alias("measure"),
+            F.sum(F.col("dup_frac").cast("decimal(18,6)")).cast("double").alias("score"),
+        )
+        .select(F.lit("spans").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+    )
+
     return (
         split_rows.unionByName(sample_rows)
         .unionByName(curate_rows)
         .unionByName(decon_rows)
         .unionByName(pack_rows)
         .unionByName(straddle_rows)
+        .unionByName(ppx_rows)
+        .unionByName(span_rows)
         .orderBy("variant", "lang", "grp")
     )

@@ -1,0 +1,99 @@
+"""Per-doc surfaces behind the curation-family variants: the
+ExactSubstr repeated-span builder and the unigram-perplexity builder
+(the checked catalog row only sees their per-(lang, grp) aggregates),
+plus the skew split-broadcast join they ride on."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def test_repeated_span_stats_matches_duckdb(spark):
+    from etly_spark.queries.dedup import SPAN_PERDOC_CTE, repeated_span_stats
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"], r["flagged"])
+        for r in repeated_span_stats(spark, SF).collect()
+    }
+    con = _duck(SF)
+    want_rows = con.sql(
+        SPAN_PERDOC_CTE
+        + """
+        SELECT d.doc_id,
+               COALESCE(n_spans, 0) AS n_spans,
+               COALESCE(n_dup_spans, 0) AS n_dup_spans,
+               ROUND(COALESCE(n_dup_spans / n_spans, 0.0), 6) AS dup_frac,
+               (COALESCE(n_dup_spans / n_spans, 0.0) >= 0.5) AS flagged
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+        """
+    ).fetchall()
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in want_rows}
+    assert got == want
+    # exact-duplicate docs exist in the fixture -> some full-coverage flags
+    assert any(v[3] for v in got.values())
+
+
+def test_unigram_perplexity_terciles(spark):
+    from etly_spark.queries.text import unigram_perplexity
+
+    rows = unigram_perplexity(spark, SF).collect()
+    assert rows and all(r["bits"] > 0 for r in rows)
+    # per lang, terciles are balanced to within one doc
+    from collections import Counter
+
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], Counter())[r["bucket"]] += 1
+    for lang, c in per_lang.items():
+        assert set(c) <= {"head", "middle", "tail"}
+        if sum(c.values()) >= 3:
+            assert max(c.values()) - min(c.values()) <= 1, (lang, c)
+    # head really is the low-perplexity slice: per lang,
+    # max(head bits) <= min(tail bits)
+    by = {}
+    for r in rows:
+        by.setdefault((r["lang"], r["bucket"]), []).append(r["bits"])
+    for lang in {r["lang"] for r in rows}:
+        if (lang, "head") in by and (lang, "tail") in by:
+            assert max(by[(lang, "head")]) <= min(by[(lang, "tail")])
+
+
+def test_split_broadcast_join_equals_plain_join(spark):
+    from etly_spark.operators.skew import split_broadcast_join
+
+    probe = spark.range(0, 1000).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 13).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    got = split_broadcast_join(probe, dim, "k", "w", hot_k=4)
+    want = probe.join(dim, "k")
+    assert got.count() == want.count() == 1000
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the hot path really broadcasts
+    assert "BroadcastHashJoin" in got._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("hot_k", [0, 10_000])
+def test_split_broadcast_join_degenerate_splits(spark, hot_k):
+    """hot_k=0 (all-shuffle) and hot_k >= |dim| (all-broadcast) both
+    reduce to the plain join — the split is a pure performance knob."""
+    from etly_spark.operators.skew import split_broadcast_join
+
+    probe = spark.range(0, 200).select((F.col("id") % 7).alias("k"), "id")
+    dim = spark.range(0, 7).select(F.col("id").alias("k"), F.col("id").alias("w"))
+    got = split_broadcast_join(probe, dim, "k", "w", hot_k=hot_k)
+    assert got.count() == 200
