@@ -264,29 +264,94 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
       FROM counts
+    ), tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, term,
+             round(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    ), chosen AS (
+      SELECT doc_id, term
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+    ), champ AS (
+      SELECT term, COUNT(*) AS n,
+             row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rank
+      FROM chosen GROUP BY term
     )
-    SELECT rank, term, n FROM ranked WHERE rank <= 20 ORDER BY rank
+    SELECT 'freq' AS variant, rank, term, n FROM ranked WHERE rank <= 20
+    UNION ALL
+    SELECT 'tfidf', rank, term, n FROM champ WHERE rank <= 20
+    ORDER BY variant, rank
     """,
-    doc="Vocabulary top-k: global term frequencies, top-20 with "
-    "deterministic (count, term) tie-break — the tokenizer-vocab "
-    "building block. Explode → map-side-combined count → tiny top-k.",
+    doc="Vocabulary top-k, two tagged variants. freq — global term "
+    "frequencies, top-20 with deterministic (count, term) tie-break: "
+    "the tokenizer-vocab building block (explode → map-side-combined "
+    "count → tiny top-k). tfidf — characteristic-term extraction: each "
+    "doc's argmax-TF-IDF term (score = tf * ln(N/df), rounded before "
+    "ranking so cross-engine ln() ULP drift cannot flip the argmax; "
+    "ties to the smallest term), then the top-20 terms by how many "
+    "docs they characterize — the IR view of the same vocabulary. The "
+    "Zipf-skewed df join reuses operators/skew.py split_broadcast_join; "
+    "both variants end in a TakeOrderedAndProject-shaped top-k, so "
+    "nothing corpus-sized reaches the driver.",
 )
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etly_spark.operators.skew import split_broadcast_join
+
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(T.tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.desc("n"), F.asc("term"))
-    return (
+    freq_rows = (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 20)
-        .select("rank", "term", "n")
-        .orderBy("rank")
+        .select(F.lit("freq").alias("variant"), "rank", "term", "n")
     )
+
+    tf = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        split_broadcast_join(tf, df, "term", "df", hot_k=1024)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 6
+            ).alias("score"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    chosen = (
+        scored.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term")
+    )
+    tfidf_rows = (
+        chosen.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.lit("tfidf").alias("variant"), "rank", "term", "n")
+    )
+    return freq_rows.unionByName(tfidf_rows).orderBy("variant", "rank")
 
 
 # ---------------------------------------------------------------------
