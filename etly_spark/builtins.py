@@ -79,3 +79,30 @@ def _text_quality_signals(df):
     return df.withColumn("quality", T.quality_score("text")).withColumn(
         "lang_pred", T.langid(toks)
     )
+
+
+@registry.transformers.register("etly.RedactPII")
+def _redact_pii(df):
+    """PII scrubber for text records: sequentially redacts SSN / email /
+    card / IPv4 / phone patterns from the `text` column (in place) and
+    appends per-class counts plus an `n_pii` total — the curation
+    pipeline's compliance stage, scan-speed (one codegen'd projection,
+    no shuffles)."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.functions.text import redact_pii
+
+    cols = redact_pii("text")
+    counts = [v for k, v in cols.items() if k != "text"]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    # ONE select so every expression resolves against the ORIGINAL text
+    # column (withColumn("text", ...) first would make the counts see
+    # the already-redacted text and report zero)
+    others = [c for c in df.columns if c != "text"]
+    return df.select(
+        *others,
+        *[v.alias(k) for k, v in cols.items()],
+        total.alias("n_pii"),
+    )

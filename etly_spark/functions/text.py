@@ -158,3 +158,37 @@ def fingerprint(text: Column | str, prefix: int | None = None) -> Column:
     if prefix is not None:
         norm = F.substring(norm, 1, prefix)
     return F.md5(norm.cast("binary"))
+
+
+# PII redaction rules for the pipeline-surface scrubber (builtins
+# `etly.RedactPII`): applied IN ORDER, each on the output of the
+# previous rule, so counts and replacements always agree. Heuristic
+# regexes in the portable subset (word boundaries, no lookaround — the
+# same patterns run under Java regex and RE2). This is a pipeline
+# transformer, pytest-covered (tests/test_pii.py), not an
+# oracle-checked catalog expression: the synthetic documents table
+# carries no PII, real transfer fixtures do.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> dict[str, Column]:
+    """Sequentially redact every PII_RULES class from ``text``.
+
+    Returns ``{"text": redacted, "n_<class>": per-class count, ...}``
+    — counts are evaluated on the text as it stood when that rule ran
+    (exactly what the rule replaced). One projection, #rules regex
+    passes per row, whole-stage codegen'd: a scan-speed scrubber with
+    zero shuffles at any corpus size."""
+    cur = _col(text)
+    out: dict[str, Column] = {}
+    for name, pat, repl in PII_RULES:
+        out[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    out["text"] = cur
+    return out
