@@ -1,0 +1,161 @@
+"""Incremental maintenance of keyed aggregates across runs.
+
+The 100 TB rollup story: a pipeline that lands a batch per window must
+keep corpus-level statistics (per-source doc counts, token totals,
+per-lang quality sums, min/max watermarks) WITHOUT rescanning history.
+For distributive/algebraic aggregates the textbook answer is partial
+aggregation + merge: each run folds only its batch's partials into a
+durable store, and the current value is the merge of all folds —
+per-run work is O(batch + key cardinality), never O(history).
+
+This module is the batch twin of the streaming epoch fold
+(streaming/dedup.py:start_feature_index) with the one property record
+indexes don't need: MERGE-AWARENESS. A replayed or compacted partial
+must never double-count, so the store tracks which epochs each
+compacted segment covers.
+
+Layout under ``state_dir``::
+
+    epoch=<K>/        one parquet dir per fold (partial agg rows,
+                      key-cardinality sized; replay overwrites its own
+                      epoch — idempotent)
+    base-<N>/         compacted segment: the merge of every epoch in
+                      its ``_covered.json``; reader uses ONLY the
+                      highest-numbered base + loose epochs not covered
+                      by it, so a crash between commit and cleanup
+                      cannot double-count
+
+Aggregates are declared as ``merges: {column: 'sum'|'min'|'max'}`` over
+partial columns the caller computes (count -> sum of partial counts,
+avg -> sum/sum of two partials, distinct -> fold a sketch column).
+Exact float sums under refold follow the repo's cross-engine contract:
+route them through DECIMAL partials if bit-stability matters.
+
+No reference analogue (viant/etly tracks files, not aggregates —
+meta.go is presence-only); this extends M1's exactly-once ledger idea
+to the relational surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _bases(state_dir: str) -> list[str]:
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(d for d in os.listdir(state_dir) if d.startswith("base-"))
+
+
+def _covered(state_dir: str) -> set[int]:
+    """Epochs already merged into the highest-numbered base."""
+    bases = _bases(state_dir)
+    if not bases:
+        return set()
+    manifest = os.path.join(state_dir, bases[-1], "_covered.json")
+    with open(manifest) as fh:
+        return set(json.load(fh)["epochs"])
+
+
+def _loose_epochs(state_dir: str) -> dict[int, str]:
+    if not os.path.isdir(state_dir):
+        return {}
+    out = {}
+    for d in os.listdir(state_dir):
+        if d.startswith("epoch="):
+            out[int(d.split("=", 1)[1])] = os.path.join(state_dir, d)
+    return out
+
+
+def fold(
+    state_dir: str,
+    partial: DataFrame,
+    epoch: int,
+    *,
+    keys: list[str],
+    merges: dict[str, str],
+) -> bool:
+    """Fold one batch's partial aggregate into the store.
+
+    ``partial`` must already be aggregated per ``keys`` (one shuffle
+    over the BATCH only — history is never read). Replaying an epoch
+    overwrites its own directory; an epoch already merged into a base
+    segment is skipped entirely. Returns True if the fold was applied,
+    False if it was a no-op replay of a compacted epoch."""
+    if epoch in _covered(state_dir):
+        return False
+    cols = list(keys) + list(merges)
+    os.makedirs(state_dir, exist_ok=True)
+    partial.select(*cols).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"epoch={epoch}")
+    )
+    return True
+
+
+def read(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    keys: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """The current aggregate: highest base segment + uncovered loose
+    epochs, merged. Input rows number (covered keys + per-epoch keys),
+    so this is a small-table merge at any history length."""
+    bases = _bases(state_dir)
+    covered = _covered(state_dir)
+    parts = []
+    if bases:
+        parts.append(os.path.join(state_dir, bases[-1], "data"))
+    parts += [p for e, p in sorted(_loose_epochs(state_dir).items()) if e not in covered]
+    if not parts:
+        raise FileNotFoundError(f"no folded state under {state_dir}")
+    df = spark.read.parquet(*parts)
+    return df.groupBy(*keys).agg(
+        *[_MERGE_FNS[kind](c).alias(c) for c, kind in merges.items()]
+    )
+
+
+def compact(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    keys: list[str],
+    merges: dict[str, str],
+    threshold: int = 16,
+) -> bool:
+    """Merge base + loose epochs into one new base segment once loose
+    epochs exceed ``threshold``. Aggregate rows are key-cardinality
+    sized, so full re-merge is cheap; the new base commits with one
+    rename BEFORE old dirs are removed, and the reader's
+    highest-base-wins rule makes the worst crash outcome some
+    un-reclaimed disk, never a double count."""
+    loose = _loose_epochs(state_dir)
+    covered = _covered(state_dir)
+    fresh = {e: p for e, p in loose.items() if e not in covered}
+    if len(fresh) <= threshold:
+        return False
+    merged = read(spark, state_dir, keys=keys, merges=merges)
+    bases = _bases(state_dir)
+    n_next = (int(bases[-1].split("-")[1]) + 1) if bases else 1
+    tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+    with open(os.path.join(tmp, "_covered.json"), "w") as fh:
+        json.dump({"epochs": sorted(covered | set(fresh))}, fh)
+    final = os.path.join(state_dir, f"base-{n_next:06d}")
+    os.rename(tmp, final)
+    # cleanup (best-effort: reader ignores superseded dirs regardless);
+    # loose dirs of already-covered epochs are crash leftovers — sweep
+    for b in bases:
+        shutil.rmtree(os.path.join(state_dir, b), ignore_errors=True)
+    for e in loose:
+        shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
+    return True
