@@ -101,6 +101,22 @@ class Target(Resource):
 
 
 @dataclass
+class Rollup:
+    """Spark-native extension (no reference analogue — meta.go tracks
+    files only): a durable keyed rollup folded per window from the
+    transferred records' partial aggregates (operators/incremental_agg).
+    ``aggregates`` maps output column -> 'count' | 'sum:<col>' |
+    'min:<col>' | 'max:<col>'; the fold epoch is a stable hash of the
+    window's file batch, so a crash-retry of the same batch overwrites
+    its own partial instead of double-counting."""
+
+    state_dir: str = ""
+    keys: list[str] = field(default_factory=list)
+    aggregates: dict[str, str] = field(default_factory=dict)
+    compact_threshold: int = 16
+
+
+@dataclass
 class Transfer:
     """The transfer rule (config.go:15-35): the engine's query unit."""
 
@@ -120,6 +136,7 @@ class Transfer:
     time_out: Duration | None = None
     repeat: int = 0
     fail_retry: int = 1
+    rollup: Rollup | None = None
     base_dir: str = "."  # <pwd> expansion base (config file directory)
 
     def validate(self) -> None:
@@ -144,6 +161,12 @@ class Transfer:
                 not ve.provider or ve.provider not in registry.variable_providers
             ):
                 raise ValueError(f"failed to lookup variable provider '{ve.provider}'")
+        if self.rollup is not None:
+            from etly_spark.operators.incremental_agg import rollup_plan
+
+            if not (self.rollup.state_dir and self.rollup.keys and self.rollup.aggregates):
+                raise ValueError("Rollup requires StateDir, Keys and Aggregates")
+            rollup_plan(self.rollup.aggregates)  # surface bad specs at config time
 
 
 def _resource_from_dict(d: dict, cls=Resource):
@@ -202,6 +225,16 @@ def transfer_from_dict(d: dict, base_dir: str = ".") -> Transfer:
         time_out=Duration.from_dict(d.get("TimeOut")),
         repeat=int(d.get("Repeat", 0) or 0),
         fail_retry=max(1, int(d.get("FailRetry", 1) or 1)),
+        rollup=(
+            Rollup(
+                state_dir=d["Rollup"].get("StateDir", ""),
+                keys=list(d["Rollup"].get("Keys", []) or []),
+                aggregates=dict(d["Rollup"].get("Aggregates", {}) or {}),
+                compact_threshold=int(d["Rollup"].get("CompactThreshold", 0) or 0) or 16,
+            )
+            if d.get("Rollup")
+            else None
+        ),
         base_dir=base_dir,
     )
 

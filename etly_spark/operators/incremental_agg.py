@@ -159,3 +159,22 @@ def compact(
     for e in loose:
         shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
     return True
+
+
+def rollup_plan(aggregates: dict[str, str]):
+    """Compile a config-level aggregate spec (`Rollup.Aggregates`:
+    column -> 'count' | 'sum:<col>' | 'min:<col>' | 'max:<col>') into
+    (partial agg columns, merge spec). 'count' partials merge by sum —
+    the classic distributive decomposition."""
+    cols, merges = [], {}
+    for name, spec in aggregates.items():
+        kind, _, col = spec.partition(":")
+        if kind == "count" and not col:
+            cols.append(F.count(F.lit(1)).alias(name))
+            merges[name] = "sum"
+        elif kind in _MERGE_FNS and col:
+            cols.append(_MERGE_FNS[kind](col).alias(name))
+            merges[name] = kind
+        else:
+            raise ValueError(f"unknown rollup aggregate '{spec}' for '{name}'")
+    return cols, merges

@@ -423,6 +423,9 @@ class TransferService:
             )
         result.outputs.extend(outputs)
 
+        if t.rollup:
+            self._fold_rollup(t, ts, eligible, out)
+
         # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757).
         # Per-file stats are ONE distributed aggregate collected once —
         # bounded by this window's ≤ MaxTransfers files, so nothing
@@ -478,6 +481,36 @@ class TransferService:
             result.progress.file_processed += 1
         _append_ledger_sidecar(sidecar_dir(meta_url), ts.isoformat(), entries)
         return n_rec
+
+    def _fold_rollup(self, t: Transfer, ts: datetime, eligible: list[str], out) -> None:
+        """Spark-native Rollup extension (Transfer.Rollup): fold this
+        batch's keyed partial aggregates into the durable incremental-agg
+        state (operators/incremental_agg). The epoch is a stable hash of
+        (window ts, sorted file batch): a crash-retry of the SAME batch
+        overwrites its own partial — idempotent — while a later
+        incremental run over new files folds a new epoch, and an epoch
+        already merged into a compacted base is refused. Costs one extra
+        aggregate job over the batch; history is never read. URL-source
+        transfers only: batch identity comes from the exactly-once file
+        ledger (a datastore query re-run has no such identity)."""
+        import hashlib
+
+        from etly_spark.operators import incremental_agg as IA
+
+        spec = t.rollup
+        state = expand_env(expand_pwd(spec.state_dir, t.base_dir))
+        partial_cols, merges = IA.rollup_plan(spec.aggregates)
+        partial = out.groupBy(*spec.keys).agg(*partial_cols)
+        batch_key = ts.isoformat() + "\n" + "\n".join(sorted(eligible))
+        epoch = int(hashlib.md5(batch_key.encode()).hexdigest()[:15], 16)
+        IA.fold(state, partial, epoch, keys=spec.keys, merges=merges)
+        IA.compact(
+            self.spark,
+            state,
+            keys=spec.keys,
+            merges=merges,
+            threshold=spec.compact_threshold,
+        )
 
     # ------------------------------------------------ datastore source --
 

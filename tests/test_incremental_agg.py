@@ -117,3 +117,90 @@ def test_avg_via_two_partials(spark, tmp_path):
 def test_read_empty_state_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         IA.read(spark, str(tmp_path / "nope"), keys=KEYS, merges=MERGES)
+
+
+def test_config_addressable_rollup_across_incremental_runs(spark, tmp_path):
+    """Transfer.Rollup folds per-window partial aggregates into durable
+    state: two incremental runs over a growing source dir yield the
+    full-corpus aggregate, and a NOOP re-run (all files in the ledger)
+    folds nothing."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etly_spark import registry
+    from etly_spark.config import Resource, Rollup, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, NOOP, TransferService
+
+    if "test.RollupLog" not in registry.schemas:
+        registry.schemas.register(
+            "test.RollupLog",
+            StructType(
+                [
+                    StructField("Id", LongType()),
+                    StructField("Name", StringType()),
+                    StructField("Type", StringType()),
+                ]
+            ),
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "rollup")
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                '{"Id": %d, "Name": "%s", "Type": "t"}' % (i, nm) for i, nm in rows
+            )
+            + "\n"
+        )
+
+    t = Transfer(
+        name="rollup-e2e",
+        source=Source(name=str(src), data_type="test.RollupLog"),
+        target=Target(name=str(tmp_path / "out" / "<file>")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        rollup=Rollup(
+            state_dir=state,
+            keys=["Name"],
+            aggregates={"n": "count", "max_id": "max:Id", "min_id": "min:Id"},
+        ),
+        base_dir=str(tmp_path),
+    )
+    t.validate()
+    svc = TransferService(spark)
+
+    write_batch("b0.log", [(1, "x"), (2, "x"), (3, "y")])
+    assert svc.run(t).status == DONE
+    cur = {
+        r["Name"]: (r["n"], r["max_id"], r["min_id"])
+        for r in IA.read(spark, state, keys=["Name"], merges={"n": "sum", "max_id": "max", "min_id": "min"}).collect()
+    }
+    assert cur == {"x": (2, 2, 1), "y": (1, 3, 3)}
+
+    # incremental: a second file lands; only it is read, the rollup folds on top
+    write_batch("b1.log", [(9, "y"), (10, "z")])
+    assert svc.run(t).status == DONE
+    cur = {
+        r["Name"]: (r["n"], r["max_id"], r["min_id"])
+        for r in IA.read(spark, state, keys=["Name"], merges={"n": "sum", "max_id": "max", "min_id": "min"}).collect()
+    }
+    assert cur == {"x": (2, 2, 1), "y": (2, 9, 3), "z": (1, 10, 10)}
+
+    # NOOP re-run: nothing eligible -> no fold, state unchanged
+    assert svc.run(t).status == NOOP
+    again = {
+        r["Name"]: (r["n"], r["max_id"], r["min_id"])
+        for r in IA.read(spark, state, keys=["Name"], merges={"n": "sum", "max_id": "max", "min_id": "min"}).collect()
+    }
+    assert again == cur
+
+
+def test_rollup_config_validation():
+    from etly_spark.config import Rollup, Transfer
+
+    t = Transfer(name="bad", rollup=Rollup(state_dir="/tmp/x", keys=["k"], aggregates={"n": "median:v"}))
+    with pytest.raises(ValueError, match="unknown rollup aggregate"):
+        t.validate()
+    t2 = Transfer(name="bad2", rollup=Rollup(state_dir="", keys=[], aggregates={}))
+    with pytest.raises(ValueError, match="Rollup requires"):
+        t2.validate()
