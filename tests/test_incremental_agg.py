@@ -204,3 +204,55 @@ def test_rollup_config_validation():
     t2 = Transfer(name="bad2", rollup=Rollup(state_dir="", keys=[], aggregates={}))
     with pytest.raises(ValueError, match="Rollup requires"):
         t2.validate()
+
+
+def test_streaming_rollup_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming fold (streaming/rollup.py) maintains the same
+    durable state across two availableNow drains; the accumulated
+    rollup equals the batch aggregate of everything streamed, and the
+    checkpoint prevents refolding drained files."""
+    from etly_spark.streaming.rollup import start_rollup
+
+    src = tmp_path / "sin"
+    src.mkdir()
+    state = str(tmp_path / "sstate")
+    ckpt = str(tmp_path / "sckpt")
+
+    spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 10)], "k string, v long"
+    ).write.parquet(str(src / "p0.parquet"))
+
+    def drain():
+        stream = spark.readStream.schema("k string, v long").parquet(str(src / "*.parquet"))
+        q = start_rollup(
+            stream, state, ckpt,
+            keys=["k"], aggregates={"n": "count", "tot": "sum:v", "hi": "max:v"},
+        )
+        q.awaitTermination(120)
+
+    drain()
+    merges = {"n": "sum", "tot": "sum", "hi": "max"}
+    cur = {
+        r["k"]: (r["n"], r["tot"], r["hi"])
+        for r in IA.read(spark, state, keys=["k"], merges=merges).collect()
+    }
+    assert cur == {"a": (2, 6, 5), "b": (1, 10, 10)}
+
+    # restart with new data: only the new file folds
+    spark.createDataFrame([("b", 2), ("c", 7)], "k string, v long").write.parquet(
+        str(src / "p1.parquet")
+    )
+    drain()
+    cur = {
+        r["k"]: (r["n"], r["tot"], r["hi"])
+        for r in IA.read(spark, state, keys=["k"], merges=merges).collect()
+    }
+    assert cur == {"a": (2, 6, 5), "b": (2, 12, 10), "c": (1, 7, 7)}
+
+    # a third drain with nothing new folds nothing
+    drain()
+    again = {
+        r["k"]: (r["n"], r["tot"], r["hi"])
+        for r in IA.read(spark, state, keys=["k"], merges=merges).collect()
+    }
+    assert again == cur
