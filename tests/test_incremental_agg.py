@@ -256,3 +256,53 @@ def test_streaming_rollup_matches_batch_and_survives_restart(spark, tmp_path):
         for r in IA.read(spark, state, keys=["k"], merges=merges).collect()
     }
     assert again == cur
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key_st = st.sampled_from(["a", "b", "c"])
+_batch_st = st.lists(st.tuples(_key_st, st.integers(-50, 50)), min_size=1, max_size=4)
+# an op is either a fold (epoch, batch) — repeated epochs model replays —
+# or a compaction with a small threshold
+_op_st = st.one_of(
+    st.tuples(st.just("fold"), st.integers(0, 3), _batch_st),
+    st.tuples(st.just("compact"), st.integers(0, 2), st.none()),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op_st, min_size=1, max_size=6))
+def test_any_fold_compact_interleaving_reads_exactly(spark, tmp_path_factory, ops):
+    """For ANY interleaving of folds (with replayed epochs) and
+    compactions: read() equals the batch aggregate of one contribution
+    per epoch — the FIRST batch folded for epochs that were compacted
+    before their replay arrived (covered epochs refuse refolds), else
+    the LAST batch folded. Never a double count, never a lost fold."""
+    state = str(tmp_path_factory.mktemp("prop"))
+    effective: dict[int, list] = {}
+    folded_any = False
+    for op in ops:
+        if op[0] == "fold":
+            _, epoch, rows = op
+            applied = IA.fold(
+                state, _partial(_batch(spark, rows)), epoch, keys=KEYS, merges=MERGES
+            )
+            # a fold is refused exactly when its epoch is compacted
+            assert applied == (epoch not in IA._covered(state))
+            if applied:
+                effective[epoch] = rows
+                folded_any = True
+        else:
+            IA.compact(spark, state, keys=KEYS, merges=MERGES, threshold=op[1])
+    if not folded_any:
+        return
+    want = {
+        r["src"]: (r["n"], r["tot"], r["lo"], r["hi"])
+        for r in _partial(_batch(spark, sum(effective.values(), []))).collect()
+    }
+    assert _current(spark, state) == want
