@@ -46,7 +46,21 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+# 'hll' merges DataSketches HLL binaries (hll_union_agg): the sketch
+# answer to the one aggregate partial-merge can't do exactly —
+# COUNT(DISTINCT) — making distinct counts incrementally maintainable
+# at bounded state per key. Read back with hll_estimate().
+_MERGE_FNS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "hll": lambda c: F.hll_union_agg(c, allowDifferentLgConfigK=False),
+}
+
+
+def hll_estimate(col) -> F.Column:
+    """Estimate column for a folded 'hll' sketch (read-side helper)."""
+    return F.hll_sketch_estimate(col)
 
 
 def _bases(state_dir: str) -> list[str]:
@@ -172,7 +186,12 @@ def rollup_plan(aggregates: dict[str, str]):
         if kind == "count" and not col:
             cols.append(F.count(F.lit(1)).alias(name))
             merges[name] = "sum"
-        elif kind in _MERGE_FNS and col:
+        elif kind == "distinct" and col:
+            # distinct counts fold as HLL sketches (partial = per-batch
+            # sketch, merge = union); read-side estimate via hll_estimate
+            cols.append(F.hll_sketch_agg(col).alias(name))
+            merges[name] = "hll"
+        elif kind in ("sum", "min", "max") and col:
             cols.append(_MERGE_FNS[kind](col).alias(name))
             merges[name] = kind
         else:

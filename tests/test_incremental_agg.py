@@ -306,3 +306,34 @@ def test_any_fold_compact_interleaving_reads_exactly(spark, tmp_path_factory, op
         for r in _partial(_batch(spark, sum(effective.values(), []))).collect()
     }
     assert _current(spark, state) == want
+
+
+def test_distinct_via_hll_sketch_folds(spark, tmp_path):
+    """'distinct:<col>' folds DataSketches HLL partials: overlapping
+    batches union to the true distinct count (exact at small
+    cardinality), surviving compaction — the sketch answer to the one
+    aggregate plain partial-merge can't maintain."""
+    state = str(tmp_path / "hll")
+    cols, merges = IA.rollup_plan({"u": "distinct:v", "n": "count"})
+    for i, rows in enumerate([[("a", 1), ("a", 2), ("b", 7)], [("a", 2), ("a", 3)]]):
+        IA.fold(
+            state,
+            _batch(spark, rows).groupBy("src").agg(*cols),
+            i,
+            keys=KEYS,
+            merges=merges,
+        )
+
+    def current():
+        cur = IA.read(spark, state, keys=KEYS, merges=merges)
+        return {
+            r["src"]: (int(r["u_est"]), r["n"])
+            for r in cur.select("src", IA.hll_estimate("u").alias("u_est"), "n").collect()
+        }
+
+    assert current() == {"a": (3, 4), "b": (1, 1)}
+    assert IA.compact(spark, state, keys=KEYS, merges=merges, threshold=0)
+    assert current() == {"a": (3, 4), "b": (1, 1)}
+    # fold after compaction keeps unioning
+    IA.fold(state, _batch(spark, [("b", 8)]).groupBy("src").agg(*cols), 5, keys=KEYS, merges=merges)
+    assert current() == {"a": (3, 4), "b": (2, 2)}
