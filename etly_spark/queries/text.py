@@ -313,10 +313,14 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # top-20 via orderBy+limit (TakeOrderedAndProject — O(k) per task,
+    # never a vocab-wide single-partition window sort), THEN rank the
+    # 20 survivors with a window that only ever sees 20 rows
     w = Window.orderBy(F.desc("n"), F.asc("term"))
     freq_rows = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        counts.orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
         .select(F.lit("freq").alias("variant"), "rank", "term", "n")
     )
 
@@ -347,8 +351,9 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_rows = (
         chosen.groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
         .select(F.lit("tfidf").alias("variant"), "rank", "term", "n")
     )
     return freq_rows.unionByName(tfidf_rows).orderBy("variant", "rank")
@@ -544,7 +549,8 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (covering the bulk of occurrences map-side), the rare
     tail shuffle-joins on naturally balanced keys. Tercile assignment
     is an exact per-lang percent_rank here; the 100 TB path swaps in
-    approxQuantile cut-points (the layout.py zorder precedent) without
+    sketch cut-points (``unigram_perplexity_approx`` below — the
+    layout.py zorder exact/approx precedent) without
     changing the contract. Surfaced through the checked catalog as the
     'ppx' variant of ``text_curation_split`` (50-entry registry cap)."""
     from pyspark.sql import Window
@@ -580,6 +586,72 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.when(pr < 1.0 / 3, F.lit("head"))
         .when(pr < 2.0 / 3, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def unigram_perplexity_approx(
+    spark: SparkSession, sf_dir: str, relative_error: float = 0.01
+) -> DataFrame:
+    """Scale path of ``unigram_perplexity`` (the zorder_by/_approx
+    precedent, layout.py): tercile CUT-POINTS from ONE
+    percentile_approx sketch aggregate over all languages instead of
+    the exact per-lang percent_rank — no per-partition global sort
+    anywhere, so a single language with billions of documents never
+    funnels through one task. Bucketing is then a codegen'd comparison against two
+    broadcast literals per lang. Boundary docs within the sketch's
+    relative error may land in the adjacent bucket; everything else is
+    identical to the exact form (tests assert agreement away from the
+    cuts)."""
+    from etly_spark.operators.skew import split_broadcast_join
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    freq = tf.groupBy("tok").agg(F.sum("n").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    joined = split_broadcast_join(tf, freq, "tok", "cnt", hot_k=1024).crossJoin(
+        F.broadcast(total)
+    )
+    per_doc = (
+        joined.groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("n") * -F.log2(F.col("cnt") / F.col("n_total"))).alias("num"),
+            F.sum("n").alias("n_toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("num") / F.col("n_toks"), 6).alias("bits"),
+            "n_toks",
+        )
+    )
+    # ONE sketch pass computes every language's [1/3, 2/3] cut-points
+    # together (percentile_approx is a map-side-combinable aggregate);
+    # driver memory O(#langs * 2), a tiny broadcastable map
+    accuracy = max(100, int(1 / relative_error))
+    cut_rows = (
+        per_doc.groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "bits", F.array(F.lit(1 / 3), F.lit(2 / 3)), F.lit(accuracy)
+            ).alias("cuts")
+        )
+        .collect()
+    )
+    cuts = {r["lang"]: list(r["cuts"]) for r in sorted(cut_rows, key=lambda r: r["lang"])}
+    c1 = F.lit(None).cast("double")
+    c2 = F.lit(None).cast("double")
+    for lang, (lo, hi) in cuts.items():
+        c1 = F.when(F.col("lang") == lang, F.lit(float(lo))).otherwise(c1)
+        c2 = F.when(F.col("lang") == lang, F.lit(float(hi))).otherwise(c2)
+    return per_doc.withColumn(
+        "bucket",
+        F.when(F.col("bits") <= c1, F.lit("head"))
+        .when(F.col("bits") <= c2, F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
 

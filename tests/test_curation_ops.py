@@ -97,3 +97,40 @@ def test_split_broadcast_join_degenerate_splits(spark, hot_k):
     dim = spark.range(0, 7).select(F.col("id").alias("k"), F.col("id").alias("w"))
     got = split_broadcast_join(probe, dim, "k", "w", hot_k=hot_k)
     assert got.count() == 200
+
+
+def test_unigram_perplexity_approx_agrees_away_from_cuts(spark):
+    """The scale path (percentile_approx cut-points, no window sort)
+    assigns the same bucket as the exact percent_rank path for every
+    doc except possibly those within sketch error of a cut; its plan
+    contains no Window exchange."""
+    from etly_spark.queries.text import unigram_perplexity, unigram_perplexity_approx
+
+    exact = {
+        (r["doc_id"]): (r["lang"], r["bits"], r["bucket"])
+        for r in unigram_perplexity(spark, SF).collect()
+    }
+    approx_df = unigram_perplexity_approx(spark, SF)
+    assert "Window" not in approx_df._jdf.queryExecution().executedPlan().toString()
+    approx = {r["doc_id"]: r["bucket"] for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    # per-lang sorted bits: disagreements must be confined to docs
+    # adjacent to a tercile boundary (|rank - cut| <= 1 position)
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for doc, (lang, bits, bucket) in exact.items():
+        by_lang[lang].append((bits, doc, bucket))
+    n_diff = 0
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        for i, (bits, doc, bucket) in enumerate(rows):
+            if approx[doc] != bucket:
+                n_diff += 1
+                # must be adjacent to a boundary position
+                assert min(abs(i - n / 3), abs(i - 2 * n / 3)) <= 2, (
+                    lang, doc, i, n, bucket, approx[doc],
+                )
+    # overwhelming agreement
+    assert n_diff <= max(2, len(exact) // 50)
