@@ -41,8 +41,10 @@ def split_broadcast_join(
     corpus-size independent. Output = probe INNER JOIN dim, exactly,
     for any ``hot_k``.
     """
-    hot = dim.orderBy(F.desc(weight), F.asc(key)).limit(hot_k)
-    hot_part = probe.join(F.broadcast(hot), key)
-    rare_probe = probe.join(F.broadcast(hot.select(key)), key, "left_anti")
+    hot = F.broadcast(dim.orderBy(F.desc(weight), F.asc(key)).limit(hot_k))
+    hot_part = probe.join(hot, key)
+    # the SAME broadcast subtree drives the anti-join (ReusedExchange:
+    # the top-k is computed and shipped once, not per consumer)
+    rare_probe = probe.join(hot, key, "left_anti")
     rare_part = rare_probe.join(dim, key)
     return hot_part.unionByName(rare_part)
