@@ -105,6 +105,45 @@ def main() -> int:
         .save()
     )
 
+    # 3) Zipf-dimension join (token -> corpus frequency, REAL Zipf data
+    # from the documents table): hot/rare split-broadcast join
+    # (operators/skew.py) vs one shuffle join. autoBroadcast is disabled
+    # for the A/B — the 100 TB premise is a dimension too big to
+    # broadcast whole, where only the EXPLICIT top-K broadcast survives.
+    from etly_spark.operators.skew import split_broadcast_join
+
+    # Zipf(1) over a 10k-key dimension: key r appears ∝ 1/r, so the
+    # top-1024 keys carry ~77% of probe rows (H(1024)/H(10000)) — the
+    # token-frequency shape at a controllable scale (the sf documents
+    # table's synthetic vocabulary is ~31 near-uniform words, too flat
+    # to exercise the head/tail split).
+    n_vocab, hot_k = 10_000, 1024
+    base = 2_000 * mult  # frequency of rank 1
+    ranks = spark.range(1, n_vocab + 1).select(F.col("id").alias("tok"))
+    tf = ranks.select(
+        "tok",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest((F.lit(base) / F.col("tok")).cast("int"), F.lit(1)))
+        ).alias("rep"),
+    ).select("tok")
+    freq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top_frac = (
+        freq.orderBy(F.desc("cnt")).limit(hot_k).agg(F.sum("cnt")).collect()[0][0]
+        / tf.count()
+    )
+
+    def probe_run(joined):
+        joined.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+        ).write.format("noop").mode("overwrite").save()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sec_zipf_shuffle = timed(lambda: probe_run(tf.join(freq, "tok")))
+    sec_zipf_split = timed(
+        lambda: probe_run(split_broadcast_join(tf, freq, "tok", "cnt", hot_k=hot_k))
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     print(
         json.dumps(
             {
@@ -115,6 +154,11 @@ def main() -> int:
                 "join_sec_skewjoin_on": sec_skew_on,
                 "agg_sec_hot_key": sec_agg_hot,
                 "agg_sec_uniform_key": sec_agg_uniform,
+                "zipf_vocab": n_vocab,
+                "zipf_hot_k": hot_k,
+                "zipf_hot_probe_fraction": round(top_frac, 3),
+                "zipf_join_sec_shuffle": sec_zipf_shuffle,
+                "zipf_join_sec_split_broadcast": sec_zipf_split,
             }
         )
     )
