@@ -99,8 +99,14 @@ def _redact_pii(df):
         total = total + c
     # ONE select so every expression resolves against the ORIGINAL text
     # column (withColumn("text", ...) first would make the counts see
-    # the already-redacted text and report zero)
-    others = [c for c in df.columns if c != "text"]
+    # the already-redacted text and report zero). Pre-existing columns
+    # with the scrubber's output names (a re-scrub of already-scrubbed
+    # data) are replaced, not duplicated — duplicate names would break
+    # every downstream column reference.
+    from etly_spark.functions.text import PII_RULES
+
+    reserved = {f"n_{name}" for name, _, _ in PII_RULES} | {"n_pii", "text"}
+    others = [c for c in df.columns if c not in reserved]
     return df.select(
         *others,
         *[v.alias(k) for k, v in cols.items()],

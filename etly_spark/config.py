@@ -162,11 +162,20 @@ class Transfer:
             ):
                 raise ValueError(f"failed to lookup variable provider '{ve.provider}'")
         if self.rollup is not None:
-            from etly_spark.operators.incremental_agg import rollup_plan
+            # pure-Python spec check: validation must not need a live
+            # SparkSession (config linting / service startup ordering)
+            from etly_spark.operators.incremental_agg import parse_rollup_spec
 
             if not (self.rollup.state_dir and self.rollup.keys and self.rollup.aggregates):
                 raise ValueError("Rollup requires StateDir, Keys and Aggregates")
-            rollup_plan(self.rollup.aggregates)  # surface bad specs at config time
+            if "://" in self.rollup.state_dir and not self.rollup.state_dir.startswith(
+                "file://"
+            ):
+                raise ValueError(
+                    "Rollup.StateDir must be a local path: the state store's "
+                    "epoch/manifest bookkeeping is local-filesystem only"
+                )
+            parse_rollup_spec(self.rollup.aggregates)  # surface bad specs at config time
 
 
 def _resource_from_dict(d: dict, cls=Resource):
@@ -230,7 +239,9 @@ def transfer_from_dict(d: dict, base_dir: str = ".") -> Transfer:
                 state_dir=d["Rollup"].get("StateDir", ""),
                 keys=list(d["Rollup"].get("Keys", []) or []),
                 aggregates=dict(d["Rollup"].get("Aggregates", {}) or {}),
-                compact_threshold=int(d["Rollup"].get("CompactThreshold", 0) or 0) or 16,
+                # .get default (not or-chaining): an explicit 0 means
+                # compact-on-every-fold and must survive the parse
+                compact_threshold=int(d["Rollup"].get("CompactThreshold", 16)),
             )
             if d.get("Rollup")
             else None

@@ -175,25 +175,38 @@ def compact(
     return True
 
 
-def rollup_plan(aggregates: dict[str, str]):
-    """Compile a config-level aggregate spec (`Rollup.Aggregates`:
-    column -> 'count' | 'sum:<col>' | 'min:<col>' | 'max:<col>') into
-    (partial agg columns, merge spec). 'count' partials merge by sum —
-    the classic distributive decomposition."""
-    cols, merges = [], {}
+def parse_rollup_spec(aggregates: dict[str, str]) -> dict[str, tuple[str, str]]:
+    """Validate a config-level aggregate spec (`Rollup.Aggregates`:
+    column -> 'count' | 'sum:<col>' | 'min:<col>' | 'max:<col>' |
+    'distinct:<col>') into {name: (kind, source_col)}. Pure Python —
+    config validation must work with no SparkSession alive (building a
+    Column without one raises from the JVM bridge)."""
+    out: dict[str, tuple[str, str]] = {}
     for name, spec in aggregates.items():
         kind, _, col = spec.partition(":")
-        if kind == "count" and not col:
-            cols.append(F.count(F.lit(1)).alias(name))
-            merges[name] = "sum"
-        elif kind == "distinct" and col:
-            # distinct counts fold as HLL sketches (partial = per-batch
-            # sketch, merge = union); read-side estimate via hll_estimate
-            cols.append(F.hll_sketch_agg(col).alias(name))
-            merges[name] = "hll"
-        elif kind in ("sum", "min", "max") and col:
-            cols.append(_MERGE_FNS[kind](col).alias(name))
-            merges[name] = kind
+        if (kind == "count" and not col) or (
+            kind in ("sum", "min", "max", "distinct") and col
+        ):
+            out[name] = (kind, col)
         else:
             raise ValueError(f"unknown rollup aggregate '{spec}' for '{name}'")
+    return out
+
+
+def rollup_plan(aggregates: dict[str, str]):
+    """Compile an aggregate spec into (partial agg columns, merge spec).
+    'count' partials merge by sum (the classic distributive
+    decomposition); 'distinct' partials are HLL sketches merged by
+    union (read-side estimate via hll_estimate)."""
+    cols, merges = [], {}
+    for name, (kind, col) in parse_rollup_spec(aggregates).items():
+        if kind == "count":
+            cols.append(F.count(F.lit(1)).alias(name))
+            merges[name] = "sum"
+        elif kind == "distinct":
+            cols.append(F.hll_sketch_agg(col).alias(name))
+            merges[name] = "hll"
+        else:
+            cols.append(_MERGE_FNS[kind](col).alias(name))
+            merges[name] = kind
     return cols, merges

@@ -38,8 +38,13 @@ def split_broadcast_join(
 
     The hot set is selected with a top-K (TakeOrderedAndProject — O(K)
     driver/broadcast memory at any dimension size), so the plan is
-    corpus-size independent. Output = probe INNER JOIN dim, exactly,
-    for any ``hot_k``.
+    corpus-size independent. PRECONDITION: ``dim`` must be UNIQUE on
+    ``key`` (a frequency/dimension table — every current caller
+    aggregates it first). With duplicate keys, rows of one key
+    straddling the top-K boundary would be half-broadcast and the
+    anti-join would drop the probe's matches against the other half.
+    For unique-key dims, output = probe INNER JOIN dim, exactly, for
+    any ``hot_k``.
     """
     hot = F.broadcast(dim.orderBy(F.desc(weight), F.asc(key)).limit(hot_k))
     hot_part = probe.join(hot, key)

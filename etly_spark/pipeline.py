@@ -424,7 +424,7 @@ class TransferService:
         result.outputs.extend(outputs)
 
         if t.rollup:
-            self._fold_rollup(t, ts, eligible, out)
+            self._fold_rollup(t, eligible, out)
 
         # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757).
         # Per-file stats are ONE distributed aggregate collected once —
@@ -482,17 +482,27 @@ class TransferService:
         _append_ledger_sidecar(sidecar_dir(meta_url), ts.isoformat(), entries)
         return n_rec
 
-    def _fold_rollup(self, t: Transfer, ts: datetime, eligible: list[str], out) -> None:
+    def _fold_rollup(self, t: Transfer, eligible: list[str], out) -> None:
         """Spark-native Rollup extension (Transfer.Rollup): fold this
         batch's keyed partial aggregates into the durable incremental-agg
         state (operators/incremental_agg). The epoch is a stable hash of
-        (window ts, sorted file batch): a crash-retry of the SAME batch
-        overwrites its own partial — idempotent — while a later
-        incremental run over new files folds a new epoch, and an epoch
-        already merged into a compacted base is refused. Costs one extra
-        aggregate job over the batch; history is never read. URL-source
-        transfers only: batch identity comes from the exactly-once file
-        ledger (a datastore query re-run has no such identity)."""
+        the sorted FILE BATCH alone — deliberately NOT of the window
+        timestamp: a non-windowed transfer's ts is wall-clock `now`, so
+        a crash between this fold and the ledger write would retry the
+        same still-unledgered files under a NEW ts and double-count.
+        Keyed by files only, the retry overwrites its own epoch
+        (idempotent), a later incremental run over new files folds a new
+        epoch, the exactly-once ledger guarantees no two successful runs
+        ever fold the same file twice under different epochs, and an
+        epoch already merged into a compacted base is refused. (The
+        fault-isolation healthy-subset retry cannot double-fold either:
+        it only runs when the read/write job failed, which precedes this
+        fold.) One rollup StateDir belongs to ONE transfer — sharing it
+        across transfers with overlapping batches would collide epochs.
+        Costs one extra aggregate job over the batch; history is never
+        read. URL-source transfers only: batch identity comes from the
+        exactly-once file ledger (a datastore query re-run has no such
+        identity)."""
         import hashlib
 
         from etly_spark.operators import incremental_agg as IA
@@ -501,7 +511,7 @@ class TransferService:
         state = expand_env(expand_pwd(spec.state_dir, t.base_dir))
         partial_cols, merges = IA.rollup_plan(spec.aggregates)
         partial = out.groupBy(*spec.keys).agg(*partial_cols)
-        batch_key = ts.isoformat() + "\n" + "\n".join(sorted(eligible))
+        batch_key = "\n".join(sorted(eligible))
         epoch = int(hashlib.md5(batch_key.encode()).hexdigest()[:15], 16)
         IA.fold(state, partial, epoch, keys=spec.keys, merges=merges)
         IA.compact(

@@ -736,7 +736,7 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Surfaced through the checked catalog as the 'spans' variant of
     ``text_curation_split`` (the 50-entry registry cap); unit-tested
-    per-doc against DuckDB in tests/test_span_dedup.py."""
+    per-doc against DuckDB in tests/test_curation_ops.py."""
     d = load_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", T.tokens("text").alias("t"))
     ex = (

@@ -555,6 +555,21 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     'ppx' variant of ``text_curation_split`` (50-entry registry cap)."""
     from pyspark.sql import Window
 
+    per_doc = _ppx_per_doc(spark, sf_dir)
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("bits", "doc_id"))
+    return per_doc.withColumn(
+        "bucket",
+        F.when(pr < 1.0 / 3, F.lit("head"))
+        .when(pr < 2.0 / 3, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def _ppx_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-doc (doc_id, lang, bits, n_toks) stage of both
+    perplexity variants — ONE definition so the exact and approx
+    bucketing paths can never diverge on the scoring itself (the
+    agreement test in tests/test_curation_ops.py relies on this)."""
     from etly_spark.operators.skew import split_broadcast_join
 
     d = load_table(spark, sf_dir, "documents")
@@ -568,7 +583,7 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = split_broadcast_join(tf, freq, "tok", "cnt", hot_k=1024).crossJoin(
         F.broadcast(total)
     )
-    per_doc = (
+    return (
         joined.groupBy("doc_id", "lang")
         .agg(
             F.sum(F.col("n") * -F.log2(F.col("cnt") / F.col("n_total"))).alias("num"),
@@ -580,13 +595,6 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / F.col("n_toks"), 6).alias("bits"),
             "n_toks",
         )
-    )
-    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("bits", "doc_id"))
-    return per_doc.withColumn(
-        "bucket",
-        F.when(pr < 1.0 / 3, F.lit("head"))
-        .when(pr < 2.0 / 3, F.lit("middle"))
-        .otherwise(F.lit("tail")),
     )
 
 
@@ -603,32 +611,7 @@ def unigram_perplexity_approx(
     relative error may land in the adjacent bucket; everything else is
     identical to the exact form (tests assert agreement away from the
     cuts)."""
-    from etly_spark.operators.skew import split_broadcast_join
-
-    d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "lang", "tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    freq = tf.groupBy("tok").agg(F.sum("n").alias("cnt"))
-    total = freq.agg(F.sum("cnt").alias("n_total"))
-    joined = split_broadcast_join(tf, freq, "tok", "cnt", hot_k=1024).crossJoin(
-        F.broadcast(total)
-    )
-    per_doc = (
-        joined.groupBy("doc_id", "lang")
-        .agg(
-            F.sum(F.col("n") * -F.log2(F.col("cnt") / F.col("n_total"))).alias("num"),
-            F.sum("n").alias("n_toks"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.round(F.col("num") / F.col("n_toks"), 6).alias("bits"),
-            "n_toks",
-        )
-    )
+    per_doc = _ppx_per_doc(spark, sf_dir)
     # ONE sketch pass computes every language's [1/3, 2/3] cut-points
     # together (percentile_approx is a map-side-combinable aggregate);
     # driver memory O(#langs * 2), a tiny broadcastable map

@@ -13,10 +13,37 @@ read``, and never holds unbounded keys in executor state stores.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from etly_spark.operators import incremental_agg as IA
+
+
+def _bind_checkpoint(state_dir: str, checkpoint: str) -> None:
+    """Refuse to reuse a rollup state with a DIFFERENT checkpoint:
+    foreachBatch epoch_ids restart at 0 under a fresh checkpoint, so a
+    re-drain of already-folded source files would collide with (or
+    double-count against) the old epochs. The marker ties the epoch
+    space to its checkpoint; deleting the checkpoint means starting a
+    fresh state_dir too."""
+    marker = os.path.join(state_dir, "_stream.json")
+    cp = os.path.abspath(checkpoint)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            bound = json.load(fh)["checkpoint"]
+        if bound != cp:
+            raise ValueError(
+                f"rollup state {state_dir} is bound to checkpoint {bound}; "
+                f"restarting with {cp} would replay epoch ids into folded "
+                "state — use a fresh state_dir with a fresh checkpoint"
+            )
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump({"checkpoint": cp}, fh)
 
 
 def start_rollup(
@@ -31,7 +58,10 @@ def start_rollup(
 ) -> StreamingQuery:
     """Maintain a durable keyed rollup from a stream. ``aggregates``
     uses the config-level spec ('count' | 'sum:<col>' | 'min:<col>' |
-    'max:<col>' — incremental_agg.rollup_plan)."""
+    'max:<col>' | 'distinct:<col>' — incremental_agg.rollup_plan).
+    The state_dir is bound to its checkpoint on first start; reusing it
+    with a different checkpoint is refused (epoch-space collision)."""
+    _bind_checkpoint(state_dir, checkpoint)
     partial_cols, merges = IA.rollup_plan(aggregates)
 
     def fold_batch(bdf: DataFrame, epoch_id: int) -> None:

@@ -337,3 +337,90 @@ def test_distinct_via_hll_sketch_folds(spark, tmp_path):
     # fold after compaction keeps unioning
     IA.fold(state, _batch(spark, [("b", 8)]).groupBy("src").agg(*cols), 5, keys=KEYS, merges=merges)
     assert current() == {"a": (3, 4), "b": (2, 2)}
+
+
+def test_crash_retry_same_batch_different_walltime_no_double_count(spark, tmp_path):
+    """The fold epoch is keyed by the FILE BATCH alone: if a run crashes
+    after the fold but before the ledger write, the retry (same files,
+    later wall-clock ts) overwrites its own epoch instead of folding a
+    second one — the review-found double-count is pinned closed."""
+    import shutil
+    from datetime import datetime, timedelta, timezone
+
+    from etly_spark.config import Resource, Rollup, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text('{"Id": 1, "Name": "x", "Type": "t"}\n')
+    state = str(tmp_path / "rollup")
+    t = Transfer(
+        name="retry",
+        source=Source(name=str(src), data_type="test.RollupLog"),
+        target=Target(name=str(tmp_path / "out" / "<file>")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        rollup=Rollup(state_dir=state, keys=["Name"], aggregates={"n": "count"}),
+        base_dir=str(tmp_path),
+    )
+    svc = TransferService(spark)
+    t0 = datetime.now(timezone.utc)
+    assert svc.run(t, now=t0).status == DONE
+    # simulate a crash AFTER the fold but BEFORE the ledger landed:
+    # wipe the meta JSON + sidecar so the same file is eligible again
+    (tmp_path / "out" / "meta.json").unlink()
+    shutil.rmtree(str(tmp_path / "out" / "meta.json.files"), ignore_errors=True)
+    assert svc.run(t, now=t0 + timedelta(hours=3)).status == DONE
+    cur = IA.read(spark, state, keys=["Name"], merges={"n": "sum"}).collect()
+    assert {r["Name"]: r["n"] for r in cur} == {"x": 1}  # not 2
+
+
+def test_compact_threshold_zero_survives_config_parse():
+    from etly_spark.config import transfer_from_dict
+
+    t = transfer_from_dict(
+        {
+            "Name": "x",
+            "Rollup": {
+                "StateDir": "/tmp/s",
+                "Keys": ["k"],
+                "Aggregates": {"n": "count"},
+                "CompactThreshold": 0,
+            },
+        }
+    )
+    assert t.rollup.compact_threshold == 0
+
+
+def test_rollup_rejects_remote_state_dir():
+    from etly_spark.config import Rollup, Transfer
+
+    t = Transfer(
+        name="r",
+        rollup=Rollup(state_dir="s3://bucket/x", keys=["k"], aggregates={"n": "count"}),
+    )
+    with pytest.raises(ValueError, match="local path"):
+        t.validate()
+
+
+def test_streaming_rollup_refuses_foreign_checkpoint(spark, tmp_path):
+    """A rollup state is bound to its checkpoint: restarting with a
+    fresh checkpoint over existing state (epoch ids restart at 0 and
+    would collide with folded epochs) is refused loudly."""
+    from etly_spark.streaming.rollup import start_rollup
+
+    src = tmp_path / "s"
+    src.mkdir()
+    spark.createDataFrame([("a", 1)], "k string, v long").write.parquet(
+        str(src / "p.parquet")
+    )
+    state, ck1, ck2 = str(tmp_path / "st"), str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    def drain(ck):
+        stream = spark.readStream.schema("k string, v long").parquet(str(src / "*.parquet"))
+        q = start_rollup(stream, state, ck, keys=["k"], aggregates={"n": "count"})
+        q.awaitTermination(120)
+
+    drain(ck1)
+    drain(ck1)  # same checkpoint: fine
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        drain(ck2)

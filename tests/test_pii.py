@@ -96,3 +96,18 @@ def test_config_driven_pii_transfer(spark, tmp_path):
     assert back[1].text == "contact <EMAIL> or <PHONE>"
     assert back[1].n_email == 1 and back[1].n_phone == 1 and back[1].n_pii == 2
     assert back[2].text == "no pii here" and back[2].n_pii == 0
+
+
+def test_rescrub_of_already_scrubbed_data_keeps_unique_columns(spark):
+    """Re-running the scrubber over data that already carries the
+    n_* / n_pii columns replaces them instead of producing duplicate
+    column names (which would break every downstream reference)."""
+    from etly_spark import registry
+
+    scrub = registry.transformers.get("etly.RedactPII")
+    df = spark.createDataFrame([(1, "a@b.io x")], "doc_id long, text string")
+    once = scrub(df)
+    twice = scrub(once)
+    assert len(twice.columns) == len(set(twice.columns))
+    r = twice.collect()[0]
+    assert r.text == "<EMAIL> x" and r.n_email == 0 and r.n_pii == 0
