@@ -9,6 +9,8 @@ Routes (same paths, JSON responses):
                                deliberately not reproduced)
     GET  /etly/errors          tasks that errored
     GET  /etly/info/{name}     transfer's meta ledger, re-read from storage
+    GET  /etly/rollup/{name}   current incremental-rollup aggregate (Spark
+                               extension — Transfer.Rollup state as rows)
     GET  /etly/version
     POST /etly/transferOnce    {"Async": bool, "Transfers": [spec, ...]}
 
@@ -77,6 +79,9 @@ def make_handler(service: Service):
                 m = re.match(r"^/etly/info/(.+)$", path)
                 if m:
                     return self._json(service.info(m.group(1)))
+                m = re.match(r"^/etly/rollup/(.+)$", path)
+                if m:
+                    return self._json(service.rollup(m.group(1)))
                 return self._json({"error": "not found"}, 404)
             except KeyError as e:
                 return self._json({"error": str(e)}, 404)

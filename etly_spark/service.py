@@ -284,3 +284,32 @@ class Service:
                     },
                 }
         raise KeyError(f"unknown transfer: {name!r}")
+
+    def rollup(self, name: str) -> dict:
+        """Current incremental-rollup aggregate for a transfer (Spark
+        extension — GET /etly/rollup/{name}): the durable keyed state
+        `Transfer.Rollup` folds per window, merged and returned as JSON
+        rows. 'distinct' sketch columns are returned as their HLL
+        estimates. Key cardinality bounds the response by design."""
+        from etly_spark.operators import incremental_agg as IA
+        from etly_spark.templates import expand_env, expand_pwd
+
+        for t in self.transfers:
+            if (t.name or t.source.name) == name:
+                if not t.rollup:
+                    return {"name": name, "rollup": None}
+                state = expand_env(expand_pwd(t.rollup.state_dir, t.base_dir))
+                _, merges = IA.rollup_plan(t.rollup.aggregates)
+                try:
+                    cur = IA.read(self.engine.spark, state, keys=t.rollup.keys, merges=merges)
+                except FileNotFoundError:
+                    return {"name": name, "rollup": {"state_dir": state, "rows": []}}
+                from pyspark.sql import functions as F
+
+                cols = list(t.rollup.keys) + [
+                    (IA.hll_estimate(c).alias(c) if kind == "hll" else F.col(c))
+                    for c, kind in merges.items()
+                ]
+                rows = [r.asDict() for r in cur.select(*cols).collect()]
+                return {"name": name, "rollup": {"state_dir": state, "rows": rows}}
+        raise KeyError(f"unknown transfer: {name!r}")

@@ -416,3 +416,30 @@ def test_http_transfer_worker_endpoint(spark, workdir):
         assert not (workdir / "meta.json").exists()
     finally:
         server.stop()
+
+
+def test_http_rollup_endpoint(spark, workdir):
+    from etly_spark.config import Rollup
+
+    t = _transfer(workdir)
+    t.rollup = Rollup(
+        state_dir=str(workdir / "rollup"),
+        keys=["Key"],
+        aggregates={"n": "count"},
+    )
+    svc = Service(spark, [t])
+    server = Server(svc, port=0)
+    server.start(scheduler=False)
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        # before any run: empty rows, not an error
+        with urllib.request.urlopen(base + "/etly/rollup/svc-smoke", timeout=30) as r:
+            empty = json.loads(r.read())
+        assert empty["rollup"]["rows"] == []
+        svc.transfer_once()
+        with urllib.request.urlopen(base + "/etly/rollup/svc-smoke", timeout=60) as r:
+            got = json.loads(r.read())
+        rows = {row["Key"]: row["n"] for row in got["rollup"]["rows"]}
+        assert sum(rows.values()) == 2 and all(n == 1 for n in rows.values())
+    finally:
+        server.stop()
