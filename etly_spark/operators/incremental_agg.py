@@ -210,3 +210,36 @@ def rollup_plan(aggregates: dict[str, str]):
             cols.append(_MERGE_FNS[kind](col).alias(name))
             merges[name] = kind
     return cols, merges
+
+
+def delta(
+    spark: SparkSession,
+    newer_dir: str,
+    older_dir: str,
+    *,
+    keys: list[str],
+    sums: list[str],
+) -> DataFrame:
+    """Per-key difference between two rollup snapshots: what a
+    monitoring pipeline computes between periodic copies of a
+    cumulative state (this crawl vs last crawl — corpus growth per
+    source, new-token influx per lang). Only additive columns are
+    diffable (sum/count merges); keys present in one snapshot only get
+    zero on the missing side. One small-table full-outer join — both
+    inputs are key-cardinality sized at any history length."""
+    merges = {c: "sum" for c in sums}
+    new = read(spark, newer_dir, keys=keys, merges=merges)
+    old = read(spark, older_dir, keys=keys, merges=merges)
+    for c in sums:
+        new = new.withColumnRenamed(c, f"__new_{c}")
+        old = old.withColumnRenamed(c, f"__old_{c}")
+    joined = new.join(old, keys, "full_outer")
+    out_cols = [F.col(k) for k in keys]
+    for c in sums:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"__new_{c}"), F.lit(0))
+                - F.coalesce(F.col(f"__old_{c}"), F.lit(0))
+            ).alias(f"d_{c}")
+        )
+    return joined.select(*out_cols)

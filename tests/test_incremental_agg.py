@@ -424,3 +424,36 @@ def test_streaming_rollup_refuses_foreign_checkpoint(spark, tmp_path):
     drain(ck1)  # same checkpoint: fine
     with pytest.raises(ValueError, match="bound to checkpoint"):
         drain(ck2)
+
+
+def test_snapshot_delta_equals_interim_folds(spark, tmp_path):
+    """delta(newer, older) over two snapshots of a cumulative rollup
+    equals the aggregate of exactly the batches folded in between —
+    including keys that appeared only after the snapshot."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    snap = str(tmp_path / "snap")
+    m = {"n": "sum", "tot": "sum"}
+
+    def part(rows):
+        return _batch(spark, rows).groupBy("src").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot")
+        )
+
+    IA.fold(state, part(BATCHES[0]), 0, keys=KEYS, merges=m)
+    IA.fold(state, part(BATCHES[1]), 1, keys=KEYS, merges=m)
+    shutil.copytree(state, snap)
+    IA.fold(state, part(BATCHES[2]), 2, keys=KEYS, merges=m)
+    IA.fold(state, part([("d", 42)]), 3, keys=KEYS, merges=m)
+
+    got = {
+        r["src"]: (r["d_n"], r["d_tot"])
+        for r in IA.delta(spark, state, snap, keys=KEYS, sums=["n", "tot"]).collect()
+    }
+    want_rows = part(BATCHES[2] + [("d", 42)]).collect()
+    want = {r["src"]: (r["n"], r["tot"]) for r in want_rows}
+    # keys untouched since the snapshot read as zero-delta
+    for k in set(got) - set(want):
+        assert got[k] == (0, 0)
+    assert {k: v for k, v in got.items() if k in want} == want
