@@ -11,6 +11,27 @@ from pyspark.sql import functions as F
 
 from etly_spark.operators import incremental_agg as IA
 
+
+def _ensure_rollup_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etly_spark import registry
+
+    if "test.RollupLog" not in registry.schemas:
+        registry.schemas.register(
+            "test.RollupLog",
+            StructType(
+                [
+                    StructField("Id", LongType()),
+                    StructField("Name", StringType()),
+                    StructField("Type", StringType()),
+                ]
+            ),
+        )
+
+
+_ensure_rollup_schema()
+
 KEYS = ["src"]
 MERGES = {"n": "sum", "tot": "sum", "lo": "min", "hi": "max"}
 
@@ -457,3 +478,38 @@ def test_snapshot_delta_equals_interim_folds(spark, tmp_path):
     for k in set(got) - set(want):
         assert got[k] == (0, 0)
     assert {k: v for k, v in got.items() if k in want} == want
+
+
+def test_config_rollup_with_distinct_sketch(spark, tmp_path):
+    """'distinct:<col>' flows through the config surface: the pipeline
+    folds HLL partials per window and the estimate over accumulated
+    state equals the exact distinct count across runs."""
+    from etly_spark.config import Resource, Rollup, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "rollup")
+    t = Transfer(
+        name="hll-e2e",
+        source=Source(name=str(src), data_type="test.RollupLog"),
+        target=Target(name=str(tmp_path / "out" / "<file>")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        rollup=Rollup(
+            state_dir=state, keys=["Type"], aggregates={"u_names": "distinct:Name"}
+        ),
+        base_dir=str(tmp_path),
+    )
+    t.validate()
+    svc = TransferService(spark)
+    (src / "b0.log").write_text(
+        '{"Id":1,"Name":"x","Type":"t"}\n{"Id":2,"Name":"y","Type":"t"}\n'
+    )
+    assert svc.run(t).status == DONE
+    (src / "b1.log").write_text(
+        '{"Id":3,"Name":"y","Type":"t"}\n{"Id":4,"Name":"z","Type":"t"}\n'
+    )
+    assert svc.run(t).status == DONE
+    cur = IA.read(spark, state, keys=["Type"], merges={"u_names": "hll"})
+    est = cur.select(IA.hll_estimate("u_names").alias("e")).collect()[0]["e"]
+    assert int(est) == 3  # x, y, z — y deduped across runs by the sketch union
