@@ -185,3 +185,13 @@ def test_catalog_twice_leaves_no_cache_growth(spark):
     release_cache()
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), "CacheManager not empty after release_cache()"
+
+
+def test_top_terms_ranks_via_take_ordered(spark):
+    """Both vocabulary variants must select their top-20 with a
+    TakeOrderedAndProject (O(k) per task), never a vocabulary-wide
+    single-partition window sort; the tfidf df join must show the
+    explicit hot-set broadcast of the split join."""
+    plan = plan_of(spark, "text_top_terms")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
