@@ -111,3 +111,33 @@ def test_rescrub_of_already_scrubbed_data_keeps_unique_columns(spark):
     assert len(twice.columns) == len(set(twice.columns))
     r = twice.collect()[0]
     assert r.text == "<EMAIL> x" and r.n_email == 0 and r.n_pii == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abz .@-+()0123456789\n"), min_size=0, max_size=80
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_redact_pii_properties_arbitrary_text(spark, texts):
+    """For ANY input text: the scrubber never crashes, counts are
+    non-negative, and the total count equals the number of placeholder
+    tokens in the output (counts and replacements always agree)."""
+    from etly_spark.functions.text import PII_RULES, redact_pii
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    cols = redact_pii("text")
+    rows = df.select("id", *[v.alias(k) for k, v in cols.items()]).collect()
+    for r in rows:
+        total = sum(r[f"n_{name}"] for name, _, _ in PII_RULES)
+        assert total >= 0
+        placed = sum(r["text"].count(repl) for _, _, repl in PII_RULES)
+        assert total == placed, (r.asDict(),)
