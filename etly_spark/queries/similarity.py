@@ -268,12 +268,65 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored, 5)
 
 
+# Hard-negative mining (dense-retrieval training): per query, the
+# top-k most similar vectors OUTSIDE the query's positive group. The
+# deterministic group stand-in is vec_id % 41 (a same-document /
+# same-label family); a real label column swaps in without changing
+# the plan. Self-exclusion is implied: the query is in its own group.
+_HN_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         {_sql_dot('q.qe', 's.embedding')} / (q.qn * s.nrm) AS cos_sim
+  FROM q JOIN s ON s.vec_id % 41 <> q.query_id % 41
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def sim_hard_negatives(
+    spark: SparkSession, sf_dir: str, s: DataFrame | None = None
+) -> DataFrame:
+    """Hard-negative mining for dense-retrieval training: per query,
+    the top-k most cosine-similar vectors outside the query's positive
+    group (vec_id % 41 — deterministic stand-in for a same-document /
+    same-label family). Same single-scan BLAS scorer as brute-force;
+    the group exclusion is one codegen'd predicate before the tiny
+    per-query top-k, so the plan is one corpus pass at any N."""
+    if s is None:
+        s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")), eager=False)
+    q_pdf = (
+        s.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        .toPandas()
+    )
+    scored = V.matmul_scores(s, q_pdf).filter(
+        (F.col("neighbor_id") % 41) != (F.col("query_id") % 41)
+    )
+    return _topk(scored, 5)
+
+
 _ANN_SQL = f"""
 SELECT 'brute' AS method, * FROM ({_BF_SQL})
 UNION ALL
 SELECT 'lsh' AS method, * FROM ({_LSH_SQL})
 UNION ALL
 SELECT 'ivf' AS method, * FROM ({_IVF_SQL})
+UNION ALL
+SELECT 'hardneg' AS method, * FROM ({_HN_SQL})
 ORDER BY method, query_id, rank
 """
 
@@ -291,7 +344,10 @@ ORDER BY method, query_id, rank
     "deterministic coarse centroid set (top-K_CENTROIDS by "
     "multiplicative hash of vec_id — O(k) driver memory at any corpus "
     "size), every vector pre-assigned to its nearest cell, probe = one "
-    "broadcast cell join, zero assign work at query time.",
+    "broadcast cell join, zero assign work at query time; hardneg — "
+    "hard-negative mining for dense-retrieval training: the brute "
+    "scorer with the query's positive group (vec_id % 41 stand-in) "
+    "excluded by one codegen'd predicate before the top-k.",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan + one norm pass, shared by the brute/lsh branches
@@ -303,6 +359,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_topk_bruteforce(spark, sf_dir, s).select(F.lit("brute").alias("method"), "*"),
         sim_lsh_ann(spark, sf_dir, s).select(F.lit("lsh").alias("method"), "*"),
         sim_ivf_ann(spark, sf_dir).select(F.lit("ivf").alias("method"), "*"),
+        sim_hard_negatives(spark, sf_dir, s).select(F.lit("hardneg").alias("method"), "*"),
     ]
     out = tagged[0]
     for t in tagged[1:]:
