@@ -79,9 +79,31 @@ from etly_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
     SELECT 'funnel' AS wkind, '' AS win_start, stage AS grp,
            users AS n, conv_from_prev AS metric
     FROM ({FUNNEL_SQL})
+    UNION ALL
+    SELECT 'cohort' AS wkind, win_start, grp, n, metric FROM (
+      WITH first AS (
+        SELECT user_id, time_bucket(INTERVAL 1 DAY, MIN(ts)) AS cohort
+        FROM events GROUP BY 1
+      ), sizes AS (
+        SELECT cohort, COUNT(*) AS n0 FROM first GROUP BY 1
+      ), act AS (
+        SELECT f.cohort,
+               date_diff('day', f.cohort, time_bucket(INTERVAL 1 DAY, e.ts)) AS d,
+               e.user_id
+        FROM (SELECT DISTINCT user_id, time_bucket(INTERVAL 1 DAY, ts) AS ts
+              FROM events) e
+        JOIN first f USING (user_id)
+      )
+      SELECT strftime(act.cohort, '%Y-%m-%d %H:%M:%S') AS win_start,
+             'd' || lpad(CAST(d AS VARCHAR), 2, '0') AS grp,
+             COUNT(*) AS n,
+             round(COUNT(*) / CAST(ANY_VALUE(n0) AS DOUBLE), 6) AS metric
+      FROM act JOIN sizes ON act.cohort = sizes.cohort
+      GROUP BY act.cohort, d
+    )
     ORDER BY wkind, win_start, grp
     """,
-    doc="Event-time analytics, four shapes in one checked row: "
+    doc="Event-time analytics, five shapes in one checked row: "
     "tumbling 1-hour per event_type (metric = decimal-exact value sum), "
     "sliding 1 h / 30 min global (metric = distinct users), native "
     "session_window() 30-min gap per user (oracle derives identical "
@@ -89,8 +111,11 @@ from etly_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
     "(view → click → purchase, each step within 7 days of the previous "
     "— per-stage first-event times via conditional aggregation chained "
     "through two user-keyed joins; counts collapse to one row exploded "
-    "into stage rows, so no cross join and no driver loop). Streaming "
-    "operator semantics, batch-checked.",
+    "into stage rows, so no cross join and no driver loop), and cohort "
+    "retention (users bucketed by first-active day; per (cohort, "
+    "day-offset) active count + retained fraction — two user-keyed "
+    "shuffles plus a broadcast of the day-cardinality cohort sizes). "
+    "Streaming operator semantics, batch-checked.",
 )
 def q19_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -150,9 +175,34 @@ def q19_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_from_prev").alias("metric"),
     )
 
+    # cohort retention: users grouped by first-active day; per
+    # (cohort, day-offset) the active-user count and the retained
+    # fraction of the cohort. Two user-keyed shuffles (per-user min,
+    # activity join — the first-event table partitions WITH the events
+    # on user_id) + a broadcast of the day-cardinality cohort sizes.
+    cohort_day = F.date_trunc("day", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n0"))
+    act = (
+        ev.select("user_id", cohort_day.alias("day"))
+        .distinct()
+        .join(first, "user_id")
+        .select("cohort", F.datediff(F.col("day"), F.col("cohort")).alias("d"))
+        .groupBy("cohort", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cohort = act.join(F.broadcast(sizes), "cohort").select(
+        F.lit("cohort").alias("wkind"),
+        F.date_format("cohort", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.concat(F.lit("d"), F.lpad(F.col("d").cast("string"), 2, "0")).alias("grp"),
+        "n",
+        F.round(F.col("n") / F.col("n0"), 6).alias("metric"),
+    )
+
     return (
         tumbling.unionByName(sliding)
         .unionByName(session)
         .unionByName(funnel)
+        .unionByName(cohort)
         .orderBy("wkind", "win_start", "grp")
     )
