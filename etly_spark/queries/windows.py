@@ -181,7 +181,15 @@ def q19_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # activity join — the first-event table partitions WITH the events
     # on user_id) + a broadcast of the day-cardinality cohort sizes.
     cohort_day = F.date_trunc("day", F.col("ts"))
-    first = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort"))
+    # the per-user first-event aggregate feeds BOTH the cohort sizes
+    # and the activity join — persist (scoped: released at the next
+    # catalog query) so the full-events pass runs once, not twice
+    from etly_spark.queries.catalog import scoped_persist
+
+    first = scoped_persist(
+        ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort")),
+        eager=False,
+    )
     sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n0"))
     act = (
         ev.select("user_id", cohort_day.alias("day"))
