@@ -694,9 +694,35 @@ SELECT 'spans' AS variant, lang, grp, n_docs, measure, score FROM (
 """
 
 
+# Deterministic corpus shuffle (pretraining prep: decorrelate document
+# order before sequence packing). The permutation is a pure function of
+# doc_id — md5('shuffle:'||doc_id) as the sort key — so it is
+# reproducible across engines, runs, and cluster sizes (seeded
+# orderBy(rand()) is none of those). The checked row pins the EXACT
+# permutation: a positional checksum sum(rank * (doc_id % 997)) changes
+# if any document moves. Scale note: production materializes the
+# shuffle with repartitionByRange(shuffle_key) + sortWithinPartitions —
+# no global rank; the global row_number here exists only to make the
+# permutation hash-checkable.
+_SHUFFLE_SQL_BLOCK = """
+SELECT 'shuffle' AS variant, lang, 'order' AS grp, n_docs, measure, score FROM (
+  WITH ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM documents
+  )
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(rnk * (doc_id % 997)) AS BIGINT) AS measure,
+         0.0 AS score
+  FROM ranked GROUP BY lang
+)
+"""
+
 _CURATION_SQL = _CURATION_SQL.replace(
     "ORDER BY variant, lang, grp",
     "UNION ALL" + _PPX_SQL_BLOCK + "UNION ALL" + _spans_sql_block()
+    + "UNION ALL" + _SHUFFLE_SQL_BLOCK
     + "ORDER BY variant, lang, grp",
 )
 
@@ -704,7 +730,11 @@ _CURATION_SQL = _CURATION_SQL.replace(
 @query(
     "text_curation_split",
     oracle=_CURATION_SQL,
-    doc="Corpus curation family, seven variants in one checked row. "
+    doc="Corpus curation family, eight variants in one checked row. "
+    "shuffle — deterministic corpus shuffle (md5-keyed permutation, "
+    "reproducible at any cluster size; the checked positional checksum "
+    "pins the exact order; production materializes it with "
+    "repartitionByRange + sortWithinPartitions, no global rank). "
     "ppx — CCNet-style perplexity filter: per-doc bits/token under the "
     "corpus unigram LM, per-lang head/middle/tail terciles (builder "
     "unigram_perplexity; the Zipf-skewed frequency join routes through "
@@ -894,6 +924,32 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ppx").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
     )
 
+    # shuffle — deterministic corpus shuffle: md5-keyed permutation,
+    # pinned by a positional checksum (see _SHUFFLE_SQL_BLOCK)
+    from pyspark.sql import Window as _W
+
+    shuffle_key = F.md5(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    rnk = F.row_number().over(_W.partitionBy("lang").orderBy(shuffle_key, "doc_id"))
+    shuffle_rows = (
+        d.select("lang", "doc_id")
+        .withColumn("rnk", rnk)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("rnk") * (F.col("doc_id") % 997)).alias("measure"),
+        )
+        .select(
+            F.lit("shuffle").alias("variant"),
+            "lang",
+            F.lit("order").alias("grp"),
+            "n_docs",
+            "measure",
+            F.lit(0.0).alias("score"),
+        )
+    )
+
     # spans — ExactSubstr repeated-span coverage (builder in dedup.py)
     from etly_spark.queries.dedup import repeated_span_stats
 
@@ -919,5 +975,6 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(straddle_rows)
         .unionByName(ppx_rows)
         .unionByName(span_rows)
+        .unionByName(shuffle_rows)
         .orderBy("variant", "lang", "grp")
     )
