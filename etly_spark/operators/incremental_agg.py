@@ -230,11 +230,19 @@ def delta(
     merges = {c: "sum" for c in sums}
     new = read(spark, newer_dir, keys=keys, merges=merges)
     old = read(spark, older_dir, keys=keys, merges=merges)
+    for k in keys:
+        new = new.withColumnRenamed(k, f"__nk_{k}")
     for c in sums:
         new = new.withColumnRenamed(c, f"__new_{c}")
         old = old.withColumnRenamed(c, f"__old_{c}")
-    joined = new.join(old, keys, "full_outer")
-    out_cols = [F.col(k) for k in keys]
+    # null-safe equality: a NULL key value is one bucket, not two
+    # (a plain key-list join would split it into +new and -old rows)
+    cond = None
+    for k in keys:
+        c = F.col(f"__nk_{k}").eqNullSafe(F.col(k))
+        cond = c if cond is None else (cond & c)
+    joined = new.join(old, cond, "full_outer")
+    out_cols = [F.coalesce(F.col(f"__nk_{k}"), F.col(k)).alias(k) for k in keys]
     for c in sums:
         out_cols.append(
             (

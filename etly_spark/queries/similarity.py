@@ -81,13 +81,12 @@ ORDER BY query_id, rank
 """
 
 
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:
-    if s is None:
-        s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")), eager=False)
-    # the tiny query side rides into the scorer closure — the explicit
-    # form of a broadcast join; the corpus is scanned exactly once and
-    # each Arrow batch is scored with one BLAS matmul (functions.vector)
-    q_pdf = (
+def _query_pdf(s: DataFrame):
+    """The tiny query set (vec_id < 8) collected once for the
+    closure-broadcast scorers — shared by the brute-force and hardneg
+    branches so the predicate lives in ONE place and sim_ann_methods
+    pays a single collect job."""
+    return (
         s.filter(F.col("vec_id") < 8)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -96,6 +95,16 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str, s: DataFrame | None = 
         )
         .toPandas()
     )
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str, s: DataFrame | None = None, q_pdf=None) -> DataFrame:
+    if s is None:
+        s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")), eager=False)
+    # the tiny query side rides into the scorer closure — the explicit
+    # form of a broadcast join; the corpus is scanned exactly once and
+    # each Arrow batch is scored with one BLAS matmul (functions.vector)
+    if q_pdf is None:
+        q_pdf = _query_pdf(s)
     scored = V.matmul_scores(s, q_pdf).filter(F.col("neighbor_id") != F.col("query_id"))
     return _topk(scored, 5)
 
@@ -294,7 +303,7 @@ ORDER BY query_id, rank
 
 
 def sim_hard_negatives(
-    spark: SparkSession, sf_dir: str, s: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, s: DataFrame | None = None, q_pdf=None
 ) -> DataFrame:
     """Hard-negative mining for dense-retrieval training: per query,
     the top-k most cosine-similar vectors outside the query's positive
@@ -304,15 +313,8 @@ def sim_hard_negatives(
     per-query top-k, so the plan is one corpus pass at any N."""
     if s is None:
         s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")), eager=False)
-    q_pdf = (
-        s.filter(F.col("vec_id") < 8)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("nrm").alias("qn"),
-        )
-        .toPandas()
-    )
+    if q_pdf is None:
+        q_pdf = _query_pdf(s)
     scored = V.matmul_scores(s, q_pdf).filter(
         (F.col("neighbor_id") % 41) != (F.col("query_id") % 41)
     )
@@ -355,11 +357,12 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once; scoped: released at the next catalog query); the ivf branch
     # reads its staged index instead
     s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")))
+    q_pdf = _query_pdf(s)  # ONE collect of the tiny query set, shared
     tagged = [
-        sim_topk_bruteforce(spark, sf_dir, s).select(F.lit("brute").alias("method"), "*"),
+        sim_topk_bruteforce(spark, sf_dir, s, q_pdf).select(F.lit("brute").alias("method"), "*"),
         sim_lsh_ann(spark, sf_dir, s).select(F.lit("lsh").alias("method"), "*"),
         sim_ivf_ann(spark, sf_dir).select(F.lit("ivf").alias("method"), "*"),
-        sim_hard_negatives(spark, sf_dir, s).select(F.lit("hardneg").alias("method"), "*"),
+        sim_hard_negatives(spark, sf_dir, s, q_pdf).select(F.lit("hardneg").alias("method"), "*"),
     ]
     out = tagged[0]
     for t in tagged[1:]:

@@ -713,7 +713,7 @@ SELECT 'shuffle' AS variant, lang, 'order' AS grp, n_docs, measure, score FROM (
     FROM documents
   )
   SELECT lang, COUNT(*) AS n_docs,
-         CAST(SUM(rnk * (doc_id % 997)) AS BIGINT) AS measure,
+         CAST(SUM(CAST(rnk AS DECIMAL(38,0)) * (doc_id % 997)) % 1000000007 AS BIGINT) AS measure,
          0.0 AS score
   FROM ranked GROUP BY lang
 )
@@ -938,7 +938,17 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("rnk") * (F.col("doc_id") % 997)).alias("measure"),
+            # DECIMAL(38,0) accumulation + mod-prime keeps the checksum
+            # exact AND inside int64 on BOTH engines at any corpus size
+            # (a raw long sum wraps silently in Spark past ~1.4e8 docs
+            # per lang while DuckDB's HUGEINT diverges — the similarity
+            # _CENT_HASH_SQL overflow lesson)
+            (
+                F.sum(F.col("rnk").cast("decimal(38,0)") * (F.col("doc_id") % 997))
+                % F.lit(1000000007)
+            )
+            .cast("bigint")
+            .alias("measure"),
         )
         .select(
             F.lit("shuffle").alias("variant"),

@@ -95,7 +95,7 @@ from etly_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
         JOIN first f USING (user_id)
       )
       SELECT strftime(act.cohort, '%Y-%m-%d %H:%M:%S') AS win_start,
-             'd' || lpad(CAST(d AS VARCHAR), 2, '0') AS grp,
+             'd' || lpad(CAST(d AS VARCHAR), 3, '0') AS grp,
              COUNT(*) AS n,
              round(COUNT(*) / CAST(ANY_VALUE(n0) AS DOUBLE), 6) AS metric
       FROM act JOIN sizes ON act.cohort = sizes.cohort
@@ -202,7 +202,7 @@ def q19_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = act.join(F.broadcast(sizes), "cohort").select(
         F.lit("cohort").alias("wkind"),
         F.date_format("cohort", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-        F.concat(F.lit("d"), F.lpad(F.col("d").cast("string"), 2, "0")).alias("grp"),
+        F.concat(F.lit("d"), F.lpad(F.col("d").cast("string"), 3, "0")).alias("grp"),
         "n",
         F.round(F.col("n") / F.col("n0"), 6).alias("metric"),
     )

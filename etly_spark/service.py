@@ -302,14 +302,31 @@ class Service:
                 _, merges = IA.rollup_plan(t.rollup.aggregates)
                 try:
                     cur = IA.read(self.engine.spark, state, keys=t.rollup.keys, merges=merges)
+                    from pyspark.sql import functions as F
+
+                    cols = list(t.rollup.keys) + [
+                        (IA.hll_estimate(c).alias(c) if kind == "hll" else F.col(c))
+                        for c, kind in merges.items()
+                    ]
+                    collected = cur.select(*cols).collect()
                 except FileNotFoundError:
                     return {"name": name, "rollup": {"state_dir": state, "rows": []}}
-                from pyspark.sql import functions as F
-
-                cols = list(t.rollup.keys) + [
-                    (IA.hll_estimate(c).alias(c) if kind == "hll" else F.col(c))
-                    for c, kind in merges.items()
+                except Exception as e:
+                    # a fold may be mid-write (epoch dir exists, parquet
+                    # not yet committed) — a status endpoint reports the
+                    # transient instead of a 500
+                    return {
+                        "name": name,
+                        "rollup": {"state_dir": state, "rows": [], "transient": str(e)[:200]},
+                    }
+                # timestamps/decimals from min/max/decimal-partial rollups
+                # are not JSON types — stringify anything non-primitive
+                rows = [
+                    {
+                        k: (v if isinstance(v, (int, float, str, bool, type(None))) else str(v))
+                        for k, v in r.asDict().items()
+                    }
+                    for r in collected
                 ]
-                rows = [r.asDict() for r in cur.select(*cols).collect()]
                 return {"name": name, "rollup": {"state_dir": state, "rows": rows}}
         raise KeyError(f"unknown transfer: {name!r}")

@@ -513,3 +513,19 @@ def test_config_rollup_with_distinct_sketch(spark, tmp_path):
     cur = IA.read(spark, state, keys=["Type"], merges={"u_names": "hll"})
     est = cur.select(IA.hll_estimate("u_names").alias("e")).collect()[0]["e"]
     assert int(est) == 3  # x, y, z — y deduped across runs by the sketch union
+
+
+def test_delta_null_key_is_one_bucket(spark, tmp_path):
+    """A NULL key value is ONE bucket in the snapshot delta (a plain
+    key-list join would split it into +new and -old rows)."""
+    import shutil
+
+    state, snap = str(tmp_path / "s"), str(tmp_path / "sn")
+    m = {"n": "sum"}
+    b1 = spark.createDataFrame([(None, 3), ("a", 1)], "src string, n long")
+    IA.fold(state, b1, 0, keys=KEYS, merges=m)
+    shutil.copytree(state, snap)
+    b2 = spark.createDataFrame([(None, 7), ("a", 2)], "src string, n long")
+    IA.fold(state, b2, 1, keys=KEYS, merges=m)
+    got = {r["src"]: r["d_n"] for r in IA.delta(spark, state, snap, keys=KEYS, sums=["n"]).collect()}
+    assert got == {None: 7, "a": 2}
