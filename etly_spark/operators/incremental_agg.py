@@ -41,10 +41,26 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# One lock per state dir (process-level): P3 runs a transfer's windows
+# from concurrent driver threads, and those windows share one rollup
+# state — two unsynchronized compact() calls would race the base-N
+# rename (second os.rename onto the existing dir fails, erroring the
+# window). Folds of distinct epochs are write-disjoint but cheap to
+# serialize alongside.
+_STATE_LOCKS: dict[str, threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+def _state_lock(state_dir: str) -> threading.Lock:
+    key = os.path.abspath(state_dir)
+    with _LOCKS_GUARD:
+        return _STATE_LOCKS.setdefault(key, threading.Lock())
 
 # 'hll' merges DataSketches HLL binaries (hll_union_agg): the sketch
 # answer to the one aggregate partial-merge can't do exactly —
@@ -104,14 +120,15 @@ def fold(
     overwrites its own directory; an epoch already merged into a base
     segment is skipped entirely. Returns True if the fold was applied,
     False if it was a no-op replay of a compacted epoch."""
-    if epoch in _covered(state_dir):
-        return False
-    cols = list(keys) + list(merges)
-    os.makedirs(state_dir, exist_ok=True)
-    partial.select(*cols).write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"epoch={epoch}")
-    )
-    return True
+    with _state_lock(state_dir):
+        if epoch in _covered(state_dir):
+            return False
+        cols = list(keys) + list(merges)
+        os.makedirs(state_dir, exist_ok=True)
+        partial.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch={epoch}")
+        )
+        return True
 
 
 def read(
@@ -152,27 +169,29 @@ def compact(
     rename BEFORE old dirs are removed, and the reader's
     highest-base-wins rule makes the worst crash outcome some
     un-reclaimed disk, never a double count."""
-    loose = _loose_epochs(state_dir)
-    covered = _covered(state_dir)
-    fresh = {e: p for e, p in loose.items() if e not in covered}
-    if len(fresh) <= threshold:
-        return False
-    merged = read(spark, state_dir, keys=keys, merges=merges)
-    bases = _bases(state_dir)
-    n_next = (int(bases[-1].split("-")[1]) + 1) if bases else 1
-    tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
-    with open(os.path.join(tmp, "_covered.json"), "w") as fh:
-        json.dump({"epochs": sorted(covered | set(fresh))}, fh)
-    final = os.path.join(state_dir, f"base-{n_next:06d}")
-    os.rename(tmp, final)
-    # cleanup (best-effort: reader ignores superseded dirs regardless);
-    # loose dirs of already-covered epochs are crash leftovers — sweep
-    for b in bases:
-        shutil.rmtree(os.path.join(state_dir, b), ignore_errors=True)
-    for e in loose:
-        shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
-    return True
+    with _state_lock(state_dir):
+        loose = _loose_epochs(state_dir)
+        covered = _covered(state_dir)
+        fresh = {e: p for e, p in loose.items() if e not in covered}
+        if len(fresh) <= threshold:
+            return False
+        merged = read(spark, state_dir, keys=keys, merges=merges)
+        bases = _bases(state_dir)
+        n_next = (int(bases[-1].split("-")[1]) + 1) if bases else 1
+        tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        with open(os.path.join(tmp, "_covered.json"), "w") as fh:
+            json.dump({"epochs": sorted(covered | set(fresh))}, fh)
+        final = os.path.join(state_dir, f"base-{n_next:06d}")
+        os.rename(tmp, final)
+        # cleanup (best-effort: reader ignores superseded dirs
+        # regardless); loose dirs of already-covered epochs are crash
+        # leftovers — sweep
+        for b in bases:
+            shutil.rmtree(os.path.join(state_dir, b), ignore_errors=True)
+        for e in loose:
+            shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
+        return True
 
 
 def parse_rollup_spec(aggregates: dict[str, str]) -> dict[str, tuple[str, str]]:

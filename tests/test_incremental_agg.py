@@ -529,3 +529,28 @@ def test_delta_null_key_is_one_bucket(spark, tmp_path):
     IA.fold(state, b2, 1, keys=KEYS, merges=m)
     got = {r["src"]: r["d_n"] for r in IA.delta(spark, state, snap, keys=KEYS, sums=["n"]).collect()}
     assert got == {None: 7, "a": 2}
+
+
+def test_concurrent_folds_and_compactions_are_serialized(spark, tmp_path):
+    """P3 runs windows from concurrent driver threads sharing one
+    rollup state: interleaved fold+compact from many threads must
+    neither error (the base-N rename race) nor lose/double any fold."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    state = str(tmp_path / "conc")
+    m = {"n": "sum"}
+
+    def work(e):
+        b = spark.createDataFrame([("k", 1)], "src string, n long")
+        IA.fold(state, b, e, keys=KEYS, merges=m)
+        IA.compact(spark, state, keys=KEYS, merges=m, threshold=2)
+
+    inherit = inheritable_thread_target(spark)
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futures = [pool.submit(inherit(work), e) for e in range(12)]
+        errs = [f.exception() for f in futures]
+    assert errs == [None] * 12, errs
+    cur = IA.read(spark, state, keys=KEYS, merges=m).collect()
+    assert {r["src"]: r["n"] for r in cur} == {"k": 12}
