@@ -141,6 +141,7 @@ class Transfer:
 
     def validate(self) -> None:
         """config.go:53-65: every named callable must be registered."""
+        from etly_spark import builtins as _builtins  # noqa: F401  (registers etly.* names)
         from etly_spark import registry
 
         if self.source.data_type and self.source.data_type not in registry.schemas:

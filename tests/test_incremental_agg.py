@@ -554,3 +554,38 @@ def test_concurrent_folds_and_compactions_are_serialized(spark, tmp_path):
     assert errs == [None] * 12, errs
     cur = IA.read(spark, state, keys=KEYS, merges=m).collect()
     assert {r["src"]: r["n"] for r in cur} == {"k": 12}
+
+
+def test_example_config_round_trips_every_extension_field():
+    """examples/curation_transfer.json exercises the full config
+    surface added this round (Rollup incl. an HLL distinct aggregate,
+    ClusterBy, the etly.RedactPII builtin name) and validates — the
+    user-facing proof the extensions are config-addressable."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etly_spark import registry
+    from etly_spark.config import TransferConfig
+
+    if "example.Doc" not in registry.schemas:
+        registry.schemas.register(
+            "example.Doc",
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("text", StringType()),
+                    StructField("lang", StringType()),
+                    StructField("n_chars", LongType()),
+                ]
+            ),
+        )
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "curation_transfer.json")
+    cfg = TransferConfig.from_json(path)
+    (t,) = cfg.transfers
+    t.validate()
+    assert t.transformer == "etly.RedactPII"
+    assert t.target.cluster_by == ["lang", "n_chars"]
+    assert t.rollup.aggregates["uniq_docs"] == "distinct:doc_id"
+    assert t.rollup.compact_threshold == 16
+    assert t.time_window.duration == 2 and t.frequency.unit == "hour"
