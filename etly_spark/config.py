@@ -106,9 +106,11 @@ class Rollup:
     files only): a durable keyed rollup folded per window from the
     transferred records' partial aggregates (operators/incremental_agg).
     ``aggregates`` maps output column -> 'count' | 'sum:<col>' |
-    'min:<col>' | 'max:<col>'; the fold epoch is a stable hash of the
-    window's file batch, so a crash-retry of the same batch overwrites
-    its own partial instead of double-counting."""
+    'min:<col>' | 'max:<col>' | 'distinct:<col>'; folds land one epoch
+    PER FILE (md5 of the file URL), so every retry shape — including a
+    crash retried with a changed batch — overwrites its own per-file
+    partials instead of double-counting. Keys should be low-cardinality
+    (it is an aggregate rollup); url-type sources only."""
 
     state_dir: str = ""
     keys: list[str] = field(default_factory=list)
@@ -169,12 +171,20 @@ class Transfer:
 
             if not (self.rollup.state_dir and self.rollup.keys and self.rollup.aggregates):
                 raise ValueError("Rollup requires StateDir, Keys and Aggregates")
-            if "://" in self.rollup.state_dir and not self.rollup.state_dir.startswith(
-                "file://"
-            ):
+            if "://" in self.rollup.state_dir:
+                # including file:// — Spark would resolve the URI while
+                # the state store's os.* bookkeeping would use the raw
+                # string, silently splitting the state in two places
                 raise ValueError(
-                    "Rollup.StateDir must be a local path: the state store's "
-                    "epoch/manifest bookkeeping is local-filesystem only"
+                    "Rollup.StateDir must be a plain local path: the state "
+                    "store's epoch/manifest bookkeeping is local-filesystem "
+                    "only"
+                )
+            if self.source.type == "datastore":
+                raise ValueError(
+                    "Rollup requires a url-type source: fold epochs are keyed "
+                    "by the exactly-once file ledger, which a datastore query "
+                    "re-run does not have (the fold would silently never run)"
                 )
             parse_rollup_spec(self.rollup.aggregates)  # surface bad specs at config time
 
@@ -241,8 +251,13 @@ def transfer_from_dict(d: dict, base_dir: str = ".") -> Transfer:
                 keys=list(d["Rollup"].get("Keys", []) or []),
                 aggregates=dict(d["Rollup"].get("Aggregates", {}) or {}),
                 # .get default (not or-chaining): an explicit 0 means
-                # compact-on-every-fold and must survive the parse
-                compact_threshold=int(d["Rollup"].get("CompactThreshold", 16)),
+                # compact-on-every-fold and must survive the parse;
+                # an explicit JSON null falls back to the default
+                compact_threshold=(
+                    16
+                    if d["Rollup"].get("CompactThreshold", 16) is None
+                    else int(d["Rollup"].get("CompactThreshold", 16))
+                ),
             )
             if d.get("Rollup")
             else None

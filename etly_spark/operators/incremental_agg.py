@@ -85,30 +85,33 @@ def _bases(state_dir: str) -> list[str]:
     return sorted(d for d in os.listdir(state_dir) if d.startswith("base-"))
 
 
-def _covered(state_dir: str) -> set[int]:
-    """Epochs already merged into the highest-numbered base."""
+def _covered(state_dir: str) -> set[str]:
+    """Epochs already merged into the highest-numbered base. Epoch ids
+    are strings (ints from streaming epoch_ids and test folds stringify;
+    the pipeline's per-file folds use full md5 hex — collision-free
+    without squeezing into an int)."""
     bases = _bases(state_dir)
     if not bases:
         return set()
     manifest = os.path.join(state_dir, bases[-1], "_covered.json")
     with open(manifest) as fh:
-        return set(json.load(fh)["epochs"])
+        return {str(e) for e in json.load(fh)["epochs"]}
 
 
-def _loose_epochs(state_dir: str) -> dict[int, str]:
+def _loose_epochs(state_dir: str) -> dict[str, str]:
     if not os.path.isdir(state_dir):
         return {}
     out = {}
     for d in os.listdir(state_dir):
         if d.startswith("epoch="):
-            out[int(d.split("=", 1)[1])] = os.path.join(state_dir, d)
+            out[d.split("=", 1)[1]] = os.path.join(state_dir, d)
     return out
 
 
 def fold(
     state_dir: str,
     partial: DataFrame,
-    epoch: int,
+    epoch: int | str,
     *,
     keys: list[str],
     merges: dict[str, str],
@@ -120,6 +123,7 @@ def fold(
     overwrites its own directory; an epoch already merged into a base
     segment is skipped entirely. Returns True if the fold was applied,
     False if it was a no-op replay of a compacted epoch."""
+    epoch = str(epoch)
     with _state_lock(state_dir):
         if epoch in _covered(state_dir):
             return False
@@ -270,3 +274,31 @@ def delta(
             ).alias(f"d_{c}")
         )
     return joined.select(*out_cols)
+
+
+def fold_rows(state_dir: str, pdf, epoch: int | str, *, keys: list[str], merges: dict[str, str]) -> bool:
+    """Driver-side fold of an already-collected partial (a pandas frame
+    with the key + merge columns): pyarrow write, no Spark job. For
+    per-file partials whose rows are bounded by (files x key
+    cardinality) — the ledger-sidecar precedent; launching a Spark
+    write (with its per-task commit protocol) per tiny partial would be
+    pure overhead. Same epoch semantics as ``fold`` (covered refusal,
+    replay overwrites its own dir atomically via tmp+rename)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    epoch = str(epoch)
+    with _state_lock(state_dir):
+        if epoch in _covered(state_dir):
+            return False
+        os.makedirs(state_dir, exist_ok=True)
+        cols = list(keys) + list(merges)
+        table = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+        tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp)
+        pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+        final = os.path.join(state_dir, f"epoch={epoch}")
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return True

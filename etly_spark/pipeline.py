@@ -393,127 +393,149 @@ class TransferService:
         df = read_records(self.spark, t.source, [_local(u) for u in eligible])
         df = self._enrich(df, t, src_url)
         df = df.withColumn(KEEP, self._keep_column(df, t))
-
-        # E1 + progress counters ride the write job itself (observe():
-        # CollectMetrics below the keep/corrupt filter, so the metrics see
-        # every decoded row) — no persist of the decoded input, no second
-        # full pass for global counts. Reference parity: the reference
-        # also counts while streaming the transfer (transfer.go:17-25) —
-        # an abort happens after work was spent; meta is then NOT
-        # recorded, so the next run reprocesses the window.
-        obs = Observation()
-        observed = df.observe(
-            obs,
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
-            F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
-        )
-        out = observed.filter(~F.col(CORRUPT) & F.col(KEEP))
-        out = self._transform(out, t)
-        key_col = self._routed_key_column(t, file_keys)
-        outputs = self._write_routed(out, key_col, t)
-        counts = obs.get
-        total_corrupt = int(counts["corrupt"] or 0)
-        # E1 bounded error tolerance (transfer.go:17-25): nil ⇒ tolerate all
-        if t.max_error_counts is not None and 0 < total_corrupt and total_corrupt >= max(
-            t.max_error_counts, 1
-        ):
-            raise MaxErrorsExceeded(
-                f"reached max errors {total_corrupt} >= {t.max_error_counts}"
-            )
-        result.outputs.extend(outputs)
-
         if t.rollup:
-            self._fold_rollup(t, eligible, out)
+            # three consumers with a rollup: the routed write, the
+            # per-file partial aggregate, and the per-file ledger stats.
+            # Cache the decoded window (MEMORY_AND_DISK; window-bounded
+            # by MaxTransfers x MaxAllowedSize) so the source is read
+            # and decoded once, not three times. Released in the
+            # finally below.
+            df = df.persist()
+        try:
 
-        # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757).
-        # Per-file stats are ONE distributed aggregate collected once —
-        # bounded by this window's ≤ MaxTransfers files, so nothing
-        # per-record ever sits on the driver. The collected rows feed
-        # (a) the BOUNDED JSON ledger (the reference-compatible status
-        # surface — most recent MAX_JSON_PROCESSED entries) and (b) the
-        # run_ts-partitioned parquet sidecar, which is the DURABLE full
-        # history and the skip-set source of truth (meta.ProcessedIndex):
-        # appends are O(this window's files) forever — per-window ledger
-        # cost is flat at any history size, vs the reference's full
-        # Processed-map rewrite per window. The sidecar file itself is
-        # written with Arrow on the driver — the rows are already here
-        # and bounded, so launching a Spark write job (with its per-task
-        # commit protocol) for ≤ MaxTransfers rows is pure overhead.
-        per_file_df = df.groupBy(FILE).agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
-            F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
-            F.first(F.when(F.col(CORRUPT), F.col(RAW)), ignorenulls=True).alias(
-                "corrupt_sample"
-            ),
-        )
-        per_file_rows = per_file_df.collect()
-        per_file = {r[FILE]: r for r in per_file_rows}
-
-        n_rec = 0
-        entries: list[ObjectMeta] = []
-        for url in eligible:
-            norm = _norm_file_url(url)
-            r = per_file.get(norm)
-            total = r["total"] if r is not None else 0
-            corrupt = int(r["corrupt"]) if r is not None else 0
-            kept = int(r["kept"]) if r is not None else 0
-            err_msg = ""
-            if corrupt and r is not None and r["corrupt_sample"]:
-                err_msg = f"failed to decode json ({corrupt} times): {r['corrupt_sample'][:200]}"
-                meta.add_error(err_msg)
-            om = ObjectMeta(
-                source=url,
-                target=file_keys[norm],
-                record_processed=kept,
-                record_skipped=total - corrupt - kept,
-                record_errors=corrupt,
-                message=err_msg,
+            # E1 + progress counters ride the write job itself (observe():
+            # CollectMetrics below the keep/corrupt filter, so the metrics see
+            # every decoded row) — no persist of the decoded input, no second
+            # full pass for global counts. Reference parity: the reference
+            # also counts while streaming the transfer (transfer.go:17-25) —
+            # an abort happens after work was spent; meta is then NOT
+            # recorded, so the next run reprocesses the window.
+            obs = Observation()
+            observed = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
+                F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
             )
-            meta.record(om)
-            entries.append(om)
-            n_rec += kept
-            result.progress.record_read += total
-            result.progress.record_processed += kept
-            result.progress.record_skipped += total - corrupt - kept
-            result.progress.record_errors += corrupt
-            result.progress.file_processed += 1
-        _append_ledger_sidecar(sidecar_dir(meta_url), ts.isoformat(), entries)
-        return n_rec
+            out = observed.filter(~F.col(CORRUPT) & F.col(KEEP))
+            out = self._transform(out, t)
+            key_col = self._routed_key_column(t, file_keys)
+            outputs = self._write_routed(out, key_col, t)
+            counts = obs.get
+            total_corrupt = int(counts["corrupt"] or 0)
+            # E1 bounded error tolerance (transfer.go:17-25): nil ⇒ tolerate all
+            if t.max_error_counts is not None and 0 < total_corrupt and total_corrupt >= max(
+                t.max_error_counts, 1
+            ):
+                raise MaxErrorsExceeded(
+                    f"reached max errors {total_corrupt} >= {t.max_error_counts}"
+                )
+            result.outputs.extend(outputs)
+
+            if t.rollup:
+                self._fold_rollup(t, eligible, out)
+
+            # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757).
+            # Per-file stats are ONE distributed aggregate collected once —
+            # bounded by this window's ≤ MaxTransfers files, so nothing
+            # per-record ever sits on the driver. The collected rows feed
+            # (a) the BOUNDED JSON ledger (the reference-compatible status
+            # surface — most recent MAX_JSON_PROCESSED entries) and (b) the
+            # run_ts-partitioned parquet sidecar, which is the DURABLE full
+            # history and the skip-set source of truth (meta.ProcessedIndex):
+            # appends are O(this window's files) forever — per-window ledger
+            # cost is flat at any history size, vs the reference's full
+            # Processed-map rewrite per window. The sidecar file itself is
+            # written with Arrow on the driver — the rows are already here
+            # and bounded, so launching a Spark write job (with its per-task
+            # commit protocol) for ≤ MaxTransfers rows is pure overhead.
+            per_file_df = df.groupBy(FILE).agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.col(CORRUPT).cast("long")).alias("corrupt"),
+                F.sum((~F.col(CORRUPT) & F.col(KEEP)).cast("long")).alias("kept"),
+                F.first(F.when(F.col(CORRUPT), F.col(RAW)), ignorenulls=True).alias(
+                    "corrupt_sample"
+                ),
+            )
+            per_file_rows = per_file_df.collect()
+            per_file = {r[FILE]: r for r in per_file_rows}
+
+            n_rec = 0
+            entries: list[ObjectMeta] = []
+            for url in eligible:
+                norm = _norm_file_url(url)
+                r = per_file.get(norm)
+                total = r["total"] if r is not None else 0
+                corrupt = int(r["corrupt"]) if r is not None else 0
+                kept = int(r["kept"]) if r is not None else 0
+                err_msg = ""
+                if corrupt and r is not None and r["corrupt_sample"]:
+                    err_msg = f"failed to decode json ({corrupt} times): {r['corrupt_sample'][:200]}"
+                    meta.add_error(err_msg)
+                om = ObjectMeta(
+                    source=url,
+                    target=file_keys[norm],
+                    record_processed=kept,
+                    record_skipped=total - corrupt - kept,
+                    record_errors=corrupt,
+                    message=err_msg,
+                )
+                meta.record(om)
+                entries.append(om)
+                n_rec += kept
+                result.progress.record_read += total
+                result.progress.record_processed += kept
+                result.progress.record_skipped += total - corrupt - kept
+                result.progress.record_errors += corrupt
+                result.progress.file_processed += 1
+            _append_ledger_sidecar(sidecar_dir(meta_url), ts.isoformat(), entries)
+            return n_rec
+        finally:
+            if t.rollup:
+                df.unpersist()
 
     def _fold_rollup(self, t: Transfer, eligible: list[str], out) -> None:
         """Spark-native Rollup extension (Transfer.Rollup): fold this
         batch's keyed partial aggregates into the durable incremental-agg
-        state (operators/incremental_agg). The epoch is a stable hash of
-        the sorted FILE BATCH alone — deliberately NOT of the window
-        timestamp: a non-windowed transfer's ts is wall-clock `now`, so
-        a crash between this fold and the ledger write would retry the
-        same still-unledgered files under a NEW ts and double-count.
-        Keyed by files only, the retry overwrites its own epoch
-        (idempotent), a later incremental run over new files folds a new
-        epoch, the exactly-once ledger guarantees no two successful runs
-        ever fold the same file twice under different epochs, and an
-        epoch already merged into a compacted base is refused. (The
-        fault-isolation healthy-subset retry cannot double-fold either:
-        it only runs when the read/write job failed, which precedes this
-        fold.) One rollup StateDir belongs to ONE transfer — sharing it
-        across transfers with overlapping batches would collide epochs.
-        Costs one extra aggregate job over the batch; history is never
-        read. URL-source transfers only: batch identity comes from the
+        state (operators/incremental_agg) — ONE epoch PER FILE, keyed by
+        the md5 of the file URL. Per-file epochs make every retry shape
+        idempotent: a crash between this fold and the ledger write
+        retried later — even with a CHANGED batch (a new file arrived,
+        MaxTransfers truncation shifted) — overwrites exactly the
+        already-folded files' own epochs and adds the new ones; no batch
+        composition can double-count a file (batch-level epochs could:
+        {a,b} folded, ledger write fails, retry folds {a,b,c} under a
+        new epoch — a and b doubled). The exactly-once ledger guarantees
+        no two SUCCESSFUL runs fold the same file. One aggregate job per
+        window computes all per-file partials (bounded by files x key
+        cardinality — rollup keys are low-cardinality by contract);
+        each partial lands driver-side via pyarrow (the ledger-sidecar
+        precedent). One rollup StateDir belongs to ONE transfer.
+        URL-source transfers only: batch identity comes from the
         exactly-once file ledger (a datastore query re-run has no such
-        identity)."""
+        identity — config validation rejects the combination)."""
         import hashlib
 
         from etly_spark.operators import incremental_agg as IA
+        from etly_spark.sources.storage import FILE as _FILE
 
         spec = t.rollup
         state = expand_env(expand_pwd(spec.state_dir, t.base_dir))
         partial_cols, merges = IA.rollup_plan(spec.aggregates)
-        partial = out.groupBy(*spec.keys).agg(*partial_cols)
-        batch_key = "\n".join(sorted(eligible))
-        epoch = int(hashlib.md5(batch_key.encode()).hexdigest()[:15], 16)
-        IA.fold(state, partial, epoch, keys=spec.keys, merges=merges)
+        pdf = (
+            out.groupBy(F.col(_FILE).alias("__file"), *spec.keys)
+            .agg(*partial_cols)
+            .toPandas()
+        )
+        # pyarrow needs bytes, not bytearray (HLL sketch partials)
+        for c in merges:
+            if len(pdf) and isinstance(pdf[c].iloc[0], bytearray):
+                pdf[c] = pdf[c].map(bytes)
+        for url in eligible:
+            norm = _norm_file_url(url)
+            sub = pdf[pdf["__file"] == norm].drop(columns="__file")
+            epoch = hashlib.md5(norm.encode()).hexdigest()
+            IA.fold_rows(state, sub, epoch, keys=spec.keys, merges=merges)
         IA.compact(
             self.spark,
             state,

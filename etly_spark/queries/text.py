@@ -308,11 +308,20 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.operators.skew import split_broadcast_join
 
     d = load_table(spark, sf_dir, "documents")
-    counts = (
-        d.select(F.explode(T.tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus explode+aggregate serves everything: the per-(doc,
+    # term) counts roll up to global frequencies (sum of tf) and to
+    # document frequencies (count of docs). Persisted (scoped —
+    # released at the next catalog query): its consumers are the freq
+    # rollup, the df rollup, and BOTH probe sides of the split join —
+    # without the cache each would re-tokenize the corpus
+    from etly_spark.queries.catalog import scoped_persist
+
+    tf = scoped_persist(
+        d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("n"))
     # top-20 via orderBy+limit (TakeOrderedAndProject — O(k) per task,
     # never a vocab-wide single-partition window sort), THEN rank the
     # 20 survivors with a window that only ever sees 20 rows
@@ -324,11 +333,6 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("freq").alias("variant"), "rank", "term", "n")
     )
 
-    tf = (
-        d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -571,9 +575,12 @@ def _ppx_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing paths can never diverge on the scoring itself (the
     agreement test in tests/test_curation_ops.py relies on this)."""
     from etly_spark.operators.skew import split_broadcast_join
+    from etly_spark.queries.catalog import scoped_persist
 
     d = load_table(spark, sf_dir, "documents")
-    tf = (
+    # persisted (scoped): consumed by the freq rollup and BOTH probe
+    # sides of the split join — uncached, each would re-tokenize
+    tf = scoped_persist(
         d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("tok"))
         .groupBy("doc_id", "lang", "tok")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -312,12 +312,15 @@ class Service:
                 except FileNotFoundError:
                     return {"name": name, "rollup": {"state_dir": state, "rows": []}}
                 except Exception as e:
-                    # a fold may be mid-write (epoch dir exists, parquet
-                    # not yet committed) — a status endpoint reports the
-                    # transient instead of a 500
+                    # unreadable state: could be a fold mid-write (epoch
+                    # dir exists, parquet not yet committed — transient)
+                    # or a real misconfiguration (spec/schema mismatch —
+                    # permanent). A status endpoint reports the message
+                    # instead of a 500; monitors alert on the error field
+                    # being present, so a permanent failure stays visible
                     return {
                         "name": name,
-                        "rollup": {"state_dir": state, "rows": [], "transient": str(e)[:200]},
+                        "rollup": {"state_dir": state, "rows": [], "error": str(e)[:300]},
                     }
                 # timestamps/decimals from min/max/decimal-partial rollups
                 # are not JSON types — stringify anything non-primitive

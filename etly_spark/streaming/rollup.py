@@ -31,19 +31,36 @@ def _bind_checkpoint(state_dir: str, checkpoint: str) -> None:
     fresh state_dir too."""
     marker = os.path.join(state_dir, "_stream.json")
     cp = os.path.abspath(checkpoint)
+    # the sentinel lives in BOTH dirs with a shared random id: a
+    # checkpoint deleted and recreated AT THE SAME PATH (rm -rf — the
+    # most common operator move) loses its sentinel, so the bind check
+    # still refuses instead of replaying epoch 0.. into folded state
+    cp_sentinel = os.path.join(cp, "_rollup_bind.json")
     if os.path.exists(marker):
         with open(marker) as fh:
-            bound = json.load(fh)["checkpoint"]
-        if bound != cp:
+            bound = json.load(fh)
+        fresh_cp = not os.path.exists(cp_sentinel)
+        if not fresh_cp:
+            with open(cp_sentinel) as fh:
+                cp_id = json.load(fh)["bind_id"]
+        if bound["checkpoint"] != cp or fresh_cp or cp_id != bound["bind_id"]:
             raise ValueError(
-                f"rollup state {state_dir} is bound to checkpoint {bound}; "
-                f"restarting with {cp} would replay epoch ids into folded "
-                "state — use a fresh state_dir with a fresh checkpoint"
+                f"rollup state {state_dir} is bound to checkpoint "
+                f"{bound['checkpoint']} (bind {bound['bind_id']}); this "
+                "checkpoint is different or was recreated — its epoch ids "
+                "would replay into folded state. Use a fresh state_dir "
+                "with a fresh checkpoint."
             )
         return
+    import uuid
+
+    bind_id = uuid.uuid4().hex
     os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(cp, exist_ok=True)
+    with open(cp_sentinel, "w") as fh:
+        json.dump({"bind_id": bind_id}, fh)
     with open(marker, "w") as fh:
-        json.dump({"checkpoint": cp}, fh)
+        json.dump({"checkpoint": cp, "bind_id": bind_id}, fh)
 
 
 def start_rollup(

@@ -314,7 +314,7 @@ def test_any_fold_compact_interleaving_reads_exactly(spark, tmp_path_factory, op
                 state, _partial(_batch(spark, rows)), epoch, keys=KEYS, merges=MERGES
             )
             # a fold is refused exactly when its epoch is compacted
-            assert applied == (epoch not in IA._covered(state))
+            assert applied == (str(epoch) not in IA._covered(state))
             if applied:
                 effective[epoch] = rows
                 folded_any = True
@@ -589,3 +589,63 @@ def test_example_config_round_trips_every_extension_field():
     assert t.rollup.aggregates["uniq_docs"] == "distinct:doc_id"
     assert t.rollup.compact_threshold == 16
     assert t.time_window.duration == 2 and t.frequency.unit == "hour"
+
+
+def test_crash_retry_with_changed_batch_composition_no_double_count(spark, tmp_path):
+    """Per-FILE fold epochs: a crash between fold and ledger retried
+    with a GROWN batch (a new file arrived meanwhile) overwrites the
+    already-folded files' own epochs and adds only the new file —
+    batch-level epochs would fold the old files twice."""
+    import shutil
+
+    from etly_spark.config import Resource, Rollup, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text('{"Id": 1, "Name": "x", "Type": "t"}\n')
+    (src / "b.log").write_text('{"Id": 2, "Name": "x", "Type": "t"}\n')
+    state = str(tmp_path / "rollup")
+    t = Transfer(
+        name="retry2",
+        source=Source(name=str(src), data_type="test.RollupLog"),
+        target=Target(name=str(tmp_path / "out" / "<file>")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        rollup=Rollup(state_dir=state, keys=["Name"], aggregates={"n": "count"}),
+        base_dir=str(tmp_path),
+    )
+    svc = TransferService(spark)
+    assert svc.run(t).status == DONE
+    # crash-sim: folds landed, ledger did not; meanwhile file c arrives
+    (tmp_path / "out" / "meta.json").unlink()
+    shutil.rmtree(str(tmp_path / "out" / "meta.json.files"), ignore_errors=True)
+    (src / "c.log").write_text('{"Id": 3, "Name": "y", "Type": "t"}\n')
+    assert svc.run(t).status == DONE
+    cur = {r["Name"]: r["n"] for r in IA.read(spark, state, keys=["Name"], merges={"n": "sum"}).collect()}
+    assert cur == {"x": 2, "y": 1}  # not x:4
+
+
+def test_streaming_rollup_refuses_recreated_checkpoint(spark, tmp_path):
+    """rm -rf of the checkpoint at the SAME path loses the bind
+    sentinel: the restart is refused instead of replaying epoch 0..
+    into folded state."""
+    import shutil
+
+    from etly_spark.streaming.rollup import start_rollup
+
+    src = tmp_path / "s"
+    src.mkdir()
+    spark.createDataFrame([("a", 1)], "k string, v long").write.parquet(
+        str(src / "p.parquet")
+    )
+    state, ck = str(tmp_path / "st"), str(tmp_path / "ck")
+
+    def drain():
+        stream = spark.readStream.schema("k string, v long").parquet(str(src / "*.parquet"))
+        q = start_rollup(stream, state, ck, keys=["k"], aggregates={"n": "count"})
+        q.awaitTermination(120)
+
+    drain()
+    shutil.rmtree(ck)  # the common operator move
+    with pytest.raises(ValueError, match="recreated"):
+        drain()
