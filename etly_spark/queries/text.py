@@ -308,15 +308,15 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.operators.skew import split_broadcast_join
 
     d = load_table(spark, sf_dir, "documents")
-    # ONE corpus explode+aggregate serves everything: the per-(doc,
-    # term) counts roll up to global frequencies (sum of tf) and to
-    # document frequencies (count of docs). Persisted (scoped —
-    # released at the next catalog query): its consumers are the freq
-    # rollup, the df rollup, and BOTH probe sides of the split join —
-    # without the cache each would re-tokenize the corpus
-    from etly_spark.queries.catalog import scoped_persist
-
-    tf = scoped_persist(
+    # One (doc, term) aggregate DEFINITION serves every consumer (freq
+    # rollup = sum of tf, df rollup = count of docs, both split-join
+    # probe sides). Deliberately NOT persisted: the explode + partial
+    # agg is a cheap scan-shaped stage, while caching the (doc, term)
+    # table — comparable in size to the token stream — measured SLOWER
+    # than recomputing it per consumer at sf0.1 (2.0 s vs 1.2 s), and
+    # the same trade holds at scale because the cache write is
+    # proportional to the very stream it would save.
+    tf = (
         d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -575,12 +575,12 @@ def _ppx_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing paths can never diverge on the scoring itself (the
     agreement test in tests/test_curation_ops.py relies on this)."""
     from etly_spark.operators.skew import split_broadcast_join
-    from etly_spark.queries.catalog import scoped_persist
 
     d = load_table(spark, sf_dir, "documents")
-    # persisted (scoped): consumed by the freq rollup and BOTH probe
-    # sides of the split join — uncached, each would re-tokenize
-    tf = scoped_persist(
+    # not persisted — same reasoning as text_top_terms' tf: the cheap
+    # explode+partial-agg recompute beats caching a token-stream-sized
+    # aggregate (measured at sf0.1)
+    tf = (
         d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("tok"))
         .groupBy("doc_id", "lang", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
