@@ -112,3 +112,26 @@ def _redact_pii(df):
         *[v.alias(k) for k, v in cols.items()],
         total.alias("n_pii"),
     )
+
+
+@registry.filters.register("etly.QualityGate")
+def _quality_gate(df):
+    """Keep records whose composite text quality clears the 'medium'
+    threshold (functions.text.quality_score >= 0.55 over the `text`
+    column) — the standard curation pre-filter, config-addressable so
+    a Transfer can gate before any heavier stage."""
+    from etly_spark.functions.text import quality_score
+
+    return quality_score("text") >= 0.55
+
+
+@registry.transformers.register("etly.NormalizeText")
+def _normalize_text(df):
+    """Canonicalize the `text` column in place (lowercase, collapse
+    whitespace, trim — functions.text.normalize_text): the
+    normalization stage dedup pipelines run before fingerprinting."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.functions.text import normalize_text
+
+    return df.withColumn("text", normalize_text("text"))

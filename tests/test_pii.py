@@ -141,3 +141,45 @@ def test_redact_pii_properties_arbitrary_text(spark, texts):
         assert total >= 0
         placed = sum(r["text"].count(repl) for _, _, repl in PII_RULES)
         assert total == placed, (r.asDict(),)
+
+
+def test_builtin_curation_chain_config_only(spark, tmp_path):
+    """Filter + transformer both resolved purely by built-in names:
+    'etly.QualityGate' drops junk records, 'etly.RedactPII' scrubs the
+    survivors — a curation Transfer with zero user code."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    store = tmp_path / "store"
+    good = " ".join(f"signal{i}" for i in range(60)) + " contact alice@example.com"
+    rows = [(1, good), (2, "junk " * 40)]  # junk: low diversity + short
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(store / "docs.parquet")
+    )
+    t = Transfer(
+        name="builtin-chain",
+        source=Source(
+            name="SELECT doc_id, text FROM docs",
+            type="datastore",
+            ds_config={"DriverName": "parquet", "Parameters": {"url": f"file://{store}"}},
+        ),
+        target=Target(name=str(tmp_path / "out" / "clean"), data_format="parquet"),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        filter="etly.QualityGate",
+        transformer="etly.RedactPII",
+        base_dir=str(tmp_path),
+    )
+    t.validate()
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    back = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out" / "clean")).collect()}
+    assert set(back) == {1}  # repetitive low-diversity record gated out
+    assert back[1].text.endswith("contact <EMAIL>") and back[1].n_email == 1
+
+
+def test_normalize_text_builtin(spark):
+    from etly_spark import registry
+
+    norm = registry.transformers.get("etly.NormalizeText")
+    df = spark.createDataFrame([(1, "  Mixed   CASE\t text \n")], "id long, text string")
+    assert norm(df).collect()[0].text == "mixed case text"
