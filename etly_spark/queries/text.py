@@ -552,21 +552,41 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.skew.split_broadcast_join``: the top-1024 tokens
     broadcast (covering the bulk of occurrences map-side), the rare
     tail shuffle-joins on naturally balanced keys. Tercile assignment
-    is an exact per-lang percent_rank here; the 100 TB path swaps in
-    sketch cut-points (``unigram_perplexity_approx`` below — the
-    layout.py zorder exact/approx precedent) without
-    changing the contract. Surfaced through the checked catalog as the
-    'ppx' variant of ``text_curation_split`` (50-entry registry cap)."""
-    from pyspark.sql import Window
+    is an exact percent_rank, but NOT via a per-lang window (one task
+    per language at 100×): ``operators.prefix.banded_row_number`` bands
+    the bits axis into ≤4096 order-preserving sub-partitions
+    (``floor(bits*32)`` — monotone, bounded: bits/token ≤ log2(corpus
+    tokens) < 128), so every window partition is (lang, band) and the
+    dominant language spreads across ~thousands of tasks. Values are
+    bit-identical to the single-window form. The sketch-cut-point
+    variant (``unigram_perplexity_approx`` below — the layout.py zorder
+    exact/approx precedent) stays as the cheaper-still alternative.
+    Surfaced through the checked catalog as the 'ppx' variant of
+    ``text_curation_split`` (50-entry registry cap)."""
+    from etly_spark.operators.prefix import banded_row_number
+    from etly_spark.queries.catalog import scoped_persist
 
-    per_doc = _ppx_per_doc(spark, sf_dir)
-    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("bits", "doc_id"))
-    return per_doc.withColumn(
+    # persisted: the banded offsets collect below materializes per_doc
+    # once; the returned plan reads the cache instead of re-running the
+    # tokenize + frequency-join subtree
+    per_doc = scoped_persist(_ppx_per_doc(spark, sf_dir))
+    band = F.least(F.greatest(F.floor(F.col("bits") * 32), F.lit(0)), F.lit(4095))
+    ranked, totals = banded_row_number(
+        spark, per_doc, ["lang"], band, ["bits", "doc_id"], "_rn", return_totals=True
+    )
+    # percent_rank = (row_number-1)/(n-1): ORDER BY includes unique
+    # doc_id so rank == row_number; n per lang comes free from the
+    # already-collected band sums, folded into one codegen'd CASE
+    n_col = F.lit(None).cast("long")
+    for (lang,), n in sorted(totals.items(), key=lambda kv: str(kv[0][0])):
+        n_col = F.when(F.col("lang") == lang, F.lit(n)).otherwise(n_col)
+    pr = F.when(n_col > 1, (F.col("_rn") - 1) / (n_col - 1)).otherwise(F.lit(0.0))
+    return ranked.withColumn(
         "bucket",
         F.when(pr < 1.0 / 3, F.lit("head"))
         .when(pr < 2.0 / 3, F.lit("middle"))
         .otherwise(F.lit("tail")),
-    )
+    ).drop("_rn", "_band")
 
 
 def _ppx_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,17 +902,27 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequences (the standard pretraining concat-and-split). Reports
     # per lang: sequences produced + packing efficiency ('b2048' row)
     # and how many docs straddle a sequence boundary ('straddle' row).
-    # One windowed cumsum per lang partition — a single shuffle on the
-    # lang key; at 100 TB the order-by-doc_id window runs inside each
-    # lang partition with no global sort.
-    wspec = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wdf = (
+    # The running token sum is the two-phase banded prefix sum
+    # (operators/prefix.py), NOT a per-lang window: doc_id range-bands
+    # (≤2048 per lang, order-preserving by construction) carry
+    # broadcast offsets, so the dominant language's cumsum runs across
+    # ~2048 tasks instead of one. Bit-identical to the windowed form.
+    # The (doc_id, lang, n_bpe) projection is persisted for the build:
+    # the offsets pass and the final plan share one tokenize pass.
+    from etly_spark.operators.prefix import banded_running_sum, doc_range_band
+    from etly_spark.queries.catalog import scoped_persist
+
+    bpe_base = scoped_persist(
         d.select("doc_id", "lang", T.bpe_token_count("text").alias("n_bpe"))
-        .withColumn("cum", F.sum("n_bpe").over(wspec))
+    )
+    wdf = banded_running_sum(
+        spark,
+        bpe_base,
+        ["lang"],
+        doc_range_band(d.select("doc_id", "lang"), ["lang"], "doc_id"),
+        [F.col("doc_id")],
+        F.col("n_bpe"),
+        "cum",
     )
     nseq = F.floor((F.col("cum") + 2047) / 2048)
     straddle = (F.col("n_bpe") > 0) & (
@@ -932,16 +962,25 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # shuffle — deterministic corpus shuffle: md5-keyed permutation,
-    # pinned by a positional checksum (see _SHUFFLE_SQL_BLOCK)
-    from pyspark.sql import Window as _W
+    # pinned by a positional checksum (see _SHUFFLE_SQL_BLOCK). The
+    # rank is the banded two-phase row_number: the md5 key's first
+    # byte is a uniform, order-preserving 256-way band (hex chars
+    # compare identically as text and as value), so no per-lang
+    # single-task sort — each window partition is 1/256 of a language.
+    from etly_spark.operators.prefix import banded_row_number
 
     shuffle_key = F.md5(
         F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")).cast("binary")
     )
-    rnk = F.row_number().over(_W.partitionBy("lang").orderBy(shuffle_key, "doc_id"))
     shuffle_rows = (
-        d.select("lang", "doc_id")
-        .withColumn("rnk", rnk)
+        banded_row_number(
+            spark,
+            d.select("lang", "doc_id").withColumn("_sk", shuffle_key),
+            ["lang"],
+            F.conv(F.substring(F.col("_sk"), 1, 2), 16, 10).cast("long"),
+            [F.col("_sk"), F.col("doc_id")],
+            "rnk",
+        )
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -195,3 +195,27 @@ def test_top_terms_ranks_via_take_ordered(spark):
     plan = plan_of(spark, "text_top_terms")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_window_partitioned_solely_by_lang(spark):
+    """The 100x skew gate for the curation family (r6 verdict item):
+    `lang` is a low-cardinality, heavily skewed key — a Window whose
+    ONLY partition key is lang funnels the dominant language through
+    one task's sort at scale. The de-skewed forms (operators/prefix.py
+    banded prefix sums) partition by (lang, _band); this gate fails the
+    moment a bare per-lang window reappears anywhere in the catalog.
+
+    In the formatted plan a window spec prints as
+    windowspecdefinition(<partition cols>, <order specs>, frame); a
+    lang-only partition shows lang#N followed directly by an order
+    spec (`... ASC/DESC`) or the frame."""
+    offenders = []
+    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
+    plans.update(extra_plans(spark))
+    bad = re.compile(
+        r"windowspecdefinition\(lang#\d+[A-Za-z]*,\s*(?:[^,()]+ (?:ASC|DESC)|specifiedwindowframe)"
+    )
+    for name, plan in plans.items():
+        if bad.search(plan):
+            offenders.append(name)
+    assert offenders == [], f"lang-only window partitions in: {offenders}"

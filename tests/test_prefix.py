@@ -1,0 +1,103 @@
+"""Banded two-phase prefix sums (operators/prefix.py) must be
+bit-identical to the single-window form they replace — the de-skew is a
+physical-plan change only."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etly_spark.operators.prefix import (
+    banded_row_number,
+    banded_running_sum,
+    doc_range_band,
+)
+
+
+def _skewed(spark):
+    # 9:1 skew onto 'en', non-dense ids, duplicate order keys
+    return (
+        spark.range(2000)
+        .selectExpr(
+            "id * 7 + 3 as doc_id",
+            "case when id % 10 = 0 then 'de' else 'en' end as lang",
+            "cast(pmod(hash(id), 97) as long) as v",
+            "pmod(hash(id + 1), 50) as key",
+        )
+    )
+
+
+def test_running_sum_matches_window(spark):
+    df = _skewed(spark)
+    band = F.pmod(F.col("key"), F.lit(8))  # monotone? no — band on key ranges
+    band = F.floor(F.col("key") / 7)  # order-preserving in key
+    got = banded_running_sum(
+        spark, df, ["lang"], band, [F.col("key"), F.col("doc_id")], F.col("v"), "cum"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert (
+        got.select("lang", "doc_id", "cum")
+        .exceptAll(want.select("lang", "doc_id", "cum"))
+        .count()
+        == 0
+    )
+    assert got.count() == want.count()
+
+
+def test_row_number_matches_window_and_totals(spark):
+    df = _skewed(spark)
+    band = F.floor(F.col("key") / 5)
+    got, totals = banded_row_number(
+        spark,
+        df,
+        ["lang"],
+        band,
+        [F.col("key"), F.col("doc_id")],
+        "rn",
+        return_totals=True,
+    )
+    w = Window.partitionBy("lang").orderBy("key", "doc_id")
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert (
+        got.select("lang", "doc_id", "rn")
+        .exceptAll(want.select("lang", "doc_id", "rn"))
+        .count()
+        == 0
+    )
+    counts = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert {k[0]: v for k, v in totals.items()} == counts
+
+
+def test_no_window_partitioned_solely_by_part_col(spark):
+    df = _skewed(spark)
+    got = banded_running_sum(
+        spark, df, ["lang"], F.floor(F.col("key") / 7),
+        [F.col("key"), F.col("doc_id")], F.col("v"), "cum",
+    )
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        parts = spec.split(", ")
+        assert not (
+            len(parts) >= 1 and parts[0].startswith("lang") and not parts[1].startswith("_band")
+        ), spec
+
+
+def test_doc_range_band_is_bounded_and_monotone(spark):
+    df = _skewed(spark)
+    band = doc_range_band(df, ["lang"], "doc_id", n_bands=16)
+    rows = df.withColumn("b", band).select("lang", "doc_id", "b").collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append((r["doc_id"], r["b"]))
+    for lang, lst in per_lang.items():
+        lst.sort()
+        bands = [b for _, b in lst]
+        assert bands == sorted(bands), f"non-monotone bands for {lang}"
+        assert len(set(bands)) <= 16
