@@ -129,9 +129,16 @@ def fold(
             return False
         cols = list(keys) + list(merges)
         os.makedirs(state_dir, exist_ok=True)
-        partial.select(*cols).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"epoch={epoch}")
-        )
+        # tmp + rename (mirroring fold_rows): a crash mid-write must
+        # not leave a torn epoch= dir that read() — e.g. the
+        # /etly/rollup endpoint before a streaming replay re-folds —
+        # would read as partial data or fail on
+        tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+        partial.select(*cols).write.mode("overwrite").parquet(tmp)
+        final = os.path.join(state_dir, f"epoch={epoch}")
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
         return True
 
 
@@ -276,14 +283,31 @@ def delta(
     return joined.select(*out_cols)
 
 
-def fold_rows(state_dir: str, pdf, epoch: int | str, *, keys: list[str], merges: dict[str, str]) -> bool:
+def fold_rows(
+    state_dir: str,
+    pdf,
+    epoch: int | str,
+    *,
+    keys: list[str],
+    merges: dict[str, str],
+    schema=None,
+) -> bool:
     """Driver-side fold of an already-collected partial (a pandas frame
     with the key + merge columns): pyarrow write, no Spark job. For
     per-file partials whose rows are bounded by (files x key
     cardinality) — the ledger-sidecar precedent; launching a Spark
     write (with its per-task commit protocol) per tiny partial would be
     pure overhead. Same epoch semantics as ``fold`` (covered refusal,
-    replay overwrites its own dir atomically via tmp+rename)."""
+    replay overwrites its own dir atomically via tmp+rename).
+
+    ``schema`` (a Spark StructType covering at least keys+merges, or a
+    pyarrow Schema in cols order) pins the parquet types. Without it a
+    ZERO-ROW partial (a file whose rows were all filtered/corrupt)
+    arrow-infers every column as null — and if compact() runs while
+    only such empty epochs are uncovered, the base segment commits with
+    the wrong schema and every later read/compact fails permanently
+    with a parquet type mismatch. Callers that can see a Spark schema
+    must pass it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -293,7 +317,20 @@ def fold_rows(state_dir: str, pdf, epoch: int | str, *, keys: list[str], merges:
             return False
         os.makedirs(state_dir, exist_ok=True)
         cols = list(keys) + list(merges)
-        table = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+        arrow_schema = None
+        if schema is not None:
+            if isinstance(schema, pa.Schema):
+                arrow_schema = schema
+            else:
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType
+
+                arrow_schema = to_arrow_schema(
+                    StructType([schema[c] for c in cols])
+                )
+        table = pa.Table.from_pandas(
+            pdf[cols], schema=arrow_schema, preserve_index=False
+        )
         tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp)
         pq.write_table(table, os.path.join(tmp, "part-0.parquet"))

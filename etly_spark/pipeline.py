@@ -522,11 +522,8 @@ class TransferService:
         spec = t.rollup
         state = expand_env(expand_pwd(spec.state_dir, t.base_dir))
         partial_cols, merges = IA.rollup_plan(spec.aggregates)
-        pdf = (
-            out.groupBy(F.col(_FILE).alias("__file"), *spec.keys)
-            .agg(*partial_cols)
-            .toPandas()
-        )
+        agg = out.groupBy(F.col(_FILE).alias("__file"), *spec.keys).agg(*partial_cols)
+        pdf = agg.toPandas()
         # pyarrow needs bytes, not bytearray (HLL sketch partials)
         for c in merges:
             if len(pdf) and isinstance(pdf[c].iloc[0], bytearray):
@@ -535,7 +532,13 @@ class TransferService:
             norm = _norm_file_url(url)
             sub = pdf[pdf["__file"] == norm].drop(columns="__file")
             epoch = hashlib.md5(norm.encode()).hexdigest()
-            IA.fold_rows(state, sub, epoch, keys=spec.keys, merges=merges)
+            # schema pinned from the Spark aggregate: a zero-row sub
+            # (file fully filtered out) must not arrow-infer null types
+            # into the state (permanent type-mismatch corruption once
+            # compacted — see fold_rows)
+            IA.fold_rows(
+                state, sub, epoch, keys=spec.keys, merges=merges, schema=agg.schema
+            )
         IA.compact(
             self.spark,
             state,

@@ -301,14 +301,21 @@ class Service:
                 state = expand_env(expand_pwd(t.rollup.state_dir, t.base_dir))
                 _, merges = IA.rollup_plan(t.rollup.aggregates)
                 try:
-                    cur = IA.read(self.engine.spark, state, keys=t.rollup.keys, merges=merges)
-                    from pyspark.sql import functions as F
+                    # under the state lock: a concurrent compact()'s
+                    # post-rename cleanup deletes old base/epoch dirs,
+                    # and an unlocked read racing it fails transiently —
+                    # surfacing in the error field monitors alert on
+                    with IA._state_lock(state):
+                        cur = IA.read(
+                            self.engine.spark, state, keys=t.rollup.keys, merges=merges
+                        )
+                        from pyspark.sql import functions as F
 
-                    cols = list(t.rollup.keys) + [
-                        (IA.hll_estimate(c).alias(c) if kind == "hll" else F.col(c))
-                        for c, kind in merges.items()
-                    ]
-                    collected = cur.select(*cols).collect()
+                        cols = list(t.rollup.keys) + [
+                            (IA.hll_estimate(c).alias(c) if kind == "hll" else F.col(c))
+                            for c, kind in merges.items()
+                        ]
+                        collected = cur.select(*cols).collect()
                 except FileNotFoundError:
                     return {"name": name, "rollup": {"state_dir": state, "rows": []}}
                 except Exception as e:

@@ -649,3 +649,50 @@ def test_streaming_rollup_refuses_recreated_checkpoint(spark, tmp_path):
     shutil.rmtree(ck)  # the common operator move
     with pytest.raises(ValueError, match="recreated"):
         drain()
+
+
+def test_zero_row_partials_do_not_corrupt_state_schema(spark, tmp_path):
+    """ADVICE r6 (medium): a file whose rows are all filtered/corrupt
+    folds a ZERO-ROW partial. Without a pinned schema, arrow infers
+    every column as null type; if compact() runs while only such empty
+    epochs are uncovered, the base segment commits with the wrong
+    schema and every later read/compact of the state fails permanently
+    with a parquet type mismatch. With the Spark schema passed through,
+    empty epochs are typed correctly and the state keeps working."""
+    state = str(tmp_path / "state")
+    partial = _partial(_batch(spark, [("a", 1)]))
+    empty_pdf = partial.limit(0).toPandas()
+
+    # only empty epochs uncovered, then compact at threshold 0
+    for i in range(3):
+        assert IA.fold_rows(
+            state, empty_pdf, f"empty-{i}", keys=KEYS, merges=MERGES,
+            schema=partial.schema,
+        )
+    assert IA.compact(spark, state, keys=KEYS, merges=MERGES, threshold=0)
+
+    # the state must still accept and read real partials
+    assert IA.fold_rows(
+        state, _partial(_batch(spark, [("a", 2), ("b", 7)])).toPandas(),
+        "real-1", keys=KEYS, merges=MERGES, schema=partial.schema,
+    )
+    cur = _current(spark, state)
+    assert cur["a"] == (1, 2, 2, 2)
+    assert cur["b"] == (1, 7, 7, 7)
+    # and compact again over the mixed base+epoch state
+    assert IA.compact(spark, state, keys=KEYS, merges=MERGES, threshold=0)
+    assert _current(spark, state) == cur
+
+
+def test_fold_commits_epoch_dir_atomically(spark, tmp_path):
+    """ADVICE r6 (low): the Spark-side fold() must land epoch dirs via
+    tmp+rename like fold_rows — no in-place overwrite a reader could
+    see torn. After a fold, the state dir contains only the epoch dir
+    (no _tmp leftovers), and replay overwrites cleanly."""
+    state = str(tmp_path / "state")
+    p = _partial(_batch(spark, [("a", 3)]))
+    assert IA.fold(state, p, 1, keys=KEYS, merges=MERGES)
+    assert IA.fold(state, p, 1, keys=KEYS, merges=MERGES)  # replay
+    entries = sorted(os.listdir(state))
+    assert entries == ["epoch=1"], entries
+    assert _current(spark, state)["a"] == (1, 3, 3, 3)
