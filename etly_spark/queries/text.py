@@ -566,27 +566,32 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.operators.prefix import banded_row_number
     from etly_spark.queries.catalog import scoped_persist
 
-    # persisted: the banded offsets collect below materializes per_doc
-    # once; the returned plan reads the cache instead of re-running the
-    # tokenize + frequency-join subtree
-    per_doc = scoped_persist(_ppx_per_doc(spark, sf_dir))
+    # persisted eagerly: the tokenize + frequency-join subtree is the
+    # expensive part and has THREE consumers in the lazy DAG below
+    # (band totals, per-lang counts, the ranked rows) — one build-time
+    # materialization, then every consumer reads the cache
+    per_doc = _ppx_per_doc(spark, sf_dir)
     band = F.least(F.greatest(F.floor(F.col("bits") * 32), F.lit(0)), F.lit(4095))
-    ranked, totals = banded_row_number(
-        spark, per_doc, ["lang"], band, ["bits", "doc_id"], "_rn", return_totals=True
+    ranked = banded_row_number(
+        spark, per_doc, ["lang"], band, ["bits", "doc_id"], "_rn"
     )
     # percent_rank = (row_number-1)/(n-1): ORDER BY includes unique
-    # doc_id so rank == row_number; n per lang comes free from the
-    # already-collected band sums, folded into one codegen'd CASE
-    n_col = F.lit(None).cast("long")
-    for (lang,), n in sorted(totals.items(), key=lambda kv: str(kv[0][0])):
-        n_col = F.when(F.col("lang") == lang, F.lit(n)).otherwise(n_col)
-    pr = F.when(n_col > 1, (F.col("_rn") - 1) / (n_col - 1)).otherwise(F.lit(0.0))
-    return ranked.withColumn(
-        "bucket",
-        F.when(pr < 1.0 / 3, F.lit("head"))
-        .when(pr < 2.0 / 3, F.lit("middle"))
-        .otherwise(F.lit("tail")),
-    ).drop("_rn", "_band")
+    # doc_id so rank == row_number; n per lang is a tiny broadcast-
+    # joined aggregate (declarative — no driver collect)
+    counts = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    pr = F.when(
+        F.col("_n") > 1, (F.col("_rn") - 1) / (F.col("_n") - 1)
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .withColumn(
+            "bucket",
+            F.when(pr < 1.0 / 3, F.lit("head"))
+            .when(pr < 2.0 / 3, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_rn", "_band", "_n")
+    )
 
 
 def _ppx_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,19 +912,19 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (≤2048 per lang, order-preserving by construction) carry
     # broadcast offsets, so the dominant language's cumsum runs across
     # ~2048 tasks instead of one. Bit-identical to the windowed form.
-    # The (doc_id, lang, n_bpe) projection is persisted for the build:
-    # the offsets pass and the final plan share one tokenize pass.
-    from etly_spark.operators.prefix import banded_running_sum, doc_range_band
+    # The (doc_id, lang, n_bpe) projection is persisted (the BPE
+    # tokenize pass is the expensive part and the DAG consumes it
+    # thrice: range stats, band totals, final rows); banding, offsets,
+    # and the cumsum are all declarative — no driver-side action.
+    from etly_spark.operators.prefix import banded_running_sum, with_range_band
     from etly_spark.queries.catalog import scoped_persist
 
-    bpe_base = scoped_persist(
-        d.select("doc_id", "lang", T.bpe_token_count("text").alias("n_bpe"))
-    )
+    bpe_base = d.select("doc_id", "lang", T.bpe_token_count("text").alias("n_bpe"))
     wdf = banded_running_sum(
         spark,
-        bpe_base,
+        with_range_band(bpe_base, ["lang"], "doc_id"),
         ["lang"],
-        doc_range_band(d.select("doc_id", "lang"), ["lang"], "doc_id"),
+        F.col("_band"),
         [F.col("doc_id")],
         F.col("n_bpe"),
         "cum",
@@ -972,6 +977,9 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_key = F.md5(
         F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")).cast("binary")
     )
+    # not persisted: the base is a column-pruned scan + one md5 — the
+    # band-totals subtree recomputes it concurrently for less than a
+    # cache round-trip costs
     shuffle_rows = (
         banded_row_number(
             spark,

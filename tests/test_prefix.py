@@ -1,6 +1,9 @@
 """Banded two-phase prefix sums (operators/prefix.py) must be
 bit-identical to the single-window form they replace — the de-skew is a
-physical-plan change only."""
+physical-plan change only — and fully lazy (no driver-side jobs at
+construction time)."""
+
+import re
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -8,7 +11,7 @@ from pyspark.sql import functions as F
 from etly_spark.operators.prefix import (
     banded_row_number,
     banded_running_sum,
-    doc_range_band,
+    with_range_band,
 )
 
 
@@ -27,7 +30,6 @@ def _skewed(spark):
 
 def test_running_sum_matches_window(spark):
     df = _skewed(spark)
-    band = F.pmod(F.col("key"), F.lit(8))  # monotone? no — band on key ranges
     band = F.floor(F.col("key") / 7)  # order-preserving in key
     got = banded_running_sum(
         spark, df, ["lang"], band, [F.col("key"), F.col("doc_id")], F.col("v"), "cum"
@@ -47,17 +49,11 @@ def test_running_sum_matches_window(spark):
     assert got.count() == want.count()
 
 
-def test_row_number_matches_window_and_totals(spark):
+def test_row_number_matches_window(spark):
     df = _skewed(spark)
     band = F.floor(F.col("key") / 5)
-    got, totals = banded_row_number(
-        spark,
-        df,
-        ["lang"],
-        band,
-        [F.col("key"), F.col("doc_id")],
-        "rn",
-        return_totals=True,
+    got = banded_row_number(
+        spark, df, ["lang"], band, [F.col("key"), F.col("doc_id")], "rn"
     )
     w = Window.partitionBy("lang").orderBy("key", "doc_id")
     want = df.withColumn("rn", F.row_number().over(w))
@@ -67,8 +63,22 @@ def test_row_number_matches_window_and_totals(spark):
         .count()
         == 0
     )
-    counts = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
-    assert {k[0]: v for k, v in totals.items()} == counts
+
+
+def test_construction_is_lazy(spark):
+    """The declarative rewrite's point: building the banded plan must
+    launch ZERO Spark jobs (the r7 first cut collected band totals at
+    build time, serializing the catalog's branch builds)."""
+    df = _skewed(spark)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    banded_running_sum(
+        spark, df, ["lang"], F.floor(F.col("key") / 7),
+        [F.col("key"), F.col("doc_id")], F.col("v"), "cum",
+    )
+    with_range_band(df, ["lang"], "doc_id", n_bands=16)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
 
 
 def test_no_window_partitioned_solely_by_part_col(spark):
@@ -80,22 +90,23 @@ def test_no_window_partitioned_solely_by_part_col(spark):
     plan = got._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    import re
-
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        parts = spec.split(", ")
-        assert not (
-            len(parts) >= 1 and parts[0].startswith("lang") and not parts[1].startswith("_band")
-        ), spec
+    bad = re.compile(
+        r"windowspecdefinition\(lang#\d+[A-Za-z]*,\s*(?:[^,()]+ (?:ASC|DESC)|specifiedwindowframe)"
+    )
+    assert not bad.search(plan), "window partitioned solely by part col"
 
 
-def test_doc_range_band_is_bounded_and_monotone(spark):
+def test_range_band_is_bounded_and_monotone(spark):
     df = _skewed(spark)
-    band = doc_range_band(df, ["lang"], "doc_id", n_bands=16)
-    rows = df.withColumn("b", band).select("lang", "doc_id", "b").collect()
+    rows = (
+        with_range_band(df, ["lang"], "doc_id", n_bands=16)
+        .select("lang", "doc_id", "_band")
+        .collect()
+    )
     per_lang = {}
     for r in rows:
-        per_lang.setdefault(r["lang"], []).append((r["doc_id"], r["b"]))
+        per_lang.setdefault(r["lang"], []).append((r["doc_id"], r["_band"]))
+    assert len(rows) == df.count()
     for lang, lst in per_lang.items():
         lst.sort()
         bands = [b for _, b in lst]
