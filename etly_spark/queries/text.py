@@ -566,11 +566,14 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.operators.prefix import banded_row_number
     from etly_spark.queries.catalog import scoped_persist
 
-    # persisted eagerly: the tokenize + frequency-join subtree is the
-    # expensive part and has THREE consumers in the lazy DAG below
-    # (band totals, per-lang counts, the ranked rows) — one build-time
-    # materialization, then every consumer reads the cache
-    per_doc = _ppx_per_doc(spark, sf_dir)
+    # persisted lazily: the tokenize + frequency-join subtree has THREE
+    # consumers in the lazy DAG below (band totals, per-lang counts, the
+    # ranked rows). Measured A/B (STRESS.md, text family): at sf0.1
+    # recompute wins by 0.6s (job overheads dominate), at the 10x corpus
+    # the persist wins 2.3x (2.41 vs 5.56s) — the scale choice is
+    # persist, matching the verdict-#4 prediction that the sf0.1
+    # recompute preference inverts as the tokenize subtree grows.
+    per_doc = scoped_persist(_ppx_per_doc(spark, sf_dir), eager=False)
     band = F.least(F.greatest(F.floor(F.col("bits") * 32), F.lit(0)), F.lit(4095))
     ranked = banded_row_number(
         spark, per_doc, ["lang"], band, ["bits", "doc_id"], "_rn"
@@ -734,8 +737,9 @@ SELECT 'spans' AS variant, lang, grp, n_docs, measure, score FROM (
 # permutation: a positional checksum sum(rank * (doc_id % 997)) changes
 # if any document moves. Scale note: production materializes the
 # shuffle with repartitionByRange(shuffle_key) + sortWithinPartitions —
-# no global rank; the global row_number here exists only to make the
-# permutation hash-checkable.
+# no global rank; the row_number here exists only to make the
+# permutation hash-checkable, and the Spark side computes it with the
+# banded two-phase form (operators/prefix.py), not a per-lang window.
 _SHUFFLE_SQL_BLOCK = """
 SELECT 'shuffle' AS variant, lang, 'order' AS grp, n_docs, measure, score FROM (
   WITH ranked AS (
@@ -912,14 +916,18 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (≤2048 per lang, order-preserving by construction) carry
     # broadcast offsets, so the dominant language's cumsum runs across
     # ~2048 tasks instead of one. Bit-identical to the windowed form.
-    # The (doc_id, lang, n_bpe) projection is persisted (the BPE
+    # The (doc_id, lang, n_bpe) projection is persisted lazily (the BPE
     # tokenize pass is the expensive part and the DAG consumes it
-    # thrice: range stats, band totals, final rows); banding, offsets,
-    # and the cumsum are all declarative — no driver-side action.
+    # thrice: range stats, band totals, final rows — see the ppx persist
+    # A/B note above); banding, offsets, and the cumsum are all
+    # declarative — no driver-side action.
     from etly_spark.operators.prefix import banded_running_sum, with_range_band
     from etly_spark.queries.catalog import scoped_persist
 
-    bpe_base = d.select("doc_id", "lang", T.bpe_token_count("text").alias("n_bpe"))
+    bpe_base = scoped_persist(
+        d.select("doc_id", "lang", T.bpe_token_count("text").alias("n_bpe")),
+        eager=False,
+    )
     wdf = banded_running_sum(
         spark,
         with_range_band(bpe_base, ["lang"], "doc_id"),
