@@ -90,10 +90,20 @@ def banded_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # null-safe join: PARTITION BY treats NULL as its own group (a real
+    # corpus has NULL langs), so the offsets join must too — a plain
+    # name-based equi-join would silently DROP every null-part row
+    keys = [*part_cols, band_col]
+    off = offsets.select(
+        *[F.col(c).alias(f"_o_{c}") for c in keys], "_band_offset"
+    )
+    cond = F.lit(True)
+    for c in keys:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
     return (
-        banded.join(F.broadcast(offsets), [*part_cols, band_col])
+        banded.join(F.broadcast(off), cond)
         .withColumn(out_col, (F.col("_band_offset") + F.sum(value).over(w)).cast("long"))
-        .drop("_band_offset")
+        .drop("_band_offset", *[f"_o_{c}" for c in keys])
     )
 
 
@@ -132,11 +142,19 @@ def with_range_band(
     width = F.greatest(
         F.ceil((F.col("_rb_hi") - F.col("_rb_lo") + 1) / F.lit(n_bands)), F.lit(1)
     )
+    # null-safe join for the same reason as the offsets join above:
+    # NULL part values are a real group and must keep their rows
+    st = stats.select(
+        *[F.col(c).alias(f"_s_{c}") for c in part_cols], "_rb_lo", "_rb_hi"
+    )
+    cond = F.lit(True)
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
     return (
-        df.join(F.broadcast(stats), part_cols)
+        df.join(F.broadcast(st), cond)
         .withColumn(
             band_col,
             F.floor((F.col(id_col) - F.col("_rb_lo")) / width).cast("long"),
         )
-        .drop("_rb_lo", "_rb_hi")
+        .drop("_rb_lo", "_rb_hi", *[f"_s_{c}" for c in part_cols])
     )

@@ -580,20 +580,23 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # percent_rank = (row_number-1)/(n-1): ORDER BY includes unique
     # doc_id so rank == row_number; n per lang is a tiny broadcast-
-    # joined aggregate (declarative — no driver collect)
-    counts = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    # joined aggregate (declarative — no driver collect; null-safe so
+    # a NULL lang keeps its rows, matching PARTITION BY semantics)
+    counts = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("_n")).select(
+        F.col("lang").alias("_c_lang"), "_n"
+    )
     pr = F.when(
         F.col("_n") > 1, (F.col("_rn") - 1) / (F.col("_n") - 1)
     ).otherwise(F.lit(0.0))
     return (
-        ranked.join(F.broadcast(counts), "lang")
+        ranked.join(F.broadcast(counts), F.col("lang").eqNullSafe(F.col("_c_lang")))
         .withColumn(
             "bucket",
             F.when(pr < 1.0 / 3, F.lit("head"))
             .when(pr < 2.0 / 3, F.lit("middle"))
             .otherwise(F.lit("tail")),
         )
-        .drop("_rn", "_band", "_n")
+        .drop("_rn", "_band", "_n", "_c_lang")
     )
 
 

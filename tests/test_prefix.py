@@ -112,3 +112,37 @@ def test_range_band_is_bounded_and_monotone(spark):
         bands = [b for _, b in lst]
         assert bands == sorted(bands), f"non-monotone bands for {lang}"
         assert len(set(bands)) <= 16
+
+
+def test_null_part_values_keep_their_rows(spark):
+    """PARTITION BY treats NULL as its own group — real corpora have
+    NULL langs. The offsets / range-band joins are null-safe, so no row
+    is silently dropped and the NULL group's running sum matches the
+    window form."""
+    df = spark.range(1000).selectExpr(
+        "id as doc_id",
+        "case when id % 3 = 0 then NULL else concat('l', id % 2) end as lang",
+        "cast(id % 13 as long) as v",
+    )
+    got = banded_running_sum(
+        spark,
+        with_range_band(df, ["lang"], "doc_id", n_bands=8),
+        ["lang"],
+        F.col("_band"),
+        [F.col("doc_id")],
+        F.col("v"),
+        "cum",
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert got.count() == 1000
+    assert (
+        got.select("lang", "doc_id", "cum")
+        .exceptAll(want.select("lang", "doc_id", "cum"))
+        .count()
+        == 0
+    )
