@@ -197,11 +197,18 @@ def compact(
         os.rename(tmp, final)
         # cleanup (best-effort: reader ignores superseded dirs
         # regardless); loose dirs of already-covered epochs are crash
-        # leftovers — sweep
+        # leftovers — sweep. Stale _tmp-* dirs (a crash between a
+        # tmp write and its rename in fold/fold_rows/compact) are
+        # safe to sweep here: every writer holds this same state lock,
+        # so any _tmp present now is orphaned, and left alone it would
+        # leak disk unboundedly across crashes.
         for b in bases:
             shutil.rmtree(os.path.join(state_dir, b), ignore_errors=True)
         for e in loose:
             shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
+        for d in os.listdir(state_dir):
+            if d.startswith("_tmp-"):  # ours already renamed to final
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
         return True
 
 

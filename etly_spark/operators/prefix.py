@@ -29,19 +29,30 @@ same total order), so oracle agreement is preserved exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# A NULL band would break bit-identity silently: the band<band
+# inequality is NULL against every band, so NULL-band rows would drop
+# out of every offset AND start their own cumsum at 0. Spark's default
+# ordering is NULLS FIRST, so rows whose order key (hence band
+# expression) is NULL sort before everything — mapping their band to
+# long-min reproduces exactly that placement.
+_NULL_BAND = -(1 << 62)
 
-def _part_match(part_cols: list[str]) -> Column:
+
+def _null_safe_match(cols: list[str], prefix: str) -> Column:
+    """AND-conjunction of eqNullSafe(col, <prefix>col) — PARTITION BY
+    treats NULL as its own group (real corpora have NULL langs), so
+    every join in this module must too; a plain equi-join would
+    silently DROP null-key rows."""
     cond = F.lit(True)
-    for c in part_cols:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+    for c in cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"{prefix}{c}"))
     return cond
 
 
 def banded_running_sum(
-    spark: SparkSession,
     df: DataFrame,
     part_cols: list[str],
     band: Column,
@@ -57,12 +68,15 @@ def banded_running_sum(
 
     ``band`` MUST be monotone non-decreasing in the ``order_cols``
     ordering within each part (equal order keys must band equally), and
-    bounded in cardinality by construction. ``value`` must be integral
-    (offsets accumulate exactly in int64).
+    bounded in cardinality by construction; a NULL band (a NULL order
+    key under NULLS FIRST) maps to the lowest band. ``value`` must be
+    integral (offsets accumulate exactly in int64).
 
     Returns ``df`` + ``band_col`` + ``out_col``; row count preserved.
     """
-    banded = df.withColumn(band_col, band.cast("long"))
+    banded = df.withColumn(
+        band_col, F.coalesce(band.cast("long"), F.lit(_NULL_BAND))
+    )
 
     totals = banded.groupBy(*part_cols, band_col).agg(
         F.sum(value).cast("long").alias("_band_sum")
@@ -78,7 +92,7 @@ def banded_running_sum(
     offsets = (
         totals.join(
             F.broadcast(rhs),
-            _part_match(part_cols) & (F.col("_r_band") < F.col(band_col)),
+            _null_safe_match(part_cols, "_r_") & (F.col("_r_band") < F.col(band_col)),
             "left",
         )
         .groupBy(*part_cols, band_col)
@@ -90,25 +104,18 @@ def banded_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # null-safe join: PARTITION BY treats NULL as its own group (a real
-    # corpus has NULL langs), so the offsets join must too — a plain
-    # name-based equi-join would silently DROP every null-part row
     keys = [*part_cols, band_col]
     off = offsets.select(
         *[F.col(c).alias(f"_o_{c}") for c in keys], "_band_offset"
     )
-    cond = F.lit(True)
-    for c in keys:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
     return (
-        banded.join(F.broadcast(off), cond)
+        banded.join(F.broadcast(off), _null_safe_match(keys, "_o_"))
         .withColumn(out_col, (F.col("_band_offset") + F.sum(value).over(w)).cast("long"))
         .drop("_band_offset", *[f"_o_{c}" for c in keys])
     )
 
 
 def banded_row_number(
-    spark: SparkSession,
     df: DataFrame,
     part_cols: list[str],
     band: Column,
@@ -119,7 +126,7 @@ def banded_row_number(
     """``row_number() OVER (PARTITION BY part ORDER BY order_cols)``
     via the banded running sum of 1 — exact, de-skewed, lazy."""
     return banded_running_sum(
-        spark, df, part_cols, band, order_cols, F.lit(1), out_col, band_col
+        df, part_cols, band, order_cols, F.lit(1), out_col, band_col
     )
 
 
@@ -135,23 +142,20 @@ def with_range_band(
     count is bounded by ``n_bands`` regardless of id density. The
     per-part (min, max) stats are a tiny broadcast-joined aggregate —
     declarative, no driver collect, shares its scan with the caller's
-    plan (and the caller's persist, if any)."""
+    plan (and the caller's persist, if any). A NULL id yields a NULL
+    band, which ``banded_running_sum`` maps to the lowest band
+    (NULLS FIRST)."""
     stats = df.groupBy(*part_cols).agg(
         F.min(id_col).alias("_rb_lo"), F.max(id_col).alias("_rb_hi")
     )
     width = F.greatest(
         F.ceil((F.col("_rb_hi") - F.col("_rb_lo") + 1) / F.lit(n_bands)), F.lit(1)
     )
-    # null-safe join for the same reason as the offsets join above:
-    # NULL part values are a real group and must keep their rows
     st = stats.select(
         *[F.col(c).alias(f"_s_{c}") for c in part_cols], "_rb_lo", "_rb_hi"
     )
-    cond = F.lit(True)
-    for c in part_cols:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
     return (
-        df.join(F.broadcast(st), cond)
+        df.join(F.broadcast(st), _null_safe_match(part_cols, "_s_"))
         .withColumn(
             band_col,
             F.floor((F.col(id_col) - F.col("_rb_lo")) / width).cast("long"),

@@ -575,9 +575,7 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute preference inverts as the tokenize subtree grows.
     per_doc = scoped_persist(_ppx_per_doc(spark, sf_dir), eager=False)
     band = F.least(F.greatest(F.floor(F.col("bits") * 32), F.lit(0)), F.lit(4095))
-    ranked = banded_row_number(
-        spark, per_doc, ["lang"], band, ["bits", "doc_id"], "_rn"
-    )
+    ranked = banded_row_number(per_doc, ["lang"], band, ["bits", "doc_id"], "_rn")
     # percent_rank = (row_number-1)/(n-1): ORDER BY includes unique
     # doc_id so rank == row_number; n per lang is a tiny broadcast-
     # joined aggregate (declarative — no driver collect; null-safe so
@@ -932,7 +930,6 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
     )
     wdf = banded_running_sum(
-        spark,
         with_range_band(bpe_base, ["lang"], "doc_id"),
         ["lang"],
         F.col("_band"),
@@ -993,7 +990,6 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache round-trip costs
     shuffle_rows = (
         banded_row_number(
-            spark,
             d.select("lang", "doc_id").withColumn("_sk", shuffle_key),
             ["lang"],
             F.conv(F.substring(F.col("_sk"), 1, 2), 16, 10).cast("long"),

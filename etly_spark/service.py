@@ -301,21 +301,42 @@ class Service:
                 state = expand_env(expand_pwd(t.rollup.state_dir, t.base_dir))
                 _, merges = IA.rollup_plan(t.rollup.aggregates)
                 try:
-                    # under the state lock: a concurrent compact()'s
-                    # post-rename cleanup deletes old base/epoch dirs,
-                    # and an unlocked read racing it fails transiently —
-                    # surfacing in the error field monitors alert on
-                    with IA._state_lock(state):
-                        cur = IA.read(
-                            self.engine.spark, state, keys=t.rollup.keys, merges=merges
-                        )
-                        from pyspark.sql import functions as F
+                    # a concurrent compact()'s post-rename cleanup can
+                    # delete the dirs a read just resolved — a
+                    # transient race. Holding IA's state lock across
+                    # the collect would fix it but stalls every fold()
+                    # behind a monitoring poll's Spark job; instead
+                    # retry once (the second resolve sees the
+                    # post-compact state, which is complete by the
+                    # highest-base-wins rule).
+                    from pyspark.sql import functions as F
 
-                        cols = list(t.rollup.keys) + [
-                            (IA.hll_estimate(c).alias(c) if kind == "hll" else F.col(c))
-                            for c, kind in merges.items()
-                        ]
-                        collected = cur.select(*cols).collect()
+                    last_exc: Exception | None = None
+                    collected = None
+                    for _ in range(2):
+                        try:
+                            cur = IA.read(
+                                self.engine.spark,
+                                state,
+                                keys=t.rollup.keys,
+                                merges=merges,
+                            )
+                            cols = list(t.rollup.keys) + [
+                                (
+                                    IA.hll_estimate(c).alias(c)
+                                    if kind == "hll"
+                                    else F.col(c)
+                                )
+                                for c, kind in merges.items()
+                            ]
+                            collected = cur.select(*cols).collect()
+                            break
+                        except FileNotFoundError:
+                            raise
+                        except Exception as retry_exc:  # transient race
+                            last_exc = retry_exc
+                    if collected is None:
+                        raise last_exc  # both attempts failed: real error
                 except FileNotFoundError:
                     return {"name": name, "rollup": {"state_dir": state, "rows": []}}
                 except Exception as e:

@@ -205,16 +205,14 @@ def test_no_window_partitioned_solely_by_lang(spark):
     banded prefix sums) partition by (lang, _band); this gate fails the
     moment a bare per-lang window reappears anywhere in the catalog.
 
-    In the formatted plan a window spec prints as
-    windowspecdefinition(<partition cols>, <order specs>, frame); a
-    lang-only partition shows lang#N followed directly by an order
-    spec (`... ASC/DESC`) or the frame."""
+    The detection pattern is shared with test_prefix.py via
+    conftest.single_key_window_re."""
+    from tests.conftest import single_key_window_re
+
     offenders = []
     plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
     plans.update(extra_plans(spark))
-    bad = re.compile(
-        r"windowspecdefinition\(lang#\d+[A-Za-z]*,\s*(?:[^,()]+ (?:ASC|DESC)|specifiedwindowframe)"
-    )
+    bad = single_key_window_re("lang")
     for name, plan in plans.items():
         if bad.search(plan):
             offenders.append(name)

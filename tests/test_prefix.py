@@ -32,7 +32,7 @@ def test_running_sum_matches_window(spark):
     df = _skewed(spark)
     band = F.floor(F.col("key") / 7)  # order-preserving in key
     got = banded_running_sum(
-        spark, df, ["lang"], band, [F.col("key"), F.col("doc_id")], F.col("v"), "cum"
+        df, ["lang"], band, [F.col("key"), F.col("doc_id")], F.col("v"), "cum"
     )
     w = (
         Window.partitionBy("lang")
@@ -53,7 +53,7 @@ def test_row_number_matches_window(spark):
     df = _skewed(spark)
     band = F.floor(F.col("key") / 5)
     got = banded_row_number(
-        spark, df, ["lang"], band, [F.col("key"), F.col("doc_id")], "rn"
+        df, ["lang"], band, [F.col("key"), F.col("doc_id")], "rn"
     )
     w = Window.partitionBy("lang").orderBy("key", "doc_id")
     want = df.withColumn("rn", F.row_number().over(w))
@@ -73,7 +73,7 @@ def test_construction_is_lazy(spark):
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
     banded_running_sum(
-        spark, df, ["lang"], F.floor(F.col("key") / 7),
+        df, ["lang"], F.floor(F.col("key") / 7),
         [F.col("key"), F.col("doc_id")], F.col("v"), "cum",
     )
     with_range_band(df, ["lang"], "doc_id", n_bands=16)
@@ -84,15 +84,15 @@ def test_construction_is_lazy(spark):
 def test_no_window_partitioned_solely_by_part_col(spark):
     df = _skewed(spark)
     got = banded_running_sum(
-        spark, df, ["lang"], F.floor(F.col("key") / 7),
+        df, ["lang"], F.floor(F.col("key") / 7),
         [F.col("key"), F.col("doc_id")], F.col("v"), "cum",
     )
     plan = got._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    bad = re.compile(
-        r"windowspecdefinition\(lang#\d+[A-Za-z]*,\s*(?:[^,()]+ (?:ASC|DESC)|specifiedwindowframe)"
-    )
+    from tests.conftest import single_key_window_re
+
+    bad = single_key_window_re("lang")
     assert not bad.search(plan), "window partitioned solely by part col"
 
 
@@ -125,7 +125,6 @@ def test_null_part_values_keep_their_rows(spark):
         "cast(id % 13 as long) as v",
     )
     got = banded_running_sum(
-        spark,
         with_range_band(df, ["lang"], "doc_id", n_bands=8),
         ["lang"],
         F.col("_band"),
@@ -143,6 +142,40 @@ def test_null_part_values_keep_their_rows(spark):
     assert (
         got.select("lang", "doc_id", "cum")
         .exceptAll(want.select("lang", "doc_id", "cum"))
+        .count()
+        == 0
+    )
+
+
+def test_null_order_key_matches_window_nulls_first(spark):
+    """A NULL band (NULL order key under Spark's default NULLS FIRST)
+    must behave exactly like the window form: null-key rows come first
+    and are counted in every later band's offset — not dropped from the
+    offsets and double-started at 0 (the review finding)."""
+    df = spark.range(300).selectExpr(
+        "case when id % 7 = 0 then NULL else id end as k",
+        "case when id % 4 = 0 then 'de' else 'en' end as lang",
+        "cast(id % 11 as long) as v",
+        "id as tie",
+    )
+    got = banded_running_sum(
+        df,
+        ["lang"],
+        F.floor(F.col("k") / 25),  # NULL k -> NULL band
+        [F.col("k"), F.col("tie")],
+        F.col("v"),
+        "cum",
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("k", "tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert got.count() == 300
+    assert (
+        got.select("lang", "tie", "cum")
+        .exceptAll(want.select("lang", "tie", "cum"))
         .count()
         == 0
     )

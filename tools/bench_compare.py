@@ -26,8 +26,10 @@ def _extract(path: str) -> dict[str, float]:
         d = json.loads(raw)
     except json.JSONDecodeError:
         # raw stdout: find the last JSON object line
-        line = [ln for ln in raw.splitlines() if ln.lstrip().startswith("{")][-1]
-        d = json.loads(line)
+        lines = [ln for ln in raw.splitlines() if ln.lstrip().startswith("{")]
+        if not lines:
+            raise SystemExit(f"error: no JSON line found in {path}")
+        d = json.loads(lines[-1])
     if isinstance(d, dict) and "tail" in d:
         parsed = d.get("parsed")
         if parsed is None:
@@ -47,13 +49,21 @@ def _extract(path: str) -> dict[str, float]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args: list[str] = []
     thr = 1.5
-    for a in sys.argv[1:]:
+    it = iter(sys.argv[1:])
+    for a in it:
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else float(
-                sys.argv[sys.argv.index(a) + 1]
-            )
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                nxt = next(it, None)
+                if nxt is None:
+                    print("error: --threshold needs a value\n" + __doc__)
+                    return 2
+                thr = float(nxt)
+        else:
+            args.append(a)
     if len(args) < 2:
         print(__doc__)
         return 2
