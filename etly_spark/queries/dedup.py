@@ -550,18 +550,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     is_new = (F.col("vec_id") % 10 >= 8).cast("int")
-    w = Window.partitionBy("bucket")
-    # one pass computes bucket size (the cap — full-bucket density on
-    # both variants) and the has-new pruning flag; persisted: both
-    # variants' gram stages read it
-    s = scoped_persist(
-        e.select("vec_id", "embedding", _sign_bucket8().alias("bucket"))
-        .withColumn("bsz", F.count(F.lit(1)).over(w))
-        .withColumn("has_new", F.max(is_new).over(w))
+    # bucket size (the cap) + has-new pruning flag come from a tiny
+    # 256-row aggregate broadcast back onto the vectors — NOT a
+    # Window.partitionBy(bucket): the 8-bit sign bucket is
+    # low-cardinality, so that window shuffled the EMBEDDING column
+    # onto 256 partitions (corpus/256 of vector data per task) before
+    # the gram stage shuffled it again. With the broadcast join the
+    # vectors cross exactly one shuffle (the gram stage's), as the
+    # scale story documents. Persisted: both variants' gram stages
+    # read it.
+    base = e.select("vec_id", "embedding", _sign_bucket8().alias("bucket"))
+    stats = (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"), F.max(is_new).alias("has_new"))
         .filter(F.col("bsz") <= _EC_CAP)
-        .drop("bsz"),
-        eager=False,
+        .drop("bsz")
     )
+    s = scoped_persist(base.join(F.broadcast(stats), "bucket"), eager=False)
     batch = V.bucket_pair_scores(s.drop("has_new"), threshold=0.4).select(
         F.lit("batch").alias("mode"), "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
     )
@@ -667,18 +672,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("bigint").alias("ref_chars"),
         )
     )
-    w = Window.partitionBy("label").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = d.join(F.broadcast(labels), "doc_id").withColumn(
-        "rn", F.row_number().over(w)
-    )
+    # keeper = longest doc (ties to smallest doc_id) per cluster: ONE
+    # map-side-combinable aggregate — max of (n_chars, -doc_id) — not a
+    # per-label window + second aggregate. A pathological corpus where
+    # one cluster holds millions of near-identical docs made the label
+    # a hot window partition (one task ranks the whole cluster); the
+    # aggregate pre-combines inside every map task and halves the
+    # shuffles (the window form shuffled on label twice).
     keepers = (
-        ranked.groupBy(F.col("label").alias("cluster_id"))
+        d.join(F.broadcast(labels), "doc_id")
+        .groupBy(F.col("label").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("ref_doc"),
-            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("ref_chars"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("_neg_id"),
+                    F.col("doc_id"),
+                )
+            ).alias("_top"),
         )
-        .select(F.lit("keeper").alias("variant"), "cluster_id", "n_docs", "ref_doc", "ref_chars")
+        .select(
+            F.lit("keeper").alias("variant"),
+            "cluster_id",
+            "n_docs",
+            F.col("_top.doc_id").alias("ref_doc"),
+            F.col("_top.n_chars").alias("ref_chars"),
+        )
     )
     return summary.unionByName(keepers).orderBy("variant", "cluster_id")
 

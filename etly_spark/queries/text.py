@@ -849,11 +849,17 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_c = F.lit(1.0) - T.stopword_ratio(toks)
     q = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
     scored = d.select("doc_id", "lang", "text", n.alias("n_toks"), q.alias("q"))
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    # exact-dup survivor = min-doc_id row per md5(text): a single
+    # map-side-combinable aggregate (min of a doc_id-led struct), NOT a
+    # per-hash window — a corpus with one text duplicated M times makes
+    # the hash a hot window partition (one task ranks M rows), while
+    # the aggregate pre-combines duplicates inside every map task
+    dup_key = F.md5(F.col("text").cast("binary"))
     survivors = (
         scored.filter(F.col("q") >= 0.55)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy(dup_key.alias("_h"))
+        .agg(F.min(F.struct("doc_id", "lang", "n_toks", "q")).alias("_s"))
+        .select("_s.doc_id", "_s.lang", "_s.n_toks", "_s.q")
     )
     curate_rows = (
         survivors.groupBy("lang", _split_col().alias("grp"))
