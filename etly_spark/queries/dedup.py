@@ -559,7 +559,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors cross exactly one shuffle (the gram stage's), as the
     # scale story documents. Persisted: both variants' gram stages
     # read it.
-    base = e.select("vec_id", "embedding", _sign_bucket8().alias("bucket"))
+    # base persisted: the stats aggregate and the join probe share ONE
+    # scan + sign-hash pass (same bytes the window form shuffled; cache
+    # spills to disk at scale, still cheaper than a second full
+    # embedding scan + hash)
+    base = scoped_persist(
+        e.select("vec_id", "embedding", _sign_bucket8().alias("bucket")),
+        eager=False,
+    )
     stats = (
         base.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bsz"), F.max(is_new).alias("has_new"))
