@@ -217,3 +217,18 @@ def test_no_window_partitioned_solely_by_lang(spark):
         if bad.search(plan):
             offenders.append(name)
     assert offenders == [], f"lang-only window partitions in: {offenders}"
+
+
+def test_no_single_partition_exchanges_anywhere(spark):
+    """No catalog plan may contain `Exchange SinglePartition` — the
+    physical signature of a global funnel (an unpartitioned window, a
+    coalesce(1), a global sort that didn't lower to range partitioning
+    or TakeOrderedAndProject). Verified clean across all 50 plans +
+    stage builds in round 7; this keeps it that way."""
+    offenders = []
+    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
+    plans.update(extra_plans(spark))
+    for name, plan in plans.items():
+        if "Exchange SinglePartition" in plan:
+            offenders.append(name)
+    assert offenders == [], f"single-partition exchanges in: {offenders}"
