@@ -1,0 +1,91 @@
+"""Property-based checks (hypothesis) for operators/prefix.py: for ANY
+row multiset — skewed parts, duplicate order keys, negative values,
+NULL parts, NULL order keys — the banded two-phase forms must equal
+the single-window forms bit-for-bit. Spark jobs are expensive, so each
+example batches a full dataframe comparison; example counts stay low
+and the strategies aim at the adversarial shapes (ties at band
+boundaries, empty bands, single-row parts)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etly_spark.operators.prefix import banded_running_sum, with_range_band
+
+row_st = st.tuples(
+    st.one_of(st.none(), st.sampled_from(["en", "de", "fr"])),  # part (skewed, nullable)
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # order key
+    st.integers(min_value=-100, max_value=100),  # value
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(row_st, min_size=1, max_size=120),
+    band_width=st.integers(min_value=1, max_value=20),
+)
+def test_banded_sum_equals_window_for_any_rows(spark, rows, band_width):
+    df = spark.createDataFrame(
+        [(lang, k, v, i) for i, (lang, k, v) in enumerate(rows)],
+        "lang string, k long, v long, tie long",
+    )
+    got = banded_running_sum(
+        df,
+        ["lang"],
+        F.floor(F.col("k") / band_width),  # monotone in k; NULL k -> NULL band
+        [F.col("k"), F.col("tie")],
+        F.col("v"),
+        "cum",
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("k", "tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert got.count() == len(rows)
+    assert (
+        got.select("lang", "tie", "cum")
+        .exceptAll(want.select("lang", "tie", "cum"))
+        .count()
+        == 0
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    ),
+    n_bands=st.integers(min_value=1, max_value=32),
+)
+def test_range_band_bounded_monotone_for_any_ids(spark, ids, n_bands):
+    """For any id set (sparse, negative, clustered): bands are bounded
+    by n_bands and non-decreasing in id order."""
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").selectExpr(
+        "'x' as lang", "doc_id"
+    )
+    rows = (
+        with_range_band(df, ["lang"], "doc_id", n_bands=n_bands)
+        .select("doc_id", "_band")
+        .collect()
+    )
+    assert len(rows) == len(ids)
+    got = sorted((r["doc_id"], r["_band"]) for r in rows)
+    bands = [b for _, b in got]
+    assert bands == sorted(bands)
+    assert len(set(bands)) <= n_bands
