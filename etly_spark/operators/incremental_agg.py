@@ -42,6 +42,7 @@ import json
 import os
 import shutil
 import threading
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -206,9 +207,21 @@ def compact(
             shutil.rmtree(os.path.join(state_dir, b), ignore_errors=True)
         for e in loose:
             shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
+        # Sweep only STALE _tmp dirs: the state lock is process-level,
+        # so a _tmp from ANOTHER process sharing this state_dir (cron
+        # overlap, a separate service) may be a live in-flight write —
+        # deleting it would fail that writer's rename. A real write
+        # completes in seconds; an hour-old _tmp is a crash leftover.
+        cutoff = time.time() - 3600
         for d in os.listdir(state_dir):
-            if d.startswith("_tmp-"):  # ours already renamed to final
-                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+            if d.startswith("_tmp-"):
+                p = os.path.join(state_dir, d)
+                try:
+                    stale = os.path.getmtime(p) < cutoff
+                except OSError:
+                    continue  # vanished mid-listing (its writer finished)
+                if stale:
+                    shutil.rmtree(p, ignore_errors=True)
         return True
 
 

@@ -70,7 +70,9 @@ def banded_running_sum(
     ordering within each part (equal order keys must band equally), and
     bounded in cardinality by construction; a NULL band (a NULL order
     key under NULLS FIRST) maps to the lowest band. ``value`` must be
-    integral (offsets accumulate exactly in int64).
+    integral (offsets accumulate exactly in int64); NULL values follow
+    SQL running-sum semantics exactly — skipped, and the sum is NULL
+    only while the prefix holds no non-null value yet.
 
     Returns ``df`` + ``band_col`` + ``out_col``; row count preserved.
     """
@@ -78,16 +80,22 @@ def banded_running_sum(
         band_col, F.coalesce(band.cast("long"), F.lit(_NULL_BAND))
     )
 
+    # per-band sum AND non-null count: the count reproduces SQL NULL
+    # semantics (a running SUM is NULL until the first non-null value,
+    # then skips nulls) without which a NULL-leading band would turn
+    # offset+NULL into NULL where the window form keeps the offset
     totals = banded.groupBy(*part_cols, band_col).agg(
-        F.sum(value).cast("long").alias("_band_sum")
+        F.sum(value).cast("long").alias("_band_sum"),
+        F.count(value).alias("_band_cnt"),
     )
     rhs = totals.select(
         *[F.col(c).alias(f"_r_{c}") for c in part_cols],
         F.col(band_col).alias("_r_band"),
         F.col("_band_sum").alias("_r_sum"),
+        F.col("_band_cnt").alias("_r_cnt"),
     )
-    # exclusive prefix offsets: for each (part, band), the sum of every
-    # strictly-lower band's total — a broadcast self-join of the
+    # exclusive prefix offsets: for each (part, band), the sum/count of
+    # every strictly-lower band's total — a broadcast self-join of the
     # band-level table against itself (bounded rows on both sides)
     offsets = (
         totals.join(
@@ -96,7 +104,10 @@ def banded_running_sum(
             "left",
         )
         .groupBy(*part_cols, band_col)
-        .agg(F.coalesce(F.sum("_r_sum"), F.lit(0)).alias("_band_offset"))
+        .agg(
+            F.coalesce(F.sum("_r_sum"), F.lit(0)).alias("_band_offset"),
+            F.coalesce(F.sum("_r_cnt"), F.lit(0)).alias("_cnt_offset"),
+        )
     )
 
     w = (
@@ -106,12 +117,19 @@ def banded_running_sum(
     )
     keys = [*part_cols, band_col]
     off = offsets.select(
-        *[F.col(c).alias(f"_o_{c}") for c in keys], "_band_offset"
+        *[F.col(c).alias(f"_o_{c}") for c in keys], "_band_offset", "_cnt_offset"
     )
+    nonnull_prefix = F.col("_cnt_offset") + F.count(value).over(w)
+    running = F.col("_band_offset") + F.coalesce(F.sum(value).over(w), F.lit(0))
     return (
         banded.join(F.broadcast(off), _null_safe_match(keys, "_o_"))
-        .withColumn(out_col, (F.col("_band_offset") + F.sum(value).over(w)).cast("long"))
-        .drop("_band_offset", *[f"_o_{c}" for c in keys])
+        .withColumn(
+            out_col,
+            F.when(nonnull_prefix > 0, running.cast("long")).otherwise(
+                F.lit(None).cast("long")
+            ),
+        )
+        .drop("_band_offset", "_cnt_offset", *[f"_o_{c}" for c in keys])
     )
 
 
@@ -148,9 +166,16 @@ def with_range_band(
     stats = df.groupBy(*part_cols).agg(
         F.min(id_col).alias("_rb_lo"), F.max(id_col).alias("_rb_hi")
     )
-    width = F.greatest(
-        F.ceil((F.col("_rb_hi") - F.col("_rb_lo") + 1) / F.lit(n_bands)), F.lit(1)
-    )
+    # DECIMAL(38,0) arithmetic end-to-end: long `/` is DOUBLE division,
+    # which loses integer precision past 2^53 — a band boundary could
+    # then round a higher id into a lower band, silently violating the
+    # monotonicity the cumsum depends on; and `hi - lo + 1` can wrap
+    # for extreme spans. Decimal keeps both exact for the full int64
+    # domain (the stats are band-count-sized; the per-row cost is one
+    # decimal sub + div).
+    dec = "decimal(38,0)"
+    span = F.col("_rb_hi").cast(dec) - F.col("_rb_lo").cast(dec) + F.lit(1).cast(dec)
+    width = F.greatest(F.ceil(span / F.lit(n_bands)).cast(dec), F.lit(1).cast(dec))
     st = stats.select(
         *[F.col(c).alias(f"_s_{c}") for c in part_cols], "_rb_lo", "_rb_hi"
     )
@@ -158,7 +183,9 @@ def with_range_band(
         df.join(F.broadcast(st), _null_safe_match(part_cols, "_s_"))
         .withColumn(
             band_col,
-            F.floor((F.col(id_col) - F.col("_rb_lo")) / width).cast("long"),
+            F.floor(
+                (F.col(id_col).cast(dec) - F.col("_rb_lo").cast(dec)) / width
+            ).cast("long"),
         )
         .drop("_rb_lo", "_rb_hi", *[f"_s_{c}" for c in part_cols])
     )

@@ -559,10 +559,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors cross exactly one shuffle (the gram stage's), as the
     # scale story documents. Persisted: both variants' gram stages
     # read it.
-    # base persisted: the stats aggregate and the join probe share ONE
-    # scan + sign-hash pass (same bytes the window form shuffled; cache
-    # spills to disk at scale, still cheaper than a second full
-    # embedding scan + hash)
+    # base persisted (ONCE — persisting the joined `s` too would hold
+    # the embedding bytes in cache twice): the stats aggregate and both
+    # gram stages' probes share one scan + sign-hash pass; the
+    # broadcast join from cache is a map-side re-derivation cheaper
+    # than a second cached copy of the corpus's widest column.
     base = scoped_persist(
         e.select("vec_id", "embedding", _sign_bucket8().alias("bucket")),
         eager=False,
@@ -573,7 +574,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bsz") <= _EC_CAP)
         .drop("bsz")
     )
-    s = scoped_persist(base.join(F.broadcast(stats), "bucket"), eager=False)
+    s = base.join(F.broadcast(stats), "bucket")
     batch = V.bucket_pair_scores(s.drop("has_new"), threshold=0.4).select(
         F.lit("batch").alias("mode"), "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
     )

@@ -781,8 +781,9 @@ _CURATION_SQL = _CURATION_SQL.replace(
     "each doc's token 5-grams appearing verbatim in >= 2 corpus docs, "
     "flagged at 50% (builder queries/dedup.py:repeated_span_stats). "
     "pack — sequence packing for training: per-lang concat-and-split "
-    "into 2048-BPE-token sequences via one windowed cumsum; reports "
-    "sequences produced, packing efficiency, and boundary-straddling "
+    "into 2048-BPE-token sequences via the banded two-phase prefix sum "
+    "(operators/prefix.py — no per-lang window); reports sequences "
+    "produced, packing efficiency, and boundary-straddling "
     "docs ('b2048' / 'straddle' rows). "
     "decontam — benchmark decontamination: whitespace 4-gram overlap "
     "between training docs and a deterministic held-out eval subset "
@@ -797,15 +798,15 @@ _CURATION_SQL = _CURATION_SQL.replace(
     "cut to a target share, small strata kept whole; membership a pure "
     "function of doc_id). curate — the full pipeline as one DAG: "
     "quality-gate (composite score >= 0.55), exact-dedup survivors "
-    "(min doc_id per md5(text) via one window), split assignment, "
-    "per-(lang, split) accounting with quality sums through exact "
-    "DECIMAL (shuffle-order-independent, the cross-engine float "
-    "contract). Each variant is scan + one small aggregate; the only "
-    "heavy shuffle is the curate survivor window.",
+    "(min doc_id per md5(text), a map-side-combinable min-of-struct "
+    "aggregate — no per-hash window), split assignment, per-(lang, "
+    "split) accounting with quality sums through exact DECIMAL "
+    "(shuffle-order-independent, the cross-engine float contract). "
+    "Each variant is scan + one small aggregate; no window in any "
+    "branch is partitioned on an unbounded or skewed group "
+    "(plan-gated).",
 )
 def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
 
     split_rows = (

@@ -17,6 +17,7 @@ all registry mutation is behind one lock.
 from __future__ import annotations
 
 import itertools
+import os
 import threading
 import time
 from dataclasses import asdict, dataclass, field
@@ -331,11 +332,27 @@ class Service:
                             ]
                             collected = cur.select(*cols).collect()
                             break
-                        except FileNotFoundError:
-                            raise
-                        except Exception as retry_exc:  # transient race
+                        except Exception as retry_exc:
+                            # FileNotFoundError is ALSO retried: the
+                            # compact-cleanup race can surface as the
+                            # old base's _covered.json vanishing, which
+                            # must not masquerade as an empty state
                             last_exc = retry_exc
                     if collected is None:
+                        if isinstance(last_exc, FileNotFoundError) and not (
+                            os.path.isdir(state)
+                            and any(
+                                d.startswith(("base-", "epoch="))
+                                for d in os.listdir(state)
+                            )
+                        ):
+                            # genuinely never-folded state
+                            raise last_exc
+                        if isinstance(last_exc, FileNotFoundError):
+                            raise RuntimeError(
+                                f"rollup state {state} unreadable twice "
+                                f"during compaction: {last_exc}"
+                            )
                         raise last_exc  # both attempts failed: real error
                 except FileNotFoundError:
                     return {"name": name, "rollup": {"state_dir": state, "rows": []}}
