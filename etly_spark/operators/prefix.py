@@ -166,26 +166,35 @@ def with_range_band(
     stats = df.groupBy(*part_cols).agg(
         F.min(id_col).alias("_rb_lo"), F.max(id_col).alias("_rb_hi")
     )
-    # DECIMAL(38,0) arithmetic end-to-end: long `/` is DOUBLE division,
-    # which loses integer precision past 2^53 — a band boundary could
-    # then round a higher id into a lower band, silently violating the
-    # monotonicity the cumsum depends on; and `hi - lo + 1` can wrap
-    # for extreme spans. Decimal keeps both exact for the full int64
-    # domain (the stats are band-count-sized; the per-row cost is one
-    # decimal sub + div).
+    # Exact integer arithmetic end-to-end: long `/` is DOUBLE division
+    # (loses integer precision past 2^53 — a band boundary could round
+    # a higher id into a lower band, silently violating the
+    # monotonicity the cumsum depends on), and decimal `/` ROUNDS at
+    # the result scale (1999999/2000000 -> 1.000000, floor 1 — off by
+    # one band). The `div` operator is true integral division on
+    # DECIMAL(38,0) operands: exact for the full int64 id domain, no
+    # wrap on extreme spans. width = (hi-lo) div n + 1 == the exact
+    # integer ceil((hi-lo+1)/n).
     dec = "decimal(38,0)"
-    span = F.col("_rb_hi").cast(dec) - F.col("_rb_lo").cast(dec) + F.lit(1).cast(dec)
-    width = F.greatest(F.ceil(span / F.lit(n_bands)).cast(dec), F.lit(1).cast(dec))
+    width = (
+        F.expr(
+            f"(cast(_rb_hi as {dec}) - cast(_rb_lo as {dec})) div {int(n_bands)}"
+        )
+        + F.lit(1)
+    ).cast(dec)
     st = stats.select(
-        *[F.col(c).alias(f"_s_{c}") for c in part_cols], "_rb_lo", "_rb_hi"
+        *[F.col(c).alias(f"_s_{c}") for c in part_cols],
+        "_rb_lo",
+        width.alias("_rb_w"),
     )
     return (
         df.join(F.broadcast(st), _null_safe_match(part_cols, "_s_"))
         .withColumn(
             band_col,
-            F.floor(
-                (F.col(id_col).cast(dec) - F.col("_rb_lo").cast(dec)) / width
+            F.expr(
+                f"(cast({id_col} as {dec}) - cast(_rb_lo as {dec})) div "
+                f"cast(_rb_w as {dec})"
             ).cast("long"),
         )
-        .drop("_rb_lo", "_rb_hi", *[f"_s_{c}" for c in part_cols])
+        .drop("_rb_lo", "_rb_w", *[f"_s_{c}" for c in part_cols])
     )
