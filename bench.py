@@ -57,6 +57,15 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
         src_dir = os.path.join(work, "in")
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         n_records = ev.count()
+        # Input file count scales with the corpus: the engine maps
+        # source files to Spark tasks (the reference's P1/P2 per-file
+        # parallelism), so a FIXED 8-file input capped the engine at
+        # 8-way decode above sf0.1 — measured at 10x: 8 files 293k
+        # rec/s, 32 files 720k (2.46x). Small corpora keep few files
+        # (per-task overhead dominates under ~30k records/file:
+        # 32 files at sf0.1 measured 90k vs 124k with 8). r<=6 numbers
+        # used a fixed 8 and are comparable only at sf0.1.
+        n_files = max(8, min(256, n_records // 30000))
         ev.select(
             F.to_json(
                 F.struct(
@@ -65,7 +74,7 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
                     F.col("user_id").alias("User"),
                 )
             ).alias("value")
-        ).repartition(8).write.mode("overwrite").text(src_dir)
+        ).repartition(n_files).write.mode("overwrite").text(src_dir)
 
         if "bench.Event" not in registry.schemas:
             from pyspark.sql.types import LongType, StringType, StructField, StructType
