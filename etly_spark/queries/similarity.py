@@ -321,6 +321,90 @@ def sim_hard_negatives(
     return _topk(scored, 5)
 
 
+_SQ_DIM = 64
+
+
+def sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization — the memory-compression axis of
+    100 TB ANN (FAISS's SQ8 baseline): per-dimension corpus min/max,
+    each float32 component quantized to an 8-bit code
+    (``floor((x-lo)/(hi-lo)*255 + 0.5)``), scoring on the DEQUANTIZED
+    vectors (symmetric: queries quantized too). Codes are 4x smaller
+    than float32 — at scale the index scan reads a quarter of the
+    bytes and the codebook is 2 x dim doubles broadcast in the plan.
+    The (lo, hi) collect is one aggregate row (the IVF bounded-collect
+    precedent); quantize/dequantize is a codegen'd ``transform`` with
+    array literals — floor() keeps the rounding rule identical across
+    engines (round() half-modes differ). Exact same top-k machinery as
+    brute-force, so the oracle checks the quantized scores
+    bit-for-bit at 6 dp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.agg(
+        F.array(
+            *[F.min(F.element_at("embedding", i + 1)) for i in range(_SQ_DIM)]
+        ).alias("lo"),
+        F.array(
+            *[F.max(F.element_at("embedding", i + 1)) for i in range(_SQ_DIM)]
+        ).alias("hi"),
+    ).collect()[0]
+    lo_arr = F.array(*[F.lit(float(v)) for v in b["lo"]])
+    hi_arr = F.array(*[F.lit(float(v)) for v in b["hi"]])
+
+    def _deq(col):
+        def f(x, i):
+            lo = F.get(lo_arr, i)
+            hi = F.get(hi_arr, i)
+            w = hi - lo
+            code = F.floor((x.cast("double") - lo) / w * 255 + F.lit(0.5))
+            return F.when(hi == lo, lo).otherwise(lo + code / 255.0 * w)
+
+        return F.transform(col, f)
+
+    sq = scoped_persist(
+        _normed(e.select("vec_id", _deq(F.col("embedding")).alias("embedding"))),
+        eager=False,
+    )
+    scored = V.matmul_scores(sq, _query_pdf(sq)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _topk(scored, 5)
+
+
+_SQ8_SQL = f"""
+WITH bounds AS (
+  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM (
+    SELECT i, MIN(embedding[i]::DOUBLE) AS lo, MAX(embedding[i]::DOUBLE) AS hi
+    FROM embeddings CROSS JOIN generate_series(1, {_SQ_DIM}) AS g(i)
+    GROUP BY i
+  )
+), dq AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {_SQ_DIM}), i ->
+           CASE WHEN b.hi[i] = b.lo[i] THEN b.lo[i]
+                ELSE b.lo[i]
+                     + floor((embedding[i]::DOUBLE - b.lo[i]) / (b.hi[i] - b.lo[i]) * 255 + 0.5)
+                       / 255.0 * (b.hi[i] - b.lo[i]) END
+         ) AS embedding
+  FROM embeddings, bounds b
+), s AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM dq
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         {_sql_dot('q.qe', 's.embedding')} / (q.qn * s.nrm) AS cos_sim
+  FROM q JOIN s ON s.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 _ANN_SQL = f"""
 SELECT 'brute' AS method, * FROM ({_BF_SQL})
 UNION ALL
@@ -329,6 +413,8 @@ UNION ALL
 SELECT 'ivf' AS method, * FROM ({_IVF_SQL})
 UNION ALL
 SELECT 'hardneg' AS method, * FROM ({_HN_SQL})
+UNION ALL
+SELECT 'sq8' AS method, * FROM ({_SQ8_SQL})
 ORDER BY method, query_id, rank
 """
 
@@ -349,7 +435,11 @@ ORDER BY method, query_id, rank
     "broadcast cell join, zero assign work at query time; hardneg — "
     "hard-negative mining for dense-retrieval training: the brute "
     "scorer with the query's positive group (vec_id % 41 stand-in) "
-    "excluded by one codegen'd predicate before the top-k.",
+    "excluded by one codegen'd predicate before the top-k; sq8 — "
+    "scalar quantization (FAISS SQ8 baseline): per-dim corpus min/max "
+    "codebook (one bounded collect), float32 -> 8-bit codes (4x "
+    "smaller scan at 100 TB), symmetric scoring on the dequantized "
+    "vectors through the same BLAS top-k.",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan + one norm pass, shared by the brute/lsh branches
@@ -363,6 +453,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_lsh_ann(spark, sf_dir, s).select(F.lit("lsh").alias("method"), "*"),
         sim_ivf_ann(spark, sf_dir).select(F.lit("ivf").alias("method"), "*"),
         sim_hard_negatives(spark, sf_dir, s, q_pdf).select(F.lit("hardneg").alias("method"), "*"),
+        sim_sq8(spark, sf_dir).select(F.lit("sq8").alias("method"), "*"),
     ]
     out = tagged[0]
     for t in tagged[1:]:
