@@ -105,6 +105,9 @@ WITH ex AS (
 _MH_SQL = _MH_PAIRS_CTE + """
 SELECT 'batch' AS mode, doc_a, doc_b, jaccard FROM pairs
 UNION ALL
+SELECT 'decontam', doc_a, doc_b, jaccard FROM pairs
+WHERE (doc_a % 41 = 0) <> (doc_b % 41 = 0)
+UNION ALL
 SELECT 'incremental', doc_a, doc_b, jaccard FROM pairs
 WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8
 ORDER BY mode, doc_a, doc_b
@@ -245,17 +248,27 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "density), never a corpus self-join, and the corpus sketch is "
     "read, not recomputed. Incremental results provably equal the "
     "batch pairs restricted to new-involving rows (bucket membership "
-    "is split-independent) — exactly what the oracle computes.",
+    "is split-independent) — exactly what the oracle computes. "
+    "decontam — fuzzy train-vs-eval decontamination (the GPT-3-style "
+    "near-dup sweep): pairs straddling the held-out eval subset "
+    "(doc_id % 41), one filter over the committed pair stage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    batch = minhash_pairs(spark, sf_dir).select(
-        F.lit("batch").alias("mode"), "doc_a", "doc_b", "jaccard"
-    )
+    pairs = minhash_pairs(spark, sf_dir)
+    batch = pairs.select(F.lit("batch").alias("mode"), "doc_a", "doc_b", "jaccard")
+    # fuzzy decontamination (the GPT-3-report near-dup train-vs-eval
+    # sweep, complementing text_curation_split's exact 4-gram branch):
+    # train docs near-duplicating a held-out eval doc (doc_id % 41).
+    # One filter over the COMMITTED pair stage — at 100 TB this reads
+    # the staged parquet, zero recompute.
+    decon = pairs.filter(
+        (F.col("doc_a") % 41 == 0) != (F.col("doc_b") % 41 == 0)
+    ).select(F.lit("decontam").alias("mode"), "doc_a", "doc_b", "jaccard")
     inc = lsh_incremental_pairs(
         d, minhash_sigs(spark, sf_dir), F.col("doc_id") % 10 >= 8
     ).select(F.lit("incremental").alias("mode"), "doc_a", "doc_b", "jaccard")
-    return batch.unionByName(inc).orderBy("mode", "doc_a", "doc_b")
+    return batch.unionByName(decon).unionByName(inc).orderBy("mode", "doc_a", "doc_b")
 
 
 def lsh_incremental_pairs(d: DataFrame, sig: DataFrame, is_new: F.Column) -> DataFrame:
