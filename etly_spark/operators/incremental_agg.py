@@ -198,21 +198,22 @@ def compact(
         os.rename(tmp, final)
         # cleanup (best-effort: reader ignores superseded dirs
         # regardless); loose dirs of already-covered epochs are crash
-        # leftovers — sweep. Stale _tmp-* dirs (a crash between a
-        # tmp write and its rename in fold/fold_rows/compact) are
-        # safe to sweep here: every writer holds this same state lock,
-        # so any _tmp present now is orphaned, and left alone it would
-        # leak disk unboundedly across crashes.
+        # leftovers — sweep
         for b in bases:
             shutil.rmtree(os.path.join(state_dir, b), ignore_errors=True)
         for e in loose:
             shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
-        # Sweep only STALE _tmp dirs: the state lock is process-level,
-        # so a _tmp from ANOTHER process sharing this state_dir (cron
-        # overlap, a separate service) may be a live in-flight write —
-        # deleting it would fail that writer's rename. A real write
-        # completes in seconds; an hour-old _tmp is a crash leftover.
-        cutoff = time.time() - 3600
+        # _tmp-* dirs (a crash between a tmp write and its rename in
+        # fold/fold_rows/compact) leak disk unboundedly if never swept,
+        # but the state lock is only PROCESS-level: a _tmp from another
+        # process sharing this state_dir (cron overlap, a separate
+        # service) may be a live in-flight write whose deletion would
+        # fail that writer's rename — and a parquet job writing UNDER
+        # the dir does not update the dir's own mtime, so a short
+        # cutoff could still hit a long-running write. Sweep only
+        # _tmp dirs older than a DAY: no legitimate fold runs that
+        # long, and a day of leaked disk per crash is acceptable.
+        cutoff = time.time() - 86400
         for d in os.listdir(state_dir):
             if d.startswith("_tmp-"):
                 p = os.path.join(state_dir, d)

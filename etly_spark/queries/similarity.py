@@ -324,7 +324,7 @@ def sim_hard_negatives(
 _SQ_DIM = 64
 
 
-def sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_sq8(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:
     """SQ8 scalar quantization — the memory-compression axis of
     100 TB ANN (FAISS's SQ8 baseline): per-dimension corpus min/max,
     each float32 component quantized to an 8-bit code
@@ -333,12 +333,18 @@ def sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     than float32 — at scale the index scan reads a quarter of the
     bytes and the codebook is 2 x dim doubles broadcast in the plan.
     The (lo, hi) collect is one aggregate row (the IVF bounded-collect
-    precedent); quantize/dequantize is a codegen'd ``transform`` with
-    array literals — floor() keeps the rounding rule identical across
+    precedent), read from the shared persisted corpus frame when
+    ``sim_ann_methods`` passes it (no extra parquet scan);
+    quantize/dequantize is a codegen'd ``transform`` with array
+    literals — floor() keeps the rounding rule identical across
     engines (round() half-modes differ). Exact same top-k machinery as
     brute-force, so the oracle checks the quantized scores
     bit-for-bit at 6 dp."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = (
+        s.select("vec_id", "embedding")
+        if s is not None
+        else load_table(spark, sf_dir, "embeddings")
+    )
     b = e.agg(
         F.array(
             *[F.min(F.element_at("embedding", i + 1)) for i in range(_SQ_DIM)]
@@ -453,7 +459,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_lsh_ann(spark, sf_dir, s).select(F.lit("lsh").alias("method"), "*"),
         sim_ivf_ann(spark, sf_dir).select(F.lit("ivf").alias("method"), "*"),
         sim_hard_negatives(spark, sf_dir, s, q_pdf).select(F.lit("hardneg").alias("method"), "*"),
-        sim_sq8(spark, sf_dir).select(F.lit("sq8").alias("method"), "*"),
+        sim_sq8(spark, sf_dir, s).select(F.lit("sq8").alias("method"), "*"),
     ]
     out = tagged[0]
     for t in tagged[1:]:

@@ -37,6 +37,17 @@ def extra_plans(spark):
     return {"_build_minhash_pairs": explain(spark, _build_minhash_pairs(spark, SF))}
 
 
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    """Every catalog plan + the hidden stage-build plans, built ONCE
+    per module: four whole-catalog gates consume this, and each plan
+    build runs real bounded-collect jobs (IVF centroids, sq8 bounds),
+    so rebuilding per-gate multiplied minutes of suite time."""
+    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
+    plans.update(extra_plans(spark))
+    return plans
+
+
 def test_registry_is_exactly_fifty_entries():
     """The external driver checks ONLY the first 50 registry positions
     (round-2 evidence, reconfirmed round 6 when additions pushed
@@ -60,26 +71,22 @@ def test_star_join_broadcasts_dimensions(spark):
     assert m and "l_comment" not in m.group(1)
 
 
-def test_no_cartesian_products_anywhere(spark):
+def test_no_cartesian_products_anywhere(all_plans):
     offenders = []
-    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
-    plans.update(extra_plans(spark))
-    for name, plan in plans.items():
+    for name, plan in all_plans.items():
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], f"cartesian products in: {offenders}"
 
 
-def test_no_row_at_a_time_python_udfs_anywhere(spark):
+def test_no_row_at_a_time_python_udfs_anywhere(all_plans):
     """Stay JVM-side or Arrow-batched: a BatchEvalPython node means a
     row-at-a-time Python UDF crept into a hot path — 10-100× slower than
     the pandas/Arrow boundary and the first thing that dies at 100 TB.
     Allowed Python boundaries are ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas only."""
     offenders = []
-    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
-    plans.update(extra_plans(spark))
-    for name, plan in plans.items():
+    for name, plan in all_plans.items():
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert offenders == [], f"row-at-a-time Python UDFs in: {offenders}"
@@ -197,7 +204,7 @@ def test_top_terms_ranks_via_take_ordered(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_no_window_partitioned_solely_by_lang(spark):
+def test_no_window_partitioned_solely_by_lang(all_plans):
     """The 100x skew gate for the curation family (r6 verdict item):
     `lang` is a low-cardinality, heavily skewed key — a Window whose
     ONLY partition key is lang funnels the dominant language through
@@ -210,25 +217,21 @@ def test_no_window_partitioned_solely_by_lang(spark):
     from tests.conftest import single_key_window_re
 
     offenders = []
-    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
-    plans.update(extra_plans(spark))
     bad = single_key_window_re("lang")
-    for name, plan in plans.items():
+    for name, plan in all_plans.items():
         if bad.search(plan):
             offenders.append(name)
     assert offenders == [], f"lang-only window partitions in: {offenders}"
 
 
-def test_no_single_partition_exchanges_anywhere(spark):
+def test_no_single_partition_exchanges_anywhere(all_plans):
     """No catalog plan may contain `Exchange SinglePartition` — the
     physical signature of a global funnel (an unpartitioned window, a
     coalesce(1), a global sort that didn't lower to range partitioning
     or TakeOrderedAndProject). Verified clean across all 50 plans +
     stage builds in round 7; this keeps it that way."""
     offenders = []
-    plans = {name: plan_of(spark, name) for name in sorted(REGISTRY)}
-    plans.update(extra_plans(spark))
-    for name, plan in plans.items():
+    for name, plan in all_plans.items():
         if "Exchange SinglePartition" in plan:
             offenders.append(name)
     assert offenders == [], f"single-partition exchanges in: {offenders}"

@@ -18,7 +18,11 @@ from etly_spark.operators.prefix import banded_running_sum, with_range_band
 row_st = st.tuples(
     st.one_of(st.none(), st.sampled_from(["en", "de", "fr"])),  # part (skewed, nullable)
     st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # order key
-    st.integers(min_value=-100, max_value=100),  # value
+    # nullable values: running SUM must be NULL until the first
+    # non-null value and skip nulls after — the count-offset machinery
+    # in banded_running_sum exists for exactly this and must be
+    # exercised here or a regression stays invisible
+    st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),  # value
 )
 
 
