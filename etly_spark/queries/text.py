@@ -756,10 +756,45 @@ SELECT 'shuffle' AS variant, lang, 'order' AS grp, n_docs, measure, score FROM (
 )
 """
 
+# Temperature-weighted multilingual sampling (the mT5/T5 alpha-mix:
+# sample lang i at p_i^alpha / sum_j p_j^alpha, alpha=0.5, corpus-half
+# budget). Float contract: every irrational step (sqrt, the denominator
+# fold) is evaluated in the SAME sequential order on both engines —
+# DuckDB folds `list(... ORDER BY lang)` with list_reduce, the Spark
+# side mirrors it with a driver-side left fold over the lang-sorted
+# collected counts — then the per-lang rate collapses to an INTEGER
+# threshold on a 10k hash bucket, so the checked decision is exact.
+_MIX_SQL_BLOCK = """
+SELECT 'mix' AS variant, lang, 'corpus' AS grp, n_docs, measure, score FROM (
+  WITH lc AS (
+    SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang
+  ), tot AS (
+    SELECT SUM(cnt) AS total FROM lc
+  ), den AS (
+    SELECT list_reduce(list(sqrt(cnt / total) ORDER BY lang), (x, y) -> x + y) AS denom
+    FROM lc, tot
+  ), thr AS (
+    SELECT lang,
+           CAST(floor(least(1.0, (sqrt(cnt / total) / denom) * 0.5 * total / cnt)
+                      * 10000 + 0.5) AS BIGINT) AS thr
+    FROM lc, tot, den
+  ), b AS (
+    SELECT d.lang,
+           CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket,
+           t.thr
+    FROM documents d JOIN thr t USING (lang)
+  )
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS measure,
+         round(MIN(thr) / 10000.0, 6) AS score
+  FROM b GROUP BY lang
+)
+"""
+
 _CURATION_SQL = _CURATION_SQL.replace(
     "ORDER BY variant, lang, grp",
     "UNION ALL" + _PPX_SQL_BLOCK + "UNION ALL" + _spans_sql_block()
-    + "UNION ALL" + _SHUFFLE_SQL_BLOCK
+    + "UNION ALL" + _SHUFFLE_SQL_BLOCK + "UNION ALL" + _MIX_SQL_BLOCK
     + "ORDER BY variant, lang, grp",
 )
 
@@ -767,7 +802,12 @@ _CURATION_SQL = _CURATION_SQL.replace(
 @query(
     "text_curation_split",
     oracle=_CURATION_SQL,
-    doc="Corpus curation family, eight variants in one checked row. "
+    doc="Corpus curation family, nine variants in one checked row. "
+    "mix — temperature-weighted multilingual sampling (the mT5/T5 "
+    "alpha-mix, alpha=0.5, half-corpus budget): per-lang keep rates "
+    "from alpha-adjusted corpus shares, driver-computed over lang-"
+    "sorted counts with the oracle's exact left-fold order, collapsed "
+    "to integer 10k-bucket thresholds (the checked decision is exact). "
     "shuffle — deterministic corpus shuffle (md5-keyed permutation, "
     "reproducible at any cluster size; the checked positional checksum "
     "pins the exact order; production materializes it with "
@@ -1028,6 +1068,62 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # mix — temperature-weighted multilingual sampling (mT5 alpha=0.5,
+    # half-corpus budget): per-lang keep rates from the alpha-adjusted
+    # corpus shares, computed on the DRIVER over the lang-sorted
+    # collected counts with the same left-fold order as the oracle's
+    # list_reduce (see _MIX_SQL_BLOCK's float contract), collapsed to
+    # integer 10k-bucket thresholds — one bounded collect (#langs
+    # rows), then one codegen'd scan aggregate.
+    import math
+
+    lang_counts = sorted(
+        (r["lang"], r["n"])
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    mix_total = float(sum(n for _, n in lang_counts))
+    mix_ws = [math.sqrt(n / mix_total) for _, n in lang_counts]
+    mix_denom = 0.0
+    for w_ in mix_ws:  # left fold == DuckDB list_reduce order
+        mix_denom += w_
+    mix_thr = F.lit(0).cast("long")
+    for (lang, n), w_ in zip(lang_counts, mix_ws):
+        rate = min(1.0, (w_ / mix_denom) * 0.5 * mix_total / n)
+        mix_thr = F.when(
+            F.col("lang") == lang, F.lit(int(math.floor(rate * 10000 + 0.5)))
+        ).otherwise(mix_thr)
+    mix_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    mix_rows = (
+        d.select("lang", mix_bucket.alias("_mb"), mix_thr.alias("_mt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_mb") < F.col("_mt")).cast("long")).alias("measure"),
+            F.round(F.min("_mt") / 10000.0, 6).alias("score"),
+        )
+        .select(
+            F.lit("mix").alias("variant"),
+            "lang",
+            F.lit("corpus").alias("grp"),
+            "n_docs",
+            "measure",
+            "score",
+        )
+    )
+
     # spans — ExactSubstr repeated-span coverage (builder in dedup.py)
     from etly_spark.queries.dedup import repeated_span_stats
 
@@ -1054,5 +1150,6 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ppx_rows)
         .unionByName(span_rows)
         .unionByName(shuffle_rows)
+        .unionByName(mix_rows)
         .orderBy("variant", "lang", "grp")
     )
