@@ -501,12 +501,18 @@ ORDER BY variant, lang, grp
 """
 
 
-def _split_col():
-    bucket = (
+def _salted_bucket(salt: str, mod: int) -> F.Column:
+    """Deterministic hash bucket over doc_id — the Spark half of the
+    oracle-parity contract ``CAST('0x' || substr(md5('<salt>:' ||
+    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % mod`` (split/sample/
+    mix all derive membership from this ONE expression)."""
+    return (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")
+                    F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
                 ),
                 1,
                 8,
@@ -514,28 +520,19 @@ def _split_col():
             16,
             10,
         ).cast("bigint")
-        % 100
+        % mod
     )
+
+
+def _split_col():
+    bucket = _salted_bucket("split", 100)
     return (
         F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise("test")
     )
 
 
 def _sample_bucket():
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("sample:"), F.col("doc_id").cast("string")).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    return _salted_bucket("sample", 100)
 
 
 def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,6 +761,34 @@ SELECT 'shuffle' AS variant, lang, 'order' AS grp, n_docs, measure, score FROM (
 # side mirrors it with a driver-side left fold over the lang-sorted
 # collected counts — then the per-lang rate collapses to an INTEGER
 # threshold on a 10k hash bucket, so the checked decision is exact.
+
+
+def mix_thresholds(
+    lang_counts: list,
+    alpha_budget: float = 0.5,
+    buckets: int = 10000,
+) -> dict:
+    """Per-language integer keep-thresholds for the alpha-mix: the
+    driver-side half of _MIX_SQL_BLOCK's float contract. Ordering
+    matches DuckDB's ``list(... ORDER BY lang)`` exactly — ascending
+    with NULLS LAST — and the denominator is a left fold in that order,
+    so every double operation sequence is identical across engines.
+    ``lang_counts`` is [(lang_or_None, count)]; returns {lang: thr}."""
+    import math
+
+    ordered = sorted(
+        lang_counts, key=lambda t: (t[0] is None, t[0] if t[0] is not None else "")
+    )
+    total = float(sum(n for _, n in ordered))
+    ws = [math.sqrt(n / total) for _, n in ordered]
+    denom = 0.0
+    for w in ws:  # left fold == DuckDB list_reduce order
+        denom += w
+    out = {}
+    for (lang, n), w in zip(ordered, ws):
+        rate = min(1.0, (w / denom) * alpha_budget * total / n)
+        out[lang] = int(math.floor(rate * buckets + 0.5))
+    return out
 _MIX_SQL_BLOCK = """
 SELECT 'mix' AS variant, lang, 'corpus' AS grp, n_docs, measure, score FROM (
   WITH lc AS (
@@ -1070,44 +1095,23 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # mix — temperature-weighted multilingual sampling (mT5 alpha=0.5,
     # half-corpus budget): per-lang keep rates from the alpha-adjusted
-    # corpus shares, computed on the DRIVER over the lang-sorted
-    # collected counts with the same left-fold order as the oracle's
-    # list_reduce (see _MIX_SQL_BLOCK's float contract), collapsed to
-    # integer 10k-bucket thresholds — one bounded collect (#langs
-    # rows), then one codegen'd scan aggregate.
-    import math
-
-    lang_counts = sorted(
-        (r["lang"], r["n"])
-        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    # corpus shares, computed on the DRIVER by mix_thresholds (one
+    # bounded collect of #langs rows; exact cross-engine fold order —
+    # see its docstring), then one codegen'd scan aggregate. A NULL
+    # lang contributes to the shares/denominator but gets no output
+    # row — matching the oracle's GROUP BY lang + JOIN USING (lang).
+    thr_map = mix_thresholds(
+        [
+            (r["lang"], r["n"])
+            for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
     )
-    mix_total = float(sum(n for _, n in lang_counts))
-    mix_ws = [math.sqrt(n / mix_total) for _, n in lang_counts]
-    mix_denom = 0.0
-    for w_ in mix_ws:  # left fold == DuckDB list_reduce order
-        mix_denom += w_
     mix_thr = F.lit(0).cast("long")
-    for (lang, n), w_ in zip(lang_counts, mix_ws):
-        rate = min(1.0, (w_ / mix_denom) * 0.5 * mix_total / n)
-        mix_thr = F.when(
-            F.col("lang") == lang, F.lit(int(math.floor(rate * 10000 + 0.5)))
-        ).otherwise(mix_thr)
-    mix_bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10000
-    )
+    for lang in sorted(l for l in thr_map if l is not None):
+        mix_thr = F.when(F.col("lang") == lang, F.lit(thr_map[lang])).otherwise(mix_thr)
     mix_rows = (
-        d.select("lang", mix_bucket.alias("_mb"), mix_thr.alias("_mt"))
+        d.filter(F.col("lang").isNotNull())
+        .select("lang", _salted_bucket("mix", 10000).alias("_mb"), mix_thr.alias("_mt"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -134,3 +134,42 @@ def test_unigram_perplexity_approx_agrees_away_from_cuts(spark):
                 )
     # overwhelming agreement
     assert n_diff <= max(2, len(exact) // 50)
+
+
+def test_mix_thresholds_match_duckdb_fold_order():
+    """The mix variant's float contract, pinned at the unit level: for
+    skewed/tied/NULL-bearing count tables, the driver-side left fold in
+    mix_thresholds must produce the SAME integer thresholds as the
+    oracle's list(... ORDER BY lang) + list_reduce formulation — any
+    reorder of the fold or change to the rate expression fails here
+    with the exact lang, not as a whole-query hash mismatch."""
+    import duckdb
+
+    from etly_spark.queries.text import mix_thresholds
+
+    cases = [
+        [("en", 90000), ("de", 7000), ("fr", 2000), ("ru", 900), ("zh", 100)],
+        [("en", 1), ("de", 1)],  # tie
+        [("en", 5), (None, 3), ("de", 2)],  # NULL lang in the shares
+        [("only", 12345)],
+    ]
+    con = duckdb.connect()
+    for counts in cases:
+        con.execute("DROP TABLE IF EXISTS lc")
+        con.execute("CREATE TABLE lc(lang VARCHAR, cnt DOUBLE)")
+        con.executemany("INSERT INTO lc VALUES (?, ?)", [(l, float(n)) for l, n in counts])
+        rows = con.execute(
+            """
+            WITH tot AS (SELECT SUM(cnt) AS total FROM lc),
+            den AS (
+              SELECT list_reduce(list(sqrt(cnt / total) ORDER BY lang), (x, y) -> x + y) AS denom
+              FROM lc, tot
+            )
+            SELECT lang,
+                   CAST(floor(least(1.0, (sqrt(cnt / total) / denom) * 0.5 * total / cnt)
+                              * 10000 + 0.5) AS BIGINT) AS thr
+            FROM lc, tot, den
+            """
+        ).fetchall()
+        want = {lang: thr for lang, thr in rows}
+        assert mix_thresholds(counts) == want, counts
