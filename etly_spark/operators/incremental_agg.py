@@ -137,9 +137,19 @@ def fold(
         tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
         partial.select(*cols).write.mode("overwrite").parquet(tmp)
         final = os.path.join(state_dir, f"epoch={epoch}")
+        # Replay path: rename the existing epoch ASIDE (never rmtree it
+        # in place) so a cross-process reader — e.g. /etly/rollup, which
+        # shares only the filesystem, not this process lock — can never
+        # observe the epoch dir missing between a delete and the rename.
+        # Both renames are atomic; the worst crash outcome is a leaked
+        # _old-* dir, reclaimed by the same sweep that handles _tmp-*.
+        aside = None
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            aside = os.path.join(state_dir, f"_old-{uuid.uuid4().hex[:8]}")
+            os.rename(final, aside)
         os.rename(tmp, final)
+        if aside is not None:
+            shutil.rmtree(aside, ignore_errors=True)
         return True
 
 
@@ -203,25 +213,31 @@ def compact(
             shutil.rmtree(os.path.join(state_dir, b), ignore_errors=True)
         for e in loose:
             shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
-        # _tmp-* dirs (a crash between a tmp write and its rename in
-        # fold/fold_rows/compact) leak disk unboundedly if never swept,
-        # but the state lock is only PROCESS-level: a _tmp from another
-        # process sharing this state_dir (cron overlap, a separate
-        # service) may be a live in-flight write whose deletion would
-        # fail that writer's rename — and a parquet job writing UNDER
-        # the dir does not update the dir's own mtime, so a short
-        # cutoff could still hit a long-running write. Sweep only
-        # _tmp dirs older than a DAY: no legitimate fold runs that
-        # long, and a day of leaked disk per crash is acceptable.
+        # _tmp-*/_old-* dirs (a crash between a tmp write and its
+        # rename, or mid-replay in fold) leak disk unboundedly if never
+        # swept, but the state lock is only PROCESS-level: a _tmp from
+        # another process sharing this state_dir (cron overlap, a
+        # separate service) may be a live in-flight write whose deletion
+        # would fail that writer's rename. Staleness therefore keys on
+        # the NEWEST mtime found recursively under the dir — a Spark
+        # parquet job writes under _temporary/... subdirs, so the top
+        # dir's own mtime stays at job start for the whole write and
+        # would mark a long-running legitimate fold stale; any file the
+        # job is still producing keeps the recursive mtime fresh. The
+        # day-long cutoff on top makes a sweep of a live write require
+        # a writer fully wedged for 24h with no file progress.
         cutoff = time.time() - 86400
         for d in os.listdir(state_dir):
-            if d.startswith("_tmp-"):
+            if d.startswith(("_tmp-", "_old-")):
                 p = os.path.join(state_dir, d)
                 try:
-                    stale = os.path.getmtime(p) < cutoff
+                    newest = os.path.getmtime(p)
+                    for root, _dirs, files in os.walk(p):
+                        for f in files:
+                            newest = max(newest, os.path.getmtime(os.path.join(root, f)))
                 except OSError:
                     continue  # vanished mid-listing (its writer finished)
-                if stale:
+                if newest < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
         return True
 

@@ -571,7 +571,12 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist, matching the verdict-#4 prediction that the sf0.1
     # recompute preference inverts as the tokenize subtree grows.
     per_doc = scoped_persist(_ppx_per_doc(spark, sf_dir), eager=False)
-    band = F.least(F.greatest(F.floor(F.col("bits") * 32), F.lit(0)), F.lit(4095))
+    # NULL bits must reach banded_row_number's documented NULL->_NULL_BAND
+    # path explicitly: greatest() skips NULLs, so without the guard a NULL
+    # would silently land in band 0 and only stay correct by the accident
+    # that bits is non-negative (band 0 lowest + NULLS FIRST within-band).
+    clamped = F.least(F.greatest(F.floor(F.col("bits") * 32), F.lit(0)), F.lit(4095))
+    band = F.when(F.col("bits").isNull(), F.lit(None)).otherwise(clamped)
     ranked = banded_row_number(per_doc, ["lang"], band, ["bits", "doc_id"], "_rn")
     # percent_rank = (row_number-1)/(n-1): ORDER BY includes unique
     # doc_id so rank == row_number; n per lang is a tiny broadcast-
