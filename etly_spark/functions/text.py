@@ -81,9 +81,16 @@ def token_count(text: Column | str) -> Column:
 def bpe_token_count(text: Column | str, chunk: int = 4) -> Column:
     """BPE-ish subword count: words split into ceil(len/chunk) chunks.
     DuckDB twin: list_sum(list_transform(toks, t -> (length(t)+c-1)//c))."""
+    return bpe_token_count_from(tokens(text), chunk)
+
+
+def bpe_token_count_from(toks: Column | str, chunk: int = 4) -> Column:
+    """``bpe_token_count`` over an already-tokenized array — the form a
+    shared tokenized base feeds so the tokenizer pass is not repeated
+    per consumer (text_curation_split's pack branch)."""
     return F.coalesce(
         F.aggregate(
-            tokens(text),
+            _col(toks),
             F.lit(0).cast("bigint"),
             lambda acc, t: acc + ((F.length(t) + (chunk - 1)) / chunk).cast("bigint"),
         ),

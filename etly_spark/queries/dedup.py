@@ -761,7 +761,9 @@ WITH tok AS (
 """
 
 
-def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def repeated_span_stats(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """ExactSubstr-style repeated-span detection (token 5-gram
     granularity, the Lee et al. 2021 'Deduplicating Training Data'
     shape): per document, the count and fraction of spans that appear
@@ -777,9 +779,13 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Surfaced through the checked catalog as the 'spans' variant of
     ``text_curation_split`` (the 50-entry registry cap); unit-tested
-    per-doc against DuckDB in tests/test_curation_ops.py."""
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", T.tokens("text").alias("t"))
+    per-doc against DuckDB in tests/test_curation_ops.py. ``base``,
+    when given, is text_curation_split's shared (doc_id, lang, toks)
+    tokenized base standing in for the tokenize-from-scratch scan."""
+    if base is None:
+        d = load_table(spark, sf_dir, "documents")
+        base = d.select("doc_id", "lang", T.tokens("text").alias("toks"))
+    docs = base.select("doc_id", F.col("toks").alias("t"))
     ex = (
         docs.filter(F.size("t") >= _SPAN_N)
         .select(
@@ -808,7 +814,7 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frac = F.coalesce(F.col("n_dup_spans") / F.col("n_spans"), F.lit(0.0))
     return (
-        d.select("doc_id", "lang")
+        base.select("doc_id", "lang")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",

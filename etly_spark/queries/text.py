@@ -11,6 +11,8 @@ column pruning to exactly (doc_id, text[, lang, source]).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -535,7 +537,9 @@ def _sample_bucket():
     return _salted_bucket("sample", 100)
 
 
-def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_perplexity(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """CCNet-style perplexity scoring with a corpus-internal unigram LM:
     per document, the cross-entropy (bits/token) of the doc's tokens
     under the corpus unigram distribution, bucketed per language into
@@ -570,7 +574,7 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persist wins 2.3x (2.41 vs 5.56s) — the scale choice is
     # persist, matching the verdict-#4 prediction that the sf0.1
     # recompute preference inverts as the tokenize subtree grows.
-    per_doc = scoped_persist(_ppx_per_doc(spark, sf_dir), eager=False)
+    per_doc = scoped_persist(_ppx_per_doc(spark, sf_dir, base), eager=False)
     # NULL bits must reach banded_row_number's documented NULL->_NULL_BAND
     # path explicitly: greatest() skips NULLs, so without the guard a NULL
     # would silently land in band 0 and only stay correct by the accident
@@ -600,19 +604,27 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ppx_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ppx_per_doc(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """Shared per-doc (doc_id, lang, bits, n_toks) stage of both
     perplexity variants — ONE definition so the exact and approx
     bucketing paths can never diverge on the scoring itself (the
-    agreement test in tests/test_curation_ops.py relies on this)."""
+    agreement test in tests/test_curation_ops.py relies on this).
+    ``base``, when given, is a (doc_id, lang, toks, ...) frame (the
+    text_curation_split shared tokenized base) standing in for the
+    tokenize-from-scratch scan — identical values by construction."""
     from etly_spark.operators.skew import split_broadcast_join
 
-    d = load_table(spark, sf_dir, "documents")
-    # not persisted — same reasoning as text_top_terms' tf: the cheap
-    # explode+partial-agg recompute beats caching a token-stream-sized
-    # aggregate (measured at sf0.1)
+    if base is None:
+        d = load_table(spark, sf_dir, "documents")
+        base = d.select("doc_id", "lang", T.tokens("text").alias("toks"))
+    # the per-doc aggregate below is NOT persisted here — same reasoning
+    # as text_top_terms' tf: the cheap explode+partial-agg recompute
+    # beats caching a token-stream-sized aggregate (measured at sf0.1);
+    # unigram_perplexity persists the RESULT (doc-count-sized) instead
     tf = (
-        d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("tok"))
+        base.select("doc_id", "lang", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "lang", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -876,8 +888,41 @@ _CURATION_SQL = _CURATION_SQL.replace(
     "branch is partitioned on an unbounded or skewed group "
     "(plan-gated).",
 )
-def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_curation_split(
+    spark: SparkSession, sf_dir: str, shared_base: bool | None = None
+) -> DataFrame:
+    from etly_spark.queries.catalog import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
+
+    # Shared tokenized base: five of the ten branches consume the
+    # whitespace tokenization of documents.text (curate quality score,
+    # decontam 4-grams, ppx unigram tf, spans 5-grams, pack BPE count).
+    # All now read ONE (doc_id, lang, _th, toks) definition; the r8 A/B
+    # (STRESS.md "shared tokenized base") measured whether that base
+    # should also be PERSISTED (tokenize once, cache the token arrays)
+    # or recomputed per branch (Catalyst prunes _th/toks per consumer,
+    # compiling to exactly the old per-branch plans). Measured: persist
+    # wins slightly at sf0.1 (5.46 vs 5.94 s — job overheads dominate)
+    # but LOSES at the 10x corpus (15.3-16.1 lazy / 15.0 eager vs
+    # 12.7-14.0 recompute): unlike ppx's doc-count-sized per_doc
+    # aggregate (where persist wins 2.3x at 10x), the object cached
+    # here IS the token stream — columnar-encoding and rereading it
+    # costs more than the cheap regex tokenize it saves, and at 100 TB
+    # it would also claim ~corpus-sized executor spill. Recompute is
+    # therefore the default; the rule of thumb this pins down is
+    # "persist small derived aggregates, recompute token-stream-sized
+    # projections". Env toggle kept for re-measurement.
+    if shared_base is None:
+        shared_base = os.environ.get("ETLY_CURATION_SHARED_BASE", "0") == "1"
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("_th"),
+        T.tokens("text").alias("toks"),
+    )
+    if shared_base:
+        base = scoped_persist(base, eager=False)
 
     split_rows = (
         d.groupBy("lang", _split_col().alias("grp"))
@@ -913,22 +958,22 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    toks = T.tokens("text")
+    toks = F.col("toks")
     n = F.size(toks)
     length_c = F.least(n / F.lit(100.0), F.lit(1.0))
     diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
     stop_c = F.lit(1.0) - T.stopword_ratio(toks)
     q = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
-    scored = d.select("doc_id", "lang", "text", n.alias("n_toks"), q.alias("q"))
-    # exact-dup survivor = min-doc_id row per md5(text): a single
-    # map-side-combinable aggregate (min of a doc_id-led struct), NOT a
-    # per-hash window — a corpus with one text duplicated M times makes
-    # the hash a hot window partition (one task ranks M rows), while
-    # the aggregate pre-combines duplicates inside every map task
-    dup_key = F.md5(F.col("text").cast("binary"))
+    scored = base.select("doc_id", "lang", "_th", n.alias("n_toks"), q.alias("q"))
+    # exact-dup survivor = min-doc_id row per md5(text) (the base's _th
+    # column): a single map-side-combinable aggregate (min of a
+    # doc_id-led struct), NOT a per-hash window — a corpus with one text
+    # duplicated M times makes the hash a hot window partition (one task
+    # ranks M rows), while the aggregate pre-combines duplicates inside
+    # every map task
     survivors = (
         scored.filter(F.col("q") >= 0.55)
-        .groupBy(dup_key.alias("_h"))
+        .groupBy(F.col("_th").alias("_h"))
         .agg(F.min(F.struct("doc_id", "lang", "n_toks", "q")).alias("_s"))
         .select("_s.doc_id", "_s.lang", "_s.n_toks", "_s.q")
     )
@@ -954,7 +999,7 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(toks) - 3), i -> concat_ws(' ', slice(toks, i, 4)))"
     )
     ng = (
-        d.select("doc_id", T.tokens("text").alias("toks"))
+        base.select("doc_id", "toks")
         .filter(F.size("toks") >= 4)
         .select("doc_id", F.explode(ngrams).alias("ng"))
     )
@@ -994,16 +1039,16 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (≤2048 per lang, order-preserving by construction) carry
     # broadcast offsets, so the dominant language's cumsum runs across
     # ~2048 tasks instead of one. Bit-identical to the windowed form.
-    # The (doc_id, lang, n_bpe) projection is persisted lazily (the BPE
-    # tokenize pass is the expensive part and the DAG consumes it
-    # thrice: range stats, band totals, final rows — see the ppx persist
-    # A/B note above); banding, offsets, and the cumsum are all
-    # declarative — no driver-side action.
+    # The (doc_id, lang, n_bpe) projection derives from the shared
+    # tokenized base (chunk-fold over toks — no second tokenizer pass)
+    # and is persisted lazily in its own right: the DAG consumes it
+    # thrice (range stats, band totals, final rows) and it is 3 numeric
+    # columns, far smaller than the token arrays it folds. Banding,
+    # offsets, and the cumsum are all declarative — no driver action.
     from etly_spark.operators.prefix import banded_running_sum, with_range_band
-    from etly_spark.queries.catalog import scoped_persist
 
     bpe_base = scoped_persist(
-        d.select("doc_id", "lang", T.bpe_token_count("text").alias("n_bpe")),
+        base.select("doc_id", "lang", T.bpe_token_count_from("toks").alias("n_bpe")),
         eager=False,
     )
     wdf = banded_running_sum(
@@ -1039,9 +1084,10 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_docs", "measure", "score")
     )
 
-    # ppx — CCNet-style perplexity terciles (builder above)
+    # ppx — CCNet-style perplexity terciles (builder above), fed the
+    # shared tokenized base
     ppx_rows = (
-        unigram_perplexity(spark, sf_dir)
+        unigram_perplexity(spark, sf_dir, base)
         .groupBy("lang", F.col("bucket").alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1137,7 +1183,7 @@ def text_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.queries.dedup import repeated_span_stats
 
     span_rows = (
-        repeated_span_stats(spark, sf_dir)
+        repeated_span_stats(spark, sf_dir, base)
         .groupBy(
             "lang",
             F.when(F.col("flagged"), F.lit("flagged")).otherwise(F.lit("clean")).alias("grp"),
