@@ -16,9 +16,15 @@ or stdlib struct (WAV/PCM). Those are decoded HERE, for real:
   variable-width LZW (non-interlaced).
 - WAV: RIFF/PCM 8- and 16-bit, mono/stereo, manual chunk walk.
 - Y4M: YUV4MPEG2 uncompressed video -> luma frame stack.
+- JPEG (r8): baseline JFIF — SOF0/SOF1 Huffman sequential, gray /
+  4:4:4 / 4:2:0, 8/16-bit DQT, RSTn restarts — decoded for real
+  (marker walk -> Huffman entropy decode -> dequant -> IDCT ->
+  YCbCr->RGB), plus an `encode_baseline_jpeg` twin (Annex K tables)
+  that builds interoperable fixtures in-sandbox and serves as the
+  entropy-coded member of the sink-side codec family.
 
-Only entropy-coded formats (JPEG, WebP, H.26x video) stay behind the
-PIL gate in `operators.multimodal.decode_real`.
+Only progressive/arithmetic JPEG, WebP, and H.26x video stay behind
+the PIL gate in `operators.multimodal.decode_real`.
 
 Everything returns numpy arrays; the Spark face of these codecs is
 Arrow-batched `mapInPandas` in `operators.multimodal` — a pure map,
@@ -284,19 +290,585 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     return arr[:, :, 0] if nch == 1 else arr
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (JFIF / ITU T.81 sequential DCT, Huffman)
+# ---------------------------------------------------------------------------
+# Public-knowledge decode: marker walk -> DQT/DHT/SOF0/SOS -> per-MCU
+# Huffman entropy decode (byte-stuffed bit reader, RSTn restarts) ->
+# dequantize -> de-zigzag -> 8x8 IDCT (exact float basis-matrix form)
+# -> chroma upsample -> YCbCr->RGB. Baseline + extended-sequential
+# (SOF0/SOF1) only: progressive (SOF2) and arithmetic coding return
+# None and stay behind the PIL gate in operators.multimodal.
+
+# zigzag scan position k -> natural (row-major) position
+_JPEG_ZZ = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    # A[x, u] = c(u)/2 * cos((2x+1) u pi / 16); pixels = A @ coefs @ A.T
+    u = np.arange(8)
+    x = np.arange(8)
+    a = np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16) / 2
+    a[:, 0] *= 1 / np.sqrt(2)
+    return a
+
+
+_JPEG_A = _jpeg_dct_basis()
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: 0xFF00 unstuffs to 0xFF; any other
+    marker ends the readable stream (restart handling splits segments
+    BEFORE reading, so hitting a marker here means truncation)."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.n <= 24:
+            if self.pos >= len(d):
+                return self.n > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                    self.pos += 2
+                else:
+                    return self.n > 0  # marker: stream ends
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        return True
+
+    def take(self, k: int) -> int | None:
+        if k == 0:
+            return 0
+        if self.n < k and not self._fill():
+            return None
+        if self.n < k:
+            return None
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def take1(self) -> int | None:
+        return self.take(1)
+
+
+def _jpeg_build_huff(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman from the DHT (BITS, HUFFVAL) form:
+    {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(br: _JpegBits, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        bit = br.take1()
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # T.81 F.2.2.1: magnitude category s, raw bits v
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_block(
+    br: _JpegBits,
+    dc_tab: dict,
+    ac_tab: dict,
+    pred: int,
+) -> tuple[np.ndarray, int] | None:
+    s = _jpeg_huff_decode(br, dc_tab)
+    if s is None or s > 15:
+        return None
+    if s:
+        raw = br.take(s)
+        if raw is None:
+            return None
+        pred += _jpeg_extend(raw, s)
+    coef = np.zeros(64, dtype=np.float64)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(br, ac_tab)
+        if rs is None:
+            return None
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            return None
+        raw = br.take(size)
+        if raw is None:
+            return None
+        coef[_JPEG_ZZ[k]] = _jpeg_extend(raw, size)
+        k += 1
+    return coef, pred
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray | None:
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    restart = 0
+    pos = 2
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > n:
+            return None
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.float64)
+                    i += 64
+                elif pq == 1:
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.float64)
+                    i += 128
+                else:
+                    return None
+                if tbl.size != 64:
+                    return None
+                nat = np.zeros(64)
+                nat[_JPEG_ZZ] = tbl  # table is transmitted in zigzag order
+                qt[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = seg[i + 17 : i + 17 + nv]
+                if len(vals) != nv:
+                    return None
+                huff[(tc, th)] = _jpeg_build_huff(bits, vals)
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (Huffman sequential)
+            if len(seg) < 6 or seg[0] != 8:
+                return None
+            h_img, w_img, ncomp = struct.unpack_from(">HHB", seg, 1)
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if ncomp not in (1, 3) or w_img == 0 or h_img == 0:
+                return None
+            frame = (h_img, w_img, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / lossless / arithmetic: PIL gate
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            data = payload[pos + seglen :]
+            return _jpeg_decode_scan(frame, scan, qt, huff, restart, data)
+        pos += seglen
+    return None
+
+
+def _jpeg_decode_scan(frame, scan, qt, huff, restart, data) -> np.ndarray | None:
+    h_img, w_img, comps = frame
+    if len(scan) != len(comps):
+        return None  # non-interleaved multi-scan: not baseline-typical
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        comp = by_id.get(cs)
+        if comp is None or (0, td) not in huff or (1, ta) not in huff:
+            return None
+        order.append((comp, huff[(0, td)], huff[(1, ta)]))
+    planes = [
+        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64) for c, _, _ in order
+    ]
+    for c, _, _ in order:
+        if c[3] not in qt:
+            return None
+
+    # split on restart markers up front; each segment resets predictors
+    if restart:
+        segments = []
+        start = 0
+        i = 0
+        while i + 1 < len(data):
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                segments.append(data[start:i])
+                start = i + 2
+                i += 2
+            elif data[i] == 0xFF and data[i + 1] not in (0x00,):
+                break  # EOI or next marker
+            else:
+                i += 1
+        segments.append(data[start:])
+    else:
+        segments = [data]
+
+    n_mcu = mcux * mcuy
+    seg_idx = 0
+    br = _JpegBits(segments[0])
+    preds = [0] * len(order)
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                return None
+            br = _JpegBits(segments[seg_idx])
+            preds = [0] * len(order)
+        my, mx = divmod(m, mcux)
+        for ci, (comp, dc_tab, ac_tab) in enumerate(order):
+            _, hs, vs, tq = comp
+            q = qt[tq]
+            for v in range(vs):
+                for hh in range(hs):
+                    got = _jpeg_decode_block(br, dc_tab, ac_tab, preds[ci])
+                    if got is None:
+                        return None
+                    coef, preds[ci] = got
+                    block = _JPEG_A @ (coef.reshape(8, 8) * q) @ _JPEG_A.T
+                    y0 = (my * vs + v) * 8
+                    x0 = (mx * hs + hh) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    # upsample to full resolution (sample replication), crop, color
+    full = []
+    for (comp, _, _), plane in zip(order, planes):
+        _, hs, vs, _ = comp
+        if hs != hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs != vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        full.append(plane[:h_img, :w_img] + 128.0)
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# Annex K reference tables (encoder side; the decoder reads whatever
+# DQT/DHT the stream carries)
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+_JPEG_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_enc_huff(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical (encode-side twin of
+    _jpeg_build_huff)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _jpeg_quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+def _jpeg_encode_block(
+    wr: _JpegBitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc: dict,
+    ac: dict,
+) -> int:
+    coef = _JPEG_A.T @ (block - 128.0) @ _JPEG_A
+    zz = np.rint(coef / q).astype(np.int64).reshape(64)[_JPEG_ZZ]
+    diff = int(zz[0]) - pred
+
+    def mag(v: int) -> tuple[int, int]:
+        s = int(abs(v)).bit_length()
+        return (s, v if v >= 0 else v + (1 << s) - 1)
+
+    s, bits_v = mag(diff)
+    code, ln = dc[s]
+    wr.put(code, ln)
+    if s:
+        wr.put(bits_v, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac[0xF0]  # ZRL
+            wr.put(code, ln)
+            run -= 16
+        s, bits_v = mag(v)
+        code, ln = ac[(run << 4) | s]
+        wr.put(code, ln)
+        wr.put(bits_v, s)
+        run = 0
+    if run:
+        code, ln = ac[0x00]  # EOB
+        wr.put(code, ln)
+    return int(zz[0])
+
+
+def encode_baseline_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 raster — (h, w) grayscale or (h, w, 3) RGB — as a
+    baseline JFIF JPEG (SOF0, Annex K quant/Huffman tables, optional
+    4:2:0 subsampling and RSTn restart intervals). The encode twin of
+    ``_decode_jpeg``; used to build real in-sandbox fixtures (no image
+    library ships in this container) and as the entropy-coded member of
+    the sink-side codec family. Interoperable: standard markers/tables,
+    decodable by any JPEG decoder."""
+    arr = np.asarray(arr, dtype=np.float64)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("expected (h, w) or (h, w, 3) uint8 array")
+    h_img, w_img = arr.shape[:2]
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    sub = (2, 2) if (subsample == "420" and not gray) else (1, 1)
+
+    qly = _jpeg_quality_scale(_JPEG_QT_LUMA, quality)
+    qlc = _jpeg_quality_scale(_JPEG_QT_CHROMA, quality)
+    dc_l = _jpeg_enc_huff(*_JPEG_DC_LUMA)
+    ac_l = _jpeg_enc_huff(*_JPEG_AC_LUMA)
+    dc_c = _jpeg_enc_huff(*_JPEG_DC_CHROMA)
+    ac_c = _jpeg_enc_huff(*_JPEG_AC_CHROMA)
+
+    if gray:
+        planes = [arr]
+        comp_spec = [(1, 1, 1, 0)]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if sub == (2, 2):
+            # pad to even dims, then 2x2 box average
+            ph, pw = (h_img + 1) & ~1, (w_img + 1) & ~1
+            def pad(p, ny, nx):
+                return np.pad(p, ((0, ny - p.shape[0]), (0, nx - p.shape[1])), mode="edge")
+            cb = pad(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        comp_spec = [(1, sub[0], sub[1], 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+
+    hmax = max(c[1] for c in comp_spec)
+    vmax = max(c[2] for c in comp_spec)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    padded = []
+    for (cid, hs, vs, tq), p in zip(comp_spec, planes):
+        ny, nx = mcuy * vs * 8, mcux * hs * 8
+        padded.append(
+            np.pad(p, ((0, ny - p.shape[0]), (0, nx - p.shape[1])), mode="edge")
+        )
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, tbl in ((0, qly), (1, qlc)) if not gray else ((0, qly),):
+        zz = tbl.reshape(64)[_JPEG_ZZ].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * len(comp_spec), 8, h_img, w_img, len(comp_spec)
+    )
+    for cid, hs, vs, tq in comp_spec:
+        out += bytes([cid, (hs << 4) | vs, tq])
+    hts = [(0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA)]
+    if not gray:
+        hts += [(0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_CHROMA)]
+    for tcth, (bits, vals) in hts:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tcth])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_spec), len(comp_spec))
+    for i, (cid, _, _, _) in enumerate(comp_spec):
+        out += bytes([cid, 0x00 if i == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+
+    tabs = [(qly, dc_l, ac_l)] + [(qlc, dc_c, ac_c)] * (0 if gray else 2)
+    wr = _JpegBitWriter()
+    preds = [0] * len(comp_spec)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wr.flush()
+            out += wr.out
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            wr = _JpegBitWriter()
+            preds = [0] * len(comp_spec)
+        my, mx = divmod(m, mcux)
+        for ci, ((cid, hs, vs, tq), plane, (q, dc, ac)) in enumerate(
+            zip(comp_spec, padded, tabs)
+        ):
+            for v in range(vs):
+                for hh in range(hs):
+                    y0 = (my * vs + v) * 8
+                    x0 = (mx * hs + hh) * 8
+                    preds[ci] = _jpeg_encode_block(
+                        wr, plane[y0 : y0 + 8, x0 : x0 + 8], q, preds[ci], dc, ac
+                    )
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
     """Full REAL pixel decode: bytes -> uint8 array (h, w[, channels]).
 
     Supports BMP (24/32-bit BI_RGB), PPM/PGM binary, PNG 8-bit
     gray/RGB/RGBA non-interlaced, GIF87a/89a non-interlaced (pure-
-    Python LZW; first frame of animations). Returns None for anything
-    else — corrupt or exotic media is data, not an exception, at
-    100 TB.
+    Python LZW; first frame of animations), and baseline JPEG
+    (SOF0/SOF1 Huffman sequential — Huffman + dequant + IDCT + YCbCr in
+    pure numpy; progressive/arithmetic return None and stay behind the
+    PIL gate). Returns None for anything else — corrupt or exotic
+    media is data, not an exception, at 100 TB.
     """
     if not payload:
         return None
     try:
-        for dec in (_decode_bmp, _decode_png, _decode_netpbm, _decode_gif):
+        for dec in (_decode_bmp, _decode_png, _decode_netpbm, _decode_gif, _decode_jpeg):
             arr = dec(payload)
             if arr is not None:
                 return arr

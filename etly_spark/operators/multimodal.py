@@ -90,17 +90,20 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_real(payload: bytes) -> dict:
     """Full pixel decode — requires PIL, absent here by design. Header
     metadata (format/dimensions) does NOT need PIL: `parse_image_header`
-    below reads real bytes for BMP/PPM/PNG/GIF. Full PIXEL decode does
-    not need PIL either for self-contained formats: `operators.codecs.
-    decode_image_pixels` really decodes BMP/PPM/PGM/PNG/GIF (stdlib
-    zlib + pure-Python LZW), `operators.codecs.decode_wav` RIFF/PCM
-    audio, `operators.codecs.decode_y4m` uncompressed video — only
-    entropy-coded formats (JPEG/WebP, H.26x) remain gated here."""
+    below reads real bytes for BMP/PPM/PNG/GIF/JPEG. Full PIXEL decode
+    does not need PIL either for self-contained formats OR baseline
+    JPEG: `operators.codecs.decode_image_pixels` really decodes
+    BMP/PPM/PGM/PNG/GIF (stdlib zlib + pure-Python LZW) and baseline
+    JFIF (r8: pure-numpy Huffman + dequant + IDCT + YCbCr, with an
+    `encode_baseline_jpeg` twin), `operators.codecs.decode_wav`
+    RIFF/PCM audio, `operators.codecs.decode_y4m` uncompressed video —
+    only progressive/arithmetic JPEG, WebP, and H.26x remain gated."""
     if not HAVE_PIL:
         raise NotImplementedError(
-            "entropy-coded image formats (JPEG/WebP) need a codec library "
-            "absent in this container; BMP/PPM/PGM/PNG/GIF pixels decode "
-            "for real via operators.codecs.decode_image_pixels"
+            "progressive/arithmetic JPEG, WebP, and H.26x need a codec "
+            "library absent in this container; BMP/PPM/PGM/PNG/GIF and "
+            "baseline JPEG pixels decode for real via "
+            "operators.codecs.decode_image_pixels"
         )
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 
@@ -135,6 +138,25 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         # IHDR is always the first chunk: uint32 width @16, height @20 (BE)
         w, h = struct.unpack_from(">II", payload, 16)
         return ("png", int(w), int(h))
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # JPEG: walk markers to the first SOFn (dims live there, not at
+        # a fixed offset); entropy decode is NOT needed for metadata
+        pos = 2
+        while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 7 > len(payload):
+                    return None
+                h, w = struct.unpack_from(">HH", payload, pos + 3)
+                return ("jpeg", int(w), int(h))
+            pos += seglen
+        return None
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         # logical screen descriptor: uint16 width @6, height @8 (LE)
         w, h = struct.unpack_from("<HH", payload, 6)

@@ -653,3 +653,109 @@ def test_synthesized_ppm_oracle_arithmetic(spark):
         assert r.format == "ppm" and r.width == 16 and r.height == 16
         assert r.pixel_md5 == hashlib.md5(raster).hexdigest()
         assert abs(r.mean_luma - C.luminance(arr).mean()) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (r8): pure-numpy JFIF decode + Annex-K encode twin
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_gray():
+    yy, xx = np.mgrid[0:24, 0:40]
+    return ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+
+
+def _jpeg_rgb():
+    yy, xx = np.mgrid[0:24, 0:40]
+    return np.stack(
+        [(yy * 255 // 24), (xx * 255 // 40), ((yy + xx) * 255 // 64)], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_and_goldens():
+    img = _jpeg_gray()
+    enc = C.encode_baseline_jpeg(img, quality=90)
+    # deterministic bytes both directions, pinned (cross-version drift
+    # in either codec half fails loudly here)
+    assert hashlib.md5(enc).hexdigest() == "56c5ce3bb646afb10ff131e9d5ffaaf2"
+    dec = C.decode_image_pixels(enc)
+    assert dec.shape == (24, 40) and dec.dtype == np.uint8
+    assert hashlib.md5(dec.tobytes()).hexdigest() == "ad67629cab35428db796f42db494ce58"
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 1.5 and err.max() <= 4
+
+
+@pytest.mark.parametrize("quality,tol_mean,tol_max", [(95, 1.0, 4), (60, 3.0, 12)])
+def test_jpeg_rgb_444_roundtrip(quality, tol_mean, tol_max):
+    img = _jpeg_rgb()
+    dec = C.decode_image_pixels(C.encode_baseline_jpeg(img, quality=quality))
+    assert dec.shape == (24, 40, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < tol_mean and err.max() <= tol_max
+
+
+def test_jpeg_420_subsampling_and_restart_goldens():
+    img = _jpeg_rgb()
+    enc = C.encode_baseline_jpeg(img, quality=90, subsample="420", restart_interval=3)
+    assert hashlib.md5(enc).hexdigest() == "5915cfc7dda4a2d677ab6a282f7ec3b8"
+    dec = C.decode_image_pixels(enc)
+    assert hashlib.md5(dec.tobytes()).hexdigest() == "032600e1d573d3f9e4d76feeacd11c62"
+    # chroma is box-downsampled 2x2 then replicated -> looser than 4:4:4
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 24
+    # restart markers present and the no-restart encode agrees pixelwise
+    assert b"\xff\xd0" in enc or b"\xff\xd1" in enc
+    dec_nr = C.decode_image_pixels(C.encode_baseline_jpeg(img, quality=90, subsample="420"))
+    assert np.array_equal(dec, dec_nr)
+
+
+def test_jpeg_odd_dims_420_pads_with_edge():
+    img = _jpeg_rgb()[:17, :13]
+    dec = C.decode_image_pixels(C.encode_baseline_jpeg(img, subsample="420"))
+    assert dec.shape == (17, 13, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_jpeg_q100_noise_nearly_lossless():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16), dtype=np.int64).astype(np.uint8)
+    dec = C.decode_image_pixels(C.encode_baseline_jpeg(img, quality=100))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_rejects_progressive_truncated_garbage():
+    img = _jpeg_gray()
+    enc = bytearray(C.encode_baseline_jpeg(img))
+    # rewrite SOF0 -> SOF2 (progressive): stays behind the PIL gate
+    sof = enc.find(b"\xff\xc0")
+    prog = bytes(enc[:sof]) + b"\xff\xc2" + bytes(enc[sof + 2 :])
+    assert C.decode_image_pixels(prog) is None
+    # truncated entropy stream
+    assert C.decode_image_pixels(bytes(enc[:-30])) is None
+    # stray bytes after SOI
+    assert C.decode_image_pixels(b"\xff\xd8\x00\x00garbage") is None
+
+
+def test_jpeg_header_parse_no_entropy_decode():
+    enc = C.encode_baseline_jpeg(_jpeg_rgb(), subsample="420")
+    assert MM.parse_image_header(enc) == ("jpeg", 40, 24)
+    # truncating to the SOF region still parses (metadata never needs
+    # the entropy segment)
+    sof = enc.find(b"\xff\xc0")
+    assert MM.parse_image_header(enc[: sof + 9]) == ("jpeg", 40, 24)
+
+
+def test_jpeg_through_decode_pixel_features_spark(spark):
+    gray, rgb = _jpeg_gray(), _jpeg_rgb()
+    rows = [
+        (0, bytearray(C.encode_baseline_jpeg(gray, quality=90))),
+        (1, bytearray(C.encode_baseline_jpeg(rgb, quality=90, subsample="420"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.decode_pixel_features(df).collect()}
+    for did, src in ((0, gray), (1, rgb)):
+        r = out[did]
+        assert r.format == "jpeg" and r.width == 40 and r.height == 24
+        dec = C.decode_image_pixels(bytes(rows[did][1]))
+        assert r.pixel_md5 == hashlib.md5(dec.tobytes()).hexdigest()
+        assert abs(r.mean_luma - C.luminance(dec).mean()) < 1e-9
