@@ -175,6 +175,31 @@ def matmul_scores(
     return corpus.select(id_col, vec_col, norm_col).mapInPandas(score, _SCORE_SCHEMA)
 
 
+def probe_cells(query_pdf: pd.DataFrame, cent_pdf: pd.DataFrame, nprobe: int) -> list:
+    """Multi-probe cell selection: each query's ``nprobe`` nearest
+    coarse centroids by cosine, ties to the smallest cent_id — the same
+    ordering as the oracle's ``ORDER BY dot/(qn*cn) DESC, cent_id``.
+    Pure bounded driver numpy (Q x K, both corpus-size-independent by
+    construction); returns [(query_id, cent_id), ...]."""
+    import numpy as np
+
+    if len(query_pdf) == 0 or len(cent_pdf) == 0:
+        return []
+    Q = _rows(query_pdf["qe"])
+    qn = query_pdf["qn"].to_numpy(dtype="float64")
+    C = _rows(cent_pdf["ce"])
+    cn = cent_pdf["cn"].to_numpy(dtype="float64")
+    cids = cent_pdf["cent_id"].to_numpy(dtype="int64")
+    qids = query_pdf["query_id"].to_numpy(dtype="int64")
+    sims = (Q @ C.T) / (qn[:, None] * cn[None, :])
+    out = []
+    k = min(nprobe, len(cids))
+    for i in range(len(qids)):
+        order = np.lexsort((cids, -sims[i]))[:k]
+        out.extend((int(qids[i]), int(cids[j])) for j in order)
+    return out
+
+
 def assign_nearest(
     corpus: DataFrame,
     cent_pdf: pd.DataFrame,
