@@ -120,6 +120,60 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def regressions_vs_previous(times: dict, sf: float, threshold: float = 1.25) -> dict | None:
+    """Round-over-round regression gate (r7 verdict item 4): diff this
+    run's minima against the newest BENCH_r*.json driver artifact via
+    tools/bench_compare's extractor, and report queries slower than
+    ``threshold``x (and >0.05 s absolute — sub-tick ratios are noise).
+    The stdout line carries only the compact summary (worst 6 ratios +
+    count, inside the 1900-char tail budget); bench_detail.json gets
+    every regressed query. None when no comparable artifact exists or
+    the scales differ (ratios would be meaningless)."""
+    import glob
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return None
+    prev = prior[-1]
+    try:
+        with open(prev) as fh:
+            rec = json.load(fh)
+        prev_sf = (rec.get("parsed") or {}).get("sf")
+        if prev_sf is not None and prev_sf != sf:
+            return {"vs": os.path.basename(prev), "skipped": "sf-mismatch"}
+        spec = importlib.util.spec_from_file_location(
+            "bench_compare", os.path.join(here, "tools", "bench_compare.py")
+        )
+        bc = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bc)
+        old = bc._extract(prev)
+    except Exception as exc:
+        print(f"# regression compare failed vs {prev}: {exc}", file=sys.stderr)
+        return None
+    rows = sorted(
+        (
+            (round(times[q] / old[q], 2), q)
+            for q in set(old) & set(times)
+            if old[q] > 0 and times[q] >= 0
+            and times[q] / old[q] > threshold and times[q] - old[q] > 0.05
+        ),
+        reverse=True,
+    )
+    # stdout rendering is budget-capped: round tag ("r07"), count, and
+    # the 3 worst ratios keyed by 16-char name prefixes (unique across
+    # the registry at 14 chars; checked by the bench-contract test).
+    # bench_detail.json carries the full names and the whole list.
+    m = re.search(r"r(\d+)", os.path.basename(prev))
+    return {
+        "vs": f"r{m.group(1)}" if m else os.path.basename(prev)[:8],
+        "n": len(rows),
+        "w": {q[:14]: min(r, 99.99) for r, q in rows[:3]},
+        "detail": {q: r for r, q in rows},
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("etly-spark-bench")
@@ -197,6 +251,8 @@ def main() -> int:
 
     from etly_spark.io import staging
 
+    regr = regressions_vs_previous(times, sf_from_dir(sf_dir))
+
     load_after = os.getloadavg()
     # Drift visibility without per-query bloat: the three totals. A loaded
     # machine (r5's 1.29x ambient drift) shows as med_total >> value.
@@ -209,6 +265,9 @@ def main() -> int:
     # window (BENCH_r06.json parsed: null). The stdout line is budgeted
     # <= ~1800 chars: contract fields + compact aggregates only.
     detail = {
+        "regressions": regr,
+        "med_total": med_total,
+        "max_total": max_total,
         "spread": spread,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
@@ -242,6 +301,7 @@ def main() -> int:
         load=(load_before[0], load_after[0]),
         pipeline=pipeline,
         staging_stats=dict(staging.stats),
+        regr=regr,
     )
     if len(line) > LINE_BUDGET:
         print(f"# WARNING bench line {len(line)} chars > {LINE_BUDGET} budget", file=sys.stderr)
@@ -268,6 +328,7 @@ def format_line(
     load: tuple,
     pipeline: dict,
     staging_stats: dict,
+    regr: dict | None = None,
 ) -> str:
     return json.dumps(
         {
@@ -280,15 +341,27 @@ def format_line(
             "n_queries": len(times),
             "n_failed": n_failed,
             "runs": runs,
-            "med_total": med_total,
-            "max_total": max_total,
+            # short keys + list forms below are BUDGET choices (the
+            # driver tails 2000 chars): med = catalog total of per-query
+            # medians (load drift shows as med >> value), pipe =
+            # [records_per_sec, ok], stg = [hits, misses, build_sec],
+            # regr.w = worst round-over-round ratios keyed by 14-char
+            # name prefix. bench_detail.json spells everything out,
+            # including per-query max and the full regression list.
+            "med": med_total,
             "load": [round(load[0], 1), round(load[1], 1)],
-            "pipeline": {
-                "rps": pipeline.get("records_per_sec"),
-                "ok": pipeline.get("ok", False),
-            },
-            "staging": staging_stats,
-            "protocol": "min-of-N;cold-CacheManager;detail=bench_detail.json",
+            "pipe": [pipeline.get("records_per_sec"), pipeline.get("ok", False)],
+            "stg": [
+                staging_stats.get("hits"),
+                staging_stats.get("misses"),
+                staging_stats.get("build_sec"),
+            ],
+            **(
+                {"regr": {k: v for k, v in regr.items() if k != "detail"}}
+                if regr is not None
+                else {}
+            ),
+            "proto": "minN;cold-cache;sidecar",
         },
         separators=(",", ":"),
     )

@@ -31,6 +31,15 @@ def _worst_case_line() -> str:
         load=(99.9, 99.9),
         pipeline={"records_per_sec": 99999999.9, "ok": False},
         staging_stats={"hits": 9999, "misses": 9999, "build_sec": 9999.9999},
+        regr={
+            "vs": "r99",
+            "n": 50,
+            # worst-case rendering: 3 prefix-truncated names at the
+            # capped ratio width ("detail" must be stripped from the
+            # stdout line — it goes to bench_detail.json only)
+            "w": {n[:14]: 99.99 for n in sorted(REGISTRY, key=len)[-3:]},
+            "detail": {n: 99.99 for n in REGISTRY},
+        },
     )
 
 
@@ -47,3 +56,48 @@ def test_line_carries_contract_fields():
     assert set(d["queries"]) == set(REGISTRY)
     for key in ("value", "sf", "n_queries", "groups"):
         assert key in d
+
+
+def test_regression_field_present_and_compact():
+    d = json.loads(_worst_case_line())
+    assert d["regr"]["vs"] == "r99"
+    assert len(d["regr"]["w"]) == 3
+    assert "detail" not in d["regr"]  # full list lives in bench_detail.json
+    # 14-char prefixes must stay unique across the registry, or the
+    # compact regr keys would collide
+    assert len({n[:14] for n in REGISTRY}) == len(REGISTRY)
+
+
+def test_regressions_vs_previous_diffs_real_artifact(tmp_path, monkeypatch):
+    # a synthetic prior artifact in an isolated dir: the compare must
+    # flag only the >1.25x & >0.05s rows, sorted worst-first, capped at 6
+    prior = {
+        "tail": "",
+        "parsed": {
+            "sf": 0.1,
+            "queries": {"a": 1.0, "b": 0.01, "c": 2.0, "d": 4.0},
+        },
+    }
+    import os
+    import shutil
+
+    (tmp_path / "tools").mkdir()
+    shutil.copy(
+        os.path.join(os.path.dirname(bench.__file__), "tools", "bench_compare.py"),
+        tmp_path / "tools" / "bench_compare.py",
+    )
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(prior))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    out = bench.regressions_vs_previous({"a": 1.5, "b": 1.0, "c": 1.9, "d": 40.0}, 0.1)
+    assert out["vs"] == "r01"
+    # b: huge ratio (capped at 99.99 in w) but old=0.01 -> still flagged
+    # (delta 0.99 > 0.05); a: 1.5x flagged; c improved -> absent;
+    # d: 10x; worst-first ordering
+    assert list(out["w"]) == ["b", "d", "a"]
+    assert out["w"]["b"] == 99.99
+    assert out["n"] == 3
+    assert out["detail"]["d"] == 10.0
+    # sf mismatch -> explicit skip, no bogus ratios
+    assert bench.regressions_vs_previous({"a": 9.9}, 20.0)["skipped"] == "sf-mismatch"
