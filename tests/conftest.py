@@ -29,3 +29,43 @@ def single_key_window_re(key: str) -> "_re.Pattern[str]":
         rf"windowspecdefinition\({key}#\d+[A-Za-z]*,\s*"
         r"(?:[^,()]+ (?:ASC|DESC)|specifiedwindowframe)"
     )
+
+
+# Any-column variant (r8, verdict item 5): captures the single
+# partition key's NAME so the gate can check it against the measured
+# low-NDV column set instead of a hardcoded `lang`.
+ANY_SINGLE_KEY_WINDOW_RE = _re.compile(
+    r"windowspecdefinition\((\w+)#\d+[A-Za-z]*,\s*"
+    r"(?:[^,()]+ (?:ASC|DESC)|specifiedwindowframe)"
+)
+
+
+def low_ndv_columns(spark, threshold: int = 64) -> dict[str, int]:
+    """Measured low-cardinality columns across every catalog table:
+    {column_name: max NDV seen}. A column qualifies when its
+    approx_count_distinct stays under ``threshold`` at BOTH sf0.001 and
+    sf0.01 — constant across a 10x scale-up means intrinsically
+    low-cardinality (lang, event_type, order status...), not a
+    small-sample artifact. A window partitioned SOLELY by such a key
+    funnels its dominant value through one task at 100x; the plan gate
+    in test_plans.py flags any such window in any catalog plan."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.io.tables import TABLES, load_table
+
+    seen: dict[str, int] = {}
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for tbl in TABLES:
+            df = load_table(spark, sf_dir, tbl)
+            cols = [
+                c for c, t in df.dtypes
+                if not t.startswith(("array", "struct", "map", "binary"))
+            ]
+            if not cols:
+                continue
+            row = df.agg(
+                *[F.approx_count_distinct(c).alias(c) for c in cols]
+            ).collect()[0]
+            for c in cols:
+                seen[c] = max(seen.get(c, 0), int(row[c]))
+    return {c: n for c, n in seen.items() if n < threshold}

@@ -224,6 +224,63 @@ def test_no_window_partitioned_solely_by_lang(all_plans):
     assert offenders == [], f"lang-only window partitions in: {offenders}"
 
 
+def test_no_window_partitioned_solely_by_any_low_ndv_key(all_plans, spark):
+    """Generalized skew gate (r8, verdict item 5): the lang gate above
+    is one instance of a class — ANY window partitioned solely by a
+    column whose measured NDV stays low across a 10x corpus scale-up
+    (conftest.low_ndv_columns: approx NDV < 64 at both sf0.001 and
+    sf0.01) is a single-task funnel at 100x, whatever the column is
+    named. This catches the next `lang` before it ships under a
+    different name (event_type, order status, split tag, ...)."""
+    from tests.conftest import ANY_SINGLE_KEY_WINDOW_RE, low_ndv_columns
+
+    low = low_ndv_columns(spark)
+    assert "lang" in low, f"sanity: lang must be measured low-NDV, got {low}"
+    offenders = []
+    for name, plan in all_plans.items():
+        for m in ANY_SINGLE_KEY_WINDOW_RE.finditer(plan):
+            if m.group(1) in low:
+                offenders.append((name, m.group(1)))
+    assert offenders == [], f"low-NDV single-key window partitions in: {offenders}"
+
+
+def test_low_ndv_window_gate_fires_on_synthetic_offender(spark):
+    """The generalized gate must actually detect the shape it bans: a
+    bare per-event_type window over the events table (event_type is a
+    measured low-NDV column) is flagged; the banded two-phase form that
+    replaces it — partition (event_type, band) — is not."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tests.conftest import ANY_SINGLE_KEY_WINDOW_RE, low_ndv_columns
+
+    from etly_spark.io.tables import load_table
+
+    low = low_ndv_columns(spark)
+    assert "event_type" in low
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    offender = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("event_id")),
+    )
+    plan = explain(spark, offender)
+    hits = [m.group(1) for m in ANY_SINGLE_KEY_WINDOW_RE.finditer(plan)]
+    assert any(h in low for h in hits), plan
+    # the de-skewed shape passes: every window partition is (key, band)
+    from etly_spark.operators.prefix import banded_row_number
+
+    banded = banded_row_number(
+        ev.select("event_id", "event_type"),
+        ["event_type"],
+        F.col("event_id") % 256,
+        [F.col("event_id")],
+        "rn",
+    )
+    plan2 = explain(spark, banded)
+    hits2 = [m.group(1) for m in ANY_SINGLE_KEY_WINDOW_RE.finditer(plan2)]
+    assert not any(h in low for h in hits2), plan2
+
+
 def test_no_single_partition_exchanges_anywhere(all_plans):
     """No catalog plan may contain `Exchange SinglePartition` — the
     physical signature of a global funnel (an unpartitioned window, a
