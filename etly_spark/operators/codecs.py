@@ -22,9 +22,17 @@ or stdlib struct (WAV/PCM). Those are decoded HERE, for real:
   YCbCr->RGB), plus an `encode_baseline_jpeg` twin (Annex K tables)
   that builds interoperable fixtures in-sandbox and serves as the
   entropy-coded member of the sink-side codec family.
+- Progressive JPEG (r8): SOF2 spectral selection + successive
+  approximation (T.81 Annex G) — multi-scan coefficient accumulation
+  (DC first/refine, AC first with EOB runs, AC refine correction
+  bits), plus an `encode_progressive_jpeg` twin with per-scan optimal
+  Huffman tables (T.81 K.2; the Annex K sequential tables carry no
+  EOBn symbols). The full scan script transmits every coefficient
+  bit, so progressive and baseline encodings of one source decode
+  bit-identically — the round-trip self-check in tests.
 
-Only progressive/arithmetic JPEG, WebP, and H.26x video stay behind
-the PIL gate in `operators.multimodal.decode_real`.
+Only arithmetic-coded/lossless JPEG, WebP, and H.26x video stay
+behind the PIL gate in `operators.multimodal.decode_real`.
 
 Everything returns numpy arrays; the Spark face of these codecs is
 Arrow-batched `mapInPandas` in `operators.multimodal` — a pure map,
@@ -436,12 +444,56 @@ def _jpeg_decode_block(
     return coef, pred
 
 
+def _jpeg_restart_segments(data: bytes) -> list[bytes]:
+    """Split an entropy-coded segment on RSTn markers (each sub-segment
+    restarts DC predictors and, in progressive scans, the EOB run)."""
+    segments = []
+    start = 0
+    i = 0
+    while i + 1 < len(data):
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            segments.append(data[start:i])
+            start = i + 2
+            i += 2
+        elif data[i] == 0xFF and data[i + 1] not in (0x00,):
+            break  # EOI or next marker
+        else:
+            i += 1
+    segments.append(data[start:])
+    return segments
+
+
+def _jpeg_upsample_color(
+    comps: list, planes: list[np.ndarray], hmax: int, vmax: int, h_img: int, w_img: int
+) -> np.ndarray:
+    """Shared decode tail: replicate subsampled chroma to full res, crop
+    to the frame dims, level-shift, and YCbCr->RGB for 3-component."""
+    full = []
+    for comp, plane in zip(comps, planes):
+        _, hs, vs, _ = comp
+        if hs != hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs != vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        full.append(plane[:h_img, :w_img] + 128.0)
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray | None:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp (by, bx, 64) natural-order
     restart = 0
     pos = 2
     n = len(payload)
@@ -487,7 +539,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
                     return None
                 huff[(tc, th)] = _jpeg_build_huff(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             if len(seg) < 6 or seg[0] != 8:
                 return None
             h_img, w_img, ncomp = struct.unpack_from(">HHB", seg, 1)
@@ -498,21 +550,41 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             if ncomp not in (1, 3) or w_img == 0 or h_img == 0:
                 return None
             frame = (h_img, w_img, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic: PIL gate
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic coding: PIL gate
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg)
         elif marker == 0xDA:  # SOS
-            if frame is None:
+            if frame is None or len(seg) < 4:
                 return None
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                return None
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            data = payload[pos + seglen :]
-            return _jpeg_decode_scan(frame, scan, qt, huff, restart, data)
+            if not progressive:
+                data = payload[pos + seglen :]
+                return _jpeg_decode_scan(frame, scan, qt, huff, restart, data)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if coefs is None:
+                coefs = _jpeg_prog_alloc(frame)
+            end = _jpeg_scan_end(payload, pos + seglen)
+            ok = _jpeg_prog_scan(
+                frame, scan, ss, se, ah, al, coefs, huff, restart,
+                payload[pos + seglen : end],
+            )
+            if not ok:
+                return None
+            pos = end
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _jpeg_prog_finish(frame, coefs, qt)
     return None
 
 
@@ -539,22 +611,7 @@ def _jpeg_decode_scan(frame, scan, qt, huff, restart, data) -> np.ndarray | None
             return None
 
     # split on restart markers up front; each segment resets predictors
-    if restart:
-        segments = []
-        start = 0
-        i = 0
-        while i + 1 < len(data):
-            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
-                segments.append(data[start:i])
-                start = i + 2
-                i += 2
-            elif data[i] == 0xFF and data[i + 1] not in (0x00,):
-                break  # EOI or next marker
-            else:
-                i += 1
-        segments.append(data[start:])
-    else:
-        segments = [data]
+    segments = _jpeg_restart_segments(data) if restart else [data]
 
     n_mcu = mcux * mcuy
     seg_idx = 0
@@ -583,22 +640,246 @@ def _jpeg_decode_scan(frame, scan, qt, huff, restart, data) -> np.ndarray | None
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
 
     # upsample to full resolution (sample replication), crop, color
-    full = []
-    for (comp, _, _), plane in zip(order, planes):
+    return _jpeg_upsample_color([c for c, _, _ in order], planes, hmax, vmax, h_img, w_img)
+
+
+# --- progressive (SOF2) scan machinery ------------------------------------
+# T.81 Annex G successive approximation + spectral selection: DC first /
+# DC refine / AC first (EOB runs) / AC refine (correction bits). Scans
+# accumulate integer coefficients per component; reconstruction happens
+# once at EOI. Public-knowledge algorithm (ITU T.81 figures G.2-G.7).
+
+
+def _jpeg_scan_end(payload: bytes, start: int) -> int:
+    """End of an entropy-coded segment: the first marker that is neither
+    a stuffed 0xFF00 nor a restart RSTn."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            b = payload[i + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _jpeg_geom(frame):
+    h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _jpeg_prog_alloc(frame) -> list[np.ndarray]:
+    _, _, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_geom(frame)
+    return [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64) for _, hs, vs, _ in comps
+    ]
+
+
+def _prog_ac_first(br, ac_tab, block, ss, se, al, eobrun):
+    """Decode one block of an AC first scan (T.81 G.2 / figure G.5);
+    returns the updated EOB run, or None on a corrupt stream."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(br, ac_tab)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                return None
+            raw = br.take(s)
+            if raw is None:
+                return None
+            block[_JPEG_ZZ[k]] = _jpeg_extend(raw, s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    ext = br.take(r)
+                    if ext is None:
+                        return None
+                    eobrun += ext
+                return eobrun
+            k += 16  # ZRL
+    return 0
+
+
+def _prog_ac_refine(br, ac_tab, block, ss, se, al, eobrun):
+    """Decode one block of an AC refinement scan (T.81 figure G.7):
+    correction bits for already-nonzero coefficients plus newly
+    significant +-1<<Al values; returns the updated EOB run or None."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(br, ac_tab)
+            if rs is None:
+                return None
+            r, s = rs >> 4, rs & 0x0F
+            sval = 0
+            if s:
+                if s != 1:
+                    return None
+                bit = br.take1()
+                if bit is None:
+                    return None
+                sval = p1 if bit else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    ext = br.take(r)
+                    if ext is None:
+                        return None
+                    eobrun += ext
+                break
+            # advance over r still-zero coefficients, emitting a
+            # correction bit at every already-nonzero one passed
+            while k <= se:
+                c = int(_JPEG_ZZ[k])
+                if block[c] != 0:
+                    bit = br.take1()
+                    if bit is None:
+                        return None
+                    if bit and (block[c] & p1) == 0:
+                        block[c] += p1 if block[c] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                block[int(_JPEG_ZZ[k])] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB band: correction bits only
+            c = int(_JPEG_ZZ[k])
+            if block[c] != 0:
+                bit = br.take1()
+                if bit is None:
+                    return None
+                if bit and (block[c] & p1) == 0:
+                    block[c] += p1 if block[c] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_prog_scan(frame, scan, ss, se, ah, al, coefs, huff, restart, data) -> bool:
+    h_img, w_img, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_geom(frame)
+    by_id = {c[0]: (i, c) for i, c in enumerate(comps)}
+    order = []  # (comp_index, comp, dc_tab|None, ac_tab|None)
+    for cs, td, ta in scan:
+        hit = by_id.get(cs)
+        if hit is None:
+            return False
+        ci, comp = hit
+        dc_tab = huff.get((0, td))
+        ac_tab = huff.get((1, ta))
+        order.append((ci, comp, dc_tab, ac_tab))
+
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        return False  # progressive DC scans carry DC only (T.81 G.1.1.1.1)
+    if not dc_scan and (len(scan) != 1 or se > 63 or ss > se):
+        return False  # AC scans are single-component, non-interleaved
+
+    segments = _jpeg_restart_segments(data) if restart else [data]
+    seg_idx = 0
+    br = _JpegBits(segments[0])
+    preds = [0] * len(order)
+    eobrun = 0
+
+    if dc_scan and len(order) > 1:
+        units = mcux * mcuy  # interleaved MCU walk
+        wb = 0  # unused in the interleaved path
+    else:
+        ci, comp, _, _ = order[0]
         _, hs, vs, _ = comp
-        if hs != hmax:
-            plane = np.repeat(plane, hmax // hs, axis=1)
-        if vs != vmax:
-            plane = np.repeat(plane, vmax // vs, axis=0)
-        full.append(plane[:h_img, :w_img] + 128.0)
-    if len(full) == 1:
-        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        cw = -(-w_img * hs // hmax)
+        ch = -(-h_img * vs // vmax)
+        wb, hb = -(-cw // 8), -(-ch // 8)
+        units = wb * hb  # non-interleaved raster over the comp's own blocks
+
+    for m in range(units):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                return False
+            br = _JpegBits(segments[seg_idx])
+            preds = [0] * len(order)
+            eobrun = 0
+        if dc_scan:
+            blocks = []  # (ci, comp_idx_in_order, by, bx)
+            if len(order) > 1:
+                my, mx = divmod(m, mcux)
+                for oi, (ci, comp, dc_tab, _) in enumerate(order):
+                    _, hs, vs, _ = comp
+                    for v in range(vs):
+                        for hh in range(hs):
+                            blocks.append((oi, ci, my * vs + v, mx * hs + hh, dc_tab))
+            else:
+                oi, ci = 0, order[0][0]
+                blocks.append((oi, ci, m // wb, m % wb, order[0][2]))
+            for oi, ci, by, bx, dc_tab in blocks:
+                blk = coefs[ci][by, bx]
+                if ah == 0:  # DC first: diff-coded at scale Al
+                    if dc_tab is None:
+                        return False
+                    s = _jpeg_huff_decode(br, dc_tab)
+                    if s is None or s > 15:
+                        return False
+                    if s:
+                        raw = br.take(s)
+                        if raw is None:
+                            return False
+                        preds[oi] += _jpeg_extend(raw, s)
+                    blk[0] = preds[oi] << al
+                else:  # DC refine: one bit per block
+                    bit = br.take1()
+                    if bit is None:
+                        return False
+                    if bit:
+                        blk[0] |= 1 << al
+        else:
+            ci, comp, _, ac_tab = order[0]
+            if ac_tab is None:
+                return False
+            blk = coefs[ci][m // wb, m % wb]
+            if ah == 0:
+                eobrun = _prog_ac_first(br, ac_tab, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(br, ac_tab, blk, ss, se, al, eobrun)
+            if eobrun is None:
+                return False
+    return True
+
+
+def _jpeg_prog_finish(frame, coefs, qt) -> np.ndarray | None:
+    h_img, w_img, comps = frame
+    hmax, vmax, _, _ = _jpeg_geom(frame)
+    planes = []
+    for (cid, hs, vs, tq), carr in zip(comps, coefs):
+        if tq not in qt:
+            return None
+        by, bx, _ = carr.shape
+        deq = carr.reshape(by, bx, 8, 8).astype(np.float64) * qt[tq]
+        # pixels = A @ C @ A.T, batched over the block grid
+        px = np.einsum("ij,yxjk,lk->yxil", _JPEG_A, deq, _JPEG_A)
+        planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _jpeg_upsample_color(comps, planes, hmax, vmax, h_img, w_img)
 
 
 # Annex K reference tables (encoder side; the decoder reads whatever
@@ -743,19 +1024,10 @@ def _jpeg_encode_block(
     return int(zz[0])
 
 
-def encode_baseline_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode a uint8 raster — (h, w) grayscale or (h, w, 3) RGB — as a
-    baseline JFIF JPEG (SOF0, Annex K quant/Huffman tables, optional
-    4:2:0 subsampling and RSTn restart intervals). The encode twin of
-    ``_decode_jpeg``; used to build real in-sandbox fixtures (no image
-    library ships in this container) and as the entropy-coded member of
-    the sink-side codec family. Interoperable: standard markers/tables,
-    decodable by any JPEG decoder."""
+def _jpeg_enc_prepare(arr: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: validate, color-convert, subsample,
+    MCU-pad. Returns (gray, comp_spec, padded_planes, qly, qlc, h, w,
+    mcux, mcuy)."""
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -767,10 +1039,6 @@ def encode_baseline_jpeg(
 
     qly = _jpeg_quality_scale(_JPEG_QT_LUMA, quality)
     qlc = _jpeg_quality_scale(_JPEG_QT_CHROMA, quality)
-    dc_l = _jpeg_enc_huff(*_JPEG_DC_LUMA)
-    ac_l = _jpeg_enc_huff(*_JPEG_AC_LUMA)
-    dc_c = _jpeg_enc_huff(*_JPEG_DC_CHROMA)
-    ac_c = _jpeg_enc_huff(*_JPEG_AC_CHROMA)
 
     if gray:
         planes = [arr]
@@ -800,14 +1068,28 @@ def encode_baseline_jpeg(
         padded.append(
             np.pad(p, ((0, ny - p.shape[0]), (0, nx - p.shape[1])), mode="edge")
         )
+    return gray, comp_spec, padded, qly, qlc, h_img, w_img, mcux, mcuy
 
+
+def _jpeg_emit_headers(
+    sof_marker: int,
+    gray: bool,
+    comp_spec: list,
+    qly: np.ndarray,
+    qlc: np.ndarray,
+    h_img: int,
+    w_img: int,
+    restart_interval: int,
+) -> bytearray:
+    """SOI + JFIF + DQT + SOFn + DHT (+ DRI) — everything before the
+    first SOS; shared by the baseline and progressive encoders."""
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, tbl in ((0, qly), (1, qlc)) if not gray else ((0, qly),):
         zz = tbl.reshape(64)[_JPEG_ZZ].astype(np.uint8)
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
-    out += b"\xff\xc0" + struct.pack(
+    out += bytes([0xFF, sof_marker]) + struct.pack(
         ">HBHHB", 8 + 3 * len(comp_spec), 8, h_img, w_img, len(comp_spec)
     )
     for cid, hs, vs, tq in comp_spec:
@@ -820,6 +1102,33 @@ def encode_baseline_jpeg(
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_baseline_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 raster — (h, w) grayscale or (h, w, 3) RGB — as a
+    baseline JFIF JPEG (SOF0, Annex K quant/Huffman tables, optional
+    4:2:0 subsampling and RSTn restart intervals). The encode twin of
+    ``_decode_jpeg``; used to build real in-sandbox fixtures (no image
+    library ships in this container) and as the entropy-coded member of
+    the sink-side codec family. Interoperable: standard markers/tables,
+    decodable by any JPEG decoder."""
+    gray, comp_spec, padded, qly, qlc, h_img, w_img, mcux, mcuy = _jpeg_enc_prepare(
+        arr, quality, subsample
+    )
+    dc_l = _jpeg_enc_huff(*_JPEG_DC_LUMA)
+    ac_l = _jpeg_enc_huff(*_JPEG_AC_LUMA)
+    dc_c = _jpeg_enc_huff(*_JPEG_DC_CHROMA)
+    ac_c = _jpeg_enc_huff(*_JPEG_AC_CHROMA)
+
+    out = _jpeg_emit_headers(
+        0xC0, gray, comp_spec, qly, qlc, h_img, w_img, restart_interval
+    )
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_spec), len(comp_spec))
     for i, (cid, _, _, _) in enumerate(comp_spec):
         out += bytes([cid, 0x00 if i == 0 else 0x11])
@@ -850,6 +1159,292 @@ def encode_baseline_jpeg(
                     )
     wr.flush()
     out += wr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _NullWriter:
+    """Counting-pass stand-in for _JpegBitWriter: discards bits."""
+
+    def put(self, code: int, length: int) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+
+class _CountTab:
+    """Counting-pass stand-in for an encode Huffman table: records
+    symbol frequencies and hands back a zero-length dummy code. Lets the
+    scan emitters run unmodified as pass 1 of two-pass optimal-table
+    encoding."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def __getitem__(self, sym: int) -> tuple[int, int]:
+        self.freq[sym] = self.freq.get(sym, 0) + 1
+        return (0, 0)
+
+
+def _jpeg_optimal_table(freq_in: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal length-limited Huffman table from symbol frequencies —
+    the T.81 Annex K.2 algorithm (merge two least-frequent, then fold
+    lengths >16 down and drop the reserved all-ones codepoint). Needed
+    for progressive scans: the Annex K sequential AC tables have no
+    EOBn symbols and no room to add them (the length-16 band is full)."""
+    freq = [0] * 257
+    for sym, c in freq_in.items():
+        freq[sym] = c
+    freq[256] = 1  # reserved: guarantees no real symbol gets all-ones
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1, c1 = -1, None
+        for i in range(257):
+            if freq[i] and (c1 is None or freq[i] <= c1):
+                v1, c1 = i, freq[i]
+        v2, c2 = -1, None
+        for i in range(257):
+            if freq[i] and i != v1 and (c2 is None or freq[i] <= c2):
+                v2, c2 = i, freq[i]
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for length in range(32, 16, -1):  # fold over-long codes down to <=16
+        while bits[length] > 0:
+            j = length - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[length] -= 2
+            bits[length - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    length = 16
+    while bits[length] == 0:
+        length -= 1
+    bits[length] -= 1  # drop the reserved codepoint
+    pairs = sorted((codesize[i], i) for i in range(256) if codesize[i])
+    return bits[1:17], [i for _, i in pairs]
+
+
+def _jpeg_quantize_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize an MCU-padded plane into per-block zigzag
+    coefficients, shape (by, bx, 64) int64 — the progressive encoder's
+    working form (scans re-read the same blocks at different bit
+    planes/bands, so compute them once)."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ji,yxjk,kl->yxil", _JPEG_A, blocks, _JPEG_A)  # A.T @ B @ A
+    nat = np.rint(coef.reshape(by, bx, 64) / q.reshape(64)[None, None, :]).astype(np.int64)
+    return nat[:, :, _JPEG_ZZ]  # natural -> zigzag, as in _jpeg_encode_block
+
+
+def _prog_enc_ac_first(wr, zzs, ac, ss, se, al, hb, wb) -> None:
+    """AC first scan for one component band (T.81 G.1.2.2): spectral
+    selection with EOB-run coding of all-zero bands."""
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac[nbits << 4]
+            wr.put(code, ln)
+            if nbits:
+                wr.put(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for by in range(hb):
+        for bx in range(wb):
+            zz = zzs[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                m = (v if v >= 0 else -v) >> al
+                if m == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    code, ln = ac[0xF0]  # ZRL
+                    wr.put(code, ln)
+                    r -= 16
+                s = m.bit_length()
+                code, ln = ac[(r << 4) | s]
+                wr.put(code, ln)
+                wr.put(m if v >= 0 else ~m & ((1 << s) - 1), s)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+
+
+def _prog_enc_ac_refine(wr, zzs, ac, ss, se, al, hb, wb) -> None:
+    """AC refinement scan (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient, run-coded newly significant +-1s,
+    correction bits buffered until the symbol they belong with."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits owed with the pending EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, pend
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac[nbits << 4]
+            wr.put(code, ln)
+            if nbits:
+                wr.put(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+            for b in pend:
+                wr.put(b, 1)
+            pend = []
+
+    for by in range(hb):
+        for bx in range(wb):
+            zz = zzs[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eobk = ss - 1  # last newly-significant index; ZRLs beyond it fold into EOB
+            for idx, k in enumerate(range(ss, se + 1)):
+                if absv[idx] == 1:
+                    eobk = k
+            r = 0
+            br: list[int] = []  # correction bits for the current run
+            for idx, k in enumerate(range(ss, se + 1)):
+                t = absv[idx]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobk:
+                    emit_eobrun()
+                    code, ln = ac[0xF0]
+                    wr.put(code, ln)
+                    r -= 16
+                    for b in br:
+                        wr.put(b, 1)
+                    br = []
+                if t > 1:  # previously nonzero: correction bit only
+                    br.append(t & 1)
+                    continue
+                emit_eobrun()
+                code, ln = ac[(r << 4) | 1]
+                wr.put(code, ln)
+                wr.put(1 if int(zz[k]) >= 0 else 0, 1)
+                for b in br:
+                    wr.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pend += br
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray, quality: int = 85, subsample: str = "444"
+) -> bytes:
+    """Encode a uint8 raster as a progressive JFIF JPEG (SOF2) with a
+    standard spectral-selection + successive-approximation scan script:
+    DC first (Al=1) -> per-component AC first bands (Al=1) -> DC refine
+    -> per-component AC refine (Al 1->0). The scan script transmits every
+    coefficient bit, so the decoded pixels are bit-identical to the
+    baseline encoding of the same source at the same quality/subsample —
+    the decode twin's strongest self-check. Interoperable: standard
+    markers and Annex K tables, decodable by any progressive-capable
+    JPEG decoder."""
+    gray, comp_spec, padded, qly, qlc, h_img, w_img, mcux, mcuy = _jpeg_enc_prepare(
+        arr, quality, subsample
+    )
+    dc_l = _jpeg_enc_huff(*_JPEG_DC_LUMA)
+    dc_c = _jpeg_enc_huff(*_JPEG_DC_CHROMA)
+    dc_tabs = [dc_l] + [dc_c] * (0 if gray else 2)
+    qs = [qly] + [qlc] * (0 if gray else 2)
+    zzs = [_jpeg_quantize_blocks(p, q) for p, q in zip(padded, qs)]
+
+    hmax = max(c[1] for c in comp_spec)
+    vmax = max(c[2] for c in comp_spec)
+    geom = []  # per-comp (hb, wb): REAL block counts (AC scans skip MCU padding)
+    for cid, hs, vs, tq in comp_spec:
+        cw = -(-w_img * hs // hmax)
+        ch = -(-h_img * vs // vmax)
+        geom.append((-(-ch // 8), -(-cw // 8)))
+
+    out = _jpeg_emit_headers(0xC2, gray, comp_spec, qly, qlc, h_img, w_img, 0)
+
+    def sos(comp_idxs, ss, se, ah, al, ac_tno=0):
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idxs), len(comp_idxs)))
+        for ci in comp_idxs:
+            cid = comp_spec[ci][0]
+            tno = 0 if ci == 0 else 1  # DC table slot
+            out.extend(bytes([cid, (tno << 4) | ac_tno]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    def dc_scan(ah, al):
+        sos(list(range(len(comp_spec))), 0, 0, ah, al)
+        wr = _JpegBitWriter()
+        preds = [0] * len(comp_spec)
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (cid, hs, vs, tq) in enumerate(comp_spec):
+                for v in range(vs):
+                    for hh in range(hs):
+                        zz0 = int(zzs[ci][my * vs + v, mx * hs + hh, 0])
+                        if ah == 0:  # first: diff-code the point-transformed DC
+                            t = zz0 >> al
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s = abs(diff).bit_length()
+                            code, ln = dc_tabs[ci][s]
+                            wr.put(code, ln)
+                            if s:
+                                wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        else:  # refine: next lower bit, one per block
+                            wr.put((zz0 >> al) & 1, 1)
+        wr.flush()
+        out.extend(wr.out)
+
+    def ac_scan(ci, ss, se, ah, al):
+        # Two-pass per-scan optimal Huffman (the Annex K AC tables carry
+        # no EOBn symbols): pass 1 counts symbols, then DHT + SOS + data.
+        emit = _prog_enc_ac_first if ah == 0 else _prog_enc_ac_refine
+        hb, wb = geom[ci]
+        counter = _CountTab()
+        emit(_NullWriter(), zzs[ci], counter, ss, se, al, hb, wb)
+        bits, vals = _jpeg_optimal_table(counter.freq)
+        out.extend(b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([0x10]))
+        out.extend(bytes(bits) + bytes(vals))
+        sos([ci], ss, se, ah, al, ac_tno=0)
+        wr = _JpegBitWriter()
+        emit(wr, zzs[ci], _jpeg_enc_huff(bits, vals), ss, se, al, hb, wb)
+        wr.flush()
+        out.extend(wr.out)
+
+    dc_scan(0, 1)
+    ac_scan(0, 1, 5, 0, 1)
+    ac_scan(0, 6, 63, 0, 1)
+    for ci in range(1, len(comp_spec)):
+        ac_scan(ci, 1, 63, 0, 1)
+    dc_scan(1, 0)
+    for ci in range(len(comp_spec)):
+        ac_scan(ci, 1, 63, 1, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -95,14 +95,17 @@ def decode_real(payload: bytes) -> dict:
     JPEG: `operators.codecs.decode_image_pixels` really decodes
     BMP/PPM/PGM/PNG/GIF (stdlib zlib + pure-Python LZW) and baseline
     JFIF (r8: pure-numpy Huffman + dequant + IDCT + YCbCr, with an
-    `encode_baseline_jpeg` twin), `operators.codecs.decode_wav`
-    RIFF/PCM audio, `operators.codecs.decode_y4m` uncompressed video —
-    only progressive/arithmetic JPEG, WebP, and H.26x remain gated."""
+    `encode_baseline_jpeg` twin) AND progressive JPEG (r8: SOF2
+    spectral selection + successive approximation per T.81 Annex G,
+    with an `encode_progressive_jpeg` twin), `operators.codecs
+    .decode_wav` RIFF/PCM audio, `operators.codecs.decode_y4m`
+    uncompressed video — only arithmetic-coded/lossless JPEG, WebP,
+    and H.26x remain gated."""
     if not HAVE_PIL:
         raise NotImplementedError(
-            "progressive/arithmetic JPEG, WebP, and H.26x need a codec "
-            "library absent in this container; BMP/PPM/PGM/PNG/GIF and "
-            "baseline JPEG pixels decode for real via "
+            "arithmetic-coded/lossless JPEG, WebP, and H.26x need a "
+            "codec library absent in this container; BMP/PPM/PGM/PNG/GIF "
+            "and baseline+progressive JPEG pixels decode for real via "
             "operators.codecs.decode_image_pixels"
         )
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")

@@ -723,10 +723,11 @@ def test_jpeg_q100_noise_nearly_lossless():
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
 
 
-def test_jpeg_rejects_progressive_truncated_garbage():
+def test_jpeg_rejects_malformed_streams():
     img = _jpeg_gray()
     enc = bytearray(C.encode_baseline_jpeg(img))
-    # rewrite SOF0 -> SOF2 (progressive): stays behind the PIL gate
+    # rewrite SOF0 -> SOF2: the scan header (Ss=0, Se=63) is illegal in
+    # progressive (DC scans carry DC only, T.81 G.1.1.1.1) -> rejected
     sof = enc.find(b"\xff\xc0")
     prog = bytes(enc[:sof]) + b"\xff\xc2" + bytes(enc[sof + 2 :])
     assert C.decode_image_pixels(prog) is None
@@ -734,6 +735,85 @@ def test_jpeg_rejects_progressive_truncated_garbage():
     assert C.decode_image_pixels(bytes(enc[:-30])) is None
     # stray bytes after SOI
     assert C.decode_image_pixels(b"\xff\xd8\x00\x00garbage") is None
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (r8): SOF2 multi-scan decode + optimal-table encode twin
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,quality,subsample",
+    [
+        ("gray", 90, "444"),
+        ("rgb444", 85, "444"),
+        ("rgb420", 85, "420"),
+        ("q10", 10, "444"),
+        ("q100", 100, "444"),
+    ],
+)
+def test_jpeg_progressive_decodes_bit_identical_to_baseline(name, quality, subsample):
+    # the scan script (DC first Al=1 -> AC first bands Al=1 -> DC/AC
+    # refine to Al=0) transmits every coefficient bit, so progressive
+    # and baseline encodings of one source MUST decode identically
+    img = _jpeg_gray() if name == "gray" else _jpeg_rgb()
+    base = C.decode_image_pixels(C.encode_baseline_jpeg(img, quality=quality, subsample=subsample))
+    penc = C.encode_progressive_jpeg(img, quality=quality, subsample=subsample)
+    assert b"\xff\xc2" in penc  # really SOF2
+    prog = C.decode_image_pixels(penc)
+    assert prog is not None and np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_goldens_and_eobrun():
+    # a flat image produces long EOB runs (EOBn symbols + appended run
+    # bits) in the AC-first scans — the path Annex K tables can't even
+    # express; golden hashes pin both codec halves
+    flat = np.full((64, 64), 128, np.uint8)
+    enc = C.encode_progressive_jpeg(flat)
+    assert hashlib.md5(enc).hexdigest() == "040aab3d1a5308b7d5cf356e946bf8cf"
+    dec = C.decode_image_pixels(enc)
+    assert np.array_equal(dec, flat)
+    # graded image golden (exercises AC refine correction bits)
+    enc2 = C.encode_progressive_jpeg(_jpeg_rgb(), quality=85, subsample="420")
+    assert hashlib.md5(enc2).hexdigest() == "ecfd68bb6f4ec233a65110ed2976a276"
+    dec2 = C.decode_image_pixels(enc2)
+    base2 = C.decode_image_pixels(C.encode_baseline_jpeg(_jpeg_rgb(), quality=85, subsample="420"))
+    assert np.array_equal(dec2, base2)
+
+
+def test_jpeg_progressive_odd_dims_and_noise():
+    img = _jpeg_rgb()[:17, :13]
+    dec = C.decode_image_pixels(C.encode_progressive_jpeg(img, subsample="420"))
+    base = C.decode_image_pixels(C.encode_baseline_jpeg(img, subsample="420"))
+    assert dec.shape == (17, 13, 3) and np.array_equal(dec, base)
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (56, 72, 3), dtype=np.int64).astype(np.uint8)
+    dec_n = C.decode_image_pixels(C.encode_progressive_jpeg(noise, quality=40, subsample="420"))
+    base_n = C.decode_image_pixels(C.encode_baseline_jpeg(noise, quality=40, subsample="420"))
+    assert np.array_equal(dec_n, base_n)
+
+
+def test_jpeg_progressive_truncation_returns_none():
+    enc = C.encode_progressive_jpeg(_jpeg_gray())
+    for cut in (30, len(enc) // 2, len(enc) - 10):
+        assert C.decode_image_pixels(enc[:cut]) is None
+
+
+def test_jpeg_progressive_header_parse_and_spark_features(spark):
+    gray, rgb = _jpeg_gray(), _jpeg_rgb()
+    enc_g = C.encode_progressive_jpeg(gray, quality=90)
+    assert MM.parse_image_header(enc_g) == ("jpeg", 40, 24)
+    rows = [
+        (0, bytearray(enc_g)),
+        (1, bytearray(C.encode_progressive_jpeg(rgb, quality=90, subsample="420"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.decode_pixel_features(df).collect()}
+    for did in (0, 1):
+        r = out[did]
+        dec = C.decode_image_pixels(bytes(rows[did][1]))
+        assert r.format == "jpeg" and r.width == 40 and r.height == 24
+        assert r.pixel_md5 == hashlib.md5(dec.tobytes()).hexdigest()
 
 
 def test_jpeg_header_parse_no_entropy_decode():
