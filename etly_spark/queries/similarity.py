@@ -518,10 +518,22 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads its staged index instead
     s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")))
     q_pdf = _query_pdf(s)  # ONE collect of the tiny query set, shared
-    brute = sim_topk_bruteforce(spark, sf_dir, s, q_pdf)
-    lsh = sim_lsh_ann(spark, sf_dir, s)
-    ivf = sim_ivf_ann(spark, sf_dir, q_pdf)
-    sq8 = sim_sq8(spark, sf_dir, s)
+    # Each method's top-k output is consumed twice (its tagged rows +
+    # the recall join against brute), so the lazy plans re-run their
+    # corpus scorers per consumer. Measured A/B (STRESS.md r8): with
+    # `s` persisted, recompute wins at sf0.1 (3.08 vs 4.44 s) AND at
+    # the 10x corpus (5.62 vs 5.98 s) — the tiny-output persist inserts
+    # InMemoryRelation barriers that cost more than the re-scans save.
+    # At 100 TB the corpus frame cannot live in executor memory, so the
+    # re-scan side grows linearly while the output persist stays Q*k
+    # rows: ETLY_ANN_PERSIST_TOPK=1 flips to output-persist for that
+    # regime (same rows either way; the knob is pure performance).
+    _pt = os.environ.get("ETLY_ANN_PERSIST_TOPK", "0") == "1"
+    _keep = (lambda df: scoped_persist(df, eager=False)) if _pt else (lambda df: df)
+    brute = _keep(sim_topk_bruteforce(spark, sf_dir, s, q_pdf))
+    lsh = _keep(sim_lsh_ann(spark, sf_dir, s))
+    ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
+    sq8 = _keep(sim_sq8(spark, sf_dir, s))
 
     def recall_rows(approx: DataFrame, tag: str) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
