@@ -125,10 +125,11 @@ def regressions_vs_previous(times: dict, sf: float, threshold: float = 1.25) -> 
     run's minima against the newest BENCH_r*.json driver artifact via
     tools/bench_compare's extractor, and report queries slower than
     ``threshold``x (and >0.05 s absolute — sub-tick ratios are noise).
-    The stdout line carries only the compact summary (worst 6 ratios +
-    count, inside the 1900-char tail budget); bench_detail.json gets
-    every regressed query. None when no comparable artifact exists or
-    the scales differ (ratios would be meaningless)."""
+    The stdout line carries only the compact summary (count + the 3
+    worst ratios keyed by 14-char name prefixes, inside the 1900-char
+    tail budget); bench_detail.json gets every regressed query. None
+    when no comparable artifact exists or the scales differ (ratios
+    would be meaningless)."""
     import glob
     import importlib.util
 
@@ -162,8 +163,8 @@ def regressions_vs_previous(times: dict, sf: float, threshold: float = 1.25) -> 
         reverse=True,
     )
     # stdout rendering is budget-capped: round tag ("r07"), count, and
-    # the 3 worst ratios keyed by 16-char name prefixes (unique across
-    # the registry at 14 chars; checked by the bench-contract test).
+    # the 3 worst ratios keyed by 14-char name prefixes (unique across
+    # the registry at that length; checked by the bench-contract test).
     # bench_detail.json carries the full names and the whole list.
     m = re.search(r"r(\d+)", os.path.basename(prev))
     return {

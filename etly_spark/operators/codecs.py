@@ -367,7 +367,11 @@ class _JpegBits:
         if self.n < k:
             return None
         self.n -= k
-        return (self.acc >> self.n) & ((1 << k) - 1)
+        out = (self.acc >> self.n) & ((1 << k) - 1)
+        # truncate consumed history — an unmasked bigint accumulator
+        # makes every shift copy the whole stream (quadratic decode)
+        self.acc &= (1 << self.n) - 1
+        return out
 
     def take1(self) -> int | None:
         return self.take(1)
@@ -455,6 +459,8 @@ def _jpeg_restart_segments(data: bytes) -> list[bytes]:
             segments.append(data[start:i])
             start = i + 2
             i += 2
+        elif data[i] == 0xFF and data[i + 1] == 0xFF:
+            i += 1  # fill byte preceding a marker (T.81 B.1.1.2)
         elif data[i] == 0xFF and data[i + 1] not in (0x00,):
             break  # EOI or next marker
         else:
@@ -501,6 +507,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
         if payload[pos] != 0xFF:
             return None
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
@@ -559,7 +568,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             if frame is None or len(seg) < 4:
                 return None
             ns = seg[0]
-            if len(seg) < 4 + 2 * ns:
+            if ns == 0 or len(seg) < 4 + 2 * ns:
                 return None
             scan = []
             for c in range(ns):
@@ -592,6 +601,13 @@ def _jpeg_decode_scan(frame, scan, qt, huff, restart, data) -> np.ndarray | None
     h_img, w_img, comps = frame
     if len(scan) != len(comps):
         return None  # non-interleaved multi-scan: not baseline-typical
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is non-interleaved over the
+        # component's own ceil(w/8) x ceil(h/8) raster regardless of its
+        # declared sampling factors (some transcoders keep 2x2 luma
+        # factors on grayscale output); neutralizing hs/vs makes the MCU
+        # walk below BE that raster
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w_img // (8 * hmax))
@@ -660,6 +676,9 @@ def _jpeg_scan_end(payload: bytes, start: int) -> int:
             b = payload[i + 1]
             if b == 0x00 or 0xD0 <= b <= 0xD7:
                 i += 2
+                continue
+            if b == 0xFF:  # fill byte (T.81 B.1.1.2)
+                i += 1
                 continue
             return i
         i += 1
@@ -970,6 +989,8 @@ class _JpegBitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # truncate emitted history (bigint accumulators grow quadratic)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:

@@ -138,11 +138,15 @@ def fold(
         partial.select(*cols).write.mode("overwrite").parquet(tmp)
         final = os.path.join(state_dir, f"epoch={epoch}")
         # Replay path: rename the existing epoch ASIDE (never rmtree it
-        # in place) so a cross-process reader — e.g. /etly/rollup, which
-        # shares only the filesystem, not this process lock — can never
-        # observe the epoch dir missing between a delete and the rename.
-        # Both renames are atomic; the worst crash outcome is a leaked
-        # _old-* dir, reclaimed by the same sweep that handles _tmp-*.
+        # in place). This NARROWS — not closes — the window where a
+        # cross-process reader (e.g. /etly/rollup, which shares only the
+        # filesystem, not this process lock) can observe the epoch dir
+        # absent: from rmtree-duration down to the two rename syscalls.
+        # Closing it entirely needs renameat2(RENAME_EXCHANGE) or
+        # reader-side retry; a crash between the renames leaves the
+        # epoch recoverable in _old-* (vs destroyed under rmtree), and
+        # the worst steady-state outcome is a leaked _old-* dir,
+        # reclaimed by the same sweep that handles _tmp-*.
         aside = None
         if os.path.isdir(final):
             aside = os.path.join(state_dir, f"_old-{uuid.uuid4().hex[:8]}")

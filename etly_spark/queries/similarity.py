@@ -140,7 +140,7 @@ WITH s AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
-FROM ranked WHERE rank <= 3
+FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
 
@@ -174,7 +174,9 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str, base: DataFrame | None = None)
     scored = F.broadcast(q).join(
         s, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id"))
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), _cos_pair().alias("cos_sim"))
-    return _topk(scored, 3)
+    # top-5 like ivf/sq8/brute: the recall_lsh row divides hits by 5, so
+    # a k=3 method would be structurally capped at 0.6 recall@5
+    return _topk(scored, 5)
 
 
 # IVF coarse-centroid count: FIXED, corpus-independent. Centroids are

@@ -40,6 +40,9 @@ ANY_SINGLE_KEY_WINDOW_RE = _re.compile(
 )
 
 
+_LOW_NDV_CACHE: dict[int, dict[str, int]] = {}
+
+
 def low_ndv_columns(spark, threshold: int = 64) -> dict[str, int]:
     """Measured low-cardinality columns across every catalog table:
     {column_name: max NDV seen}. A column qualifies when its
@@ -48,7 +51,11 @@ def low_ndv_columns(spark, threshold: int = 64) -> dict[str, int]:
     low-cardinality (lang, event_type, order status...), not a
     small-sample artifact. A window partitioned SOLELY by such a key
     funnels its dominant value through one task at 100x; the plan gate
-    in test_plans.py flags any such window in any catalog plan."""
+    in test_plans.py flags any such window in any catalog plan.
+    Measured once per threshold per test session (three tests consume
+    it; the scan is tables x 2 sf_dirs of NDV aggregation jobs)."""
+    if threshold in _LOW_NDV_CACHE:
+        return _LOW_NDV_CACHE[threshold]
     from pyspark.sql import functions as F
 
     from etly_spark.io.tables import TABLES, load_table
@@ -68,4 +75,6 @@ def low_ndv_columns(spark, threshold: int = 64) -> dict[str, int]:
             ).collect()[0]
             for c in cols:
                 seen[c] = max(seen.get(c, 0), int(row[c]))
-    return {c: n for c, n in seen.items() if n < threshold}
+    out = {c: n for c, n in seen.items() if n < threshold}
+    _LOW_NDV_CACHE[threshold] = out
+    return out

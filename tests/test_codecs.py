@@ -793,6 +793,62 @@ def test_jpeg_progressive_odd_dims_and_noise():
     assert np.array_equal(dec_n, base_n)
 
 
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    # T.81 A.2: a single-component scan is non-interleaved over the
+    # component's own block raster; some transcoders emit grayscale with
+    # 2x2 luma factors kept. Patch the SOF hv byte 0x11 -> 0x22: the
+    # entropy stream is unchanged (raster order), so decode must match.
+    img = _jpeg_gray()
+    enc = bytearray(C.encode_baseline_jpeg(img, quality=90))
+    sof = enc.find(b"\xff\xc0")
+    assert enc[sof + 11] == 0x11
+    enc[sof + 11] = 0x22
+    dec = C.decode_image_pixels(bytes(enc))
+    base = C.decode_image_pixels(C.encode_baseline_jpeg(img, quality=90))
+    assert dec is not None and np.array_equal(dec, base)
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    img = _jpeg_rgb()
+    clean = C.encode_baseline_jpeg(img, quality=90, subsample="420", restart_interval=3)
+    base = C.decode_image_pixels(clean)
+    # fill before the first restart marker and before EOI
+    rst = clean.find(b"\xff\xd0")
+    assert rst > 0
+    padded = clean[:rst] + b"\xff\xff" + clean[rst:]
+    padded = padded[:-2] + b"\xff\xff\xff" + padded[-2:]
+    assert np.array_equal(C.decode_image_pixels(padded), base)
+    # progressive: fill before a mid-stream DHT/SOS marker
+    peng = C.encode_progressive_jpeg(img, quality=90)
+    sos2 = peng.find(b"\xff\xc4", peng.find(b"\xff\xda"))  # 2nd scan's DHT
+    assert sos2 > 0
+    ppad = peng[:sos2] + b"\xff" + peng[sos2:]
+    assert np.array_equal(C.decode_image_pixels(ppad), C.decode_image_pixels(peng))
+
+
+def test_jpeg_zero_component_sos_returns_none():
+    # corrupt media is data, not an exception: ns=0 must not raise
+    enc = bytearray(C.encode_progressive_jpeg(_jpeg_gray()))
+    sos = enc.find(b"\xff\xda")
+    # rewrite scan header: ns=0, keep Ss/Se bytes in range
+    enc[sos + 4] = 0
+    assert C.decode_image_pixels(bytes(enc)) is None
+
+
+def test_jpeg_decode_speed_is_linear():
+    # the bit accumulators must be truncated as bits are consumed; an
+    # unmasked bigint makes decode quadratic (8.95s for this before)
+    import time
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (256, 256), dtype=np.int64).astype(np.uint8)
+    enc = C.encode_baseline_jpeg(img, quality=95)
+    t0 = time.time()
+    dec = C.decode_image_pixels(enc)
+    assert dec is not None and time.time() - t0 < 2.0
+
+
 def test_jpeg_progressive_truncation_returns_none():
     enc = C.encode_progressive_jpeg(_jpeg_gray())
     for cut in (30, len(enc) // 2, len(enc) - 10):
