@@ -895,8 +895,12 @@ def _jpeg_prog_finish(frame, coefs, qt) -> np.ndarray | None:
             return None
         by, bx, _ = carr.shape
         deq = carr.reshape(by, bx, 8, 8).astype(np.float64) * qt[tq]
-        # pixels = A @ C @ A.T, batched over the block grid
-        px = np.einsum("ij,yxjk,lk->yxil", _JPEG_A, deq, _JPEG_A)
+        # pixels = A @ C @ A.T, batched over the block grid — matmul
+        # (not einsum) so the float summation associates exactly like
+        # the sequential decoder's per-block `A @ (coef*q) @ A.T`:
+        # einsum's reordered reduction differs by ULPs that can cross
+        # the rint boundary and break prog==baseline bit-identity
+        px = (_JPEG_A @ deq) @ _JPEG_A.T
         planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
     return _jpeg_upsample_color(comps, planes, hmax, vmax, h_img, w_img)
 
@@ -1270,7 +1274,11 @@ def _jpeg_quantize_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     planes/bands, so compute them once)."""
     by, bx = plane.shape[0] // 8, plane.shape[1] // 8
     blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
-    coef = np.einsum("ji,yxjk,kl->yxil", _JPEG_A, blocks, _JPEG_A)  # A.T @ B @ A
+    # batched matmul, NOT einsum: einsum reorders the float reduction,
+    # and a ULP on a halfway value makes rint disagree with the baseline
+    # encoder's per-block `A.T @ (block-128) @ A` — breaking the
+    # progressive==baseline decode bit-identity the tests pin
+    coef = (_JPEG_A.T @ blocks) @ _JPEG_A
     nat = np.rint(coef.reshape(by, bx, 64) / q.reshape(64)[None, None, :]).astype(np.int64)
     return nat[:, :, _JPEG_ZZ]  # natural -> zigzag, as in _jpeg_encode_block
 

@@ -137,3 +137,36 @@ def test_hashes_total_and_stable(hw, seed):
     assert 0 <= a < (1 << 64)
     assert C.ahash64(C.decode_image_pixels(encode_png(img))) == a
     assert C.dhash64(C.decode_image_pixels(encode_bmp(img))) == C.dhash64(img)
+
+
+@given(
+    dims,
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([1, 3]),
+    st.sampled_from([10, 50, 85, 100]),
+    st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_equals_baseline_any_input(hw, seed, nch, quality, subsample):
+    """For ANY image, quality, and subsampling, the progressive encoding
+    decodes bit-identically to the baseline encoding of the same source:
+    the scan script transmits every coefficient bit, so the two codec
+    paths must reconstruct the same quantized spectrum."""
+    h, w = hw
+    img = _img(h, w, nch, seed)
+    base = C.decode_image_pixels(C.encode_baseline_jpeg(img, quality=quality, subsample=subsample))
+    prog = C.decode_image_pixels(C.encode_progressive_jpeg(img, quality=quality, subsample=subsample))
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog)
+
+
+@given(dims, st.integers(0, 2**32 - 1), st.integers(0, 400))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_truncation_never_crashes(hw, seed, cut):
+    """Any prefix of either JPEG flavor returns a decode or None —
+    never raises (corrupt media is data at 100 TB)."""
+    h, w = hw
+    img = _img(h, w, 3, seed)
+    for enc in (C.encode_baseline_jpeg(img), C.encode_progressive_jpeg(img)):
+        out = C.decode_image_pixels(enc[: max(2, len(enc) - cut)])
+        assert out is None or out.shape == (h, w, 3)
