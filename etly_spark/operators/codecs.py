@@ -31,8 +31,13 @@ or stdlib struct (WAV/PCM). Those are decoded HERE, for real:
   bit, so progressive and baseline encodings of one source decode
   bit-identically — the round-trip self-check in tests.
 
-Only arithmetic-coded/lossless JPEG, WebP, and H.26x video stay
-behind the PIL gate in `operators.multimodal.decode_real`.
+- Lossless WebP (r8): VP8L — Huffman + LZ77 + 4 reversible
+  transforms, in `operators.webp` (with an `encode_lossless_webp`
+  twin and EXTERNAL validation against a real libwebp bitstream).
+
+Only arithmetic-coded formats — lossy VP8 WebP, arithmetic/lossless
+JPEG, H.26x video — stay behind the PIL gate in
+`operators.multimodal.decode_real`.
 
 Everything returns numpy arrays; the Spark face of these codecs is
 Arrow-batched `mapInPandas` in `operators.multimodal` — a pure map,
@@ -1483,11 +1488,12 @@ def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
 
     Supports BMP (24/32-bit BI_RGB), PPM/PGM binary, PNG 8-bit
     gray/RGB/RGBA non-interlaced, GIF87a/89a non-interlaced (pure-
-    Python LZW; first frame of animations), and baseline JPEG
-    (SOF0/SOF1 Huffman sequential — Huffman + dequant + IDCT + YCbCr in
-    pure numpy; progressive/arithmetic return None and stay behind the
-    PIL gate). Returns None for anything else — corrupt or exotic
-    media is data, not an exception, at 100 TB.
+    Python LZW; first frame of animations), baseline AND progressive
+    JPEG (Huffman + dequant + IDCT + YCbCr in pure numpy; arithmetic/
+    lossless JPEG stay behind the PIL gate), and lossless WebP (VP8L —
+    `operators.webp`; lossy VP8 is arithmetic-coded and stays gated).
+    Returns None for anything else — corrupt or exotic media is data,
+    not an exception, at 100 TB.
     """
     if not payload:
         return None
@@ -1496,6 +1502,10 @@ def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
             arr = dec(payload)
             if arr is not None:
                 return arr
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from etly_spark.operators.webp import decode_webp_pixels
+
+            return decode_webp_pixels(payload)
     except (ValueError, struct.error):
         return None
     return None

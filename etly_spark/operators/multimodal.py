@@ -115,10 +115,11 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     """Pure-Python header parse → (format, width, height), or None if the
     bytes are not a recognized image.
 
-    Real decode of real bytes, no codec library: these four container
-    formats put dimensions at fixed/trivially-scanned offsets (BMP
-    BITMAPINFOHEADER, PNG IHDR, GIF logical screen descriptor, PPM/PGM
-    ASCII preamble). Rich formats (JPEG/WebP/video) stay behind the PIL
+    Real decode of real bytes, no codec library: dimensions live at
+    fixed/trivially-scanned offsets (BMP BITMAPINFOHEADER, PNG IHDR,
+    GIF logical screen descriptor, PPM/PGM ASCII preamble, JPEG SOFn
+    marker walk, WebP VP8X/VP8L/VP8 headers). Pixel decode of the
+    arithmetic-coded formats (lossy VP8, H.26x) stays behind the PIL
     gate in `decode_real`.
     """
     import struct
@@ -164,6 +165,11 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         # logical screen descriptor: uint16 width @6, height @8 (LE)
         w, h = struct.unpack_from("<HH", payload, 6)
         return ("gif", int(w), int(h))
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # WebP: VP8X / VP8L / lossy VP8 dims, no entropy decode needed
+        from etly_spark.operators.webp import parse_webp_header
+
+        return parse_webp_header(payload)
     if len(payload) >= 2 and payload[:1] == b"P" and payload[1:2] in b"123456":
         # Netpbm (PPM/PGM/PBM): ASCII "P6 <w> <h> <maxval>" with
         # whitespace/comments between tokens

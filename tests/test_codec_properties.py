@@ -170,3 +170,39 @@ def test_jpeg_truncation_never_crashes(hw, seed, cut):
     for enc in (C.encode_baseline_jpeg(img), C.encode_progressive_jpeg(img)):
         out = C.decode_image_pixels(enc[: max(2, len(enc) - cut)])
         assert out is None or out.shape == (h, w, 3)
+
+
+@given(
+    dims,
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([1, 3, 4]),
+    st.booleans(),
+    st.sampled_from([0, 4]),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_webp_lossless_roundtrip_any_input(hw, seed, nch, subtract_green, cache_bits, use_lz77):
+    """VP8L is lossless: ANY image through ANY encoder feature combo
+    round-trips bit-exactly."""
+    from etly_spark.operators import webp as W
+
+    h, w = hw
+    img = _img(h, w, nch, seed)
+    enc = W.encode_lossless_webp(
+        img, subtract_green=subtract_green, cache_bits=cache_bits, use_lz77=use_lz77
+    )
+    dec = W.decode_webp_pixels(enc)
+    want = np.stack([img] * 3, axis=-1) if nch == 1 else img
+    assert dec is not None and np.array_equal(dec, want)
+
+
+@given(dims, st.integers(0, 2**32 - 1), st.integers(0, 300))
+@settings(max_examples=40, deadline=None)
+def test_webp_truncation_never_crashes(hw, seed, cut):
+    from etly_spark.operators import webp as W
+
+    h, w = hw
+    img = _img(h, w, 3, seed)
+    enc = W.encode_lossless_webp(img)
+    out = W.decode_webp_pixels(enc[: max(0, len(enc) - cut)])
+    assert out is None or np.array_equal(out, img)

@@ -1,0 +1,315 @@
+"""WebP lossless (VP8L) codec tests.
+
+Round-trips are bit-exact (the format is lossless), so every
+encode->decode assertion is exact equality. The external-validation
+test decodes a REAL libwebp-encoded VP8L stream — the ALPH chunk of
+CPython's test `python.webp` — proving the entropy core (canonical
+Huffman via code-length codes, LZ77, the 120-entry distance map)
+against an independent encoder, not just this repo's own twin.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from etly_spark.operators import codecs as C
+from etly_spark.operators import multimodal as MM
+from etly_spark.operators import webp as W
+
+
+def _img(h, w, nch, seed=3):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, nch) if nch > 1 else (h, w)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Round-trips through the encoder twin
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"subtract_green": True},
+        {"cache_bits": 4},
+        {"use_lz77": False},
+        {"subtract_green": True, "cache_bits": 6},
+    ],
+)
+def test_webp_rgb_roundtrip_exact(kw):
+    img = _img(13, 17, 3)
+    dec = W.decode_webp_pixels(W.encode_lossless_webp(img, **kw))
+    assert dec is not None and np.array_equal(dec, img)
+
+
+def test_webp_rgba_and_gray_roundtrip():
+    rgba = _img(9, 9, 4)
+    dec = W.decode_webp_pixels(W.encode_lossless_webp(rgba))
+    assert dec.shape == (9, 9, 4) and np.array_equal(dec, rgba)
+    gray = _img(7, 31, 1)
+    dec = W.decode_webp_pixels(W.encode_lossless_webp(gray))
+    assert dec.shape == (7, 31, 3)
+    assert np.array_equal(dec, np.stack([gray] * 3, axis=-1))
+
+
+def test_webp_lz77_runs_and_distance_map():
+    # horizontal runs (distance 1) and vertical copies (distance w) both
+    # route through the 2D distance map's mapped codes
+    img = np.full((20, 30, 3), 7, np.uint8)
+    img[10:, :, :] = 200
+    img[5, :, 0] = np.arange(30, dtype=np.uint8)
+    img[6, :, 0] = np.arange(30, dtype=np.uint8)  # row copy -> distance w
+    enc = W.encode_lossless_webp(img)
+    dec = W.decode_webp_pixels(enc)
+    assert np.array_equal(dec, img)
+
+
+@pytest.mark.parametrize("ncolors", [2, 3, 4, 15, 16, 17, 200])
+def test_webp_palette_all_bundle_widths(ncolors):
+    rng = np.random.default_rng(11)
+    vals = (np.arange(ncolors) * (255 // max(ncolors - 1, 1))).astype(np.uint8)
+    pi = vals[rng.integers(0, ncolors, (21, 19))]
+    img = np.stack([pi, 255 - pi, pi // 2], axis=-1)
+    dec = W.decode_webp_pixels(W.encode_lossless_webp(img, use_palette=True))
+    assert dec is not None and np.array_equal(dec, img)
+
+
+def test_webp_through_codec_dispatch_and_header():
+    img = _img(12, 15, 3)
+    enc = W.encode_lossless_webp(img)
+    # decode_image_pixels routes RIFF/WEBP payloads to the VP8L decoder
+    dec = C.decode_image_pixels(enc)
+    assert np.array_equal(dec, img)
+    assert MM.parse_image_header(enc) == ("webp", 15, 12)
+
+
+def test_webp_truncation_and_garbage_return_none():
+    img = _img(10, 10, 3)
+    enc = W.encode_lossless_webp(img)
+    for cut in (10, len(enc) // 2, len(enc) - 3):
+        assert W.decode_webp_pixels(enc[:cut]) is None
+    assert W.decode_webp_pixels(b"RIFF\x00\x00\x00\x00WEBPgarbage") is None
+    assert W.decode_webp_pixels(b"not riff at all") is None
+
+
+# ---------------------------------------------------------------------------
+# Transform decode against independently-written FORWARD transforms
+# ---------------------------------------------------------------------------
+
+
+def _forward_predictor(pix, w, h, bits, modes, tw):
+    """Forward predictor transform (residual = pixel - pred mod 256),
+    written from the spec independently of the decoder's inverse."""
+    res = list(pix)
+    for i in range(w * h - 1, -1, -1):
+        x, y = i % w, i // w
+        if i == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = pix[i - 1]
+        elif x == 0:
+            pred = pix[i - w]
+        else:
+            mode = modes[(y >> bits) * tw + (x >> bits)]
+            L, T, TL, TR = pix[i - 1], pix[i - w], pix[i - w - 1], pix[i - w + 1]
+            if mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 5:
+                pred = W._avg2(W._avg2(L, TR), T)
+            elif mode == 7:
+                pred = W._avg2(L, T)
+            elif mode == 11:
+                pred = W._select(T, L, TL)
+            elif mode == 12:
+                pred = W._clamp_add_sub_full(L, T, TL)
+            elif mode == 13:
+                pred = W._clamp_add_sub_half(W._avg2(L, T), TL)
+            else:
+                pred = 0xFF000000
+        d = 0
+        for sh in (24, 16, 8, 0):
+            d |= ((((pix[i] >> sh) & 0xFF) - ((pred >> sh) & 0xFF)) & 0xFF) << sh
+        res[i] = d
+    return res
+
+
+@pytest.mark.parametrize("mode", [1, 2, 5, 7, 11, 12, 13])
+def test_webp_predictor_transform_decodes(mode):
+    h, w, bits = 9, 14, 2
+    img = _img(h, w, 3, seed=mode)
+    a = np.full((h, w), 255, np.uint32)
+    pix = [
+        int(p)
+        for p in (
+            (a << 24)
+            | (img[:, :, 0].astype(np.uint32) << 16)
+            | (img[:, :, 1].astype(np.uint32) << 8)
+            | img[:, :, 2].astype(np.uint32)
+        ).reshape(-1)
+    ]
+    tw, th = W._sub_size(w, bits), W._sub_size(h, bits)
+    modes = [mode] * (tw * th)
+    res = _forward_predictor(pix, w, h, bits, modes, tw)
+    # hand-build the stream: header, PREDICTOR transform, residuals
+    bw = W._BitsW()
+    bw.put(0x2F, 8)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(0, 2)  # PREDICTOR
+    bw.put(bits - 2, 3)
+    W._emit_pixel_stream(
+        bw, [(0xFF << 24) | (m << 8) for m in modes], tw, use_lz77=False, cache_bits=0
+    )
+    bw.put(0, 1)  # end transforms
+    W._emit_pixel_stream(bw, res, w, use_lz77=False, cache_bits=0, allow_meta=True)
+    got = W.decode_vp8l_stream(bw.flush())
+    assert got is not None
+    rgba, _ = got
+    assert np.array_equal(rgba[:, :, :3], img)
+
+
+def test_webp_color_transform_decodes():
+    h, w, bits = 8, 11, 2
+    img = _img(h, w, 3, seed=42)
+    g2r, g2b, r2b = 33, 250, 17  # signed 3.5 fixed-point bytes
+    tpx = (0xFF << 24) | (g2r << 16) | (g2b << 8) | r2b
+    tw, th = W._sub_size(w, bits), W._sub_size(h, bits)
+    # forward transform (independent of the decoder's inverse)
+    res = []
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2]))
+            gs = W._s8(g)
+            r_res = (r - ((W._s8(g2r) * gs) >> 5)) & 0xFF
+            b_res = (b - ((W._s8(g2b) * gs) >> 5) - ((W._s8(r2b) * W._s8(r)) >> 5)) & 0xFF
+            res.append((0xFF << 24) | (r_res << 16) | (g << 8) | b_res)
+    bw = W._BitsW()
+    bw.put(0x2F, 8)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(1, 2)  # COLOR
+    bw.put(bits - 2, 3)
+    W._emit_pixel_stream(bw, [tpx] * (tw * th), tw, use_lz77=False, cache_bits=0)
+    bw.put(0, 1)
+    W._emit_pixel_stream(bw, res, w, use_lz77=False, cache_bits=0, allow_meta=True)
+    got = W.decode_vp8l_stream(bw.flush())
+    assert got is not None
+    assert np.array_equal(got[0][:, :, :3], img)
+
+
+# ---------------------------------------------------------------------------
+# EXTERNAL validation: a real libwebp bitstream
+# ---------------------------------------------------------------------------
+
+
+def _find_python_webp() -> str | None:
+    for pat in (
+        "/root/.pyenv/versions/*/lib/*/test/test_email/data/python.webp",
+        "/root/.pyenv/versions/*/lib/*/test/imghdrdata/python.webp",
+    ):
+        hits = glob.glob(pat)
+        if hits:
+            return hits[0]
+    return None
+
+
+def test_webp_real_libwebp_alpha_stream_decodes():
+    """CPython's test python.webp carries an ALPH chunk: a VP8L stream
+    produced by REAL libwebp. Decoding it validates this module's
+    entropy core against an independent implementation of the spec —
+    the strongest in-sandbox interop evidence available (no codec
+    library ships here). The recovered plane is the Python-logo alpha
+    silhouette; golden-pinned."""
+    path = _find_python_webp()
+    if path is None:
+        pytest.skip("no python.webp on this system")
+    payload = open(path, "rb").read()
+    fmt, w, h = W.parse_webp_header(payload)
+    assert (fmt, w, h) == ("webp", 16, 16)
+    chunks = dict(W._riff_chunks(payload))
+    assert b"ALPH" in chunks and b"VP8 " in chunks
+    plane = W.decode_alpha_chunk(chunks[b"ALPH"], w, h)
+    assert plane is not None and plane.shape == (16, 16)
+    # corners transparent, center opaque — the logo silhouette
+    assert plane[0, 0] == 0 and plane[15, 0] == 0
+    assert plane[6, 2] == 255 and plane[9, 8] == 255
+    assert hashlib.md5(plane.tobytes()).hexdigest() == (
+        "fa1667e19ae1b259be670911674006a6"
+    )
+    # the lossy VP8 luma itself stays behind the arithmetic-coding gate
+    assert W.decode_webp_pixels(payload) is None
+    assert C.decode_image_pixels(payload) is None
+
+
+def test_webp_alpha_filters_invert():
+    rng = np.random.default_rng(5)
+    plane = rng.integers(0, 256, (9, 13), dtype=np.uint8).astype(np.int64)
+    h, w = plane.shape
+    for filt in (1, 2, 3):
+        res = np.zeros_like(plane)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif filt == 1:
+                    pred = plane[y, x - 1] if x > 0 else plane[y - 1, x]
+                elif filt == 2:
+                    pred = plane[y - 1, x] if y > 0 else plane[y, x - 1]
+                else:
+                    if y == 0:
+                        pred = plane[y, x - 1]
+                    elif x == 0:
+                        pred = plane[y - 1, x]
+                    else:
+                        g = int(plane[y, x - 1]) + int(plane[y - 1, x]) - int(
+                            plane[y - 1, x - 1]
+                        )
+                        pred = min(255, max(0, g))
+                res[y, x] = (plane[y, x] - pred) & 0xFF
+        body = bytes([filt << 2]) + bytes(res.astype(np.uint8).reshape(-1))
+        got = W.decode_alpha_chunk(body, w, h)
+        assert got is not None and np.array_equal(got, plane.astype(np.uint8)), filt
+
+
+def test_webp_prefix_code_roundtrip():
+    br_vals = []
+    for v in list(range(1, 200)) + [1000, 4096, 100000]:
+        p, nbits, bits = W._prefix_sym(v)
+        # decode twin
+        bw = W._BitsW()
+        if nbits:
+            bw.put(bits, nbits)
+        br = W._Bits(bw.flush() or b"\x00")
+        assert W._prefix_val(br, p) == v
+        br_vals.append(p)
+    assert max(br_vals) < 40
+
+
+def test_webp_through_decode_pixel_features_spark(spark):
+    img = _img(12, 18, 3, seed=9)
+    rgba = _img(6, 6, 4, seed=10)
+    rows = [
+        (0, bytearray(W.encode_lossless_webp(img))),
+        (1, bytearray(W.encode_lossless_webp(rgba, cache_bits=4))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.decode_pixel_features(df).collect()}
+    assert out[0].format == "webp" and out[0].width == 18 and out[0].height == 12
+    dec0 = C.decode_image_pixels(bytes(rows[0][1]))
+    assert out[0].pixel_md5 == hashlib.md5(dec0.tobytes()).hexdigest()
+    assert out[1].format == "webp" and out[1].width == 6 and out[1].height == 6
