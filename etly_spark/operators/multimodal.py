@@ -303,6 +303,71 @@ def synthesize_ppm_payload(df: DataFrame, w: int = 16, h: int = 16, text_col: st
     )
 
 
+def webp_roundtrip_features(
+    df: DataFrame, w: int = 16, h: int = 16, every: int = 50
+) -> DataFrame:
+    """REAL lossless-WebP round-trip under the oracle gate: pack each
+    sampled doc's text into a w*h*3 raster, encode it as VP8L
+    (`operators.webp.encode_lossless_webp`), then header-parse AND
+    fully decode the produced container. Because VP8L is lossless, the
+    decoded raster equals the source bytes — so a SQL oracle mirrors
+    `payload_md5`/`mean_luma` with pure byte arithmetic and ANY bug in
+    either codec half fails the value-hash gate.
+
+    ``every`` takes a deterministic 1-in-N sample (doc_id % N == 0):
+    the codec pair costs ~5 ms/doc in pure Python, so the checked
+    branch bounds its work while still exercising the full pipeline.
+    The sampled subset is repartitioned to the default parallelism —
+    a keyless balance shuffle over a tiny projected slice (the ONLY
+    repartition in the engine; scan partitioning would serialize this
+    CPU-heavy map behind however few input files the corpus has)."""
+    n = w * h * 3
+    sub = df.filter((F.col("doc_id") % every) == 0).select("doc_id", "text")
+    sub = sub.repartition(sub.sparkSession.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id long, enc_bytes long, payload_md5 string, width long, "
+        "height long, mean_luma double"
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from etly_spark.operators import codecs as _codecs
+        from etly_spark.operators import webp as _webp
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode()[:n].ljust(n, b" ")
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                enc = _webp.encode_lossless_webp(arr, cache_bits=4)
+                fmt, pw, ph = parse_image_header(enc)
+                assert fmt == "webp"
+                dec = _codecs.decode_image_pixels(enc)
+                rows.append(
+                    (
+                        int(did),
+                        len(enc),
+                        hashlib.md5(dec.tobytes()).hexdigest(),
+                        int(pw),
+                        int(ph),
+                        float(int(dec.astype(np.int64).sum()) / n),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "enc_bytes", "payload_md5", "width", "height",
+                    "mean_luma",
+                ],
+            )
+
+    return sub.mapInPandas(gen, schema)
+
+
 PIXEL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

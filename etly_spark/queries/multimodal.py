@@ -24,6 +24,7 @@ from etly_spark.operators.multimodal import (
     decode_pixel_features,
     synthesize_ppm_payload,
     synthesize_y4m_payload,
+    webp_roundtrip_features,
 )
 from etly_spark.queries.catalog import query
 
@@ -57,10 +58,27 @@ from etly_spark.queries.catalog import query
              round(CAST(list_sum(list_transform(generate_series(1, 768),
                     i -> ascii(substr(px, i, 1)))) AS DOUBLE) / 768, 6) AS mean_luma
       FROM raster
+    ), webp AS (
+      -- lossless round-trip: the VP8L encode+decode pair must hand the
+      -- source raster back bit-for-bit, so byte arithmetic IS the
+      -- decoded-pixel oracle (same px contract as 'pixels'; 1-in-50
+      -- deterministic sample bounds the pure-Python codec cost)
+      SELECT 'webp' AS variant, doc_id,
+             768 AS n_bytes,
+             md5(px) AS payload_md5,
+             CAST(NULL AS VARCHAR) AS header_hex,
+             16 AS height,
+             16 AS width,
+             CAST(NULL AS BIGINT) AS n_frames,
+             round(CAST(list_sum(list_transform(generate_series(1, 768),
+                    i -> ascii(substr(px, i, 1)))) AS DOUBLE) / 768, 6) AS mean_luma
+      FROM raster WHERE doc_id % 50 = 0
     )
     SELECT * FROM meta
     UNION ALL BY NAME
     SELECT * FROM pixels
+    UNION ALL BY NAME
+    SELECT * FROM webp
     ORDER BY variant, doc_id
     """,
     doc="Tagged union: 'meta' = binary payload + typed metadata (length, "
@@ -72,8 +90,13 @@ from etly_spark.queries.catalog import query
     "arithmetic: payload_md5 digests the DECODED raster, width/height "
     "come from the REAL header parse, mean_luma from the decoded "
     "array. A codec bug anywhere (tokenizer, offset, reshape) fails "
-    "the hash gate. Perceptual-hash columns (ahash/dhash) and the "
-    "BMP/PNG/WAV codecs are pytest-covered (tests/test_codecs.py).",
+    "the hash gate. 'webp' (r8) = REAL entropy-coded round-trip: a "
+    "1-in-50 doc sample is VP8L-encoded (operators/webp.py), header-"
+    "parsed, and fully decoded back — lossless, so the decoded raster "
+    "must equal the source bytes and the same byte-arithmetic oracle "
+    "gates the whole Huffman+LZ77 codec pair. Perceptual-hash columns "
+    "(ahash/dhash) and the BMP/PNG/WAV/JPEG codecs are pytest-covered "
+    "(tests/test_codecs.py, tests/test_webp.py).",
 )
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -101,7 +124,19 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_frames"),
         F.round("mean_luma", 6).alias("mean_luma"),
     )
-    return meta.unionByName(pixels).orderBy("variant", "doc_id")
+    wb = webp_roundtrip_features(docs, w=16, h=16, every=50)
+    webp_rows = wb.select(
+        F.lit("webp").alias("variant"),
+        "doc_id",
+        F.lit(768).cast("long").alias("n_bytes"),
+        F.col("payload_md5"),
+        F.lit(None).cast("string").alias("header_hex"),
+        F.col("height"),
+        F.col("width"),
+        F.lit(None).cast("long").alias("n_frames"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+    return meta.unionByName(pixels).unionByName(webp_rows).orderBy("variant", "doc_id")
 
 
 @query(
