@@ -26,6 +26,23 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1).rstrip(".")) if m else -1.0
 
 
+# Queries that gained NEW BRANCHES in a given round: a ">threshold" ratio
+# against an OLDER round's artifact is new work, not a slowdown, and the
+# regression gate reports it under "nb" (annotated) instead of "n"
+# (unexplained). Tags are "r<N>:+what"; the annotation only applies when
+# the compared-against artifact predates round N, so entries self-expire
+# once the branch is inside the baseline being compared to.
+NEW_BRANCHES: dict[str, str] = {
+    "sim_ann_methods": "r8:+recall@5+multiprobe",
+    "mm_binary_metadata": "r8:+webp-vp8l",
+}
+
+
+def _branch_round(tag: str) -> int:
+    m = re.match(r"r(\d+):", tag)
+    return int(m.group(1)) if m else 0
+
+
 def run_query(spark, builder, sf_dir: str) -> float:
     # Each timed run is a full computation: queries that persist() their
     # sketch tables leave session-lifetime entries in the CacheManager,
@@ -126,7 +143,7 @@ def regressions_vs_previous(times: dict, sf: float, threshold: float = 1.25) -> 
     tools/bench_compare's extractor, and report queries slower than
     ``threshold``x (and >0.05 s absolute — sub-tick ratios are noise).
     The stdout line carries only the compact summary (count + the 3
-    worst ratios keyed by 14-char name prefixes, inside the 1900-char
+    worst ratios keyed by 12-char name prefixes, inside the 1900-char
     tail budget); bench_detail.json gets every regressed query. None
     when no comparable artifact exists or the scales differ (ratios
     would be meaningless)."""
@@ -162,17 +179,34 @@ def regressions_vs_previous(times: dict, sf: float, threshold: float = 1.25) -> 
         ),
         reverse=True,
     )
-    # stdout rendering is budget-capped: round tag ("r07"), count, and
-    # the 3 worst ratios keyed by 14-char name prefixes (unique across
-    # the registry at that length; checked by the bench-contract test).
-    # bench_detail.json carries the full names and the whole list.
     m = re.search(r"r(\d+)", os.path.basename(prev))
-    return {
-        "vs": f"r{m.group(1)}" if m else os.path.basename(prev)[:8],
-        "n": len(rows),
-        "w": {q[:14]: min(r, 99.99) for r, q in rows[:3]},
-        "detail": {q: r for r, q in rows},
+    prev_round = int(m.group(1)) if m else 0
+    # Split annotated new-branch growth (the branch landed AFTER the
+    # compared-against round, so the ratio is new work by construction)
+    # from unexplained regressions.
+    annotated = {
+        q: {"ratio": r, "tag": NEW_BRANCHES[q]}
+        for r, q in rows
+        if q in NEW_BRANCHES and _branch_round(NEW_BRANCHES[q]) > prev_round
     }
+    unexplained = [(r, q) for r, q in rows if q not in annotated]
+    # stdout rendering is budget-capped: round tag ("r07"), unexplained
+    # count + 3 worst ratios keyed by 12-char name prefixes (unique
+    # across the registry at that length; checked by the bench-contract
+    # test), and the annotated count ("nb"). bench_detail.json carries
+    # the full names, the whole list, and the annotation tags.
+    out = {
+        "vs": f"r{m.group(1)}" if m else os.path.basename(prev)[:8],
+        "n": len(unexplained),
+        "w": {q[:12]: min(r, 99.99) for r, q in unexplained[:3]},
+        "detail": {
+            "regressed": {q: r for r, q in unexplained},
+            "new_branches": annotated,
+        },
+    }
+    if annotated:
+        out["nb"] = len(annotated)
+    return out
 
 
 def main() -> int:

@@ -34,11 +34,17 @@ def _worst_case_line() -> str:
         regr={
             "vs": "r99",
             "n": 50,
+            "nb": 50,
             # worst-case rendering: 3 prefix-truncated names at the
             # capped ratio width ("detail" must be stripped from the
             # stdout line — it goes to bench_detail.json only)
-            "w": {n[:14]: 99.99 for n in sorted(REGISTRY, key=len)[-3:]},
-            "detail": {n: 99.99 for n in REGISTRY},
+            "w": {n[:12]: 99.99 for n in sorted(REGISTRY, key=len)[-3:]},
+            "detail": {
+                "regressed": {n: 99.99 for n in REGISTRY},
+                "new_branches": {
+                    n: {"ratio": 99.99, "tag": "r99:+x"} for n in REGISTRY
+                },
+            },
         },
     )
 
@@ -63,9 +69,9 @@ def test_regression_field_present_and_compact():
     assert d["regr"]["vs"] == "r99"
     assert len(d["regr"]["w"]) == 3
     assert "detail" not in d["regr"]  # full list lives in bench_detail.json
-    # 14-char prefixes must stay unique across the registry, or the
+    # 12-char prefixes must stay unique across the registry, or the
     # compact regr keys would collide
-    assert len({n[:14] for n in REGISTRY}) == len(REGISTRY)
+    assert len({n[:12] for n in REGISTRY}) == len(REGISTRY)
 
 
 def test_regressions_vs_previous_diffs_real_artifact(tmp_path, monkeypatch):
@@ -98,6 +104,34 @@ def test_regressions_vs_previous_diffs_real_artifact(tmp_path, monkeypatch):
     assert list(out["w"]) == ["b", "d", "a"]
     assert out["w"]["b"] == 99.99
     assert out["n"] == 3
-    assert out["detail"]["d"] == 10.0
+    assert out["detail"]["regressed"]["d"] == 10.0
     # sf mismatch -> explicit skip, no bogus ratios
     assert bench.regressions_vs_previous({"a": 9.9}, 20.0)["skipped"] == "sf-mismatch"
+
+
+def test_new_branch_annotation_splits_and_self_expires(tmp_path, monkeypatch):
+    # A query listed in NEW_BRANCHES with a branch round NEWER than the
+    # compared-against artifact moves from "n"/"w" to "nb"/detail; once
+    # the baseline round catches up, the annotation no longer applies.
+    import os
+    import shutil
+
+    (tmp_path / "tools").mkdir()
+    shutil.copy(
+        os.path.join(os.path.dirname(bench.__file__), "tools", "bench_compare.py"),
+        tmp_path / "tools" / "bench_compare.py",
+    )
+    prior = {"tail": "", "parsed": {"sf": 0.1, "queries": {"a": 1.0, "b": 1.0}}}
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(prior))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    monkeypatch.setattr(bench, "NEW_BRANCHES", {"a": "r6:+newmode"})
+    out = bench.regressions_vs_previous({"a": 2.0, "b": 2.0}, 0.1)
+    assert out["n"] == 1 and list(out["w"]) == ["b"]
+    assert out["nb"] == 1
+    assert out["detail"]["new_branches"]["a"] == {"ratio": 2.0, "tag": "r6:+newmode"}
+    # baseline at r6 already contains the branch -> annotation expires
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps(prior))
+    out2 = bench.regressions_vs_previous({"a": 2.0, "b": 2.0}, 0.1)
+    assert out2["n"] == 2 and "nb" not in out2
