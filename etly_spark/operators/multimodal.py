@@ -368,6 +368,77 @@ def webp_roundtrip_features(
     return sub.mapInPandas(gen, schema)
 
 
+def flac_roundtrip_features(
+    df: DataFrame, n_bytes: int = 768, every: int = 50, offset: int = 25
+) -> DataFrame:
+    """REAL FLAC round-trip under the oracle gate — the audio twin of
+    ``webp_roundtrip_features``: pack each sampled doc's text into
+    ``n_bytes`` of little-endian 16-bit stereo PCM (n_bytes/4 frames x
+    2 channels), encode it with the pure-numpy FLAC encoder
+    (`operators.flac.encode_flac` — fixed/LPC prediction, stereo
+    decorrelation, Rice residuals), then FULLY decode the produced
+    stream (CRC-8/CRC-16/MD5 all verified). FLAC is lossless, so the
+    decoded PCM re-serializes to exactly the source bytes — a SQL
+    oracle mirrors ``payload_md5``/``mean_byte`` with pure byte
+    arithmetic and ANY bug in either codec half fails the value-hash
+    gate.
+
+    ``every``/``offset`` take a deterministic 1-in-N sample
+    (doc_id % every == offset; offset distinct from the webp branch so
+    the two entropy-codec rows cover different docs). Same
+    repartition rationale as the webp branch: balance the CPU-heavy
+    map across cores instead of input files."""
+    nframes = n_bytes // 4
+    sub = df.filter((F.col("doc_id") % every) == offset).select("doc_id", "text")
+    sub = sub.repartition(sub.sparkSession.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id long, enc_bytes long, payload_md5 string, n_channels long, "
+        "n_frames long, mean_byte double"
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from etly_spark.operators import flac as _flac
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode()[:n_bytes].ljust(n_bytes, b" ")
+                pcm = np.frombuffer(raw, dtype="<i2").astype(np.int64).reshape(nframes, 2)
+                enc = _flac.encode_flac(pcm, 16000, bps=16, block_size=nframes)
+                out = _flac.decode_flac(enc)
+                assert out is not None
+                rate, dec, bps = out
+                assert rate == 16000 and bps == 16
+                back = dec.astype("<i2").tobytes()
+                rows.append(
+                    (
+                        int(did),
+                        len(enc),
+                        hashlib.md5(back).hexdigest(),
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        float(
+                            int(np.frombuffer(back, dtype=np.uint8).astype(np.int64).sum())
+                            / n_bytes
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "enc_bytes", "payload_md5", "n_channels",
+                    "n_frames", "mean_byte",
+                ],
+            )
+
+    return sub.mapInPandas(gen, schema)
+
+
 PIXEL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -23,6 +23,7 @@ from etly_spark.operators.multimodal import (
     decode_frame_samples,
     decode_pixel_features,
     synthesize_ppm_payload,
+    flac_roundtrip_features,
     synthesize_y4m_payload,
     webp_roundtrip_features,
 )
@@ -73,12 +74,31 @@ from etly_spark.queries.catalog import query
              round(CAST(list_sum(list_transform(generate_series(1, 768),
                     i -> ascii(substr(px, i, 1)))) AS DOUBLE) / 768, 6) AS mean_luma
       FROM raster WHERE doc_id % 50 = 0
+    ), flac AS (
+      -- audio twin of the webp branch: the same 768 bytes reread as
+      -- 192 frames of LE int16 stereo PCM, FLAC-encoded and fully
+      -- decoded back; lossless => byte arithmetic IS the decoded-PCM
+      -- oracle (height/width carry channels/frames from the REAL
+      -- STREAMINFO+frame decode; offset-25 sample covers different
+      -- docs than webp's offset-0)
+      SELECT 'flac' AS variant, doc_id,
+             768 AS n_bytes,
+             md5(px) AS payload_md5,
+             CAST(NULL AS VARCHAR) AS header_hex,
+             2 AS height,
+             192 AS width,
+             CAST(NULL AS BIGINT) AS n_frames,
+             round(CAST(list_sum(list_transform(generate_series(1, 768),
+                    i -> ascii(substr(px, i, 1)))) AS DOUBLE) / 768, 6) AS mean_luma
+      FROM raster WHERE doc_id % 50 = 25
     )
     SELECT * FROM meta
     UNION ALL BY NAME
     SELECT * FROM pixels
     UNION ALL BY NAME
     SELECT * FROM webp
+    UNION ALL BY NAME
+    SELECT * FROM flac
     ORDER BY variant, doc_id
     """,
     doc="Tagged union: 'meta' = binary payload + typed metadata (length, "
@@ -94,9 +114,13 @@ from etly_spark.queries.catalog import query
     "1-in-50 doc sample is VP8L-encoded (operators/webp.py), header-"
     "parsed, and fully decoded back — lossless, so the decoded raster "
     "must equal the source bytes and the same byte-arithmetic oracle "
-    "gates the whole Huffman+LZ77 codec pair. Perceptual-hash columns "
+    "gates the whole Huffman+LZ77 codec pair. 'flac' (r8) = the audio "
+    "twin: the same bytes as LE int16 stereo PCM through the pure-"
+    "numpy FLAC codec pair (operators/flac.py — fixed/LPC prediction, "
+    "stereo decorrelation, Rice residuals, CRC-8/16 + MD5 verified), "
+    "lossless round-trip under the same gate. Perceptual-hash columns "
     "(ahash/dhash) and the BMP/PNG/WAV/JPEG codecs are pytest-covered "
-    "(tests/test_codecs.py, tests/test_webp.py).",
+    "(tests/test_codecs.py, tests/test_webp.py, tests/test_flac.py).",
 )
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -136,7 +160,24 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_frames"),
         F.round("mean_luma", 6).alias("mean_luma"),
     )
-    return meta.unionByName(pixels).unionByName(webp_rows).orderBy("variant", "doc_id")
+    fl = flac_roundtrip_features(docs, n_bytes=768, every=50, offset=25)
+    flac_rows = fl.select(
+        F.lit("flac").alias("variant"),
+        "doc_id",
+        F.lit(768).cast("long").alias("n_bytes"),
+        F.col("payload_md5"),
+        F.lit(None).cast("string").alias("header_hex"),
+        F.col("n_channels").alias("height"),
+        F.col("n_frames").alias("width"),
+        F.lit(None).cast("long").alias("n_frames"),
+        F.round("mean_byte", 6).alias("mean_luma"),
+    )
+    return (
+        meta.unionByName(pixels)
+        .unionByName(webp_rows)
+        .unionByName(flac_rows)
+        .orderBy("variant", "doc_id")
+    )
 
 
 @query(
