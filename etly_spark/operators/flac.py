@@ -88,21 +88,35 @@ _SAMPLE_SIZE_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 
 _SAMPLE_SIZE_FROM_CODE = {v: k for k, v in _SAMPLE_SIZE_CODES.items()}
 
 
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -572,13 +586,18 @@ def _rice_cost(u: np.ndarray, k: int) -> int:
 
 
 def _best_rice(u: np.ndarray) -> tuple[int, int]:
-    best_k, best_c = 0, _rice_cost(u, 0)
-    for k in range(1, 15):
-        c = _rice_cost(u, k)
-        if c < best_c:
-            best_k, best_c = k, c
-        elif c > best_c * 2:
-            break
+    """Rice parameter search seeded by the mean-magnitude estimate
+    (optimal k is within ~1 of log2(mean) for Laplacian residuals —
+    the standard estimator), refined by checking the neighborhood
+    instead of sweeping all 15 values."""
+    mean = float(u.mean()) if u.size else 0.0
+    k0 = max(0, min(14, int(mean).bit_length() - 1)) if mean >= 1 else 0
+    best_k, best_c = k0, _rice_cost(u, k0)
+    for k in (k0 - 1, k0 + 1, k0 - 2, k0 + 2):
+        if 0 <= k <= 14:
+            c = _rice_cost(u, k)
+            if c < best_c:
+                best_k, best_c = k, c
     return best_k, best_c
 
 
