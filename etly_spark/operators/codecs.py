@@ -1761,38 +1761,280 @@ def video_stats(fps: float, frames: np.ndarray) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """256-entry µ-law -> int16 expansion (ITU-T G.711): invert the
+    code, split sign/exponent/mantissa, rebuild the biased magnitude."""
+    codes = np.arange(256, dtype=np.int64)
+    u = ~codes & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """256-entry A-law -> int16 expansion (ITU-T G.711): XOR 0x55
+    toggle, then segment expansion (segment 0 is linear). NOTE the
+    A-law sign convention is inverted vs µ-law: bit 7 SET means
+    positive."""
+    codes = np.arange(256, dtype=np.int64)
+    a = codes ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_ULAW_TABLE = _g711_ulaw_table()
+_ALAW_TABLE = _g711_alaw_table()
+
+# IMA ADPCM tables (public IMA/DVI spec)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int) -> list[int]:
+    """Sequential IMA ADPCM nibble expansion (the published
+    step-table recurrence); returns the decoded samples AFTER the
+    header's seed sample."""
+    out = []
+    for nib in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            diff = -diff
+        predictor = max(-32768, min(32767, predictor + diff))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nib & 7])))
+        out.append(predictor)
+    return out
+
+
+def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray | None:
+    """WAV IMA ADPCM (format 0x11): per-block 4-byte channel headers
+    (seed sample int16 + step index), then 4-byte nibble groups
+    round-robin across channels (8 samples per group)."""
+    if block_align < 4 * n_ch or n_ch < 1:
+        return None
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for boff in range(0, len(data), block_align):
+        block = data[boff : boff + block_align]  # tail block may be short
+        if len(block) < 4 * n_ch:
+            break
+        preds, idxs = [], []
+        for c in range(n_ch):
+            p, ix = struct.unpack_from("<hBx", block, 4 * c)
+            if ix > 88:
+                return None
+            preds.append(p)
+            idxs.append(ix)
+            chans[c].append(p)  # header seed is the first output sample
+        body = block[4 * n_ch :]
+        ngroups = len(body) // (4 * n_ch)
+        nibs_per_ch: list[list[int]] = [[] for _ in range(n_ch)]
+        for g in range(ngroups):
+            for c in range(n_ch):
+                chunk = body[(g * n_ch + c) * 4 : (g * n_ch + c) * 4 + 4]
+                for byte in chunk:
+                    nibs_per_ch[c].append(byte & 0xF)
+                    nibs_per_ch[c].append(byte >> 4)
+        for c in range(n_ch):
+            chans[c].extend(_ima_decode_nibbles(nibs_per_ch[c], preds[c], idxs[c]))
+    n = min(len(ch) for ch in chans)
+    if n == 0:
+        return None
+    out = np.empty((n, n_ch), dtype=np.float32)
+    for c in range(n_ch):
+        out[:, c] = np.asarray(chans[c][:n], dtype=np.float32) / 32768.0
+    return out
+
+
+def g711_encode(samples: np.ndarray, law: str) -> np.ndarray:
+    """int16 -> G.711 code bytes (the published segment search),
+    encoder twin for the expansion tables: encode(decode(c)) == c for
+    every code is the tables' self-consistency test."""
+    x = np.asarray(samples, dtype=np.int64)
+    out = np.empty(x.shape, dtype=np.uint8)
+    if law == "ulaw":
+        for i, v in enumerate(x.ravel()):
+            sign = 0x80 if v < 0 else 0
+            v = min(abs(int(v)), 32635) + 0x84
+            exp = v.bit_length() - 8
+            mant = (v >> (exp + 3)) & 0xF
+            out.ravel()[i] = ~(sign | (exp << 4) | mant) & 0xFF
+    elif law == "alaw":
+        for i, v in enumerate(x.ravel()):
+            sign = 0x80 if v >= 0 else 0
+            v = min(abs(int(v)), 32767)
+            if v < 256:
+                code = v >> 4
+            else:
+                exp = v.bit_length() - 8
+                mant = (v >> (exp + 3)) & 0xF
+                code = (exp << 4) | mant
+            out.ravel()[i] = (sign | code) ^ 0x55
+    else:
+        raise ValueError(law)
+    return out
+
+
+def ima_adpcm_encode_wav(
+    samples: np.ndarray, rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Encoder twin: int16 (n, ch) -> a complete IMA-ADPCM WAV file
+    (format 0x11) with proper block headers, for round-tripping the
+    decoder against independently-generated streams. Standard greedy
+    nibble quantizer (mirror of the decode recurrence)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    spb = samples_per_block
+    if (spb - 1) % 8:
+        raise ValueError("samples_per_block must be 1 mod 8")
+    block_align = 4 * nch + ((spb - 1) // 2) * nch
+    blocks = bytearray()
+    idx = [0] * nch
+    for start in range(0, n, spb):
+        blk = x[start : start + spb]
+        if blk.shape[0] < spb:  # pad the tail block by repeating the last sample
+            pad = np.repeat(blk[-1:], spb - blk.shape[0], axis=0)
+            blk = np.vstack([blk, pad])
+        nibs: list[list[int]] = []
+        for c in range(nch):
+            pred = int(blk[0, c])
+            blocks += struct.pack("<hBx", pred, idx[c])
+            ch_nibs = []
+            for s in blk[1:, c]:
+                step = int(_IMA_STEPS[idx[c]])
+                diff = int(s) - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # reconstruct exactly as the decoder will
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                if nib & 8:
+                    d = -d
+                pred = max(-32768, min(32767, pred + d))
+                idx[c] = max(0, min(88, idx[c] + int(_IMA_INDEX_ADJ[nib & 7])))
+                ch_nibs.append(nib)
+            nibs.append(ch_nibs)
+        # pack: 4-byte groups (8 nibbles) round-robin across channels
+        for g in range((spb - 1) // 8):
+            for c in range(nch):
+                grp = nibs[c][g * 8 : g * 8 + 8]
+                for k in range(0, 8, 2):
+                    blocks.append(grp[k] | (grp[k + 1] << 4))
+    fmt = struct.pack(
+        "<HHIIHHH", 0x11, nch, rate, rate * block_align // spb, block_align, 4, 2
+    ) + struct.pack("<H", spb)
+    hdr = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    hdr += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", 4 + len(hdr) - 4) + hdr
+
+
 def decode_wav(payload: bytes | None) -> tuple[int, np.ndarray] | None:
     """REAL WAV decode: RIFF chunk walk -> (sample_rate, float32 samples
-    in [-1, 1], shape (n_samples, n_channels)). PCM 8-bit unsigned and
-    16-bit signed little-endian. None for anything else."""
+    in [-1, 1], shape (n_samples, n_channels)). Formats: PCM 8-bit
+    unsigned / 16 / 24 / 32-bit signed LE (1), IEEE float32 (3), G.711
+    A-law (6) and µ-law (7), IMA ADPCM (0x11), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE — effective format taken from the
+    SubFormat GUID). None for anything else."""
     if not payload or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    i, fmt, data = 12, None, None
+    i, fmt, fmt_body, data = 12, None, b"", None
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         (clen,) = struct.unpack_from("<I", payload, i + 4)
         body = payload[i + 8 : i + 8 + clen]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         return None
-    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+    audio_fmt, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt == 0xFFFE and len(fmt_body) >= 26:
+        # EXTENSIBLE: first two GUID bytes are the effective format
+        (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
+    if n_ch < 1 or rate <= 0:
         return None
-    if bits == 16:
-        n = len(data) // (2 * n_ch)
-        samples = np.frombuffer(data, dtype="<i2", count=n * n_ch).astype(np.float32) / 32768.0
-    else:
+    if audio_fmt == 1 and bits in (8, 16, 24, 32):
+        width = bits // 8
+        n = len(data) // (width * n_ch)
+        if bits == 8:
+            samples = (
+                np.frombuffer(data, dtype=np.uint8, count=n * n_ch).astype(np.float32)
+                - 128.0
+            ) / 128.0
+        elif bits == 16:
+            samples = (
+                np.frombuffer(data, dtype="<i2", count=n * n_ch).astype(np.float32)
+                / 32768.0
+            )
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8, count=n * n_ch * 3).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = v.astype(np.float32) / float(1 << 23)
+        else:
+            samples = (
+                np.frombuffer(data, dtype="<i4", count=n * n_ch).astype(np.float32)
+                / float(1 << 31)
+            )
+    elif audio_fmt == 3 and bits == 32:
+        n = len(data) // (4 * n_ch)
+        samples = np.frombuffer(data, dtype="<f4", count=n * n_ch).astype(np.float32)
+    elif audio_fmt in (6, 7) and bits == 8:
         n = len(data) // n_ch
-        samples = (
-            np.frombuffer(data, dtype=np.uint8, count=n * n_ch).astype(np.float32) - 128.0
-        ) / 128.0
+        table = _ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE
+        codes = np.frombuffer(data, dtype=np.uint8, count=n * n_ch)
+        samples = table[codes].astype(np.float32) / 32768.0
+    elif audio_fmt == 0x11 and bits == 4:
+        out = _decode_ima_adpcm(data, n_ch, block_align)
+        if out is None:
+            return None
+        return rate, out
+    else:
+        return None
+    n = samples.shape[0] // n_ch
     if n == 0:
         return None
-    return rate, samples.reshape(n, n_ch)
+    return rate, samples[: n * n_ch].reshape(n, n_ch)
 
 
 def audio_fingerprint64(samples: np.ndarray) -> int:

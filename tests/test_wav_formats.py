@@ -1,0 +1,190 @@
+"""WAV format-family tests: G.711 µ-law/A-law, IMA ADPCM, IEEE float,
+24/32-bit PCM, WAVE_FORMAT_EXTENSIBLE (operators/codecs.decode_wav).
+
+G.711 and PCM paths are integer-exact (table lookups), so assertions
+are exact. ADPCM is lossy by design; the decoder is checked against
+the encoder twin with the step-table error bound, plus a hand-decoded
+golden block computed sample-by-sample from the published recurrence.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from etly_spark.operators.codecs import (
+    _ALAW_TABLE,
+    _IMA_INDEX_ADJ,
+    _IMA_STEPS,
+    _ULAW_TABLE,
+    decode_wav,
+    g711_encode,
+    ima_adpcm_encode_wav,
+)
+
+
+def _wav(fmt_tag, n_ch, rate, bits, data, extensible=False, block_align=None):
+    ba = block_align if block_align is not None else max(1, (bits // 8)) * n_ch
+    if extensible:
+        sub = struct.pack("<H", fmt_tag) + b"\x00" * 14
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, n_ch, rate, rate * ba, ba, bits, 22, bits, 3)
+        fmt += sub
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_tag, n_ch, rate, rate * ba, ba, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# G.711
+# ---------------------------------------------------------------------------
+
+
+def test_g711_tables_self_consistent_all_256_codes():
+    # decode->encode must return the original code for EVERY code
+    # (both laws): catches any off-by-one in either table. µ-law's
+    # one exception: 0x7F is "minus zero", which decodes to 0 and
+    # re-encodes to the canonical plus-zero 0xFF.
+    for law, table in (("ulaw", _ULAW_TABLE), ("alaw", _ALAW_TABLE)):
+        back = g711_encode(table.astype(np.int64), law)
+        want = np.arange(256, dtype=np.uint8)
+        if law == "ulaw":
+            assert back[0x7F] == 0xFF and int(table[0x7F]) == 0
+            mask = want != 0x7F
+            assert np.array_equal(back[mask], want[mask]), law
+        else:
+            assert np.array_equal(back, want), law
+
+
+def test_g711_spec_extremes():
+    # µ-law: max magnitude 8031<<2 = 32124; A-law: max 32256 (seg 7)
+    assert int(np.abs(_ULAW_TABLE.astype(np.int64)).max()) == 32124
+    assert int(np.abs(_ALAW_TABLE.astype(np.int64)).max()) == 32256
+    # µ-law code 0xFF is +0, A-law 0x55 (toggled 0x00) is smallest seg
+    assert int(_ULAW_TABLE[0xFF]) == 0
+    assert int(_ALAW_TABLE[0x55 ^ 0x55 ^ 0xD5]) in (-8, 8)
+
+
+def test_g711_wav_decode_exact():
+    codes = np.arange(256, dtype=np.uint8).tobytes()
+    for tag, table in ((7, _ULAW_TABLE), (6, _ALAW_TABLE)):
+        out = decode_wav(_wav(tag, 1, 8000, 8, codes))
+        assert out is not None
+        rate, s = out
+        assert rate == 8000 and s.shape == (256, 1)
+        want = table.astype(np.float32) / 32768.0
+        assert np.array_equal(s[:, 0], want)
+
+
+def test_g711_monotone_within_positive_segment():
+    # decoded magnitudes must be strictly increasing across the
+    # positive code range when sorted by linear value
+    pos = np.sort(_ULAW_TABLE[_ULAW_TABLE >= 0])
+    assert np.all(np.diff(pos.astype(np.int64)) >= 0)
+
+
+# ---------------------------------------------------------------------------
+# PCM widths / float / extensible
+# ---------------------------------------------------------------------------
+
+
+def test_pcm_24bit_exact():
+    vals = np.array([0, 1, -1, (1 << 23) - 1, -(1 << 23)], dtype=np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    out = decode_wav(_wav(1, 1, 44100, 24, raw))
+    assert out is not None
+    got = (out[1][:, 0] * (1 << 23)).astype(np.int64)
+    assert np.array_equal(got, vals)
+
+
+def test_pcm_32bit_and_float32():
+    vals = np.array([0, 1 << 16, -(1 << 31), (1 << 31) - 1], dtype=np.int64)
+    raw = vals.astype("<i4").tobytes()
+    out = decode_wav(_wav(1, 1, 48000, 32, raw))
+    assert out is not None
+    f = np.array([0.5, -0.25, 1.0, -1.0], dtype="<f4")
+    out2 = decode_wav(_wav(3, 2, 16000, 32, f.tobytes()))
+    assert out2 is not None and out2[1].shape == (2, 2)
+    assert np.array_equal(out2[1].ravel(), f)
+
+
+def test_extensible_routes_to_subformat():
+    s = (np.arange(-50, 50, dtype="<i2")).tobytes()
+    out = decode_wav(_wav(1, 2, 22050, 16, s, extensible=True))
+    assert out is not None and out[1].shape == (50, 2)
+
+
+def test_still_rejects_unknown_formats():
+    assert decode_wav(_wav(0x55, 1, 8000, 16, b"\x00" * 64)) is None  # MP3 tag
+    assert decode_wav(_wav(2, 1, 8000, 4, b"\x00" * 64)) is None  # MS ADPCM
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM
+# ---------------------------------------------------------------------------
+
+
+def _hand_decode(nibbles, pred, idx):
+    # independent re-derivation of the published recurrence (kept
+    # deliberately separate from the implementation's helper)
+    out = []
+    for nib in nibbles:
+        step = int(_IMA_STEPS[idx])
+        diff = (step >> 3) + (step >> 2 if nib & 1 else 0)
+        diff += (step >> 1) if nib & 2 else 0
+        diff += step if nib & 4 else 0
+        pred = pred + (-diff if nib & 8 else diff)
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[nib & 7])))
+        out.append(pred)
+    return out
+
+
+def test_adpcm_golden_block_mono():
+    # one mono block: seed 100, index 5, 8 nibbles packed into one
+    # 4-byte group; expected output hand-derived from the recurrence
+    nibs = [0, 1, 2, 4, 8, 9, 15, 7]
+    packed = bytes([nibs[0] | (nibs[1] << 4), nibs[2] | (nibs[3] << 4),
+                    nibs[4] | (nibs[5] << 4), nibs[6] | (nibs[7] << 4)])
+    block = struct.pack("<hBx", 100, 5) + packed
+    wav = _wav(0x11, 1, 8000, 4, block, block_align=len(block))
+    out = decode_wav(wav)
+    assert out is not None
+    got = (out[1][:, 0] * 32768.0).round().astype(np.int64)
+    want = [100] + _hand_decode(nibs, 100, 5)
+    assert got.tolist() == want
+
+
+def test_adpcm_roundtrip_error_bounded_and_stereo():
+    rng = np.random.default_rng(4)
+    t = np.arange(2000)
+    sig = np.stack(
+        [
+            (6000 * np.sin(t / 30)).astype(np.int64),
+            (4000 * np.sin(t / 11 + 1)).astype(np.int64),
+        ],
+        axis=1,
+    )
+    wav = ima_adpcm_encode_wav(sig, 8000, samples_per_block=505)
+    out = decode_wav(wav)
+    assert out is not None
+    rate, dec = out
+    assert rate == 8000 and dec.shape[1] == 2
+    got = (dec * 32768.0).round().astype(np.int64)[: sig.shape[0]]
+    err = np.abs(got - sig)
+    # ADPCM tracks smooth signals closely; the greedy quantizer's
+    # steady-state error is bounded by ~the running step size
+    assert float(err.mean()) < 40.0
+    assert float(err.max()) < 2000.0
+    # seed samples (block starts) are exact by construction
+    assert got[0, 0] == sig[0, 0] and got[505, 0] == sig[505, 0]
+
+
+def test_adpcm_noise_still_roundtrips_structurally():
+    x = np.random.default_rng(5).integers(-32768, 32767, 1017).astype(np.int64)
+    wav = ima_adpcm_encode_wav(x, 16000, samples_per_block=249)
+    out = decode_wav(wav)
+    assert out is not None
+    assert out[1].shape[0] >= 1017  # tail block padding may extend
