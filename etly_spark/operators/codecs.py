@@ -498,12 +498,19 @@ def _jpeg_upsample_color(
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray | None:
+    out = _decode_jpeg_impl(payload, lossless_exact=False)
+    return out if out is None or isinstance(out, np.ndarray) else None
+
+
+def _decode_jpeg_impl(payload: bytes, lossless_exact: bool = False):
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
     progressive = False
+    lossless = False
+    precision = 8
     coefs: list[np.ndarray] | None = None  # per-comp (by, bx, 64) natural-order
     restart = 0
     pos = 2
@@ -553,20 +560,33 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
                     return None
                 huff[(tc, th)] = _jpeg_build_huff(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
-            if len(seg) < 6 or seg[0] != 8:
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog, SOF3 lossless
+            if len(seg) < 6:
+                return None
+            precision = seg[0]
+            if marker != 0xC3 and precision != 8:
+                return None
+            if marker == 0xC3 and not (2 <= precision <= 16):
                 return None
             h_img, w_img, ncomp = struct.unpack_from(">HHB", seg, 1)
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            if ncomp not in (1, 3) or w_img == 0 or h_img == 0:
+            if marker == 0xC3:
+                if ncomp < 1 or ncomp > 4 or any(
+                    hs != 1 or vs != 1 for _cid, hs, vs, _tq in comps
+                ):
+                    return None  # lossless: 1x1 sampling only (typical form)
+            elif ncomp not in (1, 3):
+                return None
+            if w_img == 0 or h_img == 0:
                 return None
             frame = (h_img, w_img, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # lossless / arithmetic coding: PIL gate
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # hierarchical / arithmetic coding: PIL gate
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg)
         elif marker == 0xDA:  # SOS
@@ -579,6 +599,29 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
+            if lossless:
+                h_img, w_img, comps = frame
+                if ns != len(comps) or len(seg) < 1 + 2 * ns + 3:
+                    return None
+                pred_sel = seg[1 + 2 * ns]  # Ss carries the predictor
+                pt = seg[3 + 2 * ns] & 0x0F  # Al carries the point transform
+                planes = _jpeg_lossless_scan(
+                    precision, h_img, w_img, scan, huff, restart,
+                    payload[pos + seglen :], pred_sel, pt,
+                )
+                if planes is None:
+                    return None
+                arr = np.moveaxis(planes, 0, -1)
+                if arr.shape[2] == 1:
+                    arr = arr[:, :, 0]
+                if lossless_exact:
+                    return arr.astype(np.uint16), precision
+                # display conversion for the feature pipeline (uint8)
+                if precision > 8:
+                    arr = arr >> (precision - 8)
+                elif precision < 8:
+                    arr = arr << (8 - precision)
+                return arr.astype(np.uint8)
             if not progressive:
                 data = payload[pos + seglen :]
                 return _jpeg_decode_scan(frame, scan, qt, huff, restart, data)
@@ -1575,6 +1618,206 @@ def batch_image_stats(stack: np.ndarray) -> dict:
         "ahash64": ahash,
         "dhash64": dhash,
     }
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H): predictive DPCM + Huffman — the
+# third JPEG process (after baseline SOF0/1 and progressive SOF2).
+# Exactly reversible, so round-trips are bit-identical and the same
+# oracle strategy as PNG/VP8L/FLAC applies. Medical/raw pipelines
+# (DICOM, DNG) are the formats' real-world home.
+# ---------------------------------------------------------------------------
+
+
+_LL_PREDICT = {
+    1: lambda ra, rb, rc: ra,
+    2: lambda ra, rb, rc: rb,
+    3: lambda ra, rb, rc: rc,
+    4: lambda ra, rb, rc: ra + rb - rc,
+    5: lambda ra, rb, rc: ra + ((rb - rc) >> 1),
+    6: lambda ra, rb, rc: rb + ((ra - rc) >> 1),
+    7: lambda ra, rb, rc: (ra + rb) >> 1,
+}
+
+
+def _jpeg_lossless_scan(
+    precision: int,
+    h: int,
+    w: int,
+    scan: list,
+    huff: dict,
+    restart: int,
+    data: bytes,
+    predictor: int,
+    pt: int,
+) -> np.ndarray | None:
+    """Annex H scan decode: interleaved 1-sample MCUs, per-component
+    DC-style Huffman categories (SSSS 0-16, 16 = +32768 with no extra
+    bits), modulo-2^16 reconstruction. First scan line and the first
+    line after every restart use predictor 1 (first sample: the
+    2^(P-Pt-1) default); each line start uses predictor 2. Restart
+    intervals must cover whole lines (the only layout real encoders
+    emit; unaligned DRI returns None)."""
+    if predictor not in _LL_PREDICT or not (2 <= precision <= 16) or pt >= precision:
+        return None
+    ncomp = len(scan)
+    tabs = []
+    for _cs, td, _ta in scan:
+        tab = huff.get((0, td))
+        if tab is None:
+            return None
+        tabs.append(tab)
+    if restart and restart % w:
+        return None
+    planes = np.zeros((ncomp, h, w), dtype=np.int64)
+    default = 1 << (precision - pt - 1)
+    segments = _jpeg_restart_segments(data) if restart else [data]
+    seg_rows = restart // w if restart else h
+    pred_fn = _LL_PREDICT[predictor]
+    row0 = 0
+    for seg in segments:
+        if row0 >= h:
+            break
+        br = _JpegBits(seg)
+        top = min(row0 + seg_rows, h)
+        for y in range(row0, top):
+            for x in range(w):
+                for c in range(ncomp):
+                    s = _jpeg_huff_decode(br, tabs[c])
+                    if s is None or s > 16:
+                        return None
+                    if s == 16:
+                        diff = 32768
+                    elif s:
+                        raw = br.take(s)
+                        if raw is None:
+                            return None
+                        diff = _jpeg_extend(raw, s)
+                    else:
+                        diff = 0
+                    p = planes[c]
+                    if y == row0:
+                        px = default if x == 0 else int(p[y, x - 1])
+                    elif x == 0:
+                        px = int(p[y - 1, 0])
+                    else:
+                        px = pred_fn(int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1]))
+                    p[y, x] = (px + diff) & 0xFFFF
+        row0 = top
+    if row0 < h:
+        return None
+    if pt:
+        planes = planes << pt
+    return planes
+
+
+def decode_lossless_jpeg(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Full-precision lossless-JPEG decode: -> (samples, precision)
+    with samples uint16 of shape (h, w) or (h, w, ncomp). The
+    general `decode_image_pixels` path converts to uint8 for the
+    feature pipeline; this entry point preserves every bit for
+    round-trip verification."""
+    out = _decode_jpeg_impl(payload, lossless_exact=True)
+    if out is None or not isinstance(out, tuple):
+        return None
+    return out
+
+
+def encode_lossless_jpeg(
+    arr: np.ndarray,
+    predictor: int = 4,
+    precision: int | None = None,
+    restart_rows: int = 0,
+) -> bytes:
+    """Encoder twin: gray or multi-component samples -> a spec-valid
+    SOF3 stream with a per-image optimal Huffman table (Annex K.2
+    builder shared with the progressive encoder). uint8 -> P=8,
+    uint16 -> P=16 unless ``precision`` narrows it. ``restart_rows``
+    inserts DRI/RSTn every N lines (whole-line intervals, as real
+    encoders emit)."""
+    x = np.asarray(arr)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    h, w, ncomp = x.shape
+    if not (1 <= ncomp <= 4) or h == 0 or w == 0:
+        raise ValueError("bad shape")
+    if precision is None:
+        precision = 8 if x.dtype == np.uint8 else 16
+    if not (2 <= precision <= 16) or int(x.max()) >= (1 << precision):
+        raise ValueError("samples exceed precision")
+    if predictor not in _LL_PREDICT:
+        raise ValueError("predictor 1-7")
+    xi = x.astype(np.int64)
+    default = 1 << (precision - 1)
+    pred_fn = _LL_PREDICT[predictor]
+
+    # pass 1: diffs + category frequencies; pass 2: emit. Restart
+    # segments restart the prediction walk at their first line.
+    def walk():
+        seg_rows = restart_rows if restart_rows else h
+        for row0 in range(0, h, seg_rows):
+            top = min(row0 + seg_rows, h)
+            for y in range(row0, top):
+                for xx in range(w):
+                    for c in range(ncomp):
+                        p = xi[:, :, c]
+                        if y == row0:
+                            px = default if xx == 0 else int(p[y, xx - 1])
+                        elif xx == 0:
+                            px = int(p[y - 1, 0])
+                        else:
+                            px = pred_fn(
+                                int(p[y, xx - 1]), int(p[y - 1, xx]), int(p[y - 1, xx - 1])
+                            )
+                        dd = (int(p[y, xx]) - px) & 0xFFFF
+                        if dd == 32768:
+                            yield y, 16, 0, row0
+                        else:
+                            signed = dd - 65536 if dd > 32768 else dd
+                            s = abs(signed).bit_length()
+                            raw = signed if signed >= 0 else signed + (1 << s) - 1
+                            yield y, s, raw, row0
+
+    freq: dict[int, int] = {}
+    for _y, s, _raw, _r0 in walk():
+        freq[s] = freq.get(s, 0) + 1
+    bits, vals = _jpeg_optimal_table(freq)
+    enc_tab = _jpeg_enc_huff(bits, vals)
+
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_rows:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_rows * w)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    wr = _JpegBitWriter()
+    cur_r0 = 0
+    rst = 0
+    for y, s, raw, r0 in walk():
+        if r0 != cur_r0:
+            wr.flush()
+            out += wr.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wr = _JpegBitWriter()
+            cur_r0 = r0
+        code, length = enc_tab[s]
+        wr.put(code, length)
+        if s and s != 16:
+            wr.put(raw, s)
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
