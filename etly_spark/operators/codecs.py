@@ -2204,11 +2204,126 @@ def ima_adpcm_encode_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(hdr) - 4) + hdr
 
 
+def ms_adpcm_encode_wav(
+    samples: np.ndarray, rate: int, samples_per_block: int = 500, predictor: int = 0
+) -> bytes:
+    """Encoder twin for MS ADPCM (format 2): greedy nibble quantizer
+    mirroring the decode recurrence exactly, fixed coefficient pair.
+    For round-tripping the decoder against independently-built
+    streams."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    spb = samples_per_block
+    if spb < 2 or (spb - 2) % 2:
+        raise ValueError("samples_per_block must be even and >= 2")
+    c1, c2 = _MS_COEFS[predictor]
+    block_align = 7 * nch + ((spb - 2) * nch) // 2
+    blocks = bytearray()
+    for start in range(0, n, spb):
+        blk = x[start : start + spb]
+        if blk.shape[0] < spb:
+            blk = np.vstack([blk, np.repeat(blk[-1:], spb - blk.shape[0], axis=0)])
+        states = []
+        hdr_pred = bytes([predictor] * nch)
+        hdr_delta = b""
+        hdr_s1 = b""
+        hdr_s2 = b""
+        for c in range(nch):
+            s2, s1 = int(blk[0, c]), int(blk[1, c])
+            delta = max(16, int(np.abs(np.diff(blk[:16, c])).mean() or 16) >> 2)
+            states.append([s1, s2, delta, c1, c2])
+            hdr_delta += struct.pack("<h", delta)
+            hdr_s1 += struct.pack("<h", s1)
+            hdr_s2 += struct.pack("<h", s2)
+        blocks += hdr_pred + hdr_delta + hdr_s1 + hdr_s2
+        nibs: list[int] = []
+        for i in range(2, spb):
+            for c in range(nch):
+                st = states[c]
+                pred = (st[0] * st[3] + st[1] * st[4]) >> 8
+                d = st[2] or 16
+                nib = max(-8, min(7, int(round((int(blk[i, c]) - pred) / d))))
+                nib &= 0xF
+                _ms_adpcm_expand(nib, st)
+                nibs.append(nib)
+        for k in range(0, len(nibs), 2):
+            blocks.append((nibs[k] << 4) | nibs[k + 1])
+    fmt = struct.pack(
+        "<HHIIHHH", 2, nch, rate, rate * block_align // spb, block_align, 4,
+        4 + 4 * len(_MS_COEFS),
+    )
+    fmt += struct.pack("<HH", spb, len(_MS_COEFS))
+    for a, b in _MS_COEFS:
+        fmt += struct.pack("<hh", a, b)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# MS ADPCM (WAV format 2) tables — the published coefficient pairs
+# and delta-adaptation steps from the Microsoft WAVE spec
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm_expand(nib: int, state: list) -> int:
+    """One MS-ADPCM nibble: state = [sample1, sample2, delta, c1, c2]."""
+    s1, s2, delta, c1, c2 = state
+    signed = nib - 16 if nib >= 8 else nib
+    pred = (s1 * c1 + s2 * c2) >> 8
+    new = max(-32768, min(32767, pred + signed * delta))
+    state[1] = s1
+    state[0] = new
+    state[2] = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+    return new
+
+
+def _decode_ms_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray | None:
+    """WAV MS ADPCM (format 2): per-block header (predictor index,
+    initial delta, two seed samples per channel), then 4-bit codes,
+    channels alternating per nibble."""
+    hdr = 7 * n_ch
+    if block_align < hdr or n_ch < 1:
+        return None
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for boff in range(0, len(data), block_align):
+        block = data[boff : boff + block_align]
+        if len(block) < hdr:
+            break
+        states = []
+        for c in range(n_ch):
+            pidx = block[c]
+            if pidx >= len(_MS_COEFS):
+                return None
+            c1, c2 = _MS_COEFS[pidx]
+            (delta,) = struct.unpack_from("<h", block, n_ch + 2 * c)
+            (s1,) = struct.unpack_from("<h", block, 3 * n_ch + 2 * c)
+            (s2,) = struct.unpack_from("<h", block, 5 * n_ch + 2 * c)
+            states.append([s1, s2, max(16, delta), c1, c2])
+            chans[c].append(s2)  # the two seeds are the block's first samples
+            chans[c].append(s1)
+        ch = 0
+        for byte in block[hdr:]:
+            chans[ch].append(_ms_adpcm_expand(byte >> 4, states[ch]))
+            ch = (ch + 1) % n_ch
+            chans[ch].append(_ms_adpcm_expand(byte & 0xF, states[ch]))
+            ch = (ch + 1) % n_ch
+    n = min(len(c) for c in chans)
+    if n == 0:
+        return None
+    out = np.empty((n, n_ch), dtype=np.float32)
+    for c in range(n_ch):
+        out[:, c] = np.asarray(chans[c][:n], dtype=np.float32) / 32768.0
+    return out
+
+
 def decode_wav(payload: bytes | None) -> tuple[int, np.ndarray] | None:
     """REAL WAV decode: RIFF chunk walk -> (sample_rate, float32 samples
     in [-1, 1], shape (n_samples, n_channels)). Formats: PCM 8-bit
-    unsigned / 16 / 24 / 32-bit signed LE (1), IEEE float32 (3), G.711
-    A-law (6) and µ-law (7), IMA ADPCM (0x11), and
+    unsigned / 16 / 24 / 32-bit signed LE (1), MS ADPCM (2), IEEE
+    float32 (3), G.711 A-law (6) and µ-law (7), IMA ADPCM (0x11), and
     WAVE_FORMAT_EXTENSIBLE (0xFFFE — effective format taken from the
     SubFormat GUID). None for anything else."""
     if not payload or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -2272,12 +2387,40 @@ def decode_wav(payload: bytes | None) -> tuple[int, np.ndarray] | None:
         if out is None:
             return None
         return rate, out
+    elif audio_fmt == 2 and bits == 4:
+        out = _decode_ms_adpcm(data, n_ch, block_align)
+        if out is None:
+            return None
+        return rate, out
     else:
         return None
     n = samples.shape[0] // n_ch
     if n == 0:
         return None
     return rate, samples[: n * n_ch].reshape(n, n_ch)
+
+
+def decode_audio(payload: bytes | None) -> tuple[int, np.ndarray] | None:
+    """Magic-byte audio dispatcher — the audio twin of
+    `decode_image_pixels`: RIFF/WAVE -> `decode_wav` (all PCM/G.711/
+    ADPCM families), fLaC -> `operators.flac.decode_flac` (samples
+    scaled to float32 [-1, 1] by 2^(bps-1)). None for anything else
+    (MP3/OGG stay gated — lossy psychoacoustic decode has no
+    byte-arithmetic oracle and no reference decoder in this
+    container)."""
+    if not payload or len(payload) < 4:
+        return None
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from etly_spark.operators.flac import decode_flac
+
+        out = decode_flac(payload)
+        if out is None:
+            return None
+        rate, samples, bps = out
+        return rate, samples.astype(np.float32) / float(1 << (bps - 1))
+    return None
 
 
 def audio_fingerprint64(samples: np.ndarray) -> int:

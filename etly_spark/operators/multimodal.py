@@ -760,9 +760,10 @@ AUDIO_SCHEMA = StructType(
 
 def decode_audio_features(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL audio decode: (doc_id, payload) → waveform
-    features over actual decoded PCM (WAV 8/16-bit via
-    `operators.codecs.decode_wav`). Null row for non-WAV payloads.
-    Same plumbing contract as `decode_pixel_features`.
+    features over actual decoded PCM (`operators.codecs.decode_audio`:
+    WAV incl. G.711/ADPCM families, and FLAC). Null row for
+    undecodable payloads. Same plumbing contract as
+    `decode_pixel_features`.
     """
     import pandas as pd
 
@@ -775,7 +776,7 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
             out: dict[str, list] = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(int(doc_id))
-                dec = codecs.decode_wav(payload)
+                dec = codecs.decode_audio(payload)
                 if dec is None:
                     for k in cols[1:]:
                         out[k].append(None)

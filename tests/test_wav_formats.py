@@ -188,3 +188,74 @@ def test_adpcm_noise_still_roundtrips_structurally():
     out = decode_wav(wav)
     assert out is not None
     assert out[1].shape[0] >= 1017  # tail block padding may extend
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM
+# ---------------------------------------------------------------------------
+
+
+def test_ms_adpcm_golden_block():
+    from etly_spark.operators.codecs import _MS_ADAPT, _MS_COEFS
+
+    # mono block, predictor 1 (512,-256), delta 50, seeds s2=10 s1=20,
+    # nibbles [1, 0xF (=-1), 7, 8 (=-8)]; expected output hand-derived
+    block = bytes([1]) + struct.pack("<hhh", 50, 20, 10)
+    block += bytes([(1 << 4) | 0xF, (7 << 4) | 8])
+    wav = _wav(2, 1, 8000, 4, block, block_align=len(block))
+    out = decode_wav(wav)
+    assert out is not None
+    got = (out[1][:, 0] * 32768.0).round().astype(np.int64).tolist()
+    # hand recurrence
+    s1, s2, d = 20, 10, 50
+    want = [10, 20]
+    for nib in (1, 0xF, 7, 8):
+        signed = nib - 16 if nib >= 8 else nib
+        pred = (s1 * 512 + s2 * (-256)) >> 8
+        new = max(-32768, min(32767, pred + signed * d))
+        s2, s1 = s1, new
+        d = max(16, (_MS_ADAPT[nib] * d) >> 8)
+        want.append(new)
+    assert got == want
+    assert len(_MS_COEFS) == 7
+
+
+def test_ms_adpcm_roundtrip_error_bounded():
+    from etly_spark.operators.codecs import ms_adpcm_encode_wav
+
+    t = np.arange(1500)
+    sig = (5000 * np.sin(t / 25)).astype(np.int64)
+    wav = ms_adpcm_encode_wav(sig, 8000, samples_per_block=500)
+    out = decode_wav(wav)
+    assert out is not None
+    got = (out[1][:, 0] * 32768.0).round().astype(np.int64)[:1500]
+    err = np.abs(got - sig)
+    assert float(err.mean()) < 120.0
+    # seeds exact at each block start
+    assert got[0] == sig[0] and got[500] == sig[500] and got[501] == sig[501]
+
+
+# ---------------------------------------------------------------------------
+# decode_audio dispatcher
+# ---------------------------------------------------------------------------
+
+
+def test_decode_audio_routes_wav_and_flac():
+    from etly_spark.operators.codecs import audio_stats, decode_audio
+    from etly_spark.operators.flac import encode_flac
+
+    sig = (3000 * np.sin(np.arange(800) / 9)).astype(np.int64)
+    wav = _wav(1, 1, 8000, 16, sig.astype("<i2").tobytes())
+    fl = encode_flac(sig, 8000, bps=16)
+    for payload in (wav, fl):
+        out = decode_audio(payload)
+        assert out is not None
+        rate, samples = out
+        assert rate == 8000 and samples.shape == (800, 1)
+        back = (samples[:, 0] * 32768.0).round().astype(np.int64)
+        assert np.array_equal(back, sig)
+    # identical features either container
+    st_w = audio_stats(*decode_audio(wav))
+    st_f = audio_stats(*decode_audio(fl))
+    assert st_w == st_f
+    assert decode_audio(b"ID3\x04" + b"\x00" * 64) is None  # MP3 stays gated
