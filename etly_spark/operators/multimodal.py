@@ -98,15 +98,17 @@ def decode_real(payload: bytes) -> dict:
     `encode_baseline_jpeg` twin) AND progressive JPEG (r8: SOF2
     spectral selection + successive approximation per T.81 Annex G,
     with an `encode_progressive_jpeg` twin), `operators.codecs
-    .decode_wav` RIFF/PCM audio, `operators.codecs.decode_y4m`
-    uncompressed video — only arithmetic-coded/lossless JPEG, WebP,
-    and H.26x remain gated."""
+    .decode_audio` WAV (PCM/G.711/ADPCM) + FLAC audio,
+    `operators.codecs.decode_y4m` uncompressed video, lossless JPEG
+    (SOF3) and lossless WebP (VP8L, `operators.webp`) — only
+    hierarchical/arithmetic JPEG, lossy VP8, H.26x and psychoacoustic
+    audio (MP3/OGG) remain gated."""
     if not HAVE_PIL:
         raise NotImplementedError(
-            "arithmetic-coded/lossless JPEG, WebP, and H.26x need a "
-            "codec library absent in this container; BMP/PPM/PGM/PNG/GIF "
-            "and baseline+progressive JPEG pixels decode for real via "
-            "operators.codecs.decode_image_pixels"
+            "hierarchical/arithmetic JPEG, lossy VP8, and H.26x need a "
+            "codec library absent in this container; BMP/PPM/PGM/PNG/GIF, "
+            "baseline+progressive+lossless JPEG and lossless WebP pixels "
+            "decode for real via operators.codecs.decode_image_pixels"
         )
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 
@@ -303,30 +305,27 @@ def synthesize_ppm_payload(df: DataFrame, w: int = 16, h: int = 16, text_col: st
     )
 
 
-def webp_roundtrip_features(
-    df: DataFrame, w: int = 16, h: int = 16, every: int = 50
+def entropy_roundtrip_features(
+    df: DataFrame, w: int = 16, h: int = 16, every: int = 50, flac_offset: int = 25
 ) -> DataFrame:
-    """REAL lossless-WebP round-trip under the oracle gate: pack each
-    sampled doc's text into a w*h*3 raster, encode it as VP8L
-    (`operators.webp.encode_lossless_webp`), then header-parse AND
-    fully decode the produced container. Because VP8L is lossless, the
-    decoded raster equals the source bytes — so a SQL oracle mirrors
-    `payload_md5`/`mean_luma` with pure byte arithmetic and ANY bug in
-    either codec half fails the value-hash gate.
-
-    ``every`` takes a deterministic 1-in-N sample (doc_id % N == 0):
-    the codec pair costs ~5 ms/doc in pure Python, so the checked
-    branch bounds its work while still exercising the full pipeline.
-    The sampled subset is repartitioned to the default parallelism —
-    a keyless balance shuffle over a tiny projected slice (the ONLY
-    repartition in the engine; scan partitioning would serialize this
-    CPU-heavy map behind however few input files the corpus has)."""
+    """ONE sampled pass for BOTH entropy-codec round-trip branches:
+    docs with doc_id % every == 0 go through the VP8L pair, ==
+    ``flac_offset`` through the FLAC pair. Fusing them halves the
+    sampled-branch overhead of `mm_binary_metadata` — one filter, one
+    balance repartition, one Python-worker stage instead of two (the
+    codec work itself is unchanged; measured ~0.5 s of the ~0.9 s
+    two-stage cost at sf0.1 was worker round-trip, not codec).
+    Columns are the superset: width/height carry image dims for webp
+    rows and frames/channels for flac rows."""
     n = w * h * 3
-    sub = df.filter((F.col("doc_id") % every) == 0).select("doc_id", "text")
+    nframes = n // 4
+    sub = df.filter(
+        (F.col("doc_id") % every == 0) | (F.col("doc_id") % every == flac_offset)
+    ).select("doc_id", "text")
     sub = sub.repartition(sub.sparkSession.sparkContext.defaultParallelism)
     schema = (
-        "doc_id long, enc_bytes long, payload_md5 string, width long, "
-        "height long, mean_luma double"
+        "variant string, doc_id long, enc_bytes long, payload_md5 string, "
+        "width long, height long, mean_luma double"
     )
 
     def gen(batches):
@@ -336,103 +335,57 @@ def webp_roundtrip_features(
         import pandas as pd
 
         from etly_spark.operators import codecs as _codecs
+        from etly_spark.operators import flac as _flac
         from etly_spark.operators import webp as _webp
 
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = (text or "").encode()[:n].ljust(n, b" ")
-                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-                enc = _webp.encode_lossless_webp(arr, cache_bits=4)
-                fmt, pw, ph = parse_image_header(enc)
-                assert fmt == "webp"
-                dec = _codecs.decode_image_pixels(enc)
-                rows.append(
-                    (
-                        int(did),
-                        len(enc),
-                        hashlib.md5(dec.tobytes()).hexdigest(),
-                        int(pw),
-                        int(ph),
-                        float(int(dec.astype(np.int64).sum()) / n),
+                if int(did) % every == 0:
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                    enc = _webp.encode_lossless_webp(arr, cache_bits=4)
+                    fmt, pw, ph = parse_image_header(enc)
+                    assert fmt == "webp"
+                    dec = _codecs.decode_image_pixels(enc)
+                    rows.append(
+                        (
+                            "webp",
+                            int(did),
+                            len(enc),
+                            hashlib.md5(dec.tobytes()).hexdigest(),
+                            int(pw),
+                            int(ph),
+                            float(int(dec.astype(np.int64).sum()) / n),
+                        )
                     )
-                )
+                else:
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.int64).reshape(nframes, 2)
+                    enc = _flac.encode_flac(pcm, 16000, bps=16, block_size=nframes)
+                    out = _flac.decode_flac(enc)
+                    assert out is not None
+                    rate, dec, bps = out
+                    assert rate == 16000 and bps == 16
+                    back = dec.astype("<i2").tobytes()
+                    rows.append(
+                        (
+                            "flac",
+                            int(did),
+                            len(enc),
+                            hashlib.md5(back).hexdigest(),
+                            int(dec.shape[0]),
+                            int(dec.shape[1]),
+                            float(
+                                int(np.frombuffer(back, dtype=np.uint8).astype(np.int64).sum())
+                                / n
+                            ),
+                        )
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "enc_bytes", "payload_md5", "width", "height",
-                    "mean_luma",
-                ],
-            )
-
-    return sub.mapInPandas(gen, schema)
-
-
-def flac_roundtrip_features(
-    df: DataFrame, n_bytes: int = 768, every: int = 50, offset: int = 25
-) -> DataFrame:
-    """REAL FLAC round-trip under the oracle gate — the audio twin of
-    ``webp_roundtrip_features``: pack each sampled doc's text into
-    ``n_bytes`` of little-endian 16-bit stereo PCM (n_bytes/4 frames x
-    2 channels), encode it with the pure-numpy FLAC encoder
-    (`operators.flac.encode_flac` — fixed/LPC prediction, stereo
-    decorrelation, Rice residuals), then FULLY decode the produced
-    stream (CRC-8/CRC-16/MD5 all verified). FLAC is lossless, so the
-    decoded PCM re-serializes to exactly the source bytes — a SQL
-    oracle mirrors ``payload_md5``/``mean_byte`` with pure byte
-    arithmetic and ANY bug in either codec half fails the value-hash
-    gate.
-
-    ``every``/``offset`` take a deterministic 1-in-N sample
-    (doc_id % every == offset; offset distinct from the webp branch so
-    the two entropy-codec rows cover different docs). Same
-    repartition rationale as the webp branch: balance the CPU-heavy
-    map across cores instead of input files."""
-    nframes = n_bytes // 4
-    sub = df.filter((F.col("doc_id") % every) == offset).select("doc_id", "text")
-    sub = sub.repartition(sub.sparkSession.sparkContext.defaultParallelism)
-    schema = (
-        "doc_id long, enc_bytes long, payload_md5 string, n_channels long, "
-        "n_frames long, mean_byte double"
-    )
-
-    def gen(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        from etly_spark.operators import flac as _flac
-
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode()[:n_bytes].ljust(n_bytes, b" ")
-                pcm = np.frombuffer(raw, dtype="<i2").astype(np.int64).reshape(nframes, 2)
-                enc = _flac.encode_flac(pcm, 16000, bps=16, block_size=nframes)
-                out = _flac.decode_flac(enc)
-                assert out is not None
-                rate, dec, bps = out
-                assert rate == 16000 and bps == 16
-                back = dec.astype("<i2").tobytes()
-                rows.append(
-                    (
-                        int(did),
-                        len(enc),
-                        hashlib.md5(back).hexdigest(),
-                        int(dec.shape[1]),
-                        int(dec.shape[0]),
-                        float(
-                            int(np.frombuffer(back, dtype=np.uint8).astype(np.int64).sum())
-                            / n_bytes
-                        ),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "enc_bytes", "payload_md5", "n_channels",
-                    "n_frames", "mean_byte",
+                    "variant", "doc_id", "enc_bytes", "payload_md5", "width",
+                    "height", "mean_luma",
                 ],
             )
 

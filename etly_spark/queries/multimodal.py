@@ -22,10 +22,9 @@ from etly_spark.operators.multimodal import (
     decode_features,
     decode_frame_samples,
     decode_pixel_features,
+    entropy_roundtrip_features,
     synthesize_ppm_payload,
-    flac_roundtrip_features,
     synthesize_y4m_payload,
-    webp_roundtrip_features,
 )
 from etly_spark.queries.catalog import query
 
@@ -148,9 +147,13 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_frames"),
         F.round("mean_luma", 6).alias("mean_luma"),
     )
-    wb = webp_roundtrip_features(docs, w=16, h=16, every=50)
-    webp_rows = wb.select(
-        F.lit("webp").alias("variant"),
+    # both entropy-codec branches ride ONE sampled Python stage
+    # (operators/multimodal.entropy_roundtrip_features): for webp rows
+    # width/height are the REAL header parse, for flac rows they carry
+    # frames/channels from the REAL STREAMINFO+frame decode
+    ef = entropy_roundtrip_features(docs, w=16, h=16, every=50, flac_offset=25)
+    codec_rows = ef.select(
+        "variant",
         "doc_id",
         F.lit(768).cast("long").alias("n_bytes"),
         F.col("payload_md5"),
@@ -160,22 +163,9 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_frames"),
         F.round("mean_luma", 6).alias("mean_luma"),
     )
-    fl = flac_roundtrip_features(docs, n_bytes=768, every=50, offset=25)
-    flac_rows = fl.select(
-        F.lit("flac").alias("variant"),
-        "doc_id",
-        F.lit(768).cast("long").alias("n_bytes"),
-        F.col("payload_md5"),
-        F.lit(None).cast("string").alias("header_hex"),
-        F.col("n_channels").alias("height"),
-        F.col("n_frames").alias("width"),
-        F.lit(None).cast("long").alias("n_frames"),
-        F.round("mean_byte", 6).alias("mean_luma"),
-    )
     return (
         meta.unionByName(pixels)
-        .unionByName(webp_rows)
-        .unionByName(flac_rows)
+        .unionByName(codec_rows)
         .orderBy("variant", "doc_id")
     )
 
