@@ -139,25 +139,49 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _sized_bands(sig: DataFrame) -> DataFrame:
+    """Band rows + bucket size from a signature table: the LSH band
+    index shape (doc_id, b, band_key, bucket_n). The bucket-size
+    window partitions by the high-cardinality (b, band_key), never a
+    skewed key."""
+    bands = sig.select(
+        "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=2, rows=4)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
+    return bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
+    )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged LSH band index — the third staged artifact in the
+    sigs → bands → pairs chain, and exactly the index a production
+    dedup service maintains between crawls: (doc_id, band, band_key,
+    bucket_n) parquet. Before this stage the incremental probe
+    re-derived band keys and re-ran the bucket-size shuffle over the
+    whole corpus on every invocation; now it scans the committed
+    parquet (bands derive deterministically from the staged sigs, so
+    the dep fingerprint is the same documents.parquet)."""
+    mark = scope_mark()
+    df = stage_table(
+        spark,
+        f"minhash_bands::{os.path.abspath(sf_dir)}",
+        lambda: _sized_bands(minhash_sigs(spark, sf_dir)),
+        deps=[os.path.join(sf_dir, "documents.parquet")],
+    )
+    release_scope(mark)
+    return df
+
+
 def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified near-dup pair table (doc_a, doc_b, jaccard) — the
     expensive stage shared by ``dedup_minhash_lsh`` (reports it) and
     ``dedup_clusters`` (clusters over it). Built once per process via
     ``minhash_pairs`` (io/staging.py); this function is the raw plan."""
     d = load_table(spark, sf_dir, "documents")
-    # signatures from the staged sketch table (parquet-backed: the band
-    # self-join's two reads are cheap columnar scans, no persist needed)
-    sig = minhash_sigs(spark, sf_dir)
-    # Slim band rows (no shingle arrays) for pair generation; hot buckets
-    # (>64 docs) dropped — the anti-skew cap.
-    bands = sig.select(
-        "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=2, rows=4)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
-    sized = scoped_persist(
-        bands.withColumn(
-            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
-        )
-    )
+    # band index from the staged band table (parquet-backed: the band
+    # self-join's two reads are cheap columnar scans, no persist
+    # needed). Hot buckets (>64 docs) dropped — the anti-skew cap.
+    sized = minhash_bands(spark, sf_dir)
     a = sized.alias("a")
     b = sized.alias("b")
     cand = (
@@ -266,27 +290,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_a") % 41 == 0) != (F.col("doc_b") % 41 == 0)
     ).select(F.lit("decontam").alias("mode"), "doc_a", "doc_b", "jaccard")
     inc = lsh_incremental_pairs(
-        d, minhash_sigs(spark, sf_dir), F.col("doc_id") % 10 >= 8
+        d,
+        minhash_sigs(spark, sf_dir),
+        F.col("doc_id") % 10 >= 8,
+        sized=minhash_bands(spark, sf_dir),
     ).select(F.lit("incremental").alias("mode"), "doc_a", "doc_b", "jaccard")
     return batch.unionByName(decon).unionByName(inc).orderBy("mode", "doc_a", "doc_b")
 
 
-def lsh_incremental_pairs(d: DataFrame, sig: DataFrame, is_new: F.Column) -> DataFrame:
+def lsh_incremental_pairs(
+    d: DataFrame, sig: DataFrame, is_new: F.Column, sized: DataFrame | None = None
+) -> DataFrame:
     """Band-probe of the NEW docs (``is_new`` over doc_id) against the
     full sketch table, then exact verify — the reusable incremental
     shape: also run by the streaming ingest path against a streamed
     signature index (streaming/dedup.py). ``sig`` may come from the
-    batch stage or any index with the same (doc_id, sig) shape."""
-    bands = sig.select(
-        "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=2, rows=4)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("b"), F.col("bk.band_key").alias("band_key"))
-    # bucket sizes over the FULL band table (corpus + batch) — the cap
-    # must see true bucket density, same as the batch plan
-    sized = scoped_persist(
-        bands.withColumn(
-            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("b", "band_key"))
-        )
-    )
+    batch stage or any index with the same (doc_id, sig) shape; pass
+    ``sized`` when a committed band index exists (`minhash_bands`) so
+    the probe scans parquet instead of re-deriving band keys and
+    re-running the bucket-size shuffle over the corpus."""
+    if sized is None:
+        # bucket sizes over the FULL band table (corpus + batch) — the
+        # cap must see true bucket density, same as the batch plan
+        sized = scoped_persist(_sized_bands(sig))
     new_side = sized.filter(is_new).alias("n")
     full = sized.alias("f")
     cand = (
