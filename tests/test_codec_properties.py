@@ -206,3 +206,60 @@ def test_webp_truncation_never_crashes(hw, seed, cut):
     enc = W.encode_lossless_webp(img)
     out = W.decode_webp_pixels(enc[: max(0, len(enc) - cut)])
     assert out is None or np.array_equal(out, img)
+
+
+@given(
+    st.integers(1, 1200),
+    st.sampled_from([1, 2, 3]),
+    st.sampled_from([8, 16]),
+    st.sampled_from([192, 256, 777]),
+    st.booleans(),
+    st.sampled_from([0, 1]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_roundtrip_any_input(n, nch, bps, block_size, try_lpc, rice_method, seed):
+    """FLAC is lossless: ANY waveform through ANY encoder feature combo
+    round-trips bit-exactly, and the STREAMINFO MD5 gate holds."""
+    from etly_spark.operators import flac as FL
+
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bps - 1)
+    x = rng.integers(-lim, lim, (n, nch)).astype(np.int64)
+    enc = FL.encode_flac(
+        x, 44100, bps=bps, block_size=block_size,
+        try_lpc=try_lpc, rice_method=rice_method,
+    )
+    out = FL.decode_flac(enc)
+    assert out is not None and np.array_equal(out[1], x)
+
+
+@given(st.integers(1, 600), st.integers(0, 400), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_flac_truncation_never_crashes(n, cut, seed):
+    """Any prefix of a valid FLAC stream returns the exact samples or
+    None — never raises, never returns wrong audio (CRC/MD5 gates)."""
+    from etly_spark.operators import flac as FL
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-2000, 2000, n).astype(np.int64)
+    enc = FL.encode_flac(x, 8000, block_size=192)
+    out = FL.decode_flac(enc[: max(0, len(enc) - cut)])
+    assert out is None or np.array_equal(out[1][:, 0], x)
+
+
+@given(st.integers(2, 900), st.sampled_from([249, 505]), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_adpcm_decoders_never_crash_and_stay_bounded(n, spb, seed):
+    """IMA and MS ADPCM decode of any twin-encoded waveform stays in
+    [-1, 1] and covers at least the input length."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32767, n).astype(np.int64)
+    for enc in (
+        C.ima_adpcm_encode_wav(x, 8000, samples_per_block=spb),
+        C.ms_adpcm_encode_wav(x, 8000, samples_per_block=spb - 1 if spb % 2 else spb),
+    ):
+        out = C.decode_wav(enc)
+        assert out is not None
+        assert out[1].shape[0] >= n
+        assert float(np.abs(out[1]).max()) <= 1.0
