@@ -2400,18 +2400,135 @@ def decode_wav(payload: bytes | None) -> tuple[int, np.ndarray] | None:
     return rate, samples[: n * n_ch].reshape(n, n_ch)
 
 
+def _float80_be(b: bytes) -> float:
+    """IEEE 754 80-bit extended (big-endian) -> float — the AIFF COMM
+    chunk's sample-rate encoding (sign, 15-bit exponent, explicit
+    64-bit mantissa)."""
+    if len(b) != 10:
+        return 0.0
+    (se,) = struct.unpack(">H", b[:2])
+    mant = int.from_bytes(b[2:], "big")
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    val = mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+    return -val if se & 0x8000 else val
+
+
+def decode_aiff(payload: bytes | None) -> tuple[int, np.ndarray] | None:
+    """AIFF (FORM/AIFF) decode: COMM chunk (channels, frames, sample
+    size, 80-bit-extended sample rate) + SSND big-endian PCM
+    8/16/24/32-bit. The big-endian sibling of `decode_wav`."""
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"FORM"
+        or payload[8:12] != b"AIFF"
+    ):
+        return None
+    i, comm, ssnd = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack_from(">I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"COMM" and len(body) >= 18:
+            n_ch, n_frames, bits = struct.unpack_from(">HIH", body, 0)
+            rate = int(round(_float80_be(body[8:18])))
+            comm = (n_ch, n_frames, bits, rate)
+        elif cid == b"SSND" and len(body) >= 8:
+            off, _block = struct.unpack_from(">II", body, 0)
+            ssnd = body[8 + off :]
+        i += 8 + clen + (clen & 1)
+    if comm is None or ssnd is None:
+        return None
+    n_ch, _n_frames, bits, rate = comm
+    if n_ch < 1 or rate <= 0 or bits not in (8, 16, 24, 32):
+        return None
+    width = bits // 8
+    n = len(ssnd) // (width * n_ch)
+    if n == 0:
+        return None
+    if bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
+        samples = np.frombuffer(ssnd, dtype=np.int8, count=n * n_ch).astype(np.float32) / 128.0
+    elif bits == 16:
+        samples = np.frombuffer(ssnd, dtype=">i2", count=n * n_ch).astype(np.float32) / 32768.0
+    elif bits == 24:
+        b = np.frombuffer(ssnd, dtype=np.uint8, count=n * n_ch * 3).reshape(-1, 3)
+        v = (
+            (b[:, 0].astype(np.int32) << 16)
+            | (b[:, 1].astype(np.int32) << 8)
+            | b[:, 2].astype(np.int32)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = v.astype(np.float32) / float(1 << 23)
+    else:
+        samples = np.frombuffer(ssnd, dtype=">i4", count=n * n_ch).astype(np.float32) / float(
+            1 << 31
+        )
+    return rate, samples.reshape(n, n_ch)
+
+
+def decode_au(payload: bytes | None) -> tuple[int, np.ndarray] | None:
+    """Sun AU (.snd) decode: fixed big-endian header, encodings 1
+    (µ-law), 2/3/4/5 (8/16/24/32-bit linear BE), 6 (float32 BE), 27
+    (A-law)."""
+    if not payload or len(payload) < 24 or payload[:4] != b".snd":
+        return None
+    off, dsize, enc, rate, n_ch = struct.unpack_from(">IIIII", payload, 4)
+    if off < 24 or n_ch < 1 or rate <= 0:
+        return None
+    data = payload[off : off + dsize if dsize != 0xFFFFFFFF else len(payload)]
+    if enc == 1 or enc == 27:
+        table = _ULAW_TABLE if enc == 1 else _ALAW_TABLE
+        n = len(data) // n_ch
+        codes = np.frombuffer(data, dtype=np.uint8, count=n * n_ch)
+        samples = table[codes].astype(np.float32) / 32768.0
+    elif enc == 2:
+        n = len(data) // n_ch
+        samples = np.frombuffer(data, dtype=np.int8, count=n * n_ch).astype(np.float32) / 128.0
+    elif enc == 3:
+        n = len(data) // (2 * n_ch)
+        samples = np.frombuffer(data, dtype=">i2", count=n * n_ch).astype(np.float32) / 32768.0
+    elif enc == 4:
+        n = len(data) // (3 * n_ch)
+        b = np.frombuffer(data, dtype=np.uint8, count=n * n_ch * 3).reshape(-1, 3)
+        v = (
+            (b[:, 0].astype(np.int32) << 16)
+            | (b[:, 1].astype(np.int32) << 8)
+            | b[:, 2].astype(np.int32)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = v.astype(np.float32) / float(1 << 23)
+    elif enc == 5:
+        n = len(data) // (4 * n_ch)
+        samples = np.frombuffer(data, dtype=">i4", count=n * n_ch).astype(np.float32) / float(
+            1 << 31
+        )
+    elif enc == 6:
+        n = len(data) // (4 * n_ch)
+        samples = np.frombuffer(data, dtype=">f4", count=n * n_ch).astype(np.float32)
+    else:
+        return None
+    if n == 0:
+        return None
+    return rate, samples[: n * n_ch].reshape(n, n_ch)
+
+
 def decode_audio(payload: bytes | None) -> tuple[int, np.ndarray] | None:
     """Magic-byte audio dispatcher — the audio twin of
     `decode_image_pixels`: RIFF/WAVE -> `decode_wav` (all PCM/G.711/
-    ADPCM families), fLaC -> `operators.flac.decode_flac` (samples
-    scaled to float32 [-1, 1] by 2^(bps-1)). None for anything else
-    (MP3/OGG stay gated — lossy psychoacoustic decode has no
-    byte-arithmetic oracle and no reference decoder in this
-    container)."""
+    ADPCM families), FORM/AIFF -> `decode_aiff`, .snd -> `decode_au`,
+    fLaC -> `operators.flac.decode_flac` (samples scaled to float32
+    [-1, 1] by 2^(bps-1)). None for anything else (MP3/OGG stay gated
+    — lossy psychoacoustic decode has no byte-arithmetic oracle and
+    no reference decoder in this container)."""
     if not payload or len(payload) < 4:
         return None
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:4] == b"FORM":
+        return decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return decode_au(payload)
     if payload[:4] == b"fLaC":
         from etly_spark.operators.flac import decode_flac
 

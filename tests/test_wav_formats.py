@@ -240,6 +240,78 @@ def test_ms_adpcm_roundtrip_error_bounded():
 # ---------------------------------------------------------------------------
 
 
+def _aiff(n_ch, rate, bits, data):
+    # 80-bit extended sample rate: value = mant * 2^(exp-16383-63)
+    import math
+
+    e = math.floor(math.log2(rate))
+    mant = int(rate * 2 ** (63 - e))
+    comm = struct.pack(">HIH", n_ch, len(data) // (max(1, bits // 8) * n_ch), bits)
+    comm += struct.pack(">H", 16383 + e) + mant.to_bytes(8, "big")
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_aiff_pcm_exact_and_80bit_rate():
+    from etly_spark.operators.codecs import decode_aiff
+
+    vals = np.arange(-100, 100, dtype=np.int64)
+    for rate in (8000, 44100, 48000, 11025):
+        out = decode_aiff(_aiff(2, rate, 16, vals.astype(">i2").tobytes()))
+        assert out is not None
+        got_rate, s = out
+        assert got_rate == rate and s.shape == (100, 2)
+        assert np.array_equal((s.ravel() * 32768.0).astype(np.int64), vals)
+    # 8-bit AIFF is SIGNED (unlike WAV's unsigned 8-bit)
+    v8 = np.arange(-128, 128, dtype=np.int8)
+    out = decode_aiff(_aiff(1, 8000, 8, v8.tobytes()))
+    assert np.array_equal((out[1][:, 0] * 128.0).astype(np.int64), v8.astype(np.int64))
+    # 24-bit big-endian sign extension
+    v24 = np.array([0, 1, -1, (1 << 23) - 1, -(1 << 23)], dtype=np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in v24)
+    out = decode_aiff(_aiff(1, 16000, 24, raw))
+    assert np.array_equal((out[1][:, 0] * (1 << 23)).astype(np.int64), v24)
+
+
+def test_au_all_encodings():
+    from etly_spark.operators.codecs import decode_au
+
+    def au(enc, n_ch, data, rate=8000):
+        return struct.pack(">4sIIIII", b".snd", 24, len(data), enc, rate, n_ch) + data
+
+    # mu-law and A-law reuse the proven G.711 tables
+    codes = np.arange(256, dtype=np.uint8).tobytes()
+    for enc, table in ((1, _ULAW_TABLE), (27, _ALAW_TABLE)):
+        out = decode_au(au(enc, 1, codes))
+        assert np.array_equal(out[1][:, 0], table.astype(np.float32) / 32768.0)
+    # 16-bit BE linear
+    vals = np.arange(-300, 300, dtype=np.int64)
+    out = decode_au(au(3, 2, vals.astype(">i2").tobytes(), rate=44100))
+    assert out[0] == 44100 and out[1].shape == (300, 2)
+    assert np.array_equal((out[1].ravel() * 32768.0).astype(np.int64), vals)
+    # float32 BE passes through
+    f = np.array([0.5, -0.25, 1.0, -1.0], dtype=">f4")
+    out = decode_au(au(6, 1, f.tobytes()))
+    assert np.array_equal(out[1][:, 0], f.astype(np.float32))
+    # unknown encoding (e.g. 23 = G.721 ADPCM) -> None
+    assert decode_au(au(23, 1, codes)) is None
+
+
+def test_decode_audio_routes_aiff_and_au():
+    from etly_spark.operators.codecs import audio_stats, decode_audio
+
+    sig = (2000 * np.sin(np.arange(400) / 7)).astype(np.int64)
+    aiff = _aiff(1, 8000, 16, sig.astype(">i2").tobytes())
+    au = struct.pack(
+        ">4sIIIII", b".snd", 24, len(sig) * 2, 3, 8000, 1
+    ) + sig.astype(">i2").tobytes()
+    wav = _wav(1, 1, 8000, 16, sig.astype("<i2").tobytes())
+    stats = [audio_stats(*decode_audio(p)) for p in (aiff, au, wav)]
+    assert stats[0] == stats[1] == stats[2]
+
+
 def test_decode_audio_routes_wav_and_flac():
     from etly_spark.operators.codecs import audio_stats, decode_audio
     from etly_spark.operators.flac import encode_flac
