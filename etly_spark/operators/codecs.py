@@ -1965,6 +1965,158 @@ def decode_y4m(
     return fps, np.stack(frames)
 
 
+_MJPEG_DHT_CACHE: bytes | None = None
+
+
+def _mjpeg_default_dht() -> bytes:
+    """One DHT segment carrying the four T.81 Annex K tables — what an
+    OpenDML-compliant decoder must supply when an MJPEG frame omits
+    its Huffman tables (the classic MJPEG interop quirk)."""
+    global _MJPEG_DHT_CACHE
+    if _MJPEG_DHT_CACHE is None:
+        body = bytearray()
+        for tc_th, (bits, vals) in (
+            (0x00, _JPEG_DC_LUMA),
+            (0x01, _JPEG_DC_CHROMA),
+            (0x10, _JPEG_AC_LUMA),
+            (0x11, _JPEG_AC_CHROMA),
+        ):
+            body += bytes([tc_th]) + bytes(bits) + bytes(vals)
+        _MJPEG_DHT_CACHE = b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + bytes(body)
+    return _MJPEG_DHT_CACHE
+
+
+def _decode_mjpeg_frame(frame: bytes) -> np.ndarray | None:
+    """One MJPEG frame = one JPEG; frames with no DHT get the Annex K
+    defaults spliced in before the first SOS (OpenDML F.2)."""
+    if b"\xff\xc4" not in frame:
+        sos = frame.find(b"\xff\xda")
+        if sos < 0:
+            return None
+        frame = frame[:sos] + _mjpeg_default_dht() + frame[sos:]
+    return _decode_jpeg(frame)
+
+
+def decode_mjpeg_avi(
+    payload: bytes | None, max_frames: int = 256
+) -> tuple[float, np.ndarray] | None:
+    """REAL compressed-video decode: Motion-JPEG in an AVI (RIFF)
+    container -> (fps, luma frames as uint8 (n, h, w)) — the same
+    contract as `decode_y4m`, but every frame goes through the actual
+    baseline-JPEG entropy decoder. Walks RIFF/LIST structure: 'strh'
+    gives fps (rate/scale, falling back to avih microsec-per-frame),
+    'movi' holds the per-frame '..dc'/'..db' chunks. Frames that fail
+    to decode are skipped (corrupt frames are data); None when
+    nothing decodes. ``max_frames`` bounds memory per record."""
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    fps = 0.0
+    usec_per_frame = 0
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, i: int, end: int) -> None:
+        nonlocal fps, usec_per_frame
+        while i + 8 <= end and len(frames) < max_frames:
+            cid = buf[i : i + 4]
+            (clen,) = struct.unpack_from("<I", buf, i + 4)
+            body_start = i + 8
+            body_end = min(body_start + clen, end)
+            if cid == b"LIST" and clen >= 4:
+                walk(buf, body_start + 4, body_end)
+            elif cid == b"avih" and clen >= 4:
+                (usec_per_frame,) = struct.unpack_from("<I", buf, body_start)
+            elif cid == b"strh" and clen >= 28:
+                if buf[body_start : body_start + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", buf, body_start + 20)
+                    if scale and rate:
+                        fps = rate / scale
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                arr = _decode_mjpeg_frame(buf[body_start:body_end])
+                if arr is not None:
+                    luma = arr if arr.ndim == 2 else arr.mean(axis=2).astype(np.uint8)
+                    frames.append(luma)
+            i = body_start + clen + (clen & 1)
+
+    walk(payload, 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0]))
+    if not frames:
+        return None
+    if fps <= 0:
+        fps = 1e6 / usec_per_frame if usec_per_frame else 25.0
+    # heterogeneous frame dims (corrupt mid-stream header): keep the
+    # dominant geometry only
+    h, w = frames[0].shape
+    stack = [f for f in frames if f.shape == (h, w)]
+    return fps, np.stack(stack)
+
+
+def encode_mjpeg_avi(
+    frames: np.ndarray, fps: float = 25.0, quality: int = 90, strip_dht: bool = False
+) -> bytes:
+    """Encoder twin: (n, h, w[, 3]) uint8 frames -> a structurally
+    valid AVI/MJPG stream (hdrl with avih + vids strl, movi with one
+    00dc JPEG per frame). ``strip_dht`` removes each frame's DHT
+    segment to produce the OpenDML tables-omitted form real capture
+    hardware emits."""
+    frames = np.asarray(frames)
+    n = frames.shape[0]
+    h, w = frames.shape[1:3]
+    chunks = []
+    for k in range(n):
+        jpg = encode_baseline_jpeg(frames[k], quality=quality)
+        if strip_dht:
+            out = bytearray()
+            i = 2
+            out += jpg[:2]
+            while i + 4 <= len(jpg) and jpg[i] == 0xFF:
+                marker = jpg[i + 1]
+                if marker == 0xDA:
+                    out += jpg[i:]
+                    break
+                (seglen,) = struct.unpack_from(">H", jpg, i + 2)
+                if marker != 0xC4:
+                    out += jpg[i : i + 2 + seglen]
+                i += 2 + seglen
+            jpg = bytes(out)
+        chunks.append(jpg)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        int(1e6 / fps), 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1000, int(fps * 1000), 0, n, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", c) for c in chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_video(
+    payload: bytes | None, max_frames: int = 256
+) -> tuple[float, np.ndarray] | None:
+    """Magic-byte video dispatcher — the video twin of
+    `decode_image_pixels`/`decode_audio`: YUV4MPEG2 -> `decode_y4m`,
+    RIFF/AVI (MJPEG) -> `decode_mjpeg_avi`. H.26x/VP9 stay gated."""
+    if not payload or len(payload) < 12:
+        return None
+    if payload.startswith(b"YUV4MPEG2"):
+        return decode_y4m(payload, max_frames=max_frames)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_mjpeg_avi(payload, max_frames=max_frames)
+    return None
+
+
 def video_fingerprint64(frames: np.ndarray) -> int:
     """64-bit temporal video fingerprint: per-frame mean luma resampled
     to 65 points, bit i = luma rises from point i to i+1 — the same

@@ -792,7 +792,7 @@ def decode_video_features(df: DataFrame, max_frames: int = 256) -> DataFrame:
             out: dict[str, list] = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(int(doc_id))
-                dec = codecs.decode_y4m(payload, max_frames=max_frames)
+                dec = codecs.decode_video(payload, max_frames=max_frames)
                 if dec is None:
                     for k in cols[1:]:
                         out[k].append(None)
