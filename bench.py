@@ -35,6 +35,7 @@ def sf_from_dir(sf_dir: str) -> float:
 NEW_BRANCHES: dict[str, str] = {
     "sim_ann_methods": "r8:+recall@5+multiprobe",
     "mm_binary_metadata": "r8:+webp-vp8l+flac",
+    "mm_decode_frames": "r8:+avi-losslessjpeg",
 }
 
 

@@ -2055,19 +2055,27 @@ def decode_mjpeg_avi(
 
 
 def encode_mjpeg_avi(
-    frames: np.ndarray, fps: float = 25.0, quality: int = 90, strip_dht: bool = False
+    frames: np.ndarray, fps: float = 25.0, quality: int = 90, strip_dht: bool = False,
+    lossless: bool = False,
 ) -> bytes:
     """Encoder twin: (n, h, w[, 3]) uint8 frames -> a structurally
     valid AVI/MJPG stream (hdrl with avih + vids strl, movi with one
     00dc JPEG per frame). ``strip_dht`` removes each frame's DHT
     segment to produce the OpenDML tables-omitted form real capture
-    hardware emits."""
+    hardware emits. ``lossless`` encodes frames as SOF3 lossless
+    JPEGs instead of baseline — bit-exact round-trips, which lets a
+    byte-arithmetic oracle gate the whole container+codec path (the
+    mm_decode_frames 'avi' variant)."""
     frames = np.asarray(frames)
     n = frames.shape[0]
     h, w = frames.shape[1:3]
     chunks = []
     for k in range(n):
-        jpg = encode_baseline_jpeg(frames[k], quality=quality)
+        jpg = (
+            encode_lossless_jpeg(frames[k], predictor=4)
+            if lossless
+            else encode_baseline_jpeg(frames[k], quality=quality)
+        )
         if strip_dht:
             out = bytearray()
             i = 2

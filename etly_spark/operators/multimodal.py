@@ -883,7 +883,7 @@ def decode_frame_samples(df: DataFrame, step: int = 2) -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in FRAME_SAMPLE_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                dec = codecs.decode_y4m(payload)
+                dec = codecs.decode_video(payload)
                 if dec is None:
                     continue
                 _fps, frames = dec
@@ -898,3 +898,56 @@ def decode_frame_samples(df: DataFrame, step: int = 2) -> DataFrame:
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+def avi_frame_samples(
+    df: DataFrame,
+    w: int = 8,
+    h: int = 8,
+    n_frames: int = 6,
+    every: int = 50,
+    offset: int = 13,
+    step: int = 2,
+) -> DataFrame:
+    """REAL compressed-video round-trip under the oracle gate — the
+    video sibling of `entropy_roundtrip_features`: pack each sampled
+    doc's text into ``n_frames`` gray frames, wrap them in a REAL AVI
+    container with LOSSLESS-JPEG (SOF3) frame encoding
+    (`codecs.encode_mjpeg_avi(lossless=True)`), then decode through
+    the full `decode_video` path (RIFF/LIST walk -> per-frame JPEG
+    entropy decode) and emit every ``step``-th frame's decoded luma
+    sum. Lossless frames make the round-trip bit-exact, so DuckDB
+    byte arithmetic gates the whole container+codec chain; the lossy
+    baseline-MJPEG form of the same path is pytest-covered
+    (tests/test_mjpeg.py). Sampling/repartition rationale as the
+    entropy branch."""
+    total = w * h * n_frames
+    sub = df.filter((F.col("doc_id") % every) == offset).select("doc_id", "text")
+    sub = sub.repartition(sub.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from etly_spark.operators import codecs
+
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SAMPLE_SCHEMA.fields}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode()[:total].ljust(total, b" ")
+                frames = np.frombuffer(raw, dtype=np.uint8).reshape(n_frames, h, w)
+                avi = codecs.encode_mjpeg_avi(frames, fps=10.0, lossless=True)
+                dec = codecs.decode_video(avi)
+                assert dec is not None
+                _fps, got = dec
+                assert got.shape == frames.shape
+                for f in range(0, got.shape[0], step):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(int(got.shape[0]))
+                    out["f_sum"].append(int(got[f].astype("int64").sum()))
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    return sub.mapInPandas(run, FRAME_SAMPLE_SCHEMA)

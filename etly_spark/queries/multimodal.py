@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from etly_spark.io.tables import load_table
 from etly_spark.operators.multimodal import (
     attach_binary_payload,
+    avi_frame_samples,
     decode_features,
     decode_frame_samples,
     decode_pixel_features,
@@ -207,21 +208,46 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
              8 AS width, 8 AS height, 6 AS n_frames,
              4.0 AS resize_scale
       FROM vid, (SELECT unnest([0, 2, 4]) AS f)
+    ), avi AS (
+      -- COMPRESSED video under the gate: the same 384 bytes as 6
+      -- frames wrapped in a REAL AVI container with LOSSLESS-JPEG
+      -- (SOF3) frame encoding — bit-exact, so byte arithmetic gates
+      -- the RIFF walk + per-frame entropy decode (1-in-50 sample,
+      -- offset 13, disjoint from the other sampled branches)
+      SELECT 'avi' AS variant, doc_id,
+             f AS frame_no,
+             64 AS byte_len,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  j -> ascii(substr(px, f * 64 + j, 1)))) AS BIGINT) AS byte_sum,
+             round(CAST(list_sum(list_transform(generate_series(1, 64),
+                  j -> ascii(substr(px, f * 64 + j, 1)))) AS DOUBLE) / 64, 6) AS mean_byte,
+             8 AS width, 8 AS height, 6 AS n_frames,
+             4.0 AS resize_scale
+      FROM vid, (SELECT unnest([0, 2, 4]) AS f)
+      WHERE doc_id % 50 = 13
     )
     SELECT * FROM stub UNION ALL BY NAME SELECT * FROM y4m
+    UNION ALL BY NAME SELECT * FROM avi
     ORDER BY variant, doc_id, frame_no
     """,
-    doc="Decode → frame-sample, two tagged variants in one checked row. "
-    "'stub' — Arrow-batched pandas decode stand-in (byte stats, resize "
-    "geometry) + every-2nd-frame sampling as an explode (the plan "
-    "shape, codec stubbed). 'y4m' — the SAME pipeline with a REAL "
+    doc="Decode → frame-sample, three tagged variants in one checked "
+    "row. 'stub' — Arrow-batched pandas decode stand-in (byte stats, "
+    "resize geometry) + every-2nd-frame sampling as an explode (the "
+    "plan shape, codec stubbed). 'y4m' — the SAME pipeline with a REAL "
     "codec in the loop: each doc's text is packed into a valid "
     "YUV4MPEG2 stream (6 frames of 8x8 luma), decoded back frame by "
     "frame by the pure-numpy Y4M decoder (operators/codecs.py), and "
     "every sampled frame's decoded luma sum / mean is hash-checked "
     "against byte arithmetic — a codec bug in header parse, frame "
-    "walk, plane offsets, or reshape fails the gate. Both variants: "
-    "pure map, no shuffle before the explode.",
+    "walk, plane offsets, or reshape fails the gate. 'avi' (r8) — "
+    "COMPRESSED video through the same gate: a 1-in-50 doc sample "
+    "packed as 6 gray frames into a REAL AVI container with lossless-"
+    "JPEG (SOF3) frames (codecs.encode_mjpeg_avi(lossless=True)), "
+    "fully decoded back through the RIFF walk + JPEG entropy decoder "
+    "(decode_video); losslessness makes the byte-arithmetic oracle "
+    "exact. Baseline (lossy) MJPEG through the identical path is "
+    "pytest-covered (tests/test_mjpeg.py). All variants: pure map, no "
+    "shuffle before the explode.",
 )
 def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -247,17 +273,24 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("resize_scale", 6).alias("resize_scale"),
         )
     )
-    samples = decode_frame_samples(synthesize_y4m_payload(docs, w=8, h=8, n_frames=6))
-    y4m = samples.select(
-        F.lit("y4m").alias("variant"),
-        "doc_id",
-        "frame_no",
-        (F.col("width") * F.col("height")).alias("byte_len"),
-        F.col("f_sum").alias("byte_sum"),
-        F.round(F.col("f_sum") / (F.col("width") * F.col("height")), 6).alias("mean_byte"),
-        "width",
-        "height",
-        "n_frames",
-        F.round(F.lit(32.0) / F.greatest("width", "height"), 6).alias("resize_scale"),
+    def frame_rows(samples: DataFrame, tag: str) -> DataFrame:
+        return samples.select(
+            F.lit(tag).alias("variant"),
+            "doc_id",
+            "frame_no",
+            (F.col("width") * F.col("height")).alias("byte_len"),
+            F.col("f_sum").alias("byte_sum"),
+            F.round(F.col("f_sum") / (F.col("width") * F.col("height")), 6).alias(
+                "mean_byte"
+            ),
+            "width",
+            "height",
+            "n_frames",
+            F.round(F.lit(32.0) / F.greatest("width", "height"), 6).alias("resize_scale"),
+        )
+
+    y4m = frame_rows(
+        decode_frame_samples(synthesize_y4m_payload(docs, w=8, h=8, n_frames=6)), "y4m"
     )
-    return stub.unionByName(y4m).orderBy("variant", "doc_id", "frame_no")
+    avi = frame_rows(avi_frame_samples(docs, w=8, h=8, n_frames=6, every=50, offset=13), "avi")
+    return stub.unionByName(y4m).unionByName(avi).orderBy("variant", "doc_id", "frame_no")
