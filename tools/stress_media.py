@@ -180,6 +180,49 @@ def main() -> int:
     a_recall = a_pairs.count() / n_av
     v_recall = v_pairs.count() / n_av
 
+    # -- compressed containers (r8): FLAC clips and MJPEG AVIs through
+    # the SAME feature operators (magic-byte dispatchers) — the
+    # entropy-codec throughput a real mixed-media corpus pays
+    def gen_compressed(batches):
+        import numpy as np
+
+        from etly_spark.operators import codecs as _codecs
+        from etly_spark.operators import flac as _flac
+
+        for pdf in batches:
+            ids, pls, kinds = [], [], []
+            for doc_id in pdf["doc_id"]:
+                r = np.random.default_rng(int(doc_id))
+                wave = (
+                    3000 * np.sin(np.arange(4000) / (10 + int(doc_id) % 40))
+                    + r.integers(-50, 50, 4000)
+                ).astype(np.int64)
+                ids.append(int(doc_id))
+                pls.append(_flac.encode_flac(wave, 8000, block_size=1024))
+                kinds.append("flac")
+                vid = np.clip(
+                    np.add.outer(np.arange(12) * 4, np.zeros(32 * 32)).reshape(12, 32, 32)
+                    + r.integers(0, 160, (12, 32, 32)) // 8 * 8,
+                    0, 255,
+                ).astype(np.uint8)
+                ids.append(int(doc_id) + 1_000_000)
+                pls.append(_codecs.encode_mjpeg_avi(vid, fps=10.0, quality=85))
+                kinds.append("mjpeg")
+            yield pd.DataFrame({"doc_id": ids, "payload": pls, "kind": kinds})
+
+    n_comp = min(n_docs, 500)
+    comp = docs.select("doc_id").limit(n_comp).repartition(16).mapInPandas(
+        gen_compressed, "doc_id long, payload binary, kind string"
+    )
+    t0 = time.monotonic()
+    ffeat = decode_audio_features(comp.filter(F.col("kind") == "flac"))
+    f_ok = ffeat.filter(F.col("afp64").isNotNull()).count()
+    sec_flac = time.monotonic() - t0
+    t0 = time.monotonic()
+    mfeat = decode_video_features(comp.filter(F.col("kind") == "mjpeg"))
+    m_ok = mfeat.filter(F.col("vhash64").isNotNull()).count()
+    sec_mjpeg = time.monotonic() - t0
+
     print(
         json.dumps(
             {
@@ -201,6 +244,12 @@ def main() -> int:
                 "sec_video_decode": round(sec_video, 2),
                 "video_ok": v_ok,
                 "video_planted_recall": round(v_recall, 4),
+                "n_flac": n_comp,
+                "sec_flac_decode": round(sec_flac, 2),
+                "flac_ok": f_ok,
+                "n_mjpeg": n_comp,
+                "sec_mjpeg_decode": round(sec_mjpeg, 2),
+                "mjpeg_ok": m_ok,
             }
         )
     )
