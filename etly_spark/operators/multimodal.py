@@ -867,87 +867,82 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
-def decode_frame_samples(df: DataFrame, step: int = 2) -> DataFrame:
-    """Arrow-batched REAL frame sampling: decode the video container
-    (operators.codecs.decode_y4m) and emit one row per SAMPLED frame
-    (every ``step``-th) with that frame's decoded luma sum — the
-    decode -> frame-sample -> featurize pipeline with an actual codec
-    in the loop. Pure map; per-record memory bounded by the decoder's
-    frame cap; corrupt payloads contribute no rows (a count-level
-    oracle catches silent drops)."""
+def decode_frame_samples(
+    df: DataFrame,
+    step: int = 2,
+    avi: dict | None = None,
+) -> DataFrame:
+    """Arrow-batched REAL frame sampling: decode each row's video
+    payload (`operators.codecs.decode_video` — Y4M or AVI/MJPEG) and
+    emit one row per SAMPLED frame (every ``step``-th) with that
+    frame's decoded luma sum, tagged with the container variant.
+
+    ``avi`` (dict: w, h, n_frames, every, offset) additionally runs
+    the compressed-container round-trip for the 1-in-``every`` doc
+    sample IN THE SAME Python stage: the sampled doc's text is packed
+    into gray frames, wrapped in a REAL AVI container with
+    lossless-JPEG (SOF3) frames (`codecs.encode_mjpeg_avi
+    (lossless=True)`), and fully decoded back through the RIFF walk +
+    JPEG entropy decoder — rows tagged 'avi'. Riding the existing
+    stage instead of spawning its own saves the per-stage
+    Python-worker round-trip that dominated the separate-operator
+    form (~0.5 s of its 0.78 s at sf0.1 — same measurement as the
+    entropy_roundtrip_features fusion).
+
+    Pure map; per-record memory bounded by the decoder's frame cap;
+    corrupt payloads contribute no rows (a count-level oracle catches
+    silent drops)."""
     import pandas as pd
 
     from etly_spark.operators import codecs
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out = {k.name: [] for k in FRAME_SAMPLE_SCHEMA.fields}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                dec = codecs.decode_video(payload)
-                if dec is None:
-                    continue
-                _fps, frames = dec
-                n, h, w = frames.shape
-                for f in range(0, n, step):
-                    out["doc_id"].append(int(doc_id))
-                    out["frame_no"].append(f)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["n_frames"].append(n)
-                    out["f_sum"].append(int(frames[f].astype("int64").sum()))
-            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+    schema = StructType(
+        [StructField("variant", StringType())] + list(FRAME_SAMPLE_SCHEMA.fields)
+    )
+    cols = ["doc_id", "payload"] + (["text"] if avi else [])
+    # balance the CPU-heavy decode map across cores: the documents
+    # scan is 1-2 files at small SFs, which would serialize the whole
+    # per-doc codec work onto as many tasks (same rationale and knob
+    # as entropy_roundtrip_features — a keyless shuffle of a slim
+    # projected slice)
+    df = df.select(*cols).repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
-
-
-def avi_frame_samples(
-    df: DataFrame,
-    w: int = 8,
-    h: int = 8,
-    n_frames: int = 6,
-    every: int = 50,
-    offset: int = 13,
-    step: int = 2,
-) -> DataFrame:
-    """REAL compressed-video round-trip under the oracle gate — the
-    video sibling of `entropy_roundtrip_features`: pack each sampled
-    doc's text into ``n_frames`` gray frames, wrap them in a REAL AVI
-    container with LOSSLESS-JPEG (SOF3) frame encoding
-    (`codecs.encode_mjpeg_avi(lossless=True)`), then decode through
-    the full `decode_video` path (RIFF/LIST walk -> per-frame JPEG
-    entropy decode) and emit every ``step``-th frame's decoded luma
-    sum. Lossless frames make the round-trip bit-exact, so DuckDB
-    byte arithmetic gates the whole container+codec chain; the lossy
-    baseline-MJPEG form of the same path is pytest-covered
-    (tests/test_mjpeg.py). Sampling/repartition rationale as the
-    entropy branch."""
-    total = w * h * n_frames
-    sub = df.filter((F.col("doc_id") % every) == offset).select("doc_id", "text")
-    sub = sub.repartition(sub.sparkSession.sparkContext.defaultParallelism)
+    def emit(out, variant, doc_id, frames):
+        n, h, w = frames.shape
+        for f in range(0, n, step):
+            out["variant"].append(variant)
+            out["doc_id"].append(int(doc_id))
+            out["frame_no"].append(f)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_frames"].append(n)
+            out["f_sum"].append(int(frames[f].astype("int64").sum()))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
-        import pandas as pd
-
-        from etly_spark.operators import codecs
 
         for pdf in batches:
-            out = {k.name: [] for k in FRAME_SAMPLE_SCHEMA.fields}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode()[:total].ljust(total, b" ")
-                frames = np.frombuffer(raw, dtype=np.uint8).reshape(n_frames, h, w)
-                avi = codecs.encode_mjpeg_avi(frames, fps=10.0, lossless=True)
-                dec = codecs.decode_video(avi)
-                assert dec is not None
-                _fps, got = dec
-                assert got.shape == frames.shape
-                for f in range(0, got.shape[0], step):
-                    out["doc_id"].append(int(doc_id))
-                    out["frame_no"].append(f)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["n_frames"].append(int(got.shape[0]))
-                    out["f_sum"].append(int(got[f].astype("int64").sum()))
-            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
+            for row in pdf.itertuples(index=False):
+                dec = codecs.decode_video(row.payload)
+                if dec is not None:
+                    emit(out, "y4m", row.doc_id, dec[1])
+                if avi and int(row.doc_id) % avi["every"] == avi["offset"]:
+                    total = avi["w"] * avi["h"] * avi["n_frames"]
+                    raw = (row.text or "").encode()[:total].ljust(total, b" ")
+                    frames = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        avi["n_frames"], avi["h"], avi["w"]
+                    )
+                    payload = codecs.encode_mjpeg_avi(frames, fps=10.0, lossless=True)
+                    adec = codecs.decode_video(payload)
+                    assert adec is not None and adec[1].shape == frames.shape
+                    emit(out, "avi", row.doc_id, adec[1])
+            ints = {f.name for f in FRAME_SAMPLE_SCHEMA.fields}
+            yield pd.DataFrame(
+                {
+                    k: (pd.array(v, dtype="int64") if k in ints else v)
+                    for k, v in out.items()
+                }
+            )
 
-    return sub.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    return df.mapInPandas(run, schema)

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from etly_spark.io.tables import load_table
 from etly_spark.operators.multimodal import (
     attach_binary_payload,
-    avi_frame_samples,
     decode_features,
     decode_frame_samples,
     decode_pixel_features,
@@ -273,24 +272,22 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("resize_scale", 6).alias("resize_scale"),
         )
     )
-    def frame_rows(samples: DataFrame, tag: str) -> DataFrame:
-        return samples.select(
-            F.lit(tag).alias("variant"),
-            "doc_id",
-            "frame_no",
-            (F.col("width") * F.col("height")).alias("byte_len"),
-            F.col("f_sum").alias("byte_sum"),
-            F.round(F.col("f_sum") / (F.col("width") * F.col("height")), 6).alias(
-                "mean_byte"
-            ),
-            "width",
-            "height",
-            "n_frames",
-            F.round(F.lit(32.0) / F.greatest("width", "height"), 6).alias("resize_scale"),
-        )
-
-    y4m = frame_rows(
-        decode_frame_samples(synthesize_y4m_payload(docs, w=8, h=8, n_frames=6)), "y4m"
+    # one Python stage decodes the y4m container for every doc AND
+    # runs the lossless-JPEG-in-AVI round-trip for the 1-in-50 sample
+    samples = decode_frame_samples(
+        synthesize_y4m_payload(docs, w=8, h=8, n_frames=6),
+        avi={"w": 8, "h": 8, "n_frames": 6, "every": 50, "offset": 13},
     )
-    avi = frame_rows(avi_frame_samples(docs, w=8, h=8, n_frames=6, every=50, offset=13), "avi")
-    return stub.unionByName(y4m).unionByName(avi).orderBy("variant", "doc_id", "frame_no")
+    decoded = samples.select(
+        "variant",
+        "doc_id",
+        "frame_no",
+        (F.col("width") * F.col("height")).alias("byte_len"),
+        F.col("f_sum").alias("byte_sum"),
+        F.round(F.col("f_sum") / (F.col("width") * F.col("height")), 6).alias("mean_byte"),
+        "width",
+        "height",
+        "n_frames",
+        F.round(F.lit(32.0) / F.greatest("width", "height"), 6).alias("resize_scale"),
+    )
+    return stub.unionByName(decoded).orderBy("variant", "doc_id", "frame_no")
