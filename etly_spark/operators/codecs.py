@@ -1526,22 +1526,339 @@ def encode_progressive_jpeg(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# TIFF (Adobe TIFF 6.0): baseline strips, both byte orders, LZW with
+# EarlyChange + horizontal predictor, PackBits — the scientific-corpus
+# container. All supported compressions are lossless, so round-trips
+# are bit-exact (same testing strategy as PNG/VP8L/FLAC).
+# ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_decode(data: bytes, max_bytes: int) -> bytes | None:
+    """TIFF-variant LZW: MSB-first code packing, Clear=256, EOI=257,
+    and EarlyChange (code width grows one code EARLY: at 510/1022/
+    2046 — the difference from GIF's LZW that breaks naive ports)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            if len(out) > max_bytes:
+                return None
+            prev = entry
+            # EarlyChange + the decoder's one-entry lag behind the
+            # encoder's table: widen when the table reaches 2^width - 2
+            # (510/1022/2046), one EARLIER than GIF's LZW
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _tiff_packbits_decode(data: bytes, max_bytes: int) -> bytes | None:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                return None
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        if len(out) > max_bytes:
+            return None
+    return bytes(out)
+
+
+def _decode_tiff(payload: bytes) -> np.ndarray | None:
+    if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_tags,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if off + 12 > len(payload):
+            return None
+        tag, ttype, count = struct.unpack_from(bo + "HHI", payload, off)
+        if ttype not in type_size:
+            continue
+        total = type_size[ttype] * count
+        vo = off + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+        if vo + total > len(payload):
+            return None
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, payload, vo))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError:
+        return None
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    comp = tags.get(259, [1])[0]
+    pred = tags.get(317, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+    if (
+        w == 0 or h == 0 or spp not in (1, 3, 4) or any(b != 8 for b in bps)
+        or planar != 1 or len(offsets) != len(counts)
+        or comp not in (1, 5, 32773) or pred not in (1, 2)
+    ):
+        return None
+    row_bytes = w * spp
+    raw = bytearray()
+    for k, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = payload[so : so + sc]
+        if len(strip) != sc:
+            return None
+        n_rows = min(rows_per_strip, h - k * rows_per_strip)
+        want = n_rows * row_bytes
+        if comp == 1:
+            dec = strip[:want]
+        elif comp == 5:
+            dec = _tiff_lzw_decode(strip, want)
+        else:
+            dec = _tiff_packbits_decode(strip, want)
+        if dec is None or len(dec) < want:
+            return None
+        dec = dec[:want]
+        if pred == 2:  # horizontal differencing: undo per row, per sample
+            a = np.frombuffer(dec, dtype=np.uint8).reshape(n_rows, w, spp)
+            dec = np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
+        raw += dec
+    if len(raw) < h * row_bytes:
+        return None
+    arr = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8).reshape(h, w, spp)
+    # PhotometricInterpretation 0 = WhiteIsZero -> invert to the
+    # BlackIsZero convention the rest of the pipeline uses
+    if tags.get(262, [1])[0] == 0:
+        arr = 255 - arr
+    return arr[:, :, 0] if spp == 1 else arr
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder twin (EarlyChange, MSB-first)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # EarlyChange: widen one code early
+        elif next_code >= 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        put(table[cur], width)
+    put(EOI, width)
+    if nbits:
+        put(0, 8 - nbits)
+    return bytes(out)
+
+
+def _tiff_packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n and j - i < 128
+                and not (j + 1 < n and data[j] == data[j + 1])
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    compression: int = 5,
+    predictor: int = 2,
+    rows_per_strip: int = 16,
+    big_endian: bool = False,
+) -> bytes:
+    """Encoder twin: uint8 gray/RGB/RGBA -> a baseline TIFF 6.0 file
+    (strips; compression 1=none, 5=LZW, 32773=PackBits; optional
+    horizontal predictor with LZW). Lossless, so `_decode_tiff` hands
+    the array back bit-exactly."""
+    x = np.asarray(arr, dtype=np.uint8)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    h, w, spp = x.shape
+    bo = ">" if big_endian else "<"
+    if predictor == 2 and compression != 5:
+        predictor = 1  # predictor is an LZW companion in practice
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        rows = x[r0 : r0 + rows_per_strip]
+        if predictor == 2:
+            d = rows.astype(np.int16)
+            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+            raw = (d & 0xFF).astype(np.uint8).tobytes()
+        else:
+            raw = rows.tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_tiff_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    # layout: header(8) + IFD + values + strip data
+    entries = []  # (tag, type, count, value_or_offset_placeholder)
+
+    def tag(t, ttype, vals):
+        entries.append((t, ttype, vals))
+
+    tag(256, 3, [w])
+    tag(257, 3, [h])
+    tag(258, 3, [8] * spp)
+    tag(259, 3, [compression])
+    tag(262, 3, [1])  # BlackIsZero
+    tag(273, 4, [0] * len(strips))  # patched below
+    tag(277, 3, [spp])
+    tag(278, 3, [min(rows_per_strip, h)])
+    tag(279, 4, [len(s) for s in strips])
+    if predictor == 2:
+        tag(317, 3, [predictor])
+    entries.sort()
+    n_tags = len(entries)
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n_tags + 4
+    # assign overflow-value offsets
+    value_blobs = []
+    voff = after_ifd
+    type_size = {3: 2, 4: 4}
+    packed = []
+    for t, ttype, vals in entries:
+        fmt = {3: "H", 4: "I"}[ttype]
+        total = type_size[ttype] * len(vals)
+        if total <= 4:
+            packed.append((t, ttype, len(vals), None, vals))
+        else:
+            packed.append((t, ttype, len(vals), voff, vals))
+            value_blobs.append((voff, fmt, vals))
+            voff += total
+    data_off = voff
+    strip_offsets = []
+    so = data_off
+    for s in strips:
+        strip_offsets.append(so)
+        so += len(s)
+    out = bytearray()
+    out += (b"II*\x00" if not big_endian else b"MM\x00*")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", n_tags)
+    for t, ttype, count, off, vals in packed:
+        if t == 273:
+            vals = strip_offsets
+        fmt = {3: "H", 4: "I"}[ttype]
+        out += struct.pack(bo + "HHI", t, ttype, count)
+        if off is None:
+            v = struct.pack(bo + str(count) + fmt, *vals)
+            out += v.ljust(4, b"\x00")
+        else:
+            out += struct.pack(bo + "I", off)
+    out += struct.pack(bo + "I", 0)  # next-IFD = none
+    for off, fmt, vals in value_blobs:
+        if vals == [0] * len(strips):  # the 273 placeholder blob
+            vals = strip_offsets
+        out += struct.pack(bo + str(len(vals)) + fmt, *vals)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
     """Full REAL pixel decode: bytes -> uint8 array (h, w[, channels]).
 
     Supports BMP (24/32-bit BI_RGB), PPM/PGM binary, PNG 8-bit
     gray/RGB/RGBA non-interlaced, GIF87a/89a non-interlaced (pure-
-    Python LZW; first frame of animations), baseline AND progressive
-    JPEG (Huffman + dequant + IDCT + YCbCr in pure numpy; arithmetic/
-    lossless JPEG stay behind the PIL gate), and lossless WebP (VP8L —
-    `operators.webp`; lossy VP8 is arithmetic-coded and stays gated).
-    Returns None for anything else — corrupt or exotic media is data,
-    not an exception, at 100 TB.
+    Python LZW; first frame of animations), baseline, progressive AND
+    lossless JPEG (Huffman + dequant + IDCT + YCbCr in pure numpy;
+    arithmetic JPEG stays behind the PIL gate), TIFF 6.0 strips
+    (none/LZW-EarlyChange/PackBits, predictor, both byte orders), and
+    lossless WebP (VP8L — `operators.webp`; lossy VP8 is
+    arithmetic-coded and stays gated). Returns None for anything else
+    — corrupt or exotic media is data, not an exception, at 100 TB.
     """
     if not payload:
         return None
     try:
-        for dec in (_decode_bmp, _decode_png, _decode_netpbm, _decode_gif, _decode_jpeg):
+        for dec in (
+            _decode_bmp, _decode_png, _decode_netpbm, _decode_gif, _decode_jpeg,
+            _decode_tiff,
+        ):
             arr = dec(payload)
             if arr is not None:
                 return arr

@@ -172,6 +172,26 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         from etly_spark.operators.webp import parse_webp_header
 
         return parse_webp_header(payload)
+    if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk the first IFD for ImageWidth/ImageLength
+        bo = "<" if payload[:2] == b"II" else ">"
+        (ifd,) = struct.unpack_from(bo + "I", payload, 4)
+        if ifd + 2 > len(payload):
+            return None
+        (n_tags,) = struct.unpack_from(bo + "H", payload, ifd)
+        w = h = 0
+        for t in range(n_tags):
+            off = ifd + 2 + 12 * t
+            if off + 12 > len(payload):
+                return None
+            tag, ttype, _count = struct.unpack_from(bo + "HHI", payload, off)
+            if tag in (256, 257) and ttype in (3, 4):
+                (v,) = struct.unpack_from(bo + ("H" if ttype == 3 else "I"), payload, off + 8)
+                if tag == 256:
+                    w = v
+                else:
+                    h = v
+        return ("tiff", int(w), int(h)) if w and h else None
     if len(payload) >= 2 and payload[:1] == b"P" and payload[1:2] in b"123456":
         # Netpbm (PPM/PGM/PBM): ASCII "P6 <w> <h> <maxval>" with
         # whitespace/comments between tokens

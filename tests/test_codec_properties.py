@@ -263,3 +263,33 @@ def test_adpcm_decoders_never_crash_and_stay_bounded(n, spb, seed):
         assert out is not None
         assert out[1].shape[0] >= n
         assert float(np.abs(out[1]).max()) <= 1.0
+
+
+@given(
+    dims,
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from([1, 5, 32773]),
+    st.booleans(),
+    st.sampled_from([1, 4, 16]),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_any_input(hw, seed, nch, comp, big_endian, rps):
+    """TIFF strips are lossless under every supported compression:
+    ANY image x any strip height x either byte order round-trips
+    bit-exactly."""
+    h, w = hw
+    img = _img(h, w, nch, seed)
+    enc = C.encode_tiff(img, compression=comp, big_endian=big_endian, rows_per_strip=rps)
+    dec = C.decode_image_pixels(enc)
+    assert dec is not None and np.array_equal(dec, img)
+
+
+@given(dims, st.integers(0, 2**32 - 1), st.integers(0, 200))
+@settings(max_examples=40, deadline=None)
+def test_tiff_truncation_never_crashes(hw, seed, cut):
+    h, w = hw
+    img = _img(h, w, 3, seed)
+    enc = C.encode_tiff(img, compression=5)
+    out = C.decode_image_pixels(enc[: max(0, len(enc) - cut)])
+    assert out is None or np.array_equal(out, img)
