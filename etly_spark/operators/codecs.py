@@ -10,11 +10,15 @@ or stdlib struct (WAV/PCM). Those are decoded HERE, for real:
 - BMP: 24/32-bit uncompressed BI_RGB, bottom-up and top-down rows,
   4-byte row padding, BGR(A)->RGB.
 - PPM (P6) / PGM (P5): binary Netpbm, maxval <= 255.
-- PNG: 8-bit gray/RGB/RGBA, non-interlaced; zlib-inflated IDAT,
-  all five scanline filters (None/Sub/Up/Average/Paeth) unfiltered.
+- PNG: gray/RGB/RGBA/palette at 1/2/4/8/16-bit depths, Adam7
+  interlace, PLTE+tRNS; zlib-inflated IDAT, all five scanline
+  filters (None/Sub/Up/Average/Paeth) unfiltered per pass.
 - GIF: 87a/89a first frame, global/local color tables, pure-Python
-  variable-width LZW (non-interlaced).
-- WAV: RIFF/PCM 8- and 16-bit, mono/stereo, manual chunk walk.
+  variable-width LZW, 4-pass interlace.
+- TIFF: 6.0 strips, both byte orders, none/LZW-EarlyChange/PackBits,
+  horizontal predictor; `encode_tiff` twin.
+- WAV: RIFF walk — PCM 8/16/24/32, float32, G.711 mu-law/A-law, IMA
+  and MS ADPCM, EXTENSIBLE; AIFF (80-bit rates, BE PCM); Sun AU.
 - Y4M: YUV4MPEG2 uncompressed video -> luma frame stack.
 - JPEG (r8): baseline JFIF — SOF0/SOF1 Huffman sequential, gray /
   4:4:4 / 4:2:0, 8/16-bit DQT, RSTn restarts — decoded for real
@@ -200,8 +204,8 @@ def _decode_gif(payload: bytes) -> np.ndarray | None:
                     n = 2 ** ((ipacked & 0x07) + 1)
                     ct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
                     i += n * 3
-                if ipacked & 0x40 or ct is None or w <= 0 or h <= 0:
-                    return None  # interlace out of scope; no color table
+                if ct is None or w <= 0 or h <= 0:
+                    return None  # no color table anywhere
                 min_code = payload[i]
                 i += 1
                 data = bytearray()
@@ -215,7 +219,18 @@ def _decode_gif(payload: bytes) -> np.ndarray | None:
                 arr = np.asarray(idx[: w * h], dtype=np.int32)
                 if arr.max() >= ct.shape[0]:
                     return None
-                return ct[arr].reshape(h, w, 3)
+                img = ct[arr].reshape(h, w, 3)
+                if ipacked & 0x40:
+                    # interlaced: rows arrive in the four GIF passes
+                    # (8/8, 8/8+4, 4/4+2, 2/2+1) — scatter them back
+                    order = np.concatenate(
+                        [np.arange(s, h, step) for s, step in
+                         ((0, 8), (4, 8), (2, 4), (1, 2))]
+                    )
+                    out = np.empty_like(img)
+                    out[order] = img
+                    return out
+                return img
             elif b0 == 0x3B:  # trailer
                 return None
             else:
@@ -225,7 +240,6 @@ def _decode_gif(payload: bytes) -> np.ndarray | None:
     return None
 
 
-_PNG_CH = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels (8-bit only)
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -269,38 +283,110 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unpack_rows(
+    flt: np.ndarray, ph: int, pw: int, nch: int, depth: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes -> (ph, pw, nch) samples at the file's
+    depth (uint8 for <=8, uint16 for 16). Sub-byte depths unpack
+    MSB-first per PNG's packing."""
+    if depth == 8:
+        return flt[:, : pw * nch].reshape(ph, pw, nch)
+    if depth == 16:
+        a = flt.reshape(ph, -1)[:, : pw * nch * 2].reshape(ph, pw * nch, 2)
+        vals = a[..., 0].astype(np.uint16) * 256 + a[..., 1]
+        return vals.reshape(ph, pw, nch)
+    # 1/2/4-bit: unpack bits row-wise, regroup into depth-bit samples
+    bits = np.unpackbits(flt, axis=1)
+    spb = bits.shape[1] // depth
+    vals = np.zeros((ph, spb), dtype=np.uint8)
+    for k in range(depth):
+        vals = (vals << 1) | bits[:, k::depth][:, :spb]
+    return vals[:, : pw * nch].reshape(ph, pw, nch)
+
+
 def _decode_png(payload: bytes) -> np.ndarray | None:
     if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack_from(
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack_from(
         ">IIBBBBB", payload, 16
     )
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CH:
-        return None  # paletted/16-bit/Adam7 stay out of scope
-    nch = _PNG_CH[color_type]
-    # walk chunks, concatenate IDAT
+    if (
+        comp != 0 or filt != 0 or interlace > 1 or w == 0 or h == 0
+        or color_type not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[color_type]
+    ):
+        return None
+    nch = _PNG_NCH[color_type]
     idat = bytearray()
+    plte: np.ndarray | None = None
+    trns: bytes | None = None
     i = 8
     while i + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, i)
         ctype = payload[i + 4 : i + 8]
         if ctype == b"IDAT":
             idat += payload[i + 8 : i + 8 + clen]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(payload[i + 8 : i + 8 + clen], dtype=np.uint8)
+            if plte.size % 3:
+                return None
+            plte = plte.reshape(-1, 3)
+        elif ctype == b"tRNS" and color_type == 3:
+            trns = payload[i + 8 : i + 8 + clen]
         elif ctype == b"IEND":
             break
         i += 12 + clen  # len + type + data + crc
-    if not idat:
+    if not idat or (color_type == 3 and plte is None):
         return None
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error:
         return None
-    stride = w * nch
-    if raw.size != h * (stride + 1):
+    bpp = max(1, nch * depth // 8)
+    dt = np.uint16 if depth == 16 else np.uint8
+    img = np.zeros((h, w, nch), dtype=dt)
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * nch * depth + 7) // 8
+        need = ph * (stride + 1)
+        if pos + need > raw.size:
+            return None
+        try:
+            flt = _png_unfilter(raw[pos : pos + need], ph, stride, bpp)
+        except ValueError:
+            return None  # bad filter byte: corrupt stream, not an error
+        pos += need
+        img[y0::dy, x0::dx] = _png_unpack_rows(flt, ph, pw, nch, depth)
+    if pos != raw.size:
         return None
-    out = _png_unfilter(raw, h, stride, nch)
-    arr = out.reshape(h, w, nch)
-    return arr[:, :, 0] if nch == 1 else arr
+    # sample-depth conversions to the pipeline's uint8 convention
+    if depth == 16:
+        img = (img >> 8).astype(np.uint8)
+    elif depth < 8 and color_type == 0:
+        img = (img.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if plte is None or int(idx.max()) >= plte.shape[0]:
+            return None
+        rgb = plte[idx]
+        if trns:
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return img[:, :, 0] if nch == 1 else img
 
 
 # ---------------------------------------------------------------------------
@@ -1842,8 +1928,8 @@ def encode_tiff(
 def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
     """Full REAL pixel decode: bytes -> uint8 array (h, w[, channels]).
 
-    Supports BMP (24/32-bit BI_RGB), PPM/PGM binary, PNG 8-bit
-    gray/RGB/RGBA non-interlaced, GIF87a/89a non-interlaced (pure-
+    Supports BMP (24/32-bit BI_RGB), PPM/PGM binary, PNG (gray/RGB/
+    RGBA/palette, 1-16-bit, Adam7), GIF87a/89a incl. interlace (pure-
     Python LZW; first frame of animations), baseline, progressive AND
     lossless JPEG (Huffman + dequant + IDCT + YCbCr in pure numpy;
     arithmetic JPEG stays behind the PIL gate), TIFF 6.0 strips

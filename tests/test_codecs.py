@@ -895,3 +895,23 @@ def test_jpeg_through_decode_pixel_features_spark(spark):
         dec = C.decode_image_pixels(bytes(rows[did][1]))
         assert r.pixel_md5 == hashlib.md5(dec.tobytes()).hexdigest()
         assert abs(r.mean_luma - C.luminance(dec).mean()) < 1e-9
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced GIFs deliver rows in the 4-pass order; the decoder
+    must scatter them back. Build one by encoding pass-ordered rows
+    and setting the descriptor's interlace flag."""
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    for h, w in ((16, 10), (13, 7), (3, 5), (1, 4)):
+        idx = rng.integers(0, 8, (h, w), dtype=np.uint8)
+        order = np.concatenate(
+            [np.arange(s, h, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        enc = bytearray(encode_gif(idx[order], palette))
+        n = 8  # encoder pads the table to 8 entries for this palette
+        desc_packed = 13 + n * 3 + 9
+        assert enc[desc_packed - 9] == 0x2C and enc[desc_packed] == 0x00
+        enc[desc_packed] = 0x40
+        dec = C.decode_image_pixels(bytes(enc))
+        assert dec is not None and np.array_equal(dec, palette[idx]), (h, w)
