@@ -293,3 +293,24 @@ def test_tiff_truncation_never_crashes(hw, seed, cut):
     enc = C.encode_tiff(img, compression=5)
     out = C.decode_image_pixels(enc[: max(0, len(enc) - cut)])
     assert out is None or np.array_equal(out, img)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 4096))
+@settings(max_examples=80, deadline=None)
+def test_random_bytes_never_crash_any_dispatcher(seed, n):
+    """Pure garbage through every decode dispatcher returns None (or a
+    well-formed array if the garbage happens to parse) — never raises.
+    Magic-byte prefixes are prepended half the time so the format
+    parsers themselves get fuzzed, not just the dispatch."""
+    rng = np.random.default_rng(seed)
+    body = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+    prefixes = [
+        b"", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"P6\n",
+        b"II*\x00", b"MM\x00*", b"RIFF" + body[:4] + b"WEBP",
+        b"RIFF" + body[:4] + b"WAVE", b"RIFF" + body[:4] + b"AVI ",
+        b"fLaC", b"FORM" + body[:4] + b"AIFF", b".snd", b"YUV4MPEG2 ",
+    ]
+    payload = prefixes[seed % len(prefixes)] + body
+    for dec in (C.decode_image_pixels, C.decode_audio, C.decode_video):
+        out = dec(payload)
+        assert out is None or out is not None  # no exception is the assertion
