@@ -655,10 +655,15 @@ def _decode_jpeg_impl(payload: bytes, lossless_exact: bool = False):
             if marker == 0xC3 and not (2 <= precision <= 16):
                 return None
             h_img, w_img, ncomp = struct.unpack_from(">HHB", seg, 1)
+            if len(seg) < 6 + 3 * ncomp:
+                return None
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    return None  # T.81 B.2.2: sampling factors 1-4
+                comps.append((cid, hs, vs, tq))
             if marker == 0xC3:
                 if ncomp < 1 or ncomp > 4 or any(
                     hs != 1 or vs != 1 for _cid, hs, vs, _tq in comps

@@ -314,3 +314,38 @@ def test_random_bytes_never_crash_any_dispatcher(seed, n):
     for dec in (C.decode_image_pixels, C.decode_audio, C.decode_video):
         out = dec(payload)
         assert out is None or out is not None  # no exception is the assertion
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_mutated_valid_files_never_crash(seed, n_flips):
+    """Valid containers with random byte smashes return None or a
+    well-formed result — never raise. Caught for real: a zeroed JPEG
+    sampling factor used to reach a division in chroma upsampling."""
+    from etly_spark.operators import flac as FL
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    sig = rng.integers(-2000, 2000, 300).astype(np.int64)
+    seeds_enc = [
+        C.encode_tiff(img),
+        C.encode_baseline_jpeg(img),
+        C.encode_lossless_jpeg(img),
+        FL.encode_flac(sig, 8000),
+        C.encode_mjpeg_avi(np.stack([img[:, :, 0]] * 3), fps=5),
+    ]
+    enc = bytearray(seeds_enc[seed % len(seeds_enc)])
+    for _ in range(n_flips):
+        enc[int(rng.integers(0, len(enc)))] = int(rng.integers(0, 256))
+    p = bytes(enc)
+    for dec in (C.decode_image_pixels, C.decode_audio, C.decode_video):
+        dec(p)  # no exception is the assertion
+
+
+def test_jpeg_zero_sampling_factor_refused():
+    # regression: SOF with a 0 sampling factor must return None, not
+    # divide by zero in the upsampler
+    enc = bytearray(C.encode_baseline_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 2 + 2 + 5 + 1] = 0x00  # first component's h/v byte
+    assert C.decode_image_pixels(bytes(enc)) is None
