@@ -2978,7 +2978,10 @@ def _float80_be(b: bytes) -> float:
     mant = int.from_bytes(b[2:], "big")
     if se & 0x7FFF == 0 and mant == 0:
         return 0.0
-    val = mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+    exp = (se & 0x7FFF) - 16383 - 63
+    if not (-126 <= exp <= 63):
+        return 0.0  # corrupt/absurd exponent (sample rates are < 2^32)
+    val = mant * 2.0 ** exp
     return -val if se & 0x8000 else val
 
 

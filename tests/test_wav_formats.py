@@ -331,3 +331,15 @@ def test_decode_audio_routes_wav_and_flac():
     st_f = audio_stats(*decode_audio(fl))
     assert st_w == st_f
     assert decode_audio(b"ID3\x04" + b"\x00" * 64) is None  # MP3 stays gated
+
+
+def test_aiff_absurd_rate_exponent_refused():
+    # regression: a mutated 80-bit exponent must not overflow 2.0**exp
+    from etly_spark.operators.codecs import _float80_be, decode_aiff
+
+    assert _float80_be(b"\x7f\xfe" + b"\x80" + b"\x00" * 7) == 0.0
+    enc = bytearray(_aiff(1, 8000, 16, np.zeros(4, dtype=">i2").tobytes()))
+    i = enc.index(b"COMM") + 8 + 8  # 80-bit rate field
+    enc[i] = 0x7F
+    enc[i + 1] = 0xFE
+    assert decode_aiff(bytes(enc)) is None  # rate parses as 0 -> refused
