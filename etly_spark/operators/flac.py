@@ -308,16 +308,25 @@ def _undo_fixed(warm: list[int], resid: np.ndarray, order: int) -> np.ndarray:
     return np.concatenate([w, x])
 
 
-def _undo_lpc(warm: list[int], resid: np.ndarray, coefs: list[int], shift: int) -> np.ndarray:
+def _undo_lpc(
+    warm: list[int], resid: np.ndarray, coefs: list[int], shift: int
+) -> np.ndarray | None:
     order = len(coefs)
     n = order + len(resid)
     full = np.empty(n, dtype=np.int64)
     full[:order] = warm
+    # spec-valid samples fit in bps+2 bits; corrupt coefficients make
+    # the recurrence grow exponentially (fuzz-found: past int64),
+    # so bail at a generous bound instead of overflowing
+    limit = 1 << 40
     for i in range(order, n):
         acc = 0
         for j in range(order):
             acc += coefs[j] * int(full[i - 1 - j])
-        full[i] = int(resid[i - order]) + (acc >> shift)
+        v = int(resid[i - order]) + (acc >> shift)
+        if v > limit or v < -limit:
+            return None
+        full[i] = v
     return full
 
 
@@ -390,6 +399,8 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray | 
         if resid is None:
             return None
         out = _undo_lpc(warm, resid, coefs, shift)
+        if out is None:
+            return None
     else:
         return None  # reserved type
     if wasted:

@@ -232,3 +232,19 @@ def test_catalog_contract_768_bytes_as_stereo_pcm():
     out = decode_flac(encode_flac(pcm, 16000, bps=16, block_size=192))
     assert out is not None
     assert out[1].astype("<i2").tobytes() == raw
+
+
+def test_corrupt_lpc_coefficients_refused_not_overflowed():
+    # fuzz-found: smashed LPC coefficients make the recurrence grow
+    # exponentially; the decoder must refuse, not overflow int64
+    smooth = (2000 * np.sin(np.arange(600) / 15)).astype(np.int64)
+    enc = encode_flac(smooth, 8000)
+    rng = np.random.default_rng(123)
+    crashes = 0
+    for _ in range(300):
+        bad = bytearray(enc)
+        for _k in range(5):
+            bad[int(rng.integers(0, len(bad)))] = int(rng.integers(0, 256))
+        out = decode_flac(bytes(bad))  # must not raise
+        crashes += 0 if out is None or out is not None else 1
+    assert crashes == 0
