@@ -221,6 +221,21 @@ def concat(srcs: list[str], dst: str) -> None:
                 shutil.copyfileobj(f, out, _COPY_CHUNK)
 
 
+def concat_compress(srcs: list[str], dst: str, compression: str) -> None:
+    """Concatenate srcs into dst, compressing each src as its OWN
+    member/frame of ``compression`` (io/compress.SINK_CODECS name).
+    Every supported stream format concatenates by spec (gzip members,
+    multi-stream xz, lz4 frames, snappy framed streams), so appending
+    per-part keeps executor memory bounded by the largest staged part,
+    not the whole roll. O(bytes), executor-side only."""
+    from etly_spark.io import compress as _compress
+
+    with open_write(dst) as out:
+        for s in srcs:
+            with open_read(s) as f:
+                out.write(_compress.compress_object(f.read(), compression))
+
+
 def delete_tree(url: str) -> None:
     if is_local(url):
         shutil.rmtree(strip_file_scheme(url), ignore_errors=True)

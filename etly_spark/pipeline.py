@@ -740,21 +740,40 @@ class TransferService:
             F.col(TKEY), line.alias("value")
         )
 
-        gzip = (t.target.compression or "").lower() == "gzip"
+        comp = (t.target.compression or "").lower()
+        py_codec: str | None = None
+        if comp:
+            from etly_spark.io import compress as _compress
+
+            if comp not in _compress.SINK_CODECS:
+                raise ValueError(f"unsupported target compression: {comp}")
+            _, jvm_codec = _compress.SINK_CODECS[comp]
+            py_codec = None if jvm_codec else comp
         staging = os.path.join(
             t.base_dir, f".etly_staging_{uuid.uuid4().hex[:12]}"
         )
         writer = encoded.write.mode("append").partitionBy(TKEY)
-        if gzip:
-            writer = writer.option("compression", "gzip")
+        if comp and py_codec is None:
+            # Hadoop-bundled codec: compress inside the JVM write job
+            writer = writer.option("compression", jvm_codec)
+        # python-route codecs (xz/lz4/snappy — io/compress.py) stage
+        # PLAIN text and compress during finalization byte-jobs: every
+        # roll part becomes one member/frame appended to the output
+        # (all four formats concatenate by spec, like gzip members),
+        # so executor tasks stream part-at-a-time — bounded memory.
+        # B1's size bound therefore applies to UNCOMPRESSED bytes,
+        # matching the reference's 64 MiB pre-compression flush
+        # (transfer_service.go:209-212).
         try:
             writer.text(staging)  # inside the finally-scope: a failed
             # write job must not leak its partial staging dir
-            return self._finalize_routed(staging, t)
+            return self._finalize_routed(staging, t, py_codec=py_codec)
         finally:
             fsio.delete_tree(staging)
 
-    def _finalize_routed(self, staging: str, t: Transfer) -> list[str]:
+    def _finalize_routed(
+        self, staging: str, t: Transfer, py_codec: str | None = None
+    ) -> list[str]:
         """Two-tier staging→target finalization.
 
         B1 (transfer_service.go:27,209-212): bound output object size.
@@ -787,9 +806,12 @@ class TransferService:
             for i, roll in enumerate(rolls):
                 dst = final if i == 0 else f"{final}.{i}"
                 outputs.append(dst)
-                if len(roll) == 1 and fsio.is_local(dst):
+                if py_codec is None and len(roll) == 1 and fsio.is_local(dst):
                     renames.append((roll[0], dst))
                 else:
+                    # py_codec forces the byte-job path: the task
+                    # compresses while it moves, so the rename
+                    # shortcut (which moves bytes verbatim) is out
                     byte_jobs.append((roll, dst))
             # replay idempotency: a crashed earlier attempt (e.g. a
             # streaming micro-batch retried from the checkpoint) may have
@@ -803,7 +825,7 @@ class TransferService:
         for src, dst in renames:
             fsio.move(src, dst)
         if byte_jobs:
-            self._run_byte_jobs(byte_jobs)
+            self._run_byte_jobs(byte_jobs, compression=py_codec)
         return outputs
 
     def _write_routed_dataset(
@@ -877,13 +899,25 @@ class TransferService:
             fsio.delete_tree(staging)
         return outputs
 
-    def _run_byte_jobs(self, byte_jobs: list[tuple[list[str], str]]) -> None:
+    def _run_byte_jobs(
+        self,
+        byte_jobs: list[tuple[list[str], str]],
+        compression: str | None = None,
+    ) -> None:
         """Ship O(bytes) finalization (concat / remote upload) to executor
-        tasks — one task per output object."""
+        tasks — one task per output object. With ``compression`` set
+        (a python-route codec: xz/lz4/snappy), each task compresses
+        part-at-a-time while concatenating (fsio.concat_compress)."""
         sc = self.spark.sparkContext
-        sc.parallelize(byte_jobs, len(byte_jobs)).foreach(
-            lambda job: fsio.concat(job[0], job[1])
-        )
+        if compression is None:
+            sc.parallelize(byte_jobs, len(byte_jobs)).foreach(
+                lambda job: fsio.concat(job[0], job[1])
+            )
+        else:
+            comp = compression
+            sc.parallelize(byte_jobs, len(byte_jobs)).foreach(
+                lambda job: fsio.concat_compress(job[0], job[1], comp)
+            )
 
 
 def _merge_result(total: TransferResult, w: TransferResult) -> None:

@@ -121,20 +121,29 @@ def list_source_objects(
 
 
 def probe_object(url: str) -> str | None:
-    """Read one object end-to-end (decompressing ``.gz``) and return an
-    error string if it is unreadable, else None. Module-level and
-    picklable — runs in executor tasks. O(object bytes): only ever run
-    on the fault-isolation path (a window read job already failed), so
-    the healthy fast path pays nothing."""
+    """Read one object end-to-end (decompressing by extension — the
+    same codec registry the ingest path uses, io/compress.py) and
+    return an error string if it is unreadable, else None. Module-level
+    and picklable — runs in executor tasks. O(object bytes): only ever
+    run on the fault-isolation path (a window read job already failed),
+    so the healthy fast path pays nothing."""
     import gzip as _gzip
 
+    from etly_spark.io import compress as _compress
     from etly_spark.io import fs as fsio
 
     try:
         with fsio.open_read(url) as f:
-            stream = _gzip.GzipFile(fileobj=f) if url.endswith(".gz") else f
-            while stream.read(1 << 20):
-                pass
+            if url.endswith(".gz"):
+                # streaming: bounded memory on arbitrarily large gz
+                stream = _gzip.GzipFile(fileobj=f)
+                while stream.read(1 << 20):
+                    pass
+            elif _compress.codec_ext(url) is not None:
+                _compress.decompress_object(f.read(), url)
+            else:
+                while f.read(1 << 20):
+                    pass
         return None
     except Exception as e:  # noqa: BLE001 — the error string IS the result
         return f"{type(e).__name__}: {e}"
@@ -199,6 +208,74 @@ def filter_storage_objects(
     return eligible
 
 
+def _norm_binaryfile_url(path: str) -> str:
+    """binaryFile's `path` column is a Hadoop URI (file:/abs or
+    file:///abs); normalize to the file://<abs> shape input_file_name()
+    yields so the FILE column is byte-identical across both read
+    routes (the meta ledger and per-file counters key on it)."""
+    if path.startswith("file:"):
+        rest = path[len("file:") :]
+        return "file://" + "/" + rest.lstrip("/")
+    return path
+
+
+def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Line-read a mixed-codec path list into (RAW, FILE).
+
+    JVM-readable objects (plain, .gz, .bz2, .deflate — Hadoop codecs)
+    go through `spark.read.text`: splittable where the codec allows,
+    zero Python in the loop. Everything else (.xz, .lz4 frame,
+    .sz/.snappy framed — io/compress.py) takes the binaryFile +
+    mapInPandas route: one executor task per object decompresses with
+    the pure-Python codecs and splits lines (\\n / \\r\\n, trailing
+    empty dropped — LineRecordReader semantics). A malformed object
+    RAISES inside its task, so the window-level fault isolation
+    (pipeline.py:320) attributes it via probe_unreadable exactly like
+    a truncated gzip on the JVM route. binaryFile holds one whole
+    object per task (its documented 2 GiB bound); list-time object
+    caps (S2) keep that healthy — at 100 TB you shard objects, not
+    grow them."""
+    from etly_spark.io import compress as _compress
+
+    for p in paths:
+        _compress.raise_if_gated(p)
+    jvm = [p for p in paths if _compress.jvm_line_readable(p)]
+    py = [p for p in paths if not _compress.jvm_line_readable(p)]
+    parts: list[DataFrame] = []
+    if jvm:
+        parts.append(
+            spark.read.text(jvm)
+            .withColumnRenamed("value", RAW)
+            .withColumn(FILE, F.input_file_name())
+        )
+    if py:
+        bin_df = spark.read.format("binaryFile").load(py).select("path", "content")
+
+        def gen(batches):
+            import pandas as pd
+
+            from etly_spark.io import compress as _c
+
+            for pdf in batches:
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    data = _c.decompress_object(bytes(content), path)
+                    text = data.decode("utf-8", "replace")
+                    lines = text.split("\n")
+                    if lines and lines[-1] == "":
+                        lines.pop()
+                    lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
+                    url = _norm_binaryfile_url(path)
+                    yield pd.DataFrame({RAW: lines, FILE: [url] * len(lines)})
+
+        parts.append(bin_df.mapInPandas(gen, f"`{RAW}` string, `{FILE}` string"))
+    if not parts:
+        return spark.createDataFrame([], f"`{RAW}` string, `{FILE}` string")
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
 def read_records(
     spark: SparkSession,
     source: Source,
@@ -216,18 +293,21 @@ def read_records(
             schema = get_schema(source.data_type)
         if schema is None and not source.data_type_match:
             raise ValueError(f"ndjson source requires a registered DataType schema: {source.name}")
-        raw = (
-            spark.read.text(paths)
-            .withColumnRenamed("value", RAW)
-            .withColumn(FILE, F.input_file_name())
-        )
+        raw = _read_lines(spark, paths)
         return _decode_ndjson(raw, source, schema)
     if fmt == "csv":
         df = spark.read.option("header", "true").csv(paths)
     elif fmt == "parquet":
         df = spark.read.parquet(*paths)
     elif fmt == "text":
-        df = spark.read.text(paths).withColumnRenamed("value", RAW)
+        # same output contract as the original text fall-through (FILE,
+        # CORRUPT false, RAW = json-wrapped line) but read via
+        # _read_lines so compressed extensions route correctly
+        return (
+            _read_lines(spark, paths)
+            .withColumn(CORRUPT, F.lit(False))
+            .withColumn(RAW, F.to_json(F.struct(F.col(RAW))))
+        )
     else:
         # transfer_object_service.go:111-126 errors on unknown formats
         raise ValueError(f"unsupported data format: {source.data_format}")

@@ -247,7 +247,7 @@ def test_multi_part_finalization_concats_executor_side(spark, tmp_path, monkeypa
     monkeypatch.setattr(
         TransferService,
         "_run_byte_jobs",
-        lambda self, jobs: (jobs_seen.extend(jobs), orig(self, jobs))[1],
+        lambda self, jobs, **kw: (jobs_seen.extend(jobs), orig(self, jobs, **kw))[1],
     )
 
     src = tmp_path / "in"
@@ -298,7 +298,7 @@ def test_remote_scheme_sink_finalizes_executor_side(spark, tmp_path, monkeypatch
     monkeypatch.setattr(
         TransferService,
         "_run_byte_jobs",
-        lambda self, jobs: (jobs_seen.extend(jobs), orig(self, jobs))[1],
+        lambda self, jobs, **kw: (jobs_seen.extend(jobs), orig(self, jobs, **kw))[1],
     )
     t = Transfer(
         name="remote-sink",
