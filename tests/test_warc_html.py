@@ -1,0 +1,186 @@
+"""WARC codec + HTML text extraction: spec vectors, round-trips,
+strictness, and the full Common-Crawl-shaped chain
+(text → html → http → warc → per-record gzip → back)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etly_spark.operators.htmltext import escape_html_text, html_to_text
+from etly_spark.operators.warc import (
+    decode_warc,
+    encode_warc,
+    split_http_response,
+)
+
+RESP_HDRS = {
+    "WARC-Type": "response",
+    "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+    "WARC-Date": "2026-01-01T00:00:00Z",
+    "WARC-Target-URI": "https://example.com/a",
+    "Content-Type": "application/http; msgtype=response",
+}
+
+
+def http_response(body: bytes, ctype: str = "text/html; charset=utf-8") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode()
+        + b"\r\nContent-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+
+
+# ---------------------------------------------------------------- warc
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    recs = [
+        ({"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>",
+          "WARC-Date": "2026-01-01T00:00:00Z",
+          "Content-Type": "application/warc-fields"}, b"software: etly_spark\r\n"),
+        (RESP_HDRS, http_response(b"<html><body>hi</body></html>")),
+    ]
+    for per_gz in (False, True):
+        data = encode_warc(recs, per_record_gzip=per_gz)
+        out = decode_warc(data)
+        assert [r.warc_type for r in out] == ["warcinfo", "response"]
+        assert out[0].version == "WARC/1.1"
+        assert out[1].block == recs[1][1]
+        assert out[1].get("warc-target-uri") == "https://example.com/a"
+
+
+def test_warc_per_record_gzip_is_member_per_record():
+    data = encode_warc([(RESP_HDRS, b"x")] , per_record_gzip=True) * 3
+    # 3 concatenated members decode as 3 records
+    assert len(decode_warc(data)) == 3
+    # and each member is a standalone gzip stream
+    one = encode_warc([(RESP_HDRS, b"x")], per_record_gzip=True)
+    assert gzip.decompress(one).startswith(b"WARC/1.1\r\n")
+
+
+def test_warc_header_continuation_lines():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"X-Long: first\r\n  folded tail\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    rec = decode_warc(raw)[0]
+    assert rec.version == "WARC/1.0"
+    assert rec.get("x-long") == "first folded tail"
+    assert rec.block == b"ok"
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda d: d[:-2],                      # lost terminator CRLF
+        lambda d: d.replace(b"WARC/1.1", b"WARX/1.1"),
+        lambda d: d.replace(b"Content-Length: 1", b"Content-Length: 99"),
+        lambda d: d.replace(b"Content-Length: 1", b"Content-Length: x"),
+    ],
+)
+def test_warc_strictness(mutate):
+    data = encode_warc([(RESP_HDRS, b"z")])
+    assert decode_warc(data)[0].block == b"z"
+    with pytest.raises(ValueError):
+        decode_warc(mutate(data))
+
+
+def test_warc_torn_gzip_member_raises():
+    data = encode_warc([(RESP_HDRS, b"z")], per_record_gzip=True)
+    with pytest.raises(ValueError):
+        decode_warc(data[: len(data) - 4])
+
+
+def test_warc_empty_stream_raises():
+    with pytest.raises(ValueError):
+        decode_warc(b"")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(max_size=300), min_size=1, max_size=4),
+       st.booleans())
+def test_warc_any_blocks_roundtrip(blocks, per_gz):
+    recs = [(RESP_HDRS, b) for b in blocks]
+    out = decode_warc(encode_warc(recs, per_record_gzip=per_gz))
+    assert [r.block for r in out] == blocks
+
+
+def test_split_http_response():
+    body = b"\x00binary\xffbody"
+    status, headers, out = split_http_response(http_response(body))
+    assert status == 200 and out == body
+    assert headers["Content-Type"].startswith("text/html")
+    # LF-only separator tolerated
+    s2, _, b2 = split_http_response(b"HTTP/1.0 404 Not Found\nX: y\n\nnope")
+    assert s2 == 404 and b2 == b"nope"
+    with pytest.raises(ValueError):
+        split_http_response(b"not http at all")
+    with pytest.raises(ValueError):
+        split_http_response(b"HTTP/1.1 OK\r\n\r\nmissing-code")
+
+
+# ---------------------------------------------------------------- html
+
+
+def test_html_basic_blocks_and_inline():
+    src = "<html><body><h1>Title</h1><p>one <b>two</b></p><p>three</p></body></html>"
+    assert html_to_text(src) == "Title\none two\nthree"
+
+
+def test_html_script_style_comments_dropped():
+    src = ("<head><style>p{color:red}</style><script>if(1<2){x()}</script>"
+           "<!-- <p>not text</p> --></head><body>kept</body>")
+    assert html_to_text(src) == "kept"
+
+
+def test_html_attribute_with_gt_and_quotes():
+    assert html_to_text('<a title="a>b" href=\'c>d\'>link</a>') == "link"
+
+
+def test_html_entities():
+    assert html_to_text("&lt;tag&gt; &amp; &#65;&#x42; &nbsp;x") == "<tag> & AB \xa0x"
+
+
+def test_html_cdata_kept_doctype_dropped():
+    assert html_to_text("<!DOCTYPE html><p><![CDATA[a<b]]></p>") == "a<b"
+
+
+def test_html_malformed_never_raises():
+    for src in ("<p", "a < b", "<>", "</", "<script>never closed",
+                "text<!-- open comment", '<a href="broken>x'):
+        html_to_text(src)  # must not raise
+    assert html_to_text("a < b") == "a < b"
+    assert html_to_text("x<p") == "x"
+
+
+def test_html_case_insensitive_tags():
+    assert html_to_text("<P>a</P><SCRIPT>s</SCRIPT><BR>b") == "a\nb"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_html_escape_roundtrip_exact(text):
+    wrapped = ("<html><head><title></title><script>void(0)</script></head>"
+               f"<body>{escape_html_text(text)}</body></html>")
+    assert html_to_text(wrapped) == text
+
+
+# ------------------------------------------------------- the full chain
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(max_size=400))
+def test_common_crawl_chain_roundtrip(text):
+    html = ("<html><head><title></title></head><body>"
+            + escape_html_text(text) + "</body></html>")
+    data = encode_warc(
+        [(RESP_HDRS, http_response(html.encode()))], per_record_gzip=True
+    )
+    rec = decode_warc(data)[0]
+    status, _, body = split_http_response(rec.block)
+    assert status == 200
+    assert html_to_text(body.decode()) == text
