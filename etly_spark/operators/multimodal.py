@@ -326,26 +326,38 @@ def synthesize_ppm_payload(df: DataFrame, w: int = 16, h: int = 16, text_col: st
 
 
 def entropy_roundtrip_features(
-    df: DataFrame, w: int = 16, h: int = 16, every: int = 50, flac_offset: int = 25
+    df: DataFrame,
+    w: int = 16,
+    h: int = 16,
+    every: int = 50,
+    flac_offset: int = 25,
+    warc_offset: int = 37,
 ) -> DataFrame:
-    """ONE sampled pass for BOTH entropy-codec round-trip branches:
+    """ONE sampled pass for ALL entropy/container round-trip branches:
     docs with doc_id % every == 0 go through the VP8L pair, ==
-    ``flac_offset`` through the FLAC pair. Fusing them halves the
-    sampled-branch overhead of `mm_binary_metadata` — one filter, one
-    balance repartition, one Python-worker stage instead of two (the
-    codec work itself is unchanged; measured ~0.5 s of the ~0.9 s
-    two-stage cost at sf0.1 was worker round-trip, not codec).
+    ``flac_offset`` through the FLAC pair, == ``warc_offset`` through
+    the full web-corpus chain (text → escaped HTML → HTTP response →
+    WARC record → per-record gzip → decode_warc → split_http_response
+    → html_to_text — operators/warc.py, operators/htmltext.py).
+    Fusing them keeps the sampled-branch overhead of
+    `mm_binary_metadata` at one filter, one balance repartition, one
+    Python-worker stage (measured ~0.5 s of the ~0.9 s two-stage cost
+    at sf0.1 was worker round-trip, not codec).
     Columns are the superset: width/height carry image dims for webp
-    rows and frames/channels for flac rows."""
+    rows, frames/channels for flac rows, and (http_status,
+    records_parsed) for warc rows; ``hdr`` carries the parsed WARC
+    version string (NULL elsewhere)."""
     n = w * h * 3
     nframes = n // 4
     sub = df.filter(
-        (F.col("doc_id") % every == 0) | (F.col("doc_id") % every == flac_offset)
+        (F.col("doc_id") % every == 0)
+        | (F.col("doc_id") % every == flac_offset)
+        | (F.col("doc_id") % every == warc_offset)
     ).select("doc_id", "text")
     sub = sub.repartition(sub.sparkSession.sparkContext.defaultParallelism)
     schema = (
         "variant string, doc_id long, enc_bytes long, payload_md5 string, "
-        "width long, height long, mean_luma double"
+        "width long, height long, mean_luma double, hdr string"
     )
 
     def gen(batches):
@@ -356,11 +368,68 @@ def entropy_roundtrip_features(
 
         from etly_spark.operators import codecs as _codecs
         from etly_spark.operators import flac as _flac
+        from etly_spark.operators import htmltext as _htmltext
+        from etly_spark.operators import warc as _warc
         from etly_spark.operators import webp as _webp
 
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if int(did) % every == warc_offset:
+                    body = (
+                        "<html><head><title></title>"
+                        "<script>void(0)</script></head><body>"
+                        + _htmltext.escape_html_text(text or "")
+                        + "</body></html>"
+                    ).encode()
+                    http = (
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/html; charset=utf-8\r\n"
+                        b"Content-Length: " + str(len(body)).encode()
+                        + b"\r\n\r\n" + body
+                    )
+                    data = _warc.encode_warc(
+                        [
+                            (
+                                {
+                                    "WARC-Type": "warcinfo",
+                                    "WARC-Record-ID": f"<urn:uuid:{int(did):032x}>",
+                                    "WARC-Date": "2026-01-01T00:00:00Z",
+                                    "Content-Type": "application/warc-fields",
+                                },
+                                b"software: etly_spark\r\n",
+                            ),
+                            (
+                                {
+                                    "WARC-Type": "response",
+                                    "WARC-Record-ID": f"<urn:uuid:{int(did) + 1:032x}>",
+                                    "WARC-Date": "2026-01-01T00:00:00Z",
+                                    "WARC-Target-URI": f"https://example.com/doc/{int(did)}",
+                                    "Content-Type": "application/http; msgtype=response",
+                                },
+                                http,
+                            ),
+                        ],
+                        per_record_gzip=True,
+                    )
+                    recs = _warc.decode_warc(data)
+                    assert recs[0].warc_type == "warcinfo"
+                    resp = recs[1]
+                    status, _hdrs, got_body = _warc.split_http_response(resp.block)
+                    extracted = _htmltext.html_to_text(got_body.decode())
+                    rows.append(
+                        (
+                            "warc",
+                            int(did),
+                            int(resp.get("Content-Length")),
+                            hashlib.md5(extracted.encode()).hexdigest(),
+                            int(status),
+                            len(recs),
+                            None,
+                            resp.version,
+                        )
+                    )
+                    continue
                 raw = (text or "").encode()[:n].ljust(n, b" ")
                 if int(did) % every == 0:
                     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
@@ -377,6 +446,7 @@ def entropy_roundtrip_features(
                             int(pw),
                             int(ph),
                             float(int(dec.astype(np.int64).sum()) / n),
+                            None,
                         )
                     )
                 else:
@@ -399,13 +469,14 @@ def entropy_roundtrip_features(
                                 int(np.frombuffer(back, dtype=np.uint8).astype(np.int64).sum())
                                 / n
                             ),
+                            None,
                         )
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "variant", "doc_id", "enc_bytes", "payload_md5", "width",
-                    "height", "mean_luma",
+                    "height", "mean_luma", "hdr",
                 ],
             )
 

@@ -90,6 +90,33 @@ from etly_spark.queries.catalog import query
              round(CAST(list_sum(list_transform(generate_series(1, 768),
                     i -> ascii(substr(px, i, 1)))) AS DOUBLE) / 768, 6) AS mean_luma
       FROM raster WHERE doc_id % 50 = 25
+    ), warc AS (
+      -- the full web-corpus chain under the gate (offset-37 sample):
+      -- text -> entity-escaped HTML -> HTTP/1.1 response -> WARC
+      -- response record (+ a warcinfo record, each its own gzip
+      -- member, the Common Crawl shape) -> decode_warc ->
+      -- split_http_response -> html_to_text. Byte-exact extraction
+      -- means md5(text) IS the oracle for the whole chain; n_bytes is
+      -- the response record's Content-Length, which DuckDB recomputes
+      -- from the framing arithmetic (73-byte fixed HTTP preamble +
+      -- Content-Length digits + CRLFCRLF + body)
+      SELECT 'warc' AS variant, doc_id,
+             73 + length(CAST(octet_length(CAST(html AS BLOB)) AS VARCHAR))
+                + 4 + octet_length(CAST(html AS BLOB)) AS n_bytes,
+             md5(text) AS payload_md5,
+             upper(hex('WARC/1.1')) AS header_hex,
+             2 AS height,
+             200 AS width,
+             CAST(NULL AS BIGINT) AS n_frames,
+             CAST(NULL AS DOUBLE) AS mean_luma
+      FROM (
+        SELECT doc_id, text,
+               '<html><head><title></title><script>void(0)</script></head><body>'
+               || replace(replace(replace(text, '&', '&amp;'),
+                                  '<', '&lt;'), '>', '&gt;')
+               || '</body></html>' AS html
+        FROM documents WHERE doc_id % 50 = 37
+      )
     )
     SELECT * FROM meta
     UNION ALL BY NAME
@@ -98,6 +125,8 @@ from etly_spark.queries.catalog import query
     SELECT * FROM webp
     UNION ALL BY NAME
     SELECT * FROM flac
+    UNION ALL BY NAME
+    SELECT * FROM warc
     ORDER BY variant, doc_id
     """,
     doc="Tagged union: 'meta' = binary payload + typed metadata (length, "
@@ -117,7 +146,15 @@ from etly_spark.queries.catalog import query
     "twin: the same bytes as LE int16 stereo PCM through the pure-"
     "numpy FLAC codec pair (operators/flac.py — fixed/LPC prediction, "
     "stereo decorrelation, Rice residuals, CRC-8/16 + MD5 verified), "
-    "lossless round-trip under the same gate. Perceptual-hash columns "
+    "lossless round-trip under the same gate. 'warc' (r8) = the full "
+    "web-corpus ingestion chain on an offset-37 sample: text -> "
+    "entity-escaped HTML -> HTTP/1.1 response -> WARC record with a "
+    "warcinfo sibling, each its own gzip member (the Common Crawl "
+    "shape) -> decode_warc (operators/warc.py) -> split_http_response "
+    "-> html_to_text (operators/htmltext.py); byte-exact extraction "
+    "makes md5(text) the oracle for the whole chain, and n_bytes "
+    "re-derives the parsed Content-Length from framing arithmetic. "
+    "Perceptual-hash columns "
     "(ahash/dhash) and the BMP/PNG/WAV/JPEG codecs are pytest-covered "
     "(tests/test_codecs.py, tests/test_webp.py, tests/test_flac.py).",
 )
@@ -147,17 +184,25 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_frames"),
         F.round("mean_luma", 6).alias("mean_luma"),
     )
-    # both entropy-codec branches ride ONE sampled Python stage
+    # all three container/codec branches ride ONE sampled Python stage
     # (operators/multimodal.entropy_roundtrip_features): for webp rows
     # width/height are the REAL header parse, for flac rows they carry
-    # frames/channels from the REAL STREAMINFO+frame decode
-    ef = entropy_roundtrip_features(docs, w=16, h=16, every=50, flac_offset=25)
+    # frames/channels from the REAL STREAMINFO+frame decode, for warc
+    # rows (http_status, records_parsed) from the REAL container walk;
+    # warc's n_bytes is the parsed record's Content-Length and its
+    # header_hex the parsed version line
+    ef = entropy_roundtrip_features(
+        docs, w=16, h=16, every=50, flac_offset=25, warc_offset=37
+    )
     codec_rows = ef.select(
         "variant",
         "doc_id",
-        F.lit(768).cast("long").alias("n_bytes"),
+        F.when(F.col("variant") == "warc", F.col("enc_bytes"))
+        .otherwise(F.lit(768))
+        .cast("long")
+        .alias("n_bytes"),
         F.col("payload_md5"),
-        F.lit(None).cast("string").alias("header_hex"),
+        F.upper(F.hex(F.col("hdr").cast("binary"))).alias("header_hex"),
         F.col("height"),
         F.col("width"),
         F.lit(None).cast("long").alias("n_frames"),
