@@ -134,7 +134,14 @@ def probe_object(url: str) -> str | None:
 
     try:
         with fsio.open_read(url) as f:
-            if url.endswith(".gz"):
+            if _is_warc_url(url):
+                # container-aware: a warc can gunzip cleanly yet be
+                # torn at the record layer — probe the record grammar
+                # so fault isolation attributes warc corruption too
+                from etly_spark.operators import warc as _warc
+
+                _warc.decode_warc(f.read())
+            elif url.endswith(".gz"):
                 # streaming: bounded memory on arbitrarily large gz
                 stream = _gzip.GzipFile(fileobj=f)
                 while stream.read(1 << 20):
@@ -206,6 +213,87 @@ def filter_storage_objects(
         if max_transfers and len(eligible) >= max_transfers:
             break
     return eligible
+
+
+def _is_warc_url(url: str) -> bool:
+    low = url.lower()
+    return low.endswith(".warc") or low.endswith(".warc.gz")
+
+
+def _read_warc(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read WARC objects (plain or gzipped — single- or per-record-
+    member) into one row per kept record: (FILE, uri, warc_date,
+    warc_type, content_type, http_status, text).
+
+    Kept types: response / resource / conversion (the payload-bearing
+    kinds; warcinfo/request/metadata are crawl bookkeeping). Response
+    blocks with an application/http envelope are split and the HTTP
+    Content-Type wins; html payloads run through the real extractor
+    (operators/htmltext.py), everything else decodes utf-8/replace.
+
+    Scale shape: binaryFile gives one executor task per object — warc
+    members aren't splittable mid-stream, and Common Crawl shards its
+    corpus into ~1 GiB objects precisely so the object IS the unit of
+    parallelism (100 TB => ~100k tasks). A torn record raises inside
+    its task and probe_object speaks the record grammar, so window
+    fault isolation attributes it exactly like a truncated gzip."""
+    bin_df = spark.read.format("binaryFile").load(paths).select("path", "content")
+
+    def gen(batches):
+        import pandas as pd
+
+        from etly_spark.operators import htmltext as _htmltext
+        from etly_spark.operators import warc as _warc
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                url = _norm_binaryfile_url(path)
+                for rec in _warc.decode_warc(bytes(content)):
+                    wt = (rec.warc_type or "").lower()
+                    if wt not in ("response", "resource", "conversion"):
+                        continue
+                    block = rec.block
+                    status = None
+                    ctype = rec.get("Content-Type") or ""
+                    if wt == "response" and ctype.lower().startswith(
+                        "application/http"
+                    ):
+                        status, hh, block = _warc.split_http_response(block)
+                        for k, v in hh.items():
+                            if k.lower() == "content-type":
+                                ctype = v
+                    text = block.decode("utf-8", "replace")
+                    if "html" in ctype.lower():
+                        text = _htmltext.html_to_text(text)
+                    rows.append(
+                        (
+                            url,
+                            rec.get("WARC-Target-URI"),
+                            rec.get("WARC-Date"),
+                            wt,
+                            ctype,
+                            status,
+                            text,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    FILE, "uri", "warc_date", "warc_type", "content_type",
+                    "http_status", "text",
+                ],
+            )
+
+    schema = (
+        f"`{FILE}` string, uri string, warc_date string, warc_type string, "
+        "content_type string, http_status long, text string"
+    )
+    df = bin_df.mapInPandas(gen, schema)
+    data_cols = [c for c in df.columns if c != FILE]
+    return df.withColumn(CORRUPT, F.lit(False)).withColumn(
+        RAW, F.to_json(F.struct(*data_cols))
+    )
 
 
 def _norm_binaryfile_url(path: str) -> str:
@@ -282,7 +370,7 @@ def read_records(
     paths: list[str],
     schema: StructType | None = None,
 ) -> DataFrame:
-    """Read ndjson/csv/parquet/text into (META_COLS…, data columns…).
+    """Read ndjson/csv/parquet/text/warc into (META_COLS…, data columns…).
 
     ndjson keeps the raw line (payload) and flags corrupt lines; csv and
     parquet are schema-full formats where corruption is format-level.
@@ -295,6 +383,11 @@ def read_records(
             raise ValueError(f"ndjson source requires a registered DataType schema: {source.name}")
         raw = _read_lines(spark, paths)
         return _decode_ndjson(raw, source, schema)
+    if fmt == "warc":
+        # web-archive container: one row per payload-bearing record,
+        # html extracted to text (SURVEY §2.3 training-data scope; the
+        # reference has no warc support)
+        return _read_warc(spark, paths)
     if fmt == "csv":
         df = spark.read.option("header", "true").csv(paths)
     elif fmt == "parquet":

@@ -184,3 +184,103 @@ def test_common_crawl_chain_roundtrip(text):
     status, _, body = split_http_response(rec.block)
     assert status == 200
     assert html_to_text(body.decode()) == text
+
+
+# ----------------------------------------------------- pipeline source
+
+
+def _write_corpus_warc(path, per_gz=True):
+    html = ("<html><head><title>t</title><style>p{}</style></head>"
+            "<body><h1>Hello</h1><p>web &amp; text</p></body></html>").encode()
+    recs = [
+        ({"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>",
+          "WARC-Date": "2026-01-01T00:00:00Z",
+          "Content-Type": "application/warc-fields"}, b"software: x\r\n"),
+        ({"WARC-Type": "request", "WARC-Record-ID": "<urn:uuid:1>",
+          "WARC-Date": "2026-01-01T00:00:00Z",
+          "WARC-Target-URI": "https://example.com/p",
+          "Content-Type": "application/http; msgtype=request"},
+         b"GET /p HTTP/1.1\r\nHost: example.com\r\n\r\n"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:2>",
+          "WARC-Date": "2026-01-01T00:00:00Z",
+          "WARC-Target-URI": "https://example.com/p",
+          "Content-Type": "application/http; msgtype=response"},
+         http_response(html)),
+        ({"WARC-Type": "conversion", "WARC-Record-ID": "<urn:uuid:3>",
+          "WARC-Date": "2026-01-02T00:00:00Z",
+          "WARC-Target-URI": "https://example.com/q",
+          "Content-Type": "text/plain"}, b"already plain"),
+    ]
+    path.write_bytes(encode_warc(recs, per_record_gzip=per_gz))
+
+
+def test_warc_pipeline_source_end_to_end(spark, tmp_path):
+    """DataFormat 'warc': payload records (response html-extracted,
+    conversion kept verbatim; warcinfo/request dropped) land as ndjson,
+    and the meta ledger NOOPs the second run."""
+    import json
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, NOOP, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    _write_corpus_warc(src / "crawl.warc.gz")
+
+    t = Transfer(
+        name="warc-src",
+        source=Source(name=str(src), data_format="warc"),
+        target=Target(name=str(tmp_path / "out" / "<file>.jsonl")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    svc = TransferService(spark)
+    result = svc.run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 2
+    out = tmp_path / "out" / "crawl.warc.gz.jsonl"
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    by_type = {r["warc_type"]: r for r in rows}
+    assert set(by_type) == {"response", "conversion"}
+    resp = by_type["response"]
+    assert resp["uri"] == "https://example.com/p"
+    assert resp["http_status"] == 200
+    assert resp["text"] == "t\nHello\nweb & text"
+    assert by_type["conversion"]["text"] == "already plain"
+    assert svc.run(t).status == NOOP
+
+
+def test_warc_pipeline_fault_isolation(spark, tmp_path):
+    """A warc that gunzips cleanly but is torn at the record layer is
+    attributed to ITS file; the healthy warc's records still land."""
+    import json
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.meta import Meta
+    from etly_spark.pipeline import DONE, TransferService
+    from etly_spark.sources.storage import probe_object
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    _write_corpus_warc(src / "good.warc.gz")
+    bad = gzip.compress(b"WARC/1.1\r\nContent-Length: 9999\r\n\r\nshort")
+    (src / "bad.warc.gz").write_bytes(bad)
+    assert probe_object("file://" + str(src / "bad.warc.gz"))
+    assert probe_object("file://" + str(src / "good.warc.gz")) is None
+
+    t = Transfer(
+        name="warc-fault",
+        source=Source(name=str(src), data_format="warc"),
+        target=Target(name=str(tmp_path / "out" / "<file>.jsonl")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    out = tmp_path / "out" / "good.warc.gz.jsonl"
+    assert len(out.read_text().splitlines()) == 2
+    assert not (tmp_path / "out" / "bad.warc.gz.jsonl").exists()
+    meta = Meta.load(str(tmp_path / "out" / "meta.json"))
+    assert any("bad.warc.gz" in e["error"] for e in meta.errors)
