@@ -141,6 +141,12 @@ def probe_object(url: str) -> str | None:
                 from etly_spark.operators import warc as _warc
 
                 _warc.decode_warc(f.read())
+            elif _is_archive_url(url):
+                # container-aware: read every member end-to-end,
+                # including each member's own codec
+                data = f.read()
+                for name, raw in _iter_archive_members(data, url):
+                    _compress.decompress_object(raw, name)
             elif url.endswith(".gz"):
                 # streaming: bounded memory on arbitrarily large gz
                 stream = _gzip.GzipFile(fileobj=f)
@@ -307,28 +313,78 @@ def _norm_binaryfile_url(path: str) -> str:
     return path
 
 
+_ARCHIVE_EXTS = (".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.xz")
+
+
+def _is_archive_url(url: str) -> bool:
+    low = url.lower()
+    return any(low.endswith(e) for e in _ARCHIVE_EXTS)
+
+
+def _iter_archive_members(data: bytes, url: str):
+    """Yield (member_name, member_bytes) for a zip/tar archive.
+    Directories and hidden basenames (the is_hidden convention —
+    .DS_Store, __MACOSX/._x, _SUCCESS) are skipped. Raises on a torn
+    archive — fault isolation attributes the archive object."""
+    import io as _io
+    import tarfile
+    import zipfile
+
+    if url.lower().endswith(".zip"):
+        with zipfile.ZipFile(_io.BytesIO(data)) as z:
+            for info in z.infolist():
+                if info.is_dir() or is_hidden(info.filename):
+                    continue
+                yield info.filename, z.read(info)
+    else:
+        # mode 'r:*' auto-detects the tar's outer compression (gz/bz2/xz)
+        with tarfile.open(fileobj=_io.BytesIO(data), mode="r:*") as tf:
+            for m in tf:
+                if not m.isfile() or is_hidden(m.name):
+                    continue
+                f = tf.extractfile(m)
+                yield m.name, b"" if f is None else f.read()
+
+
+def _split_lines(data: bytes) -> list[str]:
+    """\\n / \\r\\n line split, trailing empty dropped —
+    LineRecordReader semantics, shared by every Python-route reader."""
+    text = data.decode("utf-8", "replace")
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    return [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
+
+
 def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Line-read a mixed-codec path list into (RAW, FILE).
 
     JVM-readable objects (plain, .gz, .bz2, .deflate — Hadoop codecs)
     go through `spark.read.text`: splittable where the codec allows,
-    zero Python in the loop. Everything else (.xz, .lz4 frame,
-    .sz/.snappy framed — io/compress.py) takes the binaryFile +
+    zero Python in the loop. Python-codec objects (.xz, .lz4 frame,
+    .sz/.snappy framed — io/compress.py) take a binaryFile +
     mapInPandas route: one executor task per object decompresses with
-    the pure-Python codecs and splits lines (\\n / \\r\\n, trailing
-    empty dropped — LineRecordReader semantics). A malformed object
-    RAISES inside its task, so the window-level fault isolation
-    (pipeline.py:320) attributes it via probe_unreadable exactly like
-    a truncated gzip on the JVM route. binaryFile holds one whole
-    object per task (its documented 2 GiB bound); list-time object
-    caps (S2) keep that healthy — at 100 TB you shard objects, not
-    grow them."""
+    the pure-Python codecs and splits lines. Archives (.zip, .tar[.*],
+    .tgz) take the same route with member expansion: every non-hidden
+    file member is read, itself decompressed by ITS extension (a
+    data.jsonl.gz inside a zip works), and contributes lines under the
+    ARCHIVE's url — FILE keeps the ledger contract (the listed object
+    is what the meta skip-set and per-file counters key on).
+
+    A malformed object RAISES inside its task, so the window-level
+    fault isolation (pipeline.py:320) attributes it via
+    probe_unreadable exactly like a truncated gzip on the JVM route.
+    binaryFile holds one whole object per task (its documented 2 GiB
+    bound); list-time object caps (S2) keep that healthy — at 100 TB
+    you shard objects, not grow them."""
     from etly_spark.io import compress as _compress
 
     for p in paths:
         _compress.raise_if_gated(p)
-    jvm = [p for p in paths if _compress.jvm_line_readable(p)]
-    py = [p for p in paths if not _compress.jvm_line_readable(p)]
+    arc = [p for p in paths if _is_archive_url(p)]
+    rest = [p for p in paths if not _is_archive_url(p)]
+    jvm = [p for p in rest if _compress.jvm_line_readable(p)]
+    py = [p for p in rest if not _compress.jvm_line_readable(p)]
     parts: list[DataFrame] = []
     if jvm:
         parts.append(
@@ -336,8 +392,10 @@ def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
             .withColumnRenamed("value", RAW)
             .withColumn(FILE, F.input_file_name())
         )
-    if py:
-        bin_df = spark.read.format("binaryFile").load(py).select("path", "content")
+    if py or arc:
+        bin_df = (
+            spark.read.format("binaryFile").load(py + arc).select("path", "content")
+        )
 
         def gen(batches):
             import pandas as pd
@@ -346,13 +404,13 @@ def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
 
             for pdf in batches:
                 for path, content in zip(pdf["path"], pdf["content"]):
-                    data = _c.decompress_object(bytes(content), path)
-                    text = data.decode("utf-8", "replace")
-                    lines = text.split("\n")
-                    if lines and lines[-1] == "":
-                        lines.pop()
-                    lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
                     url = _norm_binaryfile_url(path)
+                    if _is_archive_url(path):
+                        lines = []
+                        for name, raw in _iter_archive_members(bytes(content), path):
+                            lines.extend(_split_lines(_c.decompress_object(raw, name)))
+                    else:
+                        lines = _split_lines(_c.decompress_object(bytes(content), path))
                     yield pd.DataFrame({RAW: lines, FILE: [url] * len(lines)})
 
         parts.append(bin_df.mapInPandas(gen, f"`{RAW}` string, `{FILE}` string"))

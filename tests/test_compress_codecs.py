@@ -352,3 +352,105 @@ def test_pipeline_python_codec_sink(spark, tmp_path, comp, reader):
     assert data is not None
     got = {json.loads(ln)["Key"] for ln in data.decode().splitlines()}
     assert got == {1, 2}
+
+
+# ------------------------------------------------------------ archives
+
+
+def _make_zip(members: dict[str, bytes]) -> bytes:
+    import io as _io
+    import zipfile
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data in members.items():
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def _make_tar(members: dict[str, bytes], mode: str = "w:gz") -> bytes:
+    import io as _io
+    import tarfile
+
+    buf = _io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_read_lines_archive_members(spark, tmp_path):
+    """zip + tar.gz expand per member (nested member codecs included);
+    FILE keeps the ARCHIVE url — the ledger contract."""
+    from etly_spark.sources.storage import FILE, RAW, _read_lines
+
+    lines = [json.dumps({"i": i}) for i in range(10)]
+    payload = ("\n".join(lines) + "\n").encode()
+    z = tmp_path / "a.zip"
+    z.write_bytes(_make_zip({
+        "one.jsonl": payload,
+        "sub/two.jsonl.gz": gzip.compress(payload),
+        "three.jsonl.lz4": lz4.compress_frame(payload),
+        "__MACOSX/._one.jsonl": b"junk",      # hidden: skipped
+        ".DS_Store": b"junk",
+    }))
+    tgz = tmp_path / "b.tar.gz"
+    tgz.write_bytes(_make_tar({"x.jsonl": payload, "y.jsonl.xz": lzma.compress(payload)}))
+    df = _read_lines(spark, [f"file://{z}", f"file://{tgz}"])
+    rows = df.collect()
+    by_file: dict[str, list[str]] = {}
+    for r in rows:
+        by_file.setdefault(r[FILE].rsplit("/", 1)[-1], []).append(r[RAW])
+    assert set(by_file) == {"a.zip", "b.tar.gz"}
+    assert sorted(by_file["a.zip"]) == sorted(lines * 3)
+    assert sorted(by_file["b.tar.gz"]) == sorted(lines * 2)
+
+
+def test_probe_object_attributes_corrupt_archive(tmp_path):
+    from etly_spark.sources.storage import probe_object
+
+    ok = tmp_path / "ok.zip"
+    ok.write_bytes(_make_zip({"a.jsonl": b'{"x":1}\n'}))
+    assert probe_object(f"file://{ok}") is None
+    # valid zip central directory, torn member codec
+    badm = tmp_path / "badmember.zip"
+    badm.write_bytes(_make_zip({"a.jsonl.lz4": lz4.compress_frame(b'{"x":1}\n')[:-3]}))
+    assert probe_object(f"file://{badm}") is not None
+    # torn container
+    badz = tmp_path / "torn.tar.gz"
+    badz.write_bytes(_make_tar({"a.jsonl": b'{"x":1}\n' * 100})[:-40])
+    assert probe_object(f"file://{badz}") is not None
+
+
+def test_pipeline_zip_source_end_to_end(spark, tmp_path):
+    """A .zip of ndjson members ingests as ONE ledger object."""
+    import tests.test_pipeline_e2e  # noqa: F401 — registers test.Log1 schemas
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, NOOP, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "batch.zip").write_bytes(_make_zip({
+        "p1.jsonl": b'{"Id":1,"Name":"a","Type":"t"}\n',
+        "p2.jsonl.gz": gzip.compress(b'{"Id":2,"Name":"b","Type":"u"}\n'),
+    }))
+    t = Transfer(
+        name="zip-smoke",
+        source=Source(name=str(src), data_type="test.Log1"),
+        target=Target(name=str(tmp_path / "out" / "<file>.out")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(tmp_path),
+    )
+    svc = TransferService(spark)
+    result = svc.run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 2
+    out = tmp_path / "out" / "batch.zip.out"
+    got = {json.loads(ln)["Key"] for ln in out.read_text().splitlines()}
+    assert got == {1, 2}
+    assert svc.run(t).status == NOOP
