@@ -4,11 +4,12 @@ decode/feature-extract via Arrow-batched mapInPandas, frame sampling.
 REAL codecs run under the oracle gate: the 'pixels' variant packs each
 doc's text into a valid PPM and decodes it with the pure-numpy Netpbm
 codec; the 'y4m' variant packs it into a valid YUV4MPEG2 stream and
-frame-samples the REAL decoder's output. Only entropy-coded formats
-stay stubbed ('stub'/'meta' variants keep the deterministic
-featurizer). Oracles replicate the byte arithmetic (payload bytes
-derive from ASCII text, so DuckDB's ascii() over chars equals the
-decoded byte values).
+frame-samples the REAL decoder's output; the 'warc' variant runs the
+full web-corpus chain (escaped HTML → HTTP → WARC → per-record gzip →
+parse → extract). Only entropy-coded formats stay stubbed
+('stub'/'meta' variants keep the deterministic featurizer). Oracles
+replicate the byte arithmetic (payload bytes derive from ASCII text,
+so DuckDB's ascii() over chars equals the decoded byte values).
 """
 
 from __future__ import annotations
