@@ -226,16 +226,79 @@ def _is_warc_url(url: str) -> bool:
     return low.endswith(".warc") or low.endswith(".warc.gz")
 
 
-def _read_warc(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Read WARC objects (plain or gzipped — single- or per-record-
-    member) into one row per kept record: (FILE, uri, warc_date,
-    warc_type, content_type, http_status, text).
+_WARC_DDL = (
+    f"`{FILE}` string, uri string, warc_date string, warc_type string, "
+    "content_type string, http_status long, text string"
+)
+
+
+def _warc_gen(batches):
+    """mapInPandas kernel: binaryFile (path, content) batches → one row
+    per payload-bearing warc record. Module-level and picklable — the
+    batch reader and the streaming file source share it."""
+    import pandas as pd
+
+    from etly_spark.operators import htmltext as _htmltext
+    from etly_spark.operators import warc as _warc
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            url = _norm_binaryfile_url(path)
+            for rec in _warc.decode_warc(bytes(content)):
+                wt = (rec.warc_type or "").lower()
+                if wt not in ("response", "resource", "conversion"):
+                    continue
+                block = rec.block
+                status = None
+                ctype = rec.get("Content-Type") or ""
+                if wt == "response" and ctype.lower().startswith("application/http"):
+                    status, hh, block = _warc.split_http_response(block)
+                    for k, v in hh.items():
+                        if k.lower() == "content-type":
+                            ctype = v
+                text = block.decode("utf-8", "replace")
+                if "html" in ctype.lower():
+                    text = _htmltext.html_to_text(text)
+                rows.append(
+                    (
+                        url,
+                        rec.get("WARC-Target-URI"),
+                        rec.get("WARC-Date"),
+                        wt,
+                        ctype,
+                        status,
+                        text,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                FILE, "uri", "warc_date", "warc_type", "content_type",
+                "http_status", "text",
+            ],
+        )
+
+
+def warc_records(bin_df: DataFrame) -> DataFrame:
+    """Turn a binaryFile-shaped DataFrame (batch OR streaming) into warc
+    record rows: (FILE, uri, warc_date, warc_type, content_type,
+    http_status, text) + CORRUPT/RAW meta columns.
 
     Kept types: response / resource / conversion (the payload-bearing
     kinds; warcinfo/request/metadata are crawl bookkeeping). Response
     blocks with an application/http envelope are split and the HTTP
     Content-Type wins; html payloads run through the real extractor
-    (operators/htmltext.py), everything else decodes utf-8/replace.
+    (operators/htmltext.py), everything else decodes utf-8/replace."""
+    df = bin_df.select("path", "content").mapInPandas(_warc_gen, _WARC_DDL)
+    data_cols = [c for c in df.columns if c != FILE]
+    return df.withColumn(CORRUPT, F.lit(False)).withColumn(
+        RAW, F.to_json(F.struct(*data_cols))
+    )
+
+
+def _read_warc(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Batch warc read over an explicit (already S2-filtered) path list.
 
     Scale shape: binaryFile gives one executor task per object — warc
     members aren't splittable mid-stream, and Common Crawl shards its
@@ -243,63 +306,7 @@ def _read_warc(spark: SparkSession, paths: list[str]) -> DataFrame:
     parallelism (100 TB => ~100k tasks). A torn record raises inside
     its task and probe_object speaks the record grammar, so window
     fault isolation attributes it exactly like a truncated gzip."""
-    bin_df = spark.read.format("binaryFile").load(paths).select("path", "content")
-
-    def gen(batches):
-        import pandas as pd
-
-        from etly_spark.operators import htmltext as _htmltext
-        from etly_spark.operators import warc as _warc
-
-        for pdf in batches:
-            rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                url = _norm_binaryfile_url(path)
-                for rec in _warc.decode_warc(bytes(content)):
-                    wt = (rec.warc_type or "").lower()
-                    if wt not in ("response", "resource", "conversion"):
-                        continue
-                    block = rec.block
-                    status = None
-                    ctype = rec.get("Content-Type") or ""
-                    if wt == "response" and ctype.lower().startswith(
-                        "application/http"
-                    ):
-                        status, hh, block = _warc.split_http_response(block)
-                        for k, v in hh.items():
-                            if k.lower() == "content-type":
-                                ctype = v
-                    text = block.decode("utf-8", "replace")
-                    if "html" in ctype.lower():
-                        text = _htmltext.html_to_text(text)
-                    rows.append(
-                        (
-                            url,
-                            rec.get("WARC-Target-URI"),
-                            rec.get("WARC-Date"),
-                            wt,
-                            ctype,
-                            status,
-                            text,
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    FILE, "uri", "warc_date", "warc_type", "content_type",
-                    "http_status", "text",
-                ],
-            )
-
-    schema = (
-        f"`{FILE}` string, uri string, warc_date string, warc_type string, "
-        "content_type string, http_status long, text string"
-    )
-    df = bin_df.mapInPandas(gen, schema)
-    data_cols = [c for c in df.columns if c != FILE]
-    return df.withColumn(CORRUPT, F.lit(False)).withColumn(
-        RAW, F.to_json(F.struct(*data_cols))
-    )
+    return warc_records(spark.read.format("binaryFile").load(paths))
 
 
 def _norm_binaryfile_url(path: str) -> str:

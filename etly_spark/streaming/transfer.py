@@ -30,7 +30,14 @@ from pyspark.sql.streaming import StreamingQuery
 from etly_spark.config import Transfer
 from etly_spark.meta import Meta, ObjectMeta
 from etly_spark.pipeline import TransferService, _local, _norm_file_url
-from etly_spark.sources.storage import CORRUPT, FILE, RAW, _decode_ndjson, get_schema
+from etly_spark.sources.storage import (
+    CORRUPT,
+    FILE,
+    RAW,
+    _decode_ndjson,
+    get_schema,
+    warc_records,
+)
 from etly_spark.templates import expand_date, expand_env, expand_pwd, expand_target_key
 
 
@@ -66,22 +73,42 @@ class StreamingTransferService:
         )
         checkpoint = checkpoint or os.path.join(_local(src_url), ".etly_checkpoint")
 
-        reader = self.spark.readStream.format("text")
+        fmt = (t.source.data_format or "ndjson").lower()
         cap = max_files_per_trigger or t.max_transfers
-        if cap:
-            reader = reader.option("maxFilesPerTrigger", cap)
-        raw = (
-            reader.load(_local(src_url))
-            .withColumnRenamed("value", RAW)
-            .withColumn(FILE, F.input_file_name())
-        )
-        if t.source.filter_reg_exp:
-            # S2 regex filter — same regex semantics as the batch path
-            # (transfer_service.go:488-495), applied to the file URL.
-            raw = raw.filter(F.col(FILE).rlike(t.source.filter_reg_exp))
+        if fmt == "warc":
+            # web archives stream too: the binaryFile source is a file
+            # source like text, so the checkpointed exactly-once file
+            # discovery is identical; each new .warc[.gz] object is one
+            # task through the shared warc kernel (storage.warc_records)
+            reader = self.spark.readStream.format("binaryFile").schema(
+                # the binaryFile source's fixed schema — streaming file
+                # sources require it stated up front
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            if cap:
+                reader = reader.option("maxFilesPerTrigger", cap)
+            decoded = warc_records(reader.load(_local(src_url)))
+            if t.source.filter_reg_exp:
+                decoded = decoded.filter(
+                    F.col(FILE).rlike(t.source.filter_reg_exp)
+                )
+        else:
+            reader = self.spark.readStream.format("text")
+            if cap:
+                reader = reader.option("maxFilesPerTrigger", cap)
+            raw = (
+                reader.load(_local(src_url))
+                .withColumnRenamed("value", RAW)
+                .withColumn(FILE, F.input_file_name())
+            )
+            if t.source.filter_reg_exp:
+                # S2 regex filter — same regex semantics as the batch
+                # path (transfer_service.go:488-495), on the file URL.
+                raw = raw.filter(F.col(FILE).rlike(t.source.filter_reg_exp))
 
-        schema = get_schema(t.source.data_type) if t.source.data_type else None
-        decoded = _decode_ndjson(raw, t.source, schema)
+            schema = get_schema(t.source.data_type) if t.source.data_type else None
+            decoded = _decode_ndjson(raw, t.source, schema)
         decoded = self._batch._enrich(decoded, t, src_url)
 
         def process_batch(bdf: DataFrame, epoch_id: int) -> None:

@@ -594,3 +594,53 @@ def test_streaming_parquet_dataset_sink(spark, tmp_path):
     d1 = spark.read.parquet(str(tmp_path / "out" / "batch=1"))
     assert {(r.Key, r.Value) for r in d1.collect()} == {(3, "c/z")}
     assert spark.read.parquet(str(tmp_path / "out" / "batch=0")).count() == 2
+
+
+def test_streaming_warc_source_exactly_once(spark, tmp_path):
+    """DataFormat 'warc' streams: the binaryFile file source discovers
+    new .warc.gz objects incrementally; each record row lands once
+    across restarts (shared kernel with the batch path)."""
+    from etly_spark.operators.warc import encode_warc
+
+    def _warc_bytes(uri: str, body: bytes) -> bytes:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body)
+        return encode_warc(
+            [({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:1>",
+               "WARC-Date": "2026-01-01T00:00:00Z", "WARC-Target-URI": uri,
+               "Content-Type": "application/http; msgtype=response"}, http)],
+            per_record_gzip=True,
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "c1.warc.gz").write_bytes(
+        _warc_bytes("https://a.example/1", b"<html><body><p>one</p></body></html>")
+    )
+    t = Transfer(
+        name="stream-warc",
+        source=Source(name=str(tmp_path / "in"), data_format="warc"),
+        target=Target(name=str(tmp_path / "out" / "crawl-$batchCount.jsonl")),
+        base_dir=str(tmp_path),
+    )
+    svc = StreamingTransferService(spark)
+    _await(svc.start(t, available_now=True))
+    out1 = (tmp_path / "out" / "crawl-0.jsonl").read_text().strip().splitlines()
+    assert len(out1) == 1
+    rec = json.loads(out1[0])
+    assert rec["uri"] == "https://a.example/1" and rec["text"] == "one"
+
+    # a new crawl shard arrives; only IT is processed
+    (src / "c2.warc.gz").write_bytes(
+        _warc_bytes("https://a.example/2", b"<html><body><p>two</p></body></html>")
+    )
+    _await(svc.start(t, available_now=True))
+    out2 = (tmp_path / "out" / "crawl-1.jsonl").read_text().strip().splitlines()
+    assert [json.loads(ln)["text"] for ln in out2] == ["two"]
+
+    # no new shards: no batch-2 output
+    _await(svc.start(t, available_now=True))
+    assert sorted(p.name for p in (tmp_path / "out").glob("*.jsonl")) == [
+        "crawl-0.jsonl", "crawl-1.jsonl",
+    ]
