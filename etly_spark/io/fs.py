@@ -236,6 +236,54 @@ def concat_compress(srcs: list[str], dst: str, compression: str) -> None:
                 out.write(_compress.compress_object(f.read(), compression))
 
 
+def concat_warc(srcs: list[str], dst: str, per_record_gzip: bool) -> None:
+    """Build a WARC object from staged ndjson parts: every staged line
+    becomes ONE conversion record (the WET shape — what a text-extracted
+    crawl shard is). Record fields come from the line's json: `text` is
+    the payload, `uri` → WARC-Target-URI (omitted when absent),
+    `warc_date` → WARC-Date (deterministic epoch default so a replayed
+    finalization writes byte-identical output), `content_type` →
+    WARC-Identified-Payload-Type (what the text WAS before extraction —
+    the WARC 1.1 header Common Crawl WET uses for exactly this; the
+    record's own Content-Type is always text/plain because the payload
+    IS the extracted text). Record IDs are content-derived
+    (md5 of the line) — stable across replays, unique per distinct
+    record. Per-record gzip members when requested (the .warc.gz
+    convention). Executor-side; memory bounded by one staged part."""
+    import hashlib
+    import json as _json
+
+    from etly_spark.operators import warc as _warc
+
+    with open_write(dst) as out:
+        for s in srcs:
+            with open_read(s) as f:
+                for ln in f.read().splitlines():
+                    if not ln:
+                        continue
+                    rec = _json.loads(ln)
+                    rid = hashlib.md5(ln).hexdigest()
+                    headers = {
+                        "WARC-Type": "conversion",
+                        "WARC-Record-ID": f"<urn:md5:{rid}>",
+                        "WARC-Date": rec.get("warc_date")
+                        or "1970-01-01T00:00:00Z",
+                        "Content-Type": "text/plain",
+                    }
+                    uri = rec.get("uri")
+                    if uri:
+                        headers["WARC-Target-URI"] = uri
+                    ctype = rec.get("content_type")
+                    if ctype:
+                        headers["WARC-Identified-Payload-Type"] = ctype
+                    out.write(
+                        _warc.encode_warc(
+                            [(headers, (rec.get("text") or "").encode())],
+                            per_record_gzip=per_record_gzip,
+                        )
+                    )
+
+
 def delete_tree(url: str) -> None:
     if is_local(url):
         shutil.rmtree(strip_file_scheme(url), ignore_errors=True)

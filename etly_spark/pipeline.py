@@ -741,8 +741,19 @@ class TransferService:
         )
 
         comp = (t.target.compression or "").lower()
+        warc_sink = fmt == "warc"
         py_codec: str | None = None
-        if comp:
+        if warc_sink:
+            # WET-style egress: each record line becomes one conversion
+            # record at finalization (fsio.concat_warc); compression
+            # 'gzip' selects per-record members (the .warc.gz shape),
+            # anything else is rejected — warc records are framed
+            # individually, stream codecs don't apply
+            if comp not in ("", "gzip"):
+                raise ValueError(
+                    f"warc targets support only gzip compression: {comp}"
+                )
+        elif comp:
             from etly_spark.io import compress as _compress
 
             if comp not in _compress.SINK_CODECS:
@@ -753,7 +764,7 @@ class TransferService:
             t.base_dir, f".etly_staging_{uuid.uuid4().hex[:12]}"
         )
         writer = encoded.write.mode("append").partitionBy(TKEY)
-        if comp and py_codec is None:
+        if comp and py_codec is None and not warc_sink:
             # Hadoop-bundled codec: compress inside the JVM write job
             writer = writer.option("compression", jvm_codec)
         # python-route codecs (xz/lz4/snappy — io/compress.py) stage
@@ -767,12 +778,22 @@ class TransferService:
         try:
             writer.text(staging)  # inside the finally-scope: a failed
             # write job must not leak its partial staging dir
-            return self._finalize_routed(staging, t, py_codec=py_codec)
+            return self._finalize_routed(
+                staging,
+                t,
+                py_codec=py_codec,
+                # None = not a warc sink; bool = per-record gzip members
+                warc_gz=(comp == "gzip") if warc_sink else None,
+            )
         finally:
             fsio.delete_tree(staging)
 
     def _finalize_routed(
-        self, staging: str, t: Transfer, py_codec: str | None = None
+        self,
+        staging: str,
+        t: Transfer,
+        py_codec: str | None = None,
+        warc_gz: bool | None = None,
     ) -> list[str]:
         """Two-tier staging→target finalization.
 
@@ -806,11 +827,16 @@ class TransferService:
             for i, roll in enumerate(rolls):
                 dst = final if i == 0 else f"{final}.{i}"
                 outputs.append(dst)
-                if py_codec is None and len(roll) == 1 and fsio.is_local(dst):
+                if (
+                    py_codec is None
+                    and warc_gz is None
+                    and len(roll) == 1
+                    and fsio.is_local(dst)
+                ):
                     renames.append((roll[0], dst))
                 else:
-                    # py_codec forces the byte-job path: the task
-                    # compresses while it moves, so the rename
+                    # py_codec/warc force the byte-job path: the task
+                    # transforms while it moves, so the rename
                     # shortcut (which moves bytes verbatim) is out
                     byte_jobs.append((roll, dst))
             # replay idempotency: a crashed earlier attempt (e.g. a
@@ -825,7 +851,7 @@ class TransferService:
         for src, dst in renames:
             fsio.move(src, dst)
         if byte_jobs:
-            self._run_byte_jobs(byte_jobs, compression=py_codec)
+            self._run_byte_jobs(byte_jobs, compression=py_codec, warc_gz=warc_gz)
         return outputs
 
     def _write_routed_dataset(
@@ -903,13 +929,21 @@ class TransferService:
         self,
         byte_jobs: list[tuple[list[str], str]],
         compression: str | None = None,
+        warc_gz: bool | None = None,
     ) -> None:
         """Ship O(bytes) finalization (concat / remote upload) to executor
         tasks — one task per output object. With ``compression`` set
         (a python-route codec: xz/lz4/snappy), each task compresses
-        part-at-a-time while concatenating (fsio.concat_compress)."""
+        part-at-a-time while concatenating (fsio.concat_compress); with
+        ``warc_gz`` set (warc sink), each task frames the staged lines
+        into conversion records (fsio.concat_warc)."""
         sc = self.spark.sparkContext
-        if compression is None:
+        if warc_gz is not None:
+            per_gz = warc_gz
+            sc.parallelize(byte_jobs, len(byte_jobs)).foreach(
+                lambda job: fsio.concat_warc(job[0], job[1], per_gz)
+            )
+        elif compression is None:
             sc.parallelize(byte_jobs, len(byte_jobs)).foreach(
                 lambda job: fsio.concat(job[0], job[1])
             )

