@@ -1801,6 +1801,12 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         cur = bytes([b])
     if cur:
         put(table[cur], width)
+        # the decoder appends one more table entry for this final code
+        # and (EarlyChange) may widen BEFORE reading EOI; mirror that
+        # here or EOI desyncs whenever next_code lands exactly on a
+        # width boundary (510/1022/2046) at end-of-data
+        if next_code + 2 >= (1 << width) and width < 12:
+            width += 1
     put(EOI, width)
     if nbits:
         put(0, 8 - nbits)

@@ -126,3 +126,30 @@ def test_corrupt_and_unsupported_rejected():
         if struct.unpack_from("<H", bad, off)[0] == 258:
             struct.pack_into("<H", bad, off + 8, 16)
     assert _decode_tiff(bytes(bad)) is None
+
+
+def test_lzw_eoi_width_at_exact_boundary():
+    """Regression: when next_code lands exactly on an EarlyChange width
+    boundary (510/1022/2046) at end-of-data, the decoder appends the
+    final code's table entry and widens BEFORE reading EOI — the
+    encoder must emit EOI at the widened width (hypothesis-found with
+    an RGBA 12x16 image, LZW, rows_per_strip=4)."""
+    import numpy as np
+
+    from etly_spark.operators.codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_image_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (12, 16, 4), dtype=np.uint8)
+    enc = encode_tiff(img, compression=5, big_endian=False, rows_per_strip=4)
+    dec = decode_image_pixels(enc)
+    assert dec is not None and np.array_equal(dec, img)
+    # raw-stream pin: incompressible strips of many lengths cross every
+    # 9->10 boundary alignment
+    for n in range(240, 280):
+        data = rng.integers(0, 256, n * 4, dtype=np.uint8).tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
