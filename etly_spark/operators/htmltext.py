@@ -7,20 +7,30 @@ deterministic extractor — a hand-rolled tag scanner (NOT a regex over
 script/style/comment elision, entity unescaping via the stdlib `html`
 module, and newline injection at block-element boundaries only.
 
-Determinism contract (what the oracle gate leans on, see
-queries/multimodal.py 'warc' variant): text content outside any
-markup passes through BYTE-EXACT — no whitespace collapsing, no
-trimming — and only the tags in _BLOCK_TAGS inject a separator ('\n').
-Structural wrappers (html/head/body/span/a/...) inject nothing, so
-`html_to_text(wrap(escape(t))) == t` for any t when wrap uses only
-non-block structure. Real-world messiness (unclosed tags, attributes
-containing '>', CDATA, uppercase tags, numeric entities) is covered in
-tests/test_warc_html.py.
+Two consumers share the scanner:
+
+- `html_to_text` — full-fidelity extraction. Determinism contract
+  (what the oracle gate leans on, see queries/multimodal.py 'warc'
+  variant): text content outside any markup passes through BYTE-EXACT
+  — no whitespace collapsing, no trimming — and only the tags in
+  _BLOCK_TAGS inject a separator ('\n'). Structural wrappers
+  (html/head/body/span/a/...) inject nothing, so
+  `html_to_text(wrap(escape(t))) == t` for any t when wrap uses only
+  non-block structure.
+- `extract_main_text` — boilerplate removal (the jusText/boilerpipe
+  heuristic family, public knowledge): segment the page at block
+  boundaries, drop chrome subtrees (nav/aside/footer/header), drop
+  link-dense segments (menus, related-links), drop short fragments
+  that don't read as sentences. Heuristic by nature → pytest-covered,
+  not oracle-gated.
+
+Real-world messiness (unclosed tags, attributes containing '>', CDATA,
+uppercase tags, numeric entities) is covered in tests/test_warc_html.py.
 
 Reference parity: none — the reference (viant/etly) has no HTML
 handling; SURVEY §2.3 training-data scope.
 
-Scale: pure per-row function, runs inside Arrow-batched stages; O(len)
+Scale: pure per-row functions, run inside Arrow-batched stages; O(len)
 single pass, no backtracking.
 """
 
@@ -28,7 +38,7 @@ from __future__ import annotations
 
 import html as _html
 
-__all__ = ["escape_html_text", "html_to_text"]
+__all__ = ["escape_html_text", "extract_main_text", "html_to_text"]
 
 # elements whose CONTENT is dropped entirely
 _RAW_SKIP = ("script", "style")
@@ -39,6 +49,8 @@ _BLOCK_TAGS = frozenset(
     "p div li ul ol tr table h1 h2 h3 h4 h5 h6 blockquote pre hr br "
     "section article header footer form dl dt dd".split()
 )
+# subtrees that are site chrome, not content (extract_main_text only)
+_CHROME_TAGS = frozenset("nav aside footer header".split())
 
 
 def escape_html_text(text: str) -> str:
@@ -80,40 +92,28 @@ def _tag_name(s: str, i: int, end: int) -> str:
     return s[j:k].lower()
 
 
-def html_to_text(src: str) -> str:
-    """Extract readable text from HTML. Never raises on malformed
-    input; unrecognized or torn markup degrades to dropped bytes, text
-    content is preserved byte-exact (see module contract)."""
-    out: list[str] = []
+def _scan(src: str):
+    """Single-pass tokenizer: yields ('text', payload, needs_unescape)
+    and ('tag', name, is_close) events. Comments/doctype/PI produce no
+    events; raw-text elements (script/style) skip their content; never
+    raises on malformed input (torn markup degrades to dropped bytes)."""
     i = 0
     n = len(src)
-    pending_break = False
-
-    def emit(text: str) -> None:
-        nonlocal pending_break
-        if not text:
-            return
-        if pending_break and out:
-            out.append("\n")
-        pending_break = False
-        out.append(text)
-
     while i < n:
         lt = src.find("<", i)
         if lt < 0:
-            emit(_html.unescape(src[i:]))
+            yield ("text", src[i:], True)
             break
         if lt > i:
-            emit(_html.unescape(src[i:lt]))
-        # comment / CDATA / doctype forms
+            yield ("text", src[i:lt], True)
         if src.startswith("<!--", lt):
             end = src.find("-->", lt + 4)
             i = n if end < 0 else end + 3
             continue
         if src.startswith("<![CDATA[", lt):
             end = src.find("]]>", lt + 9)
-            # CDATA content is character data: keep it
-            emit(src[lt + 9 : (n if end < 0 else end)])
+            # CDATA content is character data: keep it, no unescape
+            yield ("text", src[lt + 9 : (n if end < 0 else end)], False)
             i = n if end < 0 else end + 3
             continue
         if src.startswith("<!", lt) or src.startswith("<?", lt):
@@ -123,17 +123,104 @@ def html_to_text(src: str) -> str:
         name = _tag_name(src, lt, end)
         if not name:
             # bare '<' in sloppy HTML: character data, keep it
-            emit(src[lt : lt + 1])
+            yield ("text", "<", False)
             i = lt + 1
             continue
+        is_close = src.startswith("</", lt)
         i = end
-        if name in _RAW_SKIP and not src.startswith("</", lt):
+        if name in _RAW_SKIP and not is_close:
             # raw-text element: skip to its close tag, drop content
             close = src.lower().find(f"</{name}", i)
             if close < 0:
-                break
+                return
             i = _tag_end(src, close)
             continue
-        if name in _BLOCK_TAGS:
+        yield ("tag", name, is_close)
+
+
+def html_to_text(src: str) -> str:
+    """Extract readable text from HTML. Never raises on malformed
+    input; unrecognized or torn markup degrades to dropped bytes, text
+    content is preserved byte-exact (see module contract)."""
+    out: list[str] = []
+    pending_break = False
+    for kind, payload, flag in _scan(src):
+        if kind == "text":
+            text = _html.unescape(payload) if flag else payload
+            if not text:
+                continue
+            if pending_break and out:
+                out.append("\n")
+            pending_break = False
+            out.append(text)
+        elif payload in _BLOCK_TAGS:
             pending_break = True
     return "".join(out)
+
+
+def extract_main_text(
+    src: str, min_chars: int = 25, max_link_density: float = 0.34
+) -> str:
+    """Boilerplate-removing extraction: the page's MAIN text, for
+    training corpora (what WET-style pipelines actually want — menus,
+    nav bars, footers and related-links boxes are noise that poisons
+    dedup and quality scoring).
+
+    Heuristics (jusText/boilerpipe family, deterministic):
+    - chrome subtrees (<nav>/<aside>/<footer>/<header>) are dropped
+      whole (depth-tracked; malformed nesting can't underflow);
+    - the page is segmented at block boundaries; a segment whose
+      link-text density exceeds ``max_link_density`` is dropped (link
+      farms, menus);
+    - segments shorter than ``min_chars`` are dropped unless they end
+      like a sentence ('.', '!', '?', '"') — isolated labels and
+      button text go, short closing sentences stay.
+
+    Falls back to full `html_to_text` when nothing survives (a page
+    that is all short fragments is better kept whole than dropped).
+    Never raises on malformed input."""
+    segs: list[tuple[str, int, bool]] = []
+    buf: list[str] = []
+    link_chars = 0
+    chrome_depth = 0
+    link_depth = 0
+
+    def flush() -> None:
+        nonlocal buf, link_chars
+        text = "".join(buf).strip()
+        if text:
+            segs.append((text, link_chars, chrome_depth > 0))
+        buf = []
+        link_chars = 0
+
+    for kind, payload, flag in _scan(src):
+        if kind == "text":
+            text = _html.unescape(payload) if flag else payload
+            if not text:
+                continue
+            buf.append(text)
+            if link_depth:
+                link_chars += len(text)
+        else:
+            name, is_close = payload, flag
+            if name == "a":
+                link_depth = max(0, link_depth + (-1 if is_close else 1))
+            if name in _CHROME_TAGS:
+                flush()  # text before the boundary keeps ITS depth
+                chrome_depth = max(0, chrome_depth + (-1 if is_close else 1))
+            elif name in _BLOCK_TAGS:
+                flush()
+    flush()
+
+    kept = []
+    for text, lchars, is_chrome in segs:
+        if is_chrome:
+            continue
+        if lchars / max(len(text), 1) > max_link_density:
+            continue
+        if len(text) < min_chars and not text.rstrip().endswith(
+            (".", "!", "?", '"')
+        ):
+            continue
+        kept.append(text)
+    return "\n".join(kept) if kept else html_to_text(src).strip()

@@ -232,15 +232,18 @@ _WARC_DDL = (
 )
 
 
-def _warc_gen(batches):
+def _warc_gen(batches, main: bool = False):
     """mapInPandas kernel: binaryFile (path, content) batches → one row
     per payload-bearing warc record. Module-level and picklable — the
-    batch reader and the streaming file source share it."""
+    batch reader and the streaming file source share it. ``main=True``
+    (the 'wet' format) swaps full-fidelity extraction for
+    boilerplate-removing main-text extraction on html payloads."""
     import pandas as pd
 
     from etly_spark.operators import htmltext as _htmltext
     from etly_spark.operators import warc as _warc
 
+    extract = _htmltext.extract_main_text if main else _htmltext.html_to_text
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
@@ -259,7 +262,7 @@ def _warc_gen(batches):
                             ctype = v
                 text = block.decode("utf-8", "replace")
                 if "html" in ctype.lower():
-                    text = _htmltext.html_to_text(text)
+                    text = extract(text)
                 rows.append(
                     (
                         url,
@@ -280,7 +283,7 @@ def _warc_gen(batches):
         )
 
 
-def warc_records(bin_df: DataFrame) -> DataFrame:
+def warc_records(bin_df: DataFrame, main: bool = False) -> DataFrame:
     """Turn a binaryFile-shaped DataFrame (batch OR streaming) into warc
     record rows: (FILE, uri, warc_date, warc_type, content_type,
     http_status, text) + CORRUPT/RAW meta columns.
@@ -289,15 +292,21 @@ def warc_records(bin_df: DataFrame) -> DataFrame:
     kinds; warcinfo/request/metadata are crawl bookkeeping). Response
     blocks with an application/http envelope are split and the HTTP
     Content-Type wins; html payloads run through the real extractor
-    (operators/htmltext.py), everything else decodes utf-8/replace."""
-    df = bin_df.select("path", "content").mapInPandas(_warc_gen, _WARC_DDL)
+    (operators/htmltext.py — full-fidelity, or boilerplate-removing
+    main text when ``main``), everything else decodes utf-8/replace."""
+    import functools
+
+    gen = functools.partial(_warc_gen, main=True) if main else _warc_gen
+    df = bin_df.select("path", "content").mapInPandas(gen, _WARC_DDL)
     data_cols = [c for c in df.columns if c != FILE]
     return df.withColumn(CORRUPT, F.lit(False)).withColumn(
         RAW, F.to_json(F.struct(*data_cols))
     )
 
 
-def _read_warc(spark: SparkSession, paths: list[str]) -> DataFrame:
+def _read_warc(
+    spark: SparkSession, paths: list[str], main: bool = False
+) -> DataFrame:
     """Batch warc read over an explicit (already S2-filtered) path list.
 
     Scale shape: binaryFile gives one executor task per object — warc
@@ -306,7 +315,7 @@ def _read_warc(spark: SparkSession, paths: list[str]) -> DataFrame:
     parallelism (100 TB => ~100k tasks). A torn record raises inside
     its task and probe_object speaks the record grammar, so window
     fault isolation attributes it exactly like a truncated gzip."""
-    return warc_records(spark.read.format("binaryFile").load(paths))
+    return warc_records(spark.read.format("binaryFile").load(paths), main=main)
 
 
 def _norm_binaryfile_url(path: str) -> str:
@@ -448,11 +457,13 @@ def read_records(
             raise ValueError(f"ndjson source requires a registered DataType schema: {source.name}")
         raw = _read_lines(spark, paths)
         return _decode_ndjson(raw, source, schema)
-    if fmt == "warc":
+    if fmt in ("warc", "wet"):
         # web-archive container: one row per payload-bearing record,
         # html extracted to text (SURVEY §2.3 training-data scope; the
-        # reference has no warc support)
-        return _read_warc(spark, paths)
+        # reference has no warc support). 'wet' = same container with
+        # boilerplate-removing MAIN-text extraction — what a training
+        # corpus actually wants from a crawl
+        return _read_warc(spark, paths, main=(fmt == "wet"))
     if fmt == "csv":
         df = spark.read.option("header", "true").csv(paths)
     elif fmt == "parquet":

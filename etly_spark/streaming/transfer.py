@@ -75,7 +75,7 @@ class StreamingTransferService:
 
         fmt = (t.source.data_format or "ndjson").lower()
         cap = max_files_per_trigger or t.max_transfers
-        if fmt == "warc":
+        if fmt in ("warc", "wet"):
             # web archives stream too: the binaryFile source is a file
             # source like text, so the checkpointed exactly-once file
             # discovery is identical; each new .warc[.gz] object is one
@@ -88,7 +88,9 @@ class StreamingTransferService:
             )
             if cap:
                 reader = reader.option("maxFilesPerTrigger", cap)
-            decoded = warc_records(reader.load(_local(src_url)))
+            decoded = warc_records(
+                reader.load(_local(src_url)), main=(fmt == "wet")
+            )
             if t.source.filter_reg_exp:
                 decoded = decoded.filter(
                     F.col(FILE).rlike(t.source.filter_reg_exp)

@@ -368,3 +368,84 @@ def test_warc_sink_rejects_stream_codecs(spark, tmp_path):
     )
     result = TransferService(spark).run(t)
     assert result.error and "warc targets support only gzip" in result.error
+
+
+# ------------------------------------------------ main-text extraction
+
+
+REAL_PAGE = """<!DOCTYPE html><html><head><title>Site</title>
+<style>nav{display:flex}</style><script>track();</script></head><body>
+<header><h1>Example News Network</h1></header>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/a">Politics</a></li>
+<li><a href="/b">Sports</a></li></ul></nav>
+<div class="content">
+<p>The committee voted on Tuesday to approve the new measure, which
+takes effect next spring and changes how permits are issued.</p>
+<p>Supporters argued the change simplifies a confusing process; critics
+said the rollout timeline is too aggressive for small firms.</p>
+<p>Short tail.</p>
+</div>
+<div class="related"><a href="/x">Read more stories</a> |
+<a href="/y">Top headlines today</a> | <a href="/z">More sports</a></div>
+<aside>Subscribe to our newsletter</aside>
+<footer>© 2026 Example News Network. <a href="/tos">Terms</a></footer>
+</body></html>"""
+
+
+def test_extract_main_text_drops_chrome_and_link_farms():
+    from etly_spark.operators.htmltext import extract_main_text
+
+    out = extract_main_text(REAL_PAGE)
+    assert "committee voted" in out and "rollout timeline" in out
+    assert "Short tail." in out                 # short but sentence-like
+    assert "Example News Network" not in out    # header + footer chrome
+    assert "Home" not in out and "Top headlines" not in out  # nav/link farm
+    assert "Subscribe" not in out               # aside
+    assert "track();" not in out
+
+
+def test_extract_main_text_fallback_and_malformed():
+    from etly_spark.operators.htmltext import extract_main_text
+
+    # all-fragment page: falls back to full extraction, never empty
+    assert extract_main_text("<p>hi</p><p>yo</p>") == "hi\nyo"
+    # malformed inputs never raise
+    for src in ("<nav", "</footer></footer>x", "<a href='>", ""):
+        extract_main_text(src)
+    # unbalanced closes can't underflow the chrome depth
+    good = "A long enough sentence that clearly qualifies as content."
+    assert extract_main_text(f"</nav></nav><p>{good}</p>") == good
+
+
+def test_wet_format_pipeline(spark, tmp_path):
+    """DataFormat 'wet': the warc source with main-text extraction."""
+    import json
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    page = REAL_PAGE.encode()
+    (src / "news.warc.gz").write_bytes(
+        encode_warc(
+            [(RESP_HDRS, http_response(page))], per_record_gzip=True
+        )
+    )
+    t = Transfer(
+        name="wet-src",
+        source=Source(name=str(src), data_format="wet"),
+        target=Target(name=str(tmp_path / "out" / "<file>.jsonl")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    rows = [
+        json.loads(l)
+        for l in (tmp_path / "out" / "news.warc.gz.jsonl").read_text().splitlines()
+    ]
+    assert len(rows) == 1
+    assert "committee voted" in rows[0]["text"]
+    assert "Top headlines" not in rows[0]["text"]
