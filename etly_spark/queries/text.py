@@ -290,6 +290,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'freq' AS variant, rank, term, n FROM ranked WHERE rank <= 20
     UNION ALL
     SELECT 'tfidf', rank, term, n FROM champ WHERE rank <= 20
+    UNION ALL
+    SELECT 'hosts', rank, term, n FROM (
+      -- canonical-host rollup over deliberately messy URLs (uppercase
+      -- scheme/host, www., explicit port, tracking query, fragment):
+      -- the SQL replicates functions/url.url_host exactly, so the row
+      -- hash-gates the canonicalization semantics cross-engine
+      SELECT term, COUNT(*) AS n,
+             row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rank
+      FROM (
+        SELECT regexp_replace(
+                 lower(regexp_replace(
+                   regexp_extract(
+                     regexp_replace(
+                       'HTTPS://WWW.News-' || (doc_id % 7)
+                       || '.Example.COM:443/articles/' || doc_id
+                       || '?utm_source=feed&id=' || doc_id || '#section-2',
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                     '^([^/?#]*)', 1),
+                   ':[0-9]+$', '')),
+                 '^www\\.', '') AS term
+        FROM documents
+      ) GROUP BY term
+    ) WHERE rank <= 20
     ORDER BY variant, rank
     """,
     doc="Vocabulary top-k, two tagged variants. freq — global term "
@@ -302,7 +325,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs they characterize — the IR view of the same vocabulary. The "
     "Zipf-skewed df join reuses operators/skew.py split_broadcast_join; "
     "both variants end in a TakeOrderedAndProject-shaped top-k, so "
-    "nothing corpus-sized reaches the driver.",
+    "nothing corpus-sized reaches the driver. hosts (r8) — per-domain "
+    "doc counts over canonicalized URLs (functions/url.url_host: "
+    "scheme/port/www./fragment-insensitive), the crawl-curation "
+    "'which hosts dominate my corpus' rollup; URLs synthesized messy "
+    "on both engines so the hash gates canonicalization semantics.",
 )
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -362,7 +389,34 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select(F.lit("tfidf").alias("variant"), "rank", "term", "n")
     )
-    return freq_rows.unionByName(tfidf_rows).orderBy("variant", "rank")
+
+    from etly_spark.functions.url import url_host
+
+    urls = d.select(
+        F.concat(
+            F.lit("HTTPS://WWW.News-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM:443/articles/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&id="),
+            F.col("doc_id").cast("string"),
+            F.lit("#section-2"),
+        ).alias("url")
+    )
+    host_rows = (
+        urls.select(url_host("url").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.lit("hosts").alias("variant"), "rank", "term", "n")
+    )
+    return (
+        freq_rows.unionByName(tfidf_rows)
+        .unionByName(host_rows)
+        .orderBy("variant", "rank")
+    )
 
 
 # ---------------------------------------------------------------------

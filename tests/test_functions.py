@@ -198,3 +198,25 @@ def test_connected_components_converges_past_fixed_unroll(spark):
     assert {labels[i] for i in range(9)} == {0}
     assert labels[100] == 100 and labels[101] == 100
     assert len(labels) == 11
+
+
+def test_url_functions(spark):
+    from etly_spark.functions.url import url_host, url_path, url_query
+
+    rows = [
+        ("HTTPS://WWW.Example.COM:443/a/b?x=1&y=2#frag",),
+        ("http://sub.example.org/path",),
+        ("example.net:8080/q?a=b",),          # scheme-less
+        ("ftp://files.example.io",),           # no path
+        ("https://[2001:db8::1]:8443/v6",),    # IPv6 keeps brackets
+    ]
+    df = spark.createDataFrame(rows, ["u"])
+    got = df.select(
+        url_host("u").alias("h"), url_path("u").alias("p"), url_query("u").alias("q")
+    ).collect()
+    assert [r.h for r in got] == [
+        "example.com", "sub.example.org", "example.net",
+        "files.example.io", "[2001:db8::1]",
+    ]
+    assert [r.p for r in got] == ["/a/b", "/path", "/q", "", "/v6"]
+    assert [r.q for r in got] == ["x=1&y=2", "", "a=b", "", ""]
