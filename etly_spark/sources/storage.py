@@ -244,6 +244,21 @@ def _warc_gen(batches, main: bool = False):
     from etly_spark.operators import warc as _warc
 
     extract = _htmltext.extract_main_text if main else _htmltext.html_to_text
+
+    def _decode_payload(block: bytes, ctype: str) -> str:
+        """Decode by the Content-Type charset parameter when present and
+        known (real crawls are full of iso-8859-1/windows-1252 pages);
+        utf-8/replace otherwise — never raises, mojibake degrades to
+        replacement chars, not task failures."""
+        low = ctype.lower()
+        if "charset=" in low:
+            enc = low.split("charset=", 1)[1].split(";")[0].strip().strip('"\'')
+            try:
+                return block.decode(enc, "replace")
+            except LookupError:
+                pass
+        return block.decode("utf-8", "replace")
+
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
@@ -260,7 +275,7 @@ def _warc_gen(batches, main: bool = False):
                     for k, v in hh.items():
                         if k.lower() == "content-type":
                             ctype = v
-                text = block.decode("utf-8", "replace")
+                text = _decode_payload(block, ctype)
                 if "html" in ctype.lower():
                     text = extract(text)
                 rows.append(

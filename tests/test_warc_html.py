@@ -449,3 +449,42 @@ def test_wet_format_pipeline(spark, tmp_path):
     assert len(rows) == 1
     assert "committee voted" in rows[0]["text"]
     assert "Top headlines" not in rows[0]["text"]
+
+
+def test_warc_source_honors_content_type_charset(spark, tmp_path):
+    """A latin-1 page declared via the HTTP Content-Type charset param
+    decodes correctly; an unknown charset degrades to utf-8/replace
+    instead of failing the task."""
+    import json
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    page = "<html><body><p>café crème, déjà vu.</p></body></html>".encode("iso-8859-1")
+    recs = [
+        (dict(RESP_HDRS, **{"WARC-Record-ID": "<urn:uuid:10>"}),
+         http_response(page, ctype='text/html; charset="ISO-8859-1"')),
+        (dict(RESP_HDRS, **{"WARC-Record-ID": "<urn:uuid:11>",
+                            "WARC-Target-URI": "https://example.com/b"}),
+         http_response(b"plain bytes", ctype="text/plain; charset=bogus-enc-42")),
+    ]
+    (src / "latin.warc.gz").write_bytes(encode_warc(recs, per_record_gzip=True))
+    t = Transfer(
+        name="warc-charset",
+        source=Source(name=str(src), data_format="warc"),
+        target=Target(name=str(tmp_path / "out" / "<file>.jsonl")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    rows = [
+        json.loads(l)
+        for l in (tmp_path / "out" / "latin.warc.gz.jsonl").read_text().splitlines()
+    ]
+    by_uri = {r["uri"]: r for r in rows}
+    assert by_uri["https://example.com/a"]["text"] == "café crème, déjà vu."
+    assert by_uri["https://example.com/b"]["text"] == "plain bytes"
