@@ -34,8 +34,9 @@ def sf_from_dir(sf_dir: str) -> float:
 # once the branch is inside the baseline being compared to.
 NEW_BRANCHES: dict[str, str] = {
     "sim_ann_methods": "r8:+recall@5+multiprobe",
-    "mm_binary_metadata": "r8:+webp-vp8l+flac",
+    "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
+    "text_top_terms": "r8:+hosts-url-canonicalization",
 }
 
 
