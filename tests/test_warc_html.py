@@ -488,3 +488,60 @@ def test_warc_source_honors_content_type_charset(spark, tmp_path):
     by_uri = {r["uri"]: r for r in rows}
     assert by_uri["https://example.com/a"]["text"] == "café crème, déjà vu."
     assert by_uri["https://example.com/b"]["text"] == "plain bytes"
+
+
+def test_crawl_to_corpus_example_config(spark, tmp_path):
+    """Capstone: the examples/crawl_to_corpus.json pipeline end-to-end —
+    wet source (main-text extraction) → quality gate → PII scrub →
+    Z-ordered parquet corpus + per-type rollup; plus the WET re-shard
+    transfer from the same config."""
+    import shutil
+
+    from etly_spark.config import TransferConfig
+    from etly_spark.operators.warc import decode_warc
+    from etly_spark.pipeline import DONE, TransferService
+
+    cfg_path = tmp_path / "crawl_to_corpus.json"
+    shutil.copy("examples/crawl_to_corpus.json", cfg_path)
+    crawl = tmp_path / "incoming" / "crawl"
+    crawl.mkdir(parents=True)
+    (tmp_path / "corpus").mkdir()
+    (tmp_path / "wet").mkdir()
+
+    article = (
+        "<html><body><div><p>The committee voted on Tuesday to approve the "
+        "new measure, and the final report explains what changes for the "
+        "small firms that apply before spring. Contact us at "
+        "help@example.com for details.</p></div></body></html>"
+    ).encode()
+    junk = (b"<html><body><p>buy now click here buy now click here "
+            b"buy now click here</p></body></html>")
+    recs = [
+        (dict(RESP_HDRS, **{"WARC-Record-ID": "<urn:uuid:20>"}),
+         http_response(article)),
+        (dict(RESP_HDRS, **{"WARC-Record-ID": "<urn:uuid:21>",
+                            "WARC-Target-URI": "https://example.com/junk"}),
+         http_response(junk)),
+    ]
+    (crawl / "shard-0.warc.gz").write_bytes(encode_warc(recs, per_record_gzip=True))
+
+    cfg = TransferConfig.from_json(str(cfg_path))
+    svc = TransferService(spark)
+
+    res = svc.run(cfg.transfers[0])
+    assert res.status == DONE, res.error
+    # quality gate kept the article, dropped the junk page
+    out_dirs = list((tmp_path / "corpus").glob("*/shard"))
+    assert out_dirs, list((tmp_path / "corpus").iterdir())
+    df = spark.read.parquet(str(out_dirs[0]))
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert "committee voted" in r["text"]
+    assert "help@example.com" not in r["text"]  # PII scrubbed
+    assert r["n_pii"] >= 1
+
+    res2 = svc.run(cfg.transfers[1])
+    assert res2.status == DONE, res2.error
+    wet_out = tmp_path / "wet" / "shard-0.warc.gz.wet.warc.gz"
+    assert len(decode_warc(wet_out.read_bytes())) == 2
