@@ -118,7 +118,11 @@ def _gunzip_members(data: bytes) -> bytes:
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out.write(d.decompress(rest))
+        try:
+            out.write(d.decompress(rest))
+        except zlib.error as e:
+            # contract: every malformed-input path raises ValueError
+            raise ValueError(f"corrupt gzip member in warc stream: {e}") from e
         if not d.eof:
             raise ValueError("truncated gzip member in warc stream")
         out.write(d.flush())
@@ -145,7 +149,7 @@ def decode_warc(data: bytes) -> list[WarcRecord]:
         eol = data.find(_CRLF, pos)
         if eol < 0:
             raise ValueError("warc: truncated version line")
-        version = data[pos:eol].decode("ascii", "strict")
+        version = data[pos:eol].decode("ascii", "replace")
         if not version.startswith("WARC/"):
             raise ValueError(f"warc: bad version line {version!r}")
         pos = eol + 2
@@ -168,7 +172,7 @@ def decode_warc(data: bytes) -> list[WarcRecord]:
             sep = line.find(b":")
             if sep < 0:
                 raise ValueError(f"warc: malformed header line {line[:40]!r}")
-            name = line[:sep].decode("ascii", "strict").strip()
+            name = line[:sep].decode("ascii", "replace").strip()
             headers[name] = line[sep + 1 :].strip().decode("utf-8", "replace")
             last_name = name
         length_s = None

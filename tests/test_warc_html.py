@@ -545,3 +545,40 @@ def test_crawl_to_corpus_example_config(spark, tmp_path):
     assert res2.status == DONE, res2.error
     wet_out = tmp_path / "wet" / "shard-0.warc.gz.wet.warc.gz"
     assert len(decode_warc(wet_out.read_bytes())) == 2
+
+
+def test_warc_mutation_fuzz_only_valueerror():
+    """Mutation + garbage fuzz (bounded CI slice of the 110k-call
+    campaign): decode_warc/split_http_response raise ONLY ValueError on
+    any corrupt input — a zlib error or strict-decode error leaking
+    from a poisoned shard would dodge fault attribution. Also found:
+    corrupted gzip members leaked zlib.error (fixed, now wrapped)."""
+    import random
+
+    from etly_spark.operators.htmltext import extract_main_text
+
+    rng = random.Random(7)
+    body = http_response(b"<html><body><p>seed &amp; body</p></body></html>")
+    for per_gz in (False, True):
+        base = encode_warc([(RESP_HDRS, body)], per_record_gzip=per_gz)
+        for _ in range(1500):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                for r in decode_warc(bytes(b)):
+                    try:
+                        split_http_response(r.block)
+                    except ValueError:
+                        pass
+            except ValueError:
+                pass
+    for _ in range(1500):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randint(0, 120)))
+        try:
+            decode_warc(junk)
+        except ValueError:
+            pass
+        src = "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randint(0, 200)))
+        html_to_text(src)
+        extract_main_text(src)
