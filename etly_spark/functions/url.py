@@ -50,5 +50,7 @@ def url_path(col) -> Column:
 
 
 def url_query(col) -> Column:
-    """The query string after `?` (fragment cut), '' when absent."""
-    return F.regexp_extract(col, r"\?([^#]*)", 1)
+    """The query string after `?` (fragment cut), '' when absent.
+    A '?' inside the fragment (SPA hash-routing: `/#/path?x=1`) is NOT
+    a query — the lazy `^[^#]*?` prefix keeps the match left of `#`."""
+    return F.regexp_extract(col, r"^[^#]*?\?([^#]*)", 1)

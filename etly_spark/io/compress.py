@@ -91,6 +91,13 @@ SINK_CODECS = {
     "snappy": (".sz", None),
 }
 
+# codecs whose streams concatenate by spec (gzip members, multi-stream
+# bz2/xz, lz4 frames, snappy framed chunks). Raw zlib does NOT: a
+# reader stops at the first stream's end-of-block, silently dropping
+# everything after — so multi-part deflate rolls must be compressed as
+# ONE stream over the whole roll, never per-part-then-concat.
+CONCATENATABLE = frozenset({"gzip", "bzip2", "xz", "lz4", "snappy"})
+
 
 def codec_ext(url: str) -> str | None:
     """The recognized compression extension of ``url``, else None."""

@@ -222,18 +222,28 @@ def concat(srcs: list[str], dst: str) -> None:
 
 
 def concat_compress(srcs: list[str], dst: str, compression: str) -> None:
-    """Concatenate srcs into dst, compressing each src as its OWN
-    member/frame of ``compression`` (io/compress.SINK_CODECS name).
-    Every supported stream format concatenates by spec (gzip members,
-    multi-stream xz, lz4 frames, snappy framed streams), so appending
-    per-part keeps executor memory bounded by the largest staged part,
-    not the whole roll. O(bytes), executor-side only."""
+    """Concatenate srcs into dst under ``compression``
+    (io/compress.SINK_CODECS name). Concatenatable formats (gzip
+    members, multi-stream xz, lz4 frames, snappy framed streams)
+    compress each src as its OWN member/frame — executor memory bounded
+    by the largest staged part. Raw deflate does NOT concatenate (a
+    zlib reader stops at the first end-of-block), so non-concatenatable
+    codecs compress the WHOLE roll as one stream — memory bounded by
+    the roll, which B1 caps at Target.MaxAllowedSize uncompressed.
+    O(bytes), executor-side only."""
     from etly_spark.io import compress as _compress
 
     with open_write(dst) as out:
-        for s in srcs:
-            with open_read(s) as f:
-                out.write(_compress.compress_object(f.read(), compression))
+        if compression.lower() in _compress.CONCATENATABLE:
+            for s in srcs:
+                with open_read(s) as f:
+                    out.write(_compress.compress_object(f.read(), compression))
+        else:
+            chunks = []
+            for s in srcs:
+                with open_read(s) as f:
+                    chunks.append(f.read())
+            out.write(_compress.compress_object(b"".join(chunks), compression))
 
 
 def concat_warc(srcs: list[str], dst: str, per_record_gzip: bool) -> None:
@@ -246,15 +256,19 @@ def concat_warc(srcs: list[str], dst: str, per_record_gzip: bool) -> None:
     WARC-Identified-Payload-Type (what the text WAS before extraction —
     the WARC 1.1 header Common Crawl WET uses for exactly this; the
     record's own Content-Type is always text/plain because the payload
-    IS the extracted text). Record IDs are content-derived
-    (md5 of the line) — stable across replays, unique per distinct
-    record. Per-record gzip members when requested (the .warc.gz
-    convention). Executor-side; memory bounded by one staged part."""
+    IS the extracted text). Record IDs are content-derived (md5 of the
+    line) PLUS the record's position in this output object — stable
+    across replays, and unique even when two identical records (an
+    unchanged re-crawl) land in one file (WARC 1.1 requires per-record
+    uniqueness, not per-distinct-content). Per-record gzip members when
+    requested (the .warc.gz convention). Executor-side; memory bounded
+    by one staged part."""
     import hashlib
     import json as _json
 
     from etly_spark.operators import warc as _warc
 
+    seq = 0
     with open_write(dst) as out:
         for s in srcs:
             with open_read(s) as f:
@@ -262,7 +276,8 @@ def concat_warc(srcs: list[str], dst: str, per_record_gzip: bool) -> None:
                     if not ln:
                         continue
                     rec = _json.loads(ln)
-                    rid = hashlib.md5(ln).hexdigest()
+                    rid = f"{hashlib.md5(ln).hexdigest()}-{seq}"
+                    seq += 1
                     headers = {
                         "WARC-Type": "conversion",
                         "WARC-Record-ID": f"<urn:md5:{rid}>",

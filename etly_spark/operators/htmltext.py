@@ -99,6 +99,7 @@ def _scan(src: str):
     raises on malformed input (torn markup degrades to dropped bytes)."""
     i = 0
     n = len(src)
+    low: str | None = None  # lazily lowercased ONCE (not per script tag)
     while i < n:
         lt = src.find("<", i)
         if lt < 0:
@@ -130,7 +131,9 @@ def _scan(src: str):
         i = end
         if name in _RAW_SKIP and not is_close:
             # raw-text element: skip to its close tag, drop content
-            close = src.lower().find(f"</{name}", i)
+            if low is None:
+                low = src.lower()
+            close = low.find(f"</{name}", i)
             if close < 0:
                 return
             i = _tag_end(src, close)

@@ -20,10 +20,11 @@ support — this is SURVEY §2.3 training-data scope, not a ported
 operator. Its closest analogue is the gzip object codec at
 transfer_service.go:718-737.
 
-Scale: parsing is stream-stateless per object — executors hold one
-record's block at a time (plus the gzip window); a malformed record
-raises, so pipeline fault isolation attributes the object exactly like
-a truncated gzip.
+Scale: one object is one executor task holding the uncompressed shard
+in memory (capped by `decode_warc`'s bomb guard, default 4 GiB) —
+crawl corpora shard ~1 GiB objects precisely so the object is the unit
+of parallelism. A malformed record raises ValueError, so pipeline
+fault isolation attributes the object exactly like a truncated gzip.
 """
 
 from __future__ import annotations
@@ -110,19 +111,30 @@ def encode_warc(
     return out.getvalue()
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes, max_bytes: int) -> bytes:
     """Decompress ALL gzip members of `data` (RFC 1952 concatenation —
-    the per-record-gzip warc shape). Raises on trailing garbage or a
-    torn member."""
+    the per-record-gzip warc shape), bounded by ``max_bytes`` — the
+    same decompression-bomb guard the lz4/snappy codecs take (a 10 MB
+    hostile gzip expands ~1000x unbounded). Raises ValueError on
+    trailing garbage, a torn member, or cap breach."""
     out = io.BytesIO()
+    total = 0
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=31)
         try:
-            out.write(d.decompress(rest))
+            chunk = d.decompress(rest, max_bytes - total + 1)
         except zlib.error as e:
             # contract: every malformed-input path raises ValueError
             raise ValueError(f"corrupt gzip member in warc stream: {e}") from e
+        total += len(chunk)
+        if total > max_bytes:
+            raise ValueError(f"warc: decompressed stream exceeds {max_bytes} bytes")
+        out.write(chunk)
+        if d.unconsumed_tail:
+            # cap not yet hit but decompress stopped: only possible at
+            # the cap boundary; the check above already raised
+            raise ValueError("warc: decompressed stream exceeds cap")
         if not d.eof:
             raise ValueError("truncated gzip member in warc stream")
         out.write(d.flush())
@@ -130,13 +142,21 @@ def _gunzip_members(data: bytes) -> bytes:
     return out.getvalue()
 
 
-def decode_warc(data: bytes) -> list[WarcRecord]:
+def decode_warc(
+    data: bytes, max_decompressed: int = 1 << 32
+) -> list[WarcRecord]:
     """Parse a WARC stream (gzipped — single- or per-record-member — or
     plain) into records. Strict: bad version line, non-numeric or lying
-    Content-Length, missing record terminator, or torn gzip all raise
-    ValueError; fault isolation wants loud, attributable failures."""
+    Content-Length, missing record terminator, torn gzip, or a
+    decompressed size past ``max_decompressed`` (default 4 GiB — the
+    bomb guard) all raise ValueError; fault isolation wants loud,
+    attributable failures.
+
+    Memory: O(uncompressed shard) — the whole stream is materialized
+    (capped by ``max_decompressed``), which is the operating point for
+    crawl shards sized ~1 GiB precisely so one object fits one task."""
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        data = _gunzip_members(data, max_decompressed)
     records: list[WarcRecord] = []
     pos = 0
     n = len(data)

@@ -759,7 +759,16 @@ class TransferService:
             if comp not in _compress.SINK_CODECS:
                 raise ValueError(f"unsupported target compression: {comp}")
             _, jvm_codec = _compress.SINK_CODECS[comp]
-            py_codec = None if jvm_codec else comp
+            # deflate has a JVM codec but raw zlib streams do NOT
+            # concatenate (a reader silently stops at the first
+            # stream's end), so any codec outside CONCATENATABLE must
+            # take the python finalization route, where concat_compress
+            # compresses the whole roll as ONE stream
+            py_codec = (
+                None
+                if (jvm_codec and comp in _compress.CONCATENATABLE)
+                else comp
+            )
         staging = os.path.join(
             t.base_dir, f".etly_staging_{uuid.uuid4().hex[:12]}"
         )

@@ -88,13 +88,18 @@ class StreamingTransferService:
             )
             if cap:
                 reader = reader.option("maxFilesPerTrigger", cap)
-            decoded = warc_records(
-                reader.load(_local(src_url)), main=(fmt == "wet")
-            )
+            bin_df = reader.load(_local(src_url))
             if t.source.filter_reg_exp:
-                decoded = decoded.filter(
-                    F.col(FILE).rlike(t.source.filter_reg_exp)
+                # S2 filter BEFORE the parse — a non-warc sidecar the
+                # regex excludes (manifest.json, README) must never
+                # reach decode_warc, where its ValueError would poison
+                # the micro-batch on every checkpoint retry. Matches
+                # against the source's Hadoop URI (path column); the
+                # batch path filters the same pattern at list time.
+                bin_df = bin_df.filter(
+                    F.col("path").rlike(t.source.filter_reg_exp)
                 )
+            decoded = warc_records(bin_df, main=(fmt == "wet"))
         else:
             reader = self.spark.readStream.format("text")
             if cap:

@@ -454,3 +454,39 @@ def test_pipeline_zip_source_end_to_end(spark, tmp_path):
     got = {json.loads(ln)["Key"] for ln in out.read_text().splitlines()}
     assert got == {1, 2}
     assert svc.run(t).status == NOOP
+
+
+def test_pipeline_deflate_multipart_roll_single_stream(spark, tmp_path):
+    """Review find: raw zlib streams do NOT concatenate — a multi-part
+    deflate roll must come out as ONE stream, and every record must
+    survive read-back (per-part-then-concat silently drops all but the
+    first part)."""
+    import zlib
+
+    import tests.test_pipeline_e2e  # noqa: F401
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    # many input files -> many staged parts for the single target key
+    for i in range(6):
+        (src / f"d{i}.log").write_text(
+            f'{{"Id":{i},"Name":"n{i}","Type":"t"}}\n'
+        )
+    t = Transfer(
+        name="deflate-roll",
+        source=Source(name=str(src), data_type="test.Log1"),
+        target=Target(name=str(tmp_path / "out" / "all.deflate"),
+                      compression="deflate"),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    data = zlib.decompress((tmp_path / "out" / "all.deflate").read_bytes())
+    got = {json.loads(ln)["Key"] for ln in data.decode().splitlines()}
+    assert got == set(range(6))

@@ -220,3 +220,14 @@ def test_url_functions(spark):
     ]
     assert [r.p for r in got] == ["/a/b", "/path", "/q", "", "/v6"]
     assert [r.q for r in got] == ["x=1&y=2", "", "a=b", "", ""]
+
+
+def test_url_query_ignores_fragment_question_mark(spark):
+    from etly_spark.functions.url import url_query
+
+    df = spark.createDataFrame(
+        [("https://app.example.com/#/path?x=1",),
+         ("https://e.com/p?a=1#f?b=2",)], ["u"]
+    )
+    got = [r.q for r in df.select(url_query("u").alias("q")).collect()]
+    assert got == ["", "a=1"]

@@ -582,3 +582,57 @@ def test_warc_mutation_fuzz_only_valueerror():
         src = "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randint(0, 200)))
         html_to_text(src)
         extract_main_text(src)
+
+
+def test_warc_gzip_bomb_capped():
+    """A small gzip that expands past the cap raises ValueError instead
+    of materializing the bomb."""
+    bomb = gzip.compress(b"\x00" * (1 << 22))  # 4 MiB of zeros, ~4 KB gz
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_warc(bomb, max_decompressed=1 << 20)
+
+
+def test_warc_sink_duplicate_records_get_distinct_ids(spark, tmp_path):
+    """Two identical records (unchanged re-crawl) must land with
+    DISTINCT WARC-Record-IDs (WARC 1.1 per-record uniqueness)."""
+    from etly_spark.io.fs import concat_warc
+
+    part = tmp_path / "part0"
+    line = '{"uri":"https://e.com/x","text":"same"}'
+    part.write_text(line + "\n" + line + "\n")
+    dst = tmp_path / "dup.warc"
+    concat_warc([f"file://{part}"], f"file://{dst}", per_record_gzip=False)
+    recs = decode_warc(dst.read_bytes())
+    assert len(recs) == 2
+    ids = {r.get("WARC-Record-ID") for r in recs}
+    assert len(ids) == 2
+
+
+def test_streaming_warc_filter_excludes_sidecars(spark, tmp_path):
+    """Review find: FilterRegExp must act BEFORE the parse in streaming
+    mode — a non-warc sidecar in the source dir must not poison the
+    micro-batch."""
+    import json
+
+    from etly_spark.config import Source, Target, Transfer
+    from etly_spark.streaming import StreamingTransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    _write_corpus_warc(src / "good.warc.gz")
+    (src / "manifest.json").write_text('{"not": "warc"}')
+    t = Transfer(
+        name="stream-warc-filter",
+        source=Source(name=str(src), data_format="warc",
+                      filter_reg_exp=r".+\.warc\.gz$"),
+        target=Target(name=str(tmp_path / "out" / "b-$batchCount.jsonl")),
+        base_dir=str(tmp_path),
+    )
+    q = StreamingTransferService(spark).start(t, available_now=True)
+    q.awaitTermination(120)
+    rows = [
+        json.loads(l)
+        for l in (tmp_path / "out" / "b-0.jsonl").read_text().splitlines()
+    ]
+    assert len(rows) == 2  # only the warc shard's records
