@@ -71,7 +71,7 @@ class Resource:
     name: str = ""  # URL, SQL, or bq://project/dataset.table
     type: str = "url"  # 'url' | 'datastore'
     data_format: str = "ndjson"  # ndjson | json | csv | parquet | text
-    compression: str = ""  # '' | 'gzip'
+    compression: str = ""  # '' | gzip/bzip2/deflate/xz/lz4/snappy (io/compress.SINK_CODECS)
     credential_file: str = ""
     data_type: str = ""  # registered schema name (Source side)
     schema_url: str = ""  # BigQuery-style schema file (Target side)

@@ -387,8 +387,19 @@ def _split_lines(data: bytes) -> list[str]:
     return [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
 
 
-def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
+def _read_lines(
+    spark: SparkSession, paths: list[str], forced_ext: str | None = None
+) -> DataFrame:
     """Line-read a mixed-codec path list into (RAW, FILE).
+
+    ``forced_ext`` (from ``Source.Compression`` — reference parity:
+    transfer_object_service.go:97-103 decompresses whenever the config
+    says so, extension or not) applies that codec to every path WITHOUT
+    a recognized codec extension; extension-carrying paths keep
+    extension routing (strictly more robust than the reference, which
+    would try to gunzip everything). Forced paths must take the Python
+    route — Hadoop codec selection inside spark.read.text is
+    extension-only.
 
     JVM-readable objects (plain, .gz, .bz2, .deflate — Hadoop codecs)
     go through `spark.read.text`: splittable where the codec allows,
@@ -414,6 +425,10 @@ def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
         _compress.raise_if_gated(p)
     arc = [p for p in paths if _is_archive_url(p)]
     rest = [p for p in paths if not _is_archive_url(p)]
+    forced = [
+        p for p in rest if forced_ext and _compress.codec_ext(p) is None
+    ]
+    rest = [p for p in rest if p not in set(forced)]
     jvm = [p for p in rest if _compress.jvm_line_readable(p)]
     py = [p for p in rest if not _compress.jvm_line_readable(p)]
     parts: list[DataFrame] = []
@@ -423,9 +438,11 @@ def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
             .withColumnRenamed("value", RAW)
             .withColumn(FILE, F.input_file_name())
         )
-    if py or arc:
+    if py or arc or forced:
         bin_df = (
-            spark.read.format("binaryFile").load(py + arc).select("path", "content")
+            spark.read.format("binaryFile")
+            .load(py + arc + forced)
+            .select("path", "content")
         )
 
         def gen(batches):
@@ -441,7 +458,14 @@ def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
                         for name, raw in _iter_archive_members(bytes(content), path):
                             lines.extend(_split_lines(_c.decompress_object(raw, name)))
                     else:
-                        lines = _split_lines(_c.decompress_object(bytes(content), path))
+                        # extension-less + configured codec: decompress
+                        # as if the file carried the forced extension
+                        eff = path
+                        if forced_ext and _c.codec_ext(path) is None:
+                            eff = path + forced_ext
+                        lines = _split_lines(
+                            _c.decompress_object(bytes(content), eff)
+                        )
                     yield pd.DataFrame({RAW: lines, FILE: [url] * len(lines)})
 
         parts.append(bin_df.mapInPandas(gen, f"`{RAW}` string, `{FILE}` string"))
@@ -451,6 +475,21 @@ def _read_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
     for extra in parts[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def _forced_codec_ext(source: Source) -> str | None:
+    """``Source.Compression`` → codec extension for extension-less
+    objects (reference parity: transfer_object_service.go:97-103
+    decompresses on config, not extension). Unknown names raise —
+    getEncodingReader errors on unsupported encodings too."""
+    comp = (source.compression or "").lower()
+    if not comp:
+        return None
+    from etly_spark.io import compress as _compress
+
+    if comp not in _compress.SINK_CODECS:
+        raise ValueError(f"unsupported source compression: {comp}")
+    return _compress.SINK_CODECS[comp][0]
 
 
 def read_records(
@@ -470,7 +509,7 @@ def read_records(
             schema = get_schema(source.data_type)
         if schema is None and not source.data_type_match:
             raise ValueError(f"ndjson source requires a registered DataType schema: {source.name}")
-        raw = _read_lines(spark, paths)
+        raw = _read_lines(spark, paths, forced_ext=_forced_codec_ext(source))
         return _decode_ndjson(raw, source, schema)
     if fmt in ("warc", "wet"):
         # web-archive container: one row per payload-bearing record,
@@ -488,7 +527,7 @@ def read_records(
         # CORRUPT false, RAW = json-wrapped line) but read via
         # _read_lines so compressed extensions route correctly
         return (
-            _read_lines(spark, paths)
+            _read_lines(spark, paths, forced_ext=_forced_codec_ext(source))
             .withColumn(CORRUPT, F.lit(False))
             .withColumn(RAW, F.to_json(F.struct(F.col(RAW))))
         )

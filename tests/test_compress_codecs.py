@@ -490,3 +490,42 @@ def test_pipeline_deflate_multipart_roll_single_stream(spark, tmp_path):
     data = zlib.decompress((tmp_path / "out" / "all.deflate").read_bytes())
     got = {json.loads(ln)["Key"] for ln in data.decode().splitlines()}
     assert got == set(range(6))
+
+
+def test_source_compression_without_extension(spark, tmp_path):
+    """Reference parity (transfer_object_service.go:97-103): when
+    Source.Compression says gzip, extension-less objects decompress by
+    CONFIG, not extension — previously these bytes were read raw as
+    garbage lines. Extension-carrying files in the same source keep
+    extension routing."""
+    import tests.test_pipeline_e2e  # noqa: F401
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    # gzip bytes, but no .gz in the name (common: hashed object names)
+    (src / "part-000").write_bytes(
+        gzip.compress(b'{"Id":1,"Name":"a","Type":"t"}\n')
+    )
+    (src / "part-001.gz").write_bytes(
+        gzip.compress(b'{"Id":2,"Name":"b","Type":"u"}\n')
+    )
+    t = Transfer(
+        name="forced-gzip",
+        source=Source(name=str(src), data_type="test.Log1", compression="gzip"),
+        target=Target(name=str(tmp_path / "out" / "<file>.out")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    assert result.progress.record_processed == 2
+    got = set()
+    for name in ("part-000.out", "part-001.gz.out"):
+        got |= {json.loads(ln)["Key"]
+                for ln in (tmp_path / "out" / name).read_text().splitlines()}
+    assert got == {1, 2}
