@@ -387,6 +387,48 @@ def _split_lines(data: bytes) -> list[str]:
     return [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
 
 
+def _lines_gen(batches, forced_ext: str | None = None):
+    """mapInPandas kernel: binaryFile (path, content) batches → (RAW,
+    FILE) line rows through the codec registry — python-route codecs,
+    archive member expansion, and forced-codec decompression for
+    extension-less objects. Module-level and picklable; the batch
+    reader and the streaming file source share it."""
+    import pandas as pd
+
+    from etly_spark.io import compress as _c
+
+    for pdf in batches:
+        for path, content in zip(pdf["path"], pdf["content"]):
+            url = _norm_binaryfile_url(path)
+            if _is_archive_url(path):
+                lines = []
+                for name, raw in _iter_archive_members(bytes(content), path):
+                    lines.extend(_split_lines(_c.decompress_object(raw, name)))
+            else:
+                # extension-less + configured codec: decompress as if
+                # the file carried the forced extension
+                eff = path
+                if forced_ext and _c.codec_ext(path) is None:
+                    eff = path + forced_ext
+                lines = _split_lines(_c.decompress_object(bytes(content), eff))
+            yield pd.DataFrame({RAW: lines, FILE: [url] * len(lines)})
+
+
+def line_records(bin_df: DataFrame, forced_ext: str | None = None) -> DataFrame:
+    """Turn a binaryFile-shaped DataFrame (batch OR streaming) into
+    (RAW, FILE) line rows via `_lines_gen`."""
+    import functools
+
+    gen = (
+        functools.partial(_lines_gen, forced_ext=forced_ext)
+        if forced_ext
+        else _lines_gen
+    )
+    return bin_df.select("path", "content").mapInPandas(
+        gen, f"`{RAW}` string, `{FILE}` string"
+    )
+
+
 def _read_lines(
     spark: SparkSession, paths: list[str], forced_ext: str | None = None
 ) -> DataFrame:
@@ -439,36 +481,8 @@ def _read_lines(
             .withColumn(FILE, F.input_file_name())
         )
     if py or arc or forced:
-        bin_df = (
-            spark.read.format("binaryFile")
-            .load(py + arc + forced)
-            .select("path", "content")
-        )
-
-        def gen(batches):
-            import pandas as pd
-
-            from etly_spark.io import compress as _c
-
-            for pdf in batches:
-                for path, content in zip(pdf["path"], pdf["content"]):
-                    url = _norm_binaryfile_url(path)
-                    if _is_archive_url(path):
-                        lines = []
-                        for name, raw in _iter_archive_members(bytes(content), path):
-                            lines.extend(_split_lines(_c.decompress_object(raw, name)))
-                    else:
-                        # extension-less + configured codec: decompress
-                        # as if the file carried the forced extension
-                        eff = path
-                        if forced_ext and _c.codec_ext(path) is None:
-                            eff = path + forced_ext
-                        lines = _split_lines(
-                            _c.decompress_object(bytes(content), eff)
-                        )
-                    yield pd.DataFrame({RAW: lines, FILE: [url] * len(lines)})
-
-        parts.append(bin_df.mapInPandas(gen, f"`{RAW}` string, `{FILE}` string"))
+        bin_df = spark.read.format("binaryFile").load(py + arc + forced)
+        parts.append(line_records(bin_df, forced_ext=forced_ext))
     if not parts:
         return spark.createDataFrame([], f"`{RAW}` string, `{FILE}` string")
     out = parts[0]

@@ -35,7 +35,9 @@ from etly_spark.sources.storage import (
     FILE,
     RAW,
     _decode_ndjson,
+    _forced_codec_ext,
     get_schema,
+    line_records,
     warc_records,
 )
 from etly_spark.templates import expand_date, expand_env, expand_pwd, expand_target_key
@@ -100,6 +102,28 @@ class StreamingTransferService:
                     F.col("path").rlike(t.source.filter_reg_exp)
                 )
             decoded = warc_records(bin_df, main=(fmt == "wet"))
+        elif t.source.compression:
+            # Source.Compression set: the text file source selects
+            # codecs by EXTENSION only, so extension-less/python-codec
+            # objects must stream through binaryFile + the shared line
+            # kernel (same codec registry, archives included) — the
+            # streaming twin of the batch forced-codec route
+            reader = self.spark.readStream.format("binaryFile").schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            if cap:
+                reader = reader.option("maxFilesPerTrigger", cap)
+            bin_df = reader.load(_local(src_url))
+            if t.source.filter_reg_exp:
+                bin_df = bin_df.filter(
+                    F.col("path").rlike(t.source.filter_reg_exp)
+                )
+            raw = line_records(
+                bin_df, forced_ext=_forced_codec_ext(t.source)
+            )
+            schema = get_schema(t.source.data_type) if t.source.data_type else None
+            decoded = _decode_ndjson(raw, t.source, schema)
         else:
             reader = self.spark.readStream.format("text")
             if cap:

@@ -644,3 +644,37 @@ def test_streaming_warc_source_exactly_once(spark, tmp_path):
     assert sorted(p.name for p in (tmp_path / "out").glob("*.jsonl")) == [
         "crawl-0.jsonl", "crawl-1.jsonl",
     ]
+
+
+def test_streaming_compressed_source_binaryfile_route(spark, tmp_path):
+    """Source.Compression in streaming mode: extension-less gzip
+    objects stream through the binaryFile + shared line kernel route
+    (the text source would read the compressed bytes as garbage)."""
+    import gzip as _gz
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "part-000").write_bytes(
+        _gz.compress(b'{"Id":5,"Name":"z","Type":"x"}\n')
+    )
+    t = Transfer(
+        name="stream-forced-gz",
+        source=Source(name=str(tmp_path / "in"), data_type="stream.Log",
+                      compression="gzip"),
+        target=Target(name=str(tmp_path / "out" / "c-$batchCount.log")),
+        transformer="stream.LogToKV",
+        base_dir=str(tmp_path),
+    )
+    svc = StreamingTransferService(spark)
+    _await(svc.start(t, available_now=True))
+    lines = (tmp_path / "out" / "c-0.log").read_text().strip().splitlines()
+    assert [json.loads(ln)["Key"] for ln in lines] == [5]
+
+    # second shard arrives -> exactly-once continuation
+    (src / "part-001").write_bytes(
+        _gz.compress(b'{"Id":6,"Name":"w","Type":"y"}\n')
+    )
+    _await(svc.start(t, available_now=True))
+    lines2 = (tmp_path / "out" / "c-1.log").read_text().strip().splitlines()
+    assert [json.loads(ln)["Key"] for ln in lines2] == [6]
