@@ -467,10 +467,11 @@ def _read_lines(
         _compress.raise_if_gated(p)
     arc = [p for p in paths if _is_archive_url(p)]
     rest = [p for p in paths if not _is_archive_url(p)]
-    forced = [
+    forced_set = {
         p for p in rest if forced_ext and _compress.codec_ext(p) is None
-    ]
-    rest = [p for p in rest if p not in set(forced)]
+    }
+    forced = sorted(forced_set)
+    rest = [p for p in rest if p not in forced_set]
     jvm = [p for p in rest if _compress.jvm_line_readable(p)]
     py = [p for p in rest if not _compress.jvm_line_readable(p)]
     parts: list[DataFrame] = []
