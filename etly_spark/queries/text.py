@@ -887,10 +887,46 @@ SELECT 'mix' AS variant, lang, 'corpus' AS grp, n_docs, measure, score FROM (
 )
 """
 
+# Per-host document cap (r8): the standard crawl-curation guard against
+# domain dominance — keep at most K docs per canonical host, membership
+# decided by a deterministic hash order (md5 of doc_id) so both engines
+# agree on exactly WHICH docs survive, not just how many. `measure`
+# carries SUM(doc_id) of the kept set: an exact membership gate. Hosts
+# come from the same messy synthesized URLs as text_top_terms:'hosts',
+# so url_host's canonicalization is in the gated path here too.
+_HOSTCAP_SQL_BLOCK = """
+SELECT 'hostcap' AS variant, 'all' AS lang, grp,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS measure,
+       0.0 AS score
+FROM (
+  SELECT grp, doc_id,
+         row_number() OVER (PARTITION BY grp ORDER BY h, doc_id) AS rn
+  FROM (
+    SELECT doc_id,
+           regexp_replace(
+             lower(regexp_replace(
+               regexp_extract(
+                 regexp_replace(
+                   'HTTPS://WWW.News-' || (doc_id % 7)
+                   || '.Example.COM:443/articles/' || doc_id
+                   || '?utm_source=feed&id=' || doc_id || '#section-2',
+                   '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                 '^([^/?#]*)', 1),
+               ':[0-9]+$', '')),
+             '^www\\.', '') AS grp,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+  )
+) WHERE rn <= 40
+GROUP BY grp
+"""
+
 _CURATION_SQL = _CURATION_SQL.replace(
     "ORDER BY variant, lang, grp",
     "UNION ALL" + _PPX_SQL_BLOCK + "UNION ALL" + _spans_sql_block()
     + "UNION ALL" + _SHUFFLE_SQL_BLOCK + "UNION ALL" + _MIX_SQL_BLOCK
+    + "UNION ALL" + _HOSTCAP_SQL_BLOCK
     + "ORDER BY variant, lang, grp",
 )
 
@@ -898,7 +934,16 @@ _CURATION_SQL = _CURATION_SQL.replace(
 @query(
     "text_curation_split",
     oracle=_CURATION_SQL,
-    doc="Corpus curation family, nine variants in one checked row. "
+    doc="Corpus curation family, ten variants in one checked row. "
+    "hostcap (r8) — per-host document cap (the crawl-curation guard "
+    "against domain dominance): keep at most 40 docs per canonical "
+    "host (functions/url.url_host over messy synthesized URLs), "
+    "membership decided by md5(doc_id) hash order so the oracle gates "
+    "exactly WHICH docs survive (measure = SUM of kept doc_ids); the "
+    "per-host rank is a low-NDV-key window (Zipf over hosts at crawl "
+    "scale), so it runs the banded two-phase form (operators/prefix."
+    "banded_row_number, band = md5 first byte) — the de-skew operator's "
+    "second real consumer. "
     "mix — temperature-weighted multilingual sampling (the mT5/T5 "
     "alpha-mix, alpha=0.5, half-corpus budget): per-lang keep rates "
     "from alpha-adjusted corpus shares, driver-computed over lang-"
@@ -1250,6 +1295,55 @@ def text_curation_split(
         .select(F.lit("spans").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
     )
 
+    # hostcap (r8): at most K docs per canonical host, kept-set decided
+    # by md5(doc_id) hash order. The per-host rank is a window over a
+    # LOW-NDV key (7 hosts here; real crawls are Zipf over hosts) — the
+    # exact shape the plan gates ban — so it runs through the banded
+    # two-phase machinery (operators/prefix.py), REUSING the de-skew
+    # operator on a second real key: band = md5 first byte (monotone in
+    # the window's ORDER BY), windows only within (host, band).
+    from etly_spark.functions.url import url_host
+    from etly_spark.operators.prefix import banded_row_number
+
+    hc = d.select(
+        "doc_id",
+        url_host(
+            F.concat(
+                F.lit("HTTPS://WWW.News-"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".Example.COM:443/articles/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=feed&id="),
+                F.col("doc_id").cast("string"),
+                F.lit("#section-2"),
+            )
+        ).alias("grp"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    hc = banded_row_number(
+        hc,
+        ["grp"],
+        F.conv(F.substring("_h", 1, 2), 16, 10).cast("long"),
+        ["_h", "doc_id"],
+        "_rn",
+    )
+    hostcap_rows = (
+        hc.filter(F.col("_rn") <= 40)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("measure"),
+        )
+        .select(
+            F.lit("hostcap").alias("variant"),
+            F.lit("all").alias("lang"),
+            "grp",
+            "n_docs",
+            "measure",
+            F.lit(0.0).alias("score"),
+        )
+    )
+
     return (
         split_rows.unionByName(sample_rows)
         .unionByName(curate_rows)
@@ -1260,5 +1354,6 @@ def text_curation_split(
         .unionByName(span_rows)
         .unionByName(shuffle_rows)
         .unionByName(mix_rows)
+        .unionByName(hostcap_rows)
         .orderBy("variant", "lang", "grp")
     )
