@@ -151,6 +151,25 @@ class Transfer:
                 f"failed to lookup schema for data type '{self.source.data_type}': "
                 f"{self.source.name} -> {self.target.name}"
             )
+        comp = (self.source.compression or "").lower()
+        fmt = (self.source.data_format or "ndjson").lower()
+        if comp:
+            # config-level, BEFORE any window runs: a bad combination
+            # raised mid-read would be misrouted into per-file fault
+            # isolation (the probe would attribute a config mistake to
+            # data files)
+            from etly_spark.io import compress as _compress
+
+            if comp not in _compress.SINK_CODECS:
+                raise ValueError(f"unsupported source compression: {comp}")
+            if fmt in ("csv", "parquet"):
+                raise ValueError(
+                    f"Source.Compression is not supported for format {fmt!r}"
+                )
+            if fmt in ("warc", "wet") and comp != "gzip":
+                raise ValueError(
+                    f"warc sources support only gzip compression: {comp}"
+                )
         for attr, reg in [
             ("transformer", registry.transformers),
             ("filter", registry.filters),

@@ -336,7 +336,11 @@ class TransferService:
         except MaxErrorsExceeded:
             raise
         except Exception:
-            bad = probe_unreadable(self.spark, eligible)
+            from etly_spark.sources.storage import _forced_codec_ext
+
+            bad = probe_unreadable(
+                self.spark, eligible, forced_ext=_forced_codec_ext(t.source)
+            )
             if not bad:
                 raise
             bad_entries = []

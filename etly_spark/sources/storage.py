@@ -120,13 +120,15 @@ def list_source_objects(
     return sorted(out)
 
 
-def probe_object(url: str) -> str | None:
+def probe_object(url: str, forced_ext: str | None = None) -> str | None:
     """Read one object end-to-end (decompressing by extension — the
-    same codec registry the ingest path uses, io/compress.py) and
-    return an error string if it is unreadable, else None. Module-level
-    and picklable — runs in executor tasks. O(object bytes): only ever
-    run on the fault-isolation path (a window read job already failed),
-    so the healthy fast path pays nothing."""
+    same codec registry the ingest path uses, io/compress.py — or by
+    ``forced_ext`` for extension-less objects under Source.Compression,
+    so forced-codec corruption is attributable too) and return an error
+    string if it is unreadable, else None. Module-level and picklable —
+    runs in executor tasks. O(object bytes): only ever run on the
+    fault-isolation path (a window read job already failed), so the
+    healthy fast path pays nothing."""
     import gzip as _gzip
 
     from etly_spark.io import compress as _compress
@@ -134,7 +136,18 @@ def probe_object(url: str) -> str | None:
 
     try:
         with fsio.open_read(url) as f:
-            if _is_warc_url(url):
+            if (
+                forced_ext
+                and not _is_warc_url(url)
+                and not _is_archive_url(url)
+                and _compress.codec_ext(url) is None
+            ):
+                # the ingest route decompresses this object with the
+                # CONFIGURED codec — probe must speak the same codec or
+                # forced-codec corruption reads as "healthy" and the
+                # window fails without attribution
+                _compress.decompress_object(f.read(), url + forced_ext)
+            elif _is_warc_url(url):
                 # container-aware: a warc can gunzip cleanly yet be
                 # torn at the record layer — probe the record grammar
                 # so fault isolation attributes warc corruption too
@@ -162,19 +175,22 @@ def probe_object(url: str) -> str | None:
         return f"{type(e).__name__}: {e}"
 
 
-def probe_unreadable(spark: SparkSession, urls: list[str]) -> dict[str, str]:
+def probe_unreadable(
+    spark: SparkSession, urls: list[str], forced_ext: str | None = None
+) -> dict[str, str]:
     """Distributed per-file readability check: one executor task per
     object, returning {url: error} for every unreadable one. The Spark
     analogue of the reference's per-file goroutine error isolation
     (transfer_service.go:718-737): a truncated gzip, permission error,
     or object deleted mid-run is attributed to ITS file instead of
-    failing the window."""
+    failing the window. ``forced_ext`` mirrors the ingest route's
+    Source.Compression handling."""
     if not urls:
         return {}
     sc = spark.sparkContext
     results = (
         sc.parallelize(sorted(urls), len(urls))
-        .map(lambda u: (u, probe_object(u)))
+        .map(lambda u: (u, probe_object(u, forced_ext)))
         .collect()
     )
     return {u: err for u, err in results if err is not None}
@@ -531,8 +547,24 @@ def read_records(
         # html extracted to text (SURVEY §2.3 training-data scope; the
         # reference has no warc support). 'wet' = same container with
         # boilerplate-removing MAIN-text extraction — what a training
-        # corpus actually wants from a crawl
+        # corpus actually wants from a crawl. Compression 'gzip' is
+        # redundant-but-harmless (decode_warc sniffs gzip); any other
+        # codec contradicts the format
+        if (source.compression or "").lower() not in ("", "gzip"):
+            raise ValueError(
+                f"warc sources support only gzip compression: {source.compression}"
+            )
         return _read_warc(spark, paths, main=(fmt == "wet"))
+    if source.compression and fmt in ("csv", "parquet"):
+        # these go through Spark's extension-routed readers; a
+        # configured codec would be silently IGNORED for extension-less
+        # objects (garbage rows with CORRUPT=false) — refuse loudly
+        # (the reference decompresses by config for every format, but
+        # honoring it here needs a binaryFile decode route; refusing
+        # beats corrupting)
+        raise ValueError(
+            f"Source.Compression is not supported for format {fmt!r}"
+        )
     if fmt == "csv":
         df = spark.read.option("header", "true").csv(paths)
     elif fmt == "parquet":

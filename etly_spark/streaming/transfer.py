@@ -90,7 +90,12 @@ class StreamingTransferService:
             )
             if cap:
                 reader = reader.option("maxFilesPerTrigger", cap)
-            bin_df = reader.load(_local(src_url))
+            # zero-byte objects (in-flight upload markers) are skipped
+            # at list time on the batch path (transfer_service.go:
+            # 516-519); here they would raise inside the parse and
+            # poison every checkpoint retry — filter on the source's
+            # length column, same contract
+            bin_df = reader.load(_local(src_url)).filter(F.col("length") > 0)
             if t.source.filter_reg_exp:
                 # S2 filter BEFORE the parse — a non-warc sidecar the
                 # regex excludes (manifest.json, README) must never
@@ -114,7 +119,10 @@ class StreamingTransferService:
             )
             if cap:
                 reader = reader.option("maxFilesPerTrigger", cap)
-            bin_df = reader.load(_local(src_url))
+            # length > 0: batch skips zero-byte objects at list time
+            # (upload markers); a forced-codec decompress of b'' would
+            # raise and poison every checkpoint retry
+            bin_df = reader.load(_local(src_url)).filter(F.col("length") > 0)
             if t.source.filter_reg_exp:
                 bin_df = bin_df.filter(
                     F.col("path").rlike(t.source.filter_reg_exp)

@@ -529,3 +529,68 @@ def test_source_compression_without_extension(spark, tmp_path):
         got |= {json.loads(ln)["Key"]
                 for ln in (tmp_path / "out" / name).read_text().splitlines()}
     assert got == {1, 2}
+
+
+def test_forced_codec_corruption_is_fault_isolated(spark, tmp_path):
+    """Review find: a corrupt extension-less object under
+    Source.Compression must be attributed by the probe (which now
+    speaks the forced codec) - error ledger entry, healthy files land,
+    second run NOOPs."""
+    import tests.test_pipeline_e2e  # noqa: F401
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.meta import Meta
+    from etly_spark.pipeline import DONE, NOOP, TransferService
+    from etly_spark.sources.storage import probe_object
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "part-good").write_bytes(
+        gzip.compress(b'{"Id":1,"Name":"a","Type":"t"}\n')
+    )
+    whole = gzip.compress(b'{"Id":9,"Name":"x","Type":"t"}\n' * 200)
+    (src / "part-bad").write_bytes(whole[: len(whole) // 2])
+
+    assert probe_object(f"file://{src / 'part-bad'}", ".gz") is not None
+    assert probe_object(f"file://{src / 'part-good'}", ".gz") is None
+    # without the forced ext the same bytes read as "healthy" raw
+    assert probe_object(f"file://{src / 'part-bad'}") is None
+
+    t = Transfer(
+        name="forced-gzip-fault",
+        source=Source(name=str(src), data_type="test.Log1", compression="gzip"),
+        target=Target(name=str(tmp_path / "out" / "<file>.out")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        transformer="test.Log1ToLog2",
+        base_dir=str(tmp_path),
+    )
+    svc = TransferService(spark)
+    result = svc.run(t)
+    assert result.status == DONE, result.error
+    assert (tmp_path / "out" / "part-good.out").exists()
+    assert not (tmp_path / "out" / "part-bad.out").exists()
+    meta = Meta.load(str(tmp_path / "out" / "meta.json"))
+    assert any("part-bad" in e["error"] for e in meta.errors)
+    assert svc.run(t).status == NOOP
+
+
+def test_csv_source_rejects_compression(spark, tmp_path):
+    """Review find: a codec Spark's extension-routed csv/parquet
+    readers would silently ignore must be refused loudly."""
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "d.csv").write_text("a,b\n1,2\n")
+    t = Transfer(
+        name="csv-comp",
+        source=Source(name=str(src), data_format="csv", compression="gzip"),
+        target=Target(name=str(tmp_path / "out" / "<file>.out")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.error and "not supported for format" in result.error

@@ -678,3 +678,28 @@ def test_streaming_compressed_source_binaryfile_route(spark, tmp_path):
     _await(svc.start(t, available_now=True))
     lines2 = (tmp_path / "out" / "c-1.log").read_text().strip().splitlines()
     assert [json.loads(ln)["Key"] for ln in lines2] == [6]
+
+
+def test_streaming_binaryfile_routes_skip_zero_byte(spark, tmp_path):
+    """Review find: zero-byte objects (upload markers) must not poison
+    the binaryFile streaming routes - batch skips them at list time."""
+    import gzip as _gz
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    (src / "part-000").write_bytes(
+        _gz.compress(b'{"Id":7,"Name":"k","Type":"x"}\n')
+    )
+    (src / "part-empty").write_bytes(b"")
+    t = Transfer(
+        name="stream-zero-byte",
+        source=Source(name=str(tmp_path / "in"), data_type="stream.Log",
+                      compression="gzip"),
+        target=Target(name=str(tmp_path / "out" / "z-$batchCount.log")),
+        transformer="stream.LogToKV",
+        base_dir=str(tmp_path),
+    )
+    _await(StreamingTransferService(spark).start(t, available_now=True))
+    lines = (tmp_path / "out" / "z-0.log").read_text().strip().splitlines()
+    assert [json.loads(ln)["Key"] for ln in lines] == [7]
