@@ -109,15 +109,36 @@ def main() -> None:
         out["ingest_mb_s"] = round(total_bytes / 1e6 / ingest_s, 1)
         out["records_ok"] = n == n_shards * n_recs
 
-        # extractor hot loop alone
+        # extractor hot loops alone (full-fidelity and main-text)
+        from etly_spark.operators.htmltext import extract_main_text
+
         pages = [_page(i).decode() for i in range(2000)]
+        total_chars = sum(len(p) for p in pages)
         t2 = time.time()
         chars = sum(len(html_to_text(p)) for p in pages)
         ex_s = time.time() - t2
-        out["extract_mchars_s"] = round(
-            sum(len(p) for p in pages) / 1e6 / ex_s, 1
-        )
+        out["extract_mchars_s"] = round(total_chars / 1e6 / ex_s, 1)
         assert chars > 0
+        t2b = time.time()
+        chars_main = sum(len(extract_main_text(p)) for p in pages)
+        out["extract_main_mchars_s"] = round(
+            total_chars / 1e6 / (time.time() - t2b), 1
+        )
+        assert chars_main > 0
+
+        # 'wet' format end-to-end (main-text extraction in the kernel)
+        t2c = time.time()
+        wet_cfg = Transfer(
+            name="wet-stress",
+            source=Source(name=src, data_format="wet"),
+            target=Target(name=os.path.join(work, "out", "<file>.wet.jsonl")),
+            meta=Resource(name=os.path.join(work, "out", "meta3.json")),
+            base_dir=work,
+        )
+        res_wet = TransferService(spark).run(wet_cfg)
+        wet_s = time.time() - t2c
+        assert res_wet.status == DONE, res_wet.error
+        out["wet_ingest_rec_s"] = int(res_wet.progress.record_processed / wet_s)
 
         # warc -> warc re-shard (WET sink)
         t3 = time.time()
