@@ -36,6 +36,7 @@ import zlib
 __all__ = [
     "WarcRecord",
     "decode_warc",
+    "decode_warc_index",
     "encode_warc",
     "split_http_response",
 ]
@@ -157,7 +158,14 @@ def decode_warc(
     crawl shards sized ~1 GiB precisely so one object fits one task."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data, max_decompressed)
-    records: list[WarcRecord] = []
+    return [r for _, _, r in _parse_with_spans(data)]
+
+
+def _parse_with_spans(data: bytes) -> list[tuple[int, int, WarcRecord]]:
+    """The record parser, span-aware: returns (start, end, record) with
+    start/end byte offsets of each record within the UNCOMPRESSED
+    stream (end includes the CRLFCRLF terminator)."""
+    records: list[tuple[int, int, WarcRecord]] = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -166,6 +174,7 @@ def decode_warc(
             pos += 2
         if pos >= n:
             break
+        start = pos
         eol = data.find(_CRLF, pos)
         if eol < 0:
             raise ValueError("warc: truncated version line")
@@ -209,10 +218,73 @@ def decode_warc(
         if data[pos : pos + 4] != _CRLF + _CRLF:
             raise ValueError("warc: missing record terminator")
         pos += 4
-        records.append(WarcRecord(version, headers, block))
+        records.append((start, pos, WarcRecord(version, headers, block)))
     if not records:
         raise ValueError("warc: empty stream")
     return records
+
+
+def decode_warc_index(
+    data: bytes, max_decompressed: int = 1 << 32
+) -> list[dict]:
+    """CDX-style random-access index: one entry per record with the
+    byte range needed to fetch THAT record alone — how web-scale crawls
+    are actually consumed (Common Crawl publishes exactly this shape so
+    a 1 GiB shard serves single pages via HTTP range-GETs).
+
+    Per record: ``offset``/``length`` — for per-record-gzip shards the
+    COMPRESSED gzip member's byte range (a range-GET of those bytes
+    gunzips to the record); for plain (or whole-stream-gzip, where
+    random access is impossible and offsets are uncompressed) the
+    record's span in the uncompressed stream; ``compressed`` says
+    which. Plus uri/date/type and ``digest`` — sha1 of the record block
+    in the Base32 form CDX files use (stdlib hashlib+base64; public
+    convention)."""
+    import base64
+    import hashlib
+
+    out: list[dict] = []
+
+    def entry(rec: WarcRecord, offset: int, length: int, compressed: bool) -> dict:
+        return {
+            "offset": offset,
+            "length": length,
+            "compressed": compressed,
+            "uri": rec.get("WARC-Target-URI"),
+            "date": rec.get("WARC-Date"),
+            "warc_type": rec.warc_type,
+            "digest": "sha1:"
+            + base64.b32encode(hashlib.sha1(rec.block).digest()).decode("ascii"),
+        }
+
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(data)
+        while pos < n:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                member = d.decompress(data[pos:], max_decompressed + 1)
+            except zlib.error as e:
+                raise ValueError(f"corrupt gzip member in warc stream: {e}") from e
+            if len(member) > max_decompressed:
+                raise ValueError("warc: decompressed member exceeds cap")
+            if not d.eof:
+                raise ValueError("truncated gzip member in warc stream")
+            member += d.flush()
+            end = n - len(d.unused_data)
+            for _, _, rec in _parse_with_spans(member):
+                # per-record gzip puts ONE record per member (the
+                # Common Crawl shape); a multi-record member still
+                # indexes correctly — every record of the member maps
+                # to the member's compressed range
+                out.append(entry(rec, pos, end - pos, True))
+            pos = end
+        if not out:
+            raise ValueError("warc: empty stream")
+        return out
+    for start, end, rec in _parse_with_spans(data):
+        out.append(entry(rec, start, end - start, False))
+    return out
 
 
 def split_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:

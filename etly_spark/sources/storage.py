@@ -349,6 +349,62 @@ def _read_warc(
     return warc_records(spark.read.format("binaryFile").load(paths), main=main)
 
 
+_CDX_DDL = (
+    f"`{FILE}` string, offset long, length long, compressed boolean, "
+    "uri string, warc_date string, warc_type string, digest string"
+)
+
+
+def _cdx_gen(batches):
+    """mapInPandas kernel: binaryFile (path, content) → one CDX index
+    row per warc record (operators/warc.decode_warc_index)."""
+    import pandas as pd
+
+    from etly_spark.operators import warc as _warc
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            url = _norm_binaryfile_url(path)
+            for e in _warc.decode_warc_index(bytes(content)):
+                rows.append(
+                    (
+                        url,
+                        e["offset"],
+                        e["length"],
+                        e["compressed"],
+                        e["uri"],
+                        e["date"],
+                        e["warc_type"],
+                        e["digest"],
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                FILE, "offset", "length", "compressed", "uri",
+                "warc_date", "warc_type", "digest",
+            ],
+        )
+
+
+def _read_cdx(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Index warc shards for random access (DataFormat 'cdx'): same
+    one-task-per-object scale shape as the warc reader; the output is
+    tiny (one row per record), so the natural sink is a parquet
+    dataset the serving layer range-GETs against."""
+    df = (
+        spark.read.format("binaryFile")
+        .load(paths)
+        .select("path", "content")
+        .mapInPandas(_cdx_gen, _CDX_DDL)
+    )
+    data_cols = [c for c in df.columns if c != FILE]
+    return df.withColumn(CORRUPT, F.lit(False)).withColumn(
+        RAW, F.to_json(F.struct(*data_cols))
+    )
+
+
 def _norm_binaryfile_url(path: str) -> str:
     """binaryFile's `path` column is a Hadoop URI (file:/abs or
     file:///abs); normalize to the file://<abs> shape input_file_name()
@@ -555,6 +611,12 @@ def read_records(
                 f"warc sources support only gzip compression: {source.compression}"
             )
         return _read_warc(spark, paths, main=(fmt == "wet"))
+    if fmt == "cdx":
+        # CDX-style random-access index over warc shards: one row per
+        # record with the byte range that fetches THAT record alone
+        # (range-GET a gzip member) — the lookup layer every web-scale
+        # crawl consumer builds first
+        return _read_cdx(spark, paths)
     if source.compression and fmt in ("csv", "parquet"):
         # these go through Spark's extension-routed readers; a
         # configured codec would be silently IGNORED for extension-less

@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from etly_spark.operators.htmltext import escape_html_text, html_to_text
 from etly_spark.operators.warc import (
     decode_warc,
+    decode_warc_index,
     encode_warc,
     split_http_response,
 )
@@ -636,3 +637,84 @@ def test_streaming_warc_filter_excludes_sidecars(spark, tmp_path):
         for l in (tmp_path / "out" / "b-0.jsonl").read_text().splitlines()
     ]
     assert len(rows) == 2  # only the warc shard's records
+
+
+# -------------------------------------------------- CDX random access
+
+
+def test_decode_warc_index_range_get_property():
+    """The whole point of the index: slicing data[offset:offset+length]
+    out of a per-record-gzip shard and gunzipping it yields EXACTLY
+    that record."""
+    import base64
+    import hashlib
+
+    recs = []
+    for i in range(5):
+        body = http_response(f"<html><body><p>page {i}</p></body></html>".encode())
+        recs.append(
+            (dict(RESP_HDRS, **{
+                "WARC-Record-ID": f"<urn:uuid:{i}>",
+                "WARC-Target-URI": f"https://example.com/{i}"}), body)
+        )
+    data = encode_warc(recs, per_record_gzip=True)
+    idx = decode_warc_index(data)
+    assert len(idx) == 5
+    assert all(e["compressed"] for e in idx)
+    # contiguous, full coverage
+    assert idx[0]["offset"] == 0
+    assert idx[-1]["offset"] + idx[-1]["length"] == len(data)
+    for i, e in enumerate(idx):
+        member = data[e["offset"] : e["offset"] + e["length"]]
+        rec = decode_warc(member)[0]          # the range-GET scenario
+        assert rec.get("WARC-Target-URI") == f"https://example.com/{i}"
+        want = ("sha1:"
+                + base64.b32encode(hashlib.sha1(rec.block).digest()).decode())
+        assert e["digest"] == want
+    # plain (uncompressed) shard: spans in the stream itself
+    plain = encode_warc(recs, per_record_gzip=False)
+    pidx = decode_warc_index(plain)
+    assert len(pidx) == 5 and not any(e["compressed"] for e in pidx)
+    for i, e in enumerate(pidx):
+        rec = decode_warc(plain[e["offset"] : e["offset"] + e["length"]])[0]
+        assert rec.get("WARC-Target-URI") == f"https://example.com/{i}"
+
+
+def test_cdx_pipeline_format(spark, tmp_path):
+    """DataFormat 'cdx': the index lands as ndjson rows keyed by shard."""
+    import json
+
+    from etly_spark.config import Resource, Source, Target, Transfer
+    from etly_spark.pipeline import DONE, TransferService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    _write_corpus_warc(src / "crawl.warc.gz")
+    t = Transfer(
+        name="cdx-index",
+        source=Source(name=str(src), data_format="cdx"),
+        target=Target(name=str(tmp_path / "out" / "<file>.cdx.jsonl")),
+        meta=Resource(name=str(tmp_path / "out" / "meta.json")),
+        base_dir=str(tmp_path),
+    )
+    result = TransferService(spark).run(t)
+    assert result.status == DONE, result.error
+    rows = [
+        json.loads(l)
+        for l in (tmp_path / "out" / "crawl.warc.gz.cdx.jsonl").read_text().splitlines()
+    ]
+    # ALL records indexed (warcinfo/request too - the index is access-
+    # level, not payload-level)
+    assert len(rows) == 4
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["warc_type"], []).append(r)
+    assert set(by_type) == {"warcinfo", "request", "response", "conversion"}
+    resp = by_type["response"][0]
+    assert resp["uri"] == "https://example.com/p"
+    assert resp["compressed"] is True and resp["length"] > 0
+    # the recorded range actually fetches the record from the shard
+    shard = (src / "crawl.warc.gz").read_bytes()
+    rec = decode_warc(shard[resp["offset"] : resp["offset"] + resp["length"]])[0]
+    assert rec.get("WARC-Target-URI") == "https://example.com/p"
