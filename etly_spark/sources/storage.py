@@ -388,21 +388,22 @@ def _cdx_gen(batches):
         )
 
 
+def cdx_records(bin_df: DataFrame) -> DataFrame:
+    """Turn a binaryFile-shaped DataFrame (batch OR streaming) into CDX
+    index rows + CORRUPT/RAW meta columns."""
+    df = bin_df.select("path", "content").mapInPandas(_cdx_gen, _CDX_DDL)
+    data_cols = [c for c in df.columns if c != FILE]
+    return df.withColumn(CORRUPT, F.lit(False)).withColumn(
+        RAW, F.to_json(F.struct(*data_cols))
+    )
+
+
 def _read_cdx(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Index warc shards for random access (DataFormat 'cdx'): same
     one-task-per-object scale shape as the warc reader; the output is
     tiny (one row per record), so the natural sink is a parquet
     dataset the serving layer range-GETs against."""
-    df = (
-        spark.read.format("binaryFile")
-        .load(paths)
-        .select("path", "content")
-        .mapInPandas(_cdx_gen, _CDX_DDL)
-    )
-    data_cols = [c for c in df.columns if c != FILE]
-    return df.withColumn(CORRUPT, F.lit(False)).withColumn(
-        RAW, F.to_json(F.struct(*data_cols))
-    )
+    return cdx_records(spark.read.format("binaryFile").load(paths))
 
 
 def _norm_binaryfile_url(path: str) -> str:

@@ -36,6 +36,7 @@ from etly_spark.sources.storage import (
     RAW,
     _decode_ndjson,
     _forced_codec_ext,
+    cdx_records,
     get_schema,
     line_records,
     warc_records,
@@ -77,7 +78,7 @@ class StreamingTransferService:
 
         fmt = (t.source.data_format or "ndjson").lower()
         cap = max_files_per_trigger or t.max_transfers
-        if fmt in ("warc", "wet"):
+        if fmt in ("warc", "wet", "cdx"):
             # web archives stream too: the binaryFile source is a file
             # source like text, so the checkpointed exactly-once file
             # discovery is identical; each new .warc[.gz] object is one
@@ -106,7 +107,10 @@ class StreamingTransferService:
                 bin_df = bin_df.filter(
                     F.col("path").rlike(t.source.filter_reg_exp)
                 )
-            decoded = warc_records(bin_df, main=(fmt == "wet"))
+            if fmt == "cdx":
+                decoded = cdx_records(bin_df)
+            else:
+                decoded = warc_records(bin_df, main=(fmt == "wet"))
         elif t.source.compression:
             # Source.Compression set: the text file source selects
             # codecs by EXTENSION only, so extension-less/python-codec

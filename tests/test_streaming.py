@@ -703,3 +703,32 @@ def test_streaming_binaryfile_routes_skip_zero_byte(spark, tmp_path):
     _await(StreamingTransferService(spark).start(t, available_now=True))
     lines = (tmp_path / "out" / "z-0.log").read_text().strip().splitlines()
     assert [json.loads(ln)["Key"] for ln in lines] == [7]
+
+
+def test_streaming_cdx_index(spark, tmp_path):
+    """DataFormat 'cdx' streams: new shards get indexed incrementally."""
+    from etly_spark.operators.warc import encode_warc
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (tmp_path / "out").mkdir()
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: 5\r\n\r\nhello")
+    (src / "s0.warc.gz").write_bytes(encode_warc(
+        [({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:1>",
+           "WARC-Date": "2026-01-01T00:00:00Z",
+           "WARC-Target-URI": "https://e.com/1",
+           "Content-Type": "application/http; msgtype=response"}, body)],
+        per_record_gzip=True,
+    ))
+    t = Transfer(
+        name="stream-cdx",
+        source=Source(name=str(tmp_path / "in"), data_format="cdx"),
+        target=Target(name=str(tmp_path / "out" / "i-$batchCount.jsonl")),
+        base_dir=str(tmp_path),
+    )
+    _await(StreamingTransferService(spark).start(t, available_now=True))
+    rows = [json.loads(l) for l in
+            (tmp_path / "out" / "i-0.jsonl").read_text().splitlines()]
+    assert len(rows) == 1
+    assert rows[0]["uri"] == "https://e.com/1" and rows[0]["compressed"]
