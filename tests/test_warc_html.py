@@ -542,7 +542,18 @@ def test_crawl_to_corpus_example_config(spark, tmp_path):
     assert "help@example.com" not in r["text"]  # PII scrubbed
     assert r["n_pii"] >= 1
 
-    res2 = svc.run(cfg.transfers[1])
+    (tmp_path / "cdx").mkdir()
+    res_cdx = svc.run(cfg.transfers[1])
+    assert res_cdx.status == DONE, res_cdx.error
+    import json as _json
+    cdx_rows = [
+        _json.loads(l)
+        for l in (tmp_path / "cdx" / "shard-0.warc.gz.cdx.jsonl")
+        .read_text().splitlines()
+    ]
+    assert len(cdx_rows) == 2 and all(r["compressed"] for r in cdx_rows)
+
+    res2 = svc.run(cfg.transfers[2])
     assert res2.status == DONE, res2.error
     wet_out = tmp_path / "wet" / "shard-0.warc.gz.wet.warc.gz"
     assert len(decode_warc(wet_out.read_bytes())) == 2
