@@ -232,14 +232,15 @@ def decode_warc_index(
     are actually consumed (Common Crawl publishes exactly this shape so
     a 1 GiB shard serves single pages via HTTP range-GETs).
 
-    Per record: ``offset``/``length`` — for per-record-gzip shards the
-    COMPRESSED gzip member's byte range (a range-GET of those bytes
-    gunzips to the record); for plain (or whole-stream-gzip, where
-    random access is impossible and offsets are uncompressed) the
-    record's span in the uncompressed stream; ``compressed`` says
-    which. Plus uri/date/type and ``digest`` — sha1 of the record block
-    in the Base32 form CDX files use (stdlib hashlib+base64; public
-    convention)."""
+    Per record: ``offset``/``length`` — for gzipped shards the
+    COMPRESSED byte range of the gzip member holding the record (a
+    range-GET of those bytes gunzips to the record; per-record-gzip
+    makes that range minimal, a whole-stream gzip degrades to every
+    record mapping to the full file — still correct, just not
+    selective); for plain shards the record's span in the stream
+    itself; ``compressed`` says which. Plus uri/date/type and
+    ``digest`` — sha1 of the record block in the Base32 form CDX files
+    use (stdlib hashlib+base64; public convention)."""
     import base64
     import hashlib
 

@@ -729,3 +729,22 @@ def test_cdx_pipeline_format(spark, tmp_path):
     shard = (src / "crawl.warc.gz").read_bytes()
     rec = decode_warc(shard[resp["offset"] : resp["offset"] + resp["length"]])[0]
     assert rec.get("WARC-Target-URI") == "https://example.com/p"
+
+
+def test_decode_warc_index_whole_stream_gzip_degrades_correctly():
+    """A whole-stream gzip (NOT per-record members) still indexes
+    correctly: every record maps to the one member's full range -
+    range-GETting it and gunzipping yields a stream containing the
+    record (not selective, but never wrong)."""
+    recs = [
+        (dict(RESP_HDRS, **{"WARC-Record-ID": f"<urn:uuid:{i}>",
+                            "WARC-Target-URI": f"https://e.com/{i}"}),
+         http_response(f"<p>{i}</p>".encode()))
+        for i in range(3)
+    ]
+    data = gzip.compress(encode_warc(recs, per_record_gzip=False), mtime=0)
+    idx = decode_warc_index(data)
+    assert len(idx) == 3
+    assert all(e["offset"] == 0 and e["length"] == len(data) for e in idx)
+    got = decode_warc(data[idx[1]["offset"] : idx[1]["offset"] + idx[1]["length"]])
+    assert got[1].get("WARC-Target-URI") == "https://e.com/1"
