@@ -748,3 +748,28 @@ def test_decode_warc_index_whole_stream_gzip_degrades_correctly():
     assert all(e["offset"] == 0 and e["length"] == len(data) for e in idx)
     got = decode_warc(data[idx[1]["offset"] : idx[1]["offset"] + idx[1]["length"]])
     assert got[1].get("WARC-Target-URI") == "https://e.com/1"
+
+
+def test_cdx_index_fuzz_only_valueerror():
+    """Bounded slice of the 70k-call campaign: decode_warc_index (its
+    own gzip member loop) raises ONLY ValueError on corrupt input."""
+    import random
+
+    rng = random.Random(3)
+    body = http_response(b"body")
+    for per_gz in (True, False):
+        base = encode_warc([(RESP_HDRS, body)] * 3, per_record_gzip=per_gz)
+        for _ in range(1200):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode_warc_index(bytes(b))
+            except ValueError:
+                pass
+    for _ in range(800):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randint(0, 150)))
+        try:
+            decode_warc_index(junk)
+        except ValueError:
+            pass
