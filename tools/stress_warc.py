@@ -140,6 +140,20 @@ def main() -> None:
         assert res_wet.status == DONE, res_wet.error
         out["wet_ingest_rec_s"] = int(res_wet.progress.record_processed / wet_s)
 
+        # cdx random-access index over all shards
+        t3b = time.time()
+        cdx_cfg = Transfer(
+            name="cdx-stress",
+            source=Source(name=src, data_format="cdx"),
+            target=Target(name=os.path.join(work, "out", "<file>.cdx.jsonl")),
+            meta=Resource(name=os.path.join(work, "out", "meta4.json")),
+            base_dir=work,
+        )
+        res_cdx = TransferService(spark).run(cdx_cfg)
+        cdx_s = time.time() - t3b
+        assert res_cdx.status == DONE, res_cdx.error
+        out["cdx_index_rec_s"] = int(res_cdx.progress.record_processed / cdx_s)
+
         # warc -> warc re-shard (WET sink)
         t3 = time.time()
         t2cfg = Transfer(
