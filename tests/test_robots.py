@@ -1,0 +1,114 @@
+"""RFC 9309 robots.txt matcher: spec examples, precedence, wildcards,
+messy-input robustness, and a distributed policy-join usage shape."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etly_spark.operators.robots import RobotsPolicy, _pattern_match
+
+SPEC = """
+# comments are ignored
+User-agent: *
+Disallow: /private/
+Allow: /private/public.html
+Disallow: /tmp*
+Disallow: /*.json$
+
+User-agent: examplebot
+User-agent: otherbot
+Disallow:
+
+User-agent: greedybot
+Disallow: /
+"""
+
+
+def test_group_selection_longest_agent_match():
+    p = RobotsPolicy.parse(SPEC)
+    # examplebot group: empty Disallow = allow-all
+    assert p.allowed("ExampleBot/2.1", "/private/secret.html")
+    # unknown agent falls back to '*'
+    assert not p.allowed("randombot", "/private/secret.html")
+    # greedybot blocked everywhere
+    assert not p.allowed("greedybot", "/")
+    assert not p.allowed("greedybot", "/anything")
+
+
+def test_rule_precedence_most_specific_wins():
+    p = RobotsPolicy.parse(SPEC)
+    assert not p.allowed("randombot", "/private/a.html")
+    # longer Allow beats shorter Disallow
+    assert p.allowed("randombot", "/private/public.html")
+    # untouched paths default to allowed
+    assert p.allowed("randombot", "/public/index.html")
+
+
+def test_wildcards_and_anchors():
+    p = RobotsPolicy.parse(SPEC)
+    assert not p.allowed("randombot", "/tmp")
+    assert not p.allowed("randombot", "/tmpfiles/x")
+    assert not p.allowed("randombot", "/data/feed.json")   # /*.json$
+    assert p.allowed("randombot", "/data/feed.json5")      # $ anchors
+    assert _pattern_match("/a*b*c$", "/aXXbYYc")
+    assert not _pattern_match("/a*b*c$", "/aXXbYYcZ")
+    assert _pattern_match("/a*$", "/a/anything")
+    assert _pattern_match("", "/whatever")                  # empty Allow
+
+
+def test_allow_wins_length_ties():
+    p = RobotsPolicy.parse("User-agent: *\nDisallow: /dir/\nAllow: /dir2/\n")
+    assert p.allowed("x", "/dir2/page")
+    p2 = RobotsPolicy.parse("User-agent: *\nDisallow: /p\nAllow: /p\n")
+    assert p2.allowed("x", "/page")  # tie -> least restrictive
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_parse_never_raises(text):
+    p = RobotsPolicy.parse(text)
+    p.allowed("anybot", "/x")
+
+
+def test_distributed_policy_join_shape(spark):
+    """The usage shape at scale: per-host policies broadcast-joined to
+    a URL table, matching inside an Arrow-batched kernel."""
+    from pyspark.sql import functions as F
+
+    policies = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n"),
+         ("b.com", "User-agent: *\nDisallow: /\n")],
+        ["host", "robots"],
+    )
+    urls = spark.createDataFrame(
+        [("a.com", "/ok.html"), ("a.com", "/private/x"), ("b.com", "/ok.html")],
+        ["host", "path"],
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from etly_spark.operators.robots import RobotsPolicy
+
+        for pdf in batches:
+            cache = {}
+            out = []
+            for host, path, robots in zip(pdf["host"], pdf["path"], pdf["robots"]):
+                if host not in cache:
+                    cache[host] = RobotsPolicy.parse(robots)
+                out.append((host, path, cache[host].allowed("etlybot", path)))
+            yield pd.DataFrame(out, columns=["host", "path", "ok"])
+
+    joined = urls.join(F.broadcast(policies), "host")
+    got = {
+        (r.host, r.path): r.ok
+        for r in joined.mapInPandas(
+            gen, "host string, path string, ok boolean"
+        ).collect()
+    }
+    assert got == {
+        ("a.com", "/ok.html"): True,
+        ("a.com", "/private/x"): False,
+        ("b.com", "/ok.html"): False,
+    }
