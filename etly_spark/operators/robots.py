@@ -26,29 +26,38 @@ __all__ = ["RobotsPolicy"]
 def _pattern_match(pattern: str, path: str) -> bool:
     """RFC 9309 path-pattern match: literal prefix with `*` matching
     any run (including empty) and a trailing `$` anchoring the end.
-    Iterative greedy-with-backtrack — no regex compilation per row."""
+    Iterative greedy scan — no regex compilation per row.
+
+    With `$`, the final literal is pinned to the path's END (not its
+    first occurrence after the middles): '/*.json$' must match
+    '/data/feed.json.json' even though '.json' also occurs earlier.
+    Middle literals are then constrained to the prefix before that
+    suffix; greedy leftmost placement is complete once the end is
+    fixed, so no backtracking is needed."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
     parts = pattern.split("*")
-    pos = 0
-    for i, part in enumerate(parts):
-        if i == 0:
-            if not path.startswith(part):
-                return False
-            pos = len(part)
-        else:
-            j = path.find(part, pos)
-            if j < 0:
-                return False
-            pos = j + len(part)
-    if anchored:
-        # the last literal part must reach the path's end; with a
-        # trailing '*' before '$' any tail matches
-        if parts[-1] == "":
-            return True
-        return pos == len(path)
-    return True
+    if not path.startswith(parts[0]):
+        return False
+    if len(parts) == 1:
+        return path == parts[0] if anchored else True
+    last = parts[-1]
+    if anchored and last:
+        if not path.endswith(last):
+            return False
+        limit = len(path) - len(last)
+        mids = parts[1:-1]
+    else:
+        limit = len(path)
+        mids = parts[1:] if not anchored else parts[1:-1]
+    pos = len(parts[0])
+    for part in mids:
+        j = path.find(part, pos, limit)
+        if j < 0:
+            return False
+        pos = j + len(part)
+    return pos <= limit
 
 
 class RobotsPolicy:
@@ -94,8 +103,12 @@ class RobotsPolicy:
                 elif val:
                     rules.append((key == "allow", val))
             else:
-                # sitemap/crawl-delay/unknown: not matching-relevant
-                in_agents = False
+                # sitemap/crawl-delay/unknown: RFC 9309 says such lines
+                # MUST be ignored — in particular they do NOT terminate
+                # a start-of-group run of User-agent lines, so
+                # 'UA: a / Sitemap: … / UA: b / Disallow: /x' keeps a
+                # and b in ONE group sharing the rules.
+                pass
         flush()
         return cls(groups)
 

@@ -57,6 +57,50 @@ def test_wildcards_and_anchors():
     assert _pattern_match("", "/whatever")                  # empty Allow
 
 
+def test_anchored_wildcard_backtracks_to_path_end():
+    """RFC 9309: with `$` the final literal is pinned to the END of the
+    path, not its first occurrence — '/*.json$' must block
+    '/data/feed.json.json' (regression: greedy first-occurrence left
+    `pos` before the true end and reported allowed)."""
+    assert _pattern_match("/*.json$", "/data/feed.json.json")
+    assert _pattern_match("/*.php$", "/a.php.php")
+    assert _pattern_match("/*.php$", "/a.php")
+    assert not _pattern_match("/*.php$", "/a.php.phpx")
+    # repeated trailing literal with middles constrained to the prefix
+    assert _pattern_match("/a*b*c$", "/aXcbYc")
+    assert not _pattern_match("/a*b*c$", "/acXc")  # no 'b' before final c
+    # suffix overlapping the required prefix must not double-count
+    assert not _pattern_match("/ab*b$", "/ab")
+    assert _pattern_match("/ab*b$", "/abb")
+    p = RobotsPolicy.parse("User-agent: *\nDisallow: /*.json$\n")
+    assert not p.allowed("anybot", "/data/feed.json.json")
+    assert p.allowed("anybot", "/data/feed.jsonl")
+
+
+def test_unknown_directives_do_not_split_agent_groups():
+    """RFC 9309: unrecognized lines (Sitemap, Crawl-delay) MUST be
+    ignored — they do not terminate a start-of-group run of
+    User-agent lines (regression: 'a' was flushed with empty rules
+    and defaulted to allow-all)."""
+    p = RobotsPolicy.parse(
+        "User-agent: a\n"
+        "Sitemap: https://ex.com/sitemap.xml\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+    )
+    assert not p.allowed("a", "/x/1")
+    assert not p.allowed("b", "/x/1")
+    assert p.allowed("a", "/y")
+    # after rules begin, a directive doesn't resurrect agent collection
+    p2 = RobotsPolicy.parse(
+        "User-agent: a\nDisallow: /x\nCrawl-delay: 10\nUser-agent: b\nDisallow: /y\n"
+    )
+    assert not p2.allowed("a", "/x/1")
+    assert p2.allowed("a", "/y/1")
+    assert not p2.allowed("b", "/y/1")
+    assert p2.allowed("b", "/x/1")
+
+
 def test_allow_wins_length_ties():
     p = RobotsPolicy.parse("User-agent: *\nDisallow: /dir/\nAllow: /dir2/\n")
     assert p.allowed("x", "/dir2/page")
