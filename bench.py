@@ -33,6 +33,7 @@ def sf_from_dir(sf_dir: str) -> float:
 # the compared-against artifact predates round N, so entries self-expire
 # once the branch is inside the baseline being compared to.
 NEW_BRANCHES: dict[str, str] = {
+    "dedup_exact": "r9:+line-c4+url-canonical+keepfirst-checksums",
     "sim_ann_methods": "r8:+recall@5+multiprobe",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",

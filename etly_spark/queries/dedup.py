@@ -26,34 +26,246 @@ from etly_spark.queries.catalog import query, release_scope, scope_mark, scoped_
 _SQL_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 
 
+# Exact-dedup family. Every variant is the same shape: derive a unit
+# with a deterministic identity hash, keep the GLOBAL first occurrence
+# (min over an order-encoding bigint — a map-side-combinable groupBy,
+# never a window, so the hot-unit tail of a real corpus cannot skew a
+# sort), then report per-source survivor accounting plus an exact
+# mod-prime checksum over the kept content so the oracle verifies the
+# kept SET (and for 'line', the order-preserving reassembly) — not just
+# counts. ord = doc_id*1e6 + seg_no assumes <1e6 segments per document
+# (documents are bounded; 1e6 segments = 10M tokens) and doc_id < 9.2e12.
+_CHK = "CAST(SUM(CAST({t} AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
+_MD5I = "CAST('0x' || substr(md5({x}), 1, 14) AS BIGINT)"
+_URL_SYN = (
+    "'HTTPS://WWW.News-' || (doc_id % 7) || '.Example.COM:443/articles/'"
+    " || (doc_id % 91) || '?utm_source=feed&sid=' || doc_id || '#frag'"
+)
+_URL_CANON = r"""
+        regexp_replace(lower(regexp_replace(regexp_extract(
+            regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+            '^([^/?#]*)', 1), ':[0-9]+$', '')), '^www\.', '')
+        || regexp_extract(regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+                          '^[^/?#]*(/[^?#]*)', 1)
+"""
+
+
 @query(
     "dedup_exact",
-    oracle="""
-    SELECT source,
-           COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5(text)) AS n_distinct,
-           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_distinct_norm,
-           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups_removed
-    FROM documents
-    GROUP BY source
-    ORDER BY source
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, md5(text) AS h_raw,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h_norm
+      FROM documents
+    ),
+    doc_v AS (
+      SELECT 'doc' AS variant, source, COUNT(*) AS n_units,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             {_CHK.format(t=f"CASE WHEN kept THEN {_MD5I.format(x='h_raw')} ELSE 0 END")} AS kept_checksum
+      FROM (SELECT source, h_raw,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY h_raw) AS kept
+            FROM keyed)
+      GROUP BY source
+    ),
+    norm_v AS (
+      SELECT 'doc_norm' AS variant, source, COUNT(*) AS n_units,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             {_CHK.format(t=f"CASE WHEN kept THEN {_MD5I.format(x='h_norm')} ELSE 0 END")} AS kept_checksum
+      FROM (SELECT source, h_norm,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY h_norm) AS kept
+            FROM keyed)
+      GROUP BY source
+    ),
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source, seg_no,
+             array_to_string(t[(seg_no-1)*10+1 : seg_no*10], ' ') AS seg,
+             doc_id * 1000000 + seg_no AS ord
+      FROM (SELECT doc_id, source, t,
+                   unnest(generate_series(1, greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1))) AS seg_no
+            FROM toks)
+    ),
+    seg_kept AS (
+      SELECT doc_id, source, seg_no, seg,
+             ord = MIN(ord) OVER (PARTITION BY md5(seg)) AS kept
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id, source, string_agg(seg, ' ' ORDER BY seg_no) AS txt
+      FROM seg_kept WHERE kept GROUP BY doc_id, source
+    ),
+    line_counts AS (
+      SELECT source, COUNT(*) AS n_units,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM seg_kept GROUP BY source
+    ),
+    line_chk AS (
+      SELECT source, {_CHK.format(t=_MD5I.format(x="txt"))} AS kept_checksum
+      FROM rebuilt GROUP BY source
+    ),
+    line_v AS (
+      SELECT 'line' AS variant, source, n_units, n_kept, kept_checksum
+      FROM line_counts JOIN line_chk USING (source)
+    ),
+    url_v AS (
+      SELECT 'url' AS variant, source, COUNT(*) AS n_units,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             {_CHK.format(t=f"CASE WHEN kept THEN {_MD5I.format(x='ck')} ELSE 0 END")} AS kept_checksum
+      FROM (SELECT source, ck, doc_id = MIN(doc_id) OVER (PARTITION BY ck) AS kept
+            FROM (SELECT doc_id, source,
+                         {_URL_CANON.format(u=f"({_URL_SYN})")} AS ck
+                  FROM documents))
+      GROUP BY source
+    )
+    SELECT variant, source, n_units, n_kept, n_units - n_kept AS n_removed, kept_checksum
+    FROM (SELECT * FROM doc_v UNION ALL SELECT * FROM norm_v
+          UNION ALL SELECT * FROM line_v UNION ALL SELECT * FROM url_v)
+    ORDER BY variant, source
     """,
-    doc="Exact dedup: hash-groupBy on md5(text) (raw + normalized), "
-    "per-source survivor accounting. One partial-aggregated shuffle.",
+    doc="Exact-dedup family, four tagged variants sharing one keep-first "
+    "contract (global first occurrence by an order-encoding bigint, "
+    "computed as a map-side-combinable min-groupBy + hash join back — "
+    "no window over the hot-unit tail, so Zipf-repeated units cannot "
+    "skew a sort at 100 TB). doc / doc_norm — whole-document md5 "
+    "(raw / whitespace-case-normalized). line (r9) — the C4 recipe: "
+    "documents split into fixed 10-token segments, duplicate segments "
+    "across the corpus removed keeping the first occurrence, documents "
+    "reassembled order-preserving; kept_checksum is an exact mod-prime "
+    "sum over md5 of the REASSEMBLED texts, so the oracle verifies the "
+    "reconstruction byte-for-byte, not just counts. url (r9) — "
+    "document-level canonical-URL dedup (functions/url host+path over "
+    "deliberately messy synthesized URLs: case, :443, www., utm query, "
+    "fragment): the standard crawl step of collapsing re-fetches of one "
+    "page; kept_checksum sums md5 of the canonical keys kept.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct(H.md5_hex(F.col("text"))).alias("n_distinct"),
-            F.countDistinct(H.md5_hex(T.normalize_text("text"))).alias("n_distinct_norm"),
-            (F.count(F.lit(1)) - F.countDistinct(H.md5_hex(F.col("text")))).alias(
-                "n_dups_removed"
-            ),
+    prime = F.lit(1000000007)
+
+    def md5i(col: F.Column) -> F.Column:
+        return F.conv(F.substring(H.md5_hex(col), 1, 14), 16, 10).cast("long")
+
+    def chk(term: F.Column) -> F.Column:
+        return (F.sum(term.cast("decimal(38,0)")) % prime).cast("bigint")
+
+    def keep_first(units: DataFrame, h: F.Column, ordc: F.Column) -> DataFrame:
+        """Global first-occurrence keep: min(ord) per identity via a
+        partial-aggregated groupBy (hot units collapse map-side), then
+        one hash join back on the high-NDV identity key (build side is
+        one row per identity; AQE splits any probe-side skew)."""
+        u = units.withColumn("_h", h).withColumn("_ord", ordc)
+        firsts = u.groupBy("_h").agg(F.min("_ord").alias("_first"))
+        return u.join(firsts, "_h").withColumn(
+            "kept", F.col("_ord") == F.col("_first")
         )
-        .orderBy("source")
+
+    def doc_variant(tag: str, hcol: F.Column) -> DataFrame:
+        k = keep_first(
+            d.select("doc_id", "source", hcol.alias("_id")),
+            F.col("_id"),
+            F.col("doc_id"),
+        )
+        return k.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            chk(F.when(F.col("kept"), md5i(F.col("_id"))).otherwise(0)).alias(
+                "kept_checksum"
+            ),
+        ).select(F.lit(tag).alias("variant"), "source", "n_units", "n_kept", "kept_checksum")
+
+    doc_v = doc_variant("doc", H.md5_hex(F.col("text")))
+    norm_v = doc_variant("doc_norm", H.md5_hex(T.normalize_text("text")))
+
+    # --- line variant: C4-style segment dedup + reassembly ---
+    toks = d.select("doc_id", "source", T.tokens("text").alias("t"))
+    n_segs = F.greatest(F.ceil(F.size("t") / F.lit(10.0)), F.lit(1))
+    segs = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), n_segs.cast("int"))).alias("seg_no"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "seg_no",
+            F.concat_ws(
+                " ", F.slice(F.col("t"), (F.col("seg_no") - 1) * 10 + 1, 10)
+            ).alias("seg"),
+        )
+    )
+    sk = keep_first(
+        segs,
+        H.md5_hex(F.col("seg")),
+        F.col("doc_id") * 1000000 + F.col("seg_no"),
+    )
+    line_counts = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    )
+    rebuilt = (
+        sk.where("kept")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("txt")
+        )
+    )
+    line_chk = rebuilt.groupBy("source").agg(
+        chk(md5i(F.col("txt"))).alias("kept_checksum")
+    )
+    line_v = line_counts.join(line_chk, "source").select(
+        F.lit("line").alias("variant"), "source", "n_units", "n_kept", "kept_checksum"
+    )
+
+    # --- url variant: canonical (host, path) dedup over messy URLs ---
+    from etly_spark.functions.url import url_host, url_path
+
+    url = F.concat(
+        F.lit("HTTPS://WWW.News-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/articles/"),
+        (F.col("doc_id") % 91).cast("string"),
+        F.lit("?utm_source=feed&sid="),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    uk = keep_first(
+        d.select(
+            "doc_id",
+            "source",
+            F.concat(url_host(url), url_path(url)).alias("ck"),
+        ),
+        F.col("ck"),
+        F.col("doc_id"),
+    )
+    url_v = uk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        chk(F.when(F.col("kept"), md5i(F.col("ck"))).otherwise(0)).alias(
+            "kept_checksum"
+        ),
+    ).select(F.lit("url").alias("variant"), "source", "n_units", "n_kept", "kept_checksum")
+
+    return (
+        doc_v.unionByName(norm_v)
+        .unionByName(line_v)
+        .unionByName(url_v)
+        .withColumn("n_removed", F.col("n_units") - F.col("n_kept"))
+        .select(
+            "variant", "source", "n_units", "n_kept", "n_removed", "kept_checksum"
+        )
+        .orderBy("variant", "source")
     )
 
 

@@ -1,0 +1,91 @@
+"""Golden semantics for the dedup_exact r9 variants: C4-style
+line(segment)-level dedup with order-preserving reassembly, and
+canonical-URL document dedup. The catalog row hash-gates these against
+DuckDB at sf0.01; this pins the *semantics* on a handcrafted corpus
+where the expected kept set and rebuilt texts are known by hand."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+P = 1000000007
+
+
+def _md5i(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def _mkdocs(spark, tmp_path):
+    # segment size is 10 tokens; craft exact segment-level overlaps:
+    #   doc 0 (src a): segs A(w1..w10) B(w11..w20) C(w21..w25, short tail)
+    #   doc 7 (src b): seg A again (dup -> removed), then D(x1..x10)
+    #   doc 91 (src a): exact copy of doc 0 -> every segment a dup
+    # url variant: doc 0 vs doc 91 share (doc_id%7, doc_id%91) = (0, 0)
+    # -> same canonical URL, doc 91 removed; doc 7 unique.
+    A = " ".join(f"w{i}" for i in range(1, 11))
+    B = " ".join(f"w{i}" for i in range(11, 21))
+    C = " ".join(f"w{i}" for i in range(21, 26))
+    D = " ".join(f"x{i}" for i in range(1, 11))
+    rows = [
+        (0, f"{A} {B} {C}", "en", "a", 0),
+        (7, f"{A} {D}", "en", "b", 0),
+        (91, f"{A} {B} {C}", "en", "a", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path), dict(A=A, B=B, C=C, D=D)
+
+
+def test_line_variant_keeps_first_and_reassembles(spark, tmp_path):
+    from etly_spark.queries.dedup import dedup_exact
+
+    sf_dir, segs = _mkdocs(spark, tmp_path)
+    got = {
+        (r.variant, r.source): (r.n_units, r.n_kept, r.n_removed, r.kept_checksum)
+        for r in dedup_exact(spark, sf_dir).collect()
+    }
+
+    # src a: doc 0 has 3 segs (all first occurrences), doc 91 has 3 (all
+    # dups of doc 0's). src b: doc 7 -> seg A is a dup, D is new.
+    assert got[("line", "a")][:3] == (6, 3, 3)
+    assert got[("line", "b")][:3] == (2, 1, 1)
+    # reassembly: doc 0 rebuilt = full text; doc 91 vanishes (0 kept
+    # segs); doc 7 rebuilt = just D, order-preserving.
+    a_chk = _md5i(f"{segs['A']} {segs['B']} {segs['C']}") % P
+    b_chk = _md5i(segs["D"]) % P
+    assert got[("line", "a")][3] == a_chk
+    assert got[("line", "b")][3] == b_chk
+
+    # doc variant: doc 91 is an exact copy of doc 0 -> removed.
+    assert got[("doc", "a")][:3] == (2, 1, 1)
+    assert got[("doc", "b")][:3] == (1, 1, 0)
+
+    # url variant: docs 0 and 91 canonicalize to the same (host, path)
+    # (tracking query + fragment + case + port stripped); doc 7 unique.
+    assert got[("url", "a")][:3] == (2, 1, 1)
+    assert got[("url", "b")][:3] == (1, 1, 0)
+    assert got[("url", "a")][3] == _md5i("news-0.example.com/articles/0") % P
+    assert got[("url", "b")][3] == _md5i("news-0.example.com/articles/7") % P
+
+
+def test_line_variant_first_occurrence_is_document_order(spark, tmp_path):
+    """The keeper is min(doc_id*1e6 + seg_no): a segment repeated WITHIN
+    one document keeps its earliest position."""
+    from etly_spark.queries.dedup import dedup_exact
+
+    A = " ".join(f"t{i}" for i in range(1, 11))
+    rows = [(5, f"{A} {A}", "en", "a", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.variant, r.source): (r.n_units, r.n_kept, r.kept_checksum)
+        for r in dedup_exact(spark, str(tmp_path)).collect()
+    }
+    assert got[("line", "a")][:2] == (2, 1)
+    assert got[("line", "a")][2] == _md5i(A) % P
