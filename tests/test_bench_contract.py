@@ -35,12 +35,18 @@ def _worst_case_line() -> str:
             "vs": "r99",
             "n": 50,
             "nb": 50,
+            "sc": 50,
             # worst-case rendering: 3 prefix-truncated names at the
             # capped ratio width ("detail" must be stripped from the
             # stdout line — it goes to bench_detail.json only)
             "w": {n[:12]: 99.99 for n in sorted(REGISTRY, key=len)[-3:]},
             "detail": {
                 "regressed": {n: 99.99 for n in REGISTRY},
+                "old": {n: 9999.9999 for n in REGISTRY},
+                "steady": {
+                    n: {"min": 9999.9, "med": 9999.9, "confirmed": True}
+                    for n in REGISTRY
+                },
                 "new_branches": {
                     n: {"ratio": 99.99, "tag": "r99:+x"} for n in REGISTRY
                 },
@@ -107,6 +113,51 @@ def test_regressions_vs_previous_diffs_real_artifact(tmp_path, monkeypatch):
     assert out["detail"]["regressed"]["d"] == 10.0
     # sf mismatch -> explicit skip, no bogus ratios
     assert bench.regressions_vs_previous({"a": 9.9}, 20.0)["skipped"] == "sf-mismatch"
+
+
+def test_steady_state_probe_adjudicates_flags(monkeypatch):
+    """r8 verdict item 6: flagged rows are re-run in-session; a flag is
+    'confirmed' only when the steady-state MIN is still past the
+    threshold vs the prior artifact — load-noise flags come back
+    confirmed=False so the verdict reads the adjudication from the
+    artifact instead of needing a manual quiet-machine re-run."""
+    name = next(iter(REGISTRY))
+    calls = []
+
+    def fake_run(spark, builder, sf_dir):
+        calls.append(1)
+        # noisy first sample, steady after: min = 1.0
+        return [3.0, 1.0, 1.1][(len(calls) - 1) % 3]
+
+    monkeypatch.setattr(bench, "run_query", fake_run)
+    # old=0.9 -> steady min 1.0 is 1.11x: NOT confirmed (noise flag)
+    out = bench.steady_state_probe(None, "sf", {name: 3.3}, {name: 0.9})
+    assert out[name]["min"] == 1.0 and out[name]["confirmed"] is False
+    # old=0.5 -> steady min 1.0 is 2.0x: confirmed real regression
+    calls.clear()
+    out2 = bench.steady_state_probe(None, "sf", {name: 6.6}, {name: 0.5})
+    assert out2[name]["confirmed"] is True
+    assert len(calls) == 3  # reruns default
+    # unknown query names are skipped, not fatal
+    assert bench.steady_state_probe(None, "sf", {"nope": 9.9}, {}) == {}
+
+
+def test_regression_detail_carries_old_times(tmp_path, monkeypatch):
+    import os
+    import shutil
+
+    (tmp_path / "tools").mkdir()
+    shutil.copy(
+        os.path.join(os.path.dirname(bench.__file__), "tools", "bench_compare.py"),
+        tmp_path / "tools" / "bench_compare.py",
+    )
+    prior = {"tail": "", "parsed": {"sf": 0.1, "queries": {"a": 1.0}}}
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(prior))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    out = bench.regressions_vs_previous({"a": 2.0}, 0.1)
+    assert out["detail"]["old"] == {"a": 1.0}
 
 
 def test_new_branch_annotation_splits_and_self_expires(tmp_path, monkeypatch):
