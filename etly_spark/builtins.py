@@ -125,6 +125,81 @@ def _quality_gate(df):
     return quality_score("text") >= 0.55
 
 
+@registry.enrichers.register("etly.AttachRobots")
+def _attach_robots(df, ctx):
+    """Attach each record's host robots policy from the in-batch
+    ``/robots.txt`` fetches — a crawl stores the robots responses in
+    the same WARC shards as the pages, so the policy table is derived
+    from the window being processed, not a side input. Adds a
+    ``robots`` column (policy text; null when the host published
+    none). Scale shape: the policy table is one small text row per
+    HOST (domains, not pages), so it broadcast-joins; the groupBy that
+    builds it is map-side combinable."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.functions.url import url_host, url_path
+
+    pol = (
+        df.where(url_path(F.col("uri")) == "/robots.txt")
+        .groupBy(url_host(F.col("uri")).alias("_rb_host"))
+        .agg(F.max("text").alias("robots"))
+    )
+    return (
+        df.withColumn("_rb_host", url_host(F.col("uri")))
+        .join(F.broadcast(pol), "_rb_host", "left")
+        .drop("_rb_host")
+    )
+
+
+@registry.filters.register("etly.RobotsAllowed")
+def _robots_allowed(df):
+    """RFC 9309 compliance gate: keep records whose ``uri`` the robots
+    policy in the ``robots`` column permits (operators/robots.py —
+    longest-match rules, `*`/`$` patterns, Allow tiebreak). The agent
+    is the per-row ``agent`` column when present, else 'etlybot'; a
+    null/absent policy allows, the spec's default. Arrow-batched
+    pandas UDF with a per-batch parsed-policy cache keyed by the
+    policy text — each host's robots.txt parses once per batch, not
+    once per row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _ok_fn(uri, robots, agent):
+        import re as _re
+
+        from etly_spark.operators.robots import RobotsPolicy
+
+        cache: dict[str, RobotsPolicy] = {}
+        out = []
+        for u, r, a in zip(uri, robots, agent):
+            if not r:
+                out.append(True)
+                continue
+            p = cache.get(r)
+            if p is None:
+                p = cache[r] = RobotsPolicy.parse(r)
+            # path per functions/url.url_path semantics ('' -> '/')
+            rest = _re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", u or "")
+            m = _re.match(r"^[^/?#]*(/[^?#]*)", rest)
+            out.append(p.allowed(a or "etlybot", m.group(1) if m else "/"))
+        return pd.Series(out)
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would hand pandas_udf unresolvable 'pd.Series' strings
+    _ok_fn.__annotations__ = {
+        "uri": pd.Series, "robots": pd.Series, "agent": pd.Series,
+        "return": pd.Series,
+    }
+    _ok = pandas_udf(_ok_fn, "boolean")
+
+    robots_col = (
+        F.col("robots") if "robots" in df.columns else F.lit(None).cast("string")
+    )
+    agent_col = F.col("agent") if "agent" in df.columns else F.lit("etlybot")
+    return _ok(F.col("uri"), robots_col, agent_col)
+
+
 @registry.transformers.register("etly.NormalizeText")
 def _normalize_text(df):
     """Canonicalize the `text` column in place (lowercase, collapse

@@ -559,6 +559,62 @@ def test_crawl_to_corpus_example_config(spark, tmp_path):
     assert len(decode_warc(wet_out.read_bytes())) == 2
 
 
+def test_robots_gated_corpus_config(spark, tmp_path):
+    """The r9 compliance stage, config-only: the crawl shard carries the
+    host's /robots.txt fetch alongside the pages; etly.AttachRobots
+    (enricher) broadcast-joins the per-host policy from the batch
+    itself, etly.RobotsAllowed (filter) evaluates RFC 9309 per row.
+    Disallowed pages are dropped; pages from hosts with no policy pass
+    (the spec default)."""
+    import shutil
+
+    from etly_spark.config import TransferConfig
+    from etly_spark.pipeline import DONE, TransferService
+
+    cfg_path = tmp_path / "crawl_to_corpus.json"
+    shutil.copy("examples/crawl_to_corpus.json", cfg_path)
+    crawl = tmp_path / "incoming" / "crawl"
+    crawl.mkdir(parents=True)
+    (tmp_path / "gated").mkdir()
+
+    def resp(uri: str, body: bytes, ctype: str = "text/html; charset=utf-8"):
+        hdrs = dict(RESP_HDRS, **{
+            "WARC-Target-URI": uri,
+            "WARC-Record-ID": f"<urn:uuid:rg-{abs(hash(uri)) % 10**8}>",
+        })
+        return (hdrs, http_response(body, ctype=ctype))
+
+    robots = b"User-agent: *\nDisallow: /private/\nDisallow: /*.json$\n"
+    recs = [
+        resp("https://example.com/robots.txt", robots, ctype="text/plain"),
+        resp("https://example.com/ok.html",
+             b"<html><body><p>public page body</p></body></html>"),
+        resp("https://example.com/private/secret.html",
+             b"<html><body><p>hidden page body</p></body></html>"),
+        resp("https://example.com/data/feed.json.json",
+             b"{}", ctype="application/json"),
+        # host with NO robots.txt in the crawl -> allowed by default
+        resp("https://other.org/private/page.html",
+             b"<html><body><p>other host body</p></body></html>"),
+    ]
+    (crawl / "shard-rg.warc.gz").write_bytes(encode_warc(recs, per_record_gzip=True))
+
+    cfg = TransferConfig.from_json(str(cfg_path))
+    t = cfg.transfers[3]
+    assert t.content_enricher == "etly.AttachRobots"
+    assert t.filter == "etly.RobotsAllowed"
+    res = TransferService(spark).run(t)
+    assert res.status == DONE, res.error
+    uris = {
+        r.uri for r in spark.read.parquet(str(tmp_path / "gated" / "shard")).collect()
+    }
+    assert "https://example.com/ok.html" in uris
+    assert "https://other.org/private/page.html" in uris  # no policy -> allow
+    assert "https://example.com/robots.txt" in uris  # policy itself not disallowed
+    assert "https://example.com/private/secret.html" not in uris
+    assert "https://example.com/data/feed.json.json" not in uris  # $-anchored
+
+
 def test_warc_mutation_fuzz_only_valueerror():
     """Mutation + garbage fuzz (bounded CI slice of the 110k-call
     campaign): decode_warc/split_http_response raise ONLY ValueError on
