@@ -61,11 +61,12 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-_BF_SQL = f"""
+def _bf_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
+    return f"""
 WITH s AS (
-  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
 ), q AS (
-  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE vec_id < 8
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE {qwhere}
 ), scored AS (
   SELECT q.query_id, s.vec_id AS neighbor_id,
          {_sql_dot('q.qe', 's.embedding')} / (q.qn * s.nrm) AS cos_sim
@@ -81,13 +82,16 @@ ORDER BY query_id, rank
 """
 
 
-def _query_pdf(s: DataFrame):
-    """The tiny query set (vec_id < 8) collected once for the
-    closure-broadcast scorers — shared by the brute-force and hardneg
-    branches so the predicate lives in ONE place and sim_ann_methods
-    pays a single collect job."""
+_BF_SQL = _bf_sql()
+
+
+def _query_pdf(s: DataFrame, qwhere: str = "vec_id < 8"):
+    """The tiny query set collected once for the closure-broadcast
+    scorers — shared by the brute-force and hardneg branches so the
+    predicate lives in ONE place and sim_ann_methods pays a single
+    collect job."""
     return (
-        s.filter(F.col("vec_id") < 8)
+        s.filter(F.expr(qwhere))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
@@ -118,12 +122,13 @@ _SIGN_BUCKET_SQL = """
         + CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END)
 """
 
-_LSH_SQL = f"""
+def _lsh_sql(src: str = "embeddings", qwhere: str = "vec_id < 32") -> str:
+    return f"""
 WITH s AS (
   SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket, {_SQL_NRM} AS nrm
-  FROM embeddings
+  FROM {src}
 ), q AS (
-  SELECT vec_id AS query_id, embedding AS qe, bucket, nrm AS qn FROM s WHERE vec_id < 32
+  SELECT vec_id AS query_id, embedding AS qe, bucket, nrm AS qn FROM s WHERE {qwhere}
 ), probes AS (
   -- multi-probe (r8): own bucket + every Hamming-distance-1 bucket
   -- (one sign-bit flip). Cells partition the corpus, so the 7 probe
@@ -145,6 +150,9 @@ ORDER BY query_id, rank
 """
 
 
+_LSH_SQL = _lsh_sql()
+
+
 def _sign_bucket() -> F.Column:
     return sum(
         F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (5 - i))).otherwise(F.lit(0))
@@ -152,7 +160,12 @@ def _sign_bucket() -> F.Column:
     )
 
 
-def sim_lsh_ann(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
+def sim_lsh_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    base: DataFrame | None = None,
+    qwhere: str = "vec_id < 32",
+) -> DataFrame:
     if base is None:
         base = _normed(load_table(spark, sf_dir, "embeddings"))
     s = base.withColumn("bucket", _sign_bucket())
@@ -163,7 +176,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str, base: DataFrame | None = None)
     # sets are disjoint (no dedup), and the probe fan-out is a 7x row
     # multiply of the TINY broadcast query side only — the corpus is
     # still scanned once and joined on its single bucket key.
-    q = s.filter(F.col("vec_id") < 32).select(
+    q = s.filter(F.expr(qwhere)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.explode(
@@ -194,9 +207,10 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str, base: DataFrame | None = None)
 K_CENTROIDS = 32
 _CENT_HASH_SQL = "((vec_id % 2147483648) * 2654435761) % 4294967296"
 
-_IVF_SQL = f"""
+def _ivf_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
+    return f"""
 WITH s AS (
-  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
 ), cent AS (
   SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s
   ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {K_CENTROIDS}
@@ -212,7 +226,7 @@ WITH s AS (
   -- cells, not just its own assignment cell. The index stays top-1
   -- (cells partition the corpus -> probe sets disjoint, no dedup).
   SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id
-  FROM assign0 WHERE vec_id < 8 AND rn <= 4
+  FROM assign0 WHERE ({qwhere}) AND rn <= 4
 ), scored AS (
   SELECT q.query_id, a.vec_id AS neighbor_id,
          {_sql_dot('q.qe', 'a.embedding')} / (q.qn * a.nrm) AS cos_sim
@@ -226,6 +240,9 @@ SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+_IVF_SQL = _ivf_sql()
 
 
 def centroid_plan(s: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
@@ -284,7 +301,13 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE_IVF = 4
 
 
-def sim_ivf_ann(spark: SparkSession, sf_dir: str, q_pdf=None) -> DataFrame:
+def sim_ivf_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    q_pdf=None,
+    assign: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+) -> DataFrame:
     # probe the staged index. Multi-probe (r8): each query visits its
     # NPROBE_IVF nearest coarse cells, not just its own assignment cell
     # — the standard FAISS recall lever (measured: recall@5 0.15-0.2 ->
@@ -293,8 +316,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str, q_pdf=None) -> DataFrame:
     # index itself stays top-1, so the probed candidate sets are
     # disjoint and the probe list is a Q*NPROBE-row broadcast join key
     # — the corpus side is still one scan of the staged index.
-    assign = ivf_assignments(spark, sf_dir)
-    q = assign.filter(F.col("vec_id") < 8).select(
+    if assign is None:
+        assign = ivf_assignments(spark, sf_dir)
+    q = assign.filter(F.expr(qwhere)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -360,7 +384,12 @@ def sim_hard_negatives(
 _SQ_DIM = 64
 
 
-def sim_sq8(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> DataFrame:
+def sim_sq8(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+) -> DataFrame:
     """SQ8 scalar quantization — the memory-compression axis of
     100 TB ANN (FAISS's SQ8 baseline): per-dimension corpus min/max,
     each float32 component quantized to an 8-bit code
@@ -406,17 +435,18 @@ def sim_sq8(spark: SparkSession, sf_dir: str, s: DataFrame | None = None) -> Dat
         _normed(e.select("vec_id", _deq(F.col("embedding")).alias("embedding"))),
         eager=False,
     )
-    scored = V.matmul_scores(sq, _query_pdf(sq)).filter(
+    scored = V.matmul_scores(sq, _query_pdf(sq, qwhere)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     return _topk(scored, 5)
 
 
-_SQ8_SQL = f"""
+def _sq8_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
+    return f"""
 WITH bounds AS (
   SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM (
     SELECT i, MIN(embedding[i]::DOUBLE) AS lo, MAX(embedding[i]::DOUBLE) AS hi
-    FROM embeddings CROSS JOIN generate_series(1, {_SQ_DIM}) AS g(i)
+    FROM {src} CROSS JOIN generate_series(1, {_SQ_DIM}) AS g(i)
     GROUP BY i
   )
 ), dq AS (
@@ -427,11 +457,11 @@ WITH bounds AS (
                      + floor((embedding[i]::DOUBLE - b.lo[i]) / (b.hi[i] - b.lo[i]) * 255 + 0.5)
                        / 255.0 * (b.hi[i] - b.lo[i]) END
          ) AS embedding
-  FROM embeddings, bounds b
+  FROM {src}, bounds b
 ), s AS (
   SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM dq
 ), q AS (
-  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE vec_id < 8
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE {qwhere}
 ), scored AS (
   SELECT q.query_id, s.vec_id AS neighbor_id,
          {_sql_dot('q.qe', 's.embedding')} / (q.qn * s.nrm) AS cos_sim
@@ -447,7 +477,10 @@ ORDER BY query_id, rank
 """
 
 
-def _recall_sql(tag: str, approx_sql: str) -> str:
+_SQ8_SQL = _sq8_sql()
+
+
+def _recall_sql(tag: str, approx_sql: str, bf_sql: str | None = None) -> str:
     """recall@5 accounting row: per query, how many of brute's exact
     top-5 the approximate method recovered. neighbor_id carries the hit
     count, rank the k, cos_sim the recall fraction (schema reuse keeps
@@ -459,11 +492,58 @@ SELECT 'recall_{tag}' AS method, query_id,
        round(COUNT(hit) / 5.0, 6) AS cos_sim
 FROM (
   SELECT b.query_id, a.neighbor_id AS hit
-  FROM ({_BF_SQL}) b
+  FROM ({bf_sql or _BF_SQL}) b
   LEFT JOIN ({approx_sql}) a
     ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
 ) GROUP BY query_id
 """
+
+
+# ------------------------------------------------------------ clustered
+# Planted-cluster recall fixture (r9 — verdict item 2). The corpus's
+# i.i.d. random embeddings are the ANN *worst case* (no structure for a
+# bucketing method to exploit), so the r8 recall rows certified LSH/IVF
+# against a regime users never run them in. This fixture derives a
+# mixture-of-clusters corpus deterministically from vec_id with
+# INTEGER-only arithmetic, so both engines produce bit-identical
+# vectors by construction: vectors come in planted clusters of 16
+# (anchor id = vec_id - vec_id % 16); component j = anchor_j + noise_j
+# with anchor_j ~ U{-1.000..+1.000 step 0.001} and noise_j ~
+# U{-0.256..+0.255875 step 1/8000}, both from Lehmer-style modular
+# hashes (mod-2^31 pre-reduction keeps every product < 2^63 — the
+# _CENT_HASH_SQL overflow rule). The only float ops are one exact
+# division and one add per component.
+_QC_WHERE = "vec_id % 16 = 0 AND vec_id < 128"  # 8 queries, 8 distinct clusters
+
+_CEMB_SQL = f"""(
+  SELECT vec_id,
+         list_transform(generate_series(1, {_SQ_DIM}), j ->
+           (((((vec_id - vec_id % 16) % 2147483648) * 2654435761 + j * 40503)
+              % 4294967296) % 2001 - 1000) / 1000.0
+           + ((((vec_id % 2147483648) * 48271 + j * 9301)
+              % 4294967296) % 4096 - 2048) / 8000.0
+         ) AS embedding
+  FROM embeddings
+)"""
+
+
+def clustered_embedding() -> F.Column:
+    """The planted-cluster fixture vector (see _CEMB_SQL — the DuckDB
+    twin is the same integer arithmetic verbatim)."""
+    anchor = F.col("vec_id") - (F.col("vec_id") % 16)
+
+    def comp(j):
+        a = (
+            (((anchor % 2147483648) * 2654435761 + j * 40503) % 4294967296) % 2001
+            - 1000
+        ) / 1000.0
+        p = (
+            (((F.col("vec_id") % 2147483648) * 48271 + j * 9301) % 4294967296) % 4096
+            - 2048
+        ) / 8000.0
+        return a + p
+
+    return F.transform(F.sequence(F.lit(1), F.lit(_SQ_DIM)), comp)
 
 
 _ANN_SQL = f"""
@@ -482,6 +562,12 @@ UNION ALL
 {_recall_sql('ivf', _IVF_SQL)}
 UNION ALL
 {_recall_sql('sq8', _SQ8_SQL)}
+UNION ALL
+{_recall_sql('lsh_c', _lsh_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
+UNION ALL
+{_recall_sql('ivf_c', _ivf_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
+UNION ALL
+{_recall_sql('sq8_c', _sq8_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
 ORDER BY method, query_id, rank
 """
 
@@ -511,7 +597,12 @@ ORDER BY method, query_id, rank
     "per query — neighbor_id carries the hit count, cos_sim the "
     "recall@5 — so the quality of the only-runnable-at-100TB plans is "
     "a checked number, not an assumption (values recorded per scale "
-    "in STRESS.md).",
+    "in STRESS.md). recall_{lsh,ivf,sq8}_c rows (r9) re-run the same "
+    "accounting on a planted-cluster fixture (clustered_embedding: 16 "
+    "vectors per cluster, integer-derived so both engines build "
+    "bit-identical fixtures) — i.i.d. random embeddings are the ANN "
+    "worst case, so the _c rows measure the regime users actually run "
+    "bucketed methods in: embeddings with neighborhood structure.",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan + one norm pass, shared by the brute/lsh branches
@@ -537,14 +628,14 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
     sq8 = _keep(sim_sq8(spark, sf_dir, s))
 
-    def recall_rows(approx: DataFrame, tag: str) -> DataFrame:
+    def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
         # sides are Q*k rows (40 here; Q is small by construction at
         # any corpus size), so this is a trivially broadcastable join
         # — the accounting the quantized/bucketed paths need at 100 TB,
         # where they are the only runnable plans and their quality must
         # be a recorded number, not an assumption.
-        b = brute.select("query_id", "neighbor_id")
+        b = (base if base is not None else brute).select("query_id", "neighbor_id")
         a = approx.select(
             F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n")
         )
@@ -563,6 +654,31 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # clustered-fixture branch (r9): the SAME three bucketed methods
+    # probed against the planted-cluster corpus (clustered_embedding —
+    # integer-derived, bit-identical cross-engine), recall@5 vs that
+    # corpus's own brute top-5. Only the recall accounting rows enter
+    # the output (the per-neighbor lists would double the row count for
+    # no extra signal). The IVF index for the fixture is built in-DAG
+    # from the persisted clustered frame — same assign kernel, same
+    # bounded centroid collect (select_centroids depends only on
+    # vec_id, so the cells are comparable across fixtures).
+    cb = scoped_persist(
+        _normed(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", clustered_embedding().alias("embedding")
+            )
+        )
+    )
+    qc_pdf = _query_pdf(cb, _QC_WHERE)
+    brute_c = _keep(sim_topk_bruteforce(spark, sf_dir, cb, qc_pdf))
+    lsh_c = _keep(sim_lsh_ann(spark, sf_dir, cb, qwhere=_QC_WHERE))
+    assign_c = V.assign_nearest(
+        cb.select("vec_id", "embedding", "nrm"), select_centroids(cb)
+    )
+    ivf_c = _keep(sim_ivf_ann(spark, sf_dir, qc_pdf, assign=assign_c, qwhere=_QC_WHERE))
+    sq8_c = _keep(sim_sq8(spark, sf_dir, cb, qwhere=_QC_WHERE))
+
     tagged = [
         brute.select(F.lit("brute").alias("method"), "*"),
         lsh.select(F.lit("lsh").alias("method"), "*"),
@@ -572,6 +688,9 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_rows(lsh, "lsh"),
         recall_rows(ivf, "ivf"),
         recall_rows(sq8, "sq8"),
+        recall_rows(lsh_c, "lsh_c", brute_c),
+        recall_rows(ivf_c, "ivf_c", brute_c),
+        recall_rows(sq8_c, "sq8_c", brute_c),
     ]
     out = tagged[0]
     for t in tagged[1:]:
