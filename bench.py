@@ -38,7 +38,7 @@ NEW_BRANCHES: dict[str, str] = {
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
     "text_top_terms": "r8:+hosts-url-canonicalization",
-    "text_curation_split": "r8:+hostcap-banded-per-host-cap",
+    "text_curation_split": "r9:+spans-exact-suffix-lcp",
 }
 
 

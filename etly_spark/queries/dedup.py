@@ -1065,6 +1065,174 @@ def repeated_span_stats(
     )
 
 
+# --- True ExactSubstr via distributed suffix-ordering (r9) -----------
+# Lee et al. 2021's ExactSubstr finds verbatim repeats with a suffix
+# array; 5-gram coverage (repeated_span_stats above) can only BOUND a
+# long span. This is the real thing, shuffle-friendly: sort all token
+# suffixes (truncated to _SEXACT_K tokens), take token-LCPs of adjacent
+# suffixes from DIFFERENT documents, per-doc max. Exactness argument
+# (why adjacent pairs suffice): if suffixes i < j from different docs
+# attain a cross-doc LCP of L, every adjacent LCP in [i, j) is >= L
+# (LCP is the min over the adjacent chain); walking up from i, the
+# first suffix m with doc(m) != doc(i) gives an adjacent pair
+# (m-1, m) with doc(m-1) = doc(i) whose LCP is >= L — so the per-doc
+# maximum is always attained on an adjacent different-doc pair, and a
+# single sorted pass (plus partition-boundary pairs) is exact up to
+# the _SEXACT_K truncation cap.
+_SEXACT_K = 30  # span-length cap: lrs is exact below it, reported as K at/above
+_SEXACT_FLAG = 10  # organic same-vocab text tops out ~5 tokens; planted copies >= 11
+
+SEXACT_PERDOC_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), suf AS (
+  SELECT doc_id, seq AS pos, array_to_string(t[seq : seq+{_SEXACT_K - 1}], ' ') AS su
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS seq
+        FROM tok WHERE len(t) >= 1)
+), ord0 AS (
+  SELECT doc_id, su, lag(doc_id) OVER w AS pdoc, lag(su) OVER w AS psu
+  FROM suf WINDOW w AS (ORDER BY su, doc_id, pos)
+), adj AS (
+  SELECT doc_id, pdoc,
+         CASE WHEN len(mm) = 0 THEN least(len(a), len(b)) ELSE mm[1] - 1 END AS lcp
+  FROM (SELECT doc_id, pdoc, a, b,
+               list_filter(generate_series(1, least(len(a), len(b))),
+                           i -> a[i] <> b[i]) AS mm
+        FROM (SELECT doc_id, pdoc, string_split(su, ' ') AS a,
+                     string_split(psu, ' ') AS b
+              FROM ord0 WHERE pdoc IS NOT NULL AND pdoc <> doc_id))
+), lrs_per_doc AS (
+  SELECT doc_id, MAX(lcp) AS lrs FROM (
+    SELECT doc_id, lcp FROM adj UNION ALL SELECT pdoc, lcp FROM adj
+  ) GROUP BY doc_id
+)
+"""
+
+
+def _token_lcp(a: str, b: str) -> int:
+    """Leading-token agreement between two space-joined suffix strings."""
+    at = a.split(" ")
+    bt = b.split(" ")
+    n = min(len(at), len(bt))
+    i = 0
+    while i < n and at[i] == bt[i]:
+        i += 1
+    return i
+
+
+def _sexact_gen(batches):
+    """mapInPandas kernel over ONE range-sorted partition: emit a
+    (doc, lcp) pair row for every adjacent different-doc suffix pair,
+    plus the partition's first/last rows so cross-partition adjacency
+    is reconstructed exactly (kind 'first'/'last')."""
+    import pandas as pd
+
+    cols = ["kind", "pid", "doc_id", "lcp", "su"]
+    prev = None
+    first = None
+    pid = -1
+    for pdf in batches:
+        rows = []
+        for su, doc, p in zip(pdf["su"], pdf["doc_id"], pdf["pid"]):
+            pid = int(p)
+            if first is None:
+                first = (su, int(doc))
+            if prev is not None and prev[1] != doc:
+                lcp = _token_lcp(prev[0], su)
+                rows.append(("pair", pid, prev[1], lcp, None))
+                rows.append(("pair", pid, int(doc), lcp, None))
+            prev = (su, int(doc))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+    if first is not None:
+        yield pd.DataFrame(
+            [
+                ("first", pid, first[1], -1, first[0]),
+                ("last", pid, prev[1], -1, prev[0]),
+            ],
+            columns=cols,
+        )
+
+
+def exact_substr_lrs(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None, k: int = _SEXACT_K
+) -> DataFrame:
+    """Per-document longest cross-document verbatim token span (capped
+    at ``k``), exact, via distributed suffix-ordering: explode token
+    suffixes -> repartitionByRange on the suffix string (Spark's
+    range-partitioned sort — every partition holds a contiguous slice
+    of the global order, no single-partition exchange) ->
+    sortWithinPartitions -> one Arrow pass per partition takes adjacent
+    different-doc LCPs. Cross-partition adjacency is restored from each
+    partition's first/last rows: a 2-rows-per-partition collect
+    (partition-grain, like file listings — corpus-size independent for
+    a fixed cluster), chained on the driver skipping empty partitions.
+    Shuffle volume is the suffix stream (~k x corpus tokens — the same
+    order as the suffix-array construction Lee et al. run); everything
+    downstream is map-side-combinable aggregation.
+
+    Surfaced through the checked catalog as the 'spans_exact' variant
+    of ``text_curation_split``; oracle twin SEXACT_PERDOC_CTE (full
+    sort + lag window — DuckDB can afford the single-node form)."""
+    if base is None:
+        d = load_table(spark, sf_dir, "documents")
+        base = d.select("doc_id", "lang", T.tokens("text").alias("toks"))
+    suf = (
+        base.select("doc_id", F.col("toks").alias("t"))
+        .filter(F.size("t") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t"))).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.slice("t", F.col("pos"), k)).alias("su"),
+        )
+    )
+    rp = (
+        suf.repartitionByRange("su", "doc_id", "pos")
+        .sortWithinPartitions("su", "doc_id", "pos")
+        .withColumn("pid", F.spark_partition_id())
+        .select("su", "doc_id", "pid")
+    )
+    out = scoped_persist(
+        rp.mapInPandas(
+            _sexact_gen, "kind string, pid int, doc_id long, lcp int, su string"
+        ),
+        eager=False,
+    )
+    pairs = out.where(F.col("kind") == "pair").select("doc_id", "lcp")
+    # partition-boundary reconstruction: <= 2 rows per partition
+    edges = sorted(
+        (
+            (r["pid"], r["kind"], r["doc_id"], r["su"])
+            for r in out.where(F.col("kind") != "pair").collect()
+        )
+    )
+    firsts = {p: (d_, s) for p, kind, d_, s in edges if kind == "first"}
+    lasts = {p: (d_, s) for p, kind, d_, s in edges if kind == "last"}
+    brows = []
+    pids = sorted(firsts)
+    for p, q in zip(pids, pids[1:]):  # consecutive NONEMPTY partitions
+        (ld, ls), (fd, fs) = lasts[p], firsts[q]
+        if ld != fd:
+            lcp = _token_lcp(ls, fs)
+            brows.extend([(ld, lcp), (fd, lcp)])
+    bdf = spark.createDataFrame(brows, "doc_id long, lcp int")
+    lrs = (
+        pairs.unionByName(bdf)
+        .groupBy("doc_id")
+        .agg(F.max("lcp").alias("lrs"))
+    )
+    return (
+        base.select("doc_id", "lang")
+        .join(lrs, "doc_id", "left")
+        .select("doc_id", "lang", F.coalesce("lrs", F.lit(0)).alias("lrs"))
+    )
+
+
 # Hot-block cap for the levenshtein blocking key: 30×-corpus stress
 # showed this was the ONLY uncapped blocking strategy — a shared
 # normalized prefix (real corpora: boilerplate headers) grows a block's

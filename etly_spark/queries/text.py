@@ -922,9 +922,31 @@ FROM (
 GROUP BY grp
 """
 
+# spans_exact (r9): TRUE ExactSubstr via suffix-ordering — per-doc
+# longest cross-document verbatim token span (dedup.py
+# exact_substr_lrs; oracle = the same LCP over a full suffix sort).
+# measure is a positional checksum over (lrs, doc_id), so the oracle
+# gates every document's exact lrs value, not just group counts.
+def _sexact_sql_block() -> str:
+    from etly_spark.queries.dedup import SEXACT_PERDOC_CTE, _SEXACT_FLAG
+
+    return f"""
+SELECT 'spans_exact' AS variant, lang, grp, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(lrs AS DECIMAL(38,0)) * (doc_id % 997)) % 1000000007 AS BIGINT) AS measure,
+       CAST(MAX(lrs) AS DOUBLE) AS score
+FROM (
+  {SEXACT_PERDOC_CTE}
+  SELECT d.doc_id, d.lang, COALESCE(lrs, 0) AS lrs,
+         CASE WHEN COALESCE(lrs, 0) >= {_SEXACT_FLAG} THEN 'flagged' ELSE 'clean' END AS grp
+  FROM documents d LEFT JOIN lrs_per_doc USING (doc_id)
+) GROUP BY lang, grp
+"""
+
+
 _CURATION_SQL = _CURATION_SQL.replace(
     "ORDER BY variant, lang, grp",
     "UNION ALL" + _PPX_SQL_BLOCK + "UNION ALL" + _spans_sql_block()
+    + "UNION ALL" + _sexact_sql_block()
     + "UNION ALL" + _SHUFFLE_SQL_BLOCK + "UNION ALL" + _MIX_SQL_BLOCK
     + "UNION ALL" + _HOSTCAP_SQL_BLOCK
     + "ORDER BY variant, lang, grp",
@@ -934,7 +956,19 @@ _CURATION_SQL = _CURATION_SQL.replace(
 @query(
     "text_curation_split",
     oracle=_CURATION_SQL,
-    doc="Corpus curation family, ten variants in one checked row. "
+    doc="Corpus curation family, eleven variants in one checked row. "
+    "spans_exact (r9) — TRUE ExactSubstr (Lee et al. 2021): per-doc "
+    "longest cross-document verbatim token span, exact up to a "
+    "30-token cap, via distributed suffix-ordering "
+    "(dedup.exact_substr_lrs): explode token suffixes, "
+    "repartitionByRange + sortWithinPartitions (a range-partitioned "
+    "sort — no single-partition exchange), adjacent different-doc "
+    "token-LCPs in one Arrow pass, cross-partition adjacency restored "
+    "from 2-rows-per-partition boundary rows; per-doc max is provably "
+    "attained on an adjacent pair (see the builder's docstring). The "
+    "checked measure is a positional checksum over (lrs, doc_id), so "
+    "the oracle gates every document's exact span length — this is "
+    "what the 5-gram 'spans' variant can only bound from below. "
     "hostcap (r8) — per-host document cap (the crawl-curation guard "
     "against domain dominance): keep at most 40 docs per canonical "
     "host (functions/url.url_host over messy synthesized URLs), "
@@ -1278,8 +1312,37 @@ def text_curation_split(
         )
     )
 
-    # spans — ExactSubstr repeated-span coverage (builder in dedup.py)
-    from etly_spark.queries.dedup import repeated_span_stats
+    # spans — 5-gram repeated-span coverage (builder in dedup.py);
+    # spans_exact (r9) — TRUE ExactSubstr: per-doc longest cross-doc
+    # verbatim token span via distributed suffix-ordering
+    from etly_spark.queries.dedup import (
+        _SEXACT_FLAG,
+        exact_substr_lrs,
+        repeated_span_stats,
+    )
+
+    sexact_rows = (
+        exact_substr_lrs(spark, sf_dir, base)
+        .groupBy(
+            "lang",
+            F.when(F.col("lrs") >= _SEXACT_FLAG, F.lit("flagged"))
+            .otherwise(F.lit("clean"))
+            .alias("grp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("lrs").cast("decimal(38,0)") * (F.col("doc_id") % 997))
+                % F.lit(1000000007)
+            )
+            .cast("bigint")
+            .alias("measure"),
+            F.max("lrs").cast("double").alias("score"),
+        )
+        .select(
+            F.lit("spans_exact").alias("variant"), "lang", "grp", "n_docs", "measure", "score"
+        )
+    )
 
     span_rows = (
         repeated_span_stats(spark, sf_dir, base)
@@ -1352,6 +1415,7 @@ def text_curation_split(
         .unionByName(straddle_rows)
         .unionByName(ppx_rows)
         .unionByName(span_rows)
+        .unionByName(sexact_rows)
         .unionByName(shuffle_rows)
         .unionByName(mix_rows)
         .unionByName(hostcap_rows)

@@ -45,6 +45,50 @@ def test_repeated_span_stats_matches_duckdb(spark):
     assert any(v[3] for v in got.values())
 
 
+def test_exact_substr_lrs_matches_duckdb(spark):
+    """Per-doc longest cross-document verbatim token span: the
+    distributed suffix-sort (range partitions + boundary-row
+    reconstruction) must equal DuckDB's full-sort lag-window twin for
+    EVERY document."""
+    from etly_spark.queries.dedup import SEXACT_PERDOC_CTE, exact_substr_lrs
+
+    got = {r["doc_id"]: r["lrs"] for r in exact_substr_lrs(spark, SF).collect()}
+    con = _duck(SF)
+    want = dict(
+        con.sql(
+            SEXACT_PERDOC_CTE
+            + """
+        SELECT d.doc_id, COALESCE(lrs, 0) AS lrs
+        FROM documents d LEFT JOIN lrs_per_doc USING (doc_id)
+        """
+        ).fetchall()
+    )
+    assert got == want
+    # the fixture plants exact-duplicate docs -> some lrs at the 30 cap
+    assert max(got.values()) == 30
+
+
+def test_exact_substr_lrs_planted_span(spark, tmp_path):
+    """Golden: a 17-token span copied between two docs (otherwise
+    disjoint vocab) must come back as lrs=17 for both, 0 for a
+    bystander; 5-gram coverage could only say '13 of the 5-grams
+    repeat', never the span length."""
+    span = " ".join(f"s{i}" for i in range(17))
+    rows = [
+        (1, f"aaa bbb {span} ccc", "en", "x", 0),
+        (2, f"ddd {span} eee fff", "en", "x", 0),
+        (3, "ggg hhh iii jjj kkk", "en", "x", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from etly_spark.queries.dedup import exact_substr_lrs
+
+    got = {r["doc_id"]: r["lrs"] for r in exact_substr_lrs(spark, str(tmp_path)).collect()}
+    assert got == {1: 17, 2: 17, 3: 0}
+
+
 def test_unigram_perplexity_terciles(spark):
     from etly_spark.queries.text import unigram_perplexity
 
