@@ -114,6 +114,37 @@ def _redact_pii(df):
     )
 
 
+@registry.transformers.register("etly.QualityScore")
+def _quality_score_trained(df):
+    """Trained quality scorer (r9): fits the closed-form least-squares
+    classifier over (lexical diversity, non-stopword density) with the
+    Gopher modal-token repetition rule as the expensive training label
+    — the fastText/CCNet distill-a-cheap-scorer pattern — and appends
+    `clf_score` (linear repetition-risk score, 6 dp) and `clf_flag`
+    (score at >= 2x the corpus prior; downstream filters keep
+    NOT clf_flag). Training is one 9-number aggregate over the batch
+    (corpus-size-independent driver work; operators/quality solve is
+    mirrored bit-for-bit by the catalog oracle); scoring is a codegen'd
+    projection. Deterministic: same corpus -> same weights."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.functions import text as T
+    from etly_spark.operators.quality import lr_features, lr_stats, solve_weights
+
+    toks = T.tokens("text")
+    feats = lr_features(toks)
+    stats = lr_stats(
+        df.select(
+            feats["r1"].alias("r1"), feats["r2"].alias("r2"), feats["y"].alias("y")
+        )
+    )
+    w0, w1, w2 = solve_weights(stats)
+    clf_raw = F.lit(w0) + F.lit(w1) * feats["r1"] + F.lit(w2) * feats["r2"]
+    return df.withColumn("clf_score", F.round(clf_raw, 6)).withColumn(
+        "clf_flag", clf_raw * F.lit(stats["n"]) >= F.lit(2.0) * F.lit(stats["sy"])
+    )
+
+
 @registry.filters.register("etly.QualityGate")
 def _quality_gate(df):
     """Keep records whose composite text quality clears the 'medium'

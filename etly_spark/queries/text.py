@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from etly_spark.functions import text as T
 from etly_spark.io.tables import load_table
+from etly_spark.operators.quality import LR_SOLVE_SQL as _LR_SOLVE_SQL
+from etly_spark.operators.quality import LR_STATS_SQL as _LR_STATS_SQL
 from etly_spark.queries.catalog import query
 
 # DuckDB twin of functions.text.tokens(...)
@@ -133,6 +135,15 @@ _SQL_STOP = _sql_marker_hits(T.STOPWORDS)
       LEFT JOIN tmodal ON tok.doc_id = tmodal.doc_id
       LEFT JOIN bmodal ON tok.doc_id = bmodal.doc_id
     )
+    , feat AS (
+      SELECT c.doc_id, round(diversity, 6) AS r1, round(stop_c, 6) AS r2,
+             CASE WHEN top_token_frac > 0.2 THEN 1 ELSE 0 END AS y
+      FROM c JOIN rep ON c.doc_id = rep.doc_id
+    ), st AS (
+      {_LR_STATS_SQL} FROM feat
+    ), w AS (
+      {_LR_SOLVE_SQL} FROM st
+    )
     SELECT c.doc_id,
            round(length_c * 0.3 + diversity * 0.4 + stop_c * 0.3, 6) AS quality,
            CASE WHEN length_c * 0.3 + diversity * 0.4 + stop_c * 0.3 >= 0.75 THEN 'high'
@@ -140,14 +151,25 @@ _SQL_STOP = _sql_marker_hits(T.STOPWORDS)
                 ELSE 'low' END AS bucket,
            round(top_token_frac, 6) AS top_token_frac,
            round(top_bigram_frac, 6) AS top_bigram_frac,
-           top_token_frac > 0.2 OR top_bigram_frac > 0.18 AS repetitive
-    FROM c JOIN rep ON c.doc_id = rep.doc_id
+           top_token_frac > 0.2 OR top_bigram_frac > 0.18 AS repetitive,
+           round(w.w0 + w.w1 * round(diversity, 6) + w.w2 * round(stop_c, 6), 6) AS clf_score,
+           (w.w0 + w.w1 * round(diversity, 6) + w.w2 * round(stop_c, 6)) * st.n
+             >= 2.0 * st.sy AS clf_flag
+    FROM c JOIN rep ON c.doc_id = rep.doc_id CROSS JOIN w CROSS JOIN st
     ORDER BY c.doc_id
     """,
     doc="Quality scoring: length + lexical-diversity + stopword-density "
     "composite, bucketed for filtering a training corpus; plus "
     "Gopher-style repetition signals (modal-token fraction, modal-bigram "
     "fraction, and a repetitive flag at the 0.2/0.18 thresholds). "
+    "clf_score/clf_flag (r9) — a TRAINED linear classifier "
+    "(operators/quality.py, config-addressable as etly.QualityScore): "
+    "closed-form least squares predicting the expensive modal-token "
+    "repetition label from two cheap ratio features; exact DECIMAL "
+    "sufficient statistics (one 9-number corpus-size-independent "
+    "collect), Cramer solve in a canonical operation order the oracle "
+    "replicates VERBATIM in SQL — the per-doc score doubles match "
+    "bit-for-bit; flag at 2x corpus prior, division-free. "
     "Repetition is computed INSIDE the row — sort + one fold tracking "
     "the longest equal-run (functions.text.modal_count), O(n log n) per "
     "doc, zero shuffle — instead of explode + groupBy, which would "
@@ -170,6 +192,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
     stop_c = F.lit(1.0) - T.stopword_ratio(toks)
     raw = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
+    # trained classifier (r9): closed-form least-squares over (r1, r2)
+    # with the heuristic gate as the weak label — ONE 9-number
+    # map-side-combinable aggregate to the driver (corpus-size
+    # independent), Cramer solve in the canonical operation order the
+    # oracle mirrors, then a codegen'd linear projection per row.
+    from etly_spark.operators.quality import lr_features, lr_stats, solve_weights
+
+    feats = lr_features(toks)
+    stats = lr_stats(
+        d.select(
+            feats["r1"].alias("r1"), feats["r2"].alias("r2"), feats["y"].alias("y")
+        )
+    )
+    w0, w1, w2 = solve_weights(stats)
+    clf_raw = F.lit(w0) + F.lit(w1) * feats["r1"] + F.lit(w2) * feats["r2"]
     # modal-token / modal-bigram fractions, shuffle-free (see doc)
     top_tok = F.when(n > 0, T.modal_count(toks) / n).otherwise(F.lit(0.0))
     top_bg = F.when(n > 1, T.modal_count(T.bigrams(toks)) / (n - 1)).otherwise(F.lit(0.0))
@@ -183,6 +220,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_tok, 6).alias("top_token_frac"),
         F.round(top_bg, 6).alias("top_bigram_frac"),
         ((top_tok > 0.2) | (top_bg > 0.18)).alias("repetitive"),
+        F.round(clf_raw, 6).alias("clf_score"),
+        # flag at 2x the corpus prior, division-free (score*n >= 2*sy):
+        # one extra double multiply, no rounding step to mismatch
+        (clf_raw * F.lit(stats["n"]) >= F.lit(2.0) * F.lit(stats["sy"])).alias(
+            "clf_flag"
+        ),
     ).orderBy("doc_id")
 
 
