@@ -16,12 +16,11 @@ wrong even where the extension is claimed), ``.sz``/``.snappy``
 (snappy framing format; Hadoop's SnappyCodec needs native libs pip
 pyspark doesn't ship, and is hadoop-framed anyway).
 
-Gated: ``.zst`` — zstd decode needs the RFC 8878 predefined FSE
-distributions, empirical tables under the spec-table honesty rule
-(OPERATORS.md): reproducing them from memory risks a decoder that
-silently mis-decodes real files, and no zstd library exists in this
-environment to validate against. Ingest of ``.zst`` raises with a
-clear message instead of guessing.
+``.zst``/``.zstd`` (r9): bound to the PLATFORM libzstd via ctypes
+(operators/zstd.py) — the reference implementation, never a
+from-memory FSE reimplementation (the spec-table honesty rule,
+OPERATORS.md). On hosts without libzstd the codec stays gated and
+ingest raises the honest refusal; executors probe per Python worker.
 
 Reference parity: the reference decompresses gzip only
 (transfer_service.go:718-737); the wider table is SURVEY §2.3
@@ -69,6 +68,18 @@ def _snappy_compress(data: bytes) -> bytes:
     return snappy.compress_framed(data)
 
 
+def _zstd_decompress(data: bytes) -> bytes:
+    from etly_spark.operators import zstd
+
+    return zstd.decompress(data)  # NotImplementedError when no libzstd
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    from etly_spark.operators import zstd
+
+    return zstd.compress(data)
+
+
 # ext -> (decompress, compress) over whole-object bytes
 _PY_CODECS = {
     ".gz": (_gzip.decompress, _gzip.compress),
@@ -79,6 +90,8 @@ _PY_CODECS = {
     ".lz4": (_lz4_decompress, _lz4_compress),
     ".sz": (_snappy_decompress, _snappy_compress),
     ".snappy": (_snappy_decompress, _snappy_compress),
+    ".zst": (_zstd_decompress, _zstd_compress),
+    ".zstd": (_zstd_decompress, _zstd_compress),
 }
 
 # sink `Target.Compression` name -> (extension, jvm codec option or None)
@@ -89,14 +102,16 @@ SINK_CODECS = {
     "xz": (".xz", None),
     "lz4": (".lz4", None),
     "snappy": (".sz", None),
+    "zstd": (".zst", None),
 }
 
 # codecs whose streams concatenate by spec (gzip members, multi-stream
-# bz2/xz, lz4 frames, snappy framed chunks). Raw zlib does NOT: a
-# reader stops at the first stream's end-of-block, silently dropping
-# everything after — so multi-part deflate rolls must be compressed as
-# ONE stream over the whole roll, never per-part-then-concat.
-CONCATENATABLE = frozenset({"gzip", "bzip2", "xz", "lz4", "snappy"})
+# bz2/xz, lz4 frames, snappy framed chunks, zstd frames). Raw zlib does
+# NOT: a reader stops at the first stream's end-of-block, silently
+# dropping everything after — so multi-part deflate rolls must be
+# compressed as ONE stream over the whole roll, never per-part-then-
+# concat.
+CONCATENATABLE = frozenset({"gzip", "bzip2", "xz", "lz4", "snappy", "zstd"})
 
 
 def codec_ext(url: str) -> str | None:
@@ -105,14 +120,18 @@ def codec_ext(url: str) -> str | None:
     for ext in _PY_CODECS:
         if low.endswith(ext):
             return ext
-    for ext in _GATED_EXTS:
-        if low.endswith(ext):
-            return ext
     return None
 
 
 def is_gated(url: str) -> bool:
-    return any(url.lower().endswith(e) for e in _GATED_EXTS)
+    """True when the url's codec cannot run on THIS host: zstd is gated
+    only where no libzstd loads (operators/zstd.py binds the system
+    library — the honesty rule forbids a from-memory FSE decoder)."""
+    if not any(url.lower().endswith(e) for e in _GATED_EXTS):
+        return False
+    from etly_spark.operators import zstd
+
+    return not zstd.available()
 
 
 def jvm_line_readable(url: str) -> bool:
@@ -125,10 +144,10 @@ def jvm_line_readable(url: str) -> bool:
 def raise_if_gated(url: str) -> None:
     if is_gated(url):
         raise NotImplementedError(
-            "zstd ingest is gated: the RFC 8878 predefined FSE "
-            "distributions are empirical spec tables this environment "
-            "cannot validate (no zstd library); refusing to guess. "
-            f"Recompress {url!r} as .gz/.bz2/.xz/.lz4/.sz."
+            "zstd ingest is gated on this host: no libzstd to bind "
+            "(operators/zstd.py loads the system library; the RFC 8878 "
+            "FSE tables are never reimplemented from memory). Install "
+            f"libzstd or recompress {url!r} as .gz/.bz2/.xz/.lz4/.sz."
         )
 
 

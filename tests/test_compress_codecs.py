@@ -24,7 +24,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from etly_spark.io import compress as iocompress
-from etly_spark.operators import lz4, snappy
+from etly_spark.operators import lz4, snappy, zstd
 
 # ------------------------------------------------------------ checksums
 
@@ -219,11 +219,56 @@ def test_registry_routing():
     assert not iocompress.jvm_line_readable("x/a.jsonl.lz4")
     assert not iocompress.jvm_line_readable("x/a.jsonl.sz")
     assert not iocompress.jvm_line_readable("x/a.jsonl.snappy")
+    assert not iocompress.jvm_line_readable("x/a.jsonl.zst")
+    assert not iocompress.is_gated("x/a.jsonl.zst")  # libzstd present here
 
 
-def test_zstd_gate_raises_with_clear_message():
+def test_zstd_gate_raises_when_no_libzstd(monkeypatch):
+    """On a host without libzstd the honest refusal stays (the codec is
+    never reimplemented from memory) — simulated by blanking the
+    loaded-library cache."""
+    monkeypatch.setattr(zstd, "_LIB", None)
+    monkeypatch.setattr(zstd, "_TRIED", True)
+    assert not zstd.available()
     with pytest.raises(NotImplementedError, match="zstd.*gated|gated.*zstd"):
         iocompress.decompress_object(b"\x28\xb5\x2f\xfd", "x/a.jsonl.zst")
+    assert iocompress.is_gated("x/a.jsonl.zst")
+
+
+def test_zstd_real_library_round_trip_and_strictness():
+    """This container ships libzstd — the ctypes binding must round-trip
+    (including multi-frame concatenation, the sink's per-part-member
+    finalization shape) and raise ValueError on every corrupt shape so
+    fault isolation attributes poisoned .zst files."""
+    assert zstd.available(), "container libzstd expected"
+    data = b'{"k":1}\n' * 5000
+    enc = zstd.compress(data)
+    assert len(enc) < len(data) // 10
+    assert zstd.decompress(enc) == data
+    assert zstd.decompress(enc + zstd.compress(b"tail")) == data + b"tail"
+    for bad in (b"", b"\x28\xb5\x2f\xfd", enc[:-3], b"garbage", enc + b"junk"):
+        with pytest.raises(ValueError):
+            zstd.decompress(bad)
+
+
+@pytest.mark.skipif(not os.path.exists("/root/miniconda/bin/zstd"),
+                    reason="no zstd CLI for external validation")
+def test_zstd_external_cli_interop(tmp_path):
+    """External validation both directions against the real zstd CLI:
+    frames we write decode with the reference tool, frames the
+    reference tool writes decode with our binding."""
+    import subprocess
+
+    data = b"interop payload \xf0\x9f\x8c\x8d " * 2000
+    ours = tmp_path / "ours.zst"
+    ours.write_bytes(zstd.compress(data))
+    out = subprocess.run(["/root/miniconda/bin/zstd", "-d", "-c", str(ours)],
+                         capture_output=True)
+    assert out.returncode == 0 and out.stdout == data
+    raw = tmp_path / "theirs.txt"
+    raw.write_bytes(data)
+    subprocess.run(["/root/miniconda/bin/zstd", "-q", "-f", str(raw)], check=True)
+    assert zstd.decompress((tmp_path / "theirs.txt.zst").read_bytes()) == data
 
 
 def test_decompress_object_all_codecs():
@@ -234,6 +279,7 @@ def test_decompress_object_all_codecs():
         "a.jsonl.xz": lzma.compress(payload),
         "a.jsonl.lz4": lz4.compress_frame(payload),
         "a.jsonl.sz": snappy.compress_framed(payload),
+        "a.jsonl.zst": zstd.compress(payload),
     }
     for url, data in cases.items():
         assert iocompress.decompress_object(data, url) == payload
@@ -249,6 +295,7 @@ def _write_corpus(d, payload: bytes) -> list[str]:
         "c.jsonl.xz": lzma.compress(payload),
         "d.jsonl.lz4": lz4.compress_frame(payload),
         "e.jsonl.sz": snappy.compress_framed(payload),
+        "f.jsonl.zst": zstd.compress(payload),
     }
     out = []
     for name, data in files.items():
@@ -266,12 +313,12 @@ def test_read_lines_mixed_codecs(spark, tmp_path):
     paths = _write_corpus(tmp_path, payload)
     df = _read_lines(spark, paths)
     rows = df.collect()
-    assert len(rows) == 40 * 5
+    assert len(rows) == 40 * 6
     by_file: dict[str, list[str]] = {}
     for r in rows:
         assert r[FILE].startswith("file:///"), r[FILE]  # normalized URL shape
         by_file.setdefault(r[FILE].rsplit("/", 1)[-1], []).append(r[RAW])
-    assert set(by_file) == {"a.jsonl", "b.jsonl.gz", "c.jsonl.xz", "d.jsonl.lz4", "e.jsonl.sz"}
+    assert set(by_file) == {"a.jsonl", "b.jsonl.gz", "c.jsonl.xz", "d.jsonl.lz4", "e.jsonl.sz", "f.jsonl.zst"}
     for name, vals in by_file.items():
         assert sorted(vals) == sorted(lines), name
 
@@ -323,6 +370,7 @@ def test_pipeline_lz4_source_end_to_end(spark, tmp_path):
     ("lz4", lambda b: lz4.decompress_frame(b)),
     ("snappy", lambda b: snappy.decompress_framed(b)),
     ("xz", lambda b: lzma.decompress(b)),
+    ("zstd", lambda b: zstd.decompress(b)),
 ])
 def test_pipeline_python_codec_sink(spark, tmp_path, comp, reader):
     """K1 sink with a python-route codec: staging stays plain, the
