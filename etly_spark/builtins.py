@@ -231,6 +231,55 @@ def _robots_allowed(df):
     return _ok(F.col("uri"), robots_col, agent_col)
 
 
+@registry.transformers.register("etly.DedupLines")
+def _dedup_lines(df):
+    """C4-style line-level dedup as a pipeline stage (r9): newline-split
+    the `text` column, remove every line whose content appears earlier
+    in the batch (global first occurrence), reassemble order-preserving.
+    The occurrence order key is (md5(text), line_no) — a pure function
+    of CONTENT, so the kept set is deterministic at any partitioning or
+    cluster size, and identical documents tie: they all keep their
+    lines (collapsing identical documents is the separate whole-doc
+    dedup stage). Consequently the rebuilt text is a function of the
+    original text, and the stage is one explode -> map-side-combinable
+    min-groupBy -> hash join -> per-doc reassembly over DISTINCT texts
+    only; all other columns ride through a final join on md5(text).
+    A document whose every line is removed keeps an empty text (gate
+    afterwards with etly.QualityGate if unwanted)."""
+    from pyspark.sql import functions as F
+
+    th = F.md5(F.col("text").cast("binary"))
+    texts = df.select(th.alias("_th"), "text").dropDuplicates(["_th"])
+    lines = texts.select(
+        "_th",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("_ln", "_line"),
+    ).withColumn("_h", F.md5(F.col("_line").cast("binary"))).withColumn(
+        "_ord", F.struct(F.col("_th"), F.col("_ln"))
+    )
+    firsts = lines.groupBy("_h").agg(F.min("_ord").alias("_first"))
+    rebuilt = (
+        lines.join(firsts, "_h")
+        .where(F.col("_ord") == F.col("_first"))
+        .groupBy("_th")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                    lambda x: x["_line"],
+                ),
+                "\n",
+            ).alias("_rebuilt")
+        )
+    )
+    out = (
+        df.withColumn("_th", th)
+        .join(rebuilt, "_th", "left")
+        .withColumn("text", F.coalesce("_rebuilt", F.lit("")))
+        .drop("_th", "_rebuilt")
+    )
+    return out
+
+
 @registry.transformers.register("etly.NormalizeText")
 def _normalize_text(df):
     """Canonicalize the `text` column in place (lowercase, collapse

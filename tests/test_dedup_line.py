@@ -72,6 +72,46 @@ def test_line_variant_keeps_first_and_reassembles(spark, tmp_path):
     assert got[("url", "b")][3] == _md5i("news-0.example.com/articles/7") % P
 
 
+def test_dedup_lines_builtin_stage(spark):
+    """etly.DedupLines: config-addressable C4 recipe over REAL newline
+    lines — first occurrence kept, reassembly order-preserving,
+    identical documents tie (both keep their lines; whole-doc dedup is
+    a separate stage), all other columns ride through."""
+    from etly_spark import registry
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nshared boilerplate\nbravo", "a"),
+            (2, "shared boilerplate\ncharlie", "b"),
+            (3, "delta\nshared boilerplate", "c"),
+            (4, "shared boilerplate", "d"),          # all lines dup -> empty
+            (5, "alpha\nshared boilerplate\nbravo", "e"),  # identical to 1
+        ],
+        "id long, text string, tag string",
+    )
+    fn = registry.transformers.get("etly.DedupLines")
+    got = {r.id: (r.text, r.tag) for r in fn(df).collect()}
+    # other columns ride through
+    assert [got[i][1] for i in (1, 2, 3, 4)] == ["a", "b", "c", "d"]
+    # the keeper is hash-ordered (a pure function of content), so assert
+    # structure, not which doc won: exactly ONE distinct text retains
+    # the shared line, every other occurrence is removed, and the
+    # non-shared lines survive in their original order.
+    texts = {i: got[i][0] for i in (1, 2, 3, 4)}
+    keepers = [i for i, t in texts.items() if "shared boilerplate" in t]
+    assert len(keepers) == 1, texts
+    k = keepers[0]
+    expect_with = {1: "alpha\nshared boilerplate\nbravo",
+                   2: "shared boilerplate\ncharlie",
+                   3: "delta\nshared boilerplate",
+                   4: "shared boilerplate"}
+    expect_without = {1: "alpha\nbravo", 2: "charlie", 3: "delta", 4: ""}
+    for i in (1, 2, 3, 4):
+        assert texts[i] == (expect_with[i] if i == k else expect_without[i]), texts
+    # identical text -> identical treatment (tie keeps both copies whole)
+    assert got[5][0] == got[1][0]
+
+
 def test_line_variant_first_occurrence_is_document_order(spark, tmp_path):
     """The keeper is min(doc_id*1e6 + seg_no): a segment repeated WITHIN
     one document keeps its earliest position."""
