@@ -115,6 +115,30 @@ def test_parse_never_raises(text):
     p.allowed("anybot", "/x")
 
 
+_PAT_ALPHA = "ab/.j$*"
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.text(alphabet=_PAT_ALPHA, max_size=12),
+    st.text(alphabet="ab/.j", max_size=16),
+)
+def test_pattern_match_equals_regex_model(pattern, path):
+    """_pattern_match vs a regex reference model of RFC 9309 pattern
+    semantics: literals, '*' = any run, trailing '$' = end anchor ('$'
+    anywhere else is a literal). The tiny shared alphabet makes
+    repeated-substring collisions (the ADVICE backtracking bug class)
+    common rather than rare."""
+    import re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    rx += r"\Z" if anchored else ""
+    want = re.match(rx, path) is not None
+    assert _pattern_match(pattern, path) == want, (pattern, path)
+
+
 def test_distributed_policy_join_shape(spark):
     """The usage shape at scale: per-host policies broadcast-joined to
     a URL table, matching inside an Arrow-batched kernel."""
