@@ -33,7 +33,7 @@ def sf_from_dir(sf_dir: str) -> float:
 # the compared-against artifact predates round N, so entries self-expire
 # once the branch is inside the baseline being compared to.
 NEW_BRANCHES: dict[str, str] = {
-    "dedup_exact": "r9:+line-c4+url-canonical+keepfirst-checksums",
+    "dedup_exact": "r9:+line-c4+incremental+url-canonical",
     "text_quality": "r9:+trained-lr-classifier",
     "sim_ann_methods": "r9:+clustered-fixture-recall-rows",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",

@@ -91,7 +91,11 @@ _URL_CANON = r"""
     ),
     seg_kept AS (
       SELECT doc_id, source, seg_no, seg,
-             ord = MIN(ord) OVER (PARTITION BY md5(seg)) AS kept
+             ord = MIN(ord) OVER (PARTITION BY md5(seg)) AS kept,
+             (doc_id % 10 >= 8) AND
+             (CASE WHEN doc_id % 10 >= 8 THEN 4611686018427387904 ELSE 0 END + ord
+              = MIN(CASE WHEN doc_id % 10 >= 8 THEN 4611686018427387904 ELSE 0 END + ord)
+                OVER (PARTITION BY md5(seg))) AS kept_inc
       FROM segs
     ),
     rebuilt AS (
@@ -100,7 +104,9 @@ _URL_CANON = r"""
     ),
     line_counts AS (
       SELECT source, COUNT(*) AS n_units,
-             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_units_inc,
+             CAST(SUM(CASE WHEN kept_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_inc
       FROM seg_kept GROUP BY source
     ),
     line_chk AS (
@@ -110,6 +116,21 @@ _URL_CANON = r"""
     line_v AS (
       SELECT 'line' AS variant, source, n_units, n_kept, kept_checksum
       FROM line_counts JOIN line_chk USING (source)
+    ),
+    rebuilt_inc AS (
+      SELECT doc_id, source, string_agg(seg, ' ' ORDER BY seg_no) AS txt
+      FROM seg_kept WHERE kept_inc GROUP BY doc_id, source
+    ),
+    inc_chk AS (
+      SELECT source, {_CHK.format(t=_MD5I.format(x="txt"))} AS kept_checksum
+      FROM rebuilt_inc GROUP BY source
+    ),
+    inc_v AS (
+      SELECT 'line_incremental' AS variant, source,
+             n_units_inc AS n_units, n_kept_inc AS n_kept,
+             COALESCE(kept_checksum, 0) AS kept_checksum
+      FROM line_counts LEFT JOIN inc_chk USING (source)
+      WHERE n_units_inc > 0
     ),
     url_v AS (
       SELECT 'url' AS variant, source, COUNT(*) AS n_units,
@@ -123,7 +144,8 @@ _URL_CANON = r"""
     )
     SELECT variant, source, n_units, n_kept, n_units - n_kept AS n_removed, kept_checksum
     FROM (SELECT * FROM doc_v UNION ALL SELECT * FROM norm_v
-          UNION ALL SELECT * FROM line_v UNION ALL SELECT * FROM url_v)
+          UNION ALL SELECT * FROM line_v UNION ALL SELECT * FROM inc_v
+          UNION ALL SELECT * FROM url_v)
     ORDER BY variant, source
     """,
     doc="Exact-dedup family, four tagged variants sharing one keep-first "
@@ -199,19 +221,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         )
     )
-    sk = keep_first(
-        segs,
-        H.md5_hex(F.col("seg")),
-        F.col("doc_id") * 1000000 + F.col("seg_no"),
+    # ONE groupBy serves BOTH line rules: 'line' (plain global first
+    # occurrence) and 'line_incremental' (r9 — the ingest-time shape:
+    # incoming docs, doc_id % 10 >= 8 per the repo's incremental
+    # stand-in, keep a segment only when no EXISTING doc has it and no
+    # earlier incoming doc kept it). ord_inc pushes incoming ords past
+    # every existing ord (is_new * 2^62 — doc ords stay < 2^62 under
+    # the bounds documented above), so the old-priority rule is the
+    # same min aggregate and the shuffle count does not grow.
+    ordc = F.col("doc_id") * 1000000 + F.col("seg_no")
+    is_new = F.col("doc_id") % 10 >= 8
+    u = (
+        segs.withColumn("_h", H.md5_hex(F.col("seg")))
+        .withColumn("_ord", ordc)
+        .withColumn(
+            "_ordi", is_new.cast("long") * F.lit(4611686018427387904) + ordc
+        )
+    )
+    firsts = u.groupBy("_h").agg(
+        F.min("_ord").alias("_f"), F.min("_ordi").alias("_fi")
+    )
+    sk = (
+        u.join(firsts, "_h")
+        .withColumn("kept", F.col("_ord") == F.col("_f"))
+        .withColumn("kept_inc", is_new & (F.col("_ordi") == F.col("_fi")))
     )
     line_counts = sk.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(is_new.cast("long")).alias("n_units_inc"),
+        F.sum(F.when(F.col("kept_inc"), 1).otherwise(0)).alias("n_kept_inc"),
     )
-    rebuilt = (
-        sk.where("kept")
-        .groupBy("doc_id", "source")
-        .agg(
+
+    def reassemble(kept_rows: DataFrame) -> DataFrame:
+        return kept_rows.groupBy("doc_id", "source").agg(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
@@ -220,12 +263,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("txt")
         )
-    )
-    line_chk = rebuilt.groupBy("source").agg(
+
+    line_chk = reassemble(sk.where("kept")).groupBy("source").agg(
         chk(md5i(F.col("txt"))).alias("kept_checksum")
     )
     line_v = line_counts.join(line_chk, "source").select(
         F.lit("line").alias("variant"), "source", "n_units", "n_kept", "kept_checksum"
+    )
+    inc_chk = reassemble(sk.where("kept_inc")).groupBy("source").agg(
+        chk(md5i(F.col("txt"))).alias("kept_checksum")
+    )
+    inc_v = (
+        line_counts.join(inc_chk, "source", "left")
+        .select(
+            F.lit("line_incremental").alias("variant"),
+            "source",
+            F.col("n_units_inc").alias("n_units"),
+            F.col("n_kept_inc").alias("n_kept"),
+            F.coalesce("kept_checksum", F.lit(0)).alias("kept_checksum"),
+        )
+        .where(F.col("n_units") > 0)
     )
 
     # --- url variant: canonical (host, path) dedup over messy URLs ---
@@ -260,6 +317,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         doc_v.unionByName(norm_v)
         .unionByName(line_v)
+        .unionByName(inc_v)
         .unionByName(url_v)
         .withColumn("n_removed", F.col("n_units") - F.col("n_kept"))
         .select(

@@ -72,6 +72,38 @@ def test_line_variant_keeps_first_and_reassembles(spark, tmp_path):
     assert got[("url", "b")][3] == _md5i("news-0.example.com/articles/7") % P
 
 
+def test_line_incremental_old_corpus_wins(spark, tmp_path):
+    """line_incremental: incoming docs (doc_id % 10 >= 8) keep a
+    segment only when no EXISTING doc has it and no earlier incoming
+    doc kept it — regardless of doc_id order among old docs."""
+    from etly_spark.queries.dedup import dedup_exact
+
+    A = " ".join(f"w{i}" for i in range(1, 11))   # in the old corpus
+    D = " ".join(f"x{i}" for i in range(1, 11))   # only in incoming docs
+    E = " ".join(f"y{i}" for i in range(1, 11))
+    rows = [
+        (20, A, "en", "a", 0),                    # old doc owns A
+        (8, f"{A} {D}", "en", "a", 0),            # incoming: A dup, D first
+        (18, f"{D} {E}", "en", "a", 0),           # incoming: D dup of doc 8's, E new
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.variant, r.source): (r.n_units, r.n_kept, r.kept_checksum)
+        for r in dedup_exact(spark, str(tmp_path)).collect()
+    }
+    # incoming segments: doc8 (A,D) + doc18 (D,E) = 4; kept: doc8's D,
+    # doc18's E (A owned by old doc 20; doc18's D lost to doc8's)
+    assert got[("line_incremental", "a")][:2] == (4, 2)
+    # rebuilt incoming docs: doc8 -> D, doc18 -> E
+    assert got[("line_incremental", "a")][2] == (_md5i(D) + _md5i(E)) % P
+    # the plain 'line' rule keeps first occurrence by doc order instead:
+    # doc 8 keeps A and D, doc 18 keeps E, doc 20 loses A
+    assert got[("line", "a")][:2] == (5, 3)
+
+
 def test_dedup_lines_builtin_stage(spark):
     """etly.DedupLines: config-addressable C4 recipe over REAL newline
     lines — first occurrence kept, reassembly order-preserving,
