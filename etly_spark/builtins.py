@@ -280,6 +280,16 @@ def _dedup_lines(df):
     return out
 
 
+@registry.enrichers.register("etly.DedupLines")
+def _dedup_lines_enricher(df, ctx):
+    """Enricher-slot alias of etly.DedupLines so a config can run line
+    dedup BEFORE its filter/transformer stages (the pipeline order is
+    enrich -> filter -> transform): e.g. ContentEnricher
+    'etly.DedupLines' + Transformer 'etly.QualityScore' + Filter
+    'etly.QualityGate' is the standard curation chain, config-only."""
+    return _dedup_lines(df)
+
+
 @registry.transformers.register("etly.NormalizeText")
 def _normalize_text(df):
     """Canonicalize the `text` column in place (lowercase, collapse

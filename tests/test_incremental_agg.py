@@ -582,8 +582,12 @@ def test_example_config_round_trips_every_extension_field():
         )
     path = os.path.join(os.path.dirname(__file__), "..", "examples", "curation_transfer.json")
     cfg = TransferConfig.from_json(path)
-    (t,) = cfg.transfers
+    t, t2 = cfg.transfers
     t.validate()
+    t2.validate()
+    assert t2.content_enricher == "etly.DedupLines"
+    assert t2.transformer == "etly.QualityScore"
+    assert t2.filter == "etly.QualityGate"
     assert t.transformer == "etly.RedactPII"
     assert t.target.cluster_by == ["lang", "n_chars"]
     assert t.rollup.aggregates["uniq_docs"] == "distinct:doc_id"

@@ -112,6 +112,72 @@ def test_classifier_flags_repetitive_docs(spark):
     assert {r.clf_flag for r in rows} == {True, False}
 
 
+def test_curation_chain_config_e2e(spark, tmp_path):
+    """examples/curation_transfer.json transfer 2 end-to-end: the
+    standard curation chain config-only — line dedup (enricher) ->
+    quality gate (filter) -> trained scorer (transformer). Duplicate
+    boilerplate lines vanish, the junk doc is gated out, survivors
+    carry clf columns."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etly_spark import registry
+    from etly_spark.config import TransferConfig
+    from etly_spark.pipeline import DONE, TransferService
+
+    if "example.Doc" not in registry.schemas:
+        registry.schemas.register(
+            "example.Doc",
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("text", StringType()),
+                    StructField("lang", StringType()),
+                    StructField("n_chars", LongType()),
+                ]
+            ),
+        )
+    cfg_path = tmp_path / "curation_transfer.json"
+    shutil.copy(
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "curation_transfer.json"),
+        cfg_path,
+    )
+    src = tmp_path / "incoming" / "docs"
+    src.mkdir(parents=True)
+    (tmp_path / "deduped").mkdir()
+    boiler = "subscribe to our newsletter today"
+    good1 = " ".join(f"alpha{i}" for i in range(40))
+    good2 = " ".join(f"beta{i}" for i in range(40))
+    # two extra clean docs with distinct (diversity, stopword) mixes:
+    # the trained scorer needs >= 3 distinct feature points among the
+    # docs that SURVIVE the gate (training runs post-filter)
+    good3 = " ".join(f"gamma{i}" for i in range(30)) + " the of and is in"
+    good4 = " ".join(f"delta{i % 30}" for i in range(60))
+    docs = [
+        {"doc_id": 1, "text": f"{good1}\n{boiler}", "lang": "en", "n_chars": 1},
+        {"doc_id": 2, "text": f"{boiler}\n{good2}", "lang": "en", "n_chars": 1},
+        {"doc_id": 3, "text": "the the the the", "lang": "en", "n_chars": 1},
+        {"doc_id": 4, "text": good3, "lang": "en", "n_chars": 1},
+        {"doc_id": 5, "text": good4, "lang": "en", "n_chars": 1},
+    ]
+    (src / "d.log").write_text("\n".join(_json.dumps(d) for d in docs) + "\n")
+
+    cfg = TransferConfig.from_json(str(cfg_path))
+    res = TransferService(spark).run(cfg.transfers[1])
+    assert res.status == DONE, res.error
+    rows = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "deduped" / "part")).collect()}
+    assert set(rows) == {1, 2, 4, 5}  # junk doc gated out
+    texts = {rows[1].text, rows[2].text}
+    # the boilerplate line survives in exactly one doc
+    assert sum(boiler in t for t in texts) == 1
+    assert all(hasattr(rows[i], "clf_score") and rows[i].clf_flag is not None
+               for i in (1, 2))
+
+
 def test_quality_score_builtin_config_stage(spark):
     """Config-only usage: the etly.QualityScore transformer appends
     clf_score/clf_keep to arbitrary text records, training on the
