@@ -113,6 +113,97 @@ def read_pixel_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(index_dir).drop("epoch")
 
 
+def start_line_index(
+    doc_stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """First-occurrence LINE-hash index (r9) — the streaming half of
+    the C4 line-dedup recipe: each micro-batch folds its newline-split
+    lines to (line_h = md5(line), first_ord = min(doc_id*1e6+line_no))
+    through one map-side-combinable aggregate; the accumulated index is
+    what an arriving shard probes to drop lines the corpus already
+    contains (queries.dedup's line_incremental semantics, continuous
+    form). Per-trigger work is O(batch); duplicate lines WITHIN a
+    micro-batch collapse before writing, so index growth tracks
+    distinct-new-lines, not raw volume."""
+    from pyspark.sql import functions as F
+
+    def transform(bdf: DataFrame) -> DataFrame:
+        lines = bdf.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+        )
+        return lines.groupBy(
+            F.md5(F.col("_line").cast("binary")).alias("line_h")
+        ).agg(F.min(F.col("_id") * 1000000 + F.col("_ln")).alias("first_ord"))
+
+    return start_feature_index(
+        doc_stream, transform, index_dir, checkpoint, available_now=available_now
+    )
+
+
+def read_line_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The accumulated (line_h, first_ord) table — min across epochs,
+    so a line seen in several micro-batches keeps its earliest
+    occurrence (one combinable aggregate over the partition-discovered
+    epochs; compactable exactly like the signature index)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(index_dir)
+        .drop("epoch")
+        .groupBy("line_h")
+        .agg(F.min("first_ord").alias("first_ord"))
+    )
+
+
+def dedup_lines_incremental(batch: DataFrame, index: DataFrame,
+                            *, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Dedupe an ARRIVING batch against the accumulated line index
+    plus itself: a line survives only when the index has no earlier
+    occurrence and no earlier line in the batch matches (ties inside
+    one document keep the earliest position). Returns the batch with
+    ``text_col`` rebuilt order-preserving — the continuous-ingest form
+    of queries.dedup's 'line_incremental' rule. Plan: explode -> left
+    join the index on the high-NDV line hash -> one min-groupBy for
+    the in-batch rule -> reassembly; no window on the hot-line tail."""
+    from pyspark.sql import functions as F
+
+    others = [c for c in batch.columns if c != text_col]
+    lines = batch.select(
+        *others,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+    ).withColumn("_h", F.md5(F.col("_line").cast("binary"))).withColumn(
+        "_ord", F.col(id_col) * 1000000 + F.col("_ln")
+    )
+    firsts = lines.groupBy("_h").agg(F.min("_ord").alias("_bfirst"))
+    kept = (
+        lines.join(firsts, "_h")
+        .join(index.withColumnRenamed("line_h", "_h"), "_h", "left")
+        .where(F.col("first_ord").isNull() & (F.col("_ord") == F.col("_bfirst")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                lambda x: x["_line"],
+            ),
+            "\n",
+        ).alias("_rebuilt")
+    )
+    return (
+        batch.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("_rebuilt", F.lit("")))
+        .drop("_rebuilt")
+    )
+
+
 def compact_signature_index(index_dir: str, threshold: int = 64) -> None:
     """Fold loose per-epoch partitions into a never-rewritten compacted
     segment once their count exceeds ``threshold`` (io/compact.py — the

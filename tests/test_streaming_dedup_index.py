@@ -130,3 +130,47 @@ def test_streamed_index_is_idempotent_on_epoch_replay(spark, tmp_path):
     ssi(stream2, str(tmp_path / "idx"), str(tmp_path / "ckpt2")).awaitTermination(60)
     idx = read_signature_index(spark, str(tmp_path / "idx"))
     assert idx.count() == 1  # overwritten, not duplicated
+
+
+def test_streamed_line_index_and_incremental_line_dedup(spark, tmp_path):
+    """C4 line dedup, continuous form: micro-batches fold a
+    first-occurrence line-hash index; an arriving batch drops every
+    line the index already holds plus in-batch repeats, reassembling
+    order-preserving."""
+    from etly_spark.streaming.dedup import (
+        dedup_lines_incremental,
+        read_line_index,
+        start_line_index,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    boiler = "all rights reserved contact us"
+    _write_batch(src, "b1.json", [(1, f"intro one\n{boiler}"), (2, "body two")])
+    _write_batch(src, "b2.json", [(3, f"{boiler}\nfresh three")])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = start_line_index(stream, str(tmp_path / "lidx"), str(tmp_path / "lckpt"))
+    q.awaitTermination(120)
+
+    idx = read_line_index(spark, str(tmp_path / "lidx"))
+    # distinct lines across both epochs; the boiler line keeps its
+    # EARLIEST occurrence (doc 1, not doc 3)
+    rows = {r.line_h: r.first_ord for r in idx.collect()}
+    assert len(rows) == 4  # intro/boiler/body/fresh
+    import hashlib
+    bh = hashlib.md5(boiler.encode()).hexdigest()
+    assert rows[bh] == 1 * 1000000 + 1
+
+    # the arriving increment: one already-seen line, one in-batch
+    # repeated line, one genuinely new line
+    inc = spark.createDataFrame(
+        [(10, f"{boiler}\nnovel alpha"), (11, "novel alpha\nnovel beta")],
+        SCHEMA,
+    )
+    got = {r.doc_id: r.text for r in dedup_lines_incremental(inc, idx).collect()}
+    assert got[10] == "novel alpha"            # boiler dropped (index hit)
+    assert got[11] == "novel beta"             # alpha lost to doc 10's copy
+    release_cache()
