@@ -68,6 +68,39 @@ def test_exact_substr_lrs_matches_duckdb(spark):
     assert max(got.values()) == 30
 
 
+def test_exact_substr_lrs_partitioning_invariance(spark, tmp_path):
+    """The distributed pass must be exact under adversarial execution
+    shapes: far more range partitions than suffix rows (most partitions
+    EMPTY — the boundary chain must skip them) and 1-row Arrow batches
+    (the kernel's carry-over state crosses every batch boundary)."""
+    from etly_spark.queries.dedup import exact_substr_lrs
+
+    span = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, f"aa bb {span}", "en", "x", 0),
+        (2, f"{span} cc dd", "en", "x", 0),
+        (3, "ee ff gg", "en", "x", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    want = {1: 12, 2: 12, 3: 0}
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "97")  # >> 34 suffix rows
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        got = {
+            r["doc_id"]: r["lrs"]
+            for r in exact_substr_lrs(spark, str(tmp_path)).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    assert got == want
+
+
 def test_exact_substr_lrs_planted_span(spark, tmp_path):
     """Golden: a 17-token span copied between two docs (otherwise
     disjoint vocab) must come back as lrs=17 for both, 0 for a
