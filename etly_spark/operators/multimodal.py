@@ -105,10 +105,12 @@ def decode_real(payload: bytes) -> dict:
     audio (MP3/OGG) remain gated."""
     if not HAVE_PIL:
         raise NotImplementedError(
-            "hierarchical/arithmetic JPEG, lossy VP8, and H.26x need a "
-            "codec library absent in this container; BMP/PPM/PGM/PNG/GIF, "
-            "baseline+progressive+lossless JPEG and lossless WebP pixels "
-            "decode for real via operators.codecs.decode_image_pixels"
+            "hierarchical/arithmetic JPEG and H.26x need a codec library "
+            "absent in this container; BMP/PPM/PGM/PNG/GIF, baseline+"
+            "progressive+lossless JPEG and lossless WebP pixels decode "
+            "for real via operators.codecs.decode_image_pixels, and "
+            "lossy VP8 WebP decodes via the platform libwebp "
+            "(operators/libwebp) when present — r9"
         )
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 

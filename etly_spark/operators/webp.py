@@ -693,8 +693,11 @@ def _riff_chunks(payload: bytes) -> list[tuple[bytes, bytes]] | None:
 
 
 def decode_webp_pixels(payload: bytes) -> np.ndarray | None:
-    """Decode a WebP container: VP8L (lossless) chunks decode for real;
-    lossy 'VP8 ' returns None (boolean-arithmetic coding — PIL gate).
+    """Decode a WebP container: VP8L (lossless) chunks decode for real
+    with the from-scratch codec below; lossy 'VP8 ' decodes via the
+    platform libwebp when present (operators/libwebp — the reference
+    implementation; RFC 6386's boolean-arithmetic probability tables
+    are never reimplemented from memory), else None (the honest gate).
     Returns (h, w, 3) when the stream marks alpha unused, else
     (h, w, 4)."""
     chunks = _riff_chunks(payload)
@@ -707,7 +710,19 @@ def decode_webp_pixels(payload: bytes) -> np.ndarray | None:
                 return None
             rgba, alpha_used = got
             return rgba if alpha_used else rgba[:, :, :3].copy()
-    return None  # lossy VP8/VP8X-only: gated
+    if any(tag == b"VP8 " for tag, _ in chunks):
+        from etly_spark.operators import libwebp
+
+        if libwebp.available():
+            rgba = libwebp.decode_rgba(payload)
+            if rgba is not None:
+                # lossy VP8 has no alpha of its own; a VP8X/ALPH
+                # container would carry it — keep 4 channels only when
+                # any alpha byte is not 255
+                if (rgba[:, :, 3] != 255).any():
+                    return rgba
+                return rgba[:, :, :3].copy()
+    return None  # lossy VP8 without libwebp / VP8X-only: gated
 
 
 def parse_webp_header(payload: bytes) -> tuple[str, int, int] | None:

@@ -251,9 +251,19 @@ def test_webp_real_libwebp_alpha_stream_decodes():
     assert hashlib.md5(plane.tobytes()).hexdigest() == (
         "fa1667e19ae1b259be670911674006a6"
     )
-    # the lossy VP8 luma itself stays behind the arithmetic-coding gate
-    assert W.decode_webp_pixels(payload) is None
-    assert C.decode_image_pixels(payload) is None
+    # r9: the lossy VP8 luma decodes via the bound platform libwebp
+    # when present (falls back to the honest gate otherwise), and
+    # libwebp's own alpha recovery must agree with OUR from-scratch
+    # ALPH decode bit-for-bit — the two independent implementations
+    # cross-validate on a real-world file
+    from etly_spark.operators import libwebp
+
+    full = W.decode_webp_pixels(payload)
+    if libwebp.available():
+        assert full is not None and full.shape == (16, 16, 4)
+        assert (full[:, :, 3] == plane).all()
+    else:
+        assert full is None
 
 
 def test_webp_alpha_filters_invert():
@@ -313,3 +323,62 @@ def test_webp_through_decode_pixel_features_spark(spark):
     dec0 = C.decode_image_pixels(bytes(rows[0][1]))
     assert out[0].pixel_md5 == hashlib.md5(dec0.tobytes()).hexdigest()
     assert out[1].format == "webp" and out[1].width == 6 and out[1].height == 6
+
+
+# ------------------------------------------------ libwebp (r9)
+
+
+def _libwebp():
+    from etly_spark.operators import libwebp
+
+    if not libwebp.available():
+        pytest.skip("no libwebp on this host")
+    return libwebp
+
+
+def test_vp8l_codec_cross_validates_against_libwebp():
+    """External validation BOTH directions against the reference
+    implementation: our VP8L encoder's bytes decode pixel-exact in
+    libwebp, and libwebp's VP8L bytes decode pixel-exact in our
+    from-scratch decoder — far stronger than the single CPython
+    fixture that validated the entropy core in r8."""
+    L = _libwebp()
+    rng = np.random.default_rng(11)
+    for shape in ((24, 31), (7, 5), (64, 64)):
+        img = rng.integers(0, 256, (*shape, 4), dtype=np.uint8)
+        img[:, :, 3] = 255
+        ref_dec = L.decode_rgba(W.encode_lossless_webp(img[:, :, :3]))
+        assert ref_dec is not None
+        assert (ref_dec[:, :, :3] == img[:, :, :3]).all()
+        ours = W.decode_webp_pixels(L.encode_lossless_rgba(img))
+        assert ours is not None and (ours[:, :, :3] == img[:, :, :3]).all()
+
+
+def test_lossy_vp8_decodes_via_libwebp():
+    """Lossy 'VP8 ' chunks now decode through the bound reference
+    library (the RFC 6386 tables are never reimplemented): a real
+    libwebp-encoded lossy file comes back at the right shape with
+    small reconstruction error on smooth content."""
+    L = _libwebp()
+    img = np.zeros((32, 48, 3), np.uint8)
+    img[:, :24] = (200, 60, 30)
+    img[:, 24:] = (20, 120, 220)
+    lossy = L.encode_lossy_rgb(img, 85.0)
+    assert lossy is not None and lossy[12:16] == b"VP8 "
+    dec = W.decode_webp_pixels(lossy)
+    assert dec is not None and dec.shape == (32, 48, 3)
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < 8.0, err
+    # corrupt lossy bytes -> None, never a crash
+    assert W.decode_webp_pixels(lossy[:20]) is None
+
+
+def test_lossy_vp8_stays_gated_without_libwebp(monkeypatch):
+    from etly_spark.operators import libwebp
+
+    L = _libwebp()
+    img = np.full((8, 8, 3), 90, np.uint8)
+    lossy = L.encode_lossy_rgb(img, 80.0)
+    monkeypatch.setattr(libwebp, "_LIB", None)
+    monkeypatch.setattr(libwebp, "_TRIED", True)
+    assert W.decode_webp_pixels(lossy) is None  # honest gate, no guess
