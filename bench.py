@@ -35,7 +35,7 @@ def sf_from_dir(sf_dir: str) -> float:
 NEW_BRANCHES: dict[str, str] = {
     "dedup_exact": "r9:+line-c4+incremental+url-canonical",
     "text_quality": "r9:+trained-lr-classifier",
-    "sim_ann_methods": "r9:+clustered-fixture-recall-rows",
+    "sim_ann_methods": "r9:+clustered-recall+pq8",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
     "text_top_terms": "r8:+hosts-url-canonicalization",

@@ -29,7 +29,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+_ARR_D = ArrayType(DoubleType())
 
 
 def _rows(series) -> "object":
@@ -241,3 +243,54 @@ def assign_nearest(
             yield out
 
     return corpus.mapInPandas(assign, schema)
+
+
+def pq_reconstruct(
+    corpus: DataFrame,
+    cent_pdf: pd.DataFrame,
+    *,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode + reconstruct in ONE Arrow pass: the
+    d-dim space splits into ``m`` subspaces; each subvector is assigned
+    its most cosine-similar centroid slice (codebook = ``cent_pdf``,
+    the same hash-selected rows as IVF — (cent_id, ce, cn)); the output
+    vector is the concatenation of chosen slices. Codes are m bytes per
+    vector vs d float32s — at 100 TB the PQ index scan reads 1/32 of
+    the bytes; symmetric scoring on reconstructions keeps the oracle
+    exact (the sq8 precedent). Ties break to the smallest cent_id
+    (slices scanned in cent_id order, argmax keeps the first maximum —
+    the oracle's ORDER BY cos DESC, cent_id)."""
+    import numpy as np
+
+    order = np.argsort(cent_pdf["cent_id"].to_numpy(dtype="int64"), kind="stable")
+    C = _rows(cent_pdf["ce"])[order]
+    k, d = C.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    Cs = np.ascontiguousarray(C.reshape(k, m, sub))
+    cn = np.sqrt(np.einsum("kms,kms->km", Cs, Cs))
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(vec_col, _ARR_D)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _rows(pdf[vec_col]).reshape(len(pdf), m, sub)
+            xn = np.sqrt(np.einsum("nms,nms->nm", X, X))
+            cos = np.einsum("nms,kms->nkm", X, Cs) / (xn[:, None, :] * cn[None, :, :])
+            codes = cos.argmax(axis=1)  # (n, m); first max = smallest cent_id
+            rec = Cs[codes, np.arange(m)[None, :], :].reshape(len(pdf), d)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    vec_col: list(rec),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema)

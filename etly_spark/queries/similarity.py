@@ -505,6 +505,87 @@ ORDER BY query_id, rank
 _SQ8_SQL = _sq8_sql()
 
 
+# Product quantization (FAISS's other compression axis, r9): d=64
+# splits into _PQ_M subspaces of 8 dims; each subvector snaps to its
+# most-cosine-similar slice of a _PQ_K-entry codebook (hash-selected
+# rows, the IVF-centroid rule at k=64 — bounded driver collect; a
+# k-means-trained codebook would recall higher but its iterative float
+# updates cannot be oracle-replicated — measured sweep in STRESS.md),
+# scoring runs symmetric on the reconstructions (the sq8 precedent, so
+# the oracle checks the quantized scores exactly). Codes are _PQ_M
+# bytes/vector vs 64 float32s — a 32x smaller index scan at 100 TB.
+_PQ_M = 8
+_PQ_K = 64
+
+
+def _pq_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM {src}
+  ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {_PQ_K}
+), subs AS (
+  SELECT e.vec_id, g.m, e.embedding[g.m*8+1 : g.m*8+8] AS xs
+  FROM {src} e CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+), subc AS (
+  SELECT cent_id, m, ce[m*8+1 : m*8+8] AS cs
+  FROM cent CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+), asn AS (
+  SELECT vec_id, m, cent_id,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY
+           {_sql_dot('xs', 'cs')}
+             / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) DESC,
+           cent_id) AS rn
+  FROM subs JOIN subc USING (m)
+), rec AS (
+  SELECT a.vec_id, flatten(list(c.cs ORDER BY a.m)) AS embedding
+  FROM asn a JOIN subc c ON c.m = a.m AND c.cent_id = a.cent_id
+  WHERE a.rn = 1 GROUP BY a.vec_id
+), s AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM rec
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE {qwhere}
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         {_sql_dot('q.qe', 's.embedding')} / (q.qn * s.nrm) AS cos_sim
+  FROM q JOIN s ON s.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def sim_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+) -> DataFrame:
+    """PQ ANN: encode+reconstruct in one Arrow pass (functions.vector
+    .pq_reconstruct — codebook in the task closure, ties to smallest
+    cent_id matching the oracle), then the standard symmetric brute
+    pipeline over the reconstructions."""
+    base = (
+        s.select("vec_id", "embedding")
+        if s is not None
+        else load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    cent_pdf = select_centroids(
+        _normed(base) if s is None else s, k=_PQ_K
+    )
+    sq = scoped_persist(
+        _normed(V.pq_reconstruct(base, cent_pdf, m=_PQ_M)), eager=False
+    )
+    scored = V.matmul_scores(sq, _query_pdf(sq, qwhere)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _topk(scored, 5)
+
+
 def _recall_sql(tag: str, approx_sql: str, bf_sql: str | None = None) -> str:
     """recall@5 accounting row: per query, how many of brute's exact
     top-5 the approximate method recovered. neighbor_id carries the hit
@@ -582,17 +663,23 @@ SELECT 'hardneg' AS method, * FROM ({_HN_SQL})
 UNION ALL
 SELECT 'sq8' AS method, * FROM ({_SQ8_SQL})
 UNION ALL
+SELECT 'pq8' AS method, * FROM ({_pq_sql()})
+UNION ALL
 {_recall_sql('lsh', _LSH_SQL)}
 UNION ALL
 {_recall_sql('ivf', _IVF_SQL)}
 UNION ALL
 {_recall_sql('sq8', _SQ8_SQL)}
 UNION ALL
+{_recall_sql('pq8', _pq_sql())}
+UNION ALL
 {_recall_sql('lsh_c', _lsh_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
 UNION ALL
 {_recall_sql('ivf_c', _ivf_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
 UNION ALL
 {_recall_sql('sq8_c', _sq8_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
+UNION ALL
+{_recall_sql('pq8_c', _pq_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
 ORDER BY method, query_id, rank
 """
 
@@ -617,7 +704,12 @@ ORDER BY method, query_id, rank
     "scalar quantization (FAISS SQ8 baseline): per-dim corpus min/max "
     "codebook (one bounded collect), float32 -> 8-bit codes (4x "
     "smaller scan at 100 TB), symmetric scoring on the dequantized "
-    "vectors through the same BLAS top-k. recall_{lsh,ivf,sq8} rows "
+    "vectors through the same BLAS top-k; pq8 (r9) — product "
+    "quantization (the FAISS compression workhorse): 8 subspaces x 8 "
+    "dims, 64-entry hash-selected codebook (bounded collect), encode+"
+    "reconstruct in ONE Arrow pass (functions.vector.pq_reconstruct), "
+    "symmetric scoring on reconstructions — codes are 8 bytes/vector, "
+    "a 32x smaller index scan at 100 TB. recall_{lsh,ivf,sq8,pq8} rows "
     "(r8) account each approximate method against brute's exact top-5 "
     "per query — neighbor_id carries the hit count, cos_sim the "
     "recall@5 — so the quality of the only-runnable-at-100TB plans is "
@@ -652,6 +744,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = _keep(sim_lsh_ann(spark, sf_dir, s))
     ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
     sq8 = _keep(sim_sq8(spark, sf_dir, s))
+    pq8 = _keep(sim_pq(spark, sf_dir, s))
 
     def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
@@ -710,6 +803,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sq8_c = _keep(sim_sq8(spark, sf_dir, cb, qwhere=_QC_WHERE))
+    pq8_c = _keep(sim_pq(spark, sf_dir, cb, qwhere=_QC_WHERE))
 
     tagged = [
         brute.select(F.lit("brute").alias("method"), "*"),
@@ -717,12 +811,15 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf.select(F.lit("ivf").alias("method"), "*"),
         sim_hard_negatives(spark, sf_dir, s, q_pdf).select(F.lit("hardneg").alias("method"), "*"),
         sq8.select(F.lit("sq8").alias("method"), "*"),
+        pq8.select(F.lit("pq8").alias("method"), "*"),
         recall_rows(lsh, "lsh"),
         recall_rows(ivf, "ivf"),
         recall_rows(sq8, "sq8"),
+        recall_rows(pq8, "pq8"),
         recall_rows(lsh_c, "lsh_c", brute_c),
         recall_rows(ivf_c, "ivf_c", brute_c),
         recall_rows(sq8_c, "sq8_c", brute_c),
+        recall_rows(pq8_c, "pq8_c", brute_c),
     ]
     out = tagged[0]
     for t in tagged[1:]:
