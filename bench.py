@@ -207,6 +207,7 @@ def regressions_vs_previous(times: dict, sf: float, threshold: float = 1.25) -> 
         "detail": {
             "regressed": {q: r for r, q in unexplained},
             "old": {q: old[q] for _, q in unexplained},
+            "old_all": old,
             "new_branches": annotated,
         },
     }
@@ -245,6 +246,39 @@ def steady_state_probe(
         confirmed = bool(o and o > 0 and mn / o > threshold and mn - o > 0.05)
         out[q] = {"min": round(mn, 4), "med": round(md, 4), "confirmed": confirmed}
     return out
+
+
+def ambient_canary(
+    spark, sf_dir: str, old_all: dict[str, float], exclude: set, reruns: int = 3
+) -> dict | None:
+    """Ambient-drift control for the steady probe: an r9 session found
+    ALL rows ~1.5x slower than the prior artifact (hypervisor CPU
+    steal, invisible to loadavg) — a steady 'confirmed' verdict cannot
+    distinguish code regression from machine drift between rounds. So
+    alongside the flagged rows, re-run ONE cheap UNTOUCHED query (not
+    flagged, not a NEW_BRANCHES entry) and record its ratio vs the
+    prior artifact: a canary ratio near the flagged rows' ratios reads
+    as environment, near 1.0 as real regressions. Detail-sidecar only
+    (no stdout budget impact)."""
+    candidates = sorted(
+        (t, q)
+        for q, t in old_all.items()
+        if q in REGISTRY and q not in exclude and t and t > 0.2
+    )
+    if not candidates:
+        return None
+    prior, name = candidates[0]
+    try:
+        sample = sorted(run_query(spark, REGISTRY[name].spark, sf_dir) for _ in range(reruns))
+    except Exception as exc:
+        print(f"# canary FAIL {name}: {exc}", file=sys.stderr)
+        return None
+    return {
+        "query": name,
+        "prior": prior,
+        "min": round(sample[0], 4),
+        "ratio": round(sample[0] / prior, 2),
+    }
 
 
 def main() -> int:
@@ -336,6 +370,12 @@ def main() -> int:
         # sc = steady-confirmed count: flags that SURVIVE the in-session
         # re-run. sc == 0 with n > 0 means "all flags were load noise".
         regr["sc"] = sum(1 for v in steady.values() if v["confirmed"])
+        exclude = set(regr["detail"]["regressed"]) | set(NEW_BRANCHES)
+        canary = ambient_canary(
+            spark, sf_dir, regr["detail"].get("old_all", {}), exclude
+        )
+        if canary is not None:
+            regr["detail"]["canary"] = canary
 
     load_after = os.getloadavg()
     # Drift visibility without per-query bloat: the three totals. A loaded

@@ -142,6 +142,23 @@ def test_steady_state_probe_adjudicates_flags(monkeypatch):
     assert bench.steady_state_probe(None, "sf", {"nope": 9.9}, {}) == {}
 
 
+def test_ambient_canary_picks_cheap_untouched_row(monkeypatch):
+    """The canary must be an UNTOUCHED query (not flagged, not a
+    NEW_BRANCHES entry), the cheapest prior row above the 0.2s noise
+    floor, and report its steady ratio vs the prior artifact."""
+    names = sorted(REGISTRY)
+    flagged, branch, cheap = names[0], names[1], names[2]
+    monkeypatch.setattr(bench, "NEW_BRANCHES", {branch: "r9:+x"})
+    monkeypatch.setattr(bench, "run_query", lambda *a: 0.9)
+    old_all = {flagged: 0.25, branch: 0.25, cheap: 0.45, names[3]: 0.6,
+               names[4]: 0.1}  # names[4] under the noise floor
+    out = bench.ambient_canary(None, "sf", old_all, {flagged, branch})
+    assert out["query"] == cheap and out["prior"] == 0.45
+    assert out["ratio"] == 2.0
+    # nothing eligible -> None, not a crash
+    assert bench.ambient_canary(None, "sf", {flagged: 1.0}, {flagged}) is None
+
+
 def test_regression_detail_carries_old_times(tmp_path, monkeypatch):
     import os
     import shutil
