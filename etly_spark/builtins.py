@@ -245,7 +245,10 @@ def _dedup_lines(df):
     min-groupBy -> hash join -> per-doc reassembly over DISTINCT texts
     only; all other columns ride through a final join on md5(text).
     A document whose every line is removed keeps an empty text (gate
-    afterwards with etly.QualityGate if unwanted)."""
+    afterwards with etly.QualityGate if unwanted). Whitespace-only
+    lines are exempt: blank separators are document structure, not
+    repeated content — collapsing every blank line in the corpus to
+    its first occurrence would mangle formatting corpus-wide."""
     from pyspark.sql import functions as F
 
     th = F.md5(F.col("text").cast("binary"))
@@ -259,7 +262,7 @@ def _dedup_lines(df):
     firsts = lines.groupBy("_h").agg(F.min("_ord").alias("_first"))
     rebuilt = (
         lines.join(firsts, "_h")
-        .where(F.col("_ord") == F.col("_first"))
+        .where((F.col("_ord") == F.col("_first")) | (F.trim("_line") == ""))
         .groupBy("_th")
         .agg(
             F.array_join(

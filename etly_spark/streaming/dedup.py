@@ -186,7 +186,12 @@ def dedup_lines_incremental(batch: DataFrame, index: DataFrame,
     kept = (
         lines.join(firsts, "_h")
         .join(index.withColumnRenamed("line_h", "_h"), "_h", "left")
-        .where(F.col("first_ord").isNull() & (F.col("_ord") == F.col("_bfirst")))
+        .where(
+            (F.col("first_ord").isNull() & (F.col("_ord") == F.col("_bfirst")))
+            # blank separators are structure, not repeated content —
+            # never removed (matches etly.DedupLines)
+            | (F.trim("_line") == "")
+        )
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

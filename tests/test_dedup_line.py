@@ -144,6 +144,22 @@ def test_dedup_lines_builtin_stage(spark):
     assert got[5][0] == got[1][0]
 
 
+def test_dedup_lines_blank_lines_are_structure(spark):
+    """Whitespace-only lines never dedupe — collapsing every blank
+    separator in the corpus to its first occurrence would mangle
+    formatting corpus-wide."""
+    from etly_spark import registry
+
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two"), (2, "other text\n\nmore text")],
+        "id long, text string",
+    )
+    fn = registry.transformers.get("etly.DedupLines")
+    got = {r.id: r.text for r in fn(df).collect()}
+    assert got[1] == "para one\n\npara two"
+    assert got[2] == "other text\n\nmore text"
+
+
 def test_line_variant_first_occurrence_is_document_order(spark, tmp_path):
     """The keeper is min(doc_id*1e6 + seg_no): a segment repeated WITHIN
     one document keeps its earliest position."""
