@@ -642,3 +642,32 @@ def test_csv_source_rejects_compression(spark, tmp_path):
     )
     result = TransferService(spark).run(t)
     assert result.error and "not supported for format" in result.error
+
+
+def test_zstd_mutation_fuzz_never_crashes():
+    """Bounded mutation fuzz over the ctypes boundary: every corrupt
+    shape must come back as ValueError (fault attribution), never a
+    segfault or a foreign exception — the binding only ever hands
+    libzstd library-reported buffer sizes, and this pins it."""
+    import random
+
+    if not zstd.available():
+        pytest.skip("no libzstd")
+    rng = random.Random(42)
+    base = zstd.compress(b'{"k":%d}\n' % 7 * 500)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cut = rng.randrange(0, len(b))
+        for payload in (bytes(b), bytes(b[:cut])):
+            try:
+                zstd.decompress(payload)
+            except ValueError:
+                pass
+    # pure garbage
+    for n in (1, 7, 64, 4096):
+        try:
+            zstd.decompress(rng.randbytes(n))
+        except ValueError:
+            pass

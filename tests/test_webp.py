@@ -382,3 +382,23 @@ def test_lossy_vp8_stays_gated_without_libwebp(monkeypatch):
     monkeypatch.setattr(libwebp, "_LIB", None)
     monkeypatch.setattr(libwebp, "_TRIED", True)
     assert W.decode_webp_pixels(lossy) is None  # honest gate, no guess
+
+
+def test_libwebp_mutation_fuzz_never_crashes():
+    """Mutation fuzz across the libwebp ctypes boundary: corrupt lossy
+    and lossless containers must yield None (or a valid array), never
+    a crash — output buffers are sized from the decode call's own
+    reported dims, and this pins that contract."""
+    import random
+
+    L = _libwebp()
+    rng = random.Random(17)
+    img = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3) % 251
+    seeds = [L.encode_lossy_rgb(img, 75.0), W.encode_lossless_webp(img)]
+    for base in seeds:
+        for _ in range(200):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = W.decode_webp_pixels(bytes(b[: rng.randrange(8, len(b) + 1)]))
+            assert out is None or out.ndim == 3
