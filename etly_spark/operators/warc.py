@@ -288,6 +288,32 @@ def decode_warc_index(
     return out
 
 
+def fetch_indexed_record(ranged: bytes, *, compressed: bool) -> WarcRecord:
+    """Decode the record a CDX entry points at from its ranged bytes —
+    the consumer half of ``decode_warc_index``: ``ranged`` is the
+    offset/length slice (what an HTTP range-GET returns), so random
+    access to one page costs one range read + one gunzip, never a
+    shard scan. A plain-shard range is the record itself; a gzipped
+    range is the member holding it. Multi-record members (whole-stream
+    gzip degradation) return the FIRST record; selective access needs
+    per-record-gzip shards — the documented CDX caveat."""
+    recs = decode_warc(ranged) if compressed else [
+        rec for _, _, rec in _parse_with_spans(ranged)
+    ]
+    if not recs:
+        raise ValueError("warc: ranged bytes hold no record")
+    return recs[0]
+
+
+def read_record_at(path: str, offset: int, length: int, *, compressed: bool) -> WarcRecord:
+    """Local-file convenience over ``fetch_indexed_record``: seek +
+    bounded read (the filesystem stand-in for a range-GET; an object
+    store swaps in `Range: bytes=offset-offset+length-1`)."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        return fetch_indexed_record(fh.read(length), compressed=compressed)
+
+
 def split_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
     """Split an `application/http; msgtype=response` block into
     (status_code, headers, body). Strict on the status line and the
