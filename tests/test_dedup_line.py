@@ -104,6 +104,73 @@ def test_line_incremental_old_corpus_wins(spark, tmp_path):
     assert got[("line", "a")][:2] == (5, 3)
 
 
+def test_line_rules_match_python_reference(spark, tmp_path):
+    """Both line rules against a single-machine reference on a random
+    corpus with planted repeats: per-(variant, source) counts and the
+    reassembly checksums must agree exactly."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"v{i}" for i in range(12)]  # tiny vocab -> real segment repeats
+    rows = []
+    for doc_id in range(40):
+        n = rng.randrange(1, 35)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((doc_id, text, "en", f"s{doc_id % 3}", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # ---- reference ----
+    def segs_of(text):
+        t = text.split()
+        k = max(-(-len(t) // 10), 1)
+        return [" ".join(t[i * 10 : i * 10 + 10]) for i in range(k)]
+
+    plain_first, inc_first = {}, {}
+    for doc_id, text, _, _, _ in sorted(rows):
+        new = doc_id % 10 >= 8
+        for ln, seg in enumerate(segs_of(text), start=1):
+            ord_ = doc_id * 1000000 + ln
+            plain_first.setdefault(seg, ord_)
+            key_inc = (new * 4611686018427387904) + ord_
+            if seg not in inc_first or key_inc < inc_first[seg]:
+                inc_first[seg] = key_inc
+
+    want = {}
+    for variant, first in (("line", plain_first), ("line_incremental", inc_first)):
+        stats = {}
+        for doc_id, text, _, src, _ in rows:
+            new = doc_id % 10 >= 8
+            if variant == "line_incremental" and not new:
+                continue
+            kept = []
+            for ln, seg in enumerate(segs_of(text), start=1):
+                ord_ = doc_id * 1000000 + ln
+                key = ((new * 4611686018427387904) + ord_
+                       if variant == "line_incremental" else ord_)
+                n_units, n_kept, chk = stats.get(src, (0, 0, 0))
+                if first[seg] == key:
+                    n_kept += 1
+                    kept.append(seg)
+                stats[src] = (n_units + 1, n_kept, chk)
+            if kept:
+                n_units, n_kept, chk = stats[src]
+                stats[src] = (n_units, n_kept, (chk + _md5i(" ".join(kept))) % P)
+        for src, (nu, nk, chk) in stats.items():
+            want[(variant, src)] = (nu, nk, chk)
+
+    from etly_spark.queries.dedup import dedup_exact
+
+    got = {
+        (r.variant, r.source): (r.n_units, r.n_kept, r.kept_checksum)
+        for r in dedup_exact(spark, str(tmp_path)).collect()
+        if r.variant in ("line", "line_incremental")
+    }
+    assert got == want
+
+
 def test_dedup_lines_builtin_stage(spark):
     """etly.DedupLines: config-addressable C4 recipe over REAL newline
     lines — first occurrence kept, reassembly order-preserving,

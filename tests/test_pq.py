@@ -1,0 +1,81 @@
+"""PQ kernel (functions/vector.pq_reconstruct): numpy-reference
+equality, tie rule, compression accounting, and partitioning
+invariance. The catalog row hash-gates the end-to-end scores at two
+scales; this pins the kernel itself."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etly_spark.functions.vector import pq_reconstruct
+
+
+def _reference(X, C, m):
+    n, d = X.shape
+    sub = d // m
+    Xs = X.reshape(n, m, sub)
+    Cs = C.reshape(len(C), m, sub)
+    xn = np.sqrt(np.einsum("nms,nms->nm", Xs, Xs))
+    cn = np.sqrt(np.einsum("kms,kms->km", Cs, Cs))
+    cos = np.einsum("nms,kms->nkm", Xs, Cs) / (xn[:, None, :] * cn[None, :, :])
+    codes = cos.argmax(axis=1)
+    return Cs[codes, np.arange(m)[None, :], :].reshape(n, d), codes
+
+
+def _cent_pdf(C):
+    return pd.DataFrame(
+        {
+            "cent_id": np.arange(len(C), dtype="int64"),
+            "ce": list(C),
+            "cn": np.sqrt(np.einsum("kd,kd->k", C, C)),
+        }
+    )
+
+
+def test_pq_reconstruct_matches_numpy_reference(spark):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(60, 32))
+    C = rng.normal(size=(8, 32))
+    df = spark.createDataFrame(
+        [(i, list(map(float, x))) for i, x in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    got = {
+        r.vec_id: np.array(r.embedding)
+        for r in pq_reconstruct(df, _cent_pdf(C), m=4).collect()
+    }
+    want, codes = _reference(X, C, 4)
+    for i in range(60):
+        assert np.array_equal(got[i], want[i]), i
+    # reconstructions draw from the codebook only: each subspace slice
+    # of every output is exactly one centroid's slice
+    Cs = C.reshape(8, 4, 8)
+    for i in range(60):
+        for mm in range(4):
+            sl = got[i].reshape(4, 8)[mm]
+            assert any(np.array_equal(sl, Cs[k, mm]) for k in range(8))
+
+
+def test_pq_tie_breaks_to_smallest_cent_id(spark):
+    # two identical codebook rows: the tie must resolve to cent_id 0
+    # (the oracle's ORDER BY cos DESC, cent_id) even when the pandas
+    # frame arrives in shuffled cent_id order
+    base = np.arange(16, dtype="float64") + 1.0
+    C = np.stack([base, base, -base])
+    pdf = _cent_pdf(C).iloc[[2, 0, 1]].reset_index(drop=True)
+    df = spark.createDataFrame(
+        [(0, [float(v) for v in base])], "vec_id long, embedding array<double>"
+    )
+    out = pq_reconstruct(df, pdf, m=2).collect()[0]
+    assert np.array_equal(np.array(out.embedding), base)
+
+
+def test_pq_rejects_indivisible_dims(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    C = np.ones((2, 3))
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_reconstruct(df, _cent_pdf(C), m=2)
