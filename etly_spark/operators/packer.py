@@ -86,4 +86,8 @@ def pack_token_sequences(
     )
     if not groups:
         out = out.drop("_pk_g")
-    return out.orderBy(*groups, "seq_no")
+    # No final orderBy: a global sort over every packed sequence would
+    # be a second full-stream exchange, and shard writers don't need a
+    # total order — (group, seq_no) identifies each row; callers that
+    # materialize ordered shards sort explicitly at write time.
+    return out

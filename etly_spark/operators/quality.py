@@ -97,9 +97,12 @@ def solve_weights(st: dict[str, float]) -> tuple[float, float, float]:
     the stats dict in scope; no corpus data touches this path."""
     det = eval(_DET.format(**{k: f"st['{k}']" for k in _NAMES}))  # noqa: S307
     if det == 0.0:
-        raise ValueError(
-            "degenerate feature matrix: need >= 3 distinct (r1, r2) points to train"
-        )
+        # Degenerate corpus (fewer than 3 distinct (r1, r2) points —
+        # e.g. a tiny or homogeneous batch): fall back to the null
+        # model w = 0 instead of failing the whole stage. clf_score
+        # becomes 0.0 and clf_flag fires only when the corpus prior is
+        # itself zero; LR_SOLVE_SQL mirrors this CASE branch verbatim.
+        return 0.0, 0.0, 0.0
     names = {k: f"st['{k}']" for k in _NAMES}
     w0 = eval(_W0.format(det=repr(det), **names))  # noqa: S307
     w1 = eval(_W1.format(det=repr(det), **names))  # noqa: S307
@@ -123,12 +126,20 @@ LR_STATS_SQL = """
          CAST(SUM(CAST(r2 AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS s2y
 """
 
+_DET_SQL = _DET.format(**{k: k for k in _NAMES})
+
+
+def _guarded(expr: str) -> str:
+    """The SQL twin of solve_weights' det == 0 null-model fallback."""
+    return f"CASE WHEN ({_DET_SQL}) = 0 THEN CAST(0 AS DOUBLE) ELSE {expr} END"
+
+
 LR_SOLVE_SQL = (
     "SELECT "
-    + _W0.format(det=_DET.format(**{k: k for k in _NAMES}), **{k: k for k in _NAMES})
+    + _guarded(_W0.format(det=_DET_SQL, **{k: k for k in _NAMES}))
     + " AS w0, "
-    + _W1.format(det=_DET.format(**{k: k for k in _NAMES}), **{k: k for k in _NAMES})
+    + _guarded(_W1.format(det=_DET_SQL, **{k: k for k in _NAMES}))
     + " AS w1, "
-    + _W2.format(det=_DET.format(**{k: k for k in _NAMES}), **{k: k for k in _NAMES})
+    + _guarded(_W2.format(det=_DET_SQL, **{k: k for k in _NAMES}))
     + " AS w2"
 )

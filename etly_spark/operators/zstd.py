@@ -137,6 +137,13 @@ def decompress(data: bytes) -> bytes:
             if outb.pos:
                 chunks.append(dst.raw[: outb.pos])
             if inb.pos >= inb.size:
+                # Input consumed, but ret > 0 with a FULL output buffer
+                # means the decoder still holds flushable data for this
+                # frame (the libzstd contract) — keep draining with the
+                # empty input remainder; only a call that leaves output
+                # space unused has truly flushed everything.
+                if ret != 0 and outb.pos == chunk:
+                    continue
                 break
             if inb.pos == before and outb.pos == 0:
                 raise ValueError("zstd: no progress (corrupt stream)")

@@ -183,20 +183,27 @@ def dedup_lines_incremental(batch: DataFrame, index: DataFrame,
         "_ord", F.col(id_col) * 1000000 + F.col("_ln")
     )
     firsts = lines.groupBy("_h").agg(F.min("_ord").alias("_bfirst"))
-    kept = (
+    marked = (
         lines.join(firsts, "_h")
         .join(index.withColumnRenamed("line_h", "_h"), "_h", "left")
-        .where(
+        .withColumn(
+            "_keep",
             (F.col("first_ord").isNull() & (F.col("_ord") == F.col("_bfirst")))
             # blank separators are structure, not repeated content —
             # never removed (matches etly.DedupLines)
-            | (F.trim("_line") == "")
+            | (F.trim("_line") == ""),
         )
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    # Aggregate over ALL lines (collect_list skips the null structs of
+    # removed lines) so a doc whose every line was removed rebuilds to
+    # '' — while a doc that produced NO lines (null text) gets no row
+    # here, and the final coalesce preserves its null text verbatim.
+    rebuilt = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_keep"), F.struct("_ln", "_line")))
+                ),
                 lambda x: x["_line"],
             ),
             "\n",
@@ -204,7 +211,7 @@ def dedup_lines_incremental(batch: DataFrame, index: DataFrame,
     )
     return (
         batch.join(rebuilt, id_col, "left")
-        .withColumn(text_col, F.coalesce("_rebuilt", F.lit("")))
+        .withColumn(text_col, F.coalesce("_rebuilt", F.col(text_col)))
         .drop("_rebuilt")
     )
 

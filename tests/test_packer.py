@@ -19,7 +19,8 @@ def _pack_reference(docs, seq_len):
 def test_pack_golden_straddle_and_tail(spark):
     docs = [(1, [10, 11, 12]), (2, [20]), (3, [30, 31, 32, 33, 34]), (4, [40, 41])]
     df = spark.createDataFrame(docs, "doc_id long, token_ids array<int>")
-    got = pack_token_sequences(df, seq_len=4).collect()
+    got = sorted(pack_token_sequences(df, seq_len=4).collect(),
+                 key=lambda r: r.seq_no)
     want = _pack_reference(docs, 4)  # [10,11,12,20],[30,31,32,33],[34,40,41]
     assert [list(r.token_ids) for r in got] == want
     assert [r.seq_no for r in got] == [0, 1, 2]
@@ -79,7 +80,10 @@ def test_pack_real_bpe_shard_build(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
     merges = train_bpe(d, n_merges=64)
     enc = bpe_encode(d.select("doc_id", "text"), merges)
-    seqs = pack_token_sequences(enc, seq_len=128, ids_col="tokens").collect()
+    seqs = sorted(
+        pack_token_sequences(enc, seq_len=128, ids_col="tokens").collect(),
+        key=lambda r: r.seq_no,
+    )
     assert seqs, "corpus slice must produce sequences"
     assert all(r.n_tokens == 128 for r in seqs[:-1])
     assert 0 < seqs[-1].n_tokens <= 128

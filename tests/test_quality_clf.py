@@ -203,3 +203,43 @@ def test_quality_score_builtin_config_stage(spark):
     hi = [r for r in rows if r.id % 3 != 0]
     assert min(x.clf_score for x in lo) > max(x.clf_score for x in hi)
     assert all(x.clf_flag for x in lo) and not any(x.clf_flag for x in hi)
+
+
+def test_solve_weights_degenerate_corpus_null_model(spark):
+    """r10 (ADVICE): a homogeneous batch whose rounded (r1, r2)
+    features are all identical yields a singular normal-equations
+    matrix — the solve must fall back to the zero-weight null model
+    (not raise), and the SQL oracle's CASE branch must agree."""
+    import duckdb
+
+    d = spark.createDataFrame(
+        [(i, "same words same words") for i in range(5)],
+        "doc_id long, text string",
+    ).select("doc_id", T.tokens("text").alias("toks"))
+    feats = lr_features(F.col("toks"))
+    stats = lr_stats(
+        d.select(feats["r1"].alias("r1"), feats["r2"].alias("r2"),
+                 feats["y"].alias("y"))
+    )
+    assert solve_weights(stats) == (0.0, 0.0, 0.0)
+
+    con = duckdb.connect()
+    row = con.sql(
+        f"""
+        WITH feat AS (
+          SELECT 0.5 AS r1, 0.5 AS r2, 0 AS y FROM range(5)
+        ), st AS ({LR_STATS_SQL} FROM feat)
+        {LR_SOLVE_SQL} FROM st
+        """
+    ).fetchone()
+    assert row == (0.0, 0.0, 0.0)
+
+    # and the config-addressable stage survives the degenerate corpus
+    import etly_spark.builtins  # noqa: F401  (populates the registry)
+    from etly_spark.registry import transformers
+
+    out = transformers.get("etly.QualityScore")(
+        d.withColumn("text", F.lit("same words same words"))
+    )
+    assert {"clf_score", "clf_flag"} <= set(out.columns)
+    assert out.count() == 5

@@ -174,3 +174,26 @@ def test_streamed_line_index_and_incremental_line_dedup(spark, tmp_path):
     assert got[10] == "novel alpha"            # boiler dropped (index hit)
     assert got[11] == "novel beta"             # alpha lost to doc 10's copy
     release_cache()
+
+
+def test_incremental_line_dedup_null_and_all_removed_semantics(spark):
+    """Null-semantics pins (r10): a null text column passes through as
+    null (never coerced to ''), while a doc whose EVERY line is an
+    index hit rebuilds to '' — the two cases the final coalesce must
+    keep distinct."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.streaming.dedup import dedup_lines_incremental
+
+    idx = spark.createDataFrame(
+        [("x", 1)], "line_h string, first_ord long"
+    ).withColumn("line_h", F.md5(F.lit("seen line").cast("binary")))
+    inc = spark.createDataFrame(
+        [(20, "seen line"), (21, None), (22, "seen line\nkept line")],
+        SCHEMA,
+    )
+    got = {r.doc_id: r.text for r in dedup_lines_incremental(inc, idx).collect()}
+    assert got[20] == ""          # all lines removed -> empty, not null
+    assert got[21] is None        # null text preserved, not ''
+    assert got[22] == "kept line"
+    release_cache()
