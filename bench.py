@@ -33,9 +33,9 @@ def sf_from_dir(sf_dir: str) -> float:
 # the compared-against artifact predates round N, so entries self-expire
 # once the branch is inside the baseline being compared to.
 NEW_BRANCHES: dict[str, str] = {
-    "dedup_exact": "r9:+line-c4+incremental+url-canonical",
+    "dedup_exact": "r10:+spans-remove-exactsubstr",
     "text_quality": "r9:+trained-lr-classifier",
-    "sim_ann_methods": "r9:+clustered-recall+pq8",
+    "sim_ann_methods": "r10:+pq-scaled-codebook-m16",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
     "text_top_terms": "r8:+hosts-url-canonicalization",

@@ -36,6 +36,13 @@ _SQL_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 # counts. ord = doc_id*1e6 + seg_no assumes <1e6 segments per document
 # (documents are bounded; 1e6 segments = 10M tokens) and doc_id < 9.2e12.
 _CHK = "CAST(SUM(CAST({t} AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
+# ExactSubstr excision threshold (spans_remove): cross-doc verbatim
+# spans of >= this many tokens are cut from every occurrence. Lee et
+# al. 2022 use 50 BPE tokens on web corpora; 15 matches this corpus's
+# scale — organic same-vocab overlap tops out ~5 tokens and planted
+# copies run >= 11 (the _SEXACT_FLAG calibration), so 15 excises the
+# planted duplication without shredding organic text.
+_SPANR_T = 15
 _MD5I = "CAST('0x' || substr(md5({x}), 1, 14) AS BIGINT)"
 _URL_SYN = (
     "'HTTPS://WWW.News-' || (doc_id % 7) || '.Example.COM:443/articles/'"
@@ -132,6 +139,39 @@ _URL_CANON = r"""
       FROM line_counts LEFT JOIN inc_chk USING (source)
       WHERE n_units_inc > 0
     ),
+    wr AS (
+      SELECT doc_id, pos, md5(array_to_string(t[pos : pos+{_SPANR_T}-1], ' ')) AS h
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_SPANR_T}+1)) AS pos
+            FROM toks WHERE len(t) >= {_SPANR_T})
+    ),
+    dup_h AS (
+      SELECT h FROM wr GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    starts AS (
+      SELECT doc_id, list(pos) AS ss
+      FROM wr WHERE h IN (SELECT h FROM dup_h) GROUP BY doc_id
+    ),
+    excised AS (
+      -- COALESCE: array_to_string of an EMPTY list is NULL in DuckDB
+      -- where Spark's concat_ws gives '' — a fully-excised doc must
+      -- still contribute md5('') to the checksum on both sides
+      SELECT k.source, len(k.t) AS n_toks, kp,
+             COALESCE(array_to_string(list_transform(kp, p -> k.t[p]), ' '), '') AS txt
+      FROM (
+        SELECT toks.doc_id, toks.source, toks.t,
+               list_filter(generate_series(1, len(toks.t)),
+                 p -> len(list_filter(COALESCE(s.ss, []),
+                          x -> x <= p AND p < x + {_SPANR_T})) = 0) AS kp
+        FROM toks LEFT JOIN starts s ON s.doc_id = toks.doc_id
+      ) k
+    ),
+    spanr_v AS (
+      SELECT 'spans_remove' AS variant, source,
+             CAST(SUM(n_toks) AS BIGINT) AS n_units,
+             CAST(SUM(len(kp)) AS BIGINT) AS n_kept,
+             {_CHK.format(t=_MD5I.format(x="txt"))} AS kept_checksum
+      FROM excised GROUP BY source
+    ),
     url_v AS (
       SELECT 'url' AS variant, source, COUNT(*) AS n_units,
              CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -145,7 +185,7 @@ _URL_CANON = r"""
     SELECT variant, source, n_units, n_kept, n_units - n_kept AS n_removed, kept_checksum
     FROM (SELECT * FROM doc_v UNION ALL SELECT * FROM norm_v
           UNION ALL SELECT * FROM line_v UNION ALL SELECT * FROM inc_v
-          UNION ALL SELECT * FROM url_v)
+          UNION ALL SELECT * FROM spanr_v UNION ALL SELECT * FROM url_v)
     ORDER BY variant, source
     """,
     doc="Exact-dedup family, four tagged variants sharing one keep-first "
@@ -162,7 +202,14 @@ _URL_CANON = r"""
     "document-level canonical-URL dedup (functions/url host+path over "
     "deliberately messy synthesized URLs: case, :443, www., utm query, "
     "fragment): the standard crawl step of collapsing re-fetches of one "
-    "page; kept_checksum sums md5 of the canonical keys kept.",
+    "page; kept_checksum sums md5 of the canonical keys kept. "
+    "spans_remove (r10) — the ExactSubstr ACTION (Lee et al. 2022): "
+    "every cross-document verbatim token span >= 15 tokens excised "
+    "from every occurrence, documents reassembled order-preserving; "
+    "exact via duplicated fixed-T-window coverage (the union of "
+    "duplicated T-windows equals the union of maximal >= T spans); "
+    "units are tokens and kept_checksum gates each doc's post-excision "
+    "bytes.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -285,6 +332,80 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_units") > 0)
     )
 
+    # --- spans_remove variant (r10): ExactSubstr ACTION (Lee et al.
+    # 2022) — excise every cross-document verbatim token span of
+    # length >= _SPANR_T from EVERY occurrence and reassemble the doc
+    # order-preserving. Exactness via fixed-length window hashing: a
+    # token position is inside a maximal cross-doc duplicated span of
+    # length >= T iff it is covered by SOME duplicated T-window (every
+    # T-window of a duplicated span is itself duplicated), so the
+    # union of duplicated T-window extents IS the union of maximal
+    # >= T spans — no suffix machinery needed for the excision rule.
+    # Plan: one T-window explode -> min/max-doc groupBy on the window
+    # hash (cross-doc = endpoints differ; partial-agg collapses hot
+    # windows map-side) -> join back -> per-doc start-list collect ->
+    # a codegen'd higher-order filter rebuilds the kept token stream.
+    # Units are TOKENS (n_units/n_kept count them); kept_checksum sums
+    # md5 over the REBUILT texts so the oracle gates every document's
+    # post-excision bytes exactly.
+    tsr = F.lit(_SPANR_T)
+    wr = toks.where(F.size("t") >= tsr).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - tsr + 1)).alias("pos"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "pos",
+        H.md5_hex(F.concat_ws(" ", F.slice("t", F.col("pos"), _SPANR_T))).alias("_h"),
+    )
+    dup_h = (
+        wr.groupBy("_h")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("_h")
+    )
+    starts = wr.join(dup_h, "_h").groupBy("doc_id").agg(
+        F.collect_set("pos").alias("_ss")
+    )
+    excised = (
+        toks.join(starts, "doc_id", "left")
+        .withColumn("_ss", F.coalesce("_ss", F.array()))
+        .withColumn(
+            # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+            # generate_series(1, 0) is empty — guard the no-token doc
+            "_pos",
+            F.when(F.size("t") > 0, F.sequence(F.lit(1), F.size("t"))).otherwise(
+                F.array().cast("array<int>")
+            ),
+        )
+        .withColumn(
+            "_kp",
+            F.filter(
+                F.col("_pos"),
+                lambda p: ~F.exists(
+                    F.col("_ss"), lambda s: (s <= p) & (p < s + tsr)
+                ),
+            ),
+        )
+        .withColumn(
+            "_txt",
+            F.concat_ws(
+                " ", F.transform(F.col("_kp"), lambda p: F.element_at(F.col("t"), p))
+            ),
+        )
+    )
+    spanr_v = excised.groupBy("source").agg(
+        F.sum(F.size("t")).alias("n_units"),
+        F.sum(F.size("_kp")).alias("n_kept"),
+        chk(md5i(F.col("_txt"))).alias("kept_checksum"),
+    ).select(
+        F.lit("spans_remove").alias("variant"),
+        "source",
+        "n_units",
+        "n_kept",
+        "kept_checksum",
+    )
+
     # --- url variant: canonical (host, path) dedup over messy URLs ---
     from etly_spark.functions.url import url_host, url_path
 
@@ -318,6 +439,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_v.unionByName(norm_v)
         .unionByName(line_v)
         .unionByName(inc_v)
+        .unionByName(spanr_v)
         .unionByName(url_v)
         .withColumn("n_removed", F.col("n_units") - F.col("n_kept"))
         .select(

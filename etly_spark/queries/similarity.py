@@ -505,29 +505,55 @@ ORDER BY query_id, rank
 _SQ8_SQL = _sq8_sql()
 
 
-# Product quantization (FAISS's other compression axis, r9): d=64
-# splits into _PQ_M subspaces of 8 dims; each subvector snaps to its
-# most-cosine-similar slice of a _PQ_K-entry codebook (hash-selected
-# rows, the IVF-centroid rule at k=64 — bounded driver collect; a
-# k-means-trained codebook would recall higher but its iterative float
-# updates cannot be oracle-replicated — measured sweep in STRESS.md),
-# scoring runs symmetric on the reconstructions (the sq8 precedent, so
-# the oracle checks the quantized scores exactly). Codes are _PQ_M
-# bytes/vector vs 64 float32s — a 32x smaller index scan at 100 TB.
-_PQ_M = 8
-_PQ_K = 64
+# Product quantization (FAISS's other compression axis, r9; r10
+# re-dimensioned for scale): d=64 splits into _PQ_M=16 subspaces of 4
+# dims; each subvector snaps to its most cosine-similar slice of a
+# CORPUS-SCALED codebook of k = min(4096, max(64, floor(8*sqrt(N))))
+# hash-selected rows (the IVF-centroid rule, still a bounded driver
+# collect — 4096 x 64 doubles = 2 MiB worst case). r9 shipped m=8 with
+# a FIXED k=64 and measured the honest failure: clustered recall@5
+# 0.80 (sf0.1) -> 0.45 (10x) as 64 codewords diluted over 1250 planted
+# clusters (STRESS.md). The r10 sweep over (m, k, scale) found the
+# fixed-m=8 ceiling at k=256 is 0.70 at 10x, while m=16 with k=8*sqrt(N)
+# holds 0.95 / 0.925 / 0.825 at 1x/10x/20x — finer subspaces cut the
+# per-slice quantization error below the fixture's intra-cluster noise
+# and the sqrt rule keeps codeword ownership tracking cluster count.
+# Codes are _PQ_M x ceil(log2 k)/8 bytes/vector (~16-24 B) vs 64
+# float32s — a 10-16x smaller index scan at 100 TB. Beyond the 4096
+# cap (N > ~260k) dilution resumes by design; the documented scale
+# path there is IVF-sharded PQ (per-cell codebooks), not a bigger
+# driver collect. Scoring stays symmetric on the reconstructions (the
+# sq8 precedent, so the oracle checks the quantized scores exactly).
+_PQ_M = 16
+_PQ_SUB = _SQ_DIM // _PQ_M
+_PQ_K_CAP = 4096
+
+# SQL twin of _pq_k(): FLOOR + CAST truncation mirrors Python's
+# int(math.floor(...)) — CAST(double AS BIGINT) alone would ROUND.
+_PQ_K_SQL = (
+    "LEAST({cap}, GREATEST(64, CAST(FLOOR(8.0 * sqrt(CAST(COUNT(*) AS DOUBLE)))"
+    " AS BIGINT)))"
+).format(cap=_PQ_K_CAP)
+
+
+def _pq_k(n: int) -> int:
+    """Corpus-scaled codebook size: 8*sqrt(N), clamped to [64, 4096]."""
+    import math
+
+    return min(_PQ_K_CAP, max(64, int(math.floor(8.0 * math.sqrt(float(n))))))
 
 
 def _pq_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
     return f"""
 WITH cent AS (
   SELECT vec_id AS cent_id, embedding AS ce FROM {src}
-  ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {_PQ_K}
+  ORDER BY {_CENT_HASH_SQL}, vec_id
+  LIMIT (SELECT {_PQ_K_SQL} FROM {src})
 ), subs AS (
-  SELECT e.vec_id, g.m, e.embedding[g.m*8+1 : g.m*8+8] AS xs
+  SELECT e.vec_id, g.m, e.embedding[g.m*{_PQ_SUB}+1 : g.m*{_PQ_SUB}+{_PQ_SUB}] AS xs
   FROM {src} e CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
 ), subc AS (
-  SELECT cent_id, m, ce[m*8+1 : m*8+8] AS cs
+  SELECT cent_id, m, ce[m*{_PQ_SUB}+1 : m*{_PQ_SUB}+{_PQ_SUB}] AS cs
   FROM cent CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
 ), asn AS (
   SELECT vec_id, m, cent_id,
@@ -568,15 +594,17 @@ def sim_pq(
     """PQ ANN: encode+reconstruct in one Arrow pass (functions.vector
     .pq_reconstruct — codebook in the task closure, ties to smallest
     cent_id matching the oracle), then the standard symmetric brute
-    pipeline over the reconstructions."""
+    pipeline over the reconstructions. The codebook size is corpus-
+    scaled (_pq_k — one count() over the shared persisted frame, the
+    sq8 bounds-collect precedent; capped so the driver collect stays
+    bounded at any N)."""
     base = (
         s.select("vec_id", "embedding")
         if s is not None
         else load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
-    cent_pdf = select_centroids(
-        _normed(base) if s is None else s, k=_PQ_K
-    )
+    nsrc = _normed(base) if s is None else s
+    cent_pdf = select_centroids(nsrc, k=_pq_k(nsrc.count()))
     sq = scoped_persist(
         _normed(V.pq_reconstruct(base, cent_pdf, m=_PQ_M)), eager=False
     )

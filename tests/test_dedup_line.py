@@ -244,3 +244,38 @@ def test_line_variant_first_occurrence_is_document_order(spark, tmp_path):
     }
     assert got[("line", "a")][:2] == (2, 1)
     assert got[("line", "a")][2] == _md5i(A) % P
+
+
+def test_spans_remove_excises_cross_doc_spans(spark, tmp_path):
+    """r10 spans_remove golden: a 20-token cross-doc verbatim span is
+    excised from EVERY occurrence (Lee et al. ExactSubstr action, T=15);
+    a 14-token cross-doc overlap (< T) survives untouched; rebuild is
+    order-preserving and checksum-gated per document."""
+    from etly_spark.queries.dedup import _SPANR_T, dedup_exact
+
+    assert _SPANR_T == 15  # the golden below is calibrated to T=15
+    S = [f"s{i}" for i in range(1, 21)]   # the shared 20-token span
+    U = [f"u{i}" for i in range(1, 6)]
+    Pfx = [f"p{i}" for i in range(1, 6)]
+    V = S[:14] + [f"v{i}" for i in range(1, 7)]   # 14-token overlap only
+    rows = [
+        (0, " ".join(S + U), "en", "a", 0),
+        (7, " ".join(Pfx + S), "en", "b", 0),
+        (91, " ".join(V), "en", "a", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.variant, r.source): (r.n_units, r.n_kept, r.n_removed, r.kept_checksum)
+        for r in dedup_exact(spark, str(tmp_path)).collect()
+    }
+    # src a: doc 0 loses its 20 S-tokens (keeps U); doc 91 intact (< T)
+    assert got[("spans_remove", "a")][:3] == (45, 25, 20)
+    assert got[("spans_remove", "a")][3] == (
+        _md5i(" ".join(U)) + _md5i(" ".join(V))
+    ) % P
+    # src b: doc 7 loses the SAME span (excised from every occurrence)
+    assert got[("spans_remove", "b")][:3] == (25, 5, 20)
+    assert got[("spans_remove", "b")][3] == _md5i(" ".join(Pfx)) % P
