@@ -1048,6 +1048,52 @@ _LABELS_CTE = (
 """
 )
 
+# SemDeDup knobs (semantic variant of dedup_clusters): the near-dup
+# cosine bar matches dedup_embedding_cosine's 0.4 on this corpus; the
+# cell cap bounds the one skewed gram matrix a hot cell could create
+# (cells past it are kept whole — no pairwise signal worth a quadratic
+# scan at that density, the _EC_CAP rationale).
+_SEM_EPS = 0.4
+_SEM_CAP = 256
+
+_SEM_SQL_CTES = f"""
+, es AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x,y) -> x+y)) AS nrm
+  FROM embeddings
+), scent AS (
+  SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM es
+  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+  LIMIT (SELECT LEAST(4096, GREATEST(32,
+           CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) FROM es)
+), sasn AS (
+  SELECT vec_id, embedding, nrm, cent_id FROM (
+    SELECT es.vec_id, es.embedding, es.nrm, c.cent_id,
+           row_number() OVER (PARTITION BY es.vec_id ORDER BY
+             list_reduce(list_transform(generate_series(1, len(es.embedding)),
+                 i -> es.embedding[i]::DOUBLE * c.ce[i]::DOUBLE), (x,y) -> x+y)
+               / (es.nrm * c.cn) DESC, c.cent_id) AS rn
+    FROM es CROSS JOIN scent c) WHERE rn = 1
+), scell AS (
+  SELECT * FROM sasn QUALIFY COUNT(*) OVER (PARTITION BY cent_id) <= {_SEM_CAP}
+), spruned AS (
+  SELECT DISTINCT b.vec_id FROM scell a JOIN scell b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
+        / (a.nrm * b.nrm) >= {_SEM_EPS}
+), sem AS (
+  SELECT cent_id AS cluster_id, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ref_doc,
+         CAST(SUM(CASE WHEN p.vec_id IS NULL
+                       THEN CAST(a.vec_id AS DECIMAL(38,0)) ELSE 0 END)
+              % 1000000007 AS BIGINT) AS ref_chars
+  FROM sasn a LEFT JOIN spruned p ON p.vec_id = a.vec_id
+  GROUP BY cent_id
+)
+"""
+
 _CLUSTERS_SQL = _LABELS_CTE + """
 , summary AS (
   SELECT label AS cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS ref_doc
@@ -1064,12 +1110,14 @@ _CLUSTERS_SQL = _LABELS_CTE + """
          MAX(CASE WHEN rn = 1 THEN doc_id END) AS ref_doc,
          MAX(CASE WHEN rn = 1 THEN n_chars END) AS ref_chars
   FROM ranked GROUP BY label
-)
+)""" + _SEM_SQL_CTES + """
 SELECT 'summary' AS variant, cluster_id, n_docs, ref_doc,
        CAST(-1 AS BIGINT) AS ref_chars
 FROM summary
 UNION ALL
 SELECT 'keeper', cluster_id, n_docs, ref_doc, ref_chars FROM keepers
+UNION ALL
+SELECT 'semantic', cluster_id, n_docs, ref_doc, ref_chars FROM sem
 ORDER BY variant, cluster_id
 """
 
@@ -1087,7 +1135,14 @@ ORDER BY variant, cluster_id
     "sentinel). keeper — the decision a dedup pipeline actually emits: "
     "per cluster keep the longest document (ties to smallest doc_id), "
     "picked by one window over (cluster, n_chars) with the tiny label "
-    "table broadcast into the documents join.",
+    "table broadcast into the documents join. semantic (r10) — SemDeDup "
+    "(Abbas et al. 2023), the embedding-space complement: corpus-scaled "
+    "coarse cells (k = clamp(sqrt(N), 32, 4096), hash-selected + cosine "
+    "argmax — the proven IVF assignment kernel), within-cell cosine >= "
+    "0.4 prunes the larger vec_id (BLAS gram per cell, hot cells capped "
+    "at 256 and kept whole); per cell n_docs / n_kept(ref_doc) / "
+    "mod-prime kept-set checksum(ref_chars) — total gram work ~N^1.5, "
+    "never all-pairs.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.operators.graph import connected_components
@@ -1139,7 +1194,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_top.n_chars").alias("ref_chars"),
         )
     )
-    return summary.unionByName(keepers).orderBy("variant", "cluster_id")
+    # --- semantic variant (r10): SemDeDup (Abbas et al. 2023) — the
+    # embedding-space complement of the MinHash graph above. Cluster
+    # the embedding corpus into corpus-scaled cells (k = clamp(sqrt(N),
+    # 32, 4096) coarse centroids — the same hash-selection +
+    # cosine-argmax assignment the IVF rows prove cross-engine), then
+    # within each cell prune every vector that has a >= _SEM_EPS cosine
+    # neighbor with a smaller vec_id (keep-first; one BLAS gram per
+    # cell via bucket_pair_scores — no pair join materialized). Cells
+    # over _SEM_CAP are skipped (kept whole): with k ~ sqrt(N) the
+    # expected cell is sqrt(N) docs, so total gram work is ~N^1.5 —
+    # SemDeDup's own regime — and the cap bounds the worst skewed cell
+    # (the _EC_CAP precedent). Output per cell: n_docs = members,
+    # ref_doc = n_kept, ref_chars = mod-prime sum of KEPT vec_ids (an
+    # integer-exact checksum gating the exact kept set).
+    import math
+
+    from etly_spark.functions import vector as V
+    from etly_spark.queries.similarity import _normed, select_centroids
+
+    e = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")), eager=False)
+    k_sem = min(4096, max(32, int(math.floor(math.sqrt(float(e.count()))))))
+    asn = V.assign_nearest(e, select_centroids(e, k=k_sem), out_col="bucket")
+    cell_ok = (
+        asn.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") <= _SEM_CAP)
+        .select("bucket")
+    )
+    prn = (
+        V.bucket_pair_scores(asn.join(F.broadcast(cell_ok), "bucket"),
+                             threshold=_SEM_EPS)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_p", F.lit(1))
+    )
+    sem = (
+        asn.join(prn, "vec_id", "left")
+        .groupBy(F.col("bucket").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("ref_doc"),
+            (
+                F.sum(
+                    F.when(F.col("_p").isNull(), F.col("vec_id")).otherwise(0)
+                ).cast("decimal(38,0)")
+                % F.lit(1000000007)
+            )
+            .cast("bigint")
+            .alias("ref_chars"),
+        )
+        .select(
+            F.lit("semantic").alias("variant"),
+            "cluster_id",
+            "n_docs",
+            "ref_doc",
+            "ref_chars",
+        )
+    )
+    return (
+        summary.unionByName(keepers)
+        .unionByName(sem)
+        .orderBy("variant", "cluster_id")
+    )
 
 
 # ExactSubstr-style repeated-span detection (the Lee et al. 2021

@@ -555,17 +555,28 @@ WITH cent AS (
 ), subc AS (
   SELECT cent_id, m, ce[m*{_PQ_SUB}+1 : m*{_PQ_SUB}+{_PQ_SUB}] AS cs
   FROM cent CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
-), asn AS (
+), sc AS (
+  -- slim scalar scores only: the N*m*k pair stream must never carry
+  -- the subvector payloads into a sort — the row_number formulation
+  -- sort-spilled DuckDB's temp disk at the 10x corpus once k became
+  -- corpus-scaled. Two streaming hash aggregates replace the window:
+  -- max cos per (vec, m), then min cent_id among the argmax rows
+  -- (identical to ORDER BY cos DESC, cent_id LIMIT 1).
   SELECT vec_id, m, cent_id,
-         row_number() OVER (PARTITION BY vec_id, m ORDER BY
-           {_sql_dot('xs', 'cs')}
-             / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) DESC,
-           cent_id) AS rn
+         {_sql_dot('xs', 'cs')}
+           / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) AS cos
   FROM subs JOIN subc USING (m)
+), best AS (
+  SELECT vec_id, m, MAX(cos) AS bc FROM sc GROUP BY vec_id, m
+), asn AS (
+  SELECT sc.vec_id, sc.m, MIN(sc.cent_id) AS cent_id
+  FROM sc JOIN best ON best.vec_id = sc.vec_id AND best.m = sc.m
+                   AND sc.cos = best.bc
+  GROUP BY sc.vec_id, sc.m
 ), rec AS (
   SELECT a.vec_id, flatten(list(c.cs ORDER BY a.m)) AS embedding
   FROM asn a JOIN subc c ON c.m = a.m AND c.cent_id = a.cent_id
-  WHERE a.rn = 1 GROUP BY a.vec_id
+  GROUP BY a.vec_id
 ), s AS (
   SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM rec
 ), q AS (

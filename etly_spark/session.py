@@ -46,14 +46,21 @@ BUILD_CONFS: dict[str, str] = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Ignored in local[] mode (the driver JVM is the executor); sizes
+    # the per-JVM heap under local-cluster / standalone masters.
+    "spark.executor.memory": os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "3g"),
 }
 
 
 def get_spark(app_name: str = "etly_spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # SPARK_GRAFT_MASTER overrides the whole master URL — the
+    # local-cluster[2,N,M] serialization proof (separate executor JVMs
+    # + Python workers) runs the standard tools unchanged through it.
+    default_master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name).master(
-        master or f"local[{cpus}]"
+        master or default_master
     )
     for k, v in BUILD_CONFS.items():
         builder = builder.config(k, v)

@@ -279,3 +279,42 @@ def test_spans_remove_excises_cross_doc_spans(spark, tmp_path):
     # src b: doc 7 loses the SAME span (excised from every occurrence)
     assert got[("spans_remove", "b")][:3] == (25, 5, 20)
     assert got[("spans_remove", "b")][3] == _md5i(" ".join(Pfx)) % P
+
+
+def test_semantic_semdedup_prunes_within_cell(spark, tmp_path):
+    """r10 SemDeDup golden (dedup_clusters 'semantic' variant): two
+    identical embeddings share a cell (tie-break to the smaller
+    cent_id) and the larger vec_id is pruned; an orthogonal vector
+    keeps its own cell untouched. Checksums gate the exact kept set."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StringType, StructField, StructType,
+    )
+
+    from etly_spark.queries.dedup import dedup_clusters
+
+    A = [1.0] + [0.0] * 63
+    B = [0.0, 1.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [(1, A, 0), (2, A, 0), (3, B, 0)],
+        StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", LongType()),
+        ]),
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "a", 16), (2, "delta epsilon zeta", "en", "a", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    sem = {
+        r.cluster_id: (r.n_docs, r.ref_doc, r.ref_chars)
+        for r in dedup_clusters(spark, str(tmp_path)).collect()
+        if r.variant == "semantic"
+    }
+    # cell 1 = {vec 1, vec 2}: identical vectors, vec 2 pruned
+    assert sem[1] == (2, 1, 1)
+    # cell 3 = {vec 3}: orthogonal, kept whole
+    assert sem[3] == (1, 1, 3)

@@ -1,0 +1,142 @@
+"""Cross-JVM serialization proof (r10, VERDICT item 3).
+
+local[32] runs every Python worker and task inside ONE JVM/process
+tree, so it never exercises what a 1000-executor cluster lives on:
+closure pickling across processes, executor-side ctypes re-binding
+(libzstd/libwebp load inside each executor's Python workers), staged
+temp-view access from a second JVM, Arrow batch transfer over real
+sockets, and standalone-master scheduling. These tests run the REAL
+tools under ``local-cluster[2,8,3200]`` — two separate executor JVMs —
+to convert those assumptions into a pinned check.
+
+Opt-in (slow: ~3-8 min): ``ETLY_LOCAL_CLUSTER=1 pytest
+tests/test_local_cluster.py``; set ``ETLY_LOCAL_CLUSTER=full`` to sweep
+the whole 50-row catalog instead of the representative subset.
+r10 session evidence: the FULL catalog passed 50/50 hash-identical
+under local-cluster (43 rows in one app + the 7 text rows re-run after
+sizing spark.executor.memory — the 1g default OOM-churned executors,
+which is why session.py now pins 3g).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_MODE = os.environ.get("ETLY_LOCAL_CLUSTER", "")
+pytestmark = pytest.mark.skipif(
+    not _MODE, reason="opt-in: set ETLY_LOCAL_CLUSTER=1 (or 'full')"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MASTER = "local-cluster[2,8,3200]"
+
+# One row per distinct execution machinery: plain agg, window top-k,
+# staged sketch index, segment explode + reassembly (spans_remove),
+# CC loop + SemDeDup gram cells, BLAS/PQ mapInPandas + bounded
+# collects, suffix-sort mapInPandas + boundary collect, executor-side
+# pure-python codecs, per-line dispatch, event-time windows.
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_topk_orders",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_clusters",
+    "sim_ann_methods",
+    "text_curation_split",
+    "mm_binary_metadata",
+    "etly_type_dispatch",
+    "q19_event_time_windows",
+]
+
+
+def _env() -> dict[str, str]:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_MASTER"] = MASTER
+    # executor Python workers are forked by SEPARATE worker JVMs and
+    # must find the package without the driver's sys.path
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def test_catalog_hash_identical_across_jvms():
+    args = [] if _MODE == "full" else SUBSET
+    proc = subprocess.run(
+        [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.01", *args],
+        cwd=REPO,
+        env=_env(),
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    assert proc.returncode == 0, f"exit {proc.returncode}: {tail}\n{proc.stderr[-2000:]}"
+    assert ", 0 fail, " in tail, tail
+
+
+_PIPELINE_PAYLOAD = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["ETLY_REPO"])
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+from etly_spark import registry
+from etly_spark.config import TransferConfig
+from etly_spark.meta import Meta
+from etly_spark.pipeline import DONE, NOOP, TransferService
+from etly_spark.session import get_spark
+
+registry.schemas.register("lc.Log1", StructType(
+    [StructField("Id", LongType()), StructField("Name", StringType()),
+     StructField("Type", StringType())]))
+
+@registry.transformers.register("lc.Log1ToLog2")
+def _t(df):
+    return [F.col("Id").alias("Key"),
+            F.concat_ws("/", F.col("Name"), F.col("Type")).alias("Value")]
+
+work = os.environ["ETLY_LC_WORK"]
+src = os.path.join(work, "in"); os.makedirs(src)
+open(os.path.join(src, "f1.log"), "w").write(
+    '{"Id":1,"Name":"a","Type":"x"}\n{"corrupt\n{"Id":2,"Name":"b","Type":"y"}\n')
+open(os.path.join(src, "f2.log"), "w").write('{"Id":3,"Name":"c","Type":"x"}\n')
+os.makedirs(os.path.join(work, "out"))
+cfg = {"Transfers": [{
+    "Name": "lc-smoke",
+    "Source": {"Name": f"file://{work}/in", "Type": "url",
+               "DataFormat": "ndjson", "DataType": "lc.Log1"},
+    "Target": {"Name": f"file://{work}/out/<mod:2>_<file>", "Type": "url",
+               "DataFormat": "ndjson"},
+    "Meta": {"Name": f"file://{work}/out/meta.json"},
+    "Transformer": "lc.Log1ToLog2", "MaxParallelTransfers": 2,
+    "MaxTransfers": 10}]}
+p = os.path.join(work, "transfer.json"); open(p, "w").write(json.dumps(cfg))
+spark = get_spark("lc-pipeline")
+svc = TransferService(spark)
+r = svc.run(TransferConfig.from_json(p).transfers[0])
+assert r.status == DONE, r.error
+meta = Meta.load(os.path.join(work, "out", "meta.json"))
+assert sum(m.record_processed for m in meta.processed.values()) == 3
+assert len(meta.errors) == 1
+r2 = svc.run(TransferConfig.from_json(p).transfers[0])
+assert r2.status == NOOP, r2.status
+print("PIPELINE-LC-OK")
+"""
+
+
+def test_pipeline_e2e_across_jvms(tmp_path):
+    env = _env()
+    env["ETLY_REPO"] = REPO
+    env["ETLY_LC_WORK"] = str(tmp_path / "lcwork")
+    proc = subprocess.run(
+        [sys.executable, "-c", _PIPELINE_PAYLOAD],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PIPELINE-LC-OK" in proc.stdout
