@@ -1,0 +1,136 @@
+"""Composed continuous-crawl chain (streaming/chain.py, r10): warc
+stream -> wet -> line dedup vs the accumulated index -> docs sink +
+line-index fold + per-host rollup state, all in ONE checkpointed
+query — plus the exactly-once replay proof (re-invoking an epoch's
+fold, as Spark does on retry, changes NOTHING)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from etly_spark.operators import incremental_agg as IA
+from etly_spark.operators.warc import encode_warc
+from etly_spark.streaming.chain import (
+    ROLLUP_SPEC,
+    fold_epoch,
+    read_corpus,
+    start_crawl_corpus_stream,
+)
+
+BOILER = ("all rights reserved contact us terms privacy policy "
+          "copyright twenty twenty six example news network")
+
+
+def _resp(uri: str, text: str) -> tuple[dict, bytes]:
+    body = f"<html><body><p>{text.replace(chr(10), '</p><p>')}</p></body></html>".encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    return (
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:uuid:ch-{abs(hash(uri)) % 10**8}>",
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "WARC-Target-URI": uri,
+            "Content-Type": "application/http; msgtype=response",
+        },
+        http,
+    )
+
+
+def _dirs(tmp_path):
+    return dict(
+        docs_dir=str(tmp_path / "docs"),
+        index_dir=str(tmp_path / "lidx"),
+        state_dir=str(tmp_path / "state"),
+    )
+
+
+def test_chain_dedups_across_epochs_and_rolls_up(spark, tmp_path):
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    # shard 1 (epoch 0): doc A owns the boilerplate line; doc B unique
+    (crawl / "s1.warc.gz").write_bytes(
+        encode_warc(
+            [
+                _resp("https://a.example.com/1", "intro paragraph one with plenty of meaningful words to survive "
+                      "main text extraction\n" + BOILER),
+                _resp("https://b.example.com/2", "body paragraph two also carries enough distinct words to be kept whole"),
+            ],
+            per_record_gzip=True,
+        )
+    )
+    # shard 2 (epoch 1): repeats the boiler line + a fresh line
+    (crawl / "s2.warc.gz").write_bytes(
+        encode_warc(
+            [_resp("https://a.example.com/3", BOILER + "\nfresh paragraph three with plenty of new words nobody wrote before")],
+            per_record_gzip=True,
+        )
+    )
+    d = _dirs(tmp_path)
+    q = start_crawl_corpus_stream(
+        spark,
+        str(crawl),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        **d,
+    )
+    q.awaitTermination(120)
+
+    docs = {r.uri: r.text for r in read_corpus(spark, d["docs_dir"]).collect()}
+    # html extraction joins <p> blocks as lines; the index-accumulated
+    # boiler line is dropped from the LATER epoch's doc only
+    assert BOILER in docs["https://a.example.com/1"]
+    assert "intro paragraph one" in docs["https://a.example.com/1"]
+    assert BOILER not in docs["https://a.example.com/3"]
+    assert "fresh paragraph three" in docs["https://a.example.com/3"]
+    assert docs["https://b.example.com/2"] == "body paragraph two also carries enough distinct words to be kept whole"
+
+    _, merges = IA.rollup_plan(ROLLUP_SPEC)
+    state = {
+        r.host: (r.n_docs, r.kept_chars)
+        for r in IA.read(spark, d["state_dir"], keys=["host"], merges=merges).collect()
+    }
+    assert state["a.example.com"][0] == 2
+    assert state["b.example.com"][0] == 2 - 1
+    # kept_chars counts POST-dedup text (doc 3 lost the boiler line)
+    assert state["a.example.com"][1] == len(docs["https://a.example.com/1"]) + len(
+        docs["https://a.example.com/3"]
+    )
+
+    # ---- exactly-once replay: re-invoke the LAST epoch's fold with
+    # the same (batch, epoch_id), exactly what Spark does on a retry
+    from etly_spark.sources.storage import warc_records
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .load(str(crawl / "s2.warc.gz"))
+        .select("path", "modificationTime", "length", "content")
+    )
+    before = {
+        "docs": sorted(docs.items()),
+        "state": sorted(state.items()),
+        "idx": sorted(
+            (r.line_h, r.first_ord)
+            for r in spark.read.parquet(d["index_dir"]).drop("epoch").collect()
+        ),
+    }
+    fold_epoch(warc_records(bin_df, main=True), 1, **d)
+    docs2 = {r.uri: r.text for r in read_corpus(spark, d["docs_dir"]).collect()}
+    state2 = {
+        r.host: (r.n_docs, r.kept_chars)
+        for r in IA.read(spark, d["state_dir"], keys=["host"], merges=merges).collect()
+    }
+    idx2 = sorted(
+        (r.line_h, r.first_ord)
+        for r in spark.read.parquet(d["index_dir"]).drop("epoch").collect()
+    )
+    assert sorted(docs2.items()) == before["docs"]
+    assert sorted(state2.items()) == before["state"]
+    assert idx2 == before["idx"]
+    # and the replayed doc is STILL deduped (it did not probe its own
+    # epoch's index contribution and resurrect the boiler line drop)
+    assert BOILER not in docs2["https://a.example.com/3"]
