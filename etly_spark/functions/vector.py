@@ -277,15 +277,28 @@ def pq_reconstruct(
         [StructField(id_col, LongType()), StructField(vec_col, _ARR_D)]
     )
 
+    # Row-blocked scoring: the (rows, k, m) cosine tensor is the only
+    # super-linear allocation in the encode path — with the r10
+    # corpus-scaled codebook (k up to 4096) a 10k-row Arrow batch would
+    # materialize ~5 GiB per task. Cap the block so the tensor stays
+    # ~64 MiB regardless of k; argmax semantics are per-row, so
+    # blocking is bit-identical to the whole-batch form.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blk = max(1, int(8_000_000 / (k * m)))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = _rows(pdf[vec_col]).reshape(len(pdf), m, sub)
             xn = np.sqrt(np.einsum("nms,nms->nm", X, X))
-            cos = np.einsum("nms,kms->nkm", X, Cs) / (xn[:, None, :] * cn[None, :, :])
-            codes = cos.argmax(axis=1)  # (n, m); first max = smallest cent_id
-            rec = Cs[codes, np.arange(m)[None, :], :].reshape(len(pdf), d)
+            recs = []
+            for lo in range(0, len(pdf), blk):
+                Xb, xb = X[lo : lo + blk], xn[lo : lo + blk]
+                cos = np.einsum("nms,kms->nkm", Xb, Cs) / (
+                    xb[:, None, :] * cn[None, :, :]
+                )
+                codes = cos.argmax(axis=1)  # (n, m); first max = smallest cent_id
+                recs.append(Cs[codes, np.arange(m)[None, :], :].reshape(len(Xb), d))
+            rec = np.concatenate(recs) if len(recs) > 1 else recs[0]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64").to_numpy(),
