@@ -34,6 +34,7 @@ def sf_from_dir(sf_dir: str) -> float:
 # once the branch is inside the baseline being compared to.
 NEW_BRANCHES: dict[str, str] = {
     "dedup_exact": "r10:+spans-remove-exactsubstr",
+    "dedup_clusters": "r10:+semdedup-semantic",
     "text_quality": "r9:+trained-lr-classifier",
     "sim_ann_methods": "r10:+pq-scaled-codebook-m16",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
