@@ -345,6 +345,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash (cross-doc = endpoints differ; partial-agg collapses hot
     # windows map-side) -> join back -> per-doc start-list collect ->
     # a codegen'd higher-order filter rebuilds the kept token stream.
+    # The filter is O(doc_len x dup_starts) per doc — fine at any
+    # realistic doc length; a fully-duplicated 100k-token doc would
+    # want the starts folded to merged coverage intervals first (a
+    # sort + one list fold, SQL-expressible) — the known upgrade if a
+    # corpus ever hits that shape.
     # Units are TOKENS (n_units/n_kept count them); kept_checksum sums
     # md5 over the REBUILT texts so the oracle gates every document's
     # post-excision bytes exactly.

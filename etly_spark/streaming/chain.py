@@ -1,4 +1,4 @@
-"""Composed continuous-crawl chain (r10, VERDICT item 6).
+"""Composed continuous-crawl chain (r10).
 
 Each streaming PIECE (warc source, first-occurrence line index,
 durable rollups) has its own e2e test; this module chains them into
