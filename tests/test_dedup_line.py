@@ -318,3 +318,60 @@ def test_semantic_semdedup_prunes_within_cell(spark, tmp_path):
     assert sem[1] == (2, 1, 1)
     # cell 3 = {vec 3}: orthogonal, kept whole
     assert sem[3] == (1, 1, 3)
+
+
+def test_spans_remove_matches_python_reference(spark, tmp_path):
+    """spans_remove vs a single-machine reference on a random corpus
+    with planted verbatim spans: per-source token counts and the
+    post-excision text checksums must agree exactly (the line-rules
+    precedent, applied to the r10 ExactSubstr action)."""
+    import random
+
+    from etly_spark.queries.dedup import _SPANR_T, dedup_exact
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(400)]
+    planted = [rng.choice(vocab) for _ in range(_SPANR_T + 7)]  # 22-token span
+    short = [rng.choice(vocab) for _ in range(_SPANR_T - 1)]    # sub-threshold
+    rows = []
+    for doc_id in range(36):
+        n = rng.randrange(0, 50)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if doc_id % 5 == 0:  # plant the long span at a random offset
+            at = rng.randrange(0, len(toks) + 1)
+            toks = toks[:at] + planted + toks[at:]
+        if doc_id % 7 == 0:  # plant the sub-threshold overlap
+            toks = short + toks
+        rows.append((doc_id, " ".join(toks), "en", f"s{doc_id % 3}", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # ---- single-machine reference ----
+    T = _SPANR_T
+    occ = {}  # window tuple -> set of doc_ids
+    toks_of = {d: (t.split() if t else []) for d, t, *_ in rows}
+    for d, t in toks_of.items():
+        for i in range(len(t) - T + 1):
+            occ.setdefault(tuple(t[i : i + T]), set()).add(d)
+    want = {}
+    for d, text, _, src, _ in rows:
+        t = toks_of[d]
+        cut = set()
+        for i in range(len(t) - T + 1):
+            if len(occ[tuple(t[i : i + T])]) >= 2:
+                cut.update(range(i, i + T))
+        kept = [tok for p, tok in enumerate(t) if p not in cut]
+        nu, nk, chk = want.get(src, (0, 0, 0))
+        want[src] = (
+            nu + len(t),
+            nk + len(kept),
+            (chk + _md5i(" ".join(kept))) % P,
+        )
+
+    got = {
+        r.source: (r.n_units, r.n_kept, r.kept_checksum)
+        for r in dedup_exact(spark, str(tmp_path)).collect()
+        if r.variant == "spans_remove"
+    }
+    assert got == want
