@@ -140,8 +140,14 @@ def _quality_score_trained(df):
     )
     w0, w1, w2 = solve_weights(stats)
     clf_raw = F.lit(w0) + F.lit(w1) * feats["r1"] + F.lit(w2) * feats["r2"]
+    # sy > 0 conjunct (r10): on a zero-prior corpus (no doc trips the
+    # weak label — includes every det==0 null-model batch) the weights
+    # are exactly 0 and score*n >= 0 would flag EVERY doc, silently
+    # emptying downstream NOT-clf_flag filters; such corpora flag none.
     return df.withColumn("clf_score", F.round(clf_raw, 6)).withColumn(
-        "clf_flag", clf_raw * F.lit(stats["n"]) >= F.lit(2.0) * F.lit(stats["sy"])
+        "clf_flag",
+        (clf_raw * F.lit(stats["n"]) >= F.lit(2.0) * F.lit(stats["sy"]))
+        & F.lit(stats["sy"] > 0),
     )
 
 

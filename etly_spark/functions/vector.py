@@ -293,9 +293,15 @@ def pq_reconstruct(
             recs = []
             for lo in range(0, len(pdf), blk):
                 Xb, xb = X[lo : lo + blk], xn[lo : lo + blk]
-                cos = np.einsum("nms,kms->nkm", Xb, Cs) / (
-                    xb[:, None, :] * cn[None, :, :]
-                )
+                num = np.einsum("nms,kms->nkm", Xb, Cs)
+                den = xb[:, None, :] * cn[None, :, :]
+                # zero-norm subvector (all-zero slice): cosine is
+                # undefined — both engines pin it to -2.0 so argmax
+                # falls back to the smallest cent_id instead of
+                # numpy picking a NaN index while SQL drops the row
+                # (the oracle's CASE WHEN ... = 0 THEN -2 twin)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den > 0, num / np.where(den > 0, den, 1.0), -2.0)
                 codes = cos.argmax(axis=1)  # (n, m); first max = smallest cent_id
                 recs.append(Cs[codes, np.arange(m)[None, :], :].reshape(len(Xb), d))
             rec = np.concatenate(recs) if len(recs) > 1 else recs[0]

@@ -1241,9 +1241,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("ref_doc"),
             (
+                # cast per-TERM (the chk() rule): a raw BIGINT sum of
+                # large ids could overflow under ANSI before the cast
                 F.sum(
-                    F.when(F.col("_p").isNull(), F.col("vec_id")).otherwise(0)
-                ).cast("decimal(38,0)")
+                    F.when(F.col("_p").isNull(), F.col("vec_id"))
+                    .otherwise(0)
+                    .cast("decimal(38,0)")
+                )
                 % F.lit(1000000007)
             )
             .cast("bigint")

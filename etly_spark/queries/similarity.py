@@ -562,9 +562,15 @@ WITH cent AS (
   -- corpus-scaled. Two streaming hash aggregates replace the window:
   -- max cos per (vec, m), then min cent_id among the argmax rows
   -- (identical to ORDER BY cos DESC, cent_id LIMIT 1).
+  -- zero-norm subvector: cosine undefined -> pinned to -2 on BOTH
+  -- engines (argmax/MAX then falls to the smallest cent_id) — a NULL
+  -- here would silently DROP the (vec_id, m) from the equi-join below
+  -- and truncate the reconstructed vector
   SELECT vec_id, m, cent_id,
-         {_sql_dot('xs', 'cs')}
-           / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) AS cos
+         CASE WHEN sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')}) = 0
+              THEN -2.0
+              ELSE {_sql_dot('xs', 'cs')}
+                / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) END AS cos
   FROM subs JOIN subc USING (m)
 ), best AS (
   SELECT vec_id, m, MAX(cos) AS bc FROM sc GROUP BY vec_id, m

@@ -154,7 +154,7 @@ _SQL_STOP = _sql_marker_hits(T.STOPWORDS)
            top_token_frac > 0.2 OR top_bigram_frac > 0.18 AS repetitive,
            round(w.w0 + w.w1 * round(diversity, 6) + w.w2 * round(stop_c, 6), 6) AS clf_score,
            (w.w0 + w.w1 * round(diversity, 6) + w.w2 * round(stop_c, 6)) * st.n
-             >= 2.0 * st.sy AS clf_flag
+             >= 2.0 * st.sy AND st.sy > 0 AS clf_flag
     FROM c JOIN rep ON c.doc_id = rep.doc_id CROSS JOIN w CROSS JOIN st
     ORDER BY c.doc_id
     """,
@@ -221,11 +221,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_bg, 6).alias("top_bigram_frac"),
         ((top_tok > 0.2) | (top_bg > 0.18)).alias("repetitive"),
         F.round(clf_raw, 6).alias("clf_score"),
-        # flag at 2x the corpus prior, division-free (score*n >= 2*sy):
-        # one extra double multiply, no rounding step to mismatch
-        (clf_raw * F.lit(stats["n"]) >= F.lit(2.0) * F.lit(stats["sy"])).alias(
-            "clf_flag"
-        ),
+        # flag at 2x the corpus prior, division-free (score*n >= 2*sy);
+        # the sy > 0 conjunct keeps a zero-prior corpus (no doc trips
+        # the weak label, so the least-squares weights are exactly 0
+        # and score*n >= 0 would flag EVERYTHING) flag-free — r10,
+        # mirrored by the oracle's AND st.sy > 0
+        (
+            (clf_raw * F.lit(stats["n"]) >= F.lit(2.0) * F.lit(stats["sy"]))
+            & F.lit(stats["sy"] > 0)
+        ).alias("clf_flag"),
     ).orderBy("doc_id")
 
 

@@ -40,8 +40,11 @@ def _doc_id(col: F.Column) -> F.Column:
     """Deterministic numeric doc identity from the record URI. 10 hex
     digits (2^40): the line-index ord encoding is doc_id*1e6 + line_no,
     so ids must stay under 2^63/1e6 ≈ 2^43 — 14 digits overflowed ANSI
-    multiplication. A 2^40 collision merely merges two docs' first-
-    occurrence priority, never corrupts the rebuilt text."""
+    multiplication. Distinct URIs colliding at 2^40 WOULD interleave
+    their rebuilds (fold_epoch guarantees one row per uri, which
+    removes the real-world duplicate-fetch case; the residual hash-
+    collision odds are ~n²/2^41 per batch — one in ~2M for a 1k-doc
+    micro-batch)."""
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 10), 16, 10).cast("long")
 
 
@@ -79,9 +82,23 @@ def fold_epoch(
 
     partial_cols, merges = IA.rollup_plan(ROLLUP_SPEC)
     sp = bdf.sparkSession
+    # One row per URI before dedup: a shard carrying the same URL
+    # fetched twice would otherwise share a doc_id and the per-doc
+    # rebuild would interleave both texts. The survivor is the
+    # smallest-md5 content — DETERMINISTIC, so a replayed epoch picks
+    # the same row (dropDuplicates would not).
     docs = (
         bdf.where(F.col("text").isNotNull() & (F.col("text") != ""))
-        .select("uri", "text")
+        .groupBy("uri")
+        .agg(
+            F.min(
+                F.struct(
+                    F.md5(F.col("text").cast("binary")).alias("_k"),
+                    F.col("text").alias("text"),
+                )
+            ).alias("_t")
+        )
+        .select("uri", F.col("_t.text").alias("text"))
         .withColumn("doc_id", _doc_id(F.col("uri")))
     )
     # probe BEFORE contributing (see module doc); persist: the deduped

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from etly_spark.config import TransferConfig  # noqa: E402
 from etly_spark.pipeline import DONE, TransferService  # noqa: E402
 from etly_spark.session import get_spark  # noqa: E402
+from etly_spark.streaming.chain import _doc_id as _chain_doc_id  # noqa: E402
 
 DECONTAM_NGRAM = 4
 DECONTAM_FRAC = 0.5  # drop docs with > 50% eval 4-gram overlap
@@ -61,12 +62,17 @@ def synth_crawl(spark, src: str, crawl_dir: str, n_shards: int) -> dict:
     )
 
     def build(it):
+        from pyspark import TaskContext
+
         from etly_spark.operators.htmltext import escape_html_text
         from etly_spark.operators.warc import encode_warc
 
-        recs, shard_id = [], None
+        # name the shard by PARTITION id: repartition hash-routes the
+        # mod expression, so several mod-groups can share a partition —
+        # naming by the first row's mod value would collide filenames
+        shard_id = TaskContext.get().partitionId()
+        recs = []
         for row in it:
-            shard_id = int(row.doc_id) % n_shards if shard_id is None else shard_id
             page = (
                 "<!DOCTYPE html><html><head><title>doc "
                 f"{row.doc_id}</title></head><body><div><p>"
@@ -98,11 +104,11 @@ def synth_crawl(spark, src: str, crawl_dir: str, n_shards: int) -> dict:
                 f.write(data)
             yield (shard_id, len(recs), len(data))
 
-    stats = (
-        docs.repartition(n_shards, (F.col("doc_id") % n_shards))
-        .rdd.mapPartitions(build)
-        .collect()
-    )
+    # round-robin, NOT repartition(n, doc_id % n): hashing n distinct
+    # mod values into n buckets leaves ~n/e partitions empty (observed:
+    # 20 shards of a requested 32), skewing the per-shard parallelism
+    # this synthesis exists to exercise
+    stats = docs.repartition(n_shards).rdd.mapPartitions(build).collect()
     return {
         "docs": sum(s[1] for s in stats),
         "bytes": sum(s[2] for s in stats),
@@ -230,7 +236,7 @@ def main() -> None:
         )
 
     doc_keyed = curated.withColumn(
-        "doc_id", F.conv(F.substring(F.md5(F.col("uri").cast("binary")), 1, 14), 16, 10).cast("long")
+        "doc_id", _chain_doc_id(F.col("uri"))
     )
     clean = doc_keyed.withColumn("_ov", overlap(grams(T.tokens("text")))).where(
         F.col("_ov") <= DECONTAM_FRAC
