@@ -36,7 +36,7 @@ NEW_BRANCHES: dict[str, str] = {
     "dedup_exact": "r10:+spans-remove-exactsubstr",
     "dedup_clusters": "r10:+semdedup-semantic",
     "text_quality": "r9:+trained-lr-classifier",
-    "sim_ann_methods": "r10:+pq-scaled-codebook-m16",
+    "sim_ann_methods": "r10:+pq-scaled-codebook+ivfpq",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
     "text_top_terms": "r8:+hosts-url-canonicalization",

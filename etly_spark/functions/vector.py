@@ -245,6 +245,78 @@ def assign_nearest(
     return corpus.mapInPandas(assign, schema)
 
 
+def ivfpq_reconstruct(
+    corpus: DataFrame,
+    cb_pdf: pd.DataFrame,
+    *,
+    m: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF-sharded product quantization (r10): encode+reconstruct each
+    vector against ITS COARSE CELL's own codebook — the scale path past
+    a single global codebook. ``cb_pdf`` holds (cell, cb_id, ce): the
+    per-cell hash-selected codeword rows (k_c ~ 8*sqrt(cell_n), so the
+    whole structure is still one bounded driver collect while per-
+    vector encode work drops from 8*sqrt(N) to 8*sqrt(N/cells) dots).
+    Same contracts as pq_reconstruct: cosine assignment per subspace,
+    ties to the smallest cb_id, zero-norm cosines pinned to -2.0, row-
+    blocked scoring tensor. Input must carry ``cell_col`` (the
+    assign_nearest output)."""
+    import numpy as np
+
+    books: dict[int, tuple] = {}
+    d = None
+    for cell, grp in cb_pdf.groupby(cell_col):
+        order = np.argsort(grp["cb_id"].to_numpy(dtype="int64"), kind="stable")
+        C = _rows(grp["ce"])[order]
+        k, d = C.shape
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        Cs = np.ascontiguousarray(C.reshape(k, m, d // m))
+        books[int(cell)] = (Cs, np.sqrt(np.einsum("kms,kms->km", Cs, Cs)))
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(vec_col, _ARR_D)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _rows(pdf[vec_col])
+            sub = X.shape[1] // m
+            Xs = X.reshape(len(pdf), m, sub)
+            xn = np.sqrt(np.einsum("nms,nms->nm", Xs, Xs))
+            rec = np.empty_like(X)
+            cells = pdf[cell_col].to_numpy(dtype="int64")
+            for cell in np.unique(cells):
+                Cs, cn = books[int(cell)]
+                k = Cs.shape[0]
+                idx = np.flatnonzero(cells == cell)
+                blk = max(1, int(8_000_000 / (k * m)))
+                for lo in range(0, len(idx), blk):
+                    ii = idx[lo : lo + blk]
+                    num = np.einsum("nms,kms->nkm", Xs[ii], Cs)
+                    den = xn[ii][:, None, :] * cn[None, :, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(
+                            den > 0, num / np.where(den > 0, den, 1.0), -2.0
+                        )
+                    codes = cos.argmax(axis=1)
+                    rec[ii] = Cs[codes, np.arange(m)[None, :], :].reshape(
+                        len(ii), X.shape[1]
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    vec_col: list(rec),
+                }
+            )
+
+    return corpus.select(id_col, vec_col, cell_col).mapInPandas(run, schema)
+
+
 def pq_reconstruct(
     corpus: DataFrame,
     cent_pdf: pd.DataFrame,

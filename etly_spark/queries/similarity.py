@@ -631,6 +631,149 @@ def sim_pq(
     return _topk(scored, 5)
 
 
+# IVF-sharded PQ (r10): the measured scale path PAST the global
+# corpus-scaled codebook. The design sweep (STRESS.md r10) shows the
+# global 8*sqrt(N) rule sliding 0.925 -> 0.825 from 10x to 20x, while
+# per-CELL codebooks with k_c = clamp(8*sqrt(cell_n), 16, 1024) hold
+# recall@5 at 0.95 flat across both — codeword ownership tracks local
+# cluster count — and per-vector encode work drops to 8*sqrt(N/cells)
+# dots. Total codebook = sum k_c ~ 8*sqrt(N*cells): still one bounded
+# driver collect (32k rows hard cap at 32 cells). Residual (FAISS
+# IVFPQ) quantization was measured WORSE here (0.45-0.625) — residuals
+# destroy the angular structure cosine scoring ranks by — so encoding
+# stays on the raw subvectors.
+_IVFPQ_KC_SQL = (
+    "LEAST(1024, GREATEST(16, CAST(FLOOR(8.0 * sqrt(CAST({n} AS DOUBLE)))"
+    " AS BIGINT)))"
+)
+
+
+def _ivfpq_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
+), cent AS (
+  SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s
+  ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {K_CENTROIDS}
+), acell AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT s.vec_id, s.embedding, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) DESC,
+                        c.cent_id) AS rn
+    FROM s CROSS JOIN cent c) WHERE rn = 1
+), cb AS (
+  SELECT cell, vec_id AS cb_id, embedding AS ce FROM (
+    SELECT a.*, row_number() OVER (PARTITION BY cell
+               ORDER BY {_CENT_HASH_SQL}, vec_id) AS crn,
+           COUNT(*) OVER (PARTITION BY cell) AS cn_
+    FROM acell a)
+  WHERE crn <= {_IVFPQ_KC_SQL.format(n='cn_')}
+), subs AS (
+  SELECT a.vec_id, a.cell, g.m,
+         a.embedding[g.m*{_PQ_SUB}+1 : g.m*{_PQ_SUB}+{_PQ_SUB}] AS xs
+  FROM acell a CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+), subc AS (
+  SELECT cell, cb_id, m, ce[m*{_PQ_SUB}+1 : m*{_PQ_SUB}+{_PQ_SUB}] AS cs
+  FROM cb CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+), sc AS (
+  SELECT vec_id, m, cb_id,
+         CASE WHEN sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')}) = 0
+              THEN -2.0
+              ELSE {_sql_dot('xs', 'cs')}
+                / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) END AS cos
+  FROM subs JOIN subc USING (cell, m)
+), best AS (
+  SELECT vec_id, m, MAX(cos) AS bc FROM sc GROUP BY vec_id, m
+), asn AS (
+  SELECT sc.vec_id, sc.m, MIN(sc.cb_id) AS cb_id
+  FROM sc JOIN best ON best.vec_id = sc.vec_id AND best.m = sc.m
+                   AND sc.cos = best.bc
+  GROUP BY sc.vec_id, sc.m
+), rec AS (
+  SELECT a.vec_id, flatten(list(c.cs ORDER BY a.m)) AS embedding
+  FROM asn a
+  JOIN acell ac ON ac.vec_id = a.vec_id
+  JOIN subc c ON c.cell = ac.cell AND c.m = a.m AND c.cb_id = a.cb_id
+  GROUP BY a.vec_id
+), rs AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM rec
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM rs WHERE {qwhere}
+), scored AS (
+  SELECT q.query_id, rs.vec_id AS neighbor_id,
+         {_sql_dot('q.qe', 'rs.embedding')} / (q.qn * rs.nrm) AS cos_sim
+  FROM q JOIN rs ON rs.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def sim_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+) -> DataFrame:
+    """IVF-sharded PQ: coarse-assign (the proven IVF kernel), select a
+    per-cell hash codebook with the BANDED rank (no window on the
+    32-value cell key — the hostcap de-skew machinery), one bounded
+    collect of all cells' codewords, then one Arrow encode+reconstruct
+    pass routed per cell (functions.vector.ivfpq_reconstruct) and the
+    standard symmetric scoring."""
+    from etly_spark.operators.prefix import banded_row_number
+
+    base = (
+        s.select("vec_id", "embedding")
+        if s is not None
+        else load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    nsrc = _normed(base) if s is None else s
+    asn = V.assign_nearest(
+        nsrc.select("vec_id", "embedding", "nrm"),
+        select_centroids(nsrc),
+        out_col="cell",
+    )
+    kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    ranked = banded_row_number(
+        asn.withColumn("_kh", kh),
+        ["cell"],
+        F.floor(F.col("_kh") / F.lit(2097152)),  # 2048 hash bands, monotone
+        [F.col("_kh"), F.col("vec_id")],
+        "_crn",
+    )
+    csz = asn.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
+    kc = F.least(
+        F.lit(1024),
+        F.greatest(
+            F.lit(16),
+            F.floor(F.lit(8.0) * F.sqrt(F.col("_cn").cast("double"))).cast("long"),
+        ),
+    )
+    cb_pdf = (
+        ranked.join(F.broadcast(csz), "cell")
+        .where(F.col("_crn") <= kc)
+        .select("cell", F.col("vec_id").alias("cb_id"), F.col("embedding").alias("ce"))
+        .toPandas()
+    )
+    rec = scoped_persist(
+        _normed(V.ivfpq_reconstruct(asn, cb_pdf, m=_PQ_M, cell_col="cell")),
+        eager=False,
+    )
+    scored = V.matmul_scores(rec, _query_pdf(rec, qwhere)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _topk(scored, 5)
+
+
 def _recall_sql(tag: str, approx_sql: str, bf_sql: str | None = None) -> str:
     """recall@5 accounting row: per query, how many of brute's exact
     top-5 the approximate method recovered. neighbor_id carries the hit
@@ -710,6 +853,8 @@ SELECT 'sq8' AS method, * FROM ({_SQ8_SQL})
 UNION ALL
 SELECT 'pq8' AS method, * FROM ({_pq_sql()})
 UNION ALL
+SELECT 'ivfpq' AS method, * FROM ({_ivfpq_sql()})
+UNION ALL
 {_recall_sql('lsh', _LSH_SQL)}
 UNION ALL
 {_recall_sql('ivf', _IVF_SQL)}
@@ -718,6 +863,8 @@ UNION ALL
 UNION ALL
 {_recall_sql('pq8', _pq_sql())}
 UNION ALL
+{_recall_sql('ivfpq', _ivfpq_sql())}
+UNION ALL
 {_recall_sql('lsh_c', _lsh_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
 UNION ALL
 {_recall_sql('ivf_c', _ivf_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
@@ -725,6 +872,8 @@ UNION ALL
 {_recall_sql('sq8_c', _sq8_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
 UNION ALL
 {_recall_sql('pq8_c', _pq_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
+UNION ALL
+{_recall_sql('ivfpq_c', _ivfpq_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
 ORDER BY method, query_id, rank
 """
 
@@ -753,8 +902,17 @@ ORDER BY method, query_id, rank
     "quantization (the FAISS compression workhorse): 8 subspaces x 8 "
     "dims, 64-entry hash-selected codebook (bounded collect), encode+"
     "reconstruct in ONE Arrow pass (functions.vector.pq_reconstruct), "
-    "symmetric scoring on reconstructions — codes are 8 bytes/vector, "
-    "a 32x smaller index scan at 100 TB. recall_{lsh,ivf,sq8,pq8} rows "
+    "symmetric scoring on reconstructions — codes are ~16-24 "
+    "bytes/vector, a 10-16x smaller index scan at 100 TB; ivfpq (r10) "
+    "— IVF-sharded PQ, the scale path past one global codebook: each "
+    "coarse cell carries its own hash-selected codebook (k_c = "
+    "clamp(8*sqrt(cell_n), 16, 1024), selected with the BANDED rank — "
+    "no window on the 32-value cell key), so codeword ownership tracks "
+    "LOCAL cluster count and clustered recall@5 holds 0.95 FLAT at "
+    "10x and 20x where the global rule slides 0.925 -> 0.825 "
+    "(STRESS.md sweep; residual/IVFPQ-style encoding measured WORSE "
+    "under cosine and is deliberately not used). "
+    "recall_{lsh,ivf,sq8,pq8,ivfpq} rows "
     "(r8) account each approximate method against brute's exact top-5 "
     "per query — neighbor_id carries the hit count, cos_sim the "
     "recall@5 — so the quality of the only-runnable-at-100TB plans is "
@@ -790,6 +948,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
     sq8 = _keep(sim_sq8(spark, sf_dir, s))
     pq8 = _keep(sim_pq(spark, sf_dir, s))
+    ivfpq = _keep(sim_ivfpq(spark, sf_dir, s))
 
     def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
@@ -849,6 +1008,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq8_c = _keep(sim_sq8(spark, sf_dir, cb, qwhere=_QC_WHERE))
     pq8_c = _keep(sim_pq(spark, sf_dir, cb, qwhere=_QC_WHERE))
+    ivfpq_c = _keep(sim_ivfpq(spark, sf_dir, cb, qwhere=_QC_WHERE))
 
     tagged = [
         brute.select(F.lit("brute").alias("method"), "*"),
@@ -857,14 +1017,17 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_hard_negatives(spark, sf_dir, s, q_pdf).select(F.lit("hardneg").alias("method"), "*"),
         sq8.select(F.lit("sq8").alias("method"), "*"),
         pq8.select(F.lit("pq8").alias("method"), "*"),
+        ivfpq.select(F.lit("ivfpq").alias("method"), "*"),
         recall_rows(lsh, "lsh"),
         recall_rows(ivf, "ivf"),
         recall_rows(sq8, "sq8"),
         recall_rows(pq8, "pq8"),
+        recall_rows(ivfpq, "ivfpq"),
         recall_rows(lsh_c, "lsh_c", brute_c),
         recall_rows(ivf_c, "ivf_c", brute_c),
         recall_rows(sq8_c, "sq8_c", brute_c),
         recall_rows(pq8_c, "pq8_c", brute_c),
+        recall_rows(ivfpq_c, "ivfpq_c", brute_c),
     ]
     out = tagged[0]
     for t in tagged[1:]:

@@ -79,3 +79,44 @@ def test_pq_rejects_indivisible_dims(spark):
     C = np.ones((2, 3))
     with pytest.raises(ValueError, match="not divisible"):
         pq_reconstruct(df, _cent_pdf(C), m=2)
+
+
+def test_ivfpq_reconstruct_routes_per_cell(spark):
+    """r10 kernel pin: each vector must encode against ITS cell's
+    codebook only — verified against a per-cell numpy reference, with
+    a deliberate cross-cell decoy (a codeword in cell 1 that would win
+    cell 0's argmax if routing leaked)."""
+    from etly_spark.functions.vector import ivfpq_reconstruct
+
+    rng = np.random.default_rng(11)
+    m, d = 4, 16
+    X = rng.normal(size=(40, d))
+    cells = (np.arange(40) % 2).astype("int64")
+    # cell 1's codebook gets exact copies of cell-0 vectors (the decoy):
+    # a routing leak would snap cell-0 rows to them with cos == 1
+    cb0 = rng.normal(size=(5, d))
+    cb1 = np.vstack([X[cells == 0][:3], rng.normal(size=(4, d))])
+    cb_pdf = pd.DataFrame(
+        {
+            "cell": [0] * 5 + [1] * 7,
+            "cb_id": list(range(5)) + list(range(100, 107)),
+            "ce": list(cb0) + list(cb1),
+        }
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(40, dtype="int64"), "embedding": list(X), "cell": cells}
+        )
+    )
+    got = {
+        r.vec_id: np.array(r.embedding)
+        for r in ivfpq_reconstruct(df, cb_pdf, m=m).collect()
+    }
+    for cell, CB in ((0, cb0), (1, cb1)):
+        idx = np.flatnonzero(cells == cell)
+        ref, _ = _reference(X[idx], CB, m)
+        for j, i in enumerate(idx):
+            assert np.allclose(got[i], ref[j]), f"vec {i} (cell {cell})"
+    # and the decoy really is a perfect self-match INSIDE cell 1
+    first_c1 = int(np.flatnonzero(cells == 1)[0])
+    assert not np.allclose(got[0], X[0])  # cell-0 row didn't reach the decoy
