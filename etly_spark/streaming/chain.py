@@ -53,12 +53,21 @@ def read_line_index_before(
 ) -> DataFrame:
     """The accumulated line index from epochs STRICTLY BEFORE ``epoch``
     (replay safety: a re-run micro-batch must not probe its own failed
-    attempt's contribution). Empty-safe for the first epoch."""
+    attempt's contribution). Empty-safe for the first epoch.
+
+    Compaction-safe: compact_signature_index folds drained epochs into
+    ``epoch=_compacted-NNNNNN`` segments, which makes the partition
+    column a STRING — a naive ``epoch < N`` would string-compare and
+    silently EXCLUDE the whole compacted history. Segments can never
+    hold the current epoch (compaction requires a drained stream), so
+    the rule is: keep every non-numeric partition, filter numeric ones
+    by try_cast < epoch."""
     if not glob.glob(os.path.join(index_dir, "epoch=*")):
         return spark.createDataFrame([], "line_h string, first_ord long")
+    epl = F.expr("try_cast(epoch AS BIGINT)")
     return (
         spark.read.parquet(index_dir)
-        .where(F.col("epoch") < epoch)
+        .where(epl.isNull() | (epl < F.lit(epoch)))
         .drop("epoch")
         .groupBy("line_h")
         .agg(F.min("first_ord").alias("first_ord"))

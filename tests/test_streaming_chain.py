@@ -134,3 +134,32 @@ def test_chain_dedups_across_epochs_and_rolls_up(spark, tmp_path):
     # and the replayed doc is STILL deduped (it did not probe its own
     # epoch's index contribution and resurrect the boiler line drop)
     assert BOILER not in docs2["https://a.example.com/3"]
+
+
+def test_index_probe_survives_compaction(spark, tmp_path):
+    """read_line_index_before after compact_signature_index: the
+    compacted segment makes the epoch partition a STRING — the probe
+    must keep ALL segment rows (they predate any live epoch) while
+    still excluding the current epoch's own loose dir."""
+    import hashlib
+
+    from etly_spark.streaming.chain import read_line_index_before
+    from etly_spark.streaming.dedup import compact_signature_index
+
+    idx = tmp_path / "lidx"
+
+    def _write(epoch, line, ord_):
+        h = hashlib.md5(line.encode()).hexdigest()
+        spark.createDataFrame(
+            [(h, ord_)], "line_h string, first_ord long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(idx / f"epoch={epoch}"))
+
+    for e in range(4):
+        _write(e, f"old line {e}", 1000 + e)
+    compact_signature_index(str(idx), threshold=2)  # folds 0..3 into a segment
+    assert any("_compacted" in d for d in __import__("os").listdir(idx))
+    _write(7, "loose line seven", 7007)
+    _write(8, "current epoch eight", 8008)
+
+    got = {r.first_ord for r in read_line_index_before(spark, str(idx), 8).collect()}
+    assert got == {1000, 1001, 1002, 1003, 7007}  # segment + epoch 7, NOT 8
