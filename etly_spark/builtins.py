@@ -299,6 +299,85 @@ def _dedup_lines_enricher(df, ctx):
     return _dedup_lines(df)
 
 
+@registry.transformers.register("etly.RemoveSpans")
+def _remove_spans(df):
+    """ExactSubstr ACTION as a pipeline stage (r10 — Lee et al. 2022):
+    excise every cross-document verbatim token span >= 15 tokens from
+    EVERY occurrence in the batch and reassemble `text` order-
+    preserving (whitespace-normalized: tokens rejoin with single
+    spaces). Exact via duplicated fixed-T-window coverage — the union
+    of duplicated T-windows equals the union of maximal >= T spans
+    (the dedup_exact 'spans_remove' rule, config-addressable). A doc
+    whose every token is excised keeps an empty text; gate afterwards
+    with etly.QualityGate if unwanted. Identity keys on md5(text), so
+    the decision is a pure function of content (deterministic at any
+    partitioning) and identical documents excise identically; the
+    window groupBy is map-side-combinable on a high-NDV hash."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.queries.dedup import _SPANR_T
+
+    tsr = F.lit(_SPANR_T)
+    th = F.md5(F.col("text").cast("binary"))
+    texts = (
+        df.select(th.alias("_th"), "text")
+        .dropDuplicates(["_th"])
+        .withColumn("_t", F.split(F.trim(F.col("text")), "\\s+"))
+    )
+    wr = texts.where(F.size("_t") >= tsr).select(
+        "_th",
+        F.explode(F.sequence(F.lit(1), F.size("_t") - tsr + 1)).alias("_pos"),
+        F.col("_t"),
+    ).select(
+        "_th",
+        "_pos",
+        F.md5(F.concat_ws(" ", F.slice("_t", F.col("_pos"), _SPANR_T)).cast("binary")).alias("_h"),
+    )
+    # cross-DOC duplication: the same window inside ONE document (a
+    # within-doc repeat) does not excise — min/max over distinct doc
+    # hashes
+    dup_h = (
+        wr.groupBy("_h")
+        .agg(F.min("_th").alias("_a"), F.max("_th").alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select("_h")
+    )
+    starts = wr.join(dup_h, "_h").groupBy("_th").agg(
+        F.collect_set("_pos").alias("_ss")
+    )
+    rebuilt = (
+        texts.join(starts, "_th", "left")
+        .withColumn("_ss", F.coalesce("_ss", F.array()))
+        .withColumn(
+            "_pos_all",
+            F.when(F.size("_t") > 0, F.sequence(F.lit(1), F.size("_t"))).otherwise(
+                F.array().cast("array<int>")
+            ),
+        )
+        .select(
+            "_th",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.col("_pos_all"),
+                        lambda p: ~F.exists(
+                            F.col("_ss"), lambda s: (s <= p) & (p < s + tsr)
+                        ),
+                    ),
+                    lambda p: F.element_at(F.col("_t"), p),
+                ),
+            ).alias("_rebuilt"),
+        )
+    )
+    return (
+        df.withColumn("_th", th)
+        .join(rebuilt, "_th", "left")
+        .withColumn("text", F.coalesce("_rebuilt", F.col("text")))
+        .drop("_th", "_rebuilt")
+    )
+
+
 @registry.transformers.register("etly.NormalizeText")
 def _normalize_text(df):
     """Canonicalize the `text` column in place (lowercase, collapse

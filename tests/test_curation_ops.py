@@ -250,3 +250,32 @@ def test_mix_thresholds_match_duckdb_fold_order():
         ).fetchall()
         want = {lang: thr for lang, thr in rows}
         assert mix_thresholds(counts) == want, counts
+
+
+def test_remove_spans_builtin_stage(spark):
+    """etly.RemoveSpans (r10): the ExactSubstr action as a config-
+    addressable transformer — a >= 15-token span shared by two docs is
+    cut from BOTH, a within-doc repeat is NOT cut (cross-doc rule),
+    other columns ride through, and identical docs excise identically."""
+    import etly_spark.builtins  # noqa: F401
+    from etly_spark.registry import transformers
+
+    S = " ".join(f"s{i}" for i in range(20))
+    U = " ".join(f"u{i}" for i in range(6))
+    P = " ".join(f"p{i}" for i in range(6))
+    rep = " ".join(f"r{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (1, f"{S} {U}", "a"),
+            (2, f"{P} {S}", "b"),
+            (3, f"{rep} {rep}", "c"),   # within-doc repeat only
+            (4, f"{S} {U}", "d"),       # identical to doc 1
+        ],
+        "doc_id long, text string, tag string",
+    )
+    out = {r.doc_id: (r.text, r.tag) for r in
+           transformers.get("etly.RemoveSpans")(df).collect()}
+    assert out[1] == (U, "a")
+    assert out[2] == (P, "b")
+    assert out[3] == (f"{rep} {rep}", "c")  # no cross-doc partner
+    assert out[4] == (U, "d")
