@@ -647,6 +647,26 @@ _IVFPQ_KC_SQL = (
     " AS BIGINT)))"
 )
 
+# Coarse-cell count, ALSO corpus-scaled (FAISS's nlist ~ sqrt(N) rule;
+# the r10 30x probe measured the fixed-32-cell layer as the next
+# dilution source — 0.95 -> 0.90 once cells hold ~117 clusters each).
+# clamp(sqrt(N)/8, 32, 1024): identical to the fixed 32 below N=65k
+# (every prior artifact unchanged), 39 cells at the 50x probe, capped
+# at 1024 so assignment stays one broadcast matmul. Past the cap the
+# codebook collect (~cells * 8*sqrt(N/cells) rows) eventually wants
+# the staged-artifact form instead of a driver pandas — the
+# ivf_assignments precedent, documented, not needed at tested scales.
+_IVFPQ_CELLS_SQL = (
+    "LEAST(1024, GREATEST(32, CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) / 8.0)"
+    " AS BIGINT)))"
+)
+
+
+def _ivfpq_cells(n: int) -> int:
+    import math
+
+    return min(1024, max(32, int(math.floor(math.sqrt(float(n)) / 8.0))))
+
 
 def _ivfpq_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
     return f"""
@@ -654,7 +674,8 @@ WITH s AS (
   SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
 ), cent AS (
   SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s
-  ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {K_CENTROIDS}
+  ORDER BY {_CENT_HASH_SQL}, vec_id
+  LIMIT (SELECT {_IVFPQ_CELLS_SQL} FROM s)
 ), acell AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT s.vec_id, s.embedding, c.cent_id AS cell,
@@ -737,7 +758,7 @@ def sim_ivfpq(
     nsrc = _normed(base) if s is None else s
     asn = V.assign_nearest(
         nsrc.select("vec_id", "embedding", "nrm"),
-        select_centroids(nsrc),
+        select_centroids(nsrc, k=_ivfpq_cells(nsrc.count())),
         out_col="cell",
     )
     kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
