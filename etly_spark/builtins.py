@@ -304,71 +304,33 @@ def _remove_spans(df):
     """ExactSubstr ACTION as a pipeline stage (r10 — Lee et al. 2022):
     excise every cross-document verbatim token span >= 15 tokens from
     EVERY occurrence in the batch and reassemble `text` order-
-    preserving (whitespace-normalized: tokens rejoin with single
-    spaces). Exact via duplicated fixed-T-window coverage — the union
-    of duplicated T-windows equals the union of maximal >= T spans
-    (the dedup_exact 'spans_remove' rule, config-addressable). A doc
-    whose every token is excised keeps an empty text; gate afterwards
-    with etly.QualityGate if unwanted. Identity keys on md5(text), so
-    the decision is a pure function of content (deterministic at any
-    partitioning) and identical documents excise identically; the
-    window groupBy is map-side-combinable on a high-NDV hash."""
+    preserving. Shares the dedup_exact 'spans_remove' kernel
+    (queries/dedup.excise_dup_spans), keyed on md5(text) with a
+    multiplicity column — so the decision is a pure function of
+    content (deterministic at any partitioning), identical documents
+    excise identically, and — true to ExactSubstr — a document that is
+    an EXACT duplicate of another is fully excised on BOTH copies (its
+    whole text is a cross-doc repeated span; run whole-doc dedup first
+    to keep one copy). A window repeated only WITHIN one unique
+    document does not excise. Documents with no excision pass through
+    BYTE-IDENTICAL; excised documents rebuild whitespace-normalized
+    (tokens rejoin with single spaces). A doc whose every token is
+    excised keeps an empty text; gate afterwards with
+    etly.QualityGate if unwanted."""
     from pyspark.sql import functions as F
 
-    from etly_spark.queries.dedup import _SPANR_T
+    from etly_spark.queries.dedup import excise_dup_spans
 
-    tsr = F.lit(_SPANR_T)
     th = F.md5(F.col("text").cast("binary"))
     texts = (
         df.select(th.alias("_th"), "text")
-        .dropDuplicates(["_th"])
+        .groupBy("_th")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("text").alias("text"))
         .withColumn("_t", F.split(F.trim(F.col("text")), "\\s+"))
     )
-    wr = texts.where(F.size("_t") >= tsr).select(
-        "_th",
-        F.explode(F.sequence(F.lit(1), F.size("_t") - tsr + 1)).alias("_pos"),
-        F.col("_t"),
-    ).select(
-        "_th",
-        "_pos",
-        F.md5(F.concat_ws(" ", F.slice("_t", F.col("_pos"), _SPANR_T)).cast("binary")).alias("_h"),
-    )
-    # cross-DOC duplication: the same window inside ONE document (a
-    # within-doc repeat) does not excise — min/max over distinct doc
-    # hashes
-    dup_h = (
-        wr.groupBy("_h")
-        .agg(F.min("_th").alias("_a"), F.max("_th").alias("_b"))
-        .where(F.col("_a") != F.col("_b"))
-        .select("_h")
-    )
-    starts = wr.join(dup_h, "_h").groupBy("_th").agg(
-        F.collect_set("_pos").alias("_ss")
-    )
-    rebuilt = (
-        texts.join(starts, "_th", "left")
-        .withColumn("_ss", F.coalesce("_ss", F.array()))
-        .withColumn(
-            "_pos_all",
-            F.when(F.size("_t") > 0, F.sequence(F.lit(1), F.size("_t"))).otherwise(
-                F.array().cast("array<int>")
-            ),
-        )
-        .select(
-            "_th",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.filter(
-                        F.col("_pos_all"),
-                        lambda p: ~F.exists(
-                            F.col("_ss"), lambda s: (s <= p) & (p < s + tsr)
-                        ),
-                    ),
-                    lambda p: F.element_at(F.col("_t"), p),
-                ),
-            ).alias("_rebuilt"),
-        )
+    ex = excise_dup_spans(texts, "_th", t_col="_t", cnt_col="_cnt")
+    rebuilt = ex.where(F.size("_ss") > 0).select(
+        "_th", F.col("_txt").alias("_rebuilt")
     )
     return (
         df.withColumn("_th", th)

@@ -237,7 +237,15 @@ def assign_nearest(
                 continue
             emb = _rows(pdf[vec_col])
             nrm = pdf[norm_col].to_numpy(dtype="float64")
-            cos = (emb @ C.T) / (nrm[:, None] * cn[None, :])
+            den = nrm[:, None] * cn[None, :]
+            # zero-norm vector or centroid: cosine undefined — pin to
+            # -2.0 like the PQ kernels (numpy argmax would otherwise
+            # return the first NaN index and WIN for every vector,
+            # while the SQL twin's CASE yields -2 / sorts it last)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(
+                    den > 0, (emb @ C.T) / np.where(den > 0, den, 1.0), -2.0
+                )
             out = pdf.copy()
             out[out_col] = cids[cos.argmax(axis=1)]
             yield out

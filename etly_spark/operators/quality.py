@@ -100,8 +100,9 @@ def solve_weights(st: dict[str, float]) -> tuple[float, float, float]:
         # Degenerate corpus (fewer than 3 distinct (r1, r2) points —
         # e.g. a tiny or homogeneous batch): fall back to the null
         # model w = 0 instead of failing the whole stage. clf_score
-        # becomes 0.0 and clf_flag fires only when the corpus prior is
-        # itself zero; LR_SOLVE_SQL mirrors this CASE branch verbatim.
+        # becomes 0.0, and because every flag site conjoins sy > 0
+        # (the r10 zero-prior guard), clf_flag never fires under the
+        # null model; LR_SOLVE_SQL mirrors this CASE branch verbatim.
         return 0.0, 0.0, 0.0
     names = {k: f"st['{k}']" for k in _NAMES}
     w0 = eval(_W0.format(det=repr(det), **names))  # noqa: S307

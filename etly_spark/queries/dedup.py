@@ -43,6 +43,89 @@ _CHK = "CAST(SUM(CAST({t} AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
 # copies run >= 11 (the _SEXACT_FLAG calibration), so 15 excises the
 # planted duplication without shredding organic text.
 _SPANR_T = 15
+
+
+def excise_dup_spans(
+    units,
+    key_col: str,
+    *,
+    t_col: str = "t",
+    T: int = _SPANR_T,
+    cnt_col: str | None = None,
+):
+    """Shared ExactSubstr-action kernel (the dedup_exact 'spans_remove'
+    rule, also consumed by the etly.RemoveSpans pipeline stage): mark
+    and excise every cross-unit duplicated T-token window. A position
+    is excised iff covered by a duplicated T-window — the union of
+    duplicated T-windows equals the union of maximal >= T duplicated
+    spans. Returns ``units`` plus `_ss` (duplicated window starts),
+    `_kp` (kept positions) and `_txt` (kept tokens rejoined with
+    single spaces).
+
+    Duplication rule: a window occurring under >= 2 distinct keys —
+    or, when ``cnt_col`` names a multiplicity column (content-keyed
+    callers, where one key stands for several identical documents),
+    under one key whose multiplicity is >= 2 (true ExactSubstr: every
+    copy of an exact-duplicate document is itself cross-doc repeated).
+
+    Plan: one T-window explode -> endpoint groupBy on the window hash
+    (partial-agg collapses hot windows map-side) -> join back ->
+    per-unit start-list collect -> a codegen'd higher-order filter.
+    The filter is O(len x dup_starts) per unit; a fully-duplicated
+    100k-token doc would want the starts folded to merged coverage
+    intervals first (a sort + one list fold, SQL-expressible) — the
+    known upgrade if a corpus ever hits that shape."""
+    tsr = F.lit(T)
+    carry = [cnt_col] if cnt_col else []
+    wr = units.where(F.size(t_col) >= tsr).select(
+        key_col,
+        *carry,
+        F.explode(F.sequence(F.lit(1), F.size(t_col) - tsr + 1)).alias("pos"),
+        F.col(t_col),
+    ).select(
+        key_col,
+        *carry,
+        "pos",
+        H.md5_hex(F.concat_ws(" ", F.slice(t_col, F.col("pos"), T))).alias("_h"),
+    )
+    aggs = [F.min(key_col).alias("_mn"), F.max(key_col).alias("_mx")]
+    cond = F.col("_mn") != F.col("_mx")
+    if cnt_col:
+        aggs.append(F.max(cnt_col).alias("_mc"))
+        cond = cond | (F.col("_mc") >= 2)
+    dup_h = wr.groupBy("_h").agg(*aggs).where(cond).select("_h")
+    starts = wr.join(dup_h, "_h").groupBy(key_col).agg(
+        F.collect_set("pos").alias("_ss")
+    )
+    return (
+        units.join(starts, key_col, "left")
+        .withColumn("_ss", F.coalesce("_ss", F.array()))
+        .withColumn(
+            # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+            # generate_series(1, 0) is empty — guard the no-token unit
+            "_pos",
+            F.when(
+                F.size(t_col) > 0, F.sequence(F.lit(1), F.size(t_col))
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "_kp",
+            F.filter(
+                F.col("_pos"),
+                lambda p: ~F.exists(
+                    F.col("_ss"), lambda s: (s <= p) & (p < s + tsr)
+                ),
+            ),
+        )
+        .withColumn(
+            "_txt",
+            F.concat_ws(
+                " ",
+                F.transform(F.col("_kp"), lambda p: F.element_at(F.col(t_col), p)),
+            ),
+        )
+        .drop("_pos")
+    )
 _MD5I = "CAST('0x' || substr(md5({x}), 1, 14) AS BIGINT)"
 _URL_SYN = (
     "'HTTPS://WWW.News-' || (doc_id % 7) || '.Example.COM:443/articles/'"
@@ -353,52 +436,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Units are TOKENS (n_units/n_kept count them); kept_checksum sums
     # md5 over the REBUILT texts so the oracle gates every document's
     # post-excision bytes exactly.
-    tsr = F.lit(_SPANR_T)
-    wr = toks.where(F.size("t") >= tsr).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("t") - tsr + 1)).alias("pos"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "pos",
-        H.md5_hex(F.concat_ws(" ", F.slice("t", F.col("pos"), _SPANR_T))).alias("_h"),
-    )
-    dup_h = (
-        wr.groupBy("_h")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-        .where(F.col("_mn") != F.col("_mx"))
-        .select("_h")
-    )
-    starts = wr.join(dup_h, "_h").groupBy("doc_id").agg(
-        F.collect_set("pos").alias("_ss")
-    )
-    excised = (
-        toks.join(starts, "doc_id", "left")
-        .withColumn("_ss", F.coalesce("_ss", F.array()))
-        .withColumn(
-            # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
-            # generate_series(1, 0) is empty — guard the no-token doc
-            "_pos",
-            F.when(F.size("t") > 0, F.sequence(F.lit(1), F.size("t"))).otherwise(
-                F.array().cast("array<int>")
-            ),
-        )
-        .withColumn(
-            "_kp",
-            F.filter(
-                F.col("_pos"),
-                lambda p: ~F.exists(
-                    F.col("_ss"), lambda s: (s <= p) & (p < s + tsr)
-                ),
-            ),
-        )
-        .withColumn(
-            "_txt",
-            F.concat_ws(
-                " ", F.transform(F.col("_kp"), lambda p: F.element_at(F.col("t"), p))
-            ),
-        )
-    )
+    excised = excise_dup_spans(toks, "doc_id")
     spanr_v = excised.groupBy("source").agg(
         F.sum(F.size("t")).alias("n_units"),
         F.sum(F.size("_kp")).alias("n_kept"),
@@ -1073,12 +1111,14 @@ _SEM_SQL_CTES = f"""
   LIMIT (SELECT LEAST(4096, GREATEST(32,
            CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) FROM es)
 ), sasn AS (
+  -- zero-norm guard: matches assign_nearest's -2.0 pin (r10)
   SELECT vec_id, embedding, nrm, cent_id FROM (
     SELECT es.vec_id, es.embedding, es.nrm, c.cent_id,
            row_number() OVER (PARTITION BY es.vec_id ORDER BY
+             CASE WHEN es.nrm * c.cn = 0 THEN -2.0 ELSE
              list_reduce(list_transform(generate_series(1, len(es.embedding)),
                  i -> es.embedding[i]::DOUBLE * c.ce[i]::DOUBLE), (x,y) -> x+y)
-               / (es.nrm * c.cn) DESC, c.cent_id) AS rn
+               / (es.nrm * c.cn) END DESC, c.cent_id) AS rn
     FROM es CROSS JOIN scent c) WHERE rn = 1
 ), scell AS (
   SELECT * FROM sasn QUALIFY COUNT(*) OVER (PARTITION BY cent_id) <= {_SEM_CAP}

@@ -215,9 +215,12 @@ WITH s AS (
   SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s
   ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {K_CENTROIDS}
 ), assign0 AS (
+  -- zero-norm guard: matches assign_nearest's -2.0 pin (r10)
   SELECT s.vec_id, s.embedding, s.nrm, c.cent_id,
          row_number() OVER (PARTITION BY s.vec_id
-             ORDER BY {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) DESC, c.cent_id) AS rn
+             ORDER BY CASE WHEN s.nrm * c.cn = 0 THEN -2.0
+                  ELSE {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) END DESC,
+                      c.cent_id) AS rn
   FROM s CROSS JOIN cent c
 ), assign AS (
   SELECT vec_id, embedding, nrm, cent_id FROM assign0 WHERE rn = 1
@@ -677,10 +680,13 @@ WITH s AS (
   ORDER BY {_CENT_HASH_SQL}, vec_id
   LIMIT (SELECT {_IVFPQ_CELLS_SQL} FROM s)
 ), acell AS (
+  -- zero-norm guard matches assign_nearest's -2.0 pin (a NULL from
+  -- x/0 would sort NULLS LAST here while numpy argmax picks NaN)
   SELECT vec_id, embedding, cell FROM (
     SELECT s.vec_id, s.embedding, c.cent_id AS cell,
            row_number() OVER (PARTITION BY s.vec_id
-               ORDER BY {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) DESC,
+               ORDER BY CASE WHEN s.nrm * c.cn = 0 THEN -2.0
+                    ELSE {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) END DESC,
                         c.cent_id) AS rn
     FROM s CROSS JOIN cent c) WHERE rn = 1
 ), cb AS (
@@ -750,12 +756,13 @@ def sim_ivfpq(
     standard symmetric scoring."""
     from etly_spark.operators.prefix import banded_row_number
 
-    base = (
-        s.select("vec_id", "embedding")
+    nsrc = (
+        s
         if s is not None
-        else load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        else _normed(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
     )
-    nsrc = _normed(base) if s is None else s
     asn = V.assign_nearest(
         nsrc.select("vec_id", "embedding", "nrm"),
         select_centroids(nsrc, k=_ivfpq_cells(nsrc.count())),

@@ -110,8 +110,10 @@ def fold_epoch(
         .select("uri", F.col("_t.text").alias("text"))
         .withColumn("doc_id", _doc_id(F.col("uri")))
     )
-    # probe BEFORE contributing (see module doc); persist: the deduped
-    # frame feeds two sinks in this epoch
+    # probe BEFORE contributing (see module doc); persist BOTH frames
+    # with two consumers: docs (the uri-dedup shuffle feeds the line-
+    # index fold AND the dedup probe) and dd (docs sink + rollup fold)
+    docs = docs.persist()
     idx = read_line_index_before(sp, index_dir, epoch_id)
     dd = dedup_lines_incremental(docs, idx).persist()
     try:
@@ -138,6 +140,7 @@ def fold_epoch(
         )
     finally:
         dd.unpersist()
+        docs.unpersist()
 
 
 def start_crawl_corpus_stream(

@@ -255,8 +255,11 @@ def test_mix_thresholds_match_duckdb_fold_order():
 def test_remove_spans_builtin_stage(spark):
     """etly.RemoveSpans (r10): the ExactSubstr action as a config-
     addressable transformer — a >= 15-token span shared by two docs is
-    cut from BOTH, a within-doc repeat is NOT cut (cross-doc rule),
-    other columns ride through, and identical docs excise identically."""
+    cut from BOTH; a within-doc repeat is NOT cut (cross-doc rule);
+    EXACT-duplicate documents are fully excised on both copies (their
+    whole text is a cross-doc repeated span — the true ExactSubstr
+    semantics); untouched documents pass through byte-identical
+    (original whitespace preserved); other columns ride through."""
     import etly_spark.builtins  # noqa: F401
     from etly_spark.registry import transformers
 
@@ -264,18 +267,24 @@ def test_remove_spans_builtin_stage(spark):
     U = " ".join(f"u{i}" for i in range(6))
     P = " ".join(f"p{i}" for i in range(6))
     rep = " ".join(f"r{i}" for i in range(16))
+    multiline = "first line here\nsecond  line   spacing\nthird"
     df = spark.createDataFrame(
         [
-            (1, f"{S} {U}", "a"),
-            (2, f"{P} {S}", "b"),
-            (3, f"{rep} {rep}", "c"),   # within-doc repeat only
-            (4, f"{S} {U}", "d"),       # identical to doc 1
+            (1, f"{P} {S}", "a"),       # unique prefix + the shared span
+            (2, f"{S} {U}", "b"),       # the span + unique suffix
+            (3, f"{rep} {rep}", "c"),   # within-doc repeat only -> kept
+            (4, f"{rep} {rep}", "d"),   # ...but doc 4 DUPLICATES doc 3
+            (5, multiline, "e"),        # untouched -> byte-identical
         ],
         "doc_id long, text string, tag string",
     )
     out = {r.doc_id: (r.text, r.tag) for r in
            transformers.get("etly.RemoveSpans")(df).collect()}
-    assert out[1] == (U, "a")
-    assert out[2] == (P, "b")
-    assert out[3] == (f"{rep} {rep}", "c")  # no cross-doc partner
-    assert out[4] == (U, "d")
+    assert out[1] == (P, "a")          # shared span cut from doc 1
+    assert out[2] == (U, "b")          # ...and from doc 2
+    # docs 3+4 are exact duplicates of EACH OTHER: every window is
+    # cross-doc repeated, so both copies are fully excised
+    assert out[3] == ("", "c")
+    assert out[4] == ("", "d")
+    # no excision -> original bytes, including newlines + double spaces
+    assert out[5] == (multiline, "e")
