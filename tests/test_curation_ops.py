@@ -288,3 +288,58 @@ def test_remove_spans_builtin_stage(spark):
     assert out[4] == ("", "d")
     # no excision -> original bytes, including newlines + double spaces
     assert out[5] == (multiline, "e")
+
+
+def test_remove_spans_config_e2e(spark, tmp_path):
+    """examples/curation_transfer.json transfer 3 end-to-end: the
+    ExactSubstr action config-only — a >= 15-token span shared by two
+    ndjson docs is excised from both in the landed parquet, the unique
+    doc is untouched byte-for-byte."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etly_spark import registry
+    from etly_spark.config import TransferConfig
+    from etly_spark.pipeline import DONE, TransferService
+
+    if "example.Doc" not in registry.schemas:
+        registry.schemas.register(
+            "example.Doc",
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("text", StringType()),
+                    StructField("lang", StringType()),
+                    StructField("n_chars", LongType()),
+                ]
+            ),
+        )
+    cfg_path = tmp_path / "curation_transfer.json"
+    shutil.copy(
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "curation_transfer.json"),
+        cfg_path,
+    )
+    src = tmp_path / "incoming" / "docs"
+    src.mkdir(parents=True)
+    S = " ".join(f"boiler{i}" for i in range(18))
+    rows = [
+        {"doc_id": 1, "text": f"{S} plus unique alpha words", "lang": "en", "n_chars": 10},
+        {"doc_id": 2, "text": f"other beta prefix {S}", "lang": "en", "n_chars": 10},
+        {"doc_id": 3, "text": "totally unique gamma document", "lang": "en", "n_chars": 10},
+    ]
+    (src / "d.log").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    cfg = TransferConfig.from_json(str(cfg_path))
+    t = next(x for x in cfg.transfers if x.name == "exactsubstr-excise-documents")
+    assert t.transformer == "etly.RemoveSpans"
+    res = TransferService(spark).run(t)
+    assert res.status == DONE, res.error
+    out = {r.doc_id: r.text for r in
+           spark.read.parquet(str(tmp_path / "excised" / "part")).collect()}
+    assert out[1] == "plus unique alpha words"
+    assert out[2] == "other beta prefix"
+    assert out[3] == "totally unique gamma document"
