@@ -343,3 +343,57 @@ def test_remove_spans_config_e2e(spark, tmp_path):
     assert out[1] == "plus unique alpha words"
     assert out[2] == "other beta prefix"
     assert out[3] == "totally unique gamma document"
+
+
+def test_remove_spans_matches_python_reference(spark):
+    """etly.RemoveSpans vs a single-machine reference on a random
+    corpus with planted cross-doc spans AND exact-duplicate documents:
+    the multiplicity rule (a window inside a text that occurs >= 2
+    times is cross-doc duplicated) must hold exactly per document."""
+    import random
+
+    import etly_spark.builtins  # noqa: F401
+    from etly_spark.queries.dedup import _SPANR_T
+    from etly_spark.registry import transformers
+
+    T = _SPANR_T
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(300)]
+    planted = [rng.choice(vocab) for _ in range(T + 5)]
+    rows = []
+    for doc_id in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 45))]
+        if doc_id % 4 == 0:
+            at = rng.randrange(0, len(toks) + 1)
+            toks = toks[:at] + planted + toks[at:]
+        rows.append((doc_id, " ".join(toks)))
+    rows.append((100, rows[5][1]))  # exact duplicate of doc 5
+    rows.append((101, rows[5][1]))  # ...twice
+
+    # ---- reference: window multiset over NORMALIZED text, a window is
+    # dup iff seen in >= 2 distinct texts OR in a text with count >= 2
+    from collections import Counter
+
+    texts = Counter(t for _, t in rows)
+    occ = {}
+    for t in texts:
+        tok = t.split()
+        for i in range(len(tok) - T + 1):
+            occ.setdefault(tuple(tok[i : i + T]), set()).add(t)
+    def expected(t):
+        tok = t.split()
+        cut = set()
+        for i in range(len(tok) - T + 1):
+            w = tuple(tok[i : i + T])
+            if len(occ[w]) >= 2 or texts[t] >= 2:
+                cut.update(range(i, i + T))
+        kept = [x for p, x in enumerate(tok) if p not in cut]
+        return " ".join(kept) if cut else t
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in transformers.get("etly.RemoveSpans")(df).collect()}
+    for doc_id, t in rows:
+        assert got[doc_id] == expected(t), doc_id
+    # the exact-dup trio is fully excised iff it had >= T tokens
+    if len(rows[5][1].split()) >= T:
+        assert got[5] == got[100] == got[101] == ""
