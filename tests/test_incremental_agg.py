@@ -582,7 +582,7 @@ def test_example_config_round_trips_every_extension_field():
         )
     path = os.path.join(os.path.dirname(__file__), "..", "examples", "curation_transfer.json")
     cfg = TransferConfig.from_json(path)
-    t, t2 = cfg.transfers
+    t, t2 = cfg.transfers[:2]  # transfer 3 (r10 RemoveSpans) has no extension fields
     t.validate()
     t2.validate()
     assert t2.content_enricher == "etly.DedupLines"
