@@ -618,12 +618,18 @@ def sim_pq(
     scaled (_pq_k — one count() over the shared persisted frame, the
     sq8 bounds-collect precedent; capped so the driver collect stays
     bounded at any N)."""
-    base = (
-        s.select("vec_id", "embedding")
+    # standalone path: persist the normed frame BEFORE the sizing
+    # count — it feeds three consumers (count, centroid selection,
+    # encode); unpersisted that was three full corpus scans (ADVICE
+    # r10). Caller-provided frames arrive already scoped_persist'ed.
+    nsrc = (
+        s
         if s is not None
-        else load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        else scoped_persist(
+            _normed(load_table(spark, sf_dir, "embeddings")), eager=False
+        )
     )
-    nsrc = _normed(base) if s is None else s
+    base = nsrc.select("vec_id", "embedding")
     cent_pdf = select_centroids(nsrc, k=_pq_k(nsrc.count()))
     sq = scoped_persist(
         _normed(V.pq_reconstruct(base, cent_pdf, m=_PQ_M)), eager=False
@@ -759,8 +765,8 @@ def sim_ivfpq(
     nsrc = (
         s
         if s is not None
-        else _normed(
-            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        else scoped_persist(  # three consumers: count, centroids, assign
+            _normed(load_table(spark, sf_dir, "embeddings")), eager=False
         )
     )
     asn = V.assign_nearest(

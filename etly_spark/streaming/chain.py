@@ -37,15 +37,22 @@ ROLLUP_SPEC = {"n_docs": "count", "kept_chars": "sum:n_chars"}
 
 
 def _doc_id(col: F.Column) -> F.Column:
-    """Deterministic numeric doc identity from the record URI. 10 hex
-    digits (2^40): the line-index ord encoding is doc_id*1e6 + line_no,
-    so ids must stay under 2^63/1e6 ≈ 2^43 — 14 digits overflowed ANSI
-    multiplication. Distinct URIs colliding at 2^40 WOULD interleave
-    their rebuilds (fold_epoch guarantees one row per uri, which
-    removes the real-world duplicate-fetch case; the residual hash-
-    collision odds are ~n²/2^41 per batch — one in ~2M for a 1k-doc
-    micro-batch)."""
-    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 10), 16, 10).cast("long")
+    """Deterministic numeric doc identity from the record URI, using
+    the FULL 43-bit headroom: the line-index ord encoding is
+    doc_id*1e6 + line_no, so ids must stay under 2^63/1e6 ≈ 2^43 — 14
+    hex digits overflowed ANSI multiplication, and the r10 form's 10
+    digits (2^40) left 8x collision odds on the table for no reason.
+    11 hex digits (2^44) masked to 43 bits claims the whole budget:
+    (2^43-1)*1e6 + 999999 ≈ 8.80e18 < 2^63-1. Distinct URIs colliding
+    WOULD interleave their rebuilds (fold_epoch guarantees one row per
+    uri, which removes the real-world duplicate-fetch case; residual
+    hash-collision odds are ~n²/2^44 per batch — one in ~17M for a
+    1k-doc micro-batch)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 11), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit((1 << 43) - 1))
+    )
 
 
 def read_line_index_before(
@@ -121,13 +128,22 @@ def fold_epoch(
             f"{docs_dir}/epoch={epoch_id}"
         )
         # this epoch's line contribution comes from the ORIGINAL batch
-        # lines (first occurrences the corpus now owns)
+        # lines (first occurrences the corpus now owns), anti-joined
+        # against the prior index so the fold writes only lines the
+        # corpus has NOT seen — index growth tracks distinct-NEW-lines
+        # (the module contract), not per-epoch distinct lines; without
+        # the anti-join every later probe's groupBy(line_h) re-folds
+        # the duplicated rows forever. Membership-safe: consumers only
+        # test first_ord IS NULL, and a replayed epoch recomputes the
+        # same anti-join against the same epoch-< index.
         docs.select(
             F.posexplode(F.split("text", "\n")).alias("_ln", "_line"),
             F.col("doc_id").alias("_id"),
         ).groupBy(F.md5(F.col("_line").cast("binary")).alias("line_h")).agg(
             F.min(F.col("_id") * 1000000 + F.col("_ln")).alias("first_ord")
-        ).write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+        ).join(idx.select("line_h"), "line_h", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/epoch={epoch_id}")
         IA.fold(
             state_dir,
             dd.withColumn("host", url_host(F.col("uri")))

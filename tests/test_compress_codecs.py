@@ -251,6 +251,21 @@ def test_zstd_real_library_round_trip_and_strictness():
             zstd.decompress(bad)
 
 
+def test_zstd_drain_boundary_truncation_message():
+    """ADVICE r10 pin: a frame whose decoded size lands exactly on the
+    128 KiB output-buffer boundary, truncated mid-frame, must surface
+    the 'truncated frame' diagnostic — the drain branch's follow-up
+    call with empty input breaks out (outb.pos < chunk) to the final
+    ret!=0 raise, it must NOT fall into 'no progress (corrupt
+    stream)'. Covers 1/2/4-buffer decoded sizes and off-boundary."""
+    assert zstd.available(), "container libzstd expected"
+    for n in (1 << 17, (1 << 17) * 2, (1 << 17) * 4, (1 << 17) + 1):
+        enc = zstd.compress(b"a" * n, level=19)
+        for cut in (1, 2, 3):
+            with pytest.raises(ValueError, match="truncated frame"):
+                zstd.decompress(enc[:-cut])
+
+
 @pytest.mark.skipif(not os.path.exists("/root/miniconda/bin/zstd"),
                     reason="no zstd CLI for external validation")
 def test_zstd_external_cli_interop(tmp_path):
