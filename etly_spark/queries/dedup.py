@@ -70,11 +70,14 @@ def excise_dup_spans(
 
     Plan: one T-window explode -> endpoint groupBy on the window hash
     (partial-agg collapses hot windows map-side) -> join back ->
-    per-unit start-list collect -> a codegen'd higher-order filter.
-    The filter is O(len x dup_starts) per unit; a fully-duplicated
-    100k-token doc would want the starts folded to merged coverage
-    intervals first (a sort + one list fold, SQL-expressible) — the
-    known upgrade if a corpus ever hits that shape."""
+    per-unit start-list collect -> ONE fold of the sorted starts into
+    merged coverage intervals `_iv` (r11 — equal-length windows merge
+    iff the next start is <= current block end + 1, so the fold is a
+    single pass) -> kept positions as the interval complement (one
+    zip_with over gap boundaries). Per-unit work is O(len +
+    starts*log(starts)) — the r10 form's kept-position filter was
+    O(len x dup_starts), quadratic for a long fully-duplicated doc
+    (property-pinned in tests/test_dedup_line.py)."""
     tsr = F.lit(T)
     carry = [cnt_col] if cnt_col else []
     wr = units.where(F.size(t_col) >= tsr).select(
@@ -97,25 +100,58 @@ def excise_dup_spans(
     starts = wr.join(dup_h, "_h").groupBy(key_col).agg(
         F.collect_set("pos").alias("_ss")
     )
+    # Merged coverage intervals (r11): fold the SORTED starts once.
+    # Every window covers exactly T positions, so blocks merge iff the
+    # next start is <= current block end + 1 (overlap or adjacency —
+    # adjacency folds too, which only makes the interval list shorter;
+    # the covered-position set is identical). The accumulator carries
+    # (closed intervals, open-block begin/end); b=0 flags "no open
+    # block" (positions are 1-based, so 0 is never a real begin).
+    _eiv = F.array().cast("array<struct<b:int,e:int>>")
+    iv = F.aggregate(
+        F.array_sort("_ss"),
+        F.struct(_eiv.alias("iv"), F.lit(0).alias("b"), F.lit(0).alias("e")),
+        lambda a, s: F.struct(
+            F.when(
+                (a["b"] > 0) & (s > a["e"] + 1),
+                F.concat(
+                    a["iv"], F.array(F.struct(a["b"].alias("b"), a["e"].alias("e")))
+                ),
+            )
+            .otherwise(a["iv"])
+            .alias("iv"),
+            F.when((a["b"] > 0) & (s <= a["e"] + 1), a["b"])
+            .otherwise(s)
+            .alias("b"),
+            (s + tsr - 1).alias("e"),  # starts ascend, so e is monotone
+        ),
+        lambda a: F.when(
+            a["b"] > 0,
+            F.concat(a["iv"], F.array(F.struct(a["b"].alias("b"), a["e"].alias("e")))),
+        ).otherwise(a["iv"]),
+    )
+    n_t = F.size(t_col)
+    # kept positions = the interval complement: gap g runs from
+    # (previous interval end + 1, or 1) to (next interval begin - 1,
+    # or len) — one zip_with over the shifted boundary arrays, O(len)
+    # output work regardless of how many duplicated starts there were.
+    kept = F.flatten(
+        F.zip_with(
+            F.concat(F.array(F.lit(1)), F.transform("_iv", lambda x: x["e"] + 1)),
+            F.concat(F.transform("_iv", lambda x: x["b"] - 1), F.array(n_t)),
+            lambda s, e: F.when(s <= e, F.sequence(s, e)).otherwise(
+                F.array().cast("array<int>")
+            ),
+        )
+    )
     return (
         units.join(starts, key_col, "left")
         .withColumn("_ss", F.coalesce("_ss", F.array()))
+        .withColumn("_iv", iv)
         .withColumn(
-            # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
-            # generate_series(1, 0) is empty — guard the no-token unit
-            "_pos",
-            F.when(
-                F.size(t_col) > 0, F.sequence(F.lit(1), F.size(t_col))
-            ).otherwise(F.array().cast("array<int>")),
-        )
-        .withColumn(
+            # empty-token guard: sequence(1, 0) DESCENDS in Spark
             "_kp",
-            F.filter(
-                F.col("_pos"),
-                lambda p: ~F.exists(
-                    F.col("_ss"), lambda s: (s <= p) & (p < s + tsr)
-                ),
-            ),
+            F.when(n_t > 0, kept).otherwise(F.array().cast("array<int>")),
         )
         .withColumn(
             "_txt",
@@ -124,7 +160,6 @@ def excise_dup_spans(
                 F.transform(F.col("_kp"), lambda p: F.element_at(F.col(t_col), p)),
             ),
         )
-        .drop("_pos")
     )
 _MD5I = "CAST('0x' || substr(md5({x}), 1, 14) AS BIGINT)"
 _URL_SYN = (

@@ -375,3 +375,71 @@ def test_spans_remove_matches_python_reference(spark, tmp_path):
         if r.variant == "spans_remove"
     }
     assert got == want
+
+
+def test_excise_dup_spans_interval_fold_bounded_and_exact(spark):
+    """r11 (verdict item 5): the kept-position filter folds duplicated
+    starts into merged coverage intervals — O(len + starts log starts)
+    per unit. Pin (a) a fully-duplicated ~10k-token doc pair completes
+    in bounded time (the r10 O(len x starts) form was ~1e8 lambda evals
+    per doc), (b) the interval complement matches a brute-force
+    coverage reference on an adversarial mixed corpus (overlapping,
+    adjacent and disjoint spans)."""
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etly_spark.queries.dedup import _SPANR_T, excise_dup_spans
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    shared_a = [rng.choice(vocab) for _ in range(_SPANR_T + 10)]
+    shared_b = [rng.choice(vocab) for _ in range(_SPANR_T)]
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 70))]
+        if i % 3 == 0:
+            at = rng.randrange(0, len(toks) + 1)
+            toks = toks[:at] + shared_a + toks[at:]
+        if i % 4 == 0:  # second span, sometimes adjacent to the first
+            toks = shared_b + toks
+        rows.append((i, " ".join(toks)))
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("t", F.split(F.trim("text"), r"\s+"))
+        .withColumn("t", F.filter("t", lambda x: x != ""))
+    )
+    out = excise_dup_spans(df, "doc_id").select("doc_id", "_ss", "_iv", "_kp", "t")
+    for r in out.collect():
+        covered = set()
+        for s in r._ss:
+            covered.update(range(s, s + _SPANR_T))
+        ref_kp = [p for p in range(1, len(r.t) + 1) if p not in covered]
+        assert list(r._kp) == ref_kp, f"doc {r.doc_id}"
+        # merged intervals are sorted, non-overlapping, non-adjacent,
+        # and their union is exactly the covered set
+        got_cov = set()
+        prev_e = -10
+        for iv in r._iv:
+            assert iv.b > prev_e + 1 and iv.b <= iv.e
+            got_cov.update(range(iv.b, iv.e + 1))
+            prev_e = iv.e
+        assert got_cov == covered, f"doc {r.doc_id}"
+
+    # bounded time: two identical 10k-token docs (every window
+    # duplicated -> one merged interval, zero kept positions)
+    big = " ".join(f"tok{i % 997}x{i % 31}" for i in range(10_000))
+    bf = spark.createDataFrame(
+        [(1, big), (2, big)], "doc_id long, text string"
+    ).withColumn("t", F.split(F.trim("text"), r"\s+"))
+    t0 = time.monotonic()
+    res = {
+        r.doc_id: (r.k, r.niv)
+        for r in excise_dup_spans(bf, "doc_id")
+        .select("doc_id", F.size("_kp").alias("k"), F.size("_iv").alias("niv"))
+        .collect()
+    }
+    wall = time.monotonic() - t0
+    assert res == {1: (0, 1), 2: (0, 1)}
+    assert wall < 60, f"fully-duplicated 10k-token doc took {wall:.1f}s"
