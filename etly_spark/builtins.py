@@ -312,10 +312,12 @@ def _remove_spans(df):
     an EXACT duplicate of another is fully excised on BOTH copies (its
     whole text is a cross-doc repeated span; run whole-doc dedup first
     to keep one copy). A window repeated only WITHIN one unique
-    document does not excise. Documents with no excision pass through
-    BYTE-IDENTICAL; excised documents rebuild whitespace-normalized
-    (tokens rejoin with single spaces). A doc whose every token is
-    excised keeps an empty text; gate afterwards with
+    document does not excise. r11: excision is by CHARACTER OFFSETS —
+    every kept region is byte-identical to the source (newlines and
+    spacing in kept text survive; only the bytes from a removed span's
+    first to last token go, so whitespace adjacent to a cut remains on
+    both sides). A doc whose every token is excised keeps only its
+    inter-span whitespace (possibly empty); gate afterwards with
     etly.QualityGate if unwanted."""
     from pyspark.sql import functions as F
 
@@ -328,7 +330,7 @@ def _remove_spans(df):
         .agg(F.count(F.lit(1)).alias("_cnt"), F.min("text").alias("text"))
         .withColumn("_t", F.split(F.trim(F.col("text")), "\\s+"))
     )
-    ex = excise_dup_spans(texts, "_th", t_col="_t", cnt_col="_cnt")
+    ex = excise_dup_spans(texts, "_th", t_col="_t", cnt_col="_cnt", text_col="text")
     rebuilt = ex.where(F.size("_ss") > 0).select(
         "_th", F.col("_txt").alias("_rebuilt")
     )

@@ -44,6 +44,12 @@ _CHK = "CAST(SUM(CAST({t} AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
 # planted duplication without shredding organic text.
 _SPANR_T = 15
 
+# duplicated-T-window coverage predicate for the oracle's byte-offset
+# rebuild (position {p}, start list k.ss)
+_COV = (
+    f"len(list_filter(k.ss, x -> x <= {{p}} AND {{p}} < x + {_SPANR_T})) > 0"
+)
+
 
 def excise_dup_spans(
     units,
@@ -52,6 +58,7 @@ def excise_dup_spans(
     t_col: str = "t",
     T: int = _SPANR_T,
     cnt_col: str | None = None,
+    text_col: str | None = None,
 ):
     """Shared ExactSubstr-action kernel (the dedup_exact 'spans_remove'
     rule, also consumed by the etly.RemoveSpans pipeline stage): mark
@@ -59,8 +66,22 @@ def excise_dup_spans(
     is excised iff covered by a duplicated T-window — the union of
     duplicated T-windows equals the union of maximal >= T duplicated
     spans. Returns ``units`` plus `_ss` (duplicated window starts),
-    `_kp` (kept positions) and `_txt` (kept tokens rejoined with
-    single spaces).
+    `_kp` (kept positions) and `_txt` (the rebuilt text).
+
+    Byte fidelity (r11, verdict item 3): when ``text_col`` names the
+    raw text the tokens came from, `_txt` is rebuilt by CHARACTER
+    OFFSETS — the text splits losslessly into alternating token /
+    whitespace segments (regexp '\\S+|\\s+'); a token segment is
+    dropped iff its position is covered, a whitespace segment iff BOTH
+    its neighbor tokens are covered (covered neighbors are always in
+    one merged interval, so this is exactly "the byte range from the
+    span's first to last token"). Every kept region is byte-identical
+    to the source — newlines and spacing in kept text survive, per Lee
+    et al.'s remove-the-duplicated-bytes rule (the r10 form rejoined
+    kept tokens with single spaces, destroying structure the repo's
+    own C4 line rule treats as meaningful). Whitespace adjacent to a
+    cut is OUTSIDE the removed byte range and is kept on both sides.
+    Without ``text_col`` the r10 single-space rejoin remains.
 
     Duplication rule: a window occurring under >= 2 distinct keys —
     or, when ``cnt_col`` names a multiplicity column (content-keyed
@@ -144,6 +165,42 @@ def excise_dup_spans(
             ),
         )
     )
+    if text_col is not None:
+        # byte-offset rebuild: lossless alternating segmentation, token
+        # position of segment i recovered arithmetically (segments
+        # strictly alternate, so no prefix scan is needed), coverage
+        # tested against the few merged intervals (O(#intervals) per
+        # segment; #intervals is bounded by starts and usually 0-2)
+        segs = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+|\s+"), 0)
+
+        # a segment is a token iff its FIRST char is non-whitespace —
+        # trim() strips only ASCII spaces on both engines, so a
+        # newline-bearing whitespace run would misclassify under it
+        def _is_tok(seg: F.Column) -> F.Column:
+            return ~F.substring(seg, 1, 1).rlike(r"\s")
+
+        off = F.when(
+            (F.size(segs) > 0) & _is_tok(F.element_at(segs, 1)), F.lit(1)
+        ).otherwise(F.lit(0))
+
+        def _seg_keep(seg: F.Column, i: F.Column) -> F.Column:
+            tb = F.shiftright(i + off, 1)  # tokens strictly before seg i
+            j = tb + 1  # this segment's token position, if it is one
+            tok_rm = F.exists(
+                F.col("_iv"), lambda v: (v["b"] <= j) & (j <= v["e"])
+            )
+            ws_rm = F.exists(
+                F.col("_iv"), lambda v: (v["b"] <= tb) & (tb + 1 <= v["e"])
+            )
+            rm = F.when(_is_tok(seg), tok_rm).otherwise(ws_rm)
+            return F.when(rm, F.lit("")).otherwise(seg)
+
+        txt = F.concat_ws("", F.transform(segs, _seg_keep))
+    else:
+        txt = F.concat_ws(
+            " ",
+            F.transform(F.col("_kp"), lambda p: F.element_at(F.col(t_col), p)),
+        )
     return (
         units.join(starts, key_col, "left")
         .withColumn("_ss", F.coalesce("_ss", F.array()))
@@ -153,13 +210,7 @@ def excise_dup_spans(
             "_kp",
             F.when(n_t > 0, kept).otherwise(F.array().cast("array<int>")),
         )
-        .withColumn(
-            "_txt",
-            F.concat_ws(
-                " ",
-                F.transform(F.col("_kp"), lambda p: F.element_at(F.col(t_col), p)),
-            ),
-        )
+        .withColumn("_txt", txt)
     )
 _MD5I = "CAST('0x' || substr(md5({x}), 1, 14) AS BIGINT)"
 _URL_SYN = (
@@ -270,17 +321,38 @@ _URL_CANON = r"""
       FROM wr WHERE h IN (SELECT h FROM dup_h) GROUP BY doc_id
     ),
     excised AS (
+      -- Byte-offset rebuild (r11): the text splits losslessly into
+      -- alternating token/whitespace segments; a token segment drops
+      -- iff its position is covered by a duplicated T-window, a
+      -- whitespace segment iff BOTH neighbor tokens are covered.
+      -- Kept regions are byte-identical to the source.
       -- COALESCE: array_to_string of an EMPTY list is NULL in DuckDB
       -- where Spark's concat_ws gives '' — a fully-excised doc must
       -- still contribute md5('') to the checksum on both sides
+      -- token-vs-whitespace classification tests the FIRST char
+      -- against \s (trim() strips only ASCII spaces on both engines,
+      -- so a newline-bearing run would misclassify under it)
       SELECT k.source, len(k.t) AS n_toks, kp,
-             COALESCE(array_to_string(list_transform(kp, p -> k.t[p]), ' '), '') AS txt
+             COALESCE(array_to_string(list_transform(k.sg, (seg, i) ->
+               CASE WHEN (CASE WHEN NOT regexp_matches(seg, '^\\s')
+                          THEN {_COV.format(p='(((i - 1 + k.off) // 2) + 1)')}
+                          ELSE {_COV.format(p='((i - 1 + k.off) // 2)')}
+                           AND {_COV.format(p='(((i - 1 + k.off) // 2) + 1)')}
+                          END)
+                    THEN '' ELSE seg END), ''), '') AS txt
       FROM (
-        SELECT toks.doc_id, toks.source, toks.t,
+        SELECT toks.doc_id, toks.source, toks.t, sgd.sg,
+               CASE WHEN len(sgd.sg) > 0
+                     AND NOT regexp_matches(sgd.sg[1], '^\\s')
+                    THEN 1 ELSE 0 END AS off,
+               COALESCE(s.ss, []) AS ss,
                list_filter(generate_series(1, len(toks.t)),
                  p -> len(list_filter(COALESCE(s.ss, []),
                           x -> x <= p AND p < x + {_SPANR_T})) = 0) AS kp
-        FROM toks LEFT JOIN starts s ON s.doc_id = toks.doc_id
+        FROM toks
+        JOIN (SELECT doc_id, regexp_extract_all(text, '\\S+|\\s+') AS sg
+              FROM documents) sgd USING (doc_id)
+        LEFT JOIN starts s ON s.doc_id = toks.doc_id
       ) k
     ),
     spanr_v AS (
@@ -368,7 +440,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_v = doc_variant("doc_norm", H.md5_hex(T.normalize_text("text")))
 
     # --- line variant: C4-style segment dedup + reassembly ---
-    toks = d.select("doc_id", "source", T.tokens("text").alias("t"))
+    toks = d.select("doc_id", "source", "text", T.tokens("text").alias("t"))
     n_segs = F.greatest(F.ceil(F.size("t") / F.lit(10.0)), F.lit(1))
     segs = (
         toks.select(
@@ -470,8 +542,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus ever hits that shape.
     # Units are TOKENS (n_units/n_kept count them); kept_checksum sums
     # md5 over the REBUILT texts so the oracle gates every document's
-    # post-excision bytes exactly.
-    excised = excise_dup_spans(toks, "doc_id")
+    # post-excision bytes exactly. r11: rebuild is by CHARACTER
+    # OFFSETS (text_col) — kept regions byte-identical to the source,
+    # newlines and spacing preserved outside the removed spans.
+    excised = excise_dup_spans(toks, "doc_id", text_col="text")
     spanr_v = excised.groupBy("source").agg(
         F.sum(F.size("t")).alias("n_units"),
         F.sum(F.size("_kp")).alias("n_kept"),

@@ -280,10 +280,13 @@ def test_remove_spans_builtin_stage(spark):
     )
     out = {r.doc_id: (r.text, r.tag) for r in
            transformers.get("etly.RemoveSpans")(df).collect()}
-    assert out[1] == (P, "a")          # shared span cut from doc 1
-    assert out[2] == (U, "b")          # ...and from doc 2
+    # r11 byte fidelity: only the span's own byte range is removed —
+    # the separator between kept text and the span survives
+    assert out[1] == (P + " ", "a")    # shared span cut from doc 1
+    assert out[2] == (" " + U, "b")    # ...and from doc 2
     # docs 3+4 are exact duplicates of EACH OTHER: every window is
-    # cross-doc repeated, so both copies are fully excised
+    # cross-doc repeated, so both copies are fully excised (internal
+    # whitespace sits between removed tokens and goes with them)
     assert out[3] == ("", "c")
     assert out[4] == ("", "d")
     # no excision -> original bytes, including newlines + double spaces
@@ -340,8 +343,10 @@ def test_remove_spans_config_e2e(spark, tmp_path):
     assert res.status == DONE, res.error
     out = {r.doc_id: r.text for r in
            spark.read.parquet(str(tmp_path / "excised" / "part")).collect()}
-    assert out[1] == "plus unique alpha words"
-    assert out[2] == "other beta prefix"
+    # byte-offset excision (r11): the separator adjacent to the cut
+    # span is outside the removed byte range and survives
+    assert out[1] == " plus unique alpha words"
+    assert out[2] == "other beta prefix "
     assert out[3] == "totally unique gamma document"
 
 
@@ -381,14 +386,27 @@ def test_remove_spans_matches_python_reference(spark):
         for i in range(len(tok) - T + 1):
             occ.setdefault(tuple(tok[i : i + T]), set()).add(t)
     def expected(t):
+        import re
+
         tok = t.split()
         cut = set()
         for i in range(len(tok) - T + 1):
             w = tuple(tok[i : i + T])
             if len(occ[w]) >= 2 or texts[t] >= 2:
                 cut.update(range(i, i + T))
-        kept = [x for p, x in enumerate(tok) if p not in cut]
-        return " ".join(kept) if cut else t
+        if not cut:
+            return t
+        # byte-offset rebuild (r11): token segment drops iff cut,
+        # whitespace segment iff both neighbor tokens are cut
+        out, tp = [], 0
+        for seg in re.findall(r"\S+|\s+", t):
+            if seg.strip():
+                if tp not in cut:
+                    out.append(seg)
+                tp += 1
+            elif not (tp - 1 in cut and tp in cut):
+                out.append(seg)
+        return "".join(out)
 
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.text for r in transformers.get("etly.RemoveSpans")(df).collect()}

@@ -271,14 +271,18 @@ def test_spans_remove_excises_cross_doc_spans(spark, tmp_path):
         (r.variant, r.source): (r.n_units, r.n_kept, r.n_removed, r.kept_checksum)
         for r in dedup_exact(spark, str(tmp_path)).collect()
     }
-    # src a: doc 0 loses its 20 S-tokens (keeps U); doc 91 intact (< T)
+    # src a: doc 0 loses its 20 S-tokens (keeps U); doc 91 intact (< T).
+    # r11 byte fidelity: only the span's own bytes go — the whitespace
+    # between the span and U is OUTSIDE the removed range and survives,
+    # so doc 0 rebuilds to ' u1 ... u5' (leading separator kept).
     assert got[("spans_remove", "a")][:3] == (45, 25, 20)
     assert got[("spans_remove", "a")][3] == (
-        _md5i(" ".join(U)) + _md5i(" ".join(V))
+        _md5i(" " + " ".join(U)) + _md5i(" ".join(V))
     ) % P
-    # src b: doc 7 loses the SAME span (excised from every occurrence)
+    # src b: doc 7 loses the SAME span (excised from every occurrence);
+    # the separator before the span survives -> trailing space kept
     assert got[("spans_remove", "b")][:3] == (25, 5, 20)
-    assert got[("spans_remove", "b")][3] == _md5i(" ".join(Pfx)) % P
+    assert got[("spans_remove", "b")][3] == _md5i(" ".join(Pfx) + " ") % P
 
 
 def test_semantic_semdedup_prunes_within_cell(spark, tmp_path):
@@ -322,17 +326,30 @@ def test_semantic_semdedup_prunes_within_cell(spark, tmp_path):
 
 def test_spans_remove_matches_python_reference(spark, tmp_path):
     """spans_remove vs a single-machine reference on a random corpus
-    with planted verbatim spans: per-source token counts and the
-    post-excision text checksums must agree exactly (the line-rules
-    precedent, applied to the r10 ExactSubstr action)."""
+    with planted verbatim spans AND mixed separators (spaces, double
+    spaces, newlines): per-source token counts and the post-excision
+    text checksums must agree exactly. r11: the reference excises by
+    byte offsets — kept regions (including their newlines and spacing)
+    are byte-identical to the source."""
     import random
+    import re
 
     from etly_spark.queries.dedup import _SPANR_T, dedup_exact
 
     rng = random.Random(1234)
     vocab = [f"w{i}" for i in range(400)]
+    seps = [" ", "  ", "\n", " \n "]
     planted = [rng.choice(vocab) for _ in range(_SPANR_T + 7)]  # 22-token span
     short = [rng.choice(vocab) for _ in range(_SPANR_T - 1)]    # sub-threshold
+
+    def join_mixed(toks):
+        out = []
+        for k, tok in enumerate(toks):
+            if k:
+                out.append(rng.choice(seps))
+            out.append(tok)
+        return "".join(out)
+
     rows = []
     for doc_id in range(36):
         n = rng.randrange(0, 50)
@@ -342,12 +359,12 @@ def test_spans_remove_matches_python_reference(spark, tmp_path):
             toks = toks[:at] + planted + toks[at:]
         if doc_id % 7 == 0:  # plant the sub-threshold overlap
             toks = short + toks
-        rows.append((doc_id, " ".join(toks), "en", f"s{doc_id % 3}", 0))
+        rows.append((doc_id, join_mixed(toks), "en", f"s{doc_id % 3}", 0))
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
 
-    # ---- single-machine reference ----
+    # ---- single-machine reference (byte-offset excision) ----
     T = _SPANR_T
     occ = {}  # window tuple -> set of doc_ids
     toks_of = {d: (t.split() if t else []) for d, t, *_ in rows}
@@ -357,16 +374,27 @@ def test_spans_remove_matches_python_reference(spark, tmp_path):
     want = {}
     for d, text, _, src, _ in rows:
         t = toks_of[d]
-        cut = set()
+        cut = set()  # 0-based removed token indices
         for i in range(len(t) - T + 1):
             if len(occ[tuple(t[i : i + T])]) >= 2:
                 cut.update(range(i, i + T))
         kept = [tok for p, tok in enumerate(t) if p not in cut]
+        # byte-faithful rebuild: token segment drops iff its index is
+        # cut; a whitespace segment drops iff BOTH neighbor tokens are
+        rebuilt, tp = [], 0
+        for seg in re.findall(r"\S+|\s+", text):
+            if seg.strip():
+                if tp not in cut:
+                    rebuilt.append(seg)
+                tp += 1
+            else:
+                if not (tp - 1 in cut and tp in cut):
+                    rebuilt.append(seg)
         nu, nk, chk = want.get(src, (0, 0, 0))
         want[src] = (
             nu + len(t),
             nk + len(kept),
-            (chk + _md5i(" ".join(kept))) % P,
+            (chk + _md5i("".join(rebuilt))) % P,
         )
 
     got = {
