@@ -23,6 +23,7 @@ parity twins (and for engines where Arrow is unavailable).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -253,29 +254,13 @@ def assign_nearest(
     return corpus.mapInPandas(assign, schema)
 
 
-def ivfpq_reconstruct(
-    corpus: DataFrame,
-    cb_pdf: pd.DataFrame,
-    *,
-    m: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    cell_col: str = "cell",
-) -> DataFrame:
-    """IVF-sharded product quantization (r10): encode+reconstruct each
-    vector against ITS COARSE CELL's own codebook — the scale path past
-    a single global codebook. ``cb_pdf`` holds (cell, cb_id, ce): the
-    per-cell hash-selected codeword rows (k_c ~ 8*sqrt(cell_n), so the
-    whole structure is still one bounded driver collect while per-
-    vector encode work drops from 8*sqrt(N) to 8*sqrt(N/cells) dots).
-    Same contracts as pq_reconstruct: cosine assignment per subspace,
-    ties to the smallest cb_id, zero-norm cosines pinned to -2.0, row-
-    blocked scoring tensor. Input must carry ``cell_col`` (the
-    assign_nearest output)."""
+def _pq_books(cb_pdf: pd.DataFrame, m: int, *, cell_col: str = "cell") -> dict:
+    """Per-cell codebook tensors from a (cell, cb_id, ce) frame:
+    {cell: (Cs[k, m, d/m], cn[k, m])}, codewords in cb_id order so
+    argmax ties break to the smallest cb_id (the oracle's ORDER BY)."""
     import numpy as np
 
     books: dict[int, tuple] = {}
-    d = None
     for cell, grp in cb_pdf.groupby(cell_col):
         order = np.argsort(grp["cb_id"].to_numpy(dtype="int64"), kind="stable")
         C = _rows(grp["ce"])[order]
@@ -284,11 +269,76 @@ def ivfpq_reconstruct(
             raise ValueError(f"dim {d} not divisible by m={m}")
         Cs = np.ascontiguousarray(C.reshape(k, m, d // m))
         books[int(cell)] = (Cs, np.sqrt(np.einsum("kms,kms->km", Cs, Cs)))
+    return books
+
+
+# Executor-side staged artifacts (r11): kernels that take a committed
+# parquet DIRECTORY (io/staging.stage_path) instead of a driver pandas
+# frame. Each python worker lazily reads the artifact ONCE and caches
+# the derived numpy structures by path — the FAISS deployment shape
+# (the quantizer replicates to every search node; it is never resident
+# on a coordinator). Nothing codebook-sized ever materializes on the
+# driver, so the artifact can grow past any driver-collect cap;
+# per-worker memory is bounded by the artifact itself (sum k_c * d
+# floats — ~0.5 GiB at the 1024-cell/1024-codeword hard clamps).
+_STAGED_CACHE: dict[tuple, object] = {}
+
+
+def _staged_pdf(path: str) -> pd.DataFrame:
+    key = ("pdf", path)
+    if key not in _STAGED_CACHE:
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet parts under staged dir {path}")
+        _STAGED_CACHE[key] = pa.concat_tables(
+            [pq.read_table(f) for f in files]
+        ).to_pandas()
+    return _STAGED_CACHE[key]
+
+
+def _staged_books(path: str, m: int) -> dict:
+    key = ("books", path, m)
+    if key not in _STAGED_CACHE:
+        _STAGED_CACHE[key] = _pq_books(_staged_pdf(path), m)
+    return _STAGED_CACHE[key]
+
+
+def ivfpq_reconstruct(
+    corpus: DataFrame,
+    cb: "pd.DataFrame | str",
+    *,
+    m: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF-sharded product quantization (r10): encode+reconstruct each
+    vector against ITS COARSE CELL's own codebook — the scale path past
+    a single global codebook. ``cb`` holds (cell, cb_id, ce): the
+    per-cell hash-selected codeword rows (k_c ~ 8*sqrt(cell_n)); r11:
+    pass the stage_path STRING of the codebook table instead of a
+    pandas frame and the codebook is loaded lazily executor-side
+    (_staged_books) — the whole structure never touches the driver, so
+    there is no collect cap on its size. Same contracts as
+    pq_reconstruct: cosine assignment per subspace, ties to the
+    smallest cb_id, zero-norm cosines pinned to -2.0, row-blocked
+    scoring tensor. Input must carry ``cell_col`` (the assign_nearest
+    output)."""
+    import numpy as np
+
+    staged = isinstance(cb, str)
+    books0 = None if staged else _pq_books(cb, m, cell_col=cell_col)
     schema = StructType(
         [StructField(id_col, LongType()), StructField(vec_col, _ARR_D)]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = _staged_books(cb, m) if staged else books0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -323,6 +373,73 @@ def ivfpq_reconstruct(
             )
 
     return corpus.select(id_col, vec_col, cell_col).mapInPandas(run, schema)
+
+
+def assign_nearest_grouped(
+    corpus: DataFrame,
+    cb_path: str,
+    *,
+    group_col: str = "bucket",
+    vec_col: str = "embedding",
+    norm_col: str = "nrm",
+    out_col: str = "sub_bucket",
+) -> DataFrame:
+    """Per-group nearest-centroid assignment against a STAGED centroid
+    table (r11 — the SemDeDup hot-cell recursion kernel): every row is
+    assigned the most cosine-similar centroid among ITS OWN group's
+    rows of the staged (bucket, cent_id, ce, cn) artifact, loaded
+    lazily executor-side like the PQ codebooks. Ties break to the
+    smallest cent_id; zero-norm cosines pin to -2.0 (the assign_nearest
+    contracts). Rows whose group has no staged centroids keep
+    ``out_col`` = their ``group_col`` value (identity — callers route
+    only hot groups through, but a stale row must not crash)."""
+    import numpy as np
+
+    schema = StructType(list(corpus.schema.fields) + [StructField(out_col, LongType())])
+
+    def groups(path: str) -> dict:
+        key = ("groups", path)
+        if key not in _STAGED_CACHE:
+            g: dict[int, tuple] = {}
+            pdf = _staged_pdf(path)
+            for b, grp in pdf.groupby(group_col):
+                order = np.argsort(
+                    grp["cent_id"].to_numpy(dtype="int64"), kind="stable"
+                )
+                C = _rows(grp["ce"])[order]
+                g[int(b)] = (
+                    C,
+                    grp["cn"].to_numpy(dtype="float64")[order],
+                    grp["cent_id"].to_numpy(dtype="int64")[order],
+                )
+            _STAGED_CACHE[key] = g
+        return _STAGED_CACHE[key]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = groups(cb_path)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = _rows(pdf[vec_col])
+            nrm = pdf[norm_col].to_numpy(dtype="float64")
+            bks = pdf[group_col].to_numpy(dtype="int64")
+            out = bks.copy()  # identity for groups with no centroids
+            for b in np.unique(bks):
+                if int(b) not in g:
+                    continue
+                C, cn, cids = g[int(b)]
+                idx = np.flatnonzero(bks == b)
+                den = nrm[idx][:, None] * cn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(
+                        den > 0, (emb[idx] @ C.T) / np.where(den > 0, den, 1.0), -2.0
+                    )
+                out[idx] = cids[cos.argmax(axis=1)]
+            res = pdf.copy()
+            res[out_col] = out
+            yield res
+
+    return corpus.mapInPandas(assign, schema)
 
 
 def pq_reconstruct(

@@ -88,6 +88,25 @@ def stage_table(
     use, read the committed parquet afterwards. ``deps`` are the input
     files/dirs whose content the stage derives from (fingerprinted into
     the stage identity)."""
+    path = stage_path(spark, key, build, deps)
+    with open(os.path.join(path, "_schema.json")) as f:
+        schema = StructType.fromJson(json.loads(f.read()))
+    return spark.read.schema(schema).parquet(path)
+
+
+def stage_path(
+    spark: SparkSession,
+    key: str,
+    build: Callable[[], DataFrame],
+    deps: list[str] | tuple[str, ...] = (),
+) -> str:
+    """Like stage_table, but return the committed parquet DIRECTORY
+    instead of reading it back — for artifacts consumed executor-side
+    (e.g. per-cell PQ codebooks loaded lazily inside an Arrow kernel,
+    functions/vector._staged_books): the artifact is written by a
+    distributed job and never materialized on the driver. In cluster
+    mode the stage root must live on storage all executors can read —
+    the same contract stage_table's read-back path already has."""
     fp = hashlib.sha1(
         "\n".join([key, *(_dep_sig(d) for d in deps)]).encode()
     ).hexdigest()[:24]
@@ -110,6 +129,4 @@ def stage_table(
                 raise
     else:
         stats["hits"] += 1
-    with open(os.path.join(path, "_schema.json")) as f:
-        schema = StructType.fromJson(json.loads(f.read()))
-    return spark.read.schema(schema).parquet(path)
+    return path

@@ -753,13 +753,24 @@ def sim_ivfpq(
     sf_dir: str,
     s: DataFrame | None = None,
     qwhere: str = "vec_id < 8",
+    corpus_tag: str | None = None,
 ) -> DataFrame:
     """IVF-sharded PQ: coarse-assign (the proven IVF kernel), select a
     per-cell hash codebook with the BANDED rank (no window on the
-    32-value cell key — the hostcap de-skew machinery), one bounded
-    collect of all cells' codewords, then one Arrow encode+reconstruct
-    pass routed per cell (functions.vector.ivfpq_reconstruct) and the
-    standard symmetric scoring."""
+    low-NDV cell key — the hostcap de-skew machinery), stage the
+    (cell, cb_id, ce) codebook as a DISTRIBUTED parquet artifact (r11
+    — verdict item 1: the r10 form collected it to the driver under a
+    32k-row cap; past the 1024-cell clamp knee that collect was the
+    last driver-side bottleneck on the ANN path), then one Arrow
+    encode+reconstruct pass routed per cell with the codebook loaded
+    lazily executor-side (functions.vector._staged_books — the FAISS
+    replicate-the-quantizer deployment shape) and the standard
+    symmetric scoring. ``corpus_tag`` names the corpus derivation for
+    the stage identity when ``s`` is caller-provided; untagged custom
+    frames get a fresh single-use stage."""
+    import uuid as _uuid
+
+    from etly_spark.io.staging import stage_path
     from etly_spark.operators.prefix import banded_row_number
 
     nsrc = (
@@ -792,14 +803,20 @@ def sim_ivfpq(
             F.floor(F.lit(8.0) * F.sqrt(F.col("_cn").cast("double"))).cast("long"),
         ),
     )
-    cb_pdf = (
+    cb_df = (
         ranked.join(F.broadcast(csz), "cell")
         .where(F.col("_crn") <= kc)
         .select("cell", F.col("vec_id").alias("cb_id"), F.col("embedding").alias("ce"))
-        .toPandas()
+    )
+    tag = corpus_tag if corpus_tag else ("iid" if s is None else _uuid.uuid4().hex)
+    cb_path = stage_path(
+        spark,
+        f"ivfpq-cb:{sf_dir}:{tag}",
+        lambda: cb_df,
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
     )
     rec = scoped_persist(
-        _normed(V.ivfpq_reconstruct(asn, cb_pdf, m=_PQ_M, cell_col="cell")),
+        _normed(V.ivfpq_reconstruct(asn, cb_path, m=_PQ_M, cell_col="cell")),
         eager=False,
     )
     scored = V.matmul_scores(rec, _query_pdf(rec, qwhere)).filter(
@@ -982,7 +999,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
     sq8 = _keep(sim_sq8(spark, sf_dir, s))
     pq8 = _keep(sim_pq(spark, sf_dir, s))
-    ivfpq = _keep(sim_ivfpq(spark, sf_dir, s))
+    ivfpq = _keep(sim_ivfpq(spark, sf_dir, s, corpus_tag="iid"))
 
     def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
@@ -1042,7 +1059,9 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq8_c = _keep(sim_sq8(spark, sf_dir, cb, qwhere=_QC_WHERE))
     pq8_c = _keep(sim_pq(spark, sf_dir, cb, qwhere=_QC_WHERE))
-    ivfpq_c = _keep(sim_ivfpq(spark, sf_dir, cb, qwhere=_QC_WHERE))
+    ivfpq_c = _keep(
+        sim_ivfpq(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
+    )
 
     tagged = [
         brute.select(F.lit("brute").alias("method"), "*"),

@@ -122,3 +122,80 @@ def test_ivfpq_reconstruct_routes_per_cell(spark):
     # 0 would reconstruct to ITSELF (cos == 1 on every subspace)
     assert any(np.array_equal(X[0], row) for row in cb1)
     assert not np.allclose(got[0], X[0])  # cell-0 row didn't reach the decoy
+
+
+def test_ivfpq_staged_codebook_matches_pdf_form(spark, tmp_path):
+    """r11 (verdict item 1): passing a stage_path STRING routes the
+    codebook executor-side (_staged_books) — reconstructions must be
+    bit-identical to the driver-pandas form, and the staged artifact
+    must be a real distributed parquet write (no driver collect)."""
+    from etly_spark.functions.vector import ivfpq_reconstruct
+    from etly_spark.io.staging import stage_path
+
+    rng = np.random.default_rng(23)
+    m, d = 4, 16
+    X = rng.normal(size=(60, d))
+    cells = (np.arange(60) % 3).astype("int64")
+    cb_rows = []
+    for c in range(3):
+        for j, v in enumerate(rng.normal(size=(4 + c, d))):
+            cb_rows.append((c, 100 * c + j, list(v)))
+    cb_pdf = pd.DataFrame(cb_rows, columns=["cell", "cb_id", "ce"])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(60, dtype="int64"), "embedding": list(X), "cell": cells}
+        )
+    )
+    want = {
+        r.vec_id: np.array(r.embedding)
+        for r in ivfpq_reconstruct(df, cb_pdf, m=m).collect()
+    }
+    cb_sdf = spark.createDataFrame(cb_pdf)
+    path = stage_path(spark, "test-ivfpq-cb", lambda: cb_sdf, deps=())
+    got = {
+        r.vec_id: np.array(r.embedding)
+        for r in ivfpq_reconstruct(df, path, m=m).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert np.array_equal(got[k], want[k]), k
+
+
+def test_assign_nearest_grouped_staged(spark):
+    """r11 SemDeDup-recursion kernel: per-group nearest assignment
+    against a staged centroid table — rows assign only within their
+    own group (cross-group decoy must not leak), ties break to the
+    smallest cent_id, groups absent from the artifact keep identity."""
+    from etly_spark.functions.vector import assign_nearest_grouped
+    from etly_spark.io.staging import stage_path
+
+    d = 8
+    e1 = [1.0] + [0.0] * (d - 1)
+    e2 = [0.0, 1.0] + [0.0] * (d - 2)
+    # group 10: centroids 5 (=e1) and 3 (=e1 too -> tie, smaller wins);
+    # group 20: centroid 7 (=e1 decoy for group-10 rows) and 9 (=e2)
+    cb = pd.DataFrame(
+        {
+            "bucket": [10, 10, 20, 20],
+            "cent_id": [5, 3, 7, 9],
+            "ce": [e1, e1, e1, e2],
+            "cn": [1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    cb_sdf = spark.createDataFrame(cb)
+    path = stage_path(spark, "test-grouped-assign", lambda: cb_sdf, deps=())
+    rows = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [e1, e2, e1],
+            "nrm": [1.0, 1.0, 1.0],
+            "bucket": [10, 20, 99],  # 99 has no centroids -> identity
+        }
+    )
+    got = {
+        r.vec_id: r.sub
+        for r in assign_nearest_grouped(
+            spark.createDataFrame(rows), path, out_col="sub"
+        ).collect()
+    }
+    assert got == {1: 3, 2: 9, 3: 99}

@@ -1,0 +1,124 @@
+"""ANN scale probe past the coarse-cell clamp knee (r11, verdict item
+1): the ivfpq codebook is now a STAGED executor-side artifact
+(functions/vector._staged_books), so the corpus can grow past the
+point where the r10 driver collect hit its 32k-row hard cap. This
+probe synthesizes an N-vector planted-cluster corpus (the
+clustered_embedding fixture — integer-derived from vec_id, so no file
+dependence and no dedup-density caveat; 16 vectors per planted
+cluster) and measures engine-side recall@5 of ivfpq and pq8 against
+the same corpus's brute-force top-5.
+
+At N=300,000 (150x the sf0.1 embeddings table): 68 coarse cells (the
+32-cell clamp floor stops binding past N=65k) and a ~36k-row codebook
+— PAST the r10 collect cap, which is the point: nothing codebook-
+sized touches the driver anymore.
+
+Usage: python tools/stress_ann.py [N] [methods]
+Writes one JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etly_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"  # stage-identity dep anchor only
+QC_WHERE = "vec_id % 16 = 0 AND vec_id < 128"  # 8 queries, 8 clusters
+
+
+def recall_at5(brute, approx) -> float:
+    b = brute.select("query_id", "neighbor_id")
+    a = approx.select(
+        F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n")
+    )
+    hits = (
+        b.join(a, (b.query_id == a._q) & (b.neighbor_id == a._n), "left")
+        .groupBy("query_id")
+        .agg(F.count("_n").alias("h"))
+        .agg(F.avg(F.col("h") / F.lit(5.0)).alias("r"))
+        .collect()[0]
+        .r
+    )
+    return round(float(hits), 4)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    methods = (sys.argv[2].split(",") if len(sys.argv) > 2
+               else ["ivfpq", "pq8"])
+    spark = get_spark("stress-ann")
+
+    from etly_spark.queries.similarity import (
+        _ivfpq_cells,
+        _normed,
+        _pq_k,
+        _query_pdf,
+        clustered_embedding,
+        sim_ivfpq,
+        sim_pq,
+        sim_topk_bruteforce,
+    )
+
+    corpus = _normed(
+        spark.range(n).select(
+            F.col("id").alias("vec_id"), clustered_embedding().alias("embedding")
+        )
+    ).persist()
+    corpus.count()
+
+    t0 = time.monotonic()
+    q_pdf = _query_pdf(corpus, QC_WHERE)
+    brute = sim_topk_bruteforce(spark, SF_DIR, corpus, q_pdf).persist()
+    brute.count()
+    out = {
+        "n": n,
+        "cells": _ivfpq_cells(n),
+        "pq_k": _pq_k(n),
+        "brute_s": round(time.monotonic() - t0, 2),
+        "clusters": n // 16,
+    }
+
+    if "ivfpq" in methods:
+        t0 = time.monotonic()
+        ivfpq = sim_ivfpq(
+            spark, SF_DIR, corpus, qwhere=QC_WHERE,
+            corpus_tag=f"clustered-{n}",
+        )
+        out["recall_ivfpq"] = recall_at5(brute, ivfpq)
+        out["ivfpq_s"] = round(time.monotonic() - t0, 2)
+        # the staged codebook's actual size (read back file-side — it
+        # was never on the driver)
+        from etly_spark.io.staging import _root
+
+        import glob
+        import os
+
+        cb_rows = 0
+        for d in glob.glob(os.path.join(_root(), "*")):
+            parts = glob.glob(os.path.join(d, "*.parquet"))
+            if parts:
+                cnt = spark.read.parquet(d).count()
+                cols = set(spark.read.parquet(d).columns)
+                if cols == {"cell", "cb_id", "ce"} and cnt > cb_rows:
+                    cb_rows = cnt
+        out["codebook_rows"] = cb_rows
+
+    if "pq8" in methods:
+        t0 = time.monotonic()
+        pq8 = sim_pq(spark, SF_DIR, corpus, qwhere=QC_WHERE)
+        out["recall_pq8"] = recall_at5(brute, pq8)
+        out["pq8_s"] = round(time.monotonic() - t0, 2)
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
