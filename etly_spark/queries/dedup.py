@@ -1226,7 +1226,11 @@ def _sem_recursion_sql(depth: int = _SEM_DEPTH) -> str:
     cosine argmax (ties to the smallest sub-centroid id, zero-norm
     pinned to -2.0 — the assign_nearest contracts). A level with no hot
     cells is a no-op, so the fixed unroll equals the Spark side's
-    early-exit loop."""
+    early-exit loop. Every CTE is MATERIALIZED: each level references
+    its predecessor three times and DuckDB inlines CTEs by default, so
+    an un-materialized chain re-executes the sasn0 assignment window
+    3^depth times (measured: spilled the 10x corpus's temp disk to
+    exhaustion; results are unaffected, only execution shape)."""
 
     def dot(a: str, b: str) -> str:
         return (
@@ -1238,10 +1242,10 @@ def _sem_recursion_sql(depth: int = _SEM_DEPTH) -> str:
     for lv in range(1, depth + 1):
         p = f"sasn{lv - 1}"
         out.append(f"""
-, shot{lv} AS (
+, shot{lv} AS MATERIALIZED (
   SELECT cent_id AS b, COUNT(*) AS n FROM {p} GROUP BY cent_id
   HAVING COUNT(*) > {_SEM_CAP}
-), ssub{lv} AS (
+), ssub{lv} AS MATERIALIZED (
   SELECT b, scid, ce, cn FROM (
     SELECT a.cent_id AS b, a.vec_id AS scid, a.embedding AS ce,
            a.nrm AS cn, h.n AS hn,
@@ -1251,7 +1255,7 @@ def _sem_recursion_sql(depth: int = _SEM_DEPTH) -> str:
     FROM {p} a JOIN shot{lv} h ON h.b = a.cent_id)
   WHERE rn <= LEAST(4096, GREATEST(2,
                 CAST(FLOOR(sqrt(CAST(hn AS DOUBLE))) AS BIGINT)))
-), sasn{lv} AS (
+), sasn{lv} AS MATERIALIZED (
   SELECT vec_id, embedding, nrm, cent_id FROM {p}
   WHERE cent_id NOT IN (SELECT b FROM shot{lv})
   UNION ALL
@@ -1277,7 +1281,7 @@ _SEM_SQL_CTES = f"""
   ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
   LIMIT (SELECT LEAST(4096, GREATEST(32,
            CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) FROM es)
-), sasn0 AS (
+), sasn0 AS MATERIALIZED (
   -- zero-norm guard: matches assign_nearest's -2.0 pin (r10)
   SELECT vec_id, embedding, nrm, cent_id FROM (
     SELECT es.vec_id, es.embedding, es.nrm, c.cent_id,

@@ -163,3 +163,82 @@ def test_index_probe_survives_compaction(spark, tmp_path):
 
     got = {r.first_ord for r in read_line_index_before(spark, str(idx), 8).collect()}
     assert got == {1000, 1001, 1002, 1003, 7007}  # segment + epoch 7, NOT 8
+
+
+def test_chain_drain_compact_resume(spark, tmp_path):
+    """r11 (verdict item 4): drain -> compact the line index -> RESUME
+    the same checkpoint. The unit test above covers the probe's
+    compacted-partition filter; this covers the full chain end-to-end:
+    a post-compaction epoch's doc repeating pre-compaction lines is
+    deduped against the SEGMENT (its loose epoch dirs are gone), fresh
+    lines survive, and the epoch's own index contribution carries only
+    the new lines (the r11 anti-join contract)."""
+    from etly_spark.streaming.dedup import compact_signature_index
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    d = _dirs(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    def shard(i: int, texts: list[str]) -> None:
+        (crawl / f"s{i:03d}.warc.gz").write_bytes(
+            encode_warc(
+                [
+                    _resp(f"https://h{j}.example.com/s{i}/d{j}", t)
+                    for j, t in enumerate(texts)
+                ],
+                per_record_gzip=True,
+            )
+        )
+
+    old_lines = [
+        f"epoch {i} owns this original paragraph with plenty of words {i * 17}"
+        for i in range(6)
+    ]
+    for i in range(6):
+        shard(i, [old_lines[i] + "\n" + BOILER])
+    q = start_crawl_corpus_stream(
+        spark, str(crawl), checkpoint=ckpt, max_files_per_trigger=1, **d
+    )
+    q.awaitTermination(180)
+
+    compact_signature_index(d["index_dir"], threshold=3)
+    import os
+
+    entries = os.listdir(d["index_dir"])
+    assert any("_compacted" in e for e in entries)
+    assert not any(
+        e.startswith("epoch=") and "_compacted" not in e for e in entries
+    ), "loose epoch dirs must fold into the segment"
+
+    # resume: one doc made of two PRE-COMPACTION lines + one fresh line
+    fresh = "a genuinely new paragraph appearing only after the compaction"
+    shard(6, [old_lines[2] + "\n" + BOILER + "\n" + fresh])
+    q2 = start_crawl_corpus_stream(
+        spark, str(crawl), checkpoint=ckpt, max_files_per_trigger=1, **d
+    )
+    q2.awaitTermination(180)
+
+    docs = {r.uri: r.text for r in read_corpus(spark, d["docs_dir"]).collect()}
+    resumed = docs["https://h0.example.com/s6/d0"]
+    assert old_lines[2] not in resumed  # excluded via the SEGMENT
+    assert BOILER not in resumed
+    assert fresh in resumed
+    # the resumed epoch's index contribution = its genuinely-new lines
+    # only (anti-join vs the compacted history)
+    import hashlib
+
+    epoch_dirs = [
+        e for e in os.listdir(d["index_dir"])
+        if e.startswith("epoch=") and "_compacted" not in e
+    ]
+    assert len(epoch_dirs) == 1  # only the post-compaction epoch
+    contrib = {
+        r.line_h
+        for r in spark.read.parquet(
+            os.path.join(d["index_dir"], epoch_dirs[0])
+        ).collect()
+    }
+    assert hashlib.md5(fresh.encode()).hexdigest() in contrib
+    assert hashlib.md5(old_lines[2].encode()).hexdigest() not in contrib
+    assert hashlib.md5(BOILER.encode()).hexdigest() not in contrib
