@@ -34,9 +34,9 @@ def sf_from_dir(sf_dir: str) -> float:
 # once the branch is inside the baseline being compared to.
 NEW_BRANCHES: dict[str, str] = {
     "dedup_exact": "r10:+spans-remove-exactsubstr",
-    "dedup_clusters": "r10:+semdedup-semantic",
+    "dedup_clusters": "r11:+hot-cell-recursion",
     "text_quality": "r9:+trained-lr-classifier",
-    "sim_ann_methods": "r10:+pq-scaled-codebook+ivfpq",
+    "sim_ann_methods": "r11:+pq-lloyd-training",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
     "text_top_terms": "r8:+hosts-url-canonicalization",

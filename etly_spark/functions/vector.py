@@ -442,6 +442,70 @@ def assign_nearest_grouped(
     return corpus.mapInPandas(assign, schema)
 
 
+def pq_codes(
+    corpus: DataFrame,
+    cent_pdf: pd.DataFrame,
+    *,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ assignment CODES (r11, the Lloyd-training
+    half-step): for every vector and subspace, the cent_id of the most
+    cosine-similar codebook slice — EXACTLY pq_reconstruct's argmax
+    (same blocked einsum, same -2.0 zero-norm pin, same ties-to-
+    smallest-cent_id), emitting (id, m, cent_id) rows instead of the
+    reconstruction. The einsum kernel's sequential per-slice reduction
+    keeps the cosines bit-identical to the oracle's list_reduce twin —
+    the argmax therefore picks the same codeword on both engines."""
+    import numpy as np
+
+    order = np.argsort(cent_pdf["cent_id"].to_numpy(dtype="int64"), kind="stable")
+    C = _rows(cent_pdf["ce"])[order]
+    cids = cent_pdf["cent_id"].to_numpy(dtype="int64")[order]
+    k, d = C.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    Cs = np.ascontiguousarray(C.reshape(k, m, sub))
+    cn = np.sqrt(np.einsum("kms,kms->km", Cs, Cs))
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("m", LongType()),
+            StructField("cent_id", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blk = max(1, int(8_000_000 / (k * m)))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _rows(pdf[vec_col]).reshape(len(pdf), m, sub)
+            xn = np.sqrt(np.einsum("nms,nms->nm", X, X))
+            outs = []
+            for lo in range(0, len(pdf), blk):
+                Xb, xb = X[lo : lo + blk], xn[lo : lo + blk]
+                num = np.einsum("nms,kms->nkm", Xb, Cs)
+                den = xb[:, None, :] * cn[None, :, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den > 0, num / np.where(den > 0, den, 1.0), -2.0)
+                outs.append(cids[cos.argmax(axis=1)])  # (n, m)
+            codes = np.concatenate(outs) if len(outs) > 1 else outs[0]
+            ids = pdf[id_col].astype("int64").to_numpy()
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, m),
+                    "m": np.tile(np.arange(m, dtype="int64"), n),
+                    "cent_id": codes.reshape(n * m),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema)
+
+
 def pq_reconstruct(
     corpus: DataFrame,
     cent_pdf: pd.DataFrame,

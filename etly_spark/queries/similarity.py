@@ -546,18 +546,84 @@ def _pq_k(n: int) -> int:
     return min(_PQ_K_CAP, max(64, int(math.floor(8.0 * math.sqrt(float(n))))))
 
 
+# Lloyd refinement (r11, verdict item 6): the hash-selected codebook
+# is an INITIALIZATION, refined by _PQ_TRAIN_ITERS deterministic
+# k-means iterations per subspace (cosine assignment — the same argmax
+# as encode — then the plain elementwise mean). Means are ORDERED
+# folds (members sorted by vec_id, sequential left fold seeded with
+# 0.0) so both engines produce bit-identical centroids — the proven
+# cross-engine float toolbox. Empty codewords keep their previous
+# value. Measured on the 20x planted-cluster fixture: recall@5
+# 0.80 (hash-selected) -> 0.90 after 2 iterations (STRESS.md r11).
+_PQ_TRAIN_ITERS = 2
+
+
+def _pq_train_ctes() -> str:
+    """The unrolled training chain cent0 -> cent{_PQ_TRAIN_ITERS}.
+    Every CTE is MATERIALIZED — DuckDB inlines multi-referenced CTEs,
+    and each iteration references its predecessor several times (the
+    SemDeDup recursion lesson)."""
+    out = [f"""
+, svals AS MATERIALIZED (
+  SELECT e.vec_id, (g.i - 1) // {_PQ_SUB} AS m, (g.i - 1) % {_PQ_SUB} AS d,
+         e.embedding[g.i]::DOUBLE AS val
+  FROM __pqsrc e CROSS JOIN generate_series(1, {_SQ_DIM}) g(i)
+)"""]
+    for t in range(1, _PQ_TRAIN_ITERS + 1):
+        p = f"cent{t - 1}"
+        out.append(f"""
+, subc_t{t} AS MATERIALIZED (
+  SELECT cent_id, m, ce[m*{_PQ_SUB}+1 : m*{_PQ_SUB}+{_PQ_SUB}] AS cs
+  FROM {p} CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+), sc_t{t} AS (
+  SELECT vec_id, m, cent_id,
+         CASE WHEN sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')}) = 0
+              THEN -2.0
+              ELSE {_sql_dot('xs', 'cs')}
+                / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) END AS cos
+  FROM subs JOIN subc_t{t} USING (m)
+), best_t{t} AS (
+  SELECT vec_id, m, MAX(cos) AS bc FROM sc_t{t} GROUP BY vec_id, m
+), asn_t{t} AS MATERIALIZED (
+  SELECT sc.vec_id, sc.m, MIN(sc.cent_id) AS cent_id
+  FROM sc_t{t} sc JOIN best_t{t} b ON b.vec_id = sc.vec_id AND b.m = sc.m
+                   AND sc.cos = b.bc
+  GROUP BY sc.vec_id, sc.m
+), upd_t{t} AS MATERIALIZED (
+  -- ordered fold seeded with 0.0 — bit-identical to the Spark side's
+  -- F.aggregate over the vec_id-sorted member list
+  SELECT a.cent_id, v.m, v.d,
+         list_reduce([0.0::DOUBLE] || list(v.val ORDER BY v.vec_id),
+                     (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE) AS mu
+  FROM asn_t{t} a JOIN svals v ON v.vec_id = a.vec_id AND v.m = a.m
+  GROUP BY a.cent_id, v.m, v.d
+), cent{t} AS MATERIALIZED (
+  SELECT c.cent_id,
+         list(COALESCE(u.mu, c.ce[g.i]) ORDER BY g.i) AS ce
+  FROM cent{t - 1} c
+  CROSS JOIN generate_series(1, {_SQ_DIM}) g(i)
+  LEFT JOIN upd_t{t} u ON u.cent_id = c.cent_id
+       AND u.m = (g.i - 1) // {_PQ_SUB} AND u.d = (g.i - 1) % {_PQ_SUB}
+  GROUP BY c.cent_id
+)""")
+    return "".join(out)
+
+
 def _pq_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
     return f"""
-WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS ce FROM {src}
+WITH __pqsrc AS MATERIALIZED (
+  SELECT vec_id, embedding FROM {src}
+), cent0 AS MATERIALIZED (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> x::DOUBLE) AS ce FROM __pqsrc
   ORDER BY {_CENT_HASH_SQL}, vec_id
-  LIMIT (SELECT {_PQ_K_SQL} FROM {src})
-), subs AS (
+  LIMIT (SELECT {_PQ_K_SQL} FROM __pqsrc)
+), subs AS MATERIALIZED (
   SELECT e.vec_id, g.m, e.embedding[g.m*{_PQ_SUB}+1 : g.m*{_PQ_SUB}+{_PQ_SUB}] AS xs
-  FROM {src} e CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
-), subc AS (
+  FROM __pqsrc e CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+){_pq_train_ctes()}, subc AS (
   SELECT cent_id, m, ce[m*{_PQ_SUB}+1 : m*{_PQ_SUB}+{_PQ_SUB}] AS cs
-  FROM cent CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+  FROM cent{_PQ_TRAIN_ITERS} CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
 ), sc AS (
   -- slim scalar scores only: the N*m*k pair stream must never carry
   -- the subvector payloads into a sort — the row_number formulation
@@ -605,23 +671,82 @@ ORDER BY query_id, rank
 """
 
 
+def _pq_lloyd_step(base: DataFrame, cent_pdf) -> "object":
+    """One deterministic Lloyd iteration for the PQ codebook (r11):
+    assign every (vector, subspace) to its codeword via the SAME
+    blocked-einsum argmax the encode uses (functions.vector.pq_codes),
+    then replace each non-empty codeword slice with the elementwise
+    member mean — computed as an ORDERED fold (members sorted by
+    vec_id, sequential left fold seeded with 0.0, one exact division
+    by the count), so the result is bit-identical to the oracle's
+    list_reduce twin. Empty codewords keep their previous value. The
+    per-element mean table is k x 64 rows (<= 2 MiB at the 4096 cap) —
+    the global codebook's bounded-collect budget, unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    sub = _SQ_DIM // _PQ_M
+    codes = V.pq_codes(base, cent_pdf, m=_PQ_M)
+    svals = base.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_SQ_DIM))).alias("_i"),
+        F.col("embedding"),
+    ).select(
+        "vec_id",
+        F.floor((F.col("_i") - 1) / F.lit(sub)).cast("long").alias("m"),
+        ((F.col("_i") - 1) % F.lit(sub)).cast("long").alias("d"),
+        F.element_at("embedding", F.col("_i")).cast("double").alias("val"),
+    )
+    upd = (
+        codes.join(svals, ["vec_id", "m"])
+        .groupBy("cent_id", "m", "d")
+        .agg(
+            F.collect_list(F.struct("vec_id", "val")).alias("_l"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "cent_id",
+            "m",
+            "d",
+            (
+                F.aggregate(
+                    F.array_sort("_l"), F.lit(0.0), lambda a, x: a + x["val"]
+                )
+                / F.col("_n").cast("double")
+            ).alias("mu"),
+        )
+        .toPandas()
+    )
+    new_ce = {
+        int(cid): np.asarray(ce, dtype="float64").copy()
+        for cid, ce in zip(cent_pdf["cent_id"], cent_pdf["ce"])
+    }
+    for cid, m_, d_, mu in zip(upd["cent_id"], upd["m"], upd["d"], upd["mu"]):
+        new_ce[int(cid)][int(m_) * sub + int(d_)] = mu
+    cids = sorted(new_ce)
+    return pd.DataFrame({"cent_id": cids, "ce": [new_ce[c] for c in cids]})
+
+
 def sim_pq(
     spark: SparkSession,
     sf_dir: str,
     s: DataFrame | None = None,
     qwhere: str = "vec_id < 8",
 ) -> DataFrame:
-    """PQ ANN: encode+reconstruct in one Arrow pass (functions.vector
-    .pq_reconstruct — codebook in the task closure, ties to smallest
-    cent_id matching the oracle), then the standard symmetric brute
-    pipeline over the reconstructions. The codebook size is corpus-
-    scaled (_pq_k — one count() over the shared persisted frame, the
-    sq8 bounds-collect precedent; capped so the driver collect stays
+    """PQ ANN: hash-selected codebook INITIALIZATION refined by
+    _PQ_TRAIN_ITERS deterministic Lloyd iterations (r11 — the fixed
+    k=hash-sample rule measured 0.80 clustered recall@5 at 20x where
+    two training sweeps reach 0.90, STRESS.md), then encode+reconstruct
+    in one Arrow pass (functions.vector.pq_reconstruct — codebook in
+    the task closure, ties to smallest cent_id matching the oracle) and
+    the standard symmetric brute pipeline over the reconstructions.
+    The codebook size is corpus-scaled (_pq_k — one count() over the
+    shared persisted frame; capped so every training collect stays
     bounded at any N)."""
     # standalone path: persist the normed frame BEFORE the sizing
-    # count — it feeds three consumers (count, centroid selection,
-    # encode); unpersisted that was three full corpus scans (ADVICE
-    # r10). Caller-provided frames arrive already scoped_persist'ed.
+    # count — it feeds count, centroid selection, per-iteration
+    # assignment and encode. Caller-provided frames arrive already
+    # scoped_persist'ed.
     nsrc = (
         s
         if s is not None
@@ -631,6 +756,8 @@ def sim_pq(
     )
     base = nsrc.select("vec_id", "embedding")
     cent_pdf = select_centroids(nsrc, k=_pq_k(nsrc.count()))
+    for _ in range(_PQ_TRAIN_ITERS):
+        cent_pdf = _pq_lloyd_step(base, cent_pdf)
     sq = scoped_persist(
         _normed(V.pq_reconstruct(base, cent_pdf, m=_PQ_M)), eager=False
     )

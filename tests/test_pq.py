@@ -199,3 +199,48 @@ def test_assign_nearest_grouped_staged(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 9, 3: 99}
+
+
+def test_pq_lloyd_step_matches_numpy_reference(spark):
+    """r11 (verdict item 6): one deterministic Lloyd iteration must
+    equal the plain numpy k-means step — cosine argmax assignment
+    (ties to smallest cent_id), elementwise member mean, empty
+    codewords keep their previous value."""
+    from etly_spark.queries.similarity import _PQ_M, _pq_lloyd_step
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 64
+    X = rng.normal(size=(n, d))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype="int64"), "embedding": list(X)})
+    )
+    k = 10
+    # a zero-norm codeword is unassignable (cosine pinned to -2.0 on
+    # both engines) -> a genuinely empty cluster; a merely-distant one
+    # would NOT be (cosine is scale-invariant)
+    C = np.vstack([X[:k - 1], np.zeros((1, d))])
+    cent_pdf = pd.DataFrame(
+        {"cent_id": np.arange(k, dtype="int64"), "ce": list(C)}
+    )
+    out = _pq_lloyd_step(df, cent_pdf)
+    got = {int(c): np.asarray(e) for c, e in zip(out["cent_id"], out["ce"])}
+
+    m, sub = _PQ_M, d // _PQ_M
+    Xs = X.reshape(n, m, sub)
+    Cs = C.reshape(k, m, sub)
+    xn = np.sqrt(np.einsum("nms,nms->nm", Xs, Xs))
+    cn = np.sqrt(np.einsum("kms,kms->km", Cs, Cs))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        den = xn[:, None, :] * cn[None, :, :]
+        cos = np.where(den > 0, np.einsum("nms,kms->nkm", Xs, Cs) / np.where(den > 0, den, 1.0), -2.0)
+    codes = cos.argmax(axis=1)  # (n, m), first max = smallest cent_id
+    want = Cs.copy()
+    for mm in range(m):
+        for c in range(k):
+            members = np.flatnonzero(codes[:, mm] == c)
+            if len(members):
+                want[c, mm, :] = Xs[members, mm, :].mean(axis=0)
+    for c in range(k):
+        assert np.allclose(got[c], want[c].reshape(d), atol=1e-12), c
+    # the decoy codeword attracted nothing and survived verbatim
+    assert np.array_equal(got[k - 1][:], C[k - 1])
