@@ -9,13 +9,16 @@ sockets, and standalone-master scheduling. These tests run the REAL
 tools under ``local-cluster[2,8,3200]`` — two separate executor JVMs —
 to convert those assumptions into a pinned check.
 
-Opt-in (slow: ~3-8 min): ``ETLY_LOCAL_CLUSTER=1 pytest
-tests/test_local_cluster.py``; set ``ETLY_LOCAL_CLUSTER=full`` to sweep
-the whole 50-row catalog instead of the representative subset.
-r10 session evidence: the FULL catalog passed 50/50 hash-identical
-under local-cluster (43 rows in one app + the 7 text rows re-run after
-sizing spark.executor.memory — the 1g default OOM-churned executors,
-which is why session.py now pins 3g).
+r11 (verdict item 7): the representative SUBSET + the pipeline e2e run
+in the DEFAULT suite (~2 min of the total) — a cross-JVM regression
+like the executor-memory OOM r10 caught must not stay invisible behind
+an env var. Set ``ETLY_LOCAL_CLUSTER=full`` to sweep the whole 50-row
+catalog instead of the subset; ``ETLY_LOCAL_CLUSTER=0`` skips (for
+quick iteration on unrelated code). r10 session evidence: the FULL
+catalog passed 50/50 hash-identical under local-cluster (43 rows in
+one app + the 7 text rows re-run after sizing spark.executor.memory —
+the 1g default OOM-churned executors, which is why session.py now
+pins 3g).
 """
 
 from __future__ import annotations
@@ -26,9 +29,9 @@ import sys
 
 import pytest
 
-_MODE = os.environ.get("ETLY_LOCAL_CLUSTER", "")
+_MODE = os.environ.get("ETLY_LOCAL_CLUSTER", "1")
 pytestmark = pytest.mark.skipif(
-    not _MODE, reason="opt-in: set ETLY_LOCAL_CLUSTER=1 (or 'full')"
+    _MODE in ("0", "false", ""), reason="ETLY_LOCAL_CLUSTER=0 set"
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
