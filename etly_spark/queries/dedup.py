@@ -330,8 +330,8 @@ _URL_CANON = r"""
       -- where Spark's concat_ws gives '' — a fully-excised doc must
       -- still contribute md5('') to the checksum on both sides
       -- token-vs-whitespace classification tests the FIRST char
-      -- against \s (trim() strips only ASCII spaces on both engines,
-      -- so a newline-bearing run would misclassify under it)
+      -- against whitespace (trim() strips only ASCII spaces on both
+      -- engines, so a newline-bearing run would misclassify under it)
       SELECT k.source, len(k.t) AS n_toks, kp,
              COALESCE(array_to_string(list_transform(k.sg, (seg, i) ->
                CASE WHEN (CASE WHEN NOT regexp_matches(seg, '^\\s')
