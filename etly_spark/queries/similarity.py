@@ -1018,42 +1018,43 @@ def clustered_embedding() -> F.Column:
     return F.transform(F.sequence(F.lit(1), F.lit(_SQ_DIM)), comp)
 
 
-_ANN_SQL = f"""
-SELECT 'brute' AS method, * FROM ({_BF_SQL})
-UNION ALL
-SELECT 'lsh' AS method, * FROM ({_LSH_SQL})
-UNION ALL
-SELECT 'ivf' AS method, * FROM ({_IVF_SQL})
-UNION ALL
-SELECT 'hardneg' AS method, * FROM ({_HN_SQL})
-UNION ALL
-SELECT 'sq8' AS method, * FROM ({_SQ8_SQL})
-UNION ALL
-SELECT 'pq8' AS method, * FROM ({_pq_sql()})
-UNION ALL
-SELECT 'ivfpq' AS method, * FROM ({_ivfpq_sql()})
-UNION ALL
-{_recall_sql('lsh', _LSH_SQL)}
-UNION ALL
-{_recall_sql('ivf', _IVF_SQL)}
-UNION ALL
-{_recall_sql('sq8', _SQ8_SQL)}
-UNION ALL
-{_recall_sql('pq8', _pq_sql())}
-UNION ALL
-{_recall_sql('ivfpq', _ivfpq_sql())}
-UNION ALL
-{_recall_sql('lsh_c', _lsh_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
-UNION ALL
-{_recall_sql('ivf_c', _ivf_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
-UNION ALL
-{_recall_sql('sq8_c', _sq8_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
-UNION ALL
-{_recall_sql('pq8_c', _pq_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
-UNION ALL
-{_recall_sql('ivfpq_c', _ivfpq_sql(_CEMB_SQL, _QC_WHERE), _bf_sql(_CEMB_SQL, _QC_WHERE))}
-ORDER BY method, query_id, rank
-"""
+# Each method's result is computed ONCE as a MATERIALIZED CTE and
+# consumed by both its tagged rows and its recall accounting (r11).
+# The previous form embedded each method's full SQL textually per
+# consumer, and DuckDB inlines — with the trained-PQ chain in, pq8
+# alone would execute its three-assignment pipeline several times per
+# run (the Spark side always shared these via _keep/persist; this
+# brings the oracle to the same execution shape). Rows are identical.
+_ANN_METHODS = {
+    "brute": _BF_SQL,
+    "lsh": _LSH_SQL,
+    "ivf": _IVF_SQL,
+    "hardneg": _HN_SQL,
+    "sq8": _SQ8_SQL,
+    "pq8": _pq_sql(),
+    "ivfpq": _ivfpq_sql(),
+    "brute_c": _bf_sql(_CEMB_SQL, _QC_WHERE),
+    "lsh_c": _lsh_sql(_CEMB_SQL, _QC_WHERE),
+    "ivf_c": _ivf_sql(_CEMB_SQL, _QC_WHERE),
+    "sq8_c": _sq8_sql(_CEMB_SQL, _QC_WHERE),
+    "pq8_c": _pq_sql(_CEMB_SQL, _QC_WHERE),
+    "ivfpq_c": _ivfpq_sql(_CEMB_SQL, _QC_WHERE),
+}
+
+_ANN_SQL = (
+    "WITH "
+    + ",\n".join(f"m_{k} AS MATERIALIZED ({sql})" for k, sql in _ANN_METHODS.items())
+    + "\n"
+    + "\nUNION ALL\n".join(
+        [f"SELECT '{k}' AS method, * FROM m_{k}"
+         for k in ("brute", "lsh", "ivf", "hardneg", "sq8", "pq8", "ivfpq")]
+        + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute")
+           for k in ("lsh", "ivf", "sq8", "pq8", "ivfpq")]
+        + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute_c")
+           for k in ("lsh_c", "ivf_c", "sq8_c", "pq8_c", "ivfpq_c")]
+    )
+    + "\nORDER BY method, query_id, rank\n"
+)
 
 
 @query(
