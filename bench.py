@@ -33,7 +33,7 @@ def sf_from_dir(sf_dir: str) -> float:
 # the compared-against artifact predates round N, so entries self-expire
 # once the branch is inside the baseline being compared to.
 NEW_BRANCHES: dict[str, str] = {
-    "dedup_exact": "r10:+spans-remove-exactsubstr",
+    "dedup_exact": "r11:+byte-offset-excision",
     "dedup_clusters": "r11:+hot-cell-recursion",
     "text_quality": "r9:+trained-lr-classifier",
     "sim_ann_methods": "r11:+pq-lloyd-training",
