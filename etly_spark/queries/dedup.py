@@ -170,21 +170,30 @@ def excise_dup_spans(
         # position of segment i recovered arithmetically (segments
         # strictly alternate, so no prefix scan is needed), coverage
         # tested against the few merged intervals (O(#intervals) per
-        # segment; #intervals is bounded by starts and usually 0-2)
-        segs = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+|\s+"), 0)
-
-        # a segment is a token iff its FIRST char is non-whitespace —
-        # trim() strips only ASCII spaces on both engines, so a
-        # newline-bearing whitespace run would misclassify under it
+        # segment; #intervals is bounded by starts and usually 0-2).
+        # _segs/_off are REAL columns: referencing them inside the
+        # per-segment lambda reads a per-row buffer — embedding the
+        # expressions would re-run the full-text regex once PER SEGMENT
+        # (higher-order lambdas are interpreted, no subexpression
+        # elimination; measured quadratic per doc). Units with no
+        # duplicated windows rebuild to themselves (the segmentation is
+        # lossless) and never pay the regex or the walk.
         def _is_tok(seg: F.Column) -> F.Column:
+            # first char non-whitespace — trim() strips only ASCII
+            # spaces on both engines, so a newline-bearing whitespace
+            # run would misclassify under it
             return ~F.substring(seg, 1, 1).rlike(r"\s")
 
-        off = F.when(
-            (F.size(segs) > 0) & _is_tok(F.element_at(segs, 1)), F.lit(1)
+        segs_col = F.when(
+            F.size("_ss") > 0,
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+|\s+"), 0),
+        ).otherwise(F.array().cast("array<string>"))
+        off_col = F.when(
+            (F.size("_segs") > 0) & _is_tok(F.element_at("_segs", 1)), F.lit(1)
         ).otherwise(F.lit(0))
 
         def _seg_keep(seg: F.Column, i: F.Column) -> F.Column:
-            tb = F.shiftright(i + off, 1)  # tokens strictly before seg i
+            tb = F.shiftright(i + F.col("_off"), 1)  # tokens before seg i
             j = tb + 1  # this segment's token position, if it is one
             tok_rm = F.exists(
                 F.col("_iv"), lambda v: (v["b"] <= j) & (j <= v["e"])
@@ -195,19 +204,28 @@ def excise_dup_spans(
             rm = F.when(_is_tok(seg), tok_rm).otherwise(ws_rm)
             return F.when(rm, F.lit("")).otherwise(seg)
 
-        # a unit with NO duplicated windows rebuilds to itself (the
-        # segmentation is lossless) — skip the segment walk for the
-        # untouched majority; only excised units pay it. Identical
-        # bytes either way (measured 2.07x on the whole catalog row
-        # before the shortcut).
         txt = F.when(
-            F.size("_ss") > 0, F.concat_ws("", F.transform(segs, _seg_keep))
+            F.size("_ss") > 0,
+            F.concat_ws("", F.transform(F.col("_segs"), _seg_keep)),
         ).otherwise(F.col(text_col))
-    else:
-        txt = F.concat_ws(
-            " ",
-            F.transform(F.col("_kp"), lambda p: F.element_at(F.col(t_col), p)),
+        return (
+            units.join(starts, key_col, "left")
+            .withColumn("_ss", F.coalesce("_ss", F.array()))
+            .withColumn("_iv", iv)
+            .withColumn(
+                # empty-token guard: sequence(1, 0) DESCENDS in Spark
+                "_kp",
+                F.when(n_t > 0, kept).otherwise(F.array().cast("array<int>")),
+            )
+            .withColumn("_segs", segs_col)
+            .withColumn("_off", off_col)
+            .withColumn("_txt", txt)
+            .drop("_segs", "_off")
         )
+    txt = F.concat_ws(
+        " ",
+        F.transform(F.col("_kp"), lambda p: F.element_at(F.col(t_col), p)),
+    )
     return (
         units.join(starts, key_col, "left")
         .withColumn("_ss", F.coalesce("_ss", F.array()))
