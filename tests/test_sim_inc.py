@@ -1,0 +1,109 @@
+"""Incremental IVF index maintenance (r11, `sim_ann_methods` method
+'ivf_inc'): the quantizer freezes on the first arrival shard, every
+later shard folds in as its own append-only postings partition, and
+the folded index answers queries exactly like a batch build over the
+union under the same frozen quantizer."""
+
+import os
+import time
+
+import duckdb
+from pyspark.sql import functions as F
+
+from etly_spark.functions import vector as V
+from etly_spark.io.tables import load_table
+from etly_spark.queries.similarity import (
+    _IVFINC_EPOCHS,
+    _IVFINC_SQL,
+    _normed,
+    fold_ivf_epoch,
+    select_centroids,
+    sim_ivf_inc,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mtimes(root: str) -> dict:
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_fold_is_append_only_and_lossless(spark, tmp_path):
+    """Folding epoch e touches ONLY epoch=e; the union of folds equals
+    a one-shot assignment of the whole corpus against the frozen
+    quantizer (nothing lost, nothing reassigned)."""
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = select_centroids(s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0))
+    postings = str(tmp_path / "postings")
+
+    for e in range(_IVFINC_EPOCHS - 1):
+        fold_ivf_epoch(
+            s.where(F.col("vec_id") % _IVFINC_EPOCHS == e), cent_pdf, postings, e
+        )
+    before = _mtimes(postings)
+    assert before, "expected postings files from the first folds"
+    time.sleep(0.05)  # mtime_ns granularity guard
+    fold_ivf_epoch(
+        s.where(F.col("vec_id") % _IVFINC_EPOCHS == (_IVFINC_EPOCHS - 1)),
+        cent_pdf,
+        postings,
+        _IVFINC_EPOCHS - 1,
+    )
+    after = _mtimes(postings)
+    touched = {
+        p
+        for p in before
+        if after.get(p) != before[p] or p not in after
+    }
+    assert not touched, f"earlier epochs were rewritten: {sorted(touched)[:5]}"
+
+    folded = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in spark.read.parquet(postings).select("vec_id", "cent_id").collect()
+    )
+    oneshot = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in V.assign_nearest(
+            s.select("vec_id", "embedding", "nrm"), cent_pdf
+        ).collect()
+    )
+    assert folded == oneshot and len(folded) == s.count()
+
+
+def test_ivf_inc_matches_batch_oracle(spark):
+    """sim_ivf_inc's top-k rows equal the DuckDB BATCH build over the
+    union under the same frozen (shard-0) quantizer — the lossless-
+    maintenance invariant the driver gate re-checks at sf0.01."""
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in sim_ivf_inc(spark, SF).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(SF, 'embeddings.parquet')}'"
+    )
+    want = sorted(
+        (int(q), int(n), int(rk), float(c))
+        for q, n, rk, c in con.execute(_IVFINC_SQL).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+
+
+def test_frozen_quantizer_differs_from_batch_selection(spark):
+    """The invariant is only meaningful if the frozen quantizer is a
+    genuinely different centroid set than a full-corpus selection —
+    otherwise 'ivf_inc' would silently re-test 'ivf'."""
+    s = _normed(load_table(spark, SF, "embeddings"))
+    frozen = set(
+        select_centroids(s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0))["cent_id"]
+    )
+    batch = set(select_centroids(s)["cent_id"])
+    assert frozen != batch
