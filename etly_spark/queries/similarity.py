@@ -211,6 +211,7 @@ def _ivf_sql(
     src: str = "embeddings",
     qwhere: str = "vec_id < 8",
     cent_where: str = "TRUE",
+    del_where: str = "FALSE",
 ) -> str:
     return f"""
 WITH s AS (
@@ -228,7 +229,10 @@ WITH s AS (
                       c.cent_id) AS rn
   FROM s CROSS JOIN cent c
 ), assign AS (
-  SELECT vec_id, embedding, nrm, cent_id FROM assign0 WHERE rn = 1
+  -- deletions (r11 ivf_inc): a tombstoned vector leaves the candidate
+  -- set but the postings partition that holds it is never rewritten
+  SELECT vec_id, embedding, nrm, cent_id FROM assign0
+  WHERE rn = 1 AND NOT ({del_where})
 ), q AS (
   -- multi-probe (r8): each query probes its NPROBE=4 nearest coarse
   -- cells, not just its own assignment cell. The index stays top-1
@@ -386,7 +390,16 @@ def sim_ivf_ann(
 _IVFINC_EPOCHS = 4
 _IVFINC_CACHE: dict[str, str] = {}
 
-_IVFINC_SQL = _ivf_sql(cent_where=f"vec_id % {_IVFINC_EPOCHS} = 0")
+# the checked row's deterministic deletion batch (arrives AFTER the
+# postings epochs): residue chosen so the tombstoned set provably
+# intersects the no-delete top-k at sf0.001 AND sf0.01 — the gate
+# exercises deletion, it doesn't just tolerate it. vec_id >= 8 keeps
+# the query set alive.
+_IVFINC_DEL = "vec_id >= 8 AND vec_id % 89 = 13"
+
+_IVFINC_SQL = _ivf_sql(
+    cent_where=f"vec_id % {_IVFINC_EPOCHS} = 0", del_where=_IVFINC_DEL
+)
 
 
 def fold_ivf_epoch(shard: DataFrame, cent_pdf, postings_dir: str, epoch: int) -> None:
@@ -401,15 +414,44 @@ def fold_ivf_epoch(shard: DataFrame, cent_pdf, postings_dir: str, epoch: int) ->
     ).write.mode("overwrite").parquet(os.path.join(postings_dir, f"epoch={epoch}"))
 
 
+def fold_ivf_tombstones(deleted: DataFrame, tombstones_dir: str, epoch: int) -> None:
+    """Fold a DELETION batch into the index: write the doomed vec_ids
+    as this epoch's own tombstone partition — the postings partitions
+    holding those vectors are never rewritten (FAISS's remove_ids
+    rewrites the posting lists in place; at 100 TB the log-structured
+    answer is a tombstone side-table anti-joined at probe time, folded
+    away at the next compaction)."""
+    deleted.select("vec_id").write.mode("overwrite").parquet(
+        os.path.join(tombstones_dir, f"epoch={epoch}")
+    )
+
+
+def compact_ivf_postings(index_dir: str, threshold: int = 64) -> None:
+    """Fold loose per-epoch postings/tombstone partitions into
+    never-rewritten compacted segments once their count exceeds
+    ``threshold`` (io/compact.py — the signature-index tiering).
+    Contract: run with NO active writer, exactly like
+    compact_signature_index. Tombstoned rows are NOT purged from the
+    compacted postings (purging needs the tombstone set to be final;
+    the anti-join stays correct either way) — a purging rewrite is a
+    separate offline job at the operator's discretion."""
+    from etly_spark.io.compact import compact_partitions
+
+    compact_partitions(os.path.join(index_dir, "postings"), "epoch", threshold)
+    compact_partitions(os.path.join(index_dir, "tombstones"), "epoch", threshold)
+
+
 def ivf_inc_index(spark: SparkSession, sf_dir: str) -> str:
     """The incrementally-maintained IVF index for ``sf_dir``, built
     once per process (the staged-artifact contract, fingerprinted on
     the embeddings input): epoch shards (vec_id % _IVFINC_EPOCHS — the
     deterministic stand-in for arrival order) folded one at a time via
-    fold_ivf_epoch. Returns the committed directory holding
+    fold_ivf_epoch, then one deletion batch (_IVFINC_DEL) folded as a
+    tombstone partition. Returns the committed directory holding
     ``quantizer/`` (the frozen coarse-centroid table — selected from
-    the FIRST shard only, K_CENTROIDS rows at any corpus size) and
-    ``postings/epoch=e/`` (one append-only partition per arrival)."""
+    the FIRST shard only, K_CENTROIDS rows at any corpus size),
+    ``postings/epoch=e/`` (one append-only partition per arrival) and
+    ``tombstones/epoch=e/`` (one per deletion batch)."""
     import hashlib
     import uuid
 
@@ -435,6 +477,11 @@ def ivf_inc_index(spark: SparkSession, sf_dir: str) -> str:
                 os.path.join(tmp, "postings"),
                 e,
             )
+        # a deletion batch arrives after the inserts (the checked
+        # row's deterministic stand-in for a takedown/expiry feed)
+        fold_ivf_tombstones(
+            s.where(F.expr(_IVFINC_DEL)), os.path.join(tmp, "tombstones"), 0
+        )
         os.rename(tmp, final)
     _IVFINC_CACHE[fp] = final
     return final
@@ -446,14 +493,34 @@ def sim_ivf_inc(
     """Query the incrementally-folded IVF index — the same multi-probe
     plan as sim_ivf_ann (probe list = Q x NPROBE broadcast join keys,
     one scan of the postings union), but against the frozen shard-0
-    quantizer and the per-epoch postings partitions. Result rows are
-    gated hash-identical to the oracle's BATCH build under the same
-    frozen quantizer: append-only maintenance is lossless."""
-    d = ivf_inc_index(spark, sf_dir)
+    quantizer and the per-epoch postings partitions, with tombstoned
+    vectors anti-joined out of the candidate set (broadcast — the
+    postings scan never shuffles). Result rows are gated hash-identical
+    to the oracle's BATCH build-minus-deletes under the same frozen
+    quantizer: append-only maintenance, including deletions that never
+    rewrite a postings partition, is lossless."""
+    return _probe_ivf_index(spark, ivf_inc_index(spark, sf_dir), qwhere)
+
+
+def _probe_ivf_index(
+    spark: SparkSession, d: str, qwhere: str = "vec_id < 8"
+) -> DataFrame:
+    """Query an ivf_inc-shaped index directory (quantizer/ + postings/
+    [+ tombstones/]) — factored out so tests can probe throwaway
+    indexes (pre/post compaction) through the production plan."""
     cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
     assign = spark.read.parquet(os.path.join(d, "postings")).select(
         "vec_id", "embedding", "nrm", "cent_id"
     )
+    tomb_dir = os.path.join(d, "tombstones")
+    if os.path.isdir(tomb_dir):
+        # the deletion side-table is result-density-sized; broadcast it
+        # so the anti-join never shuffles the postings scan
+        assign = assign.join(
+            F.broadcast(spark.read.parquet(tomb_dir).select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
     q = assign.filter(F.expr(qwhere)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1186,9 +1253,16 @@ _ANN_SQL = (
     "assigning ONLY its vectors and appending them as that epoch's own "
     "postings partition (fold_ivf_epoch — O(shard) per arrival, no "
     "earlier epoch read or rewritten, the staged band-index contract); "
-    "the oracle computes the BATCH build over the union under the same "
-    "frozen quantizer, so hash equality proves append-only maintenance "
-    "answers queries losslessly; hardneg — "
+    "deletions arrive as TOMBSTONE partitions (fold_ivf_tombstones — "
+    "the log-structured remove_ids: doomed vec_ids anti-joined out at "
+    "probe time via one broadcast, postings never rewritten; the "
+    "deterministic delete batch provably intersects the no-delete "
+    "top-k, so the gate exercises deletion); loose epochs fold into "
+    "never-rewritten segments via compact_ivf_postings (the signature-"
+    "index tiering). The oracle computes the BATCH build-minus-deletes "
+    "over the union under the same frozen quantizer, so hash equality "
+    "proves append-only maintenance answers queries losslessly; "
+    "hardneg — "
     "hard-negative mining for dense-retrieval training: the brute "
     "scorer with the query's positive group (vec_id % 41 stand-in) "
     "excluded by one codegen'd predicate before the top-k; sq8 — "

@@ -13,10 +13,15 @@ from pyspark.sql import functions as F
 from etly_spark.functions import vector as V
 from etly_spark.io.tables import load_table
 from etly_spark.queries.similarity import (
+    _IVFINC_DEL,
     _IVFINC_EPOCHS,
     _IVFINC_SQL,
     _normed,
+    _probe_ivf_index,
+    centroid_plan,
+    compact_ivf_postings,
     fold_ivf_epoch,
+    fold_ivf_tombstones,
     select_centroids,
     sim_ivf_inc,
 )
@@ -95,6 +100,68 @@ def test_ivf_inc_matches_batch_oracle(spark):
     )
     con.close()
     assert got == want and len(got) > 0
+
+
+def _build_index(spark, root: str) -> str:
+    """A throwaway ivf_inc-shaped index (quantizer + per-epoch
+    postings + tombstones) built through the production fold fns."""
+    s = _normed(load_table(spark, SF, "embeddings"))
+    shard0 = s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0)
+    centroid_plan(shard0).write.parquet(os.path.join(root, "quantizer"))
+    cent_pdf = select_centroids(shard0)
+    for e in range(_IVFINC_EPOCHS):
+        fold_ivf_epoch(
+            s.where(F.col("vec_id") % _IVFINC_EPOCHS == e),
+            cent_pdf,
+            os.path.join(root, "postings"),
+            e,
+        )
+    fold_ivf_tombstones(
+        s.where(F.expr(_IVFINC_DEL)), os.path.join(root, "tombstones"), 0
+    )
+    return root
+
+
+def _rows(df) -> list:
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in df.collect()
+    )
+
+
+def test_tombstones_remove_a_real_neighbor(spark, tmp_path):
+    """The deterministic delete batch must INTERSECT the no-delete
+    top-k (the gate exercises deletion, it doesn't just tolerate it):
+    with tombstones the results change, and no tombstoned vec_id
+    survives as a neighbor."""
+    d = _build_index(spark, str(tmp_path / "idx"))
+    with_del = _rows(_probe_ivf_index(spark, d))
+    os.rename(os.path.join(d, "tombstones"), os.path.join(d, "tombstones.off"))
+    no_del = _rows(_probe_ivf_index(spark, d))
+    assert with_del != no_del
+    deleted = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(d, "tombstones.off")).collect()
+    }
+    assert deleted
+    assert not deleted & {n for _q, n, _rk, _c in with_del}
+    assert deleted & {n for _q, n, _rk, _c in no_del}
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    """compact_ivf_postings folds the loose epoch partitions into one
+    never-rewritten segment; the probe answers identically before and
+    after, and the loose dirs are gone."""
+    d = _build_index(spark, str(tmp_path / "idx"))
+    before = _rows(_probe_ivf_index(spark, d))
+    compact_ivf_postings(d, threshold=1)
+    loose = [
+        n
+        for n in os.listdir(os.path.join(d, "postings"))
+        if n.startswith("epoch=") and not n.startswith("epoch=_compacted-")
+    ]
+    assert not loose, f"loose postings epochs survived: {loose}"
+    assert _rows(_probe_ivf_index(spark, d)) == before and len(before) > 0
 
 
 def test_frozen_quantizer_differs_from_batch_selection(spark):

@@ -116,6 +116,50 @@ def main() -> int:
         out["recall_pq8"] = recall_at5(brute, pq8)
         out["pq8_s"] = round(time.monotonic() - t0, 2)
 
+    if "ivf_inc" in methods:
+        # index MAINTENANCE at scale (r11): the claim is O(shard) per
+        # arrival vs O(corpus) per rebuild. Measure the LAST shard's
+        # fold wall against a full one-shot rebuild of the same final
+        # index, then probe the folded index and check recall@5.
+        import os
+        import tempfile
+
+        from etly_spark.functions import vector as V
+        from etly_spark.queries.similarity import (
+            _probe_ivf_index,
+            centroid_plan,
+            fold_ivf_epoch,
+            select_centroids,
+        )
+
+        epochs = 8
+        root = tempfile.mkdtemp(prefix="ivfinc_stress_")
+        shard0 = corpus.where(F.col("vec_id") % epochs == 0)
+        centroid_plan(shard0).write.parquet(os.path.join(root, "quantizer"))
+        cent_pdf = select_centroids(shard0)
+        fold_walls = []
+        for e in range(epochs):
+            t0 = time.monotonic()
+            fold_ivf_epoch(
+                corpus.where(F.col("vec_id") % epochs == e),
+                cent_pdf,
+                os.path.join(root, "postings"),
+                e,
+            )
+            fold_walls.append(round(time.monotonic() - t0, 2))
+        t0 = time.monotonic()
+        V.assign_nearest(
+            corpus.select("vec_id", "embedding", "nrm"), cent_pdf
+        ).write.mode("overwrite").parquet(os.path.join(root, "rebuild"))
+        rebuild_s = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        inc = _probe_ivf_index(spark, root, qwhere=QC_WHERE)
+        out["recall_ivf_inc"] = recall_at5(brute, inc)
+        out["ivf_inc_probe_s"] = round(time.monotonic() - t0, 2)
+        out["fold_last_shard_s"] = fold_walls[-1]
+        out["fold_walls"] = fold_walls
+        out["rebuild_s"] = rebuild_s
+
     print(json.dumps(out))
     return 0
 
