@@ -1,0 +1,69 @@
+"""Continuous ANN index maintenance (r11).
+
+The batch form (queries/similarity.sim_ivf_inc) folds arrival shards
+into an append-only IVF postings index under a quantizer frozen on the
+first shard. This module is the same maintenance loop as ONE
+Structured Streaming writer, so a crawl's embedding stream keeps the
+search index current without ever rebuilding it:
+
+- the FIRST micro-batch freezes the quantizer: hash-selected
+  centroids from that batch alone (queries/similarity.centroid_plan —
+  K_CENTROIDS rows at any corpus size), committed atomically
+  (tmp + one rename) so a crash can never leave a half-written
+  centroid set;
+- EVERY micro-batch folds its vectors as its own postings partition
+  keyed by the epoch id (fold_ivf_epoch) — O(batch) work, no earlier
+  epoch read or rewritten. Replay-safe: a replayed epoch re-assigns
+  the same rows against the same committed quantizer and overwrites
+  only its own partition (the signature-index contract,
+  streaming/dedup.start_signature_index);
+- deletion feeds fold the same way via fold_ivf_tombstones;
+- compaction (queries/similarity.compact_ivf_postings) runs on a
+  drained stream, exactly like compact_signature_index.
+
+The folded index is probed by queries/similarity._probe_ivf_index —
+the production query plan, unchanged between batch and streaming
+builds (pinned equal in tests/test_sim_inc.py).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def start_ivf_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+    """Start the index-maintenance query over an arriving
+    (vec_id, embedding) stream; returns the StreamingQuery (drain with
+    ``availableNow`` semantics — the trigger is set here so every
+    caller gets the drain-then-stop shape the compaction contract
+    assumes)."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.functions import vector as V
+    from etly_spark.queries.similarity import centroid_plan, fold_ivf_epoch
+
+    qdir = os.path.join(index_dir, "quantizer")
+
+    def fold(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        s = bdf.select(
+            "vec_id", "embedding", V.l2_norm_pd(F.col("embedding")).alias("nrm")
+        )
+        if not os.path.isdir(qdir):
+            tmp = f"{qdir}.tmp-{uuid.uuid4().hex[:8]}"
+            centroid_plan(s).write.parquet(tmp)
+            os.rename(tmp, qdir)
+        fold_ivf_epoch(
+            s, V._staged_pdf(qdir), os.path.join(index_dir, "postings"), epoch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -164,6 +164,78 @@ def test_compaction_preserves_results(spark, tmp_path):
     assert _rows(_probe_ivf_index(spark, d)) == before and len(before) > 0
 
 
+def test_streamed_index_matches_batch_and_resumes(spark, tmp_path):
+    """streaming/ann.start_ivf_index folds arriving embedding shards
+    into the same index the batch fold produces (quantizer frozen on
+    the first micro-batch), and a RESUMED run on the same checkpoint
+    appends the new shard without touching the folded epochs."""
+    import json
+
+    from etly_spark.functions import vector as V
+    from etly_spark.streaming.ann import start_ivf_index
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def vec(i: int) -> list:
+        return [float((i * 37 + j * 11) % 19 - 9) for j in range(8)]
+
+    def write_shard(name: str, ids) -> None:
+        (src / name).write_text(
+            "\n".join(json.dumps({"vec_id": i, "embedding": vec(i)}) for i in ids)
+            + "\n"
+        )
+
+    write_shard("s1.json", range(0, 40))
+    write_shard("s2.json", range(40, 80))
+    write_shard("s3.json", range(80, 120))
+
+    schema = "vec_id long, embedding array<double>"
+
+    def drain() -> None:
+        q = start_ivf_index(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src)),
+            idx,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    streamed = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in spark.read.parquet(os.path.join(idx, "postings"))
+        .select("vec_id", "cent_id")
+        .collect()
+    )
+    # batch twin: one-shot assignment of the union under the STREAMED
+    # frozen quantizer — the maintenance loop must lose nothing
+    all_docs = spark.read.schema(schema).json(str(src))
+    s = all_docs.select(
+        "vec_id", "embedding", V.l2_norm_pd(F.col("embedding")).alias("nrm")
+    )
+    cent_pdf = V._staged_pdf(os.path.join(idx, "quantizer"))
+    batch = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in V.assign_nearest(s, cent_pdf).select("vec_id", "cent_id").collect()
+    )
+    assert streamed == batch and len(streamed) == 120
+
+    # resume: a 4th shard arrives; the restarted query folds ONLY it
+    before = _mtimes(os.path.join(idx, "postings"))
+    time.sleep(0.05)
+    write_shard("s4.json", range(120, 160))
+    drain()
+    after = _mtimes(os.path.join(idx, "postings"))
+    touched = {p for p in before if after.get(p) != before[p]}
+    assert not touched, f"resume rewrote folded epochs: {sorted(touched)[:5]}"
+    n = spark.read.parquet(os.path.join(idx, "postings")).count()
+    assert n == 160
+
+
 def test_frozen_quantizer_differs_from_batch_selection(spark):
     """The invariant is only meaningful if the frozen quantizer is a
     genuinely different centroid set than a full-corpus selection —
