@@ -31,6 +31,7 @@ def _worst_case_line() -> str:
         load=(99.9, 99.9),
         pipeline={"records_per_sec": 99999999.9, "ok": False},
         staging_stats={"hits": 9999, "misses": 9999, "build_sec": 9999.9999},
+        cal=[9999, 999, 1.0],
         regr={
             "vs": "r99",
             "n": 50,
