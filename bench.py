@@ -39,7 +39,7 @@ NEW_BRANCHES: dict[str, str] = {
     "sim_ann_methods": "r11:+pq-lloyd-training+ivf-inc",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
-    "text_top_terms": "r8:+hosts-url-canonicalization",
+    "text_top_terms": "r11:+bm25-retrieval",
     "text_curation_split": "r9:+spans-exact-suffix-lcp",
 }
 

@@ -338,6 +338,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'tfidf', rank, term, n FROM champ WHERE rank <= 20
     UNION ALL
+    SELECT 'bm25', rank, term, n FROM (
+      -- BM25 retrieval (r11): the audit/inspection primitive a corpus
+      -- operator runs ("which docs dominate this term"). Queries are
+      -- CORPUS-DERIVED (freq ranks 5/10/15 — present at any SF); k1 =
+      -- 1.2, b = 0.75 (Robertson defaults); dl/avgdl from the same
+      -- tokenizer as tf. Scores round to 6 dp BEFORE ranking (the
+      -- tfidf ln-ULP rule) and ship as round(score*1e6) so the row
+      -- keeps its BIGINT n column.
+      WITH dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+      ), stats AS (
+        SELECT SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl
+      ), q AS (
+        SELECT term FROM ranked WHERE rank IN (5, 10, 15)
+      ), sc AS (
+        SELECT q.term, tf.doc_id,
+               round(
+                 ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)), 6) AS score
+        FROM q
+        JOIN tf ON tf.term = q.term
+        JOIN df ON df.term = q.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN nd CROSS JOIN stats
+      )
+      SELECT row_number() OVER (PARTITION BY sc.term
+                                ORDER BY score DESC, doc_id) AS rank,
+             sc.term || ':' || doc_id AS term,
+             CAST(round(score * 1000000) AS BIGINT) AS n
+      FROM sc
+      QUALIFY rank <= 10
+    )
+    UNION ALL
     SELECT 'hosts', rank, term, n FROM (
       -- canonical-host rollup over deliberately messy URLs (uppercase
       -- scheme/host, www., explicit port, tracking query, fragment):
@@ -369,7 +403,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc's argmax-TF-IDF term (score = tf * ln(N/df), rounded before "
     "ranking so cross-engine ln() ULP drift cannot flip the argmax; "
     "ties to the smallest term), then the top-20 terms by how many "
-    "docs they characterize — the IR view of the same vocabulary. The "
+    "docs they characterize — the IR view of the same vocabulary. "
+    "bm25 (r11) — Okapi BM25 retrieval (k1=1.2, b=0.75), the corpus "
+    "audit/inspection primitive: three corpus-derived query terms "
+    "(global freq ranks 5/10/15 — ONE bounded 15-row collect), "
+    "candidates probed through the (doc, term) aggregate (at scale "
+    "that aggregate is the staged inverted-postings table, so this is "
+    "an index lookup, not a corpus scan), top-10 docs per query with "
+    "6-dp round-before-rank; rows ship as term='qterm:doc_id', "
+    "n=round(score*1e6) to keep the row's BIGINT n column. The "
     "Zipf-skewed df join reuses operators/skew.py split_broadcast_join; "
     "both variants end in a TakeOrderedAndProject-shaped top-k, so "
     "nothing corpus-sized reaches the driver. hosts (r8) — per-domain "
@@ -437,6 +479,56 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("tfidf").alias("variant"), "rank", "term", "n")
     )
 
+    # bm25 (r11): retrieval over the same (doc, term) aggregate. The
+    # query terms are corpus-derived (global freq ranks 5/10/15 — ONE
+    # bounded 15-row collect); candidates = docs containing the term
+    # (the tf join IS the inverted-postings probe — at scale tf is the
+    # staged postings table and this is an index lookup, not a scan);
+    # k1=1.2, b=0.75; dl/avgdl from the same tokenizer; scores round to
+    # 6 dp BEFORE ranking (the tfidf ln-ULP rule) and ship as
+    # round(score*1e6) to keep n BIGINT.
+    top15 = counts.orderBy(F.desc("n"), F.asc("term")).limit(15).collect()
+    qterms = [top15[i]["term"] for i in (4, 9, 14)] if len(top15) >= 15 else []
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+    )
+    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+    sc_bm = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df.join(F.broadcast(qdf), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+                )
+                * F.col("tf")
+                * F.lit(1.2 + 1)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    wq = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    bm25_rows = (
+        sc_bm.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.lit("bm25").alias("variant"),
+            "rank",
+            F.concat_ws(":", "term", F.col("doc_id").cast("string")).alias("term"),
+            F.round(F.col("score") * 1000000).cast("long").alias("n"),
+        )
+    )
+
     from etly_spark.functions.url import url_host
 
     urls = d.select(
@@ -461,8 +553,9 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         freq_rows.unionByName(tfidf_rows)
+        .unionByName(bm25_rows)
         .unionByName(host_rows)
-        .orderBy("variant", "rank")
+        .orderBy("variant", "rank", "term")
     )
 
 
