@@ -283,17 +283,27 @@ def machine_cal() -> list:
     import multiprocessing as mp
 
     nproc = min(32, os.cpu_count() or 1)
-    with mp.get_context("fork").Pool(nproc) as pool:
+    # fork()ing the live driver (JVM gateway + BLAS threads resident) can
+    # in principle leave a child wedged on a copied-locked lock; every
+    # wait below is bounded so a wedged child costs the stamp's third
+    # dimension, never the round's JSON line.
+    pool = mp.get_context("fork").Pool(nproc)
+    try:
         t0 = time.perf_counter()
-        pool.map(_py_noop, range(nproc))
+        pool.map_async(_py_noop, range(nproc)).get(timeout=30)
         over = time.perf_counter() - t0
         dt = None
         for _ in range(2):  # best-of-2: the contended regime is noisy
             t0 = time.perf_counter()
-            pool.map(_py_worker, range(nproc))
+            pool.map_async(_py_worker, range(nproc)).get(timeout=60)
             d = max(1e-6, time.perf_counter() - t0 - over)
             dt = d if dt is None else min(dt, d)
-    eff = min(1.0, (_LOOP_M / dt) / mloops) if mloops else 0.0
+        eff = min(1.0, (_LOOP_M / dt) / mloops) if mloops else 0.0
+    except mp.TimeoutError:
+        eff = -1.0  # sentinel: parallel probe wedged/overloaded
+    finally:
+        pool.terminate()
+        pool.join()
     return [int(round(gflops)), int(round(mloops)), round(eff, 2)]
 
 

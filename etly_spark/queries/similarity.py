@@ -237,8 +237,10 @@ WITH s AS (
   -- multi-probe (r8): each query probes its NPROBE=4 nearest coarse
   -- cells, not just its own assignment cell. The index stays top-1
   -- (cells partition the corpus -> probe sets disjoint, no dedup).
+  -- Deleted vectors are not queries either (r11): mirrors the Spark
+  -- probe, whose query set reads the post-anti-join postings.
   SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id
-  FROM assign0 WHERE ({qwhere}) AND rn <= 4
+  FROM assign0 WHERE ({qwhere}) AND rn <= 4 AND NOT ({del_where})
 ), scored AS (
   SELECT q.query_id, a.vec_id AS neighbor_id,
          {_sql_dot('q.qe', 'a.embedding')} / (q.qn * a.nrm) AS cos_sim
@@ -482,13 +484,23 @@ def ivf_inc_index(spark: SparkSession, sf_dir: str) -> str:
         fold_ivf_tombstones(
             s.where(F.expr(_IVFINC_DEL)), os.path.join(tmp, "tombstones"), 0
         )
-        os.rename(tmp, final)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # concurrent-builder race (the stage_path contract): another
+            # process committed first — its artifact is equivalent;
+            # drop ours
+            import shutil
+
+            if not os.path.isdir(final):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     _IVFINC_CACHE[fp] = final
     return final
 
 
 def sim_ivf_inc(
-    spark: SparkSession, sf_dir: str, qwhere: str = "vec_id < 8"
+    spark: SparkSession, sf_dir: str, qwhere: str = "vec_id < 8", q_pdf=None
 ) -> DataFrame:
     """Query the incrementally-folded IVF index — the same multi-probe
     plan as sim_ivf_ann (probe list = Q x NPROBE broadcast join keys,
@@ -499,15 +511,19 @@ def sim_ivf_inc(
     to the oracle's BATCH build-minus-deletes under the same frozen
     quantizer: append-only maintenance, including deletions that never
     rewrite a postings partition, is lossless."""
-    return _probe_ivf_index(spark, ivf_inc_index(spark, sf_dir), qwhere)
+    return _probe_ivf_index(spark, ivf_inc_index(spark, sf_dir), qwhere, q_pdf)
 
 
 def _probe_ivf_index(
-    spark: SparkSession, d: str, qwhere: str = "vec_id < 8"
+    spark: SparkSession, d: str, qwhere: str = "vec_id < 8", q_pdf=None
 ) -> DataFrame:
     """Query an ivf_inc-shaped index directory (quantizer/ + postings/
     [+ tombstones/]) — factored out so tests can probe throwaway
-    indexes (pre/post compaction) through the production plan."""
+    indexes (pre/post compaction) through the production plan. Pass
+    ``q_pdf`` (the _query_pdf frame) when the caller already collected
+    the query set — skips one postings scan; the caller then owns the
+    queries-are-not-deleted invariant (sim_ann_methods' qwhere is
+    disjoint from _IVFINC_DEL by construction)."""
     cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
     assign = spark.read.parquet(os.path.join(d, "postings")).select(
         "vec_id", "embedding", "nrm", "cent_id"
@@ -521,12 +537,16 @@ def _probe_ivf_index(
             "vec_id",
             "left_anti",
         )
-    q = assign.filter(F.expr(qwhere)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    pairs = V.probe_cells(q.toPandas(), cent_pdf, NPROBE_IVF)
+    if q_pdf is None:
+        q = assign.filter(F.expr(qwhere)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        q_pdf = q.toPandas()
+    else:
+        q = spark.createDataFrame(q_pdf)
+    pairs = V.probe_cells(q_pdf, cent_pdf, NPROBE_IVF)
     probes = spark.createDataFrame(pairs, "query_id long, qcent long")
     scored = (
         F.broadcast(probes)
@@ -1317,7 +1337,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = _keep(sim_topk_bruteforce(spark, sf_dir, s, q_pdf))
     lsh = _keep(sim_lsh_ann(spark, sf_dir, s))
     ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
-    ivf_inc = _keep(sim_ivf_inc(spark, sf_dir))
+    ivf_inc = _keep(sim_ivf_inc(spark, sf_dir, q_pdf=q_pdf))
     sq8 = _keep(sim_sq8(spark, sf_dir, s))
     pq8 = _keep(sim_pq(spark, sf_dir, s))
     ivfpq = _keep(sim_ivfpq(spark, sf_dir, s, corpus_tag="iid"))

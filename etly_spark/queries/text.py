@@ -488,7 +488,9 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 dp BEFORE ranking (the tfidf ln-ULP rule) and ship as
     # round(score*1e6) to keep n BIGINT.
     top15 = counts.orderBy(F.desc("n"), F.asc("term")).limit(15).collect()
-    qterms = [top15[i]["term"] for i in (4, 9, 14)] if len(top15) >= 15 else []
+    # degrade like the oracle's `rank IN (5, 10, 15)`: take whichever
+    # of the three ranks exist in a small vocabulary
+    qterms = [top15[i]["term"] for i in (4, 9, 14) if i < len(top15)]
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(
         (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl")

@@ -236,6 +236,36 @@ def test_streamed_index_matches_batch_and_resumes(spark, tmp_path):
     assert n == 160
 
 
+def test_deleted_vector_is_not_a_query_either(spark):
+    """Review finding (r11): with a qwhere that OVERLAPS the delete
+    set, the Spark probe reads queries from the post-anti-join postings
+    — the oracle's q CTE must exclude deleted vectors too, or the
+    engines diverge. Pin the non-default-qwhere parity end-to-end."""
+    from etly_spark.queries.similarity import _IVFINC_DEL, _ivf_sql
+
+    qwhere = "vec_id < 200"  # vec_id 102 is deleted (102 % 89 = 13)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in sim_ivf_inc(spark, SF, qwhere=qwhere).collect()
+    )
+    assert 102 not in {q for q, *_ in got}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(SF, 'embeddings.parquet')}'"
+    )
+    sql = _ivf_sql(
+        qwhere=qwhere,
+        cent_where=f"vec_id % {_IVFINC_EPOCHS} = 0",
+        del_where=_IVFINC_DEL,
+    )
+    want = sorted(
+        (int(q), int(n), int(rk), float(c)) for q, n, rk, c in con.execute(sql).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+
+
 def test_frozen_quantizer_differs_from_batch_selection(spark):
     """The invariant is only meaningful if the frozen quantizer is a
     genuinely different centroid set than a full-corpus selection —
