@@ -324,19 +324,21 @@ def test_semantic_semdedup_prunes_within_cell(spark, tmp_path):
     assert sem[3] == (1, 1, 3)
 
 
-def test_spans_remove_matches_python_reference(spark, tmp_path):
+@pytest.mark.parametrize("seed", [1234, 77, 90210])
+def test_spans_remove_matches_python_reference(spark, tmp_path, seed):
     """spans_remove vs a single-machine reference on a random corpus
     with planted verbatim spans AND mixed separators (spaces, double
     spaces, newlines): per-source token counts and the post-excision
     text checksums must agree exactly. r11: the reference excises by
     byte offsets — kept regions (including their newlines and spacing)
-    are byte-identical to the source."""
+    are byte-identical to the source. Parametrized seeds vary the span
+    placements, separator mixes and doc lengths independently."""
     import random
     import re
 
     from etly_spark.queries.dedup import _SPANR_T, dedup_exact
 
-    rng = random.Random(1234)
+    rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(400)]
     seps = [" ", "  ", "\n", " \n "]
     planted = [rng.choice(vocab) for _ in range(_SPANR_T + 7)]  # 22-token span
