@@ -752,6 +752,26 @@ def _pq_k(n: int) -> int:
 # 0.80 (hash-selected) -> 0.90 after 2 iterations (STRESS.md r11).
 _PQ_TRAIN_ITERS = 2
 
+# Lloyd trains on a deterministic hash-sampled subset once the corpus
+# passes the training cap (r11, after the 1M probe: full-corpus
+# training cost 622 s at 1M for recall that was dilution-bound at the
+# 4096-codeword cap — the FAISS train-on-a-subsample rule). The cap is
+# POINTS-PER-CODEWORD-scaled, max(65536, 64*k): a flat 65536 at 1M
+# left 16 samples/codeword and measurably hurt (recall@5 0.75 -> 0.575
+# on the planted-cluster fixture); 64/codeword is FAISS's documented
+# floor. The sample predicate is pure vec_id arithmetic (a DIFFERENT
+# multiplier than the centroid-selection hash, so the sample is
+# independent of the initialization ranking) and is mirrored verbatim
+# in the oracle; at n <= cap the sample is the whole corpus, so every
+# gated SF is byte-identical to the unsampled form.
+_PQ_TRAIN_FLOOR = 65536
+_PQ_TRAIN_PER_CW = 64
+_TRAIN_HASH = "((vec_id % 2147483648) * 48271) % 4294967296"
+
+
+def _pq_train_cap(n: int) -> int:
+    return max(_PQ_TRAIN_FLOOR, _PQ_TRAIN_PER_CW * _pq_k(n))
+
 
 def _pq_train_ctes() -> str:
     """The unrolled training chain cent0 -> cent{_PQ_TRAIN_ITERS}.
@@ -759,10 +779,19 @@ def _pq_train_ctes() -> str:
     and each iteration references its predecessor several times (the
     SemDeDup recursion lesson)."""
     out = [f"""
-, svals AS MATERIALIZED (
+, tsd AS MATERIALIZED (
+  SELECT GREATEST(1, CAST(CEIL(
+           COUNT(*) / CAST(GREATEST({_PQ_TRAIN_FLOOR},
+                                    {_PQ_TRAIN_PER_CW} * {_PQ_K_SQL}) AS DOUBLE)
+         ) AS BIGINT)) AS d
+  FROM __pqsrc
+), strain AS MATERIALIZED (
+  SELECT s.* FROM subs s CROSS JOIN tsd WHERE ({_TRAIN_HASH}) % tsd.d = 0
+), svals AS MATERIALIZED (
   SELECT e.vec_id, (g.i - 1) // {_PQ_SUB} AS m, (g.i - 1) % {_PQ_SUB} AS d,
          e.embedding[g.i]::DOUBLE AS val
   FROM __pqsrc e CROSS JOIN generate_series(1, {_SQ_DIM}) g(i)
+  CROSS JOIN tsd WHERE ({_TRAIN_HASH}) % tsd.d = 0
 )"""]
     for t in range(1, _PQ_TRAIN_ITERS + 1):
         p = f"cent{t - 1}"
@@ -776,7 +805,7 @@ def _pq_train_ctes() -> str:
               THEN -2.0
               ELSE {_sql_dot('xs', 'cs')}
                 / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) END AS cos
-  FROM subs JOIN subc_t{t} USING (m)
+  FROM strain JOIN subc_t{t} USING (m)
 ), best_t{t} AS (
   SELECT vec_id, m, MAX(cos) AS bc FROM sc_t{t} GROUP BY vec_id, m
 ), asn_t{t} AS MATERIALIZED (
@@ -950,9 +979,18 @@ def sim_pq(
         )
     )
     base = nsrc.select("vec_id", "embedding")
-    cent_pdf = select_centroids(nsrc, k=_pq_k(nsrc.count()))
+    n = nsrc.count()
+    cent_pdf = select_centroids(nsrc, k=_pq_k(n))
+    # train on the deterministic hash sample (_pq_train_cap): identity
+    # at every gated SF, bounds the Lloyd joins at any corpus size
+    import math
+
+    d_tr = max(1, math.ceil(n / _pq_train_cap(n)))
+    tbase = base.where(
+        (((F.col("vec_id") % 2147483648) * 48271) % 4294967296) % d_tr == 0
+    )
     for _ in range(_PQ_TRAIN_ITERS):
-        cent_pdf = _pq_lloyd_step(base, cent_pdf)
+        cent_pdf = _pq_lloyd_step(tbase, cent_pdf)
     sq = scoped_persist(
         _normed(V.pq_reconstruct(base, cent_pdf, m=_PQ_M)), eager=False
     )
@@ -1294,7 +1332,11 @@ _ANN_SQL = (
     "dims, 64-entry hash-selected codebook (bounded collect), encode+"
     "reconstruct in ONE Arrow pass (functions.vector.pq_reconstruct), "
     "symmetric scoring on reconstructions — codes are ~16-24 "
-    "bytes/vector, a 10-16x smaller index scan at 100 TB; ivfpq (r10) "
+    "bytes/vector, a 10-16x smaller index scan at 100 TB; r11: the "
+    "Lloyd refinement trains on a deterministic hash sample capped at "
+    "max(65536, 64*k) vectors (the FAISS points-per-centroid floor — "
+    "a flat 65536 measured recall@5 0.75 -> 0.575 at 1M and was "
+    "rejected), identity below the cap; ivfpq (r10) "
     "— IVF-sharded PQ, the scale path past one global codebook: each "
     "coarse cell carries its own hash-selected codebook (k_c = "
     "clamp(8*sqrt(cell_n), 16, 1024), selected with the BANDED rank — "
