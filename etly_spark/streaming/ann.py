@@ -17,7 +17,10 @@ search index current without ever rebuilding it:
   the same rows against the same committed quantizer and overwrites
   only its own partition (the signature-index contract,
   streaming/dedup.start_signature_index);
-- deletion feeds fold the same way via fold_ivf_tombstones;
+- deletion feeds fold the same way: a stream carrying an ``op``
+  column ('add' / 'del' — the CDC shape) routes adds to postings and
+  deletes to a tombstone partition of the same epoch, both inside the
+  one exactly-once foreachBatch (fold_ivf_tombstones);
 - compaction (queries/similarity.compact_ivf_postings) runs on a
   drained stream, exactly like compact_signature_index.
 
@@ -39,27 +42,47 @@ def start_ivf_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
     (vec_id, embedding) stream; returns the StreamingQuery (drain with
     ``availableNow`` semantics — the trigger is set here so every
     caller gets the drain-then-stop shape the compaction contract
-    assumes)."""
+    assumes). A stream carrying an ``op`` column is treated as CDC:
+    op='add' rows fold into postings, op='del' rows into the same
+    epoch's tombstone partition (quantizer freezes on the first batch's
+    ADDS). Replayed epochs rewrite only their own partitions on both
+    sides, so the exactly-once story is unchanged."""
     from pyspark.sql import functions as F
 
     from etly_spark.functions import vector as V
-    from etly_spark.queries.similarity import centroid_plan, fold_ivf_epoch
+    from etly_spark.queries.similarity import (
+        centroid_plan,
+        fold_ivf_epoch,
+        fold_ivf_tombstones,
+    )
 
     qdir = os.path.join(index_dir, "quantizer")
 
     def fold(bdf: DataFrame, epoch_id: int) -> None:
         if bdf.isEmpty():
             return
-        s = bdf.select(
+        adds, dels = bdf, None
+        if "op" in bdf.columns:
+            adds = bdf.where(F.col("op") == "add").drop("op")
+            dels = bdf.where(F.col("op") == "del").select("vec_id")
+        s = adds.select(
             "vec_id", "embedding", V.l2_norm_pd(F.col("embedding")).alias("nrm")
         )
-        if not os.path.isdir(qdir):
+        has_adds = not adds.isEmpty()
+        if not os.path.isdir(qdir) and has_adds:
             tmp = f"{qdir}.tmp-{uuid.uuid4().hex[:8]}"
             centroid_plan(s).write.parquet(tmp)
             os.rename(tmp, qdir)
-        fold_ivf_epoch(
-            s, V._staged_pdf(qdir), os.path.join(index_dir, "postings"), epoch_id
-        )
+        if has_adds:
+            # (a deletes-only stream before any add has no quantizer to
+            # assign against — adds are skipped only when there are none)
+            fold_ivf_epoch(
+                s, V._staged_pdf(qdir), os.path.join(index_dir, "postings"), epoch_id
+            )
+        if dels is not None and not dels.isEmpty():
+            fold_ivf_tombstones(
+                dels, os.path.join(index_dir, "tombstones"), epoch_id
+            )
 
     return (
         stream.writeStream.foreachBatch(fold)

@@ -236,6 +236,58 @@ def test_streamed_index_matches_batch_and_resumes(spark, tmp_path):
     assert n == 160
 
 
+def test_streamed_cdc_ops_route_adds_and_deletes(spark, tmp_path):
+    """A stream carrying op='add'/'del' rows (the CDC shape) routes
+    adds to postings and deletes to the same epoch's tombstones inside
+    ONE foreachBatch; the probed index equals the batch build minus the
+    deleted ids."""
+    import json
+
+    from etly_spark.streaming.ann import start_ivf_index
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+
+    def vec(i: int) -> list:
+        return [float((i * 29 + j * 13) % 17 - 8) for j in range(8)]
+
+    def row(i: int, op: str) -> str:
+        return json.dumps({"vec_id": i, "embedding": vec(i), "op": op})
+
+    (src / "s1.json").write_text(
+        "\n".join(row(i, "add") for i in range(0, 50)) + "\n"
+    )
+    # shard 2: new adds + a deletion batch retracting two live vectors
+    (src / "s2.json").write_text(
+        "\n".join([row(i, "add") for i in range(50, 80)]
+                  + [row(3, "del"), row(41, "del")]) + "\n"
+    )
+
+    schema = "vec_id long, embedding array<double>, op string"
+    q = start_ivf_index(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    live = {
+        r["query_id"]
+        for r in _probe_ivf_index(spark, idx, qwhere="vec_id >= 0")
+        .select("query_id")
+        .distinct()
+        .collect()
+    }
+    assert 3 not in live and 41 not in live
+    assert {0, 1, 2, 4, 50, 79} <= live
+    n_postings = spark.read.parquet(os.path.join(idx, "postings")).count()
+    n_tomb = spark.read.parquet(os.path.join(idx, "tombstones")).count()
+    assert n_postings == 80 and n_tomb == 2  # deletes never rewrite postings
+
+
 def test_deleted_vector_is_not_a_query_either(spark):
     """Review finding (r11): with a qwhere that OVERLAPS the delete
     set, the Spark probe reads queries from the post-anti-join postings
