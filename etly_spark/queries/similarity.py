@@ -346,9 +346,12 @@ def sim_ivf_ann(
     q_pdf=None,
     assign: DataFrame | None = None,
     qwhere: str = "vec_id < 8",
+    nprobe: int = NPROBE_IVF,
 ) -> DataFrame:
     # probe the staged index. Multi-probe (r8): each query visits its
-    # NPROBE_IVF nearest coarse cells, not just its own assignment cell
+    # `nprobe` (default NPROBE_IVF=4 — the oracle's rn <= 4; callers
+    # that override are sweep probes, not gated rows) nearest coarse
+    # cells, not just its own assignment cell
     # — the standard FAISS recall lever (measured: recall@5 0.15-0.2 ->
     # see STRESS.md). Probe selection is bounded driver numpy over the
     # tiny query set x K_CENTROIDS (both corpus-size-independent); the
@@ -365,7 +368,7 @@ def sim_ivf_ann(
     if q_pdf is None:
         q_pdf = q.toPandas()
     cent_pdf = select_centroids(assign.select("vec_id", "embedding", "nrm"))
-    pairs = V.probe_cells(q_pdf, cent_pdf, NPROBE_IVF)
+    pairs = V.probe_cells(q_pdf, cent_pdf, nprobe)
     probes = spark.createDataFrame(pairs, "query_id long, qcent long")
     scored = (
         F.broadcast(probes)

@@ -116,6 +116,32 @@ def main() -> int:
         out["recall_pq8"] = recall_at5(brute, pq8)
         out["pq8_s"] = round(time.monotonic() - t0, 2)
 
+    if "nprobe" in methods:
+        # recall-vs-NPROBE ladder: is the gated default (4) the right
+        # knee on clustered data? Probe cost scales linearly with
+        # nprobe (candidates = nprobe * N / cells per query), so the
+        # ladder prices each recall point.
+        from etly_spark.functions import vector as V2
+        from etly_spark.queries.similarity import (
+            select_centroids,
+            sim_ivf_ann,
+        )
+
+        asn = V2.assign_nearest(
+            corpus.select("vec_id", "embedding", "nrm"), select_centroids(corpus)
+        ).persist()
+        asn.count()
+        ladder = {}
+        for np_ in (1, 2, 4, 8, 16):
+            t0 = time.monotonic()
+            r = recall_at5(
+                brute,
+                sim_ivf_ann(spark, SF_DIR, assign=asn, qwhere=QC_WHERE, nprobe=np_),
+            )
+            ladder[np_] = {"recall": r, "s": round(time.monotonic() - t0, 2)}
+        out["nprobe_ladder"] = ladder
+        asn.unpersist()
+
     if "ivf_inc" in methods:
         # index MAINTENANCE at scale (r11): the claim is O(shard) per
         # arrival vs O(corpus) per rebuild. Measure the LAST shard's
