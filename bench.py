@@ -40,7 +40,7 @@ NEW_BRANCHES: dict[str, str] = {
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
     "text_top_terms": "r11:+bm25-retrieval",
-    "text_curation_split": "r9:+spans-exact-suffix-lcp",
+    "text_curation_split": "r11:+dsir-importance-resampling",
 }
 
 

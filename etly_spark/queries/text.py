@@ -1062,6 +1062,50 @@ FROM (
   )
 ) WHERE rn <= 40
 GROUP BY grp
+UNION ALL
+SELECT 'dsir', lang, grp, n_docs, measure, score FROM (
+  -- DSIR importance resampling (r11, Xie et al. 2023): per-doc unigram
+  -- log-likelihood ratio target-vs-raw (add-1, shared vocab), the fold
+  -- over token log-ratios in POSITION order (seed 0.0 — the Spark
+  -- F.aggregate twin), rounded to 6 dp before the sign decision.
+  WITH tgt_tok AS MATERIALIZED (
+    SELECT unnest(toks) AS term FROM tok WHERE doc_id % 10 = 0
+  ), raw_d AS MATERIALIZED (
+    SELECT doc_id, lang, toks FROM tok WHERE doc_id % 10 <> 0
+  ), raw_tok AS MATERIALIZED (
+    SELECT unnest(toks) AS term FROM raw_d
+  ), vv AS MATERIALIZED (
+    SELECT COUNT(DISTINCT term) AS v
+    FROM (SELECT unnest(toks) AS term FROM tok)
+  ), lm AS MATERIALIZED (
+    SELECT COALESCE(t.term, r.term) AS term,
+           ln((COALESCE(t.ct, 0) + 1)
+              / CAST((SELECT COUNT(*) FROM tgt_tok) + vv.v AS DOUBLE))
+           - ln((COALESCE(r.cr, 0) + 1)
+              / CAST((SELECT COUNT(*) FROM raw_tok) + vv.v AS DOUBLE)) AS lp
+    FROM (SELECT term, COUNT(*) AS ct FROM tgt_tok GROUP BY term) t
+    FULL OUTER JOIN (SELECT term, COUNT(*) AS cr FROM raw_tok GROUP BY term) r
+      ON t.term = r.term
+    CROSS JOIN vv
+  ), rw AS MATERIALIZED (
+    SELECT p.doc_id,
+           round(list_reduce([0.0::DOUBLE] || list(s.lp ORDER BY p.pos),
+                             (x, y) -> x + y), 6) AS w
+    FROM (SELECT doc_id, pos, toks[pos] AS term FROM
+          (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+           FROM raw_d)) p
+    JOIN lm s ON s.term = p.term
+    GROUP BY p.doc_id
+  )
+  SELECT d.lang,
+         CASE WHEN COALESCE(rw.w, 0.0) > 0 THEN 'selected'
+              ELSE 'rejected' END AS grp,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(d.toks)) AS BIGINT) AS measure,
+         CAST(SUM(CAST(COALESCE(rw.w, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM raw_d d LEFT JOIN rw ON rw.doc_id = d.doc_id
+  GROUP BY 1, 2
+)
 """
 
 # spans_exact (r9): TRUE ExactSubstr via suffix-ordering — per-doc
@@ -1098,7 +1142,17 @@ _CURATION_SQL = _CURATION_SQL.replace(
 @query(
     "text_curation_split",
     oracle=_CURATION_SQL,
-    doc="Corpus curation family, eleven variants in one checked row. "
+    doc="Corpus curation family, twelve variants in one checked row. "
+    "dsir (r11) — DSIR importance resampling (Xie et al. 2023): every "
+    "raw-pool doc scored by its unigram log-likelihood ratio under a "
+    "TARGET LM vs the raw-pool LM (add-1 smoothing, shared vocab; "
+    "target stand-in = doc_id % 10), positive-ratio docs selected — "
+    "the data-selection method behind quality-targeted pretraining "
+    "mixes. Two LM groupBys + one skew-routed token join; the per-doc "
+    "weight is a position-ordered fold of token log-ratios (seed 0.0, "
+    "the cross-engine float contract) rounded to 6 dp BEFORE the sign "
+    "decision; accounting per (lang, selected/rejected) with "
+    "exact-DECIMAL weight sums. "
     "spans_exact (r9) — TRUE ExactSubstr (Lee et al. 2021): per-doc "
     "longest cross-document verbatim token span, exact up to a "
     "30-token cap, via distributed suffix-ordering "
@@ -1549,6 +1603,78 @@ def text_curation_split(
         )
     )
 
+    # dsir (r11) — DSIR-style importance resampling (Xie et al. 2023,
+    # "Data Selection for Language Models via Importance Resampling"):
+    # score every raw-pool doc by how much likelier its tokens are
+    # under a TARGET unigram LM than under the raw-pool LM (add-1
+    # smoothing, shared vocab), select docs with positive log-ratio.
+    # The target stand-in is doc_id % 10 == 0 (a curated reference
+    # sample); both LMs are one groupBy each, the per-token log-ratio
+    # join routes through the skew split (hot tokens broadcast), and
+    # the per-doc weight is a POSITION-ORDERED fold of the token
+    # log-ratios (seeded 0.0 — the Lloyd-mean cross-engine float
+    # contract), rounded to 6 dp before the sign decision so ln() ULP
+    # drift cannot flip membership. Accounting per (lang,
+    # selected/rejected): docs, tokens, exact-DECIMAL weight sum.
+    from etly_spark.operators.skew import split_broadcast_join
+
+    tgt_sel = F.col("doc_id") % 10 == 0
+    t_tok = base.where(tgt_sel).select(F.explode("toks").alias("term"))
+    r_docs = base.where(~tgt_sel)
+    r_tok = r_docs.select(F.explode("toks").alias("term"))
+    tot_t = t_tok.count()
+    tot_r = r_tok.count()
+    vocab = (
+        base.select(F.explode("toks").alias("term")).distinct().count()
+    )
+    ct_t = t_tok.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    ct_r = r_tok.groupBy("term").agg(F.count(F.lit(1)).alias("cr"))
+    den_t = F.lit(float(tot_t + vocab))
+    den_r = F.lit(float(tot_r + vocab))
+    lm = (
+        ct_t.join(ct_r, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + 1) / den_t)
+                - F.log((F.coalesce("cr", F.lit(0)) + 1) / den_r)
+            ).alias("lp"),
+            F.coalesce("cr", F.lit(0)).alias("_w8"),
+        )
+    )
+    rpos = r_docs.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    per_doc_w = (
+        split_broadcast_join(rpos, lm, "term", "_w8")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["lp"],
+                ),
+                6,
+            ).alias("w")
+        )
+    )
+    dsir_rows = (
+        r_docs.select("doc_id", "lang", F.size("toks").alias("n_toks"))
+        .join(per_doc_w, "doc_id", "left")
+        .withColumn("w", F.coalesce("w", F.lit(0.0)))
+        .groupBy(
+            "lang",
+            F.when(F.col("w") > 0, F.lit("selected"))
+            .otherwise(F.lit("rejected"))
+            .alias("grp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("measure"),
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"),
+        )
+        .select(F.lit("dsir").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+    )
+
     return (
         split_rows.unionByName(sample_rows)
         .unionByName(curate_rows)
@@ -1561,5 +1687,6 @@ def text_curation_split(
         .unionByName(shuffle_rows)
         .unionByName(mix_rows)
         .unionByName(hostcap_rows)
+        .unionByName(dsir_rows)
         .orderBy("variant", "lang", "grp")
     )
