@@ -1,43 +1,111 @@
 """Log-structured compaction for append-per-run hive-partitioned dirs.
 
 Shared by the meta ledger sidecar (one ``run_ts=…`` partition per
-window, pipeline.py) and the streaming signature index (one
-``epoch=…`` partition per micro-batch, streaming/dedup.py): both
-append one small partition per unit of work — the write pattern that
-is O(new) per run but accumulates directories forever. When loose
+window, pipeline.py), the streaming signature index (one ``epoch=…``
+partition per micro-batch, streaming/dedup.py) and the incremental ANN
+postings index (queries/similarity.compact_ivf_postings): all append
+one small partition per unit of work — the write pattern that is
+O(new) per run but accumulates directories forever. When loose
 partitions exceed ``threshold`` they fold into a numbered
 ``<key>=_compacted-NNNNNN`` segment that is NEVER rewritten (tiered),
 so amortized compaction cost per run stays O(that run's rows) and
 directory count stays bounded at any run count.
 
 Crash safety: the segment is written under an underscore-prefixed tmp
-dir (invisible to pyarrow/Spark dataset discovery) and committed with
-one rename BEFORE the loose dirs are removed — a crash at worst leaves
-duplicate rows, which every consumer here tolerates (presence-based
-skip-set; distinct-pair candidate generation).
+dir (invisible to pyarrow/Spark dataset discovery) together with a
+``_folded.json`` manifest naming every loose dir it absorbed, and
+committed with one rename BEFORE the loose dirs are removed. A crash
+in the window between the rename and the removals leaves DUPLICATE
+rows (the loose dirs' data also lives in the segment). Consumers
+differ on whether that is tolerable:
+
+- the meta skip-set and the dedup band index are presence-based /
+  distinct-pair shaped — duplicates are harmless there;
+- the ANN probe is NOT duplicate-tolerant (its row_number top-k would
+  rank the same neighbor twice), so queries/similarity._probe_ivf_index
+  dedupes its candidate set defensively.
+
+Every later ``compact_partitions`` call heals the window first: it
+reads each committed segment's manifest and removes any loose dir the
+manifest says is already folded (idempotent — removing them again is
+the exact action the crashed run failed to finish), so duplicates
+never reach a second segment.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
+_MANIFEST = "_folded.json"
+
+
+def recover_covered_partitions(root: str, key: str) -> list[str]:
+    """Finish any crashed compaction under ``root``: remove loose
+    ``<key>=value`` dirs that a committed segment's ``_folded.json``
+    manifest records as already folded. Returns the removed dir names.
+    Safe to call any time — a dir is removed only when its data
+    provably lives inside a committed segment."""
+    if not os.path.isdir(root):
+        return []
+    prefix = f"{key}="
+    covered: set[str] = set()
+    for d in os.listdir(root):
+        if not d.startswith(f"{prefix}_compacted-"):
+            continue
+        mf = os.path.join(root, d, _MANIFEST)
+        if os.path.isfile(mf):
+            try:
+                with open(mf) as f:
+                    covered.update(json.load(f))
+            except (OSError, ValueError):
+                continue  # unreadable manifest: leave the loose dirs be
+    removed = []
+    for d in sorted(covered):
+        p = os.path.join(root, d)
+        # a manifest may cover SEGMENTS too (the tombstone-purge rewrite
+        # supersedes earlier _compacted-* dirs); segment numbering is
+        # max+1 so a covered name is never legitimately recreated
+        if d.startswith(prefix) and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
+def next_segment(root: str, key: str) -> str:
+    """Name of the next compacted segment: max existing number + 1 —
+    NEVER count+1, which would recycle a name after a purge deletes
+    earlier segments and make it collide with a recovery manifest that
+    still covers the old name."""
+    hi = 0
+    pre = f"{key}=_compacted-"
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith(pre):
+                try:
+                    hi = max(hi, int(d[len(pre):]))
+                except ValueError:
+                    continue
+    return os.path.join(root, f"{pre}{hi + 1:06d}")
+
 
 def compact_partitions(root: str, key: str, threshold: int) -> None:
     """Fold loose ``<key>=value`` partitions under ``root`` into one
-    compacted segment once their count exceeds ``threshold``."""
+    compacted segment once their count exceeds ``threshold``. Always
+    runs crash recovery first (see module docstring)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if not os.path.isdir(root):
         return
+    recover_covered_partitions(root, key)
     prefix = f"{key}="
     names = [d for d in os.listdir(root) if d.startswith(prefix)]
     loose = sorted(d for d in names if not d.startswith(f"{prefix}_compacted-"))
     if len(loose) <= threshold:
         return
-    n_segs = sum(1 for d in names if d.startswith(f"{prefix}_compacted-"))
     tables = []
     for d in loose:
         pdir = os.path.join(root, d)
@@ -46,10 +114,12 @@ def compact_partitions(root: str, key: str, threshold: int) -> None:
                 tables.append(pq.read_table(os.path.join(pdir, f)))
     if not tables:
         return
-    seg = os.path.join(root, f"{prefix}_compacted-{n_segs + 1:06d}")
+    seg = next_segment(root, key)
     tmp = os.path.join(root, f"_tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(pa.concat_tables(tables), os.path.join(tmp, "part-00000.parquet"))
+    with open(os.path.join(tmp, _MANIFEST), "w") as f:
+        json.dump(loose, f)
     os.rename(tmp, seg)
     for d in loose:
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)

@@ -141,7 +141,14 @@ def decompress(data: bytes) -> bytes:
                 # means the decoder still holds flushable data for this
                 # frame (the libzstd contract) — keep draining with the
                 # empty input remainder; only a call that leaves output
-                # space unused has truly flushed everything.
+                # space unused has truly flushed everything. A TRUNCATED
+                # frame aligned on the buffer boundary cannot loop here:
+                # the drain call flushes nothing (outb.pos == 0 < chunk),
+                # falls through to break, and the ret != 0 check below
+                # raises 'truncated frame' (pinned by
+                # test_zstd_drain_boundary_truncation_message and
+                # test_zstd_truncation_after_exact_boundary_complete_frame
+                # — ADVICE r10/r11).
                 if ret != 0 and outb.pos == chunk:
                     continue
                 break

@@ -436,14 +436,90 @@ def compact_ivf_postings(index_dir: str, threshold: int = 64) -> None:
     never-rewritten compacted segments once their count exceeds
     ``threshold`` (io/compact.py — the signature-index tiering).
     Contract: run with NO active writer, exactly like
-    compact_signature_index. Tombstoned rows are NOT purged from the
-    compacted postings (purging needs the tombstone set to be final;
-    the anti-join stays correct either way) — a purging rewrite is a
-    separate offline job at the operator's discretion."""
+    compact_signature_index. Crash window (r12, ADVICE): a crash
+    between the segment rename and the loose-dir removal duplicates
+    postings rows — unlike the presence-based compaction consumers,
+    the probe's top-k does NOT tolerate duplicates, so (a) every later
+    compact run heals the window first via the segment's _folded.json
+    manifest (io/compact.recover_covered_partitions) and (b)
+    _probe_ivf_index dedupes its candidate set defensively in between.
+    Tombstoned rows are NOT purged here (purging needs the tombstone
+    set to be final; the anti-join stays correct either way) — that is
+    ``purge_ivf_tombstones``, a separate offline rung."""
     from etly_spark.io.compact import compact_partitions
 
     compact_partitions(os.path.join(index_dir, "postings"), "epoch", threshold)
     compact_partitions(os.path.join(index_dir, "tombstones"), "epoch", threshold)
+
+
+def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
+    """Offline tombstone PURGE (r12 — verdict item 3): rewrite the live
+    postings (postings anti-join tombstones, the exact probe-side
+    filter) as ONE new compacted segment, then drop every superseded
+    postings partition and the whole tombstone side-table. Without this
+    rung a long-lived churny index scans ever-growing dead postings and
+    broadcasts an unboundedly growing tombstone set at every probe;
+    after it, bytes-scanned shrinks by the dead fraction and the
+    broadcast set resets to empty.
+
+    Contract: a DRAINED stream (no active writer), like
+    compact_ivf_postings — the tombstone set must be final, because
+    purged ids are forgotten. Crash safety is the compaction story: the
+    segment commits with one rename carrying a _folded.json manifest of
+    everything it supersedes (including earlier _compacted-* segments —
+    segment numbering is max+1 so covered names never come back), the
+    next compact/purge/recovery call heals a half-finished removal, and
+    _probe_ivf_index tolerates the in-between duplicates via its
+    candidate dedup. A crash AFTER the postings swap but BEFORE the
+    tombstone removal is benign: re-applying final tombstones to
+    already-purged postings anti-joins nothing.
+
+    Returns {"live_rows", "purged_rows", "bytes_before", "bytes_after"}.
+    """
+    import json as _json
+    import shutil
+    import uuid
+
+    from etly_spark.io.compact import next_segment, recover_covered_partitions
+
+    post = os.path.join(index_dir, "postings")
+    tomb = os.path.join(index_dir, "tombstones")
+    recover_covered_partitions(post, "epoch")
+
+    def _bytes(root: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    bytes_before = _bytes(post) + (_bytes(tomb) if os.path.isdir(tomb) else 0)
+    superseded = [d for d in os.listdir(post) if d.startswith("epoch=")]
+    live = spark.read.parquet(post).select("vec_id", "embedding", "nrm", "cent_id")
+    n_before = live.count()
+    if os.path.isdir(tomb):
+        live = live.join(
+            F.broadcast(spark.read.parquet(tomb).select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+    # one distributed write, cluster parallelism preserved (an EMPTY
+    # live set still writes a schema-carrying part file — SPARK-23271)
+    tmp = os.path.join(post, f"_purge-tmp-{uuid.uuid4().hex[:8]}")
+    live.write.parquet(tmp)
+    with open(os.path.join(tmp, "_folded.json"), "w") as f:
+        _json.dump(superseded, f)
+    os.rename(tmp, next_segment(post, "epoch"))
+    for d in superseded:
+        shutil.rmtree(os.path.join(post, d), ignore_errors=True)
+    if os.path.isdir(tomb):
+        shutil.rmtree(tomb, ignore_errors=True)
+    n_after = spark.read.parquet(post).count()
+    return {
+        "live_rows": n_after,
+        "purged_rows": n_before - n_after,
+        "bytes_before": bytes_before,
+        "bytes_after": _bytes(post),
+    }
 
 
 def ivf_inc_index(spark: SparkSession, sf_dir: str) -> str:
@@ -541,14 +617,19 @@ def _probe_ivf_index(
             "left_anti",
         )
     if q_pdf is None:
-        q = assign.filter(F.expr(qwhere)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("nrm").alias("qn"),
+        q_pdf = (
+            assign.filter(F.expr(qwhere))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"),
+            )
+            .toPandas()
         )
-        q_pdf = q.toPandas()
-    else:
-        q = spark.createDataFrame(q_pdf)
+    # BOTH branches rebuild q from the collected pandas (r12, ADVICE):
+    # broadcasting the postings-derived lazy q frame re-ran the postings
+    # scan twice more (broadcast build + main join) after the toPandas
+    q = spark.createDataFrame(q_pdf)
     pairs = V.probe_cells(q_pdf, cent_pdf, NPROBE_IVF)
     probes = spark.createDataFrame(pairs, "query_id long, qcent long")
     scored = (
@@ -560,6 +641,15 @@ def _probe_ivf_index(
         )
         .select("query_id", F.col("vec_id").alias("neighbor_id"), _cos_pair().alias("cos_sim"))
     )
+    # defensive dedup (r12, ADVICE): a compaction crash between the
+    # segment rename and the loose-dir removal can leave a postings row
+    # duplicated until the next compact run's manifest recovery removes
+    # the covered loose dir (io/compact.py). _topk's row_number would
+    # then rank the same neighbor twice. Duplicate rows are bit-exact
+    # copies (same vector, same deterministic score), so deduping the
+    # (query, neighbor) pair is lossless; the aggregate runs on the
+    # CANDIDATE set (Q x probed cells), never the full postings scan.
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     return _topk(scored, 5)
 
 

@@ -59,16 +59,34 @@ def start_ivf_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
     qdir = os.path.join(index_dir, "quantizer")
 
     def fold(bdf: DataFrame, epoch_id: int) -> None:
-        if bdf.isEmpty():
-            return
+        # ONE counting job per micro-batch (r12 — the r11 form ran up to
+        # three isEmpty() jobs before the real fold), doubling as the
+        # CDC feed validation: a malformed op value must fail loudly,
+        # not silently drop vectors from both postings and tombstones
+        # (ADVICE r11).
         adds, dels = bdf, None
         if "op" in bdf.columns:
+            c = bdf.agg(
+                F.count(F.when(F.col("op") == "add", 1)).alias("n_add"),
+                F.count(F.when(F.col("op") == "del", 1)).alias("n_del"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            bad = c["n"] - c["n_add"] - c["n_del"]
+            if bad:
+                raise ValueError(
+                    f"CDC epoch {epoch_id}: {bad} row(s) with op not in "
+                    "('add','del') — refusing to silently drop vectors"
+                )
+            has_adds, has_dels = c["n_add"] > 0, c["n_del"] > 0
             adds = bdf.where(F.col("op") == "add").drop("op")
             dels = bdf.where(F.col("op") == "del").select("vec_id")
+        else:
+            has_adds, has_dels = not bdf.isEmpty(), False
+        if not (has_adds or has_dels):
+            return
         s = adds.select(
             "vec_id", "embedding", V.l2_norm_pd(F.col("embedding")).alias("nrm")
         )
-        has_adds = not adds.isEmpty()
         if not os.path.isdir(qdir) and has_adds:
             tmp = f"{qdir}.tmp-{uuid.uuid4().hex[:8]}"
             centroid_plan(s).write.parquet(tmp)
@@ -79,7 +97,7 @@ def start_ivf_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
             fold_ivf_epoch(
                 s, V._staged_pdf(qdir), os.path.join(index_dir, "postings"), epoch_id
             )
-        if dels is not None and not dels.isEmpty():
+        if has_dels:
             fold_ivf_tombstones(
                 dels, os.path.join(index_dir, "tombstones"), epoch_id
             )

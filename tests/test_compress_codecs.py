@@ -266,6 +266,27 @@ def test_zstd_drain_boundary_truncation_message():
                 zstd.decompress(enc[:-cut])
 
 
+def test_zstd_truncation_after_exact_boundary_complete_frame():
+    """ADVICE r11 item 2 pin, the exact adversarial alignment: a
+    COMPLETE first frame whose decoded size exactly fills the 128 KiB
+    output buffer (so the input-exhausted call CAN end with
+    outb.pos == chunk and ret != 0 from the started second frame),
+    followed by a truncated second frame. The drain branch's follow-up
+    call flushes nothing and must reach 'truncated frame' — never loop
+    forever, never 'no progress'. Also: the same full-buffer frame with
+    NO trailing fragment must decode cleanly (no false truncation)."""
+    assert zstd.available(), "container libzstd expected"
+    for n in (1 << 17, (1 << 17) * 2):
+        full = bytes(range(256)) * (n // 256)  # exactly n bytes
+        f1 = zstd.compress(full)
+        assert zstd.decompress(f1) == full  # clean exact-boundary decode
+        f2 = zstd.compress(b"second frame payload " * 64)
+        assert zstd.decompress(f1 + f2).startswith(full)
+        for cut_to in (4, 8, len(f2) - 1):
+            with pytest.raises(ValueError, match="truncated frame"):
+                zstd.decompress(f1 + f2[:cut_to])
+
+
 @pytest.mark.skipif(not os.path.exists("/root/miniconda/bin/zstd"),
                     reason="no zstd CLI for external validation")
 def test_zstd_external_cli_interop(tmp_path):

@@ -328,3 +328,115 @@ def test_frozen_quantizer_differs_from_batch_selection(spark):
     )
     batch = set(select_centroids(s)["cent_id"])
     assert frozen != batch
+
+
+def test_compaction_crash_recovery_heals_duplicates(spark, tmp_path):
+    """r12 (ADVICE medium): a crash between the segment rename and the
+    loose-dir removal leaves duplicate postings rows. The probe must
+    answer correctly in the window (candidate dedup), and the next
+    compact call must heal it via the segment's _folded.json manifest —
+    without folding the duplicates into a second segment."""
+    import shutil
+
+    d = _build_index(spark, str(tmp_path / "idx"))
+    before = _rows(_probe_ivf_index(spark, d))
+    post = os.path.join(d, "postings")
+    snap = str(tmp_path / "epoch0.snapshot")
+    shutil.copytree(os.path.join(post, "epoch=0"), snap)
+    compact_ivf_postings(d, threshold=1)
+    # simulate the crash: the segment committed but epoch=0's removal
+    # "didn't happen" — restore it, duplicating its rows
+    shutil.copytree(snap, os.path.join(post, "epoch=0"))
+    n_dup = spark.read.parquet(post).count()
+    n_seg = spark.read.parquet(
+        os.path.join(post, "epoch=_compacted-000001")
+    ).count()
+    assert n_dup > n_seg, "precondition: duplicates are really present"
+    assert _rows(_probe_ivf_index(spark, d)) == before  # dedup holds
+    compact_ivf_postings(d, threshold=64)  # recovery, below threshold
+    names = [n for n in os.listdir(post) if n.startswith("epoch=")]
+    assert names == ["epoch=_compacted-000001"], names
+    assert spark.read.parquet(post).count() == n_seg
+    assert _rows(_probe_ivf_index(spark, d)) == before
+
+
+def test_purge_ivf_tombstones(spark, tmp_path):
+    """r12 (verdict item 3): the offline purge rewrites live postings as
+    one segment, drops the dead rows AND the tombstone side-table, and
+    the probe answers identically before and after — with measurably
+    fewer bytes on disk and nothing left for the probe to anti-join."""
+    from etly_spark.queries.similarity import purge_ivf_tombstones
+
+    d = _build_index(spark, str(tmp_path / "idx"))
+    before = _rows(_probe_ivf_index(spark, d))
+    n_tomb = spark.read.parquet(os.path.join(d, "tombstones")).count()
+    assert n_tomb > 0
+    stats = purge_ivf_tombstones(spark, d)
+    assert stats["purged_rows"] == n_tomb
+    assert not os.path.isdir(os.path.join(d, "tombstones"))
+    post = os.path.join(d, "postings")
+    loose = [
+        n for n in os.listdir(post)
+        if n.startswith("epoch=") and not n.startswith("epoch=_compacted-")
+    ]
+    assert not loose, f"superseded loose epochs survived: {loose}"
+    assert stats["bytes_after"] < stats["bytes_before"]
+    assert stats["live_rows"] == spark.read.parquet(post).count()
+    assert _rows(_probe_ivf_index(spark, d)) == before and len(before) > 0
+
+
+def test_purge_after_compaction_supersedes_segments(spark, tmp_path):
+    """Purge covers COMPACTED segments too: its manifest names them,
+    numbering continues past them (max+1, never count+1 — a recycled
+    name would collide with recovery manifests), and the probe is
+    unchanged."""
+    from etly_spark.queries.similarity import purge_ivf_tombstones
+
+    d = _build_index(spark, str(tmp_path / "idx"))
+    before = _rows(_probe_ivf_index(spark, d))
+    compact_ivf_postings(d, threshold=1)
+    purge_ivf_tombstones(spark, d)
+    post = os.path.join(d, "postings")
+    names = sorted(n for n in os.listdir(post) if n.startswith("epoch="))
+    assert names == ["epoch=_compacted-000002"], names
+    assert _rows(_probe_ivf_index(spark, d)) == before
+    # a new epoch folds in after the purge (the stream resumed) and a
+    # later compact folds it into segment 3, not a recycled 1
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = select_centroids(s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0))
+    fold_ivf_epoch(s.where(F.col("vec_id") % 1009 == 7), cent_pdf, post, 99)
+    compact_ivf_postings(d, threshold=0)
+    names = sorted(n for n in os.listdir(post) if n.startswith("epoch="))
+    assert names == ["epoch=_compacted-000002", "epoch=_compacted-000003"], names
+
+
+def test_streamed_cdc_rejects_malformed_op(spark, tmp_path):
+    """ADVICE r11: rows whose op is neither 'add' nor 'del' must fail
+    the fold loudly — a malformed CDC feed silently losing vectors is
+    the worst failure mode an index maintenance loop can have."""
+    import json
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from etly_spark.streaming.ann import start_ivf_index
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def row(i: int, op: str) -> str:
+        return json.dumps(
+            {"vec_id": i, "embedding": [float(i + j) for j in range(8)], "op": op}
+        )
+
+    (src / "s1.json").write_text(
+        "\n".join([row(0, "add"), row(1, "upsert"), row(2, "del")]) + "\n"
+    )
+    q = start_ivf_index(
+        spark.readStream.schema("vec_id long, embedding array<double>, op string")
+        .json(str(src)),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(StreamingQueryException, match="op not in"):
+        q.awaitTermination(120)

@@ -153,7 +153,11 @@ def main() -> int:
         "rows_per_shard": per,
         "deleted": len(deleted),
         "wall_p50_first_half": round(sorted(walls[:half])[half // 2], 2) if half else None,
-        "wall_p50_second_half": round(sorted(walls[half:])[len(walls[half:]) // 2], 2),
+        # guard like the sibling fields (ADVICE r11): a stream with no
+        # progress rows must print its JSON line, not IndexError
+        "wall_p50_second_half": (
+            round(sorted(walls[half:])[len(walls[half:]) // 2], 2) if walls[half:] else None
+        ),
         "wall_last": walls[-1] if walls else None,
         "loose_before_compact": loose_before,
         "postings_after_compact": [post_loose, post_seg],
