@@ -256,19 +256,25 @@ def assign_nearest(
 
 def _pq_books(cb_pdf: pd.DataFrame, m: int, *, cell_col: str = "cell") -> dict:
     """Per-cell codebook tensors from a (cell, cb_id, ce) frame:
-    {cell: (Cs[k, m, d/m], cn[k, m])}, codewords in cb_id order so
-    argmax ties break to the smallest cb_id (the oracle's ORDER BY)."""
+    {cell: (Cs[k, m, d/m], cn[k, m], cb_ids[k])}, codewords in cb_id
+    order so argmax ties break to the smallest cb_id (the oracle's
+    ORDER BY) and cb_id -> slot lookups are one searchsorted."""
     import numpy as np
 
     books: dict[int, tuple] = {}
     for cell, grp in cb_pdf.groupby(cell_col):
-        order = np.argsort(grp["cb_id"].to_numpy(dtype="int64"), kind="stable")
+        cbids = grp["cb_id"].to_numpy(dtype="int64")
+        order = np.argsort(cbids, kind="stable")
         C = _rows(grp["ce"])[order]
         k, d = C.shape
         if d % m:
             raise ValueError(f"dim {d} not divisible by m={m}")
         Cs = np.ascontiguousarray(C.reshape(k, m, d // m))
-        books[int(cell)] = (Cs, np.sqrt(np.einsum("kms,kms->km", Cs, Cs)))
+        books[int(cell)] = (
+            Cs,
+            np.sqrt(np.einsum("kms,kms->km", Cs, Cs)),
+            cbids[order],
+        )
     return books
 
 
@@ -284,20 +290,24 @@ def _pq_books(cb_pdf: pd.DataFrame, m: int, *, cell_col: str = "cell") -> dict:
 _STAGED_CACHE: dict[tuple, object] = {}
 
 
+def _read_parquet_dir(path: str) -> pd.DataFrame:
+    """Uncached flat-dir parquet read (append-only tables — the ivf
+    hot-cell splits — must not be served a stale snapshot)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet parts under staged dir {path}")
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+
 def _staged_pdf(path: str) -> pd.DataFrame:
     key = ("pdf", path)
     if key not in _STAGED_CACHE:
-        import glob as _glob
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-        if not files:
-            raise FileNotFoundError(f"no parquet parts under staged dir {path}")
-        _STAGED_CACHE[key] = pa.concat_tables(
-            [pq.read_table(f) for f in files]
-        ).to_pandas()
+        _STAGED_CACHE[key] = _read_parquet_dir(path)
     return _STAGED_CACHE[key]
 
 
@@ -349,7 +359,7 @@ def ivfpq_reconstruct(
             rec = np.empty_like(X)
             cells = pdf[cell_col].to_numpy(dtype="int64")
             for cell in np.unique(cells):
-                Cs, cn = books[int(cell)]
+                Cs, cn, _cbids = books[int(cell)]
                 k = Cs.shape[0]
                 idx = np.flatnonzero(cells == cell)
                 blk = max(1, int(8_000_000 / (k * m)))
@@ -375,6 +385,132 @@ def ivfpq_reconstruct(
     return corpus.select(id_col, vec_col, cell_col).mapInPandas(run, schema)
 
 
+def ivfpq_codes(
+    corpus: DataFrame,
+    cb: "pd.DataFrame | str",
+    *,
+    m: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF-sharded PQ ENCODE ONLY (r12 — the true-probe-path codes
+    table): for every vector, the per-subspace cb_ids of its most
+    cosine-similar codewords in ITS CELL's codebook — exactly
+    ivfpq_reconstruct's argmax (same blocked einsum, same -2.0
+    zero-norm pin, same ties-to-smallest-cb_id), emitting
+    (vec_id, cell, codes: array<long>[m]) instead of materializing the
+    reconstruction. At 100 TB THIS table is the index payload the
+    probe scans: m longs (m bytes once bit-packed) per vector instead
+    of d float32s. ``cb`` is a pandas frame or a stage_path string
+    (codebook loaded lazily executor-side, the _staged_books
+    contract)."""
+    import numpy as np
+
+    staged = isinstance(cb, str)
+    books0 = None if staged else _pq_books(cb, m, cell_col=cell_col)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(cell_col, LongType()),
+            StructField("codes", ArrayType(LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = _staged_books(cb, m) if staged else books0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _rows(pdf[vec_col])
+            sub = X.shape[1] // m
+            Xs = X.reshape(len(pdf), m, sub)
+            xn = np.sqrt(np.einsum("nms,nms->nm", Xs, Xs))
+            out_codes = np.empty((len(pdf), m), dtype="int64")
+            cells = pdf[cell_col].to_numpy(dtype="int64")
+            for cell in np.unique(cells):
+                Cs, cn, cbids = books[int(cell)]
+                k = Cs.shape[0]
+                idx = np.flatnonzero(cells == cell)
+                blk = max(1, int(8_000_000 / (k * m)))
+                for lo in range(0, len(idx), blk):
+                    ii = idx[lo : lo + blk]
+                    num = np.einsum("nms,kms->nkm", Xs[ii], Cs)
+                    den = xn[ii][:, None, :] * cn[None, :, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(
+                            den > 0, num / np.where(den > 0, den, 1.0), -2.0
+                        )
+                    out_codes[ii] = cbids[cos.argmax(axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    cell_col: cells,
+                    "codes": list(out_codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col, cell_col).mapInPandas(run, schema)
+
+
+def ivfpq_decode(
+    codes_df: DataFrame,
+    cb: "pd.DataFrame | str",
+    *,
+    m: int = 16,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct vectors FROM THE STAGED CODES TABLE (r12): gather
+    each row's m codebook slices by cb_id (one searchsorted per cell
+    block against the cb_id-ordered book — pure indexing, no scoring)
+    and concatenate. The probe path decodes ONLY the candidates in
+    probed cells, so decode cost is candidates x m gathers, never a
+    corpus pass. Input: (vec_id, cell, codes); output:
+    (vec_id, cell, embedding) — the cell rides through for the
+    probe-pair join."""
+    import numpy as np
+
+    staged = isinstance(cb, str)
+    books0 = None if staged else _pq_books(cb, m, cell_col=cell_col)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(cell_col, LongType()),
+            StructField(vec_col, _ARR_D),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = _staged_books(cb, m) if staged else books0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(
+                [np.asarray(c, dtype="int64") for c in pdf["codes"]]
+            )
+            cells = pdf[cell_col].to_numpy(dtype="int64")
+            d = books[int(cells[0])][0].shape[1] * books[int(cells[0])][0].shape[2]
+            rec = np.empty((len(pdf), d), dtype="float64")
+            for cell in np.unique(cells):
+                Cs, _cn, cbids = books[int(cell)]
+                idx = np.flatnonzero(cells == cell)
+                slots = np.searchsorted(cbids, codes[idx])
+                rec[idx] = Cs[slots, np.arange(m)[None, :], :].reshape(
+                    len(idx), d
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    cell_col: cells,
+                    vec_col: list(rec),
+                }
+            )
+
+    return codes_df.select(id_col, cell_col, "codes").mapInPandas(run, schema)
+
+
 def assign_nearest_grouped(
     corpus: DataFrame,
     cb_path: str,
@@ -383,6 +519,7 @@ def assign_nearest_grouped(
     vec_col: str = "embedding",
     norm_col: str = "nrm",
     out_col: str = "sub_bucket",
+    cache_token: str = "",
 ) -> DataFrame:
     """Per-group nearest-centroid assignment against a STAGED centroid
     table (r11 — the SemDeDup hot-cell recursion kernel): every row is
@@ -392,16 +529,22 @@ def assign_nearest_grouped(
     smallest cent_id; zero-norm cosines pin to -2.0 (the assign_nearest
     contracts). Rows whose group has no staged centroids keep
     ``out_col`` = their ``group_col`` value (identity — callers route
-    only hot groups through, but a stale row must not crash)."""
+    only hot groups through, but a stale row must not crash).
+
+    ``cache_token``: per-worker caching is keyed on (path, token) — a
+    STAGED artifact is immutable so the default "" is right, but an
+    APPEND-ONLY table (the ivf hot-cell splits) must pass a token that
+    changes when the table grows (e.g. its file listing), or workers
+    keep routing against a stale snapshot."""
     import numpy as np
 
     schema = StructType(list(corpus.schema.fields) + [StructField(out_col, LongType())])
 
     def groups(path: str) -> dict:
-        key = ("groups", path)
+        key = ("groups", path, cache_token)
         if key not in _STAGED_CACHE:
             g: dict[int, tuple] = {}
-            pdf = _staged_pdf(path)
+            pdf = _read_parquet_dir(path) if cache_token else _staged_pdf(path)
             for b, grp in pdf.groupby(group_col):
                 order = np.argsort(
                     grp["cent_id"].to_numpy(dtype="int64"), kind="stable"

@@ -103,7 +103,11 @@ def compact_partitions(root: str, key: str, threshold: int) -> None:
     recover_covered_partitions(root, key)
     prefix = f"{key}="
     names = [d for d in os.listdir(root) if d.startswith(prefix)]
-    loose = sorted(d for d in names if not d.startswith(f"{prefix}_compacted-"))
+    # underscore partition VALUES are reserved for special segments
+    # (_compacted-* here; the ANN index's _split-* reassignment
+    # segments, whose wider schema must never be concat-folded with
+    # gen-0 epochs) — only plain loose partitions fold
+    loose = sorted(d for d in names if not d.startswith(f"{prefix}_"))
     if len(loose) <= threshold:
         return
     tables = []

@@ -407,16 +407,161 @@ _IVFINC_SQL = _ivf_sql(
 )
 
 
-def fold_ivf_epoch(shard: DataFrame, cent_pdf, postings_dir: str, epoch: int) -> None:
+def _ivf_split_sql(
+    src: str = "embeddings",
+    qwhere: str = "vec_id < 8",
+    cent_where: str = "TRUE",
+    del_where: str = "FALSE",
+    nprobe: int = 4,
+) -> str:
+    """Batch twin of the hot-cell-SPLIT index (r12): the two-level
+    quantizer the log-structured split implies — gen-0 assignment
+    under the frozen quantizer, cells above cap = ceil(N/nlist) grow
+    k_c = clamp(floor(sqrt(cell_n)), 2, 1024) hash-selected
+    sub-centroids, their rows re-assign within the cell; a probed
+    split parent expands to the query's ``nprobe`` nearest sub-cells.
+    Counts/sub-centroid selection run BEFORE the deletion filter
+    (split_hot_cells operates on raw postings; tombstones are a side
+    table), deletions drop candidates and queries at probe time."""
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
+), cent AS (
+  SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s
+  WHERE {cent_where}
+  ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {K_CENTROIDS}
+), assign0 AS (
+  SELECT s.vec_id, s.embedding, s.nrm, c.cent_id,
+         row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY CASE WHEN s.nrm * c.cn = 0 THEN -2.0
+                  ELSE {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) END DESC,
+                      c.cent_id) AS rn
+  FROM s CROSS JOIN cent c
+), assign AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm, cent_id FROM assign0 WHERE rn = 1
+), hot AS MATERIALIZED (
+  SELECT cent_id AS cell, COUNT(*) AS cn_ FROM assign GROUP BY cent_id
+  HAVING COUNT(*) > (
+    SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
+                / (SELECT COUNT(*) FROM cent)) AS BIGINT) FROM assign)
+), subc AS MATERIALIZED (
+  SELECT cell, vec_id AS sub_id, embedding AS se, nrm AS sn FROM (
+    SELECT h.cell, a.vec_id, a.embedding, a.nrm, h.cn_,
+           row_number() OVER (PARTITION BY h.cell
+               ORDER BY {_CENT_HASH_SQL}, a.vec_id) AS srn
+    FROM assign a JOIN hot h ON h.cell = a.cent_id)
+  WHERE srn <= LEAST(1024, GREATEST(2,
+      CAST(FLOOR(sqrt(CAST(cn_ AS DOUBLE))) AS BIGINT)))
+), assign2 AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm, cell AS parent, sub_id AS cent_id FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, sc.cell, sc.sub_id,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY CASE WHEN a.nrm * sc.sn = 0 THEN -2.0
+                    ELSE {_sql_dot('a.embedding', 'sc.se')} / (a.nrm * sc.sn) END DESC,
+                        sc.sub_id) AS rn2
+    FROM assign a JOIN subc sc ON sc.cell = a.cent_id)
+  WHERE rn2 = 1
+), finala AS (
+  SELECT vec_id, embedding, nrm, -1 AS parent, cent_id FROM assign
+  WHERE cent_id NOT IN (SELECT cell FROM hot) AND NOT ({del_where})
+  UNION ALL
+  SELECT vec_id, embedding, nrm, parent, cent_id FROM assign2
+  WHERE NOT ({del_where})
+), qp0 AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id AS pcell
+  FROM assign0 WHERE ({qwhere}) AND rn <= {nprobe} AND NOT ({del_where})
+), probes AS (
+  SELECT query_id, qe, qn, -1 AS pparent, pcell FROM qp0
+  WHERE pcell NOT IN (SELECT cell FROM hot)
+  UNION ALL
+  SELECT query_id, qe, qn, pcell AS pparent, sub_id AS pcell FROM (
+    SELECT q.query_id, q.qe, q.qn, q.pcell, sc.sub_id,
+           row_number() OVER (PARTITION BY q.query_id, q.pcell
+               ORDER BY CASE WHEN q.qn * sc.sn = 0 THEN -2.0
+                    ELSE {_sql_dot('q.qe', 'sc.se')} / (q.qn * sc.sn) END DESC,
+                        sc.sub_id) AS srn2
+    FROM qp0 q JOIN subc sc ON sc.cell = q.pcell)
+  WHERE srn2 <= {nprobe}
+), scored AS (
+  SELECT p.query_id, f.vec_id AS neighbor_id,
+         {_sql_dot('p.qe', 'f.embedding')} / (p.qn * f.nrm) AS cos_sim
+  FROM probes p JOIN finala f
+    ON f.parent = p.pparent AND f.cent_id = p.pcell AND f.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+_IVFSPLIT_SQL = _ivf_split_sql(
+    cent_where=f"vec_id % {_IVFINC_EPOCHS} = 0", del_where=_IVFINC_DEL
+)
+
+
+def fold_ivf_epoch(
+    shard: DataFrame,
+    cent_pdf,
+    postings_dir: str,
+    epoch: int,
+    splits_dir: str | None = None,
+) -> None:
     """Fold ONE arriving embedding shard into the postings index:
     assign the shard's vectors against the FROZEN quantizer (one
     broadcast-matmul Arrow pass over the shard only) and write them as
     this epoch's own partition — per-shard work is O(shard), and no
     earlier epoch is read or rewritten (append-only; pinned by
-    tests/test_sim_inc.py against byte-level mtimes)."""
-    V.assign_nearest(
-        shard.select("vec_id", "embedding", "nrm"), cent_pdf
-    ).write.mode("overwrite").parquet(os.path.join(postings_dir, f"epoch={epoch}"))
+    tests/test_sim_inc.py against byte-level mtimes).
+
+    ``splits_dir`` (r12 — the growable quantizer): when the index has
+    HOT-CELL SPLITS (split_hot_cells), arrivals landing in a split
+    parent route one level further — nearest sub-centroid among that
+    parent's splits (assign_nearest_grouped, executor-side against the
+    append-only splits table) — and the epoch partition carries
+    (cent_id=sub, parent=p) for them, NULL parent otherwise. Fold work
+    stays O(shard): the second level touches only the shard's own
+    rows."""
+    asn = V.assign_nearest(shard.select("vec_id", "embedding", "nrm"), cent_pdf)
+    parents, token = _splits_state(splits_dir) if splits_dir else ([], "")
+    if parents:
+        routed = V.assign_nearest_grouped(
+            asn.withColumnRenamed("cent_id", "parent"),
+            splits_dir,
+            group_col="parent",
+            out_col="sub",
+            cache_token=token,
+        )
+        is_split = F.col("parent").isin(parents)
+        asn = routed.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.when(is_split, F.col("sub")).otherwise(F.col("parent")).alias("cent_id"),
+            F.when(is_split, F.col("parent")).otherwise(F.lit(None).cast("long")).alias("parent"),
+        )
+    asn.write.mode("overwrite").parquet(os.path.join(postings_dir, f"epoch={epoch}"))
+
+
+def _splits_state(splits_dir: str | None):
+    """(sorted split-parent cent_ids, cache token) for an index's
+    append-only ``quantizer_splits`` table — the token is the file
+    listing, so executor-side caches refresh exactly when a new split
+    commits. ([], "") when no splits exist."""
+    import glob as _glob
+
+    if not splits_dir or not os.path.isdir(splits_dir):
+        return [], ""
+    files = sorted(_glob.glob(os.path.join(splits_dir, "*.parquet")))
+    if not files:
+        return [], ""
+    pdf = V._read_parquet_dir(splits_dir)
+    return sorted({int(p) for p in pdf["parent"]}), "|".join(
+        os.path.basename(f) for f in files
+    )
 
 
 def fold_ivf_tombstones(deleted: DataFrame, tombstones_dir: str, epoch: int) -> None:
@@ -522,6 +667,156 @@ def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
+# Postings schema across generations: gen-0 epochs carry 4 columns;
+# split segments and post-split folds add ``parent`` (the split gen-0
+# cell a sub-cell row descends from). Reading with this EXPLICIT schema
+# makes old partitions surface parent=NULL — no mergeSchema scan.
+_POSTINGS_SCHEMA = (
+    "vec_id long, embedding array<double>, nrm double, cent_id long, parent long"
+)
+
+
+def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None) -> dict:
+    """GROWABLE quantizer for the incremental IVF index (r12 — verdict
+    item 2, the log-structured answer): the maintenance loop freezes
+    its coarse quantizer on shard 0, so cells grow unboundedly with the
+    corpus and probe cost is nprobe/nlist of the whole index. Instead
+    of re-freezing (which would invalidate every folded epoch), SPLIT
+    the hot cells:
+
+    - a cell whose gen-0 postings exceed ``cap`` (default ceil(N /
+      nlist) — above-average load) gains k_c = clamp(floor(sqrt(
+      cell_n)), 2, 1024) SUB-CENTROIDS, hash-selected within the cell
+      (the centroid_plan rule restricted to the cell's rows — the
+      SemDeDup hot-cell recursion applied to the index);
+    - the cell's existing postings are re-assigned to sub-cells by one
+      bounded matmul pass over THAT CELL ONLY and written as a new
+      never-rewritten segment (``epoch=_split-<parent>`` — underscore
+      partitions are invisible to compaction's loose-dir fold);
+    - the sub-centroids append to ``quantizer_splits/<parent>.parquet``
+      (append-only; gen-0 quantizer untouched, so every existing epoch
+      stays valid);
+    - commit order is segment THEN splits-entry: the segment is inert
+      until the splits table names its parent (probes match split rows
+      on (parent, sub-cell), gen-0 probes on (NULL, cell)), so a crash
+      in between leaves an invisible segment that an idempotent re-run
+      reuses — and _probe_ivf_index's candidate dedup covers the
+      overlap window regardless;
+    - later arrivals route through the splits at fold time
+      (fold_ivf_epoch's splits_dir) — fold stays O(shard).
+
+    Probe cost after splitting a cell drops from cell_n to
+    ~nprobe_sub * cell_n / k_c per probe of that parent. One level of
+    splitting is supported (sub-cells do not re-split; at sqrt-scaled
+    k_c a second level is ~N^(1/4) deep — run split again after the
+    corpus grows another order of magnitude and the NEW hot gen-0
+    cells split then).
+
+    Offline contract like compact/purge: run with NO active writer.
+    Returns {"split": [...], "cap": cap, "sub_cells": total}."""
+    import math
+
+    post = os.path.join(index_dir, "postings")
+    splits_dir = os.path.join(index_dir, "quantizer_splits")
+    already = set(_splits_state(splits_dir)[0])
+    posts = spark.read.schema(_POSTINGS_SCHEMA).parquet(post)
+    base = posts.where(F.col("parent").isNull())
+    if already:
+        base = base.where(~F.col("cent_id").isin(sorted(already)))
+    sizes = {
+        int(r["cent_id"]): int(r["n"])
+        for r in base.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    k = len(V._staged_pdf(os.path.join(index_dir, "quantizer")))
+    n = sum(sizes.values())
+    if cap is None:
+        cap = int(math.ceil(n / float(k))) if k else 0
+    hot = sorted(c for c, cnt in sizes.items() if cnt > cap)
+    if not hot:
+        return {"split": [], "cap": cap, "sub_cells": 0, "gen0_cells": k}
+    import glob as _glob
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    from etly_spark.operators.prefix import banded_row_number
+
+    # one BATCH for all hot cells (a per-cell driver loop would be
+    # nlist Spark jobs — wrong at 1000 hot cells). Deterministic batch
+    # id: a crashed run recomputes the same hot set (its splits were
+    # never activated) and resumes the same artifacts.
+    batch = hashlib.sha1(",".join(map(str, hot)).encode()).hexdigest()[:12]
+    hotrows = base.where(F.col("cent_id").isin(hot))
+
+    # 1. PENDING sub-centroid table, all hot cells in one distributed
+    # pass: per-cell top-k_c by the Knuth hash via the banded rank (no
+    # window on the low-NDV cell key). coalesce(1): activation below
+    # must be ONE atomic file rename — a parent whose sub-centroids
+    # were only partially visible would probe an incomplete sub list.
+    pend = os.path.join(index_dir, f"_splits_pending-{batch}")
+    if not os.path.isdir(pend):
+        kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+            4294967296
+        )
+        ranked = banded_row_number(
+            hotrows.withColumn("_kh", kh),
+            ["cent_id"],
+            F.floor(F.col("_kh") / F.lit(2097152)),
+            [F.col("_kh"), F.col("vec_id")],
+            "_srn",
+        )
+        kc_rows = [
+            (int(c), min(1024, max(2, int(math.floor(math.sqrt(float(sizes[c])))))))
+            for c in hot
+        ]
+        kc_map = spark.createDataFrame(kc_rows, "_cell long, _kc long")
+        sub_df = (
+            ranked.join(F.broadcast(kc_map), ranked.cent_id == kc_map._cell)
+            .where(F.col("_srn") <= F.col("_kc"))
+            .select(
+                F.col("cent_id").alias("parent"),
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("ce"),
+                F.col("nrm").alias("cn"),
+            )
+        )
+        tmp = os.path.join(index_dir, f"_splittmp-{_uuid.uuid4().hex[:8]}")
+        sub_df.coalesce(1).write.parquet(tmp)
+        os.rename(tmp, pend)
+
+    # 2. reassignment SEGMENT: one grouped-assign of the hot cells'
+    # rows against the pending table (executor-side, cached per batch)
+    seg = os.path.join(post, f"epoch=_split-{batch}")
+    if not os.path.isdir(seg):
+        routed = V.assign_nearest_grouped(
+            hotrows.select("vec_id", "embedding", "nrm", F.col("cent_id").alias("parent")),
+            pend,
+            group_col="parent",
+            out_col="sub",
+            cache_token=batch,
+        )
+        tmp = os.path.join(index_dir, f"_splittmp-{_uuid.uuid4().hex[:8]}")
+        routed.select(
+            "vec_id", "embedding", "nrm", F.col("sub").alias("cent_id"), "parent"
+        ).write.parquet(tmp)
+        os.rename(tmp, seg)
+
+    # 3. ACTIVATE: move the single pending parquet into
+    # quantizer_splits/ — one rename; before it the segment is inert
+    # (probes match split rows only for parents the splits table
+    # names), after it the superseded gen-0 rows stop matching.
+    os.makedirs(splits_dir, exist_ok=True)
+    entry = os.path.join(splits_dir, f"{batch}.parquet")
+    if not os.path.exists(entry):
+        parts = sorted(_glob.glob(os.path.join(pend, "*.parquet")))
+        if len(parts) != 1:
+            raise RuntimeError(f"expected 1 pending splits part, got {parts}")
+        os.rename(parts[0], entry)
+    shutil.rmtree(pend, ignore_errors=True)
+    total_sub = len(V._read_parquet_dir(splits_dir))
+    return {"split": hot, "cap": cap, "sub_cells": total_sub, "gen0_cells": k}
+
+
 def ivf_inc_index(spark: SparkSession, sf_dir: str) -> str:
     """The incrementally-maintained IVF index for ``sf_dir``, built
     once per process (the staged-artifact contract, fingerprinted on
@@ -593,6 +888,58 @@ def sim_ivf_inc(
     return _probe_ivf_index(spark, ivf_inc_index(spark, sf_dir), qwhere, q_pdf)
 
 
+_IVFSPLIT_CACHE: dict[str, str] = {}
+
+
+def ivf_split_index(spark: SparkSession, sf_dir: str) -> str:
+    """The ivf_inc index AFTER the hot-cell split rung (r12): a copy of
+    the incrementally-folded artifact with split_hot_cells applied at
+    the default cap (ceil(N/nlist) — every above-average cell splits,
+    so the gate provably exercises splitting at every SF). Built once
+    per process, same fingerprint contract as ivf_inc_index."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from etly_spark.io import staging as _st
+
+    dep = _st._dep_sig(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = hashlib.sha1(f"ivf-split::{dep}".encode()).hexdigest()[:24]
+    if fp in _IVFSPLIT_CACHE:
+        return _IVFSPLIT_CACHE[fp]
+    final = os.path.join(_st._root(), f"ivfsplit-{fp}")
+    if not os.path.isdir(final):
+        base = ivf_inc_index(spark, sf_dir)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        shutil.copytree(base, tmp)
+        split_hot_cells(spark, tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            if not os.path.isdir(final):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    _IVFSPLIT_CACHE[fp] = final
+    return final
+
+
+def sim_ivf_split(
+    spark: SparkSession, sf_dir: str, qwhere: str = "vec_id < 8", q_pdf=None
+) -> DataFrame:
+    """Query the hot-cell-SPLIT incremental index (r12 — the growable
+    quantizer, gated): same probe plan as sim_ivf_inc, but probed
+    parents that were split expand to the query's NPROBE nearest
+    sub-cells and candidates match on (parent, sub-cell). The oracle
+    computes the batch TWO-LEVEL build (gen-0 assign -> hot cells by
+    the same ceil(N/nlist) cap -> hash-selected sub-centroids within
+    each hot cell -> re-assign the cell's rows) minus deletions under
+    the same frozen shard-0 quantizer, so hash equality proves the
+    log-structured split — reassignment segment + append-only splits
+    table + superseded-but-never-rewritten gen-0 rows — answers
+    queries exactly like the two-level quantizer it implies."""
+    return _probe_ivf_index(spark, ivf_split_index(spark, sf_dir), qwhere, q_pdf)
+
+
 def _probe_ivf_index(
     spark: SparkSession, d: str, qwhere: str = "vec_id < 8", q_pdf=None
 ) -> DataFrame:
@@ -604,9 +951,19 @@ def _probe_ivf_index(
     queries-are-not-deleted invariant (sim_ann_methods' qwhere is
     disjoint from _IVFINC_DEL by construction)."""
     cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
-    assign = spark.read.parquet(os.path.join(d, "postings")).select(
-        "vec_id", "embedding", "nrm", "cent_id"
-    )
+    splits_dir = os.path.join(d, "quantizer_splits")
+    parents, _token = _splits_state(splits_dir)
+    assign = spark.read.schema(_POSTINGS_SCHEMA).parquet(
+        os.path.join(d, "postings")
+    ).select("vec_id", "embedding", "nrm", "cent_id", "parent")
+    if parents:
+        # gen-0 rows of a SPLIT parent are superseded by the split
+        # segment's reassignment (log-structured: they were never
+        # rewritten, they just stop matching) — drop them from the
+        # candidate set; split rows carry (cent_id=sub, parent=p)
+        assign = assign.where(
+            ~(F.col("parent").isNull() & F.col("cent_id").isin(parents))
+        )
     tomb_dir = os.path.join(d, "tombstones")
     if os.path.isdir(tomb_dir):
         # the deletion side-table is result-density-sized; broadcast it
@@ -631,14 +988,39 @@ def _probe_ivf_index(
     # scan twice more (broadcast build + main join) after the toPandas
     q = spark.createDataFrame(q_pdf)
     pairs = V.probe_cells(q_pdf, cent_pdf, NPROBE_IVF)
-    probes = spark.createDataFrame(pairs, "query_id long, qcent long")
+    if parents:
+        # two-level probe (r12): a probed UNSPLIT cell matches gen-0
+        # rows on (NULL parent, cell); a probed SPLIT parent expands to
+        # the query's NPROBE nearest sub-cells of that parent, matching
+        # split rows on (parent, sub). All driver work is bounded:
+        # Q x nlist + Q x k_c numpy.
+        splits_pdf = V._read_parquet_dir(splits_dir)
+        pset = set(parents)
+        triples = [(qid, -1, c) for qid, c in pairs if c not in pset]
+        by_q = {qid: row for qid, row in zip(q_pdf["query_id"], q_pdf.index)}
+        for p in sorted({c for _qid, c in pairs if c in pset}):
+            sub = splits_pdf[splits_pdf["parent"] == p]
+            qids = [qid for qid, c in pairs if c == p]
+            qsub = q_pdf[q_pdf["query_id"].isin(qids)]
+            for qid, s_ in V.probe_cells(qsub, sub, NPROBE_IVF):
+                triples.append((qid, int(p), s_))
+        probes = spark.createDataFrame(
+            triples, "query_id long, pparent long, qcent long"
+        )
+        cond = (
+            (F.coalesce(F.col("parent"), F.lit(-1)) == F.col("pparent"))
+            & (F.col("cent_id") == F.col("qcent"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+    else:
+        probes = spark.createDataFrame(pairs, "query_id long, qcent long")
+        cond = (F.col("cent_id") == F.col("qcent")) & (
+            F.col("vec_id") != F.col("query_id")
+        )
     scored = (
         F.broadcast(probes)
         .join(F.broadcast(q), "query_id")
-        .join(
-            assign,
-            (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
-        )
+        .join(assign, cond)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), _cos_pair().alias("cos_sim"))
     )
     # defensive dedup (r12, ADVICE): a compaction crash between the
@@ -1130,7 +1512,12 @@ def _ivfpq_cells(n: int) -> int:
     return min(1024, max(32, int(math.floor(math.sqrt(float(n)) / 8.0))))
 
 
-def _ivfpq_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
+def _ivfpq_chain(src: str = "embeddings") -> str:
+    """The shared IVF-sharded-PQ oracle chain (assign -> per-cell
+    codebook -> encode -> reconstruct), ending at ``rec`` with the
+    coarse cell carried — consumed by both the full-scan scorer
+    (_ivfpq_sql, the compression-recall gate) and the probe-path
+    scorer (_ivfpq_probe_sql, the production query shape)."""
     return f"""
 WITH s AS (
   SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
@@ -1177,12 +1564,16 @@ WITH s AS (
                    AND sc.cos = best.bc
   GROUP BY sc.vec_id, sc.m
 ), rec AS (
-  SELECT a.vec_id, flatten(list(c.cs ORDER BY a.m)) AS embedding
+  SELECT a.vec_id, ac.cell, flatten(list(c.cs ORDER BY a.m)) AS embedding
   FROM asn a
   JOIN acell ac ON ac.vec_id = a.vec_id
   JOIN subc c ON c.cell = ac.cell AND c.m = a.m AND c.cb_id = a.cb_id
-  GROUP BY a.vec_id
-), rs AS (
+  GROUP BY a.vec_id, ac.cell
+)"""
+
+
+def _ivfpq_sql(src: str = "embeddings", qwhere: str = "vec_id < 8") -> str:
+    return f"""{_ivfpq_chain(src)}, rs AS (
   SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM rec
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM rs WHERE {qwhere}
@@ -1190,6 +1581,44 @@ WITH s AS (
   SELECT q.query_id, rs.vec_id AS neighbor_id,
          {_sql_dot('q.qe', 'rs.embedding')} / (q.qn * rs.nrm) AS cos_sim
   FROM q JOIN rs ON rs.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _ivfpq_probe_sql(
+    src: str = "embeddings", qwhere: str = "vec_id < 8", nprobe: int = 4
+) -> str:
+    """The PRODUCTION IVFPQ query shape (r12 — verdict item 1): the
+    query probes its ``nprobe`` nearest coarse cells and distance is
+    computed over the PQ reconstructions of ONLY the probed cells'
+    postings (the FAISS IVFPQ search shape) — the full-scan _ivfpq_sql
+    remains the compression-recall gate. Queries stay RAW (asymmetric
+    distance computation): at 100 TB the query vector is in hand, only
+    the database side lives as codes."""
+    return f"""{_ivfpq_chain(src)}, rs AS (
+  SELECT vec_id, cell, embedding, {_SQL_NRM} AS nrm FROM rec
+), qp AS (
+  SELECT s.vec_id AS query_id, s.embedding AS qe, s.nrm AS qn,
+         c.cent_id AS pcell,
+         row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY CASE WHEN s.nrm * c.cn = 0 THEN -2.0
+                  ELSE {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) END DESC,
+                      c.cent_id) AS prn
+  FROM s CROSS JOIN cent c
+  WHERE {qwhere}
+), probes AS (
+  SELECT query_id, qe, qn, pcell FROM qp WHERE prn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, r.vec_id AS neighbor_id,
+         {_sql_dot('p.qe', 'r.embedding')} / (p.qn * r.nrm) AS cos_sim
+  FROM probes p JOIN rs r ON r.cell = p.pcell AND r.vec_id <> p.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -1221,6 +1650,28 @@ def sim_ivfpq(
     symmetric scoring. ``corpus_tag`` names the corpus derivation for
     the stage identity when ``s`` is caller-provided; untagged custom
     frames get a fresh single-use stage."""
+    asn, cb_path, _cent_pdf = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    rec = scoped_persist(
+        _normed(V.ivfpq_reconstruct(asn, cb_path, m=_PQ_M, cell_col="cell")),
+        eager=False,
+    )
+    scored = V.matmul_scores(rec, _query_pdf(rec, qwhere)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _topk(scored, 5)
+
+
+def _ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None,
+    corpus_tag: str | None,
+):
+    """The shared IVFPQ index construction: coarse assignment (lazy
+    frame), the STAGED per-cell codebook path, and the coarse-centroid
+    pandas — consumed by the full-scan scorer (sim_ivfpq) and the
+    probe path (sim_ivfpq_probe), which share the stage key so the
+    codebook is built once per process per corpus."""
     import uuid as _uuid
 
     from etly_spark.io.staging import stage_path
@@ -1233,10 +1684,9 @@ def sim_ivfpq(
             _normed(load_table(spark, sf_dir, "embeddings")), eager=False
         )
     )
+    cent_pdf = select_centroids(nsrc, k=_ivfpq_cells(nsrc.count()))
     asn = V.assign_nearest(
-        nsrc.select("vec_id", "embedding", "nrm"),
-        select_centroids(nsrc, k=_ivfpq_cells(nsrc.count())),
-        out_col="cell",
+        nsrc.select("vec_id", "embedding", "nrm"), cent_pdf, out_col="cell"
     )
     kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
         4294967296
@@ -1268,12 +1718,79 @@ def sim_ivfpq(
         lambda: cb_df,
         deps=[os.path.join(sf_dir, "embeddings.parquet")],
     )
-    rec = scoped_persist(
-        _normed(V.ivfpq_reconstruct(asn, cb_path, m=_PQ_M, cell_col="cell")),
-        eager=False,
+    return asn, cb_path, cent_pdf
+
+
+def sim_ivfpq_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+    corpus_tag: str | None = None,
+    q_pdf=None,
+    nprobe: int = NPROBE_IVF,
+) -> DataFrame:
+    """The PRODUCTION IVFPQ query shape (r12 — verdict item 1, the
+    FAISS IVFPQ search plan): the full-scan sim_ivfpq reconstructs and
+    brute-scores the ENTIRE corpus — right for the compression-recall
+    gate, wrong at 100 TB where the whole point of the index is to
+    touch nprobe/nlist of it. Here:
+
+    - the per-cell codebook AND the codes table (vec_id, cell,
+      codes[m] — m longs per vector, the actual index payload; 10-16x
+      smaller than the float32 corpus once bit-packed) are STAGED
+      parquet artifacts, built once per process (_ivfpq_index shares
+      the codebook stage key with sim_ivfpq);
+    - each RAW query (asymmetric distance: the query is in hand, only
+      the database lives as codes) probes its ``nprobe`` most
+      cosine-similar coarse cells (probe_cells — bounded driver numpy,
+      the IVF probe contract);
+    - ONLY the probed cells' codes are scanned (a codegen'd IN filter
+      on the staged parquet — partition-prunable at scale), decoded by
+      gathering codebook slices (ivfpq_decode — pure indexing, no
+      scoring pass), and scored against the probing queries through
+      the same broadcast-join + einsum plan as _probe_ivf_index.
+
+    Probe cost per query is nprobe/nlist of the corpus vs the full
+    reconstruct+scan; the oracle (_ivfpq_probe_sql) mirrors cell
+    probing, code assignment and reconstruction exactly, so the gated
+    rows prove the staged-codes round trip bit-for-bit."""
+    from etly_spark.io.staging import stage_path
+
+    asn, cb_path, cent_pdf = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    tag = corpus_tag if corpus_tag else "iid"
+    codes_path = stage_path(
+        spark,
+        f"ivfpq-codes:{sf_dir}:{tag}",
+        lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell"),
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
     )
-    scored = V.matmul_scores(rec, _query_pdf(rec, qwhere)).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    if q_pdf is None:
+        nsrc = (
+            s
+            if s is not None
+            else scoped_persist(
+                _normed(load_table(spark, sf_dir, "embeddings")), eager=False
+            )
+        )
+        q_pdf = _query_pdf(nsrc, qwhere)
+    pairs = V.probe_cells(q_pdf, cent_pdf, nprobe)
+    probes = spark.createDataFrame(pairs, "query_id long, pcell long")
+    q = spark.createDataFrame(q_pdf)
+    # the probed-cell filter reaches the staged parquet scan as a
+    # pushed IN predicate — the scan reads nprobe-cells' codes, not
+    # the corpus (partition pruning once the codes table is
+    # cell-partitioned on a cluster FS)
+    probed = sorted({int(c) for _q, c in pairs})
+    cand = spark.read.parquet(codes_path).where(F.col("cell").isin(probed))
+    rs = V.ivfpq_decode(cand, cb_path, m=_PQ_M).withColumn(
+        "nrm", V.l2_norm_pd(F.col("embedding"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(F.broadcast(q), "query_id")
+        .join(rs, (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), _cos_pair().alias("cos_sim"))
     )
     return _topk(scored, 5)
 
@@ -1356,16 +1873,19 @@ _ANN_METHODS = {
     "lsh": _LSH_SQL,
     "ivf": _IVF_SQL,
     "ivf_inc": _IVFINC_SQL,
+    "ivf_split": _IVFSPLIT_SQL,
     "hardneg": _HN_SQL,
     "sq8": _SQ8_SQL,
     "pq8": _pq_sql(),
     "ivfpq": _ivfpq_sql(),
+    "ivfpq_probe": _ivfpq_probe_sql(),
     "brute_c": _bf_sql(_CEMB_SQL, _QC_WHERE),
     "lsh_c": _lsh_sql(_CEMB_SQL, _QC_WHERE),
     "ivf_c": _ivf_sql(_CEMB_SQL, _QC_WHERE),
     "sq8_c": _sq8_sql(_CEMB_SQL, _QC_WHERE),
     "pq8_c": _pq_sql(_CEMB_SQL, _QC_WHERE),
     "ivfpq_c": _ivfpq_sql(_CEMB_SQL, _QC_WHERE),
+    "ivfpq_probe_c": _ivfpq_probe_sql(_CEMB_SQL, _QC_WHERE),
 }
 
 _ANN_SQL = (
@@ -1374,11 +1894,14 @@ _ANN_SQL = (
     + "\n"
     + "\nUNION ALL\n".join(
         [f"SELECT '{k}' AS method, * FROM m_{k}"
-         for k in ("brute", "lsh", "ivf", "ivf_inc", "hardneg", "sq8", "pq8", "ivfpq")]
+         for k in ("brute", "lsh", "ivf", "ivf_inc", "ivf_split", "hardneg",
+                   "sq8", "pq8", "ivfpq", "ivfpq_probe")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute")
-           for k in ("lsh", "ivf", "ivf_inc", "sq8", "pq8", "ivfpq")]
+           for k in ("lsh", "ivf", "ivf_inc", "ivf_split", "sq8", "pq8",
+                     "ivfpq", "ivfpq_probe")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute_c")
-           for k in ("lsh_c", "ivf_c", "sq8_c", "pq8_c", "ivfpq_c")]
+           for k in ("lsh_c", "ivf_c", "sq8_c", "pq8_c", "ivfpq_c",
+                     "ivfpq_probe_c")]
     )
     + "\nORDER BY method, query_id, rank\n"
 )
@@ -1473,9 +1996,13 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = _keep(sim_lsh_ann(spark, sf_dir, s))
     ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
     ivf_inc = _keep(sim_ivf_inc(spark, sf_dir, q_pdf=q_pdf))
+    ivf_split = _keep(sim_ivf_split(spark, sf_dir, q_pdf=q_pdf))
     sq8 = _keep(sim_sq8(spark, sf_dir, s))
     pq8 = _keep(sim_pq(spark, sf_dir, s))
     ivfpq = _keep(sim_ivfpq(spark, sf_dir, s, corpus_tag="iid"))
+    ivfpq_p = _keep(
+        sim_ivfpq_probe(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
+    )
 
     def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
@@ -1538,27 +2065,38 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_c = _keep(
         sim_ivfpq(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
     )
+    ivfpq_pc = _keep(
+        sim_ivfpq_probe(
+            spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+            q_pdf=qc_pdf,
+        )
+    )
 
     tagged = [
         brute.select(F.lit("brute").alias("method"), "*"),
         lsh.select(F.lit("lsh").alias("method"), "*"),
         ivf.select(F.lit("ivf").alias("method"), "*"),
         ivf_inc.select(F.lit("ivf_inc").alias("method"), "*"),
+        ivf_split.select(F.lit("ivf_split").alias("method"), "*"),
         sim_hard_negatives(spark, sf_dir, s, q_pdf).select(F.lit("hardneg").alias("method"), "*"),
         sq8.select(F.lit("sq8").alias("method"), "*"),
         pq8.select(F.lit("pq8").alias("method"), "*"),
         ivfpq.select(F.lit("ivfpq").alias("method"), "*"),
+        ivfpq_p.select(F.lit("ivfpq_probe").alias("method"), "*"),
         recall_rows(lsh, "lsh"),
         recall_rows(ivf, "ivf"),
         recall_rows(ivf_inc, "ivf_inc"),
+        recall_rows(ivf_split, "ivf_split"),
         recall_rows(sq8, "sq8"),
         recall_rows(pq8, "pq8"),
         recall_rows(ivfpq, "ivfpq"),
+        recall_rows(ivfpq_p, "ivfpq_probe"),
         recall_rows(lsh_c, "lsh_c", brute_c),
         recall_rows(ivf_c, "ivf_c", brute_c),
         recall_rows(sq8_c, "sq8_c", brute_c),
         recall_rows(pq8_c, "pq8_c", brute_c),
         recall_rows(ivfpq_c, "ivfpq_c", brute_c),
+        recall_rows(ivfpq_pc, "ivfpq_probe_c", brute_c),
     ]
     out = tagged[0]
     for t in tagged[1:]:

@@ -94,8 +94,15 @@ def start_ivf_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
         if has_adds:
             # (a deletes-only stream before any add has no quantizer to
             # assign against — adds are skipped only when there are none)
+            # splits_dir: arrivals route through any committed hot-cell
+            # splits (r12 — split_hot_cells runs on a drained stream;
+            # the fold picks the new generation up on the next batch)
             fold_ivf_epoch(
-                s, V._staged_pdf(qdir), os.path.join(index_dir, "postings"), epoch_id
+                s,
+                V._staged_pdf(qdir),
+                os.path.join(index_dir, "postings"),
+                epoch_id,
+                splits_dir=os.path.join(index_dir, "quantizer_splits"),
             )
         if has_dels:
             fold_ivf_tombstones(

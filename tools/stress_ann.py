@@ -110,6 +110,28 @@ def main() -> int:
                     cb_rows = cnt
         out["codebook_rows"] = cb_rows
 
+    if "ivfpq_probe" in methods:
+        # the production IVFPQ query shape (r12): probe nprobe cells,
+        # decode+score ONLY their codes. First invocation pays the
+        # one-time index build (codebook + codes stage); the second
+        # hits the stages — its wall is the steady-state probe cost to
+        # hold against the full-reconstruction scan (ivfpq_s).
+        from etly_spark.queries.similarity import sim_ivfpq_probe
+
+        t0 = time.monotonic()
+        p1 = sim_ivfpq_probe(
+            spark, SF_DIR, corpus, qwhere=QC_WHERE,
+            corpus_tag=f"clustered-{n}",
+        )
+        out["recall_ivfpq_probe"] = recall_at5(brute, p1)
+        out["ivfpq_probe_build_s"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        sim_ivfpq_probe(
+            spark, SF_DIR, corpus, qwhere=QC_WHERE,
+            corpus_tag=f"clustered-{n}",
+        ).count()
+        out["ivfpq_probe_s"] = round(time.monotonic() - t0, 2)
+
     if "pq8" in methods:
         t0 = time.monotonic()
         pq8 = sim_pq(spark, SF_DIR, corpus, qwhere=QC_WHERE)
