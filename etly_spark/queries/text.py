@@ -303,6 +303,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STAGED inverted-postings table (doc_id, term, tf) —
+    r12, verdict item 5: bm25's docstring promised 'at scale tf is the
+    staged inverted-postings table' while computing it in-DAG per run.
+    Built once per process (fingerprinted on documents.parquet, the
+    ivf_assignments contract); the bm25 probe then reads it with a
+    pushed term-IN filter — an index lookup, not a tokenize pass."""
+    from etly_spark.io.staging import stage_table
+
+    return stage_table(
+        spark,
+        f"bm25-postings::{os.path.abspath(sf_dir)}",
+        lambda: (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        ),
+        deps=[os.path.join(sf_dir, "documents.parquet")],
+    )
+
+
+def bm25_df_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (term, df) — derived from the staged postings (one
+    column-pruned scan at build), probed broadcast per query."""
+    from etly_spark.io.staging import stage_table
+
+    return stage_table(
+        spark,
+        f"bm25-df::{os.path.abspath(sf_dir)}",
+        lambda: bm25_postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df")),
+        deps=[os.path.join(sf_dir, "documents.parquet")],
+    )
+
+
 @query(
     "text_top_terms",
     oracle=f"""
@@ -479,26 +516,31 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("tfidf").alias("variant"), "rank", "term", "n")
     )
 
-    # bm25 (r11): retrieval over the same (doc, term) aggregate. The
-    # query terms are corpus-derived (global freq ranks 5/10/15 — ONE
-    # bounded 15-row collect); candidates = docs containing the term
-    # (the tf join IS the inverted-postings probe — at scale tf is the
-    # staged postings table and this is an index lookup, not a scan);
-    # k1=1.2, b=0.75; dl/avgdl from the same tokenizer; scores round to
-    # 6 dp BEFORE ranking (the tfidf ln-ULP rule) and ship as
-    # round(score*1e6) to keep n BIGINT.
+    # bm25 (r11; r12 staged — verdict item 5): retrieval probes the
+    # STAGED inverted-postings table (bm25_postings — built once per
+    # process, fingerprinted on documents.parquet), not the in-DAG
+    # tokenize pass: candidates = a pushed term-IN filter on the
+    # postings parquet (the index-lookup plan at 100 TB), df from the
+    # staged (term, df) table, dl/avgdl from one column-pruned scan of
+    # the same postings stage. Query terms are corpus-derived (global
+    # freq ranks 5/10/15 — ONE bounded 15-row collect); k1=1.2, b=0.75;
+    # scores round to 6 dp BEFORE ranking (the tfidf ln-ULP rule) and
+    # ship as round(score*1e6) to keep n BIGINT. Staged tf values are
+    # the same BIGINTs the in-DAG aggregate produced, so every
+    # downstream double is bit-identical (rows byte-identical to r11).
     top15 = counts.orderBy(F.desc("n"), F.asc("term")).limit(15).collect()
     # degrade like the oracle's `rank IN (5, 10, 15)`: take whichever
     # of the three ranks exist in a small vocabulary
     qterms = [top15[i]["term"] for i in (4, 9, 14) if i < len(top15)]
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tf_stage = bm25_postings(spark, sf_dir)
+    df_stage = bm25_df_table(spark, sf_dir)
+    dl = tf_stage.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(
         (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl")
     )
-    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
     sc_bm = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df.join(F.broadcast(qdf), "term")), "term")
+        tf_stage.where(F.col("term").isin(qterms))
+        .join(F.broadcast(df_stage.where(F.col("term").isin(qterms))), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(nd))
         .crossJoin(F.broadcast(avgdl))

@@ -103,3 +103,30 @@ def test_stage_root_is_process_scoped(spark):
     staging.stage_table(spark, "root-check", lambda: spark.range(1))
     assert staging._STAGE_ROOT and os.path.isdir(staging._STAGE_ROOT)
     assert os.path.basename(staging._STAGE_ROOT).startswith("etly_stage_")
+
+
+def test_bm25_postings_staged_probe(spark):
+    """r12 (verdict item 5): bm25 probes the STAGED inverted-postings
+    table — rows identical across invocations, the second invocation
+    hits the stage instead of rebuilding, and the probe plan reaches
+    the parquet scan with a pushed term filter (the index-lookup
+    shape, not a tokenize pass)."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.queries.text import bm25_postings, text_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(map(tuple, text_top_terms(spark, sf).collect()))
+    before = dict(staging.stats)
+    r2 = sorted(map(tuple, text_top_terms(spark, sf).collect()))
+    assert r1 == r2 and any(v == "bm25" for v, *_ in r1)
+    assert staging.stats["hits"] > before["hits"]
+    assert staging.stats["misses"] == before["misses"]
+    plan = (
+        bm25_postings(spark, sf)
+        .where(F.col("term").isin(["alpha", "beta"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "term" in plan and "Scan parquet" in plan

@@ -208,6 +208,114 @@ def main() -> int:
         out["fold_walls"] = fold_walls
         out["rebuild_s"] = rebuild_s
 
+    if "ivf_split" in methods:
+        # the growable quantizer at scale (r12): freeze 32 cells on
+        # shard 0 (the gated maintenance loop's shape), measure the
+        # probed fraction + recall, SPLIT the hot cells, re-measure.
+        # The claim: cells ~ sqrt(cell_n) per hot parent, probed
+        # fraction drops ~sqrt-fold, recall holds, fold stays O(shard).
+        import os
+        import tempfile
+
+        from etly_spark.functions import vector as V
+        from etly_spark.queries.similarity import (
+            _POSTINGS_SCHEMA,
+            _probe_ivf_index,
+            _splits_state,
+            centroid_plan,
+            fold_ivf_epoch,
+            select_centroids,
+            split_hot_cells,
+        )
+
+        epochs = 8
+        root = tempfile.mkdtemp(prefix="ivfsplit_stress_")
+        shard0 = corpus.where(F.col("vec_id") % epochs == 0)
+        centroid_plan(shard0).write.parquet(os.path.join(root, "quantizer"))
+        cent_pdf = select_centroids(shard0)
+        for e in range(epochs):
+            fold_ivf_epoch(
+                corpus.where(F.col("vec_id") % epochs == e),
+                cent_pdf,
+                os.path.join(root, "postings"),
+                e,
+            )
+
+        def probed_fraction() -> float:
+            # rows the probe's candidate join touches / total postings,
+            # for the 8 stress queries (parent expansion included)
+            posts = spark.read.schema(_POSTINGS_SCHEMA).parquet(
+                os.path.join(root, "postings")
+            )
+            parents, _ = _splits_state(os.path.join(root, "quantizer_splits"))
+            if parents:
+                posts = posts.where(
+                    ~(F.col("parent").isNull() & F.col("cent_id").isin(parents))
+                )
+            total = posts.count()
+            qs = corpus.where(F.expr(QC_WHERE)).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"),
+            ).toPandas()
+            pairs = V.probe_cells(qs, V._staged_pdf(os.path.join(root, "quantizer")), 4)
+            touched = 0
+            if parents:
+                pset = set(parents)
+                splits_pdf = V._read_parquet_dir(os.path.join(root, "quantizer_splits"))
+                gsz = {
+                    (r["parent"], r["cent_id"]): 0 for _, r in splits_pdf.iterrows()
+                }
+                sizes = {
+                    (r["p"], r["c"]): r["n"]
+                    for r in posts.groupBy(
+                        F.coalesce(F.col("parent"), F.lit(-1)).alias("p"),
+                        F.col("cent_id").alias("c"),
+                    ).agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+                for p in sorted({c for _q, c in pairs if c in pset}):
+                    sub = splits_pdf[splits_pdf["parent"] == p]
+                    qids = [qid for qid, c in pairs if c == p]
+                    qsub = qs[qs["query_id"].isin(qids)]
+                    for qid, s_ in V.probe_cells(qsub, sub, 4):
+                        touched += sizes.get((p, s_), 0)
+                touched += sum(
+                    sizes.get((-1, c), 0) for qid, c in pairs if c not in pset
+                )
+            else:
+                sizes = {
+                    r["cent_id"]: r["n"]
+                    for r in posts.groupBy("cent_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                touched = sum(sizes.get(c, 0) for _q, c in pairs)
+            return round(touched / (total * 8.0), 5)
+
+        out["split_frac_before"] = probed_fraction()
+        t0 = time.monotonic()
+        pre = _probe_ivf_index(spark, root, qwhere=QC_WHERE)
+        out["recall_ivf_frozen"] = recall_at5(brute, pre)
+        out["ivf_frozen_probe_s"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        st = split_hot_cells(spark, root)
+        out["split_s"] = round(time.monotonic() - t0, 2)
+        out["split_cells"] = len(st["split"])
+        out["split_sub_cells"] = st["sub_cells"]
+        out["split_frac_after"] = probed_fraction()
+        t0 = time.monotonic()
+        post_ = _probe_ivf_index(spark, root, qwhere=QC_WHERE)
+        out["recall_ivf_split"] = recall_at5(brute, post_)
+        out["ivf_split_probe_s"] = round(time.monotonic() - t0, 2)
+        # fold one more shard THROUGH the splits — O(shard) claim
+        t0 = time.monotonic()
+        extra = corpus.where(F.col("vec_id") % 997 == 13)
+        fold_ivf_epoch(
+            extra, cent_pdf, os.path.join(root, "postings"), 99,
+            splits_dir=os.path.join(root, "quantizer_splits"),
+        )
+        out["fold_after_split_s"] = round(time.monotonic() - t0, 2)
+
     print(json.dumps(out))
     return 0
 

@@ -17,7 +17,14 @@ maxFilesPerTrigger=1. Measured:
   assignment of (all adds minus all deletes) under the streamed frozen
   quantizer, and no tombstoned id appears as a neighbor.
 
-Usage: python tools/stress_ann_stream.py [n_epochs] [rows_per_shard]
+r12: a third arg sets the DELETE RATE (fraction of the previous shard
+retracted each epoch — default 0.02; run 0.2+ for the churny-index
+regime), and after the resume the TOMBSTONE PURGE rung
+(purge_ivf_tombstones) runs: the probe must answer identically before
+and after, bytes-on-disk must shrink by the dead fraction, and the
+tombstone side-table must be gone.
+
+Usage: python tools/stress_ann_stream.py [n_epochs] [rows_per_shard] [del_rate]
 Writes one JSON line to stdout.
 """
 
@@ -44,6 +51,7 @@ def vec(i: int) -> list:
 def main() -> int:
     n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     per = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    del_rate = float(sys.argv[3]) if len(sys.argv) > 3 else 0.02
     spark = get_spark("stress-ann-stream")
 
     from etly_spark.functions import vector as V
@@ -67,8 +75,8 @@ def main() -> int:
             json.dumps({"vec_id": i, "embedding": vec(i), "op": "add"})
             for i in range(e * per, (e + 1) * per)
         ]
-        if e > 0:  # retract ~2% of the PREVIOUS shard (a takedown feed)
-            for i in range((e - 1) * per, (e - 1) * per + max(1, per // 50)):
+        if e > 0:  # retract del_rate of the PREVIOUS shard (takedowns)
+            for i in range((e - 1) * per, (e - 1) * per + max(1, int(per * del_rate))):
                 lines.append(json.dumps({"vec_id": i, "embedding": vec(i), "op": "del"}))
                 deleted.append(i)
         with open(os.path.join(src, f"s{e:04d}.json"), "w") as fh:
@@ -146,12 +154,37 @@ def main() -> int:
         for r in _probe_ivf_index(spark, idx, qwhere="vec_id % 997 = 0").collect()
     }
 
+    # tombstone PURGE (r12, verdict item 3): on the drained stream,
+    # rewrite live postings, drop dead rows + the tombstone side-table;
+    # the probe must answer byte-identically
+    from etly_spark.queries.similarity import purge_ivf_tombstones
+
+    probe_rows_before = sorted(
+        map(tuple, _probe_ivf_index(spark, idx, qwhere="vec_id % 997 = 0").collect())
+    )
+    t0 = time.monotonic()
+    purge_stats = purge_ivf_tombstones(spark, idx)
+    purge_s = round(time.monotonic() - t0, 2)
+    probe_rows_after = sorted(
+        map(tuple, _probe_ivf_index(spark, idx, qwhere="vec_id % 997 = 0").collect())
+    )
+
     half = len(walls) // 2
     out = {
         "epochs": len(walls),
         "stream_total_s": total_stream_s,
         "rows_per_shard": per,
+        "del_rate": del_rate,
         "deleted": len(deleted),
+        "purge": {
+            "s": purge_s,
+            "purged_rows": purge_stats["purged_rows"],
+            "live_rows": purge_stats["live_rows"],
+            "bytes_before": purge_stats["bytes_before"],
+            "bytes_after": purge_stats["bytes_after"],
+            "probe_identical": probe_rows_before == probe_rows_after,
+            "tombstones_gone": not os.path.isdir(os.path.join(idx, "tombstones")),
+        },
         "wall_p50_first_half": round(sorted(walls[:half])[half // 2], 2) if half else None,
         # guard like the sibling fields (ADVICE r11): a stream with no
         # progress rows must print its JSON line, not IndexError
