@@ -119,6 +119,20 @@ class Rollup:
 
 
 @dataclass
+class DatasheetSpec:
+    """Spark-native extension (r12, no reference analogue): ship a
+    corpus DATASHEET (operators/datasheet — Gebru et al. per-source
+    composition/lang/quality/dup/PII/media rollups) with the transfer's
+    output. ``name`` is the JSON report path (<pwd>/date templates
+    expand like Meta.Name; written atomically per window over that
+    window's transferred rows); ``payload_field`` names an optional
+    binary column for the media stats (auto-detects 'payload')."""
+
+    name: str = ""
+    payload_field: str | None = None
+
+
+@dataclass
 class Transfer:
     """The transfer rule (config.go:15-35): the engine's query unit."""
 
@@ -139,6 +153,7 @@ class Transfer:
     repeat: int = 0
     fail_retry: int = 1
     rollup: Rollup | None = None
+    datasheet: DatasheetSpec | None = None
     base_dir: str = "."  # <pwd> expansion base (config file directory)
 
     def validate(self) -> None:
@@ -206,6 +221,8 @@ class Transfer:
                     "re-run does not have (the fold would silently never run)"
                 )
             parse_rollup_spec(self.rollup.aggregates)  # surface bad specs at config time
+        if self.datasheet is not None and not self.datasheet.name:
+            raise ValueError("Datasheet requires Name (the JSON report path)")
 
 
 def _resource_from_dict(d: dict, cls=Resource):
@@ -279,6 +296,14 @@ def transfer_from_dict(d: dict, base_dir: str = ".") -> Transfer:
                 ),
             )
             if d.get("Rollup")
+            else None
+        ),
+        datasheet=(
+            DatasheetSpec(
+                name=d["Datasheet"].get("Name", ""),
+                payload_field=d["Datasheet"].get("PayloadField"),
+            )
+            if d.get("Datasheet")
             else None
         ),
         base_dir=base_dir,

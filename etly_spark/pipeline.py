@@ -397,13 +397,13 @@ class TransferService:
         df = read_records(self.spark, t.source, [_local(u) for u in eligible])
         df = self._enrich(df, t, src_url)
         df = df.withColumn(KEEP, self._keep_column(df, t))
-        if t.rollup:
-            # three consumers with a rollup: the routed write, the
-            # per-file partial aggregate, and the per-file ledger stats.
-            # Cache the decoded window (MEMORY_AND_DISK; window-bounded
-            # by MaxTransfers x MaxAllowedSize) so the source is read
-            # and decoded once, not three times. Released in the
-            # finally below.
+        if t.rollup or t.datasheet:
+            # extra consumers beyond the routed write (per-file rollup
+            # partials / the datasheet report pass / per-file ledger
+            # stats): cache the decoded window (MEMORY_AND_DISK;
+            # window-bounded by MaxTransfers x MaxAllowedSize) so the
+            # source is read and decoded once, not once per consumer.
+            # Released in the finally below.
             df = df.persist()
         try:
 
@@ -438,6 +438,8 @@ class TransferService:
 
             if t.rollup:
                 self._fold_rollup(t, eligible, out)
+            if t.datasheet:
+                self._ship_datasheet(t, ts, out)
 
             # M1: per-file ledger (meta.go:6-26; transfer_service.go:739-757).
             # Per-file stats are ONE distributed aggregate collected once —
@@ -495,8 +497,28 @@ class TransferService:
             _append_ledger_sidecar(sidecar_dir(meta_url), ts.isoformat(), entries)
             return n_rec
         finally:
-            if t.rollup:
+            if t.rollup or t.datasheet:
                 df.unpersist()
+
+    def _ship_datasheet(self, t: Transfer, ts, out) -> None:
+        """Config-addressable datasheet report (r12 — Transfer.Datasheet):
+        compute the per-source datasheet (operators/datasheet) over THIS
+        window's transferred rows (the post-transform kept set) and
+        commit it atomically at the expanded report path — the release
+        documentation ships with the data it documents. One extra
+        aggregate pass over the persisted window; media stats activate
+        when PayloadField (or a 'payload' binary column) is present."""
+        from etly_spark.operators.datasheet import build_datasheet, write_datasheet
+
+        path = expand_date(expand_env(expand_pwd(t.datasheet.name, t.base_dir)), ts)
+        payload = t.datasheet.payload_field
+        sheet = build_datasheet(
+            out.drop(KEEP),
+            payload_col=payload if payload and payload in out.columns else None,
+        )
+        sheet["transfer"] = t.name
+        sheet["window_ts"] = ts.isoformat()
+        write_datasheet(sheet, path)
 
     def _fold_rollup(self, t: Transfer, eligible: list[str], out) -> None:
         """Spark-native Rollup extension (Transfer.Rollup): fold this
