@@ -639,8 +639,18 @@ def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
 
     bytes_before = _bytes(post) + (_bytes(tomb) if os.path.isdir(tomb) else 0)
     superseded = [d for d in os.listdir(post) if d.startswith("epoch=")]
-    live = spark.read.parquet(post).select("vec_id", "embedding", "nrm", "cent_id")
+    # split-aware (r12): the explicit schema PRESERVES the split
+    # segments' parent column (a plain read would sample a gen-0 file's
+    # schema and silently drop it, detaching every split row from its
+    # probe key), and gen-0 rows a split superseded are dead weight the
+    # purge compacts away along with the tombstoned ones.
+    live = _read_postings(spark, post)
     n_before = live.count()
+    split_parents, _tok = _splits_state(os.path.join(index_dir, "quantizer_splits"))
+    if split_parents:
+        live = live.where(
+            ~(F.col("parent").isNull() & F.col("cent_id").isin(split_parents))
+        )
     if os.path.isdir(tomb):
         live = live.join(
             F.broadcast(spark.read.parquet(tomb).select("vec_id")),
@@ -667,13 +677,19 @@ def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
-# Postings schema across generations: gen-0 epochs carry 4 columns;
+# Postings columns across generations: gen-0 epochs carry 4 columns;
 # split segments and post-split folds add ``parent`` (the split gen-0
-# cell a sub-cell row descends from). Reading with this EXPLICIT schema
-# makes old partitions surface parent=NULL — no mergeSchema scan.
-_POSTINGS_SCHEMA = (
-    "vec_id long, embedding array<double>, nrm double, cent_id long, parent long"
-)
+# cell a sub-cell row descends from). Read with mergeSchema — NOT a
+# forced explicit schema: the embedding element type follows the
+# corpus (float32 for the parquet tables, float64 for json-fed
+# streams), and forcing array<double> silently UPCASTS float32
+# postings so a purge rewrite doubles the embedding bytes on disk
+# (caught by test_purge_ivf_tombstones' bytes assertion).
+def _read_postings(spark: SparkSession, post: str) -> DataFrame:
+    df = spark.read.option("mergeSchema", "true").parquet(post)
+    if "parent" not in df.columns:
+        df = df.withColumn("parent", F.lit(None).cast("long"))
+    return df.select("vec_id", "embedding", "nrm", "cent_id", "parent")
 
 
 def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None) -> dict:
@@ -719,7 +735,7 @@ def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None)
     post = os.path.join(index_dir, "postings")
     splits_dir = os.path.join(index_dir, "quantizer_splits")
     already = set(_splits_state(splits_dir)[0])
-    posts = spark.read.schema(_POSTINGS_SCHEMA).parquet(post)
+    posts = _read_postings(spark, post)
     base = posts.where(F.col("parent").isNull())
     if already:
         base = base.where(~F.col("cent_id").isin(sorted(already)))
@@ -953,9 +969,7 @@ def _probe_ivf_index(
     cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
     splits_dir = os.path.join(d, "quantizer_splits")
     parents, _token = _splits_state(splits_dir)
-    assign = spark.read.schema(_POSTINGS_SCHEMA).parquet(
-        os.path.join(d, "postings")
-    ).select("vec_id", "embedding", "nrm", "cent_id", "parent")
+    assign = _read_postings(spark, os.path.join(d, "postings"))
     if parents:
         # gen-0 rows of a SPLIT parent are superseded by the split
         # segment's reassignment (log-structured: they were never

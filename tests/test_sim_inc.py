@@ -449,7 +449,7 @@ def test_split_hot_cells_structure_and_pruning(spark, tmp_path):
     smaller than the unsplit cell, and a re-run at the same cap is a
     no-op."""
     from etly_spark.queries.similarity import (
-        _POSTINGS_SCHEMA,
+        _read_postings,
         _splits_state,
         split_hot_cells,
     )
@@ -465,7 +465,7 @@ def test_split_hot_cells_structure_and_pruning(spark, tmp_path):
     touched = {p for p in before_mtimes if after.get(p) != before_mtimes[p]}
     assert not touched, f"split rewrote gen-0 epochs: {sorted(touched)[:5]}"
     # split rows: every parent's sub-cells partition the parent's rows
-    posts = spark.read.schema(_POSTINGS_SCHEMA).parquet(post)
+    posts = _read_postings(spark, post)
     for p in stats["split"][:3]:
         n_parent = posts.where(
             F.col("parent").isNull() & (F.col("cent_id") == int(p))
@@ -526,7 +526,7 @@ def test_fold_after_split_routes_through_sub_cells(spark, tmp_path):
     sub-cells); rows in unsplit cells carry parent NULL. The streamed
     writer passes the splits dir too."""
     from etly_spark.queries.similarity import (
-        _POSTINGS_SCHEMA,
+        _read_postings,
         _splits_state,
         split_hot_cells,
     )
@@ -541,7 +541,7 @@ def test_fold_after_split_routes_through_sub_cells(spark, tmp_path):
     cent_pdf = select_centroids(s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0))
     post = os.path.join(d, "postings")
     fold_ivf_epoch(shard, cent_pdf, post, 77, splits_dir=splits_dir)
-    ep = spark.read.schema(_POSTINGS_SCHEMA).parquet(
+    ep = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(post, "epoch=77")
     )
     n = ep.count()
@@ -561,3 +561,68 @@ def test_fold_after_split_routes_through_sub_cells(spark, tmp_path):
     plain = ep.where(F.col("parent").isNull())
     for r in plain.select("cent_id").distinct().collect():
         assert int(r["cent_id"]) not in parents
+
+
+def test_second_split_generation_is_append_only(spark, tmp_path):
+    """A LATER split_hot_cells call (corpus grew / lower cap) splits
+    only cells not yet split, as its own batch: a second splits file
+    and a second _split-* segment appear, the first generation's files
+    are byte-untouched, and the probe still answers with valid rows."""
+    from etly_spark.queries.similarity import _splits_state, split_hot_cells
+
+    d = _build_index(spark, str(tmp_path / "idx"))
+    s1 = split_hot_cells(spark, d)
+    assert s1["split"]
+    splits_dir = os.path.join(d, "quantizer_splits")
+    gen1_files = set(os.listdir(splits_dir))
+    gen1_mtimes = _mtimes(splits_dir)
+    rows1 = _rows(_probe_ivf_index(spark, d))
+    # force a second generation: cap low enough that some remaining
+    # unsplit cell exceeds it
+    s2 = split_hot_cells(spark, d, cap=1)
+    assert s2["split"] and not (set(s1["split"]) & set(s2["split"]))
+    after_files = set(os.listdir(splits_dir))
+    assert gen1_files < after_files
+    touched = {
+        p for p, v in gen1_mtimes.items() if _mtimes(splits_dir).get(p) != v
+    }
+    assert not touched
+    parents, _ = _splits_state(splits_dir)
+    assert sorted(set(s1["split"]) | set(s2["split"])) == parents
+    segs = [
+        n
+        for n in os.listdir(os.path.join(d, "postings"))
+        if n.startswith("epoch=_split-")
+    ]
+    assert len(segs) == 2
+    rows2 = _rows(_probe_ivf_index(spark, d))
+    assert len(rows2) == len(rows1) > 0
+
+
+def test_purge_preserves_split_index(spark, tmp_path):
+    """r12: purging a SPLIT index must keep the split segments' parent
+    column (a schema-sampling read would drop it and detach every
+    split row from its probe key) and may compact away the superseded
+    gen-0 rows; probe rows identical before/after, splits table
+    untouched."""
+    from etly_spark.queries.similarity import (
+        _read_postings,
+        purge_ivf_tombstones,
+        split_hot_cells,
+    )
+
+    d = _build_index(spark, str(tmp_path / "idx"))
+    stats = split_hot_cells(spark, d)
+    assert stats["split"]
+    before = _rows(_probe_ivf_index(spark, d))
+    pstats = purge_ivf_tombstones(spark, d)
+    assert _rows(_probe_ivf_index(spark, d)) == before and len(before) > 0
+    post = os.path.join(d, "postings")
+    posts = _read_postings(spark, post)
+    # split rows kept their parent; no superseded gen-0 row survived
+    assert posts.where(F.col("parent").isNotNull()).count() > 0
+    leftover = posts.where(
+        F.col("parent").isNull() & F.col("cent_id").isin(stats["split"])
+    ).count()
+    assert leftover == 0
+    assert pstats["purged_rows"] > 0  # tombstoned + superseded rows gone

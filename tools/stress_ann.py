@@ -219,7 +219,7 @@ def main() -> int:
 
         from etly_spark.functions import vector as V
         from etly_spark.queries.similarity import (
-            _POSTINGS_SCHEMA,
+            _read_postings,
             _probe_ivf_index,
             _splits_state,
             centroid_plan,
@@ -244,9 +244,7 @@ def main() -> int:
         def probed_fraction() -> float:
             # rows the probe's candidate join touches / total postings,
             # for the 8 stress queries (parent expansion included)
-            posts = spark.read.schema(_POSTINGS_SCHEMA).parquet(
-                os.path.join(root, "postings")
-            )
+            posts = _read_postings(spark, os.path.join(root, "postings"))
             parents, _ = _splits_state(os.path.join(root, "quantizer_splits"))
             if parents:
                 posts = posts.where(
