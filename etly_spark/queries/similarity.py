@@ -1011,7 +1011,6 @@ def _probe_ivf_index(
         splits_pdf = V._read_parquet_dir(splits_dir)
         pset = set(parents)
         triples = [(qid, -1, c) for qid, c in pairs if c not in pset]
-        by_q = {qid: row for qid, row in zip(q_pdf["query_id"], q_pdf.index)}
         for p in sorted({c for _qid, c in pairs if c in pset}):
             sub = splits_pdf[splits_pdf["parent"] == p]
             qids = [qid for qid, c in pairs if c == p]

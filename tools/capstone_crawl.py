@@ -265,12 +265,22 @@ def main() -> None:
         for fn in fns
     )
 
+    # --- datasheet: the release documentation ships WITH the shards
+    # (r12 — operators/datasheet over the exact docs that were packed)
+    t0 = time.time()
+    from etly_spark.operators.datasheet import build_datasheet, write_datasheet
+
+    sheet = build_datasheet(clean)
+    write_datasheet(sheet, os.path.join(shard_dir, "_datasheet.json"))
+    t["datasheet"] = round(time.time() - t0, 2)
+
     wall = sum(t.values())
     print(
         json.dumps(
             {
                 "src": src,
                 "docs_in": synth["docs"],
+                "datasheet_sources": sheet["corpus"]["n_sources"],
                 "crawl_mb": round(synth["bytes"] / 1e6, 1),
                 "docs_curated": n_curated,
                 "docs_clean": n_clean,
