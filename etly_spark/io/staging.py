@@ -99,6 +99,7 @@ def stage_path(
     key: str,
     build: Callable[[], DataFrame],
     deps: list[str] | tuple[str, ...] = (),
+    partition_by: list[str] | tuple[str, ...] = (),
 ) -> str:
     """Like stage_table, but return the committed parquet DIRECTORY
     instead of reading it back — for artifacts consumed executor-side
@@ -106,7 +107,13 @@ def stage_path(
     functions/vector._staged_books): the artifact is written by a
     distributed job and never materialized on the driver. In cluster
     mode the stage root must live on storage all executors can read —
-    the same contract stage_table's read-back path already has."""
+    the same contract stage_table's read-back path already has.
+
+    ``partition_by`` hive-partitions the stage (r12 — the ivfpq codes
+    table partitions on the coarse cell, so a probe's cell filter
+    PRUNES directories instead of scanning interleaved row groups;
+    note _staged_pdf's flat glob cannot read a partitioned stage —
+    consume these through spark.read)."""
     fp = hashlib.sha1(
         "\n".join([key, *(_dep_sig(d) for d in deps)]).encode()
     ).hexdigest()[:24]
@@ -116,7 +123,10 @@ def stage_path(
         t0 = time.monotonic()
         df = build()
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
         with open(os.path.join(tmp, "_schema.json"), "w") as f:
             f.write(df.schema.json())
         stats["build_sec"] = round(stats["build_sec"] + time.monotonic() - t0, 4)

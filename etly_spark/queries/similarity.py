@@ -1777,6 +1777,12 @@ def sim_ivfpq_probe(
         f"ivfpq-codes:{sf_dir}:{tag}",
         lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell"),
         deps=[os.path.join(sf_dir, "embeddings.parquet")],
+        # hive-partitioned on the coarse cell: the probe's cell filter
+        # prunes DIRECTORIES (PartitionFilters in the scan) — an
+        # unpartitioned write interleaves cells across every row group,
+        # so min/max stats prune nothing and the "probe touches
+        # nprobe/nlist of the index" claim would only hold logically
+        partition_by=["cell"],
     )
     if q_pdf is None:
         nsrc = (

@@ -626,3 +626,38 @@ def test_purge_preserves_split_index(spark, tmp_path):
     ).count()
     assert leftover == 0
     assert pstats["purged_rows"] > 0  # tombstoned + superseded rows gone
+
+
+def test_ivfpq_codes_stage_partition_prunes(spark):
+    """r12: the staged codes table is hive-partitioned on the coarse
+    cell, so the probe's cell filter prunes DIRECTORIES — the scan plan
+    must carry the cells in PartitionFilters, not just a post-scan
+    filter (an unpartitioned write interleaves cells across row groups
+    and stats prune nothing)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etly_spark.functions import vector as V
+    from etly_spark.io.staging import stage_path
+    from etly_spark.queries.similarity import _PQ_M, _ivfpq_index, sim_ivfpq_probe
+
+    assert len(sim_ivfpq_probe(spark, SF).collect()) > 0  # end-to-end
+    asn, cb_path, _cent = _ivfpq_index(spark, SF, None, "iid")
+    codes_path = stage_path(
+        spark,
+        f"ivfpq-codes:{SF}:iid",
+        lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell"),
+        deps=[os.path.join(SF, "embeddings.parquet")],
+        partition_by=["cell"],
+    )
+    plan = (
+        spark.read.parquet(codes_path)
+        .where(F.col("cell").isin([3, 7]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "cell" in pf and ("3" in pf or "7" in pf)
