@@ -1775,7 +1775,15 @@ def sim_ivfpq_probe(
     codes_path = stage_path(
         spark,
         f"ivfpq-codes:{sf_dir}:{tag}",
-        lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell"),
+        # repartition BY THE PARTITION KEY before the partitioned
+        # write: without it every write task sprays a fragment into
+        # every cell dir (tasks x cells small files — measured 7.7 s
+        # probe at 1M vs 4.3 unpartitioned); with it each cell lands in
+        # exactly one file. One bounded build-time shuffle of the
+        # m-longs-per-vector codes table buys clean pruned reads.
+        lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell").repartition(
+            "cell"
+        ),
         deps=[os.path.join(sf_dir, "embeddings.parquet")],
         # hive-partitioned on the coarse cell: the probe's cell filter
         # prunes DIRECTORIES (PartitionFilters in the scan) — an
