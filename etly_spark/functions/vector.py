@@ -511,6 +511,97 @@ def ivfpq_decode(
     return codes_df.select(id_col, cell_col, "codes").mapInPandas(run, schema)
 
 
+def ivfpq_adc_scores(
+    codes_df: DataFrame,
+    cb: "pd.DataFrame | str",
+    query_pdf: pd.DataFrame,
+    probe_pairs: list,
+    *,
+    m: int = 16,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """ASYMMETRIC DISTANCE COMPUTATION over PQ codes (r12 — the FAISS
+    ADC table form, the flop-optimal alternative to decode+einsum):
+    per (query, probed cell), ONE einsum builds the lookup table
+    LUT[codeword, m] = dot(q_m, c_m) over the cell's codebook (k_c x m
+    dots); each candidate's query dot is then m table GATHERS summed —
+    never a 64-dim dot per (query, candidate) pair, so scoring work is
+    O(k_c·m + candidates·m) instead of O(candidates·d). Reconstruction
+    norms come from the codebook's slice-norm table the same way.
+
+    Float note: the per-m partial-dot sum associates differently than
+    the decode path's 64-element einsum, so scores can differ in ULPs —
+    this scorer backs the measured/engine-side path (stress + pytest
+    recall pins), while the oracle-gated rows stay on the decode path
+    whose association order the SQL twin replicates exactly.
+
+    ``probe_pairs`` is the bounded (query_id, cell) list from
+    probe_cells; queries ride in via ``query_pdf`` (query_id, qe, qn).
+    Emits (query_id, neighbor_id, cos_sim) for every candidate in a
+    probed cell, self-pairs included (filter downstream)."""
+    import numpy as np
+
+    staged = isinstance(cb, str)
+    books0 = None if staged else _pq_books(cb, m, cell_col=cell_col)
+    qids = query_pdf["query_id"].to_numpy(dtype="int64")
+    Q = _rows(query_pdf["qe"])
+    qn = query_pdf["qn"].to_numpy(dtype="float64")
+    cell_queries: dict[int, list] = {}
+    for qid, cell in probe_pairs:
+        cell_queries.setdefault(int(cell), []).append(int(qid))
+    qrow = {int(q): i for i, q in enumerate(qids)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = _staged_books(cb, m) if staged else books0
+        d = None
+        luts: dict[tuple, "object"] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack([np.asarray(c, dtype="int64") for c in pdf["codes"]])
+            cells = pdf[cell_col].to_numpy(dtype="int64")
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            outs = []
+            for cell in np.unique(cells):
+                qs = cell_queries.get(int(cell))
+                if not qs:
+                    continue
+                Cs, cn, cbids = books[int(cell)]
+                if d is None:
+                    d = Cs.shape[1] * Cs.shape[2]
+                idx = np.flatnonzero(cells == cell)
+                slots = np.searchsorted(cbids, codes[idx])  # (n, m)
+                ar = np.arange(m)[None, :]
+                # per-candidate reconstruction norm from the slice-norm
+                # table: |rec|^2 = sum_m |c_(code_m)|^2
+                rnorm = np.sqrt((cn[slots, ar] ** 2).sum(axis=1))  # (n,)
+                for qid in qs:
+                    qi = qrow[qid]
+                    key = (int(cell), qid)
+                    if key not in luts:
+                        qsub = Q[qi].reshape(m, -1)
+                        luts[key] = np.einsum("ms,kms->km", qsub, Cs)
+                    lut = luts[key]  # (k_c, m)
+                    dots = lut[slots, ar].sum(axis=1)  # (n,)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        den = qn[qi] * rnorm
+                        cos = np.where(den > 0, dots / np.where(den > 0, den, 1.0), -2.0)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(idx), qid, dtype="int64"),
+                                "neighbor_id": ids[idx],
+                                "cos_sim": cos,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return codes_df.select(id_col, cell_col, "codes").mapInPandas(run, _SCORE_SCHEMA)
+
+
 def assign_nearest_grouped(
     corpus: DataFrame,
     cb_path: str,

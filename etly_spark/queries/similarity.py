@@ -1734,6 +1734,77 @@ def _ivfpq_index(
     return asn, cb_path, cent_pdf
 
 
+def _ivfpq_codes_path(
+    spark: SparkSession, sf_dir: str, asn: DataFrame, cb_path: str, corpus_tag: str | None
+) -> str:
+    """The STAGED codes table (vec_id, cell, codes[m]) — built once per
+    process per corpus, shared by the decode-probe and ADC scorers."""
+    from etly_spark.io.staging import stage_path
+
+    tag = corpus_tag if corpus_tag else "iid"
+    return stage_path(
+        spark,
+        f"ivfpq-codes:{sf_dir}:{tag}",
+        # repartition BY THE PARTITION KEY before the partitioned
+        # write: without it every write task sprays a fragment into
+        # every cell dir (tasks x cells small files — measured 7.7 s
+        # probe at 1M vs 4.3 unpartitioned); with it each cell lands in
+        # exactly one file. One bounded build-time shuffle of the
+        # m-longs-per-vector codes table buys clean pruned reads —
+        # and the cell-sorted layout compresses 1.7x better (same-cell
+        # codes share codewords; STRESS.md r12 A/B).
+        lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell").repartition(
+            "cell"
+        ),
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
+        # hive-partitioned on the coarse cell: the probe's cell filter
+        # prunes DIRECTORIES (PartitionFilters in the scan) — an
+        # unpartitioned write interleaves cells across every row group,
+        # so min/max stats prune nothing and the "probe touches
+        # nprobe/nlist of the index" claim would only hold logically
+        partition_by=["cell"],
+    )
+
+
+def sim_ivfpq_adc(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+    corpus_tag: str | None = None,
+    q_pdf=None,
+    nprobe: int = NPROBE_IVF,
+) -> DataFrame:
+    """IVFPQ probe with TRUE ADC scoring (r12): same staged index and
+    probe plan as sim_ivfpq_probe, but candidates are scored from
+    their CODES via per-(query, cell) lookup tables
+    (functions/vector.ivfpq_adc_scores) — no reconstruction at all, so
+    scoring work is O(k_c·m + candidates·m) per probed cell instead of
+    O(candidates·d). ENGINE-SIDE path (stress-measured + recall-pinned
+    vs the decode probe): the per-m partial-dot sum associates
+    differently than the 64-dim fold the oracle replicates, so this
+    variant is deliberately not hash-gated — sim_ivfpq_probe remains
+    the gated row proving the staged-codes round trip exactly."""
+    asn, cb_path, cent_pdf = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, corpus_tag)
+    if q_pdf is None:
+        nsrc = (
+            s
+            if s is not None
+            else scoped_persist(
+                _normed(load_table(spark, sf_dir, "embeddings")), eager=False
+            )
+        )
+        q_pdf = _query_pdf(nsrc, qwhere)
+    pairs = V.probe_cells(q_pdf, cent_pdf, nprobe)
+    probed = sorted({int(c) for _q, c in pairs})
+    cand = spark.read.parquet(codes_path).where(F.col("cell").isin(probed))
+    scored = V.ivfpq_adc_scores(cand, cb_path, q_pdf, pairs, m=_PQ_M).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _topk(scored, 5)
+
+
 def sim_ivfpq_probe(
     spark: SparkSession,
     sf_dir: str,
@@ -1768,30 +1839,8 @@ def sim_ivfpq_probe(
     reconstruct+scan; the oracle (_ivfpq_probe_sql) mirrors cell
     probing, code assignment and reconstruction exactly, so the gated
     rows prove the staged-codes round trip bit-for-bit."""
-    from etly_spark.io.staging import stage_path
-
     asn, cb_path, cent_pdf = _ivfpq_index(spark, sf_dir, s, corpus_tag)
-    tag = corpus_tag if corpus_tag else "iid"
-    codes_path = stage_path(
-        spark,
-        f"ivfpq-codes:{sf_dir}:{tag}",
-        # repartition BY THE PARTITION KEY before the partitioned
-        # write: without it every write task sprays a fragment into
-        # every cell dir (tasks x cells small files — measured 7.7 s
-        # probe at 1M vs 4.3 unpartitioned); with it each cell lands in
-        # exactly one file. One bounded build-time shuffle of the
-        # m-longs-per-vector codes table buys clean pruned reads.
-        lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell").repartition(
-            "cell"
-        ),
-        deps=[os.path.join(sf_dir, "embeddings.parquet")],
-        # hive-partitioned on the coarse cell: the probe's cell filter
-        # prunes DIRECTORIES (PartitionFilters in the scan) — an
-        # unpartitioned write interleaves cells across every row group,
-        # so min/max stats prune nothing and the "probe touches
-        # nprobe/nlist of the index" claim would only hold logically
-        partition_by=["cell"],
-    )
+    codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, corpus_tag)
     if q_pdf is None:
         nsrc = (
             s

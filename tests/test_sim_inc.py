@@ -661,3 +661,21 @@ def test_ivfpq_codes_stage_partition_prunes(spark):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters")[1][:160]
     assert "cell" in pf and ("3" in pf or "7" in pf)
+
+
+def test_ivfpq_adc_matches_decode_probe(spark):
+    """r12: ADC lookup-table scoring (no reconstruction) retrieves the
+    same neighbors as the gated decode probe — per-m association drift
+    is ULP-scale, far below the neighbor margins, so the top-5 PAIR
+    SETS are identical on the deterministic corpus."""
+    from etly_spark.queries.similarity import sim_ivfpq_adc, sim_ivfpq_probe
+
+    dec = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim_ivfpq_probe(spark, SF).collect()
+    )
+    adc = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim_ivfpq_adc(spark, SF).collect()
+    )
+    assert dec == adc and len(dec) > 0

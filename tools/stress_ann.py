@@ -132,6 +132,27 @@ def main() -> int:
         ).count()
         out["ivfpq_probe_s"] = round(time.monotonic() - t0, 2)
 
+    if "ivfpq_adc" in methods:
+        # TRUE ADC (r12): score candidates from their codes via
+        # per-(query, cell) lookup tables — no reconstruction. Same
+        # staged index as ivfpq_probe (stages shared), so the steady
+        # wall isolates the scoring-path difference.
+        from etly_spark.queries.similarity import sim_ivfpq_adc
+
+        t0 = time.monotonic()
+        a1 = sim_ivfpq_adc(
+            spark, SF_DIR, corpus, qwhere=QC_WHERE,
+            corpus_tag=f"clustered-{n}",
+        )
+        out["recall_ivfpq_adc"] = recall_at5(brute, a1)
+        out["ivfpq_adc_first_s"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        sim_ivfpq_adc(
+            spark, SF_DIR, corpus, qwhere=QC_WHERE,
+            corpus_tag=f"clustered-{n}",
+        ).count()
+        out["ivfpq_adc_s"] = round(time.monotonic() - t0, 2)
+
     if "pq8" in methods:
         t0 = time.monotonic()
         pq8 = sim_pq(spark, SF_DIR, corpus, qwhere=QC_WHERE)
