@@ -530,11 +530,16 @@ def ivfpq_adc_scores(
     O(k_c·m + candidates·m) instead of O(candidates·d). Reconstruction
     norms come from the codebook's slice-norm table the same way.
 
-    Float note: the per-m partial-dot sum associates differently than
-    the decode path's 64-element einsum, so scores can differ in ULPs —
-    this scorer backs the measured/engine-side path (stress + pytest
-    recall pins), while the oracle-gated rows stay on the decode path
-    whose association order the SQL twin replicates exactly.
+    Float contract (r12, gated): the per-m partial sums accumulate in
+    ASCENDING m order from a 0.0 seed — a vectorized loop over m, one
+    add per step — exactly the oracle's
+    ``list_reduce([0.0] || list(dm ORDER BY m), +)``; each per-m dot is
+    a 4-element einsum contraction matching _sql_dot's sequential fold
+    (the PQ-chain precedent). Reconstruction norms fold the per-m
+    squared slice norms the same way. Scores therefore hash-gate at
+    6 dp like every other method (note they legitimately differ in
+    ULPs from the DECODE path's 64-element fold — the two paths are
+    separate gated rows, each matched to its own oracle).
 
     ``probe_pairs`` is the bounded (query_id, cell) list from
     probe_cells; queries ride in via ``query_pdf`` (query_id, qe, qn).
@@ -572,10 +577,14 @@ def ivfpq_adc_scores(
                     d = Cs.shape[1] * Cs.shape[2]
                 idx = np.flatnonzero(cells == cell)
                 slots = np.searchsorted(cbids, codes[idx])  # (n, m)
-                ar = np.arange(m)[None, :]
                 # per-candidate reconstruction norm from the slice-norm
-                # table: |rec|^2 = sum_m |c_(code_m)|^2
-                rnorm = np.sqrt((cn[slots, ar] ** 2).sum(axis=1))  # (n,)
+                # table: |rec|^2 = sum_m |c_(code_m)|^2 — accumulated
+                # in m ORDER from 0.0 (the oracle's list_reduce fold)
+                n2 = cn * cn  # (k, m)
+                r2 = np.zeros(len(idx), dtype="float64")
+                for j in range(m):
+                    r2 = r2 + n2[slots[:, j], j]
+                rnorm = np.sqrt(r2)  # (n,)
                 for qid in qs:
                     qi = qrow[qid]
                     key = (int(cell), qid)
@@ -583,7 +592,10 @@ def ivfpq_adc_scores(
                         qsub = Q[qi].reshape(m, -1)
                         luts[key] = np.einsum("ms,kms->km", qsub, Cs)
                     lut = luts[key]  # (k_c, m)
-                    dots = lut[slots, ar].sum(axis=1)  # (n,)
+                    # ordered fold over m — one add per subspace, ASC
+                    dots = np.zeros(len(idx), dtype="float64")
+                    for j in range(m):
+                        dots = dots + lut[slots[:, j], j]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         den = qn[qi] * rnorm
                         cos = np.where(den > 0, dots / np.where(den > 0, den, 1.0), -2.0)

@@ -1643,6 +1643,57 @@ ORDER BY query_id, rank
 """
 
 
+def _ivfpq_adc_sql(
+    src: str = "embeddings", qwhere: str = "vec_id < 8", nprobe: int = 4
+) -> str:
+    """ADC twin (r12): same chain and probe selection as
+    _ivfpq_probe_sql, but the score is the ORDERED FOLD of per-subspace
+    partial dots between the RAW query slice and the chosen codeword
+    slice — ``list_reduce([0.0] || list(dm ORDER BY m), +)`` — and the
+    reconstruction norm folds the per-m squared slice norms the same
+    way: exactly the Spark kernel's vectorized m-ascending
+    accumulation (functions/vector.ivfpq_adc_scores). No flattened
+    reconstruction is ever built on either engine."""
+    return f"""{_ivfpq_chain(src)}, qp AS (
+  SELECT s.vec_id AS query_id, s.embedding AS qe, s.nrm AS qn,
+         c.cent_id AS pcell,
+         row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY CASE WHEN s.nrm * c.cn = 0 THEN -2.0
+                  ELSE {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) END DESC,
+                      c.cent_id) AS prn
+  FROM s CROSS JOIN cent c
+  WHERE {qwhere}
+), probes AS (
+  SELECT query_id, qe, qn, pcell FROM qp WHERE prn <= {nprobe}
+), permdot AS (
+  SELECT p.query_id, p.qn, a.vec_id, a.m,
+         {_sql_dot(f'(p.qe[a.m*{_PQ_SUB}+1 : a.m*{_PQ_SUB}+{_PQ_SUB}])', 'c.cs')} AS dm,
+         {_sql_dot('c.cs', 'c.cs')} AS nm2
+  FROM probes p
+  JOIN acell ac ON ac.cell = p.pcell AND ac.vec_id <> p.query_id
+  JOIN asn a ON a.vec_id = ac.vec_id
+  JOIN subc c ON c.cell = ac.cell AND c.m = a.m AND c.cb_id = a.cb_id
+), scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         CASE WHEN qn * sqrt(list_reduce([0.0::DOUBLE] || list(nm2 ORDER BY m),
+                                         (x,y) -> x + y)) = 0
+              THEN -2.0
+              ELSE list_reduce([0.0::DOUBLE] || list(dm ORDER BY m), (x,y) -> x + y)
+                   / (qn * sqrt(list_reduce([0.0::DOUBLE] || list(nm2 ORDER BY m),
+                                            (x,y) -> x + y))) END AS cos_sim
+  FROM permdot
+  GROUP BY query_id, qn, vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def sim_ivfpq(
     spark: SparkSession,
     sf_dir: str,
@@ -1955,6 +2006,7 @@ _ANN_METHODS = {
     "pq8": _pq_sql(),
     "ivfpq": _ivfpq_sql(),
     "ivfpq_probe": _ivfpq_probe_sql(),
+    "ivfpq_adc": _ivfpq_adc_sql(),
     "brute_c": _bf_sql(_CEMB_SQL, _QC_WHERE),
     "lsh_c": _lsh_sql(_CEMB_SQL, _QC_WHERE),
     "ivf_c": _ivf_sql(_CEMB_SQL, _QC_WHERE),
@@ -1962,6 +2014,7 @@ _ANN_METHODS = {
     "pq8_c": _pq_sql(_CEMB_SQL, _QC_WHERE),
     "ivfpq_c": _ivfpq_sql(_CEMB_SQL, _QC_WHERE),
     "ivfpq_probe_c": _ivfpq_probe_sql(_CEMB_SQL, _QC_WHERE),
+    "ivfpq_adc_c": _ivfpq_adc_sql(_CEMB_SQL, _QC_WHERE),
 }
 
 _ANN_SQL = (
@@ -1971,13 +2024,13 @@ _ANN_SQL = (
     + "\nUNION ALL\n".join(
         [f"SELECT '{k}' AS method, * FROM m_{k}"
          for k in ("brute", "lsh", "ivf", "ivf_inc", "ivf_split", "hardneg",
-                   "sq8", "pq8", "ivfpq", "ivfpq_probe")]
+                   "sq8", "pq8", "ivfpq", "ivfpq_probe", "ivfpq_adc")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute")
            for k in ("lsh", "ivf", "ivf_inc", "ivf_split", "sq8", "pq8",
-                     "ivfpq", "ivfpq_probe")]
+                     "ivfpq", "ivfpq_probe", "ivfpq_adc")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute_c")
            for k in ("lsh_c", "ivf_c", "sq8_c", "pq8_c", "ivfpq_c",
-                     "ivfpq_probe_c")]
+                     "ivfpq_probe_c", "ivfpq_adc_c")]
     )
     + "\nORDER BY method, query_id, rank\n"
 )
@@ -2106,6 +2159,9 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_p = _keep(
         sim_ivfpq_probe(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
     )
+    ivfpq_a = _keep(
+        sim_ivfpq_adc(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
+    )
 
     def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
@@ -2174,6 +2230,12 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_pdf=qc_pdf,
         )
     )
+    ivfpq_ac = _keep(
+        sim_ivfpq_adc(
+            spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+            q_pdf=qc_pdf,
+        )
+    )
 
     tagged = [
         brute.select(F.lit("brute").alias("method"), "*"),
@@ -2186,6 +2248,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq8.select(F.lit("pq8").alias("method"), "*"),
         ivfpq.select(F.lit("ivfpq").alias("method"), "*"),
         ivfpq_p.select(F.lit("ivfpq_probe").alias("method"), "*"),
+        ivfpq_a.select(F.lit("ivfpq_adc").alias("method"), "*"),
         recall_rows(lsh, "lsh"),
         recall_rows(ivf, "ivf"),
         recall_rows(ivf_inc, "ivf_inc"),
@@ -2194,12 +2257,14 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_rows(pq8, "pq8"),
         recall_rows(ivfpq, "ivfpq"),
         recall_rows(ivfpq_p, "ivfpq_probe"),
+        recall_rows(ivfpq_a, "ivfpq_adc"),
         recall_rows(lsh_c, "lsh_c", brute_c),
         recall_rows(ivf_c, "ivf_c", brute_c),
         recall_rows(sq8_c, "sq8_c", brute_c),
         recall_rows(pq8_c, "pq8_c", brute_c),
         recall_rows(ivfpq_c, "ivfpq_c", brute_c),
         recall_rows(ivfpq_pc, "ivfpq_probe_c", brute_c),
+        recall_rows(ivfpq_ac, "ivfpq_adc_c", brute_c),
     ]
     out = tagged[0]
     for t in tagged[1:]:
