@@ -2112,11 +2112,18 @@ _ANN_SQL = (
     "the index payload, ~m bytes/vector bit-packed) are staged parquet "
     "artifacts; each RAW query (asymmetric distance) probes its nprobe "
     "nearest coarse cells and ONLY those cells' codes are scanned "
-    "(pushed IN filter), decoded by codebook gathers (ivfpq_decode — "
-    "indexing, not scoring) and scored through the broadcast probe "
-    "join. Measured: 150x recall@5 0.95 vs full-scan 0.925, probe "
-    "4.6 s vs 50.7 s; 1M recall 0.925 == full-scan, probe 4.3 s vs "
-    "75.2 s (STRESS.md r12). "
+    "(pushed IN filter on the cell-PARTITIONED codes stage — "
+    "PartitionFilters pinned), decoded by codebook gathers "
+    "(ivfpq_decode — indexing, not scoring) and scored through the "
+    "broadcast probe join. Measured: 150x recall@5 0.95 vs full-scan "
+    "0.925, probe 4.6 s vs 50.7 s; 1M recall 0.925 == full-scan, "
+    "probe 3.7 s vs 75.2 s (STRESS.md r12); ivfpq_adc (r12) — the "
+    "same probe with TRUE ADC scoring: one LUT[codeword, m] einsum "
+    "per (query, probed cell), each candidate scored as m table "
+    "gathers folded in ascending-m order from a 0.0 seed (the "
+    "oracle's list_reduce twin — no reconstruction on either engine; "
+    "scoring work O(k_c*m + cand*m) instead of O(cand*d)); 1M: "
+    "1.77 s steady at the same 0.925 recall. "
     "recall_{lsh,ivf,sq8,pq8,ivfpq} rows "
     "(r8) account each approximate method against brute's exact top-5 "
     "per query — neighbor_id carries the hit count, cos_sim the "
