@@ -42,16 +42,35 @@ import uuid
 _MANIFEST = "_folded.json"
 
 
+def partition_marker(pdir: str) -> list[list]:
+    """Content marker for one partition dir: sorted [name, size] of its
+    parquet parts. Recorded in the ``_folded.json`` manifest at fold
+    time so recovery removes a loose dir only when its CONTENT is what
+    the segment absorbed (r13, ADVICE): a name-only manifest would
+    silently delete a FRESH ``epoch=N`` dir whose id was reused after a
+    purge (streaming checkpoint reset, refolding the same shard index)
+    — data loss, not duplicates."""
+    return sorted(
+        [f, os.path.getsize(os.path.join(pdir, f))]
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+
+
 def recover_covered_partitions(root: str, key: str) -> list[str]:
     """Finish any crashed compaction under ``root``: remove loose
     ``<key>=value`` dirs that a committed segment's ``_folded.json``
     manifest records as already folded. Returns the removed dir names.
     Safe to call any time — a dir is removed only when its data
-    provably lives inside a committed segment."""
+    provably lives inside a committed segment: dict-form manifests
+    (r13) carry a per-partition content marker and a loose dir whose
+    current parquet parts differ from the marker is LEFT ALONE (it was
+    recreated after the fold — removing it would lose data); legacy
+    list-form manifests (pre-r13 artifacts) remove by name."""
     if not os.path.isdir(root):
         return []
     prefix = f"{key}="
-    covered: set[str] = set()
+    covered: dict[str, object] = {}
     for d in os.listdir(root):
         if not d.startswith(f"{prefix}_compacted-"):
             continue
@@ -59,18 +78,26 @@ def recover_covered_partitions(root: str, key: str) -> list[str]:
         if os.path.isfile(mf):
             try:
                 with open(mf) as f:
-                    covered.update(json.load(f))
+                    m = json.load(f)
             except (OSError, ValueError):
                 continue  # unreadable manifest: leave the loose dirs be
+            if isinstance(m, dict):
+                covered.update(m)
+            else:  # legacy list manifest: name-only coverage
+                covered.update({n: None for n in m})
     removed = []
     for d in sorted(covered):
         p = os.path.join(root, d)
         # a manifest may cover SEGMENTS too (the tombstone-purge rewrite
         # supersedes earlier _compacted-* dirs); segment numbering is
         # max+1 so a covered name is never legitimately recreated
-        if d.startswith(prefix) and os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
-            removed.append(d)
+        if not d.startswith(prefix) or not os.path.isdir(p):
+            continue
+        marker = covered[d]
+        if marker is not None and partition_marker(p) != marker:
+            continue  # same name, DIFFERENT content: a reused id, keep it
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(d)
     return removed
 
 
@@ -111,8 +138,10 @@ def compact_partitions(root: str, key: str, threshold: int) -> None:
     if len(loose) <= threshold:
         return
     tables = []
+    markers: dict[str, list] = {}
     for d in loose:
         pdir = os.path.join(root, d)
+        markers[d] = partition_marker(pdir)
         for f in sorted(os.listdir(pdir)):
             if f.endswith(".parquet"):
                 tables.append(pq.read_table(os.path.join(pdir, f)))
@@ -121,9 +150,17 @@ def compact_partitions(root: str, key: str, threshold: int) -> None:
     seg = next_segment(root, key)
     tmp = os.path.join(root, f"_tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(pa.concat_tables(tables), os.path.join(tmp, "part-00000.parquet"))
+    # promote_options unifies ACROSS SCHEMA GENERATIONS (r13, ADVICE):
+    # post-split ANN epochs carry a 5th 'parent' column while pre-split
+    # loose epochs have 4 — a plain concat raises ArrowInvalid the first
+    # time both generations fold together; missing columns null-fill,
+    # exactly how _read_postings' mergeSchema read treats them.
+    pq.write_table(
+        pa.concat_tables(tables, promote_options="default"),
+        os.path.join(tmp, "part-00000.parquet"),
+    )
     with open(os.path.join(tmp, _MANIFEST), "w") as f:
-        json.dump(loose, f)
+        json.dump(markers, f)
     os.rename(tmp, seg)
     for d in loose:
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)

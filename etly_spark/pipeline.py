@@ -512,10 +512,16 @@ class TransferService:
 
         path = expand_date(expand_env(expand_pwd(t.datasheet.name, t.base_dir)), ts)
         payload = t.datasheet.payload_field
-        sheet = build_datasheet(
-            out.drop(KEEP),
-            payload_col=payload if payload and payload in out.columns else None,
-        )
+        # a configured PayloadField that this window's columns don't
+        # carry is a config error, not a silent auto-detect fallback
+        # (r13, ADVICE): masking a typo'd field name would quietly drop
+        # the media stats or compute them from a different column
+        if payload and payload not in out.columns:
+            raise ValueError(
+                f"Transfer {t.name!r}: Datasheet.PayloadField {payload!r} "
+                f"not among the window's columns {sorted(out.columns)}"
+            )
+        sheet = build_datasheet(out.drop(KEEP), payload_col=payload or None)
         sheet["transfer"] = t.name
         sheet["window_ts"] = ts.isoformat()
         write_datasheet(sheet, path)

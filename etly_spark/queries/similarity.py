@@ -625,7 +625,11 @@ def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
     import shutil
     import uuid
 
-    from etly_spark.io.compact import next_segment, recover_covered_partitions
+    from etly_spark.io.compact import (
+        next_segment,
+        partition_marker,
+        recover_covered_partitions,
+    )
 
     post = os.path.join(index_dir, "postings")
     tomb = os.path.join(index_dir, "tombstones")
@@ -661,8 +665,13 @@ def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
     # live set still writes a schema-carrying part file — SPARK-23271)
     tmp = os.path.join(post, f"_purge-tmp-{uuid.uuid4().hex[:8]}")
     live.write.parquet(tmp)
+    # dict-form manifest with content markers (r13): recovery after a
+    # crash removes a superseded dir only if its parts still match —
+    # a reused epoch id written later survives (io/compact docstring)
     with open(os.path.join(tmp, "_folded.json"), "w") as f:
-        _json.dump(superseded, f)
+        _json.dump(
+            {d: partition_marker(os.path.join(post, d)) for d in superseded}, f
+        )
     os.rename(tmp, next_segment(post, "epoch"))
     for d in superseded:
         shutil.rmtree(os.path.join(post, d), ignore_errors=True)
@@ -1714,7 +1723,7 @@ def sim_ivfpq(
     symmetric scoring. ``corpus_tag`` names the corpus derivation for
     the stage identity when ``s`` is caller-provided; untagged custom
     frames get a fresh single-use stage."""
-    asn, cb_path, _cent_pdf = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    asn, cb_path, _cent_pdf, _tag = _ivfpq_index(spark, sf_dir, s, corpus_tag)
     rec = scoped_persist(
         _normed(V.ivfpq_reconstruct(asn, cb_path, m=_PQ_M, cell_col="cell")),
         eager=False,
@@ -1732,10 +1741,15 @@ def _ivfpq_index(
     corpus_tag: str | None,
 ):
     """The shared IVFPQ index construction: coarse assignment (lazy
-    frame), the STAGED per-cell codebook path, and the coarse-centroid
-    pandas — consumed by the full-scan scorer (sim_ivfpq) and the
-    probe path (sim_ivfpq_probe), which share the stage key so the
-    codebook is built once per process per corpus."""
+    frame), the STAGED per-cell codebook path, the coarse-centroid
+    pandas, and the RESOLVED corpus tag — consumed by the full-scan
+    scorer (sim_ivfpq) and the probe path (sim_ivfpq_probe), which
+    share the stage key so the codebook is built once per process per
+    corpus. The tag is resolved HERE, once (r13, ADVICE): an untagged
+    caller-provided frame gets a fresh single-use uuid that downstream
+    stages (_ivfpq_codes_path) must reuse — re-deriving the tag there
+    defaulted custom frames to 'iid' and either served the iid
+    corpus's codes for the custom frame or poisoned the iid stage."""
     import uuid as _uuid
 
     from etly_spark.io.staging import stage_path
@@ -1782,17 +1796,18 @@ def _ivfpq_index(
         lambda: cb_df,
         deps=[os.path.join(sf_dir, "embeddings.parquet")],
     )
-    return asn, cb_path, cent_pdf
+    return asn, cb_path, cent_pdf, tag
 
 
 def _ivfpq_codes_path(
-    spark: SparkSession, sf_dir: str, asn: DataFrame, cb_path: str, corpus_tag: str | None
+    spark: SparkSession, sf_dir: str, asn: DataFrame, cb_path: str, tag: str
 ) -> str:
-    """The STAGED codes table (vec_id, cell, codes[m]) — built once per
-    process per corpus, shared by the decode-probe and ADC scorers."""
+    """The STAGED codes table (vec_id, cell, codes) — built once per
+    process per corpus, shared by the decode-probe and ADC scorers.
+    ``tag`` is the tag _ivfpq_index RESOLVED (never re-derived here —
+    a custom frame's fresh uuid must key its own codes stage)."""
     from etly_spark.io.staging import stage_path
 
-    tag = corpus_tag if corpus_tag else "iid"
     return stage_path(
         spark,
         f"ivfpq-codes:{sf_dir}:{tag}",
@@ -1831,13 +1846,16 @@ def sim_ivfpq_adc(
     their CODES via per-(query, cell) lookup tables
     (functions/vector.ivfpq_adc_scores) — no reconstruction at all, so
     scoring work is O(k_c·m + candidates·m) per probed cell instead of
-    O(candidates·d). ENGINE-SIDE path (stress-measured + recall-pinned
-    vs the decode probe): the per-m partial-dot sum associates
-    differently than the 64-dim fold the oracle replicates, so this
-    variant is deliberately not hash-gated — sim_ivfpq_probe remains
-    the gated row proving the staged-codes round trip exactly."""
-    asn, cb_path, cent_pdf = _ivfpq_index(spark, sf_dir, s, corpus_tag)
-    codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, corpus_tag)
+    O(candidates·d). HASH-GATED since the r12 closing amendment
+    (_ANN_METHODS['ivfpq_adc']): the kernel accumulates the per-m
+    partial dots and squared slice norms in ASCENDING m order from a
+    0.0 seed — exactly the oracle's ``list_reduce([0.0] || list(dm
+    ORDER BY m), +)`` twin in _ivfpq_adc_sql — so ADC scores are
+    bit-compatible cross-engine at 6 dp like every other method (they
+    legitimately differ in ULPs from the decode probe's 64-dim fold;
+    the two paths are separate gated rows, each with its own oracle)."""
+    asn, cb_path, cent_pdf, tag = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, tag)
     if q_pdf is None:
         nsrc = (
             s
@@ -1890,8 +1908,8 @@ def sim_ivfpq_probe(
     reconstruct+scan; the oracle (_ivfpq_probe_sql) mirrors cell
     probing, code assignment and reconstruction exactly, so the gated
     rows prove the staged-codes round trip bit-for-bit."""
-    asn, cb_path, cent_pdf = _ivfpq_index(spark, sf_dir, s, corpus_tag)
-    codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, corpus_tag)
+    asn, cb_path, cent_pdf, tag = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, tag)
     if q_pdf is None:
         nsrc = (
             s

@@ -643,7 +643,7 @@ def test_ivfpq_codes_stage_partition_prunes(spark):
     from etly_spark.queries.similarity import _PQ_M, _ivfpq_index, sim_ivfpq_probe
 
     assert len(sim_ivfpq_probe(spark, SF).collect()) > 0  # end-to-end
-    asn, cb_path, _cent = _ivfpq_index(spark, SF, None, "iid")
+    asn, cb_path, _cent, _tag = _ivfpq_index(spark, SF, None, "iid")
     codes_path = stage_path(
         spark,
         f"ivfpq-codes:{SF}:iid",
@@ -679,3 +679,61 @@ def test_ivfpq_adc_matches_decode_probe(spark):
         for r in sim_ivfpq_adc(spark, SF).collect()
     )
     assert dec == adc and len(dec) > 0
+
+
+def test_compaction_unifies_split_generation_schemas(spark, tmp_path):
+    """r13 (ADVICE): loose epochs folded BEFORE a split carry 4 columns
+    while epochs folded AFTER carry a 5th 'parent' column — compaction
+    must unify the generations (null-fill, the mergeSchema read's rule)
+    instead of raising ArrowInvalid, and the probe answers identically
+    across the fold."""
+    from etly_spark.queries.similarity import _splits_state, split_hot_cells
+
+    d = _build_index(spark, str(tmp_path / "idx"))
+    split_hot_cells(spark, d)
+    splits_dir = os.path.join(d, "quantizer_splits")
+    assert _splits_state(splits_dir)[0]
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = select_centroids(s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0))
+    post = os.path.join(d, "postings")
+    # post-split epochs: 5-column (parent) partitions beside the 4-col
+    # pre-split ones
+    for e in (91, 92):
+        fold_ivf_epoch(
+            s.where(F.col("vec_id") % 97 == e - 90),
+            cent_pdf,
+            post,
+            e,
+            splits_dir=splits_dir,
+        )
+    before = _rows(_probe_ivf_index(spark, d))
+    compact_ivf_postings(d, threshold=1)  # both generations in one fold
+    loose = [
+        n
+        for n in os.listdir(post)
+        if n.startswith("epoch=") and not n.startswith("epoch=_")
+    ]
+    assert not loose
+    assert _rows(_probe_ivf_index(spark, d)) == before and len(before) > 0
+
+
+def test_recovery_spares_reused_epoch_id_with_new_content(spark, tmp_path):
+    """r13 (ADVICE): the _folded.json manifest carries per-partition
+    content markers — a FRESH epoch dir reusing a name an old manifest
+    covers (checkpoint reset / refold after purge) must survive
+    recovery; only a dir whose parts still match the marker (the true
+    crash leftover) is removed."""
+    from etly_spark.io.compact import recover_covered_partitions
+
+    d = _build_index(spark, str(tmp_path / "idx"))
+    post = os.path.join(d, "postings")
+    compact_ivf_postings(d, threshold=1)  # writes the marker manifest
+    # refold epoch 0 from a DIFFERENT shard — same name, new content
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = select_centroids(s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0))
+    fold_ivf_epoch(s.where(F.col("vec_id") % 103 == 5), cent_pdf, post, 0)
+    n_fresh = spark.read.parquet(os.path.join(post, "epoch=0")).count()
+    assert n_fresh > 0
+    removed = recover_covered_partitions(post, "epoch")
+    assert "epoch=0" not in removed
+    assert spark.read.parquet(os.path.join(post, "epoch=0")).count() == n_fresh
