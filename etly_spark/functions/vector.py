@@ -30,7 +30,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 _ARR_D = ArrayType(DoubleType())
 
@@ -395,16 +402,24 @@ def ivfpq_codes(
     cell_col: str = "cell",
 ) -> DataFrame:
     """IVF-sharded PQ ENCODE ONLY (r12 — the true-probe-path codes
-    table): for every vector, the per-subspace cb_ids of its most
+    table): for every vector, the per-subspace codes of its most
     cosine-similar codewords in ITS CELL's codebook — exactly
     ivfpq_reconstruct's argmax (same blocked einsum, same -2.0
     zero-norm pin, same ties-to-smallest-cb_id), emitting
-    (vec_id, cell, codes: array<long>[m]) instead of materializing the
+    (vec_id, cell, codes: binary) instead of materializing the
     reconstruction. At 100 TB THIS table is the index payload the
-    probe scans: m longs (m bytes once bit-packed) per vector instead
-    of d float32s. ``cb`` is a pandas frame or a stage_path string
-    (codebook loaded lazily executor-side, the _staged_books
-    contract)."""
+    probe scans.
+
+    PACKED payload (r13 — verdict item 4): each code is the DENSE slot
+    of the codeword in its cell's cb_id-sorted book (0..k_c-1; the
+    bijection _pq_books' ordering defines — k_c is clamped at 1024 so
+    a slot fits uint16), and a row's m slots pack into one
+    2m-byte little-endian binary. vs the r12 array<long> form this is
+    4x smaller in every Arrow batch the decode/ADC kernels vstack and
+    on disk before encoding; decode/ADC gather ``Cs[slot]`` directly —
+    the searchsorted(cb_id) hop disappears. ``cb`` is a pandas frame or
+    a stage_path string (codebook loaded lazily executor-side, the
+    _staged_books contract)."""
     import numpy as np
 
     staged = isinstance(cb, str)
@@ -413,7 +428,7 @@ def ivfpq_codes(
         [
             StructField(id_col, LongType()),
             StructField(cell_col, LongType()),
-            StructField("codes", ArrayType(LongType())),
+            StructField("codes", BinaryType()),
         ]
     )
 
@@ -426,10 +441,10 @@ def ivfpq_codes(
             sub = X.shape[1] // m
             Xs = X.reshape(len(pdf), m, sub)
             xn = np.sqrt(np.einsum("nms,nms->nm", Xs, Xs))
-            out_codes = np.empty((len(pdf), m), dtype="int64")
+            out_slots = np.empty((len(pdf), m), dtype="<u2")
             cells = pdf[cell_col].to_numpy(dtype="int64")
             for cell in np.unique(cells):
-                Cs, cn, cbids = books[int(cell)]
+                Cs, cn, _cbids = books[int(cell)]
                 k = Cs.shape[0]
                 idx = np.flatnonzero(cells == cell)
                 blk = max(1, int(8_000_000 / (k * m)))
@@ -441,16 +456,29 @@ def ivfpq_codes(
                         cos = np.where(
                             den > 0, num / np.where(den > 0, den, 1.0), -2.0
                         )
-                    out_codes[ii] = cbids[cos.argmax(axis=1)]
+                    # argmax IS the dense slot: books are cb_id-sorted,
+                    # so first-max == smallest cb_id (the oracle's tie)
+                    out_slots[ii] = cos.argmax(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64").to_numpy(),
                     cell_col: cells,
-                    "codes": list(out_codes),
+                    "codes": [row.tobytes() for row in out_slots],
                 }
             )
 
     return corpus.select(id_col, vec_col, cell_col).mapInPandas(run, schema)
+
+
+def _unpack_codes(codes_series, m: int):
+    """(n, m) int64 slot matrix from a packed uint16-LE binary codes
+    column — one frombuffer over the joined payload, no per-row loop."""
+    import numpy as np
+
+    buf = b"".join(bytes(c) for c in codes_series)
+    return (
+        np.frombuffer(buf, dtype="<u2").reshape(-1, m).astype("int64")
+    )
 
 
 def ivfpq_decode(
@@ -463,11 +491,12 @@ def ivfpq_decode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Reconstruct vectors FROM THE STAGED CODES TABLE (r12): gather
-    each row's m codebook slices by cb_id (one searchsorted per cell
-    block against the cb_id-ordered book — pure indexing, no scoring)
-    and concatenate. The probe path decodes ONLY the candidates in
-    probed cells, so decode cost is candidates x m gathers, never a
-    corpus pass. Input: (vec_id, cell, codes); output:
+    each row's m codebook slices by their packed slot (r13 — the codes
+    ARE dense positions in the cb_id-ordered book, so the gather is
+    direct indexing; the r12 searchsorted hop is gone) and concatenate.
+    The probe path decodes ONLY the candidates in probed cells, so
+    decode cost is candidates x m gathers, never a corpus pass. Input:
+    (vec_id, cell, codes: binary — uint16-LE packed); output:
     (vec_id, cell, embedding) — the cell rides through for the
     probe-pair join."""
     import numpy as np
@@ -487,17 +516,14 @@ def ivfpq_decode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.vstack(
-                [np.asarray(c, dtype="int64") for c in pdf["codes"]]
-            )
+            codes = _unpack_codes(pdf["codes"], m)
             cells = pdf[cell_col].to_numpy(dtype="int64")
             d = books[int(cells[0])][0].shape[1] * books[int(cells[0])][0].shape[2]
             rec = np.empty((len(pdf), d), dtype="float64")
             for cell in np.unique(cells):
-                Cs, _cn, cbids = books[int(cell)]
+                Cs, _cn, _cbids = books[int(cell)]
                 idx = np.flatnonzero(cells == cell)
-                slots = np.searchsorted(cbids, codes[idx])
-                rec[idx] = Cs[slots, np.arange(m)[None, :], :].reshape(
+                rec[idx] = Cs[codes[idx], np.arange(m)[None, :], :].reshape(
                     len(idx), d
                 )
             yield pd.DataFrame(
@@ -564,7 +590,7 @@ def ivfpq_adc_scores(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.vstack([np.asarray(c, dtype="int64") for c in pdf["codes"]])
+            codes = _unpack_codes(pdf["codes"], m)
             cells = pdf[cell_col].to_numpy(dtype="int64")
             ids = pdf[id_col].to_numpy(dtype="int64")
             outs = []
@@ -572,11 +598,11 @@ def ivfpq_adc_scores(
                 qs = cell_queries.get(int(cell))
                 if not qs:
                     continue
-                Cs, cn, cbids = books[int(cell)]
+                Cs, cn, _cbids = books[int(cell)]
                 if d is None:
                     d = Cs.shape[1] * Cs.shape[2]
                 idx = np.flatnonzero(cells == cell)
-                slots = np.searchsorted(cbids, codes[idx])  # (n, m)
+                slots = codes[idx]  # (n, m) — packed slots gather directly (r13)
                 # per-candidate reconstruction norm from the slice-norm
                 # table: |rec|^2 = sum_m |c_(code_m)|^2 — accumulated
                 # in m ORDER from 0.0 (the oracle's list_reduce fold)

@@ -1889,11 +1889,11 @@ def sim_ivfpq_probe(
     gate, wrong at 100 TB where the whole point of the index is to
     touch nprobe/nlist of it. Here:
 
-    - the per-cell codebook AND the codes table (vec_id, cell,
-      codes[m] — m longs per vector, the actual index payload; 10-16x
-      smaller than the float32 corpus once bit-packed) are STAGED
-      parquet artifacts, built once per process (_ivfpq_index shares
-      the codebook stage key with sim_ivfpq);
+    - the per-cell codebook AND the codes table (vec_id, cell, codes —
+      r13: one 2m-byte packed binary of uint16 dense slots per vector,
+      the actual index payload; 16x smaller than the float32 corpus)
+      are STAGED parquet artifacts, built once per process
+      (_ivfpq_index shares the codebook stage key with sim_ivfpq);
     - each RAW query (asymmetric distance: the query is in hand, only
       the database lives as codes) probes its ``nprobe`` most
       cosine-similar coarse cells (probe_cells — bounded driver numpy,

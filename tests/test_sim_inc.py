@@ -737,3 +737,30 @@ def test_recovery_spares_reused_epoch_id_with_new_content(spark, tmp_path):
     removed = recover_covered_partitions(post, "epoch")
     assert "epoch=0" not in removed
     assert spark.read.parquet(os.path.join(post, "epoch=0")).count() == n_fresh
+
+
+def test_ivfpq_codes_payload_is_packed_binary(spark):
+    """r13 (verdict item 4): the staged codes payload is ONE 2m-byte
+    uint16-LE binary per vector (dense slots in the cb_id-sorted book),
+    not m longs — 4x smaller Arrow traffic and disk footprint; slots
+    stay under the 1024-codeword clamp so uint16 never truncates."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from etly_spark.queries.similarity import (
+        _PQ_M,
+        _ivfpq_codes_path,
+        _ivfpq_index,
+    )
+
+    asn, cb_path, _cent, tag = _ivfpq_index(spark, SF, None, None)
+    codes_path = _ivfpq_codes_path(spark, SF, asn, cb_path, tag)
+    df = spark.read.parquet(codes_path)
+    field = {f.name: f.dataType for f in df.schema.fields}["codes"]
+    assert isinstance(field, BinaryType)
+    sample = df.limit(64).collect()
+    assert sample
+    for r in sample:
+        assert len(r["codes"]) == 2 * _PQ_M
+        slots = np.frombuffer(r["codes"], dtype="<u2")
+        assert slots.max() < 1024
