@@ -643,17 +643,23 @@ def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
 
     bytes_before = _bytes(post) + (_bytes(tomb) if os.path.isdir(tomb) else 0)
     superseded = [d for d in os.listdir(post) if d.startswith("epoch=")]
-    # split-aware (r12): the explicit schema PRESERVES the split
-    # segments' parent column (a plain read would sample a gen-0 file's
-    # schema and silently drop it, detaching every split row from its
-    # probe key), and gen-0 rows a split superseded are dead weight the
-    # purge compacts away along with the tombstoned ones.
-    live = _read_postings(spark, post)
+    # split-aware (r12) and PAYLOAD-AGNOSTIC (r13): the mergeSchema
+    # read preserves the split segments' parent column (a plain read
+    # would sample a gen-0 file's schema and silently drop it,
+    # detaching every split row from its probe key) without forcing a
+    # payload schema — the same purge serves the embedding-payload
+    # index (ivf_inc: cent_id) and the codes-payload index (ivfpq_inc:
+    # cell, 2m-byte binary codes); gen-0 rows a split superseded are
+    # dead weight the purge compacts away along with the tombstoned.
+    live = spark.read.option("mergeSchema", "true").parquet(post)
     n_before = live.count()
     split_parents, _tok = _splits_state(os.path.join(index_dir, "quantizer_splits"))
     if split_parents:
+        key = "cent_id" if "cent_id" in live.columns else "cell"
+        if "parent" not in live.columns:
+            live = live.withColumn("parent", F.lit(None).cast("long"))
         live = live.where(
-            ~(F.col("parent").isNull() & F.col("cent_id").isin(split_parents))
+            ~(F.col("parent").isNull() & F.col(key).isin(split_parents))
         )
     if os.path.isdir(tomb):
         live = live.join(
@@ -1734,6 +1740,49 @@ def sim_ivfpq(
     return _topk(scored, 5)
 
 
+def _cell_codebook_plan(asn: DataFrame, growth: int = 1) -> DataFrame:
+    """Per-cell hash-selected PQ codebook as a DataFrame plan: within
+    each coarse cell of ``asn`` (vec_id, embedding, [nrm,] cell), the
+    top-k_c rows by the Knuth hash via the BANDED rank (no window on
+    the low-NDV cell key), k_c = clamp(8*sqrt(cell_n * growth), 16,
+    1024) — the _IVFPQ_KC_SQL twin. Shared by the static index
+    (_ivfpq_index, cell_n = full-corpus cell size, growth=1) and the
+    frozen incremental books (ivfpq_inc_index, cell_n = the FIRST
+    SHARD's cell size with growth = the planned arrival count: FAISS's
+    train-on-a-sample, SIZE-FOR-THE-INDEX rule — a book sized for the
+    sample alone would carry half the codewords the finished index
+    wants, a measured recall cliff; when growth matches the plan the
+    frozen k_c equals the static build's). Emits (cell, cb_id, ce)."""
+    from etly_spark.operators.prefix import banded_row_number
+
+    kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    ranked = banded_row_number(
+        asn.withColumn("_kh", kh),
+        ["cell"],
+        F.floor(F.col("_kh") / F.lit(2097152)),  # 2048 hash bands, monotone
+        [F.col("_kh"), F.col("vec_id")],
+        "_crn",
+    )
+    csz = asn.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
+    kc = F.least(
+        F.lit(1024),
+        F.greatest(
+            F.lit(16),
+            F.floor(
+                F.lit(8.0)
+                * F.sqrt((F.col("_cn") * F.lit(int(growth))).cast("double"))
+            ).cast("long"),
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(csz), "cell")
+        .where(F.col("_crn") <= kc)
+        .select("cell", F.col("vec_id").alias("cb_id"), F.col("embedding").alias("ce"))
+    )
+
+
 def _ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -1753,7 +1802,6 @@ def _ivfpq_index(
     import uuid as _uuid
 
     from etly_spark.io.staging import stage_path
-    from etly_spark.operators.prefix import banded_row_number
 
     nsrc = (
         s
@@ -1766,29 +1814,7 @@ def _ivfpq_index(
     asn = V.assign_nearest(
         nsrc.select("vec_id", "embedding", "nrm"), cent_pdf, out_col="cell"
     )
-    kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
-        4294967296
-    )
-    ranked = banded_row_number(
-        asn.withColumn("_kh", kh),
-        ["cell"],
-        F.floor(F.col("_kh") / F.lit(2097152)),  # 2048 hash bands, monotone
-        [F.col("_kh"), F.col("vec_id")],
-        "_crn",
-    )
-    csz = asn.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
-    kc = F.least(
-        F.lit(1024),
-        F.greatest(
-            F.lit(16),
-            F.floor(F.lit(8.0) * F.sqrt(F.col("_cn").cast("double"))).cast("long"),
-        ),
-    )
-    cb_df = (
-        ranked.join(F.broadcast(csz), "cell")
-        .where(F.col("_crn") <= kc)
-        .select("cell", F.col("vec_id").alias("cb_id"), F.col("embedding").alias("ce"))
-    )
+    cb_df = _cell_codebook_plan(asn)
     tag = corpus_tag if corpus_tag else ("iid" if s is None else _uuid.uuid4().hex)
     cb_path = stage_path(
         spark,
@@ -1940,6 +1966,279 @@ def sim_ivfpq_probe(
     return _topk(scored, 5)
 
 
+# Incremental IVFPQ (r13 — verdict item 1, the real FAISS maintenance
+# shape): r11's ivf_inc proved append-only IVF maintenance but its
+# postings store FULL-PRECISION embeddings (~512 B/vector — at 100 TB
+# the maintenance index IS the corpus), while r12's codes payload
+# existed only for the statically-built index. Here BOTH freeze on the
+# first arrival shard — the coarse quantizer AND the per-cell PQ
+# codebooks — and every later shard folds in as that epoch's own
+# (vec_id, cell, codes) partition: assign the shard against the frozen
+# centroids, encode it against its cells' frozen books (one Arrow pass
+# over the shard only — O(shard) per arrival), append. Queries probe
+# RAW (asymmetric distance) and score candidates via the gated ADC
+# kernel over codes — no reconstruction, postings are codes-sized
+# (2m+16 B/vector vs d float32s). Deletions stay tombstone partitions;
+# compaction/purge run over the codes table unchanged (the payload is
+# opaque to both). The oracle computes the BATCH two-stage build —
+# frozen shard-0 quantizer + frozen shard-0 per-cell codebooks, encode
+# the union, ADC-score minus deletions — so hash equality proves the
+# fold-by-fold index answers exactly like the batch build it implies.
+_IVFPQINC_CACHE: dict[str, str] = {}
+
+
+def _ivfpq_inc_sql(
+    src: str = "embeddings",
+    qwhere: str = "vec_id < 8",
+    cent_where: str = "TRUE",
+    del_where: str = "FALSE",
+    nprobe: int = 4,
+) -> str:
+    """Batch twin of the incremental IVFPQ index: coarse quantizer
+    frozen on ``cent_where`` (the first arrival shard), per-cell PQ
+    codebooks hash-selected from THAT SHARD's cell members only
+    (k_c = clamp(8*sqrt(cell0_n * _IVFINC_EPOCHS), 16, 1024) — cell0_n
+    is the shard-0 cell size, the growth factor the planned arrival
+    count: exactly what the engine freezes via _cell_codebook_plan's
+    size-for-the-index rule), the whole union encoded against the
+    frozen books, raw queries probing ``nprobe`` cells, ADC
+    ordered-fold scoring (the _ivfpq_adc_sql float contract),
+    deletions dropped from candidates and queries."""
+    kc = _IVFPQ_KC_SQL.format(n=f"cn_ * {_IVFINC_EPOCHS}")
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
+), cent AS (
+  SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s
+  WHERE {cent_where}
+  ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {K_CENTROIDS}
+), acell AS MATERIALIZED (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT s.vec_id, s.embedding, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY CASE WHEN s.nrm * c.cn = 0 THEN -2.0
+                    ELSE {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) END DESC,
+                        c.cent_id) AS rn
+    FROM s CROSS JOIN cent c) WHERE rn = 1
+), cb AS MATERIALIZED (
+  -- FROZEN books: shard-0 members of each cell only, k_c from the
+  -- shard-0 cell size (later arrivals never grow or reshape a book)
+  SELECT cell, vec_id AS cb_id, embedding AS ce FROM (
+    SELECT a.vec_id, a.embedding, a.cell,
+           row_number() OVER (PARTITION BY a.cell
+               ORDER BY {_CENT_HASH_SQL}, a.vec_id) AS crn,
+           COUNT(*) OVER (PARTITION BY a.cell) AS cn_
+    FROM acell a WHERE {cent_where})
+  WHERE crn <= {kc}
+), subs AS (
+  SELECT a.vec_id, a.cell, g.m,
+         a.embedding[g.m*{_PQ_SUB}+1 : g.m*{_PQ_SUB}+{_PQ_SUB}] AS xs
+  FROM acell a CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+), subc AS MATERIALIZED (
+  SELECT cell, cb_id, m, ce[m*{_PQ_SUB}+1 : m*{_PQ_SUB}+{_PQ_SUB}] AS cs
+  FROM cb CROSS JOIN generate_series(0, {_PQ_M - 1}) g(m)
+), sc AS (
+  SELECT vec_id, m, cb_id,
+         CASE WHEN sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')}) = 0
+              THEN -2.0
+              ELSE {_sql_dot('xs', 'cs')}
+                / (sqrt({_sql_dot('xs', 'xs')}) * sqrt({_sql_dot('cs', 'cs')})) END AS cos
+  FROM subs JOIN subc USING (cell, m)
+), best AS (
+  SELECT vec_id, m, MAX(cos) AS bc FROM sc GROUP BY vec_id, m
+), asn AS MATERIALIZED (
+  SELECT sc.vec_id, sc.m, MIN(sc.cb_id) AS cb_id
+  FROM sc JOIN best ON best.vec_id = sc.vec_id AND best.m = sc.m
+                   AND sc.cos = best.bc
+  GROUP BY sc.vec_id, sc.m
+), cand AS (
+  -- tombstoned vectors leave the candidate set; their codes
+  -- partitions are never rewritten
+  SELECT vec_id, cell FROM acell WHERE NOT ({del_where})
+), qp AS (
+  SELECT s.vec_id AS query_id, s.embedding AS qe, s.nrm AS qn,
+         c.cent_id AS pcell,
+         row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY CASE WHEN s.nrm * c.cn = 0 THEN -2.0
+                  ELSE {_sql_dot('s.embedding', 'c.ce')} / (s.nrm * c.cn) END DESC,
+                      c.cent_id) AS prn
+  FROM s CROSS JOIN cent c
+  WHERE ({qwhere}) AND NOT ({del_where})
+), probes AS (
+  SELECT query_id, qe, qn, pcell FROM qp WHERE prn <= {nprobe}
+), permdot AS (
+  SELECT p.query_id, p.qn, a.vec_id, a.m,
+         {_sql_dot(f'(p.qe[a.m*{_PQ_SUB}+1 : a.m*{_PQ_SUB}+{_PQ_SUB}])', 'c.cs')} AS dm,
+         {_sql_dot('c.cs', 'c.cs')} AS nm2
+  FROM probes p
+  JOIN cand ac ON ac.cell = p.pcell AND ac.vec_id <> p.query_id
+  JOIN asn a ON a.vec_id = ac.vec_id
+  JOIN subc c ON c.cell = ac.cell AND c.m = a.m AND c.cb_id = a.cb_id
+), scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         CASE WHEN qn * sqrt(list_reduce([0.0::DOUBLE] || list(nm2 ORDER BY m),
+                                         (x,y) -> x + y)) = 0
+              THEN -2.0
+              ELSE list_reduce([0.0::DOUBLE] || list(dm ORDER BY m), (x,y) -> x + y)
+                   / (qn * sqrt(list_reduce([0.0::DOUBLE] || list(nm2 ORDER BY m),
+                                            (x,y) -> x + y))) END AS cos_sim
+  FROM permdot
+  GROUP BY query_id, qn, vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+_IVFPQINC_SQL = _ivfpq_inc_sql(
+    cent_where=f"vec_id % {_IVFINC_EPOCHS} = 0", del_where=_IVFINC_DEL
+)
+
+
+def fold_ivfpq_epoch(
+    shard: DataFrame,
+    cent_pdf,
+    cb_dir: str,
+    postings_dir: str,
+    epoch: int,
+) -> None:
+    """Fold ONE arriving embedding shard into the CODES-payload
+    postings: coarse-assign against the frozen quantizer (one
+    broadcast-matmul pass over the shard), PQ-encode against the
+    frozen per-cell books (one Arrow pass — functions/vector.
+    ivfpq_codes, books loaded lazily executor-side), and append the
+    (vec_id, cell, codes) rows as this epoch's own partition.
+    O(shard) per arrival, no earlier epoch read or rewritten — the
+    fold_ivf_epoch contract with a 2m-byte payload instead of d
+    float64s. sortWithinPartitions on the cell: codes land row-group-
+    clustered by cell so the probe's cell IN filter prunes row groups
+    via min/max stats without a per-fold shuffle (epoch partitions are
+    shard-sized; the bi-partitioned (cell, epoch) layout is the
+    cluster-FS shape, not worth nlist small files per fold here)."""
+    asn = V.assign_nearest(
+        shard.select("vec_id", "embedding", "nrm"), cent_pdf, out_col="cell"
+    )
+    V.ivfpq_codes(asn, cb_dir, m=_PQ_M, cell_col="cell").sortWithinPartitions(
+        "cell"
+    ).write.mode("overwrite").parquet(os.path.join(postings_dir, f"epoch={epoch}"))
+
+
+def ivfpq_inc_index(spark: SparkSession, sf_dir: str) -> str:
+    """The incrementally-maintained IVFPQ index for ``sf_dir`` (built
+    once per process, the ivf_inc_index contract): ``quantizer/`` (the
+    frozen shard-0 coarse centroids), ``codebooks/`` (the FROZEN
+    per-cell PQ books — hash-selected from shard 0's cell members,
+    k_c = clamp(8*sqrt(cell0_n), 16, 1024)), ``postings/epoch=e/``
+    (one append-only codes partition per arrival shard) and
+    ``tombstones/epoch=e/``. The deep difference vs ivf_inc_index: the
+    postings carry 2m-byte PQ codes, not embeddings — the maintenance
+    index stops being corpus-sized."""
+    import hashlib
+    import uuid
+
+    from etly_spark.io import staging as _st
+
+    dep = _st._dep_sig(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = hashlib.sha1(f"ivfpq-inc::{dep}".encode()).hexdigest()[:24]
+    if fp in _IVFPQINC_CACHE:
+        return _IVFPQINC_CACHE[fp]
+    final = os.path.join(_st._root(), f"ivfpqinc-{fp}")
+    if not os.path.isdir(final):
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        s = _normed(load_table(spark, sf_dir, "embeddings"))
+        shard0 = s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0)
+        # the freeze: coarse quantizer AND per-cell codebooks from
+        # shard 0 alone — the only state later arrivals depend on
+        centroid_plan(shard0).write.parquet(os.path.join(tmp, "quantizer"))
+        cent_pdf = V._staged_pdf(os.path.join(tmp, "quantizer"))
+        asn0 = V.assign_nearest(
+            shard0.select("vec_id", "embedding", "nrm"), cent_pdf, out_col="cell"
+        )
+        cb_dir = os.path.join(tmp, "codebooks")
+        _cell_codebook_plan(asn0, growth=_IVFINC_EPOCHS).write.parquet(cb_dir)
+        for e in range(_IVFINC_EPOCHS):
+            fold_ivfpq_epoch(
+                s.where(F.col("vec_id") % _IVFINC_EPOCHS == e),
+                cent_pdf,
+                cb_dir,
+                os.path.join(tmp, "postings"),
+                e,
+            )
+        fold_ivf_tombstones(
+            s.where(F.expr(_IVFINC_DEL)), os.path.join(tmp, "tombstones"), 0
+        )
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            import shutil
+
+            if not os.path.isdir(final):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    _IVFPQINC_CACHE[fp] = final
+    return final
+
+
+def _probe_ivfpq_index(
+    spark: SparkSession, d: str, q_pdf, nprobe: int = NPROBE_IVF
+) -> DataFrame:
+    """Query an ivfpq_inc-shaped index directory (quantizer/ +
+    codebooks/ + codes postings/ [+ tombstones/]): raw queries
+    (``q_pdf`` — the caller owns the queries-are-not-deleted
+    invariant, like _probe_ivf_index's q_pdf contract) probe their
+    ``nprobe`` nearest frozen cells, ONLY probed cells' codes are
+    scanned (row-group-pruned via the fold-time cell clustering),
+    tombstones broadcast-anti-join out, and candidates score via the
+    gated ADC kernel — never a reconstruction."""
+    cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
+    pairs = V.probe_cells(q_pdf, cent_pdf, nprobe)
+    probed = sorted({int(c) for _q, c in pairs})
+    cand = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(d, "postings"))
+        .where(F.col("cell").isin(probed))
+    )
+    tomb_dir = os.path.join(d, "tombstones")
+    if os.path.isdir(tomb_dir):
+        cand = cand.join(
+            F.broadcast(spark.read.parquet(tomb_dir).select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+    scored = V.ivfpq_adc_scores(
+        cand, os.path.join(d, "codebooks"), q_pdf, pairs, m=_PQ_M
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    # compaction-crash duplicates are bit-exact copies — dedup the
+    # candidate-density set, the _probe_ivf_index defensive contract
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    return _topk(scored, 5)
+
+
+def sim_ivfpq_inc(
+    spark: SparkSession, sf_dir: str, qwhere: str = "vec_id < 8", q_pdf=None
+) -> DataFrame:
+    """Query the incrementally-folded IVFPQ index (r13): the ivf_inc
+    maintenance loop with the production payload — frozen quantizer +
+    frozen per-cell books, O(shard) codes folds, tombstones, ADC
+    probe. Gated hash-identical to the oracle's batch two-stage
+    build-minus-deletes (_ivfpq_inc_sql), proving append-only
+    maintenance over CODES loses nothing vs the batch index."""
+    d = ivfpq_inc_index(spark, sf_dir)
+    if q_pdf is None:
+        # queries stay RAW (asymmetric ADC) — from the corpus, not the
+        # index; the gated qwhere is disjoint from _IVFINC_DEL by
+        # construction (deleted vectors are not queries)
+        q_pdf = _query_pdf(
+            _normed(load_table(spark, sf_dir, "embeddings")), qwhere
+        )
+    return _probe_ivfpq_index(spark, d, q_pdf)
+
+
 def _recall_sql(tag: str, approx_sql: str, bf_sql: str | None = None) -> str:
     """recall@5 accounting row: per query, how many of brute's exact
     top-5 the approximate method recovered. neighbor_id carries the hit
@@ -2019,6 +2318,7 @@ _ANN_METHODS = {
     "ivf": _IVF_SQL,
     "ivf_inc": _IVFINC_SQL,
     "ivf_split": _IVFSPLIT_SQL,
+    "ivfpq_inc": _IVFPQINC_SQL,
     "hardneg": _HN_SQL,
     "sq8": _SQ8_SQL,
     "pq8": _pq_sql(),
@@ -2041,11 +2341,12 @@ _ANN_SQL = (
     + "\n"
     + "\nUNION ALL\n".join(
         [f"SELECT '{k}' AS method, * FROM m_{k}"
-         for k in ("brute", "lsh", "ivf", "ivf_inc", "ivf_split", "hardneg",
-                   "sq8", "pq8", "ivfpq", "ivfpq_probe", "ivfpq_adc")]
+         for k in ("brute", "lsh", "ivf", "ivf_inc", "ivf_split", "ivfpq_inc",
+                   "hardneg", "sq8", "pq8", "ivfpq", "ivfpq_probe",
+                   "ivfpq_adc")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute")
-           for k in ("lsh", "ivf", "ivf_inc", "ivf_split", "sq8", "pq8",
-                     "ivfpq", "ivfpq_probe", "ivfpq_adc")]
+           for k in ("lsh", "ivf", "ivf_inc", "ivf_split", "ivfpq_inc", "sq8",
+                     "pq8", "ivfpq", "ivfpq_probe", "ivfpq_adc")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute_c")
            for k in ("lsh_c", "ivf_c", "sq8_c", "pq8_c", "ivfpq_c",
                      "ivfpq_probe_c", "ivfpq_adc_c")]
@@ -2100,6 +2401,17 @@ _ANN_SQL = (
     "at 1M: probed fraction 12.2% -> 3.5%, recall@5 1.0 flat, "
     "post-split shard fold 1.13 s (STRESS.md r12); the drift trigger "
     "(max cell share > 4/nlist, stress_ann_drift) decides WHEN; "
+    "ivfpq_inc (r13) — incremental IVFPQ, the real FAISS maintenance "
+    "shape: the coarse quantizer AND the per-cell PQ codebooks freeze "
+    "on shard 0 (k_c = clamp(8*sqrt(cell0_n), 16, 1024) hash-selected "
+    "from the shard's own cell members), every later shard folds in "
+    "as its own (vec_id, cell, codes) partition — assign + encode, "
+    "one Arrow pass over the shard, 2m-byte packed payload, O(shard) "
+    "— and raw queries probe via the gated ADC kernel over codes with "
+    "tombstones anti-joined; the maintenance index stops being "
+    "corpus-sized (codes vs embeddings: ~16x). Oracle = the batch "
+    "two-stage frozen build, encode-the-union, ADC-score minus "
+    "deletions; hash equality proves codes folds lose nothing; "
     "hardneg — "
     "hard-negative mining for dense-retrieval training: the brute "
     "scorer with the query's positive group (vec_id % 41 stand-in) "
@@ -2178,6 +2490,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
     ivf_inc = _keep(sim_ivf_inc(spark, sf_dir, q_pdf=q_pdf))
     ivf_split = _keep(sim_ivf_split(spark, sf_dir, q_pdf=q_pdf))
+    ivfpq_i = _keep(sim_ivfpq_inc(spark, sf_dir, q_pdf=q_pdf))
     sq8 = _keep(sim_sq8(spark, sf_dir, s))
     pq8 = _keep(sim_pq(spark, sf_dir, s))
     ivfpq = _keep(sim_ivfpq(spark, sf_dir, s, corpus_tag="iid"))
@@ -2268,6 +2581,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf.select(F.lit("ivf").alias("method"), "*"),
         ivf_inc.select(F.lit("ivf_inc").alias("method"), "*"),
         ivf_split.select(F.lit("ivf_split").alias("method"), "*"),
+        ivfpq_i.select(F.lit("ivfpq_inc").alias("method"), "*"),
         sim_hard_negatives(spark, sf_dir, s, q_pdf).select(F.lit("hardneg").alias("method"), "*"),
         sq8.select(F.lit("sq8").alias("method"), "*"),
         pq8.select(F.lit("pq8").alias("method"), "*"),
@@ -2278,6 +2592,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_rows(ivf, "ivf"),
         recall_rows(ivf_inc, "ivf_inc"),
         recall_rows(ivf_split, "ivf_split"),
+        recall_rows(ivfpq_i, "ivfpq_inc"),
         recall_rows(sq8, "sq8"),
         recall_rows(pq8, "pq8"),
         recall_rows(ivfpq, "ivfpq"),
