@@ -400,6 +400,7 @@ def ivfpq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    keep: tuple = (),
 ) -> DataFrame:
     """IVF-sharded PQ ENCODE ONLY (r12 — the true-probe-path codes
     table): for every vector, the per-subspace codes of its most
@@ -419,17 +420,22 @@ def ivfpq_codes(
     on disk before encoding; decode/ADC gather ``Cs[slot]`` directly —
     the searchsorted(cb_id) hop disappears. ``cb`` is a pandas frame or
     a stage_path string (codebook loaded lazily executor-side, the
-    _staged_books contract)."""
+    _staged_books contract). ``keep`` names extra input columns to pass
+    through untouched (r13 — the split-routing fold encodes against the
+    ROOT cell's book via ``cell_col`` while the row's leaf/parent ride
+    along)."""
     import numpy as np
 
     staged = isinstance(cb, str)
     books0 = None if staged else _pq_books(cb, m, cell_col=cell_col)
+    in_fields = {f.name: f for f in corpus.schema.fields}
     schema = StructType(
         [
             StructField(id_col, LongType()),
             StructField(cell_col, LongType()),
             StructField("codes", BinaryType()),
         ]
+        + [in_fields[k] for k in keep]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -459,15 +465,16 @@ def ivfpq_codes(
                     # argmax IS the dense slot: books are cb_id-sorted,
                     # so first-max == smallest cb_id (the oracle's tie)
                     out_slots[ii] = cos.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64").to_numpy(),
-                    cell_col: cells,
-                    "codes": [row.tobytes() for row in out_slots],
-                }
-            )
+            out = {
+                id_col: pdf[id_col].astype("int64").to_numpy(),
+                cell_col: cells,
+                "codes": [row.tobytes() for row in out_slots],
+            }
+            for k in keep:
+                out[k] = pdf[k]
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col, cell_col).mapInPandas(run, schema)
+    return corpus.select(id_col, vec_col, cell_col, *keep).mapInPandas(run, schema)
 
 
 def _unpack_codes(codes_series, m: int):
@@ -489,6 +496,7 @@ def ivfpq_decode(
     id_col: str = "vec_id",
     cell_col: str = "cell",
     vec_col: str = "embedding",
+    keep: tuple = (),
 ) -> DataFrame:
     """Reconstruct vectors FROM THE STAGED CODES TABLE (r12): gather
     each row's m codebook slices by their packed slot (r13 — the codes
@@ -498,17 +506,21 @@ def ivfpq_decode(
     decode cost is candidates x m gathers, never a corpus pass. Input:
     (vec_id, cell, codes: binary — uint16-LE packed); output:
     (vec_id, cell, embedding) — the cell rides through for the
-    probe-pair join."""
+    probe-pair join. ``keep`` passes extra input columns through
+    untouched (r13 — the codes-index split rung decodes against the
+    root book while the row's leaf and original codes ride along)."""
     import numpy as np
 
     staged = isinstance(cb, str)
     books0 = None if staged else _pq_books(cb, m, cell_col=cell_col)
+    in_fields = {f.name: f for f in codes_df.schema.fields}
     schema = StructType(
         [
             StructField(id_col, LongType()),
             StructField(cell_col, LongType()),
             StructField(vec_col, _ARR_D),
         ]
+        + [in_fields[k] for k in keep]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -526,15 +538,18 @@ def ivfpq_decode(
                 rec[idx] = Cs[codes[idx], np.arange(m)[None, :], :].reshape(
                     len(idx), d
                 )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64").to_numpy(),
-                    cell_col: cells,
-                    vec_col: list(rec),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].astype("int64").to_numpy(),
+                cell_col: cells,
+                vec_col: list(rec),
+            }
+            for k in keep:
+                out[k] = pdf[k]
+            yield pd.DataFrame(out)
 
-    return codes_df.select(id_col, cell_col, "codes").mapInPandas(run, schema)
+    return codes_df.select(
+        id_col, cell_col, "codes", *[k for k in keep if k != "codes"]
+    ).mapInPandas(run, schema)
 
 
 def ivfpq_adc_scores(
@@ -546,6 +561,7 @@ def ivfpq_adc_scores(
     m: int = 16,
     id_col: str = "vec_id",
     cell_col: str = "cell",
+    book_col: str | None = None,
 ) -> DataFrame:
     """ASYMMETRIC DISTANCE COMPUTATION over PQ codes (r12 — the FAISS
     ADC table form, the flop-optimal alternative to decode+einsum):
@@ -570,11 +586,19 @@ def ivfpq_adc_scores(
     ``probe_pairs`` is the bounded (query_id, cell) list from
     probe_cells; queries ride in via ``query_pdf`` (query_id, qe, qn).
     Emits (query_id, neighbor_id, cos_sim) for every candidate in a
-    probed cell, self-pairs included (filter downstream)."""
+    probed cell, self-pairs included (filter downstream).
+
+    ``book_col`` (r13 — split indexes): candidates group and match
+    probe_pairs on ``cell_col`` (the LEAF a probe selected) while the
+    codebook is looked up by ``book_col`` (the gen-0 ROOT whose frozen
+    book encoded the row — routing splits never re-encode). LUTs cache
+    per (root, query), shared across a root's leaves. Default: the
+    cell is its own book key (unsplit index)."""
     import numpy as np
 
     staged = isinstance(cb, str)
     books0 = None if staged else _pq_books(cb, m, cell_col=cell_col)
+    bcol = book_col or cell_col
     qids = query_pdf["query_id"].to_numpy(dtype="int64")
     Q = _rows(query_pdf["qe"])
     qn = query_pdf["qn"].to_numpy(dtype="float64")
@@ -592,16 +616,17 @@ def ivfpq_adc_scores(
                 continue
             codes = _unpack_codes(pdf["codes"], m)
             cells = pdf[cell_col].to_numpy(dtype="int64")
+            roots = pdf[bcol].to_numpy(dtype="int64") if bcol != cell_col else cells
             ids = pdf[id_col].to_numpy(dtype="int64")
             outs = []
             for cell in np.unique(cells):
                 qs = cell_queries.get(int(cell))
                 if not qs:
                     continue
-                Cs, cn, _cbids = books[int(cell)]
+                idx = np.flatnonzero(cells == cell)
+                Cs, cn, _cbids = books[int(roots[idx[0]])]
                 if d is None:
                     d = Cs.shape[1] * Cs.shape[2]
-                idx = np.flatnonzero(cells == cell)
                 slots = codes[idx]  # (n, m) — packed slots gather directly (r13)
                 # per-candidate reconstruction norm from the slice-norm
                 # table: |rec|^2 = sum_m |c_(code_m)|^2 — accumulated
@@ -613,7 +638,7 @@ def ivfpq_adc_scores(
                 rnorm = np.sqrt(r2)  # (n,)
                 for qid in qs:
                     qi = qrow[qid]
-                    key = (int(cell), qid)
+                    key = (int(roots[idx[0]]), qid)  # LUT shared across a root's leaves
                     if key not in luts:
                         qsub = Q[qi].reshape(m, -1)
                         luts[key] = np.einsum("ms,kms->km", qsub, Cs)
@@ -637,7 +662,8 @@ def ivfpq_adc_scores(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return codes_df.select(id_col, cell_col, "codes").mapInPandas(run, _SCORE_SCHEMA)
+    cols = [id_col, cell_col, "codes"] + ([bcol] if bcol != cell_col else [])
+    return codes_df.select(*cols).mapInPandas(run, _SCORE_SCHEMA)
 
 
 def assign_nearest_grouped(

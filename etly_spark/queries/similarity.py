@@ -445,11 +445,16 @@ WITH s AS (
     SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
                 / (SELECT COUNT(*) FROM cent)) AS BIGINT) FROM assign)
 ), subc AS MATERIALIZED (
+  -- own-id exclusion (r13): the cell's own centroid row never becomes
+  -- a sub-centroid — leaf ids stay globally unique, so a recursively
+  -- split index can key liveness on the cell id alone (a leaf named
+  -- like its split parent would be born dead). cn_ stays the FULL
+  -- cell count (from hot), matching the engine's sizes[c].
   SELECT cell, vec_id AS sub_id, embedding AS se, nrm AS sn FROM (
     SELECT h.cell, a.vec_id, a.embedding, a.nrm, h.cn_,
            row_number() OVER (PARTITION BY h.cell
                ORDER BY {_CENT_HASH_SQL}, a.vec_id) AS srn
-    FROM assign a JOIN hot h ON h.cell = a.cent_id)
+    FROM assign a JOIN hot h ON h.cell = a.cent_id AND a.vec_id <> h.cell)
   WHERE srn <= LEAST(1024, GREATEST(2,
       CAST(FLOOR(sqrt(CAST(cn_ AS DOUBLE))) AS BIGINT)))
 ), assign2 AS MATERIALIZED (
@@ -517,33 +522,78 @@ def fold_ivf_epoch(
     earlier epoch is read or rewritten (append-only; pinned by
     tests/test_sim_inc.py against byte-level mtimes).
 
-    ``splits_dir`` (r12 — the growable quantizer): when the index has
+    ``splits_dir`` (r12; r13 made it RECURSIVE): when the index has
     HOT-CELL SPLITS (split_hot_cells), arrivals landing in a split
-    parent route one level further — nearest sub-centroid among that
-    parent's splits (assign_nearest_grouped, executor-side against the
-    append-only splits table) — and the epoch partition carries
-    (cent_id=sub, parent=p) for them, NULL parent otherwise. Fold work
-    stays O(shard): the second level touches only the shard's own
-    rows."""
+    node route one level further — nearest sub-centroid among that
+    node's splits (assign_nearest_grouped, executor-side against the
+    append-only splits table) — repeated down the split chain until
+    the row rests in a live leaf; the epoch partition carries
+    (cent_id=leaf, parent=immediate split node) for routed rows, NULL
+    parent otherwise. Fold work stays O(shard * depth): each routing
+    level is one Arrow pass over the shard's own rows, and depth grows
+    ~log(growth) (sqrt-scaled sub-cell counts)."""
     asn = V.assign_nearest(shard.select("vec_id", "embedding", "nrm"), cent_pdf)
+    asn = _route_through_splits(asn, splits_dir)
+    asn.write.mode("overwrite").parquet(os.path.join(postings_dir, f"epoch={epoch}"))
+
+
+def _splits_depth(splits_pdf) -> int:
+    """Longest split chain in the append-only splits table: edges
+    node-cell -> child-cell, counting only children that were
+    THEMSELVES split. Bounded driver work over the (small) splits
+    table; 1 when no sub-cell has re-split."""
+    kids: dict[int, list] = {}
+    for p, c in zip(splits_pdf["parent"], splits_pdf["cent_id"]):
+        kids.setdefault(int(p), []).append(int(c))
+    memo: dict[int, int] = {}
+
+    def depth(node: int) -> int:
+        if node not in kids:
+            return 0
+        if node not in memo:
+            memo[node] = 0  # cycle guard (structurally impossible)
+            memo[node] = 1 + max(depth(c) for c in kids[node])
+        return memo[node]
+
+    return max((depth(p) for p in kids), default=0)
+
+
+def _route_through_splits(
+    asn: DataFrame, splits_dir: str | None, carry: tuple = ()
+) -> DataFrame:
+    """Route coarse-assigned rows (vec_id, embedding, nrm, cent_id)
+    through the committed split chain: one assign_nearest_grouped pass
+    per chain level; rows already resting in a live leaf pass through
+    unchanged (identity groups). Output adds ``parent`` (the immediate
+    split node a routed row descends from; NULL for unrouted rows).
+    ``carry`` columns ride through the passes untouched."""
     parents, token = _splits_state(splits_dir) if splits_dir else ([], "")
-    if parents:
+    if not parents:
+        return asn.withColumn("parent", F.lit(None).cast("long"))
+    depth = _splits_depth(V._read_parquet_dir(splits_dir))
+    cur = asn.withColumn("parent", F.lit(None).cast("long"))
+    for _ in range(depth):
+        # group_col names the splits table's group column ("parent"),
+        # so the row's current cell is renamed to it for the pass
         routed = V.assign_nearest_grouped(
-            asn.withColumnRenamed("cent_id", "parent"),
+            cur.withColumnRenamed("parent", "_pprev").withColumnRenamed(
+                "cent_id", "parent"
+            ),
             splits_dir,
             group_col="parent",
-            out_col="sub",
+            out_col="_s",
             cache_token=token,
         )
-        is_split = F.col("parent").isin(parents)
-        asn = routed.select(
+        moved = F.col("_s") != F.col("parent")  # identity => live leaf already
+        cur = routed.select(
             "vec_id",
             "embedding",
             "nrm",
-            F.when(is_split, F.col("sub")).otherwise(F.col("parent")).alias("cent_id"),
-            F.when(is_split, F.col("parent")).otherwise(F.lit(None).cast("long")).alias("parent"),
+            F.col("_s").alias("cent_id"),
+            F.when(moved, F.col("parent")).otherwise(F.col("_pprev")).alias("parent"),
+            *carry,
         )
-    asn.write.mode("overwrite").parquet(os.path.join(postings_dir, f"epoch={epoch}"))
+    return cur
 
 
 def _splits_state(splits_dir: str | None):
@@ -708,40 +758,49 @@ def _read_postings(spark: SparkSession, post: str) -> DataFrame:
 
 
 def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None) -> dict:
-    """GROWABLE quantizer for the incremental IVF index (r12 — verdict
-    item 2, the log-structured answer): the maintenance loop freezes
-    its coarse quantizer on shard 0, so cells grow unboundedly with the
-    corpus and probe cost is nprobe/nlist of the whole index. Instead
-    of re-freezing (which would invalidate every folded epoch), SPLIT
-    the hot cells:
+    """GROWABLE quantizer for the incremental ANN indexes (r12 —
+    verdict item 2, the log-structured answer; r13 made it RECURSIVE
+    and payload-aware): the maintenance loop freezes its coarse
+    quantizer on shard 0, so cells grow unboundedly with the corpus
+    and probe cost is nprobe/nlist of the whole index. Instead of
+    re-freezing (which would invalidate every folded epoch), SPLIT the
+    hot leaves:
 
-    - a cell whose gen-0 postings exceed ``cap`` (default ceil(N /
-      nlist) — above-average load) gains k_c = clamp(floor(sqrt(
-      cell_n)), 2, 1024) SUB-CENTROIDS, hash-selected within the cell
-      (the centroid_plan rule restricted to the cell's rows — the
-      SemDeDup hot-cell recursion applied to the index);
-    - the cell's existing postings are re-assigned to sub-cells by one
-      bounded matmul pass over THAT CELL ONLY and written as a new
-      never-rewritten segment (``epoch=_split-<parent>`` — underscore
+    - a LIVE LEAF (a gen-0 cell, or any sub-cell from an earlier
+      split) whose postings exceed ``cap`` (default ceil(live_rows /
+      live_leaves) — above-average load) gains k_c = clamp(floor(sqrt(
+      leaf_n)), 2, 1024) SUB-CENTROIDS, hash-selected within the leaf
+      (the centroid_plan rule restricted to the leaf's rows);
+    - leaf ids are GLOBALLY UNIQUE so liveness keys on the cell id
+      alone: a gen-0 split's children keep their member vec_ids (with
+      the cell's OWN id excluded from candidacy — a child named like
+      its split parent would be born dead), while deeper splits mint
+      FRESH NEGATIVE ids (vec_ids are non-negative; a dead leaf id can
+      therefore never be reborn, which name-based liveness requires);
+    - the leaf's existing postings are re-assigned to its sub-cells by
+      one bounded pass over THAT LEAF ONLY and written as a new
+      never-rewritten segment (``epoch=_split-<batch>`` — underscore
       partitions are invisible to compaction's loose-dir fold);
-    - the sub-centroids append to ``quantizer_splits/<parent>.parquet``
-      (append-only; gen-0 quantizer untouched, so every existing epoch
-      stays valid);
+    - the sub-centroids append to ``quantizer_splits/<batch>.parquet``
+      rows (parent=node cell, cent_id=child, ce, cn) — append-only;
+      gen-0 quantizer untouched, every existing epoch stays valid;
     - commit order is segment THEN splits-entry: the segment is inert
-      until the splits table names its parent (probes match split rows
-      on (parent, sub-cell), gen-0 probes on (NULL, cell)), so a crash
-      in between leaves an invisible segment that an idempotent re-run
-      reuses — and _probe_ivf_index's candidate dedup covers the
-      overlap window regardless;
-    - later arrivals route through the splits at fold time
-      (fold_ivf_epoch's splits_dir) — fold stays O(shard).
+      until the splits table names its node, so a crash in between
+      leaves an invisible segment an idempotent re-run reuses — and
+      the probes' candidate dedup covers the overlap window;
+    - later arrivals route through the split CHAIN at fold time
+      (fold_ivf_epoch / fold_ivfpq_epoch) — fold stays
+      O(shard * chain depth).
 
-    Probe cost after splitting a cell drops from cell_n to
-    ~nprobe_sub * cell_n / k_c per probe of that parent. One level of
-    splitting is supported (sub-cells do not re-split; at sqrt-scaled
-    k_c a second level is ~N^(1/4) deep — run split again after the
-    corpus grows another order of magnitude and the NEW hot gen-0
-    cells split then).
+    PAYLOAD-AWARE (r13): over the embedding index the leaf's vectors
+    re-cluster directly; over the CODES index (ivfpq_inc) the rung
+    re-clusters the DECODED reconstructions and the codes payload is
+    never re-encoded — "routing splits, frozen encoding": a sub-cell
+    inherits its gen-0 root's codebook (rows keep parent=root), so ADC
+    scores are bit-unchanged by a split and only the candidate set a
+    probe touches shrinks. Segment rows: embedding index
+    (vec_id, embedding, nrm, cent_id=child, parent=immediate node);
+    codes index (vec_id, cell=child, parent=gen-0 root, codes).
 
     Offline contract like compact/purge: run with NO active writer.
     Returns {"split": [...], "cap": cap, "sub_cells": total}."""
@@ -749,19 +808,26 @@ def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None)
 
     post = os.path.join(index_dir, "postings")
     splits_dir = os.path.join(index_dir, "quantizer_splits")
-    already = set(_splits_state(splits_dir)[0])
-    posts = _read_postings(spark, post)
-    base = posts.where(F.col("parent").isNull())
-    if already:
-        base = base.where(~F.col("cent_id").isin(sorted(already)))
+    already = _splits_state(splits_dir)[0]
+    posts = spark.read.option("mergeSchema", "true").parquet(post)
+    codes_mode = "codes" in posts.columns
+    key = "cell" if codes_mode else "cent_id"
+    if "parent" not in posts.columns:
+        posts = posts.withColumn("parent", F.lit(None).cast("long"))
+    live = posts.where(~F.col(key).isin(already)) if already else posts
     sizes = {
-        int(r["cent_id"]): int(r["n"])
-        for r in base.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        int(r[key]): int(r["n"])
+        for r in live.groupBy(key).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     k = len(V._staged_pdf(os.path.join(index_dir, "quantizer")))
     n = sum(sizes.values())
+    splits_pdf = V._read_parquet_dir(splits_dir) if already else None
+    sub_ids = {int(c) for c in splits_pdf["cent_id"]} if already else set()
+    # effective leaf count: gen-0 cells minus split ones, plus live subs
+    n_split_gen0 = len(set(already) - sub_ids)
+    k_eff = k - n_split_gen0 + len(sub_ids - set(already))
     if cap is None:
-        cap = int(math.ceil(n / float(k))) if k else 0
+        cap = int(math.ceil(n / float(k_eff))) if k_eff else 0
     hot = sorted(c for c, cnt in sizes.items() if cnt > cap)
     if not hot:
         return {"split": [], "cap": cap, "sub_cells": 0, "gen0_cells": k}
@@ -772,25 +838,56 @@ def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None)
 
     from etly_spark.operators.prefix import banded_row_number
 
-    # one BATCH for all hot cells (a per-cell driver loop would be
+    # one BATCH for all hot leaves (a per-leaf driver loop would be
     # nlist Spark jobs — wrong at 1000 hot cells). Deterministic batch
     # id: a crashed run recomputes the same hot set (its splits were
     # never activated) and resumes the same artifacts.
     batch = hashlib.sha1(",".join(map(str, hot)).encode()).hexdigest()[:12]
-    hotrows = base.where(F.col("cent_id").isin(hot))
+    hotrows = live.where(F.col(key).isin(hot))
+    if codes_mode:
+        # decode against the gen-0 root's frozen book; leaf and codes
+        # ride through — the only vectors this rung ever materializes
+        cb_dir = os.path.join(index_dir, "codebooks")
+        hotvecs = V.ivfpq_decode(
+            hotrows.select(
+                "vec_id",
+                F.coalesce(F.col("parent"), F.col("cell")).alias("_root"),
+                F.col("cell").alias("_leaf"),
+                "codes",
+            ),
+            cb_dir,
+            m=_PQ_M,
+            cell_col="_root",
+            keep=("_leaf", "codes"),
+        ).select(
+            "vec_id",
+            "embedding",
+            V.l2_norm_pd(F.col("embedding")).alias("nrm"),
+            F.col("_leaf").alias("cent_id"),
+            F.col("_root").alias("_root"),
+            "codes",
+        )
+    else:
+        hotvecs = hotrows.select("vec_id", "embedding", "nrm", "cent_id")
 
-    # 1. PENDING sub-centroid table, all hot cells in one distributed
-    # pass: per-cell top-k_c by the Knuth hash via the banded rank (no
-    # window on the low-NDV cell key). coalesce(1): activation below
-    # must be ONE atomic file rename — a parent whose sub-centroids
-    # were only partially visible would probe an incomplete sub list.
+    # child ids: gen-0 splits keep member vec_ids; deeper splits mint
+    # fresh negative ids (descending from the smallest already minted)
+    neg_base = 1 + max((-i for i in sub_ids if i < 0), default=0)
+    hot_sub = [c for c in hot if c in sub_ids or c < 0]
+
+    # 1. PENDING sub-centroid table, all hot leaves in one distributed
+    # pass: per-leaf top-k_c by the Knuth hash via the banded rank (no
+    # window on the low-NDV cell key), the node's own id excluded.
+    # coalesce(1): activation below must be ONE atomic file rename — a
+    # node whose sub-centroids were only partially visible would probe
+    # an incomplete sub list.
     pend = os.path.join(index_dir, f"_splits_pending-{batch}")
     if not os.path.isdir(pend):
         kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
             4294967296
         )
         ranked = banded_row_number(
-            hotrows.withColumn("_kh", kh),
+            hotvecs.where(F.col("vec_id") != F.col("cent_id")).withColumn("_kh", kh),
             ["cent_id"],
             F.floor(F.col("_kh") / F.lit(2097152)),
             [F.col("_kh"), F.col("vec_id")],
@@ -801,41 +898,71 @@ def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None)
             for c in hot
         ]
         kc_map = spark.createDataFrame(kc_rows, "_cell long, _kc long")
-        sub_df = (
-            ranked.join(F.broadcast(kc_map), ranked.cent_id == kc_map._cell)
-            .where(F.col("_srn") <= F.col("_kc"))
-            .select(
-                F.col("cent_id").alias("parent"),
-                F.col("vec_id").alias("cent_id"),
-                F.col("embedding").alias("ce"),
-                F.col("nrm").alias("cn"),
-            )
+        picked = ranked.join(F.broadcast(kc_map), ranked.cent_id == kc_map._cell).where(
+            F.col("_srn") <= F.col("_kc")
         )
+        sub_df = picked.where(~F.col("cent_id").isin(hot_sub)).select(
+            F.col("cent_id").alias("parent"),
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+        if hot_sub:
+            # deeper-level children: bounded driver pandas (sum k_c over
+            # the hot subs, the splits-table size class) to mint the
+            # deterministic negative ids in (node, rank) order
+            import pandas as _pd
+
+            sel = (
+                picked.where(F.col("cent_id").isin(hot_sub))
+                .select("cent_id", "_srn", "vec_id", "embedding", "nrm")
+                .toPandas()
+                .sort_values(["cent_id", "_srn"])
+                .reset_index(drop=True)
+            )
+            neg = _pd.DataFrame(
+                {
+                    "parent": sel["cent_id"].astype("int64"),
+                    "cent_id": [-(neg_base + i) for i in range(len(sel))],
+                    "ce": sel["embedding"],
+                    "cn": sel["nrm"].astype("float64"),
+                }
+            )
+            sub_df = sub_df.unionByName(spark.createDataFrame(neg, sub_df.schema))
         tmp = os.path.join(index_dir, f"_splittmp-{_uuid.uuid4().hex[:8]}")
         sub_df.coalesce(1).write.parquet(tmp)
         os.rename(tmp, pend)
 
-    # 2. reassignment SEGMENT: one grouped-assign of the hot cells'
+    # 2. reassignment SEGMENT: one grouped-assign of the hot leaves'
     # rows against the pending table (executor-side, cached per batch)
     seg = os.path.join(post, f"epoch=_split-{batch}")
     if not os.path.isdir(seg):
         routed = V.assign_nearest_grouped(
-            hotrows.select("vec_id", "embedding", "nrm", F.col("cent_id").alias("parent")),
+            hotvecs.withColumnRenamed("cent_id", "parent"),
             pend,
             group_col="parent",
             out_col="sub",
             cache_token=batch,
         )
+        if codes_mode:
+            out = routed.select(
+                "vec_id",
+                F.col("sub").alias("cell"),
+                F.col("_root").alias("parent"),
+                "codes",
+            )
+        else:
+            out = routed.select(
+                "vec_id", "embedding", "nrm", F.col("sub").alias("cent_id"), "parent"
+            )
         tmp = os.path.join(index_dir, f"_splittmp-{_uuid.uuid4().hex[:8]}")
-        routed.select(
-            "vec_id", "embedding", "nrm", F.col("sub").alias("cent_id"), "parent"
-        ).write.parquet(tmp)
+        out.write.parquet(tmp)
         os.rename(tmp, seg)
 
     # 3. ACTIVATE: move the single pending parquet into
     # quantizer_splits/ — one rename; before it the segment is inert
-    # (probes match split rows only for parents the splits table
-    # names), after it the superseded gen-0 rows stop matching.
+    # (liveness keys on the split-node cells the table names), after it
+    # the superseded leaf rows stop matching.
     os.makedirs(splits_dir, exist_ok=True)
     entry = os.path.join(splits_dir, f"{batch}.parquet")
     if not os.path.exists(entry):
@@ -971,6 +1098,33 @@ def sim_ivf_split(
     return _probe_ivf_index(spark, ivf_split_index(spark, sf_dir), qwhere, q_pdf)
 
 
+def _expand_probes(q_pdf, pairs, splits_pdf, split_cells: set, nprobe: int) -> list:
+    """Recursive probe expansion (r13): walk each (query, cell) probe
+    down the split chain — a probe resting on a live leaf emits
+    (query_id, immediate_parent, leaf_cell) with parent -1 for gen-0
+    leaves; a probe on a split node expands to the query's ``nprobe``
+    most cosine-similar children of that node and recurses. Driver
+    work is bounded: per level, Q x (children of probed nodes) numpy
+    via probe_cells; depth ~ the split-chain length."""
+    out = []
+    frontier = [(qid, -1, int(c)) for qid, c in pairs]
+    while frontier:
+        nxt = []
+        by_node: dict[int, list] = {}
+        for qid, par, c in frontier:
+            if c in split_cells:
+                by_node.setdefault(c, []).append(qid)
+            else:
+                out.append((qid, par, c))
+        for node in sorted(by_node):
+            sub = splits_pdf[splits_pdf["parent"] == node]
+            qsub = q_pdf[q_pdf["query_id"].isin(by_node[node])]
+            for qid, s_ in V.probe_cells(qsub, sub, nprobe):
+                nxt.append((qid, node, int(s_)))
+        frontier = nxt
+    return out
+
+
 def _probe_ivf_index(
     spark: SparkSession, d: str, qwhere: str = "vec_id < 8", q_pdf=None
 ) -> DataFrame:
@@ -986,13 +1140,13 @@ def _probe_ivf_index(
     parents, _token = _splits_state(splits_dir)
     assign = _read_postings(spark, os.path.join(d, "postings"))
     if parents:
-        # gen-0 rows of a SPLIT parent are superseded by the split
-        # segment's reassignment (log-structured: they were never
-        # rewritten, they just stop matching) — drop them from the
-        # candidate set; split rows carry (cent_id=sub, parent=p)
-        assign = assign.where(
-            ~(F.col("parent").isNull() & F.col("cent_id").isin(parents))
-        )
+        # a leaf whose cell id the splits table names as a split NODE
+        # is superseded by that split's reassignment segment
+        # (log-structured: its rows were never rewritten, they just
+        # stop matching). Leaf ids are globally unique (r13 — own-id
+        # exclusion + negative deep-split ids), so liveness keys on
+        # the cell id alone at ANY split depth.
+        assign = assign.where(~F.col("cent_id").isin(parents))
     tomb_dir = os.path.join(d, "tombstones")
     if os.path.isdir(tomb_dir):
         # the deletion side-table is result-density-sized; broadcast it
@@ -1018,20 +1172,15 @@ def _probe_ivf_index(
     q = spark.createDataFrame(q_pdf)
     pairs = V.probe_cells(q_pdf, cent_pdf, NPROBE_IVF)
     if parents:
-        # two-level probe (r12): a probed UNSPLIT cell matches gen-0
-        # rows on (NULL parent, cell); a probed SPLIT parent expands to
-        # the query's NPROBE nearest sub-cells of that parent, matching
-        # split rows on (parent, sub). All driver work is bounded:
-        # Q x nlist + Q x k_c numpy.
+        # recursive probe (r12 two-level, r13 any depth): a probed
+        # UNSPLIT leaf matches its rows directly; a probed SPLIT node
+        # expands to the query's NPROBE nearest sub-cells, repeated
+        # down the chain until every probe rests on a live leaf. All
+        # driver work is bounded: Q x nlist + Q x k_c numpy per level.
         splits_pdf = V._read_parquet_dir(splits_dir)
-        pset = set(parents)
-        triples = [(qid, -1, c) for qid, c in pairs if c not in pset]
-        for p in sorted({c for _qid, c in pairs if c in pset}):
-            sub = splits_pdf[splits_pdf["parent"] == p]
-            qids = [qid for qid, c in pairs if c == p]
-            qsub = q_pdf[q_pdf["query_id"].isin(qids)]
-            for qid, s_ in V.probe_cells(qsub, sub, NPROBE_IVF):
-                triples.append((qid, int(p), s_))
+        triples = _expand_probes(
+            q_pdf, pairs, splits_pdf, set(parents), NPROBE_IVF
+        )
         probes = spark.createDataFrame(
             triples, "query_id long, pparent long, qcent long"
         )
@@ -2106,6 +2255,7 @@ def fold_ivfpq_epoch(
     cb_dir: str,
     postings_dir: str,
     epoch: int,
+    splits_dir: str | None = None,
 ) -> None:
     """Fold ONE arriving embedding shard into the CODES-payload
     postings: coarse-assign against the frozen quantizer (one
@@ -2119,13 +2269,37 @@ def fold_ivfpq_epoch(
     clustered by cell so the probe's cell IN filter prunes row groups
     via min/max stats without a per-fold shuffle (epoch partitions are
     shard-sized; the bi-partitioned (cell, epoch) layout is the
-    cluster-FS shape, not worth nlist small files per fold here)."""
+    cluster-FS shape, not worth nlist small files per fold here).
+
+    ``splits_dir`` (r13): arrivals route through the committed split
+    chain like fold_ivf_epoch's — but codes stay encoded against the
+    gen-0 ROOT's frozen book ("routing splits, frozen encoding"), so
+    the epoch carries (cell=leaf, parent=root) for routed rows and the
+    encode pass is unchanged."""
     asn = V.assign_nearest(
-        shard.select("vec_id", "embedding", "nrm"), cent_pdf, out_col="cell"
+        shard.select("vec_id", "embedding", "nrm"), cent_pdf
+    ).withColumn("_root", F.col("cent_id"))  # gen-0 assignment = the book key
+    routed = _route_through_splits(asn, splits_dir, carry=("_root",))
+    frame = routed.select(
+        "vec_id",
+        "embedding",
+        "_root",
+        F.col("cent_id").alias("_leaf"),
+        F.col("parent").alias("_imm"),
     )
-    V.ivfpq_codes(asn, cb_dir, m=_PQ_M, cell_col="cell").sortWithinPartitions(
-        "cell"
-    ).write.mode("overwrite").parquet(os.path.join(postings_dir, f"epoch={epoch}"))
+    codes = V.ivfpq_codes(
+        frame, cb_dir, m=_PQ_M, cell_col="_root", keep=("_leaf", "_imm")
+    ).select(
+        "vec_id",
+        F.col("_leaf").alias("cell"),
+        F.when(F.col("_imm").isNotNull(), F.col("_root"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("parent"),
+        "codes",
+    )
+    codes.sortWithinPartitions("cell").write.mode("overwrite").parquet(
+        os.path.join(postings_dir, f"epoch={epoch}")
+    )
 
 
 def ivfpq_inc_index(spark: SparkSession, sf_dir: str) -> str:
@@ -2197,12 +2371,33 @@ def _probe_ivfpq_index(
     gated ADC kernel — never a reconstruction."""
     cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
     pairs = V.probe_cells(q_pdf, cent_pdf, nprobe)
-    probed = sorted({int(c) for _q, c in pairs})
-    cand = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(os.path.join(d, "postings"))
-        .where(F.col("cell").isin(probed))
+    splits_dir = os.path.join(d, "quantizer_splits")
+    parents, _token = _splits_state(splits_dir)
+    posts = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(d, "postings")
     )
+    if parents:
+        # split-aware (r13): expand probes down the chain to live
+        # leaves, drop superseded leaf rows (cell ∈ split nodes), and
+        # score each candidate against its gen-0 ROOT's frozen book —
+        # "routing splits, frozen encoding": ADC pairs key on the LEAF
+        # the query actually probed, the book on the root the codes
+        # were encoded under (parent=root for routed rows).
+        splits_pdf = V._read_parquet_dir(splits_dir)
+        triples = _expand_probes(q_pdf, pairs, splits_pdf, set(parents), nprobe)
+        adc_pairs = [(qid, leaf) for qid, _par, leaf in triples]
+        probed = sorted({leaf for _q, _p, leaf in triples})
+        cand = (
+            posts.where(~F.col("cell").isin(parents))
+            .where(F.col("cell").isin(probed))
+            .withColumn("_book", F.coalesce(F.col("parent"), F.col("cell")))
+        )
+        book_col = "_book"
+    else:
+        adc_pairs = pairs
+        probed = sorted({int(c) for _q, c in pairs})
+        cand = posts.where(F.col("cell").isin(probed))
+        book_col = None
     tomb_dir = os.path.join(d, "tombstones")
     if os.path.isdir(tomb_dir):
         cand = cand.join(
@@ -2211,7 +2406,8 @@ def _probe_ivfpq_index(
             "left_anti",
         )
     scored = V.ivfpq_adc_scores(
-        cand, os.path.join(d, "codebooks"), q_pdf, pairs, m=_PQ_M
+        cand, os.path.join(d, "codebooks"), q_pdf, adc_pairs, m=_PQ_M,
+        book_col=book_col,
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     # compaction-crash duplicates are bit-exact copies — dedup the
     # candidate-density set, the _probe_ivf_index defensive contract

@@ -916,3 +916,115 @@ def test_ivfpq_inc_compaction_and_purge_preserve_probe(spark, tmp_path):
     assert stats["bytes_after"] < stats["bytes_before"]
     assert not os.path.isdir(os.path.join(d, "tombstones"))
     assert _rows(_probe_ivfpq_index(spark, d, q_pdf)) == before and len(before) > 0
+
+
+def test_recursive_split_mints_negative_leaf_ids(spark, tmp_path):
+    """r13 (verdict item 2): sub-cells can re-split — a second rung at
+    cap=1 splits hot SUB leaves into fresh NEGATIVE leaf ids (a dead
+    leaf id can never be reborn), liveness keys on the cell id alone,
+    folds route arrivals down the chain, and the probe still answers
+    with valid live rows."""
+    from etly_spark.queries.similarity import _splits_state, split_hot_cells
+
+    d = _build_index(spark, str(tmp_path / "idx"))
+    s1 = split_hot_cells(spark, d)
+    assert s1["split"]
+    # second rung: force EVERY live leaf above 1 row to split — this
+    # includes the level-1 sub leaves, which must mint negative ids
+    s2 = split_hot_cells(spark, d, cap=1)
+    splits_dir = os.path.join(d, "quantizer_splits")
+    pdf = V._read_parquet_dir(splits_dir)
+    sub_ids = {int(c) for c in pdf["cent_id"]}
+    split_nodes = {int(p) for p in pdf["parent"]}
+    level1_subs_split = set(s2["split"]) & {int(c) for c in pdf["cent_id"]}
+    assert level1_subs_split, "no level-1 sub leaf was hot at cap=1"
+    assert any(i < 0 for i in sub_ids), "deep split minted no negative ids"
+    # negative children belong to split SUB nodes, not gen-0 cells
+    for p, c in zip(pdf["parent"], pdf["cent_id"]):
+        if int(c) < 0:
+            assert int(p) in sub_ids or int(p) < 0
+    # own-id exclusion: no split node is its own child
+    assert all(int(p) != int(c) for p, c in zip(pdf["parent"], pdf["cent_id"]))
+    parents, _ = _splits_state(splits_dir)
+    assert set(parents) == split_nodes
+    rows = _rows(_probe_ivf_index(spark, d))
+    assert len(rows) > 0
+    # every returned neighbor is a live, non-tombstoned row
+    deleted = {
+        r["vec_id"] for r in spark.read.parquet(os.path.join(d, "tombstones")).collect()
+    }
+    assert not deleted & {n for _q, n, _rk, _c in rows}
+    # fold AFTER the recursive split: arrivals route to live leaves
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = select_centroids(s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0))
+    fold_ivf_epoch(
+        s.where(F.col("vec_id") % 97 == 11),
+        cent_pdf,
+        os.path.join(d, "postings"),
+        88,
+        splits_dir=splits_dir,
+    )
+    ep = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(d, "postings", "epoch=88")
+    )
+    landed = {int(r["cent_id"]) for r in ep.select("cent_id").distinct().collect()}
+    assert not landed & split_nodes, "a fold landed rows in a SPLIT node"
+
+
+def test_codes_split_routing_frozen_encoding(spark, tmp_path):
+    """r13: splitting the CODES index re-clusters decoded vectors but
+    never re-encodes — sub leaves inherit the gen-0 root's book
+    (parent=root), so a probe wide enough to cover every leaf returns
+    BYTE-IDENTICAL rows before and after the split; folds after the
+    split route arrivals to sub leaves with the root riding along."""
+    from etly_spark.queries.similarity import (
+        _probe_ivfpq_index,
+        _splits_state,
+        fold_ivfpq_epoch,
+        split_hot_cells,
+    )
+
+    d = _build_codes_index(spark, str(tmp_path / "pq"))
+    q_pdf = _qpdf(spark)
+    wide_before = _rows(_probe_ivfpq_index(spark, d, q_pdf, nprobe=64))
+    narrow_before = _rows(_probe_ivfpq_index(spark, d, q_pdf))
+    stats = split_hot_cells(spark, d)
+    assert stats["split"], "no codes cell was hot at the default cap"
+    splits_dir = os.path.join(d, "quantizer_splits")
+    parents, _ = _splits_state(splits_dir)
+    # frozen encoding: the all-leaves probe is invariant under the split
+    assert _rows(_probe_ivfpq_index(spark, d, q_pdf, nprobe=64)) == wide_before
+    narrow_after = _rows(_probe_ivfpq_index(spark, d, q_pdf))
+    assert len(narrow_after) == len(narrow_before) > 0
+    # split segment rows carry (cell=sub leaf, parent=gen-0 root)
+    seg = [
+        n
+        for n in os.listdir(os.path.join(d, "postings"))
+        if n.startswith("epoch=_split-")
+    ]
+    assert len(seg) == 1
+    segdf = spark.read.parquet(os.path.join(d, "postings", seg[0]))
+    assert segdf.where(F.col("parent").isNull()).count() == 0
+    assert {int(r["parent"]) for r in segdf.select("parent").distinct().collect()} <= set(
+        stats["split"]
+    )
+    # fold after the split: routed rows land in live leaves, root rides
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
+    fold_ivfpq_epoch(
+        s.where(F.col("vec_id") % 97 == 13),
+        cent_pdf,
+        os.path.join(d, "codebooks"),
+        os.path.join(d, "postings"),
+        87,
+        splits_dir=splits_dir,
+    )
+    ep = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(d, "postings", "epoch=87")
+    )
+    landed = {int(r["cell"]) for r in ep.select("cell").distinct().collect()}
+    assert not landed & set(parents)
+    routed = ep.where(F.col("parent").isNotNull())
+    assert routed.count() > 0
+    for r in routed.select("parent").distinct().collect():
+        assert int(r["parent"]) in set(stats["split"])
