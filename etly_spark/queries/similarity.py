@@ -626,6 +626,138 @@ def fold_ivf_tombstones(deleted: DataFrame, tombstones_dir: str, epoch: int) -> 
     )
 
 
+# The measured split/refreeze TRIGGER (r12, OPERATORS.md): uniform
+# leaf load is 1/nlist, so a leaf holding more than SPLIT_TRIGGER_X
+# cells' worth of postings has degraded probe cost on it by that
+# factor — time to run split_hot_cells. r13 (verdict item 5) surfaces
+# the metric in the LIVE loop instead of only in the offline stress
+# tool: every streamed fold updates a per-epoch counts sidecar
+# (record_fold_drift — O(batch) + O(leaves)), and the offline rungs
+# (compact) recompute it from the index itself.
+SPLIT_TRIGGER_X = 4.0
+_DRIFT_SIDECAR = "drift_stats.json"
+
+
+def _leaf_counts_pyarrow(index_dir: str, root: str) -> dict:
+    """Per-live-leaf postings counts by reading ONLY the leaf-id column
+    of each parquet part (pyarrow — no SparkSession, so the offline
+    compaction rung can emit drift stats too). Handles both payloads
+    (cent_id = embedding index, cell = codes index) and mixed schema
+    generations."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(dirpath, fn)
+            schema = pq.read_schema(fp)
+            key = "cent_id" if "cent_id" in schema.names else "cell"
+            col = pq.read_table(fp, columns=[key])[key]
+            for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+                import collections as _c
+
+                for v, n in _c.Counter(chunk.to_pylist()).items():
+                    counts[int(v)] = counts.get(int(v), 0) + n
+    split_cells = set(_splits_state(os.path.join(index_dir, "quantizer_splits"))[0])
+    return {c: n for c, n in counts.items() if c not in split_cells}
+
+
+def ivf_drift_stats(index_dir: str, counts: dict | None = None) -> dict:
+    """Leaf-load drift metric for an incremental index: max live-leaf
+    share of the postings vs the uniform 1/nlist, and whether the
+    documented split trigger (share > SPLIT_TRIGGER_X / nlist) has
+    fired. ``counts`` lets a caller that already holds per-leaf counts
+    (the fold sidecar) skip the scan."""
+    import pyarrow.parquet as _pq  # noqa: F401 — parquet presence check
+
+    if counts is None:
+        counts = _leaf_counts_pyarrow(index_dir, os.path.join(index_dir, "postings"))
+    qdir = os.path.join(index_dir, "quantizer")
+    nlist = 0
+    if os.path.isdir(qdir):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        nlist = sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(qdir, "*.parquet"))
+        )
+    total = sum(counts.values())
+    max_cell, max_n = (None, 0)
+    for c, n in counts.items():
+        if n > max_n:
+            max_cell, max_n = c, n
+    max_share = (max_n / total) if total else 0.0
+    trigger = (SPLIT_TRIGGER_X / nlist) if nlist else float("inf")
+    return {
+        "nlist": nlist,
+        "total": total,
+        "live_leaves": len(counts),
+        "max_cell": max_cell,
+        "max_share": round(max_share, 6),
+        "trigger_share": round(trigger, 6) if nlist else None,
+        "fired": bool(nlist and max_share > trigger),
+    }
+
+
+def record_fold_drift(index_dir: str, epoch) -> dict:
+    """Post-fold drift accounting for the LIVE maintenance loop (r13 —
+    verdict item 5): add the just-folded epoch's per-leaf counts to the
+    index's ``drift_stats.json`` sidecar and return the cumulative
+    stats, stamping a one-shot ``alert`` the first time the split
+    trigger fires — an operator running the stream learns WHEN to
+    schedule split_hot_cells without ever scanning the index. Cost per
+    fold: one leaf-id-column read of the new epoch partition plus an
+    O(leaves) sidecar rewrite. Replayed epochs overwrite their own
+    entry (exactly-once counts). The sidecar resets on topology change
+    (split/purge delete it); the first fold after that pays one full
+    recount via ivf_drift_stats."""
+    import json as _json
+
+    post = os.path.join(index_dir, "postings")
+    sc_path = os.path.join(index_dir, _DRIFT_SIDECAR)
+    state = {"epochs": {}, "alert": None}
+    if os.path.isfile(sc_path):
+        try:
+            with open(sc_path) as f:
+                state = _json.load(f)
+        except (OSError, ValueError):
+            state = {"epochs": {}, "alert": None}
+    else:
+        # sidecar lost or first fold: one full recount baselines the
+        # counts BEFORE this epoch is added (keyed "_base")
+        base = _leaf_counts_pyarrow(index_dir, post)
+        ep_now = _leaf_counts_pyarrow(index_dir, os.path.join(post, f"epoch={epoch}"))
+        for c, n in ep_now.items():
+            if c in base:
+                base[c] -= n
+                if base[c] <= 0:
+                    del base[c]
+        state["epochs"]["_base"] = {str(c): n for c, n in base.items()}
+    ep_counts = _leaf_counts_pyarrow(index_dir, os.path.join(post, f"epoch={epoch}"))
+    state["epochs"][str(epoch)] = {str(c): n for c, n in ep_counts.items()}
+    cum: dict[int, int] = {}
+    for _eid, cc in state["epochs"].items():
+        for c, n in cc.items():
+            cum[int(c)] = cum.get(int(c), 0) + n
+    stats = ivf_drift_stats(index_dir, counts=cum)
+    if stats["fired"] and not state.get("alert"):
+        state["alert"] = {
+            "epoch": str(epoch),
+            "cell": stats["max_cell"],
+            "share": stats["max_share"],
+        }
+    tmp = f"{sc_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(state, f)
+    os.replace(tmp, sc_path)
+    stats["alert"] = state.get("alert")
+    return stats
+
+
 def compact_ivf_postings(index_dir: str, threshold: int = 64) -> None:
     """Fold loose per-epoch postings/tombstone partitions into
     never-rewritten compacted segments once their count exceeds
@@ -640,11 +772,16 @@ def compact_ivf_postings(index_dir: str, threshold: int = 64) -> None:
     _probe_ivf_index dedupes its candidate set defensively in between.
     Tombstoned rows are NOT purged here (purging needs the tombstone
     set to be final; the anti-join stays correct either way) — that is
-    ``purge_ivf_tombstones``, a separate offline rung."""
+    ``purge_ivf_tombstones``, a separate offline rung.
+
+    Returns the index's drift stats (r13 — ivf_drift_stats: the
+    compaction rung already walks the postings, so the operator gets
+    the split-trigger metric for free from every maintenance pass)."""
     from etly_spark.io.compact import compact_partitions
 
     compact_partitions(os.path.join(index_dir, "postings"), "epoch", threshold)
     compact_partitions(os.path.join(index_dir, "tombstones"), "epoch", threshold)
+    return ivf_drift_stats(index_dir)
 
 
 def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
@@ -733,6 +870,10 @@ def purge_ivf_tombstones(spark: SparkSession, index_dir: str) -> dict:
         shutil.rmtree(os.path.join(post, d), ignore_errors=True)
     if os.path.isdir(tomb):
         shutil.rmtree(tomb, ignore_errors=True)
+    try:  # purged rows invalidate the drift sidecar's counts
+        os.remove(os.path.join(index_dir, _DRIFT_SIDECAR))
+    except FileNotFoundError:
+        pass
     n_after = spark.read.parquet(post).count()
     return {
         "live_rows": n_after,
@@ -971,6 +1112,12 @@ def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None)
             raise RuntimeError(f"expected 1 pending splits part, got {parts}")
         os.rename(parts[0], entry)
     shutil.rmtree(pend, ignore_errors=True)
+    # topology changed: the fold-time drift sidecar's counts refer to
+    # leaves that no longer exist — drop it; the next fold re-baselines
+    try:
+        os.remove(os.path.join(index_dir, _DRIFT_SIDECAR))
+    except FileNotFoundError:
+        pass
     total_sub = len(V._read_parquet_dir(splits_dir))
     return {"split": hot, "cap": cap, "sub_cells": total_sub, "gen0_cells": k}
 

@@ -54,6 +54,7 @@ def start_ivf_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
         centroid_plan,
         fold_ivf_epoch,
         fold_ivf_tombstones,
+        record_fold_drift,
     )
 
     qdir = os.path.join(index_dir, "quantizer")
@@ -104,6 +105,12 @@ def start_ivf_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
                 epoch_id,
                 splits_dir=os.path.join(index_dir, "quantizer_splits"),
             )
+            # live drift accounting (r13): O(batch) leaf-count update
+            # of the sidecar; the first time the max leaf share
+            # crosses the split trigger the sidecar stamps a one-shot
+            # alert — the operator's cue to schedule split_hot_cells
+            # on the next drained window
+            record_fold_drift(index_dir, epoch_id)
         if has_dels:
             fold_ivf_tombstones(
                 dels, os.path.join(index_dir, "tombstones"), epoch_id

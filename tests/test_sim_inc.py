@@ -1028,3 +1028,66 @@ def test_codes_split_routing_frozen_encoding(spark, tmp_path):
     assert routed.count() > 0
     for r in routed.select("parent").distinct().collect():
         assert int(r["parent"]) in set(stats["split"])
+
+
+def test_drift_trigger_fires_in_live_loop(spark, tmp_path):
+    """r13 (verdict item 5): the split trigger (max leaf share >
+    4/nlist) is computed INSIDE the maintenance loop — every streamed
+    fold updates the drift sidecar, and the first epoch whose
+    cumulative max share crosses the trigger stamps a one-shot alert.
+    Deterministic fixture: epoch 0 freezes 32 orthogonal one-hot
+    centroids (share 1/32 each, no fire), epochs 1-2 pile clones into
+    cell 5 — share crosses 4/32 = 0.125 exactly at epoch 2."""
+    import json
+
+    from etly_spark.queries.similarity import (
+        compact_ivf_postings,
+        ivf_drift_stats,
+    )
+    from etly_spark.streaming.ann import start_ivf_index
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+
+    def onehot(i: int) -> list:
+        return [1.0 if j == i % 32 else 0.0 for j in range(32)]
+
+    (src / "s1.json").write_text(
+        "\n".join(
+            json.dumps({"vec_id": i, "embedding": onehot(i)}) for i in range(32)
+        )
+        + "\n"
+    )
+    for e, lo in ((2, 100), (3, 200)):
+        (src / f"s{e}.json").write_text(
+            "\n".join(
+                json.dumps({"vec_id": lo + i, "embedding": onehot(5)})
+                for i in range(3)
+            )
+            + "\n"
+        )
+    # the file source orders batches by mtime — pin strictly increasing
+    # stamps so s1 (the freeze batch) is provably epoch 0
+    for k, name in enumerate(("s1.json", "s2.json", "s3.json")):
+        os.utime(src / name, (1_700_000_000 + k, 1_700_000_000 + k))
+    q = start_ivf_index(
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    with open(os.path.join(idx, "drift_stats.json")) as f:
+        state = json.load(f)
+    alert = state["alert"]
+    # epoch 1: cell5 = 4/35 = 0.114 < 0.125; epoch 2: 7/38 = 0.184 fires
+    assert alert is not None and alert["epoch"] == "2"
+    assert alert["cell"] == 5 and alert["share"] > 0.125
+    # offline recompute agrees, and the compaction rung reports it too
+    off = ivf_drift_stats(idx)
+    assert off["fired"] and off["max_cell"] == 5
+    assert abs(off["max_share"] - alert["share"]) < 1e-9
+    comp = compact_ivf_postings(idx, threshold=1)
+    assert comp["fired"] and comp["max_cell"] == 5

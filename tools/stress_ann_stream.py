@@ -124,6 +124,24 @@ def main() -> int:
     q.awaitTermination(300)
     resumed_loose, _ = count_parts("postings")
 
+    # r13 (verdict item 5): the LIVE loop maintained the drift sidecar
+    # fold by fold — replay it into the max-share curve the operator
+    # watches, before the purge below resets it. Uniform load is
+    # 1/nlist; the one-shot alert marks the first epoch the share
+    # crossed the 4/nlist split trigger.
+    drift = None
+    sc_path = os.path.join(idx, "drift_stats.json")
+    if os.path.isfile(sc_path):
+        with open(sc_path) as f:
+            state = json.load(f)
+        cum: dict = dict(state["epochs"].get("_base", {}))
+        curve = []
+        for eid in sorted((k for k in state["epochs"] if k != "_base"), key=int):
+            for c, n in state["epochs"][eid].items():
+                cum[c] = cum.get(c, 0) + n
+            curve.append(round(max(cum.values()) / sum(cum.values()), 4))
+        drift = {"max_share_curve": curve, "alert": state["alert"]}
+
     # end-state equality: probe == one-shot assign(adds - deletes)
     all_ids = spark.range((n_epochs + 1) * per).select(F.col("id").alias("vec_id"))
     emb = F.transform(
@@ -198,6 +216,7 @@ def main() -> int:
         "loose_after_resume": resumed_loose,
         "end_state_equal": got == want,
         "tombstoned_neighbor_leak": bool(set(deleted) & neighbors),
+        "drift": drift,
     }
     print(json.dumps(out))
     shutil.rmtree(work, ignore_errors=True)
