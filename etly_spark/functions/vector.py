@@ -261,17 +261,25 @@ def assign_nearest(
     return corpus.mapInPandas(assign, schema)
 
 
-def _pq_books(cb_pdf: pd.DataFrame, m: int, *, cell_col: str = "cell") -> dict:
+def _pq_books(
+    cb_pdf: pd.DataFrame, m: int, *, cell_col: str = "cell", presorted: bool = False
+) -> dict:
     """Per-cell codebook tensors from a (cell, cb_id, ce) frame:
     {cell: (Cs[k, m, d/m], cn[k, m], cb_ids[k])}, codewords in cb_id
     order so argmax ties break to the smallest cb_id (the oracle's
-    ORDER BY) and cb_id -> slot lookups are one searchsorted."""
+    ORDER BY) — or, with ``presorted`` (r13, append-only batch books),
+    in the frame's OWN row order (the slot order: batch-major,
+    cb_id within batch), which argmax's first-max tie rule follows."""
     import numpy as np
 
     books: dict[int, tuple] = {}
-    for cell, grp in cb_pdf.groupby(cell_col):
+    for cell, grp in cb_pdf.groupby(cell_col, sort=True):
         cbids = grp["cb_id"].to_numpy(dtype="int64")
-        order = np.argsort(cbids, kind="stable")
+        order = (
+            np.arange(len(cbids))
+            if presorted
+            else np.argsort(cbids, kind="stable")
+        )
         C = _rows(grp["ce"])[order]
         k, d = C.shape
         if d % m:
@@ -318,10 +326,41 @@ def _staged_pdf(path: str) -> pd.DataFrame:
     return _STAGED_CACHE[key]
 
 
-def _staged_books(path: str, m: int) -> dict:
-    key = ("books", path, m)
+def _staged_books(path: str, m: int, token: str = "") -> dict:
+    """Per-cell codebook tensors from a staged path. Two layouts:
+
+    - FLAT stage dir (*.parquet): the immutable static codebook —
+      codewords ordered by cb_id (the oracle's tie rule), cached by
+      path alone.
+    - BATCH dirs (``batch=N/``, r13 — the incremental index's
+      APPEND-ONLY books): codewords ordered by (batch, cb_id) — the
+      SLOT order, stable under appends, so codes encoded against an
+      earlier book state stay valid forever; argmax ties break to the
+      lowest slot (earliest batch, then smallest cb_id). Pass a
+      ``token`` that changes with the batch listing (the
+      assign_nearest_grouped cache contract) or workers serve a stale
+      book after a top-up."""
+    import glob as _glob
+
+    key = ("books", path, m, token)
     if key not in _STAGED_CACHE:
-        _STAGED_CACHE[key] = _pq_books(_staged_pdf(path), m)
+        batches = sorted(
+            _glob.glob(os.path.join(path, "batch=*")),
+            key=lambda d: int(d.rsplit("=", 1)[1]),
+        )
+        if batches:
+            import pandas as _pd
+
+            pdf = _pd.concat(
+                [
+                    _read_parquet_dir(b).sort_values("cb_id", kind="stable")
+                    for b in batches
+                ],
+                ignore_index=True,
+            )
+            _STAGED_CACHE[key] = _pq_books(pdf, m, presorted=True)
+        else:
+            _STAGED_CACHE[key] = _pq_books(_staged_pdf(path), m)
     return _STAGED_CACHE[key]
 
 
@@ -333,6 +372,7 @@ def ivfpq_reconstruct(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    cb_token: str = "",
 ) -> DataFrame:
     """IVF-sharded product quantization (r10): encode+reconstruct each
     vector against ITS COARSE CELL's own codebook — the scale path past
@@ -355,7 +395,7 @@ def ivfpq_reconstruct(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books = _staged_books(cb, m) if staged else books0
+        books = _staged_books(cb, m, cb_token) if staged else books0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -401,6 +441,7 @@ def ivfpq_codes(
     vec_col: str = "embedding",
     cell_col: str = "cell",
     keep: tuple = (),
+    cb_token: str = "",
 ) -> DataFrame:
     """IVF-sharded PQ ENCODE ONLY (r12 — the true-probe-path codes
     table): for every vector, the per-subspace codes of its most
@@ -439,7 +480,7 @@ def ivfpq_codes(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books = _staged_books(cb, m) if staged else books0
+        books = _staged_books(cb, m, cb_token) if staged else books0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -497,6 +538,7 @@ def ivfpq_decode(
     cell_col: str = "cell",
     vec_col: str = "embedding",
     keep: tuple = (),
+    cb_token: str = "",
 ) -> DataFrame:
     """Reconstruct vectors FROM THE STAGED CODES TABLE (r12): gather
     each row's m codebook slices by their packed slot (r13 — the codes
@@ -524,7 +566,7 @@ def ivfpq_decode(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books = _staged_books(cb, m) if staged else books0
+        books = _staged_books(cb, m, cb_token) if staged else books0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -562,6 +604,7 @@ def ivfpq_adc_scores(
     id_col: str = "vec_id",
     cell_col: str = "cell",
     book_col: str | None = None,
+    cb_token: str = "",
 ) -> DataFrame:
     """ASYMMETRIC DISTANCE COMPUTATION over PQ codes (r12 — the FAISS
     ADC table form, the flop-optimal alternative to decode+einsum):
@@ -608,7 +651,7 @@ def ivfpq_adc_scores(
     qrow = {int(q): i for i, q in enumerate(qids)}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books = _staged_books(cb, m) if staged else books0
+        books = _staged_books(cb, m, cb_token) if staged else books0
         d = None
         luts: dict[tuple, "object"] = {}
         for pdf in batches:

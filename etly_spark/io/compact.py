@@ -72,7 +72,9 @@ def recover_covered_partitions(root: str, key: str) -> list[str]:
     prefix = f"{key}="
     covered: dict[str, object] = {}
     for d in os.listdir(root):
-        if not d.startswith(f"{prefix}_compacted-"):
+        # any special (underscore-valued) segment may carry a manifest:
+        # _compacted-* (this module), _codes-* (the ANN encode rung)
+        if not d.startswith(f"{prefix}_"):
             continue
         mf = os.path.join(root, d, _MANIFEST)
         if os.path.isfile(mf):

@@ -952,7 +952,13 @@ def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None)
     already = _splits_state(splits_dir)[0]
     posts = spark.read.option("mergeSchema", "true").parquet(post)
     codes_mode = "codes" in posts.columns
-    key = "cell" if codes_mode else "cent_id"
+    if codes_mode and "embedding" in posts.columns:
+        raise ValueError(
+            "split_hot_cells: mixed raw+codes postings — run "
+            "encode_ivfpq_postings first (the offline rungs run in "
+            "order: encode, then split/purge/compact)"
+        )
+    key = "cent_id"
     if "parent" not in posts.columns:
         posts = posts.withColumn("parent", F.lit(None).cast("long"))
     live = posts.where(~F.col(key).isin(already)) if already else posts
@@ -986,26 +992,33 @@ def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None)
     batch = hashlib.sha1(",".join(map(str, hot)).encode()).hexdigest()[:12]
     hotrows = live.where(F.col(key).isin(hot))
     if codes_mode:
-        # decode against the gen-0 root's frozen book; leaf and codes
-        # ride through — the only vectors this rung ever materializes
-        cb_dir = os.path.join(index_dir, "codebooks")
+        # decode against the gen-0 root's book (root from the splits
+        # chain map); leaf and codes ride through — the only vectors
+        # this rung ever materializes
+        cb_dir, token, _have, _nxt = _book_state(index_dir)
+        roots = _leaf_root_map(splits_dir)
+        if roots:
+            rmap = F.create_map([F.lit(x) for kv in roots.items() for x in kv])
+            root_col = F.coalesce(rmap[F.col("cent_id")], F.col("cent_id"))
+        else:
+            root_col = F.col("cent_id")
         hotvecs = V.ivfpq_decode(
             hotrows.select(
                 "vec_id",
-                F.coalesce(F.col("parent"), F.col("cell")).alias("_root"),
-                F.col("cell").alias("_leaf"),
+                root_col.alias("_root"),
+                F.col("cent_id").alias("_leaf"),
                 "codes",
             ),
             cb_dir,
             m=_PQ_M,
             cell_col="_root",
             keep=("_leaf", "codes"),
+            cb_token=token,
         ).select(
             "vec_id",
             "embedding",
             V.l2_norm_pd(F.col("embedding")).alias("nrm"),
             F.col("_leaf").alias("cent_id"),
-            F.col("_root").alias("_root"),
             "codes",
         )
     else:
@@ -1086,11 +1099,11 @@ def split_hot_cells(spark: SparkSession, index_dir: str, cap: int | None = None)
             cache_token=batch,
         )
         if codes_mode:
+            # codes keep their gen-0 root's encoding ("routing splits,
+            # frozen encoding"); roots are re-derived from the splits
+            # chain at probe/encode time, so no parent column is stored
             out = routed.select(
-                "vec_id",
-                F.col("sub").alias("cell"),
-                F.col("_root").alias("parent"),
-                "codes",
+                "vec_id", F.col("sub").alias("cent_id"), "codes"
             )
         else:
             out = routed.select(
@@ -2291,23 +2304,36 @@ def _ivfpq_inc_sql(
     nprobe: int = 4,
 ) -> str:
     """Batch twin of the incremental IVFPQ index: coarse quantizer
-    frozen on ``cent_where`` (the first arrival shard), per-cell PQ
-    codebooks hash-selected from THAT SHARD's cell members only
-    (k_c = clamp(8*sqrt(cell0_n * _IVFINC_EPOCHS), 16, 1024) — cell0_n
-    is the shard-0 cell size, the growth factor the planned arrival
-    count: exactly what the engine freezes via _cell_codebook_plan's
-    size-for-the-index rule), the whole union encoded against the
-    frozen books, raw queries probing ``nprobe`` cells, ADC
+    frozen on ``cent_where`` (the first arrival shard, nlist sized for
+    the anticipated index), per-cell PQ codebooks selected AT THE
+    ENCODE RUNG from every row it encodes (k_c =
+    clamp(8*sqrt(cell_n), 16, 1024) over the full cell — the static
+    rule; a book restricted to the freeze shard's rows was measured at
+    recall 0.575 vs 0.925 at 1M, STRESS.md r13), the union encoded
+    against those books, raw queries probing ``nprobe`` cells, ADC
     ordered-fold scoring (the _ivfpq_adc_sql float contract),
-    deletions dropped from candidates and queries."""
-    kc = _IVFPQ_KC_SQL.format(n=f"cn_ * {_IVFINC_EPOCHS}")
+    deletions dropped from candidates and queries. This is exactly
+    what fold-raw-epochs + encode_ivfpq_postings produces when one
+    encode rung covers every fold (the gated flow)."""
+    kc = _IVFPQ_KC_SQL.format(n="cn_")
+    # nlist ALSO sizes for the anticipated index (r13, measured): a
+    # maintenance quantizer frozen at the ivf_inc 32-cell shape held
+    # 32*1024 codewords at 1M where the static build holds 125*715 —
+    # recall 0.55 vs 0.925. shard0_n * epochs is the freeze-time
+    # estimate of the finished corpus; at the gated SFs the rule still
+    # clamps to 32, so the gate shape is unchanged.
+    nlist = (
+        "LEAST(1024, GREATEST(32, CAST(FLOOR(sqrt(CAST(COUNT(*) "
+        f"* {_IVFINC_EPOCHS} AS DOUBLE)) / 8.0) AS BIGINT)))"
+    )
     return f"""
 WITH s AS (
   SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
 ), cent AS (
   SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM s
   WHERE {cent_where}
-  ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {K_CENTROIDS}
+  ORDER BY {_CENT_HASH_SQL}, vec_id
+  LIMIT (SELECT {nlist} FROM s WHERE {cent_where})
 ), acell AS MATERIALIZED (
   SELECT vec_id, embedding, cell FROM (
     SELECT s.vec_id, s.embedding, c.cent_id AS cell,
@@ -2317,14 +2343,14 @@ WITH s AS (
                         c.cent_id) AS rn
     FROM s CROSS JOIN cent c) WHERE rn = 1
 ), cb AS MATERIALIZED (
-  -- FROZEN books: shard-0 members of each cell only, k_c from the
-  -- shard-0 cell size (later arrivals never grow or reshape a book)
+  -- encode-rung books: hash-selected from EVERY row the rung encodes
+  -- (deleted rows included — tombstones arrive after the encode)
   SELECT cell, vec_id AS cb_id, embedding AS ce FROM (
     SELECT a.vec_id, a.embedding, a.cell,
            row_number() OVER (PARTITION BY a.cell
                ORDER BY {_CENT_HASH_SQL}, a.vec_id) AS crn,
            COUNT(*) OVER (PARTITION BY a.cell) AS cn_
-    FROM acell a WHERE {cent_where})
+    FROM acell a)
   WHERE crn <= {kc}
 ), subs AS (
   SELECT a.vec_id, a.cell, g.m,
@@ -2399,66 +2425,231 @@ _IVFPQINC_SQL = _ivfpq_inc_sql(
 def fold_ivfpq_epoch(
     shard: DataFrame,
     cent_pdf,
-    cb_dir: str,
     postings_dir: str,
     epoch: int,
     splits_dir: str | None = None,
 ) -> None:
-    """Fold ONE arriving embedding shard into the CODES-payload
-    postings: coarse-assign against the frozen quantizer (one
-    broadcast-matmul pass over the shard), PQ-encode against the
-    frozen per-cell books (one Arrow pass — functions/vector.
-    ivfpq_codes, books loaded lazily executor-side), and append the
-    (vec_id, cell, codes) rows as this epoch's own partition.
-    O(shard) per arrival, no earlier epoch read or rewritten — the
-    fold_ivf_epoch contract with a 2m-byte payload instead of d
-    float64s. sortWithinPartitions on the cell: codes land row-group-
-    clustered by cell so the probe's cell IN filter prunes row groups
-    via min/max stats without a per-fold shuffle (epoch partitions are
-    shard-sized; the bi-partitioned (cell, epoch) layout is the
-    cluster-FS shape, not worth nlist small files per fold here).
+    """Fold ONE arriving embedding shard into the ivfpq_inc index:
+    a RAW append — identical to fold_ivf_epoch (assign against the
+    frozen quantizer, route through any committed splits, write the
+    epoch partition with vectors). The r13 redesign: folds are the
+    WRITE BUFFER of an LSM-shaped index — O(shard), no encode — and
+    quantization happens at the offline encode rung
+    (encode_ivfpq_postings), where the per-cell books can be selected
+    from EVERY row being encoded. The first design encoded at fold
+    time against books frozen from shard 0 alone and measured recall
+    0.575 vs the static path's 0.925 at 1M (STRESS.md r13): codeword
+    fidelity comes from slice-variant density, and a 1/epochs sample
+    simply does not carry it. Until a row is encoded it is served by
+    the probe's exact-scoring raw path (better recall than codes —
+    the buffer is small by the compaction contract)."""
+    fold_ivf_epoch(shard, cent_pdf, postings_dir, epoch, splits_dir=splits_dir)
 
-    ``splits_dir`` (r13): arrivals route through the committed split
-    chain like fold_ivf_epoch's — but codes stay encoded against the
-    gen-0 ROOT's frozen book ("routing splits, frozen encoding"), so
-    the epoch carries (cell=leaf, parent=root) for routed rows and the
-    encode pass is unchanged."""
-    asn = V.assign_nearest(
-        shard.select("vec_id", "embedding", "nrm"), cent_pdf
-    ).withColumn("_root", F.col("cent_id"))  # gen-0 assignment = the book key
-    routed = _route_through_splits(asn, splits_dir, carry=("_root",))
-    frame = routed.select(
-        "vec_id",
-        "embedding",
-        "_root",
-        F.col("cent_id").alias("_leaf"),
-        F.col("parent").alias("_imm"),
+
+def _book_state(index_dir: str):
+    """(books path, cache token, per-cell current sizes, next batch id)
+    for the index's append-only ``codebooks/batch=N`` table. Token =
+    the batch listing (the assign_nearest_grouped cache contract)."""
+    import glob as _glob
+
+    cb_dir = os.path.join(index_dir, "codebooks")
+    batches = sorted(
+        _glob.glob(os.path.join(cb_dir, "batch=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
     )
+    sizes: dict[int, int] = {}
+    for b in batches:
+        pdf = V._read_parquet_dir(b)
+        for c in pdf["cell"]:
+            sizes[int(c)] = sizes.get(int(c), 0) + 1
+    token = "|".join(os.path.basename(b) for b in batches)
+    nxt = (int(batches[-1].rsplit("=", 1)[1]) + 1) if batches else 0
+    return cb_dir, token, sizes, nxt
+
+
+def _leaf_root_map(splits_dir: str | None) -> dict:
+    """{leaf or intermediate cell -> gen-0 ROOT cell} from the splits
+    chain (bounded driver work over the splits table). Cells not in
+    the map are their own root."""
+    parents, _tok = _splits_state(splits_dir) if splits_dir else ([], "")
+    if not parents:
+        return {}
+    pdf = V._read_parquet_dir(splits_dir)
+    up = {int(c): int(p) for p, c in zip(pdf["parent"], pdf["cent_id"])}
+    root: dict[int, int] = {}
+    for c in up:
+        r = c
+        while r in up:
+            r = up[r]
+        root[c] = r
+    return root
+
+
+def encode_ivfpq_postings(spark: SparkSession, index_dir: str) -> dict:
+    """The OFFLINE ENCODE RUNG (r13 — the LSM merge step): quantize the
+    index's loose RAW epoch partitions into one never-rewritten codes
+    segment (``epoch=_codes-N``), topping up the append-only per-cell
+    books first from the very rows being encoded:
+
+    - per gen-0 root cell, target k_c = clamp(8*sqrt(live cell rows),
+      16, 1024) — the static rule over the CURRENT corpus, so the
+      first encode (covering everything folded so far) selects books
+      statistically identical to a static build's (recall parity
+      measured at 1M, STRESS.md r13), and later encodes GROW the books
+      from their own batches as the corpus grows;
+    - book appends are slot-stable (``codebooks/batch=N`` dirs; slot
+      order = batch-major, cb_id within batch — functions/vector.
+      _staged_books), so codes written against an earlier book state
+      stay valid forever;
+    - the segment commits with one rename carrying a _folded.json
+      content-marker manifest of the raw dirs it absorbed (the
+      compaction crash contract — recovery heals a half-finished
+      removal, the probe's dedup covers the window);
+    - cost is O(rows encoded) per run — the compaction amortization,
+      never O(index).
+
+    Offline contract like compact/purge: NO active writer. Returns
+    {"encoded_rows", "book_rows_added", "segments", "raw_dirs"}."""
+    import json as _json
+    import shutil
+    import uuid as _uuid
+
+    from etly_spark.io.compact import partition_marker, recover_covered_partitions
+    from etly_spark.operators.prefix import banded_row_number
+
+    post = os.path.join(index_dir, "postings")
+    recover_covered_partitions(post, "epoch")
+    raw_dirs = sorted(
+        d
+        for d in os.listdir(post)
+        if d.startswith("epoch=") and not d.startswith("epoch=_")
+    )
+    if not raw_dirs:
+        return {"encoded_rows": 0, "book_rows_added": 0, "segments": 0,
+                "raw_dirs": 0}
+    raws = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(post, d) for d in raw_dirs]
+    )
+    if "parent" not in raws.columns:
+        raws = raws.withColumn("parent", F.lit(None).cast("long"))
+    splits_dir = os.path.join(index_dir, "quantizer_splits")
+    roots = _leaf_root_map(splits_dir)
+    root_col = (
+        F.coalesce(
+            *(
+                [F.create_map([F.lit(x) for kv in roots.items() for x in kv])[
+                    F.col("cent_id")
+                ]]
+                if roots
+                else []
+            ),
+            F.col("cent_id"),
+        )
+        if roots
+        else F.col("cent_id")
+    )
+    base = scoped_persist(
+        raws.select(
+            "vec_id", "embedding", "nrm",
+            F.col("cent_id").alias("_leaf"),
+            root_col.alias("_root"),
+        ),
+        eager=False,
+    )
+    # --- book top-up: target from CURRENT live rows per root (coded
+    # rows counted too — the target tracks the whole index, the quota
+    # is what this batch may add)
+    cb_dir, token, have, nxt = _book_state(index_dir)
+    live = spark.read.option("mergeSchema", "true").parquet(post)
+    if "parent" not in live.columns:
+        live = live.withColumn("parent", F.lit(None).cast("long"))
+    parents, _tok = _splits_state(splits_dir)
+    if parents:
+        live = live.where(~F.col("cent_id").isin(parents))
+    lr = {int(k): int(v) for k, v in roots.items()}
+    root_of = lambda c: lr.get(int(c), int(c))  # noqa: E731
+    sizes: dict[int, int] = {}
+    for r in live.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n")).collect():
+        rc = root_of(r["cent_id"])
+        sizes[rc] = sizes.get(rc, 0) + int(r["n"])
+    import math
+
+    quota = {
+        c: max(0, min(1024, max(16, int(math.floor(8.0 * math.sqrt(n_))))) - have.get(c, 0))
+        for c, n_ in sizes.items()
+    }
+    quota = {c: q for c, q in quota.items() if q > 0}
+    added = 0
+    if quota:
+        kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+            4294967296
+        )
+        ranked = banded_row_number(
+            base.withColumn("_kh", kh),
+            ["_root"],
+            F.floor(F.col("_kh") / F.lit(2097152)),
+            [F.col("_kh"), F.col("vec_id")],
+            "_crn",
+        )
+        qmap = spark.createDataFrame(sorted(quota.items()), "_qc long, _q long")
+        batch_df = (
+            ranked.join(F.broadcast(qmap), ranked._root == qmap._qc)
+            .where(F.col("_crn") <= F.col("_q"))
+            .select(
+                F.col("_root").alias("cell"),
+                F.col("vec_id").alias("cb_id"),
+                F.col("embedding").alias("ce"),
+            )
+        )
+        bdir = os.path.join(cb_dir, f"batch={nxt}")
+        if not os.path.isdir(bdir):
+            os.makedirs(cb_dir, exist_ok=True)
+            tmp = os.path.join(index_dir, f"_booktmp-{_uuid.uuid4().hex[:8]}")
+            batch_df.coalesce(1).write.parquet(tmp)
+            os.rename(tmp, bdir)
+        added = spark.read.parquet(bdir).count()
+        _cb, token, _have, _nxt = _book_state(index_dir)
+
+    # --- encode the raw rows against the full current book state
     codes = V.ivfpq_codes(
-        frame, cb_dir, m=_PQ_M, cell_col="_root", keep=("_leaf", "_imm")
-    ).select(
-        "vec_id",
-        F.col("_leaf").alias("cell"),
-        F.when(F.col("_imm").isNotNull(), F.col("_root"))
-        .otherwise(F.lit(None).cast("long"))
-        .alias("parent"),
-        "codes",
-    )
-    codes.sortWithinPartitions("cell").write.mode("overwrite").parquet(
-        os.path.join(postings_dir, f"epoch={epoch}")
-    )
+        base, cb_dir, m=_PQ_M, cell_col="_root", keep=("_leaf",), cb_token=token
+    ).select("vec_id", F.col("_leaf").alias("cent_id"), "codes")
+    n_enc = None
+    segs = [
+        int(d.rsplit("-", 1)[1])
+        for d in os.listdir(post)
+        if d.startswith("epoch=_codes-")
+    ]
+    seg = os.path.join(post, f"epoch=_codes-{(max(segs) + 1) if segs else 1:06d}")
+    tmp = os.path.join(post, f"_codes-tmp-{_uuid.uuid4().hex[:8]}")
+    codes.sortWithinPartitions("cent_id").write.parquet(tmp)
+    with open(os.path.join(tmp, "_folded.json"), "w") as f:
+        _json.dump(
+            {d: partition_marker(os.path.join(post, d)) for d in raw_dirs}, f
+        )
+    os.rename(tmp, seg)
+    for d in raw_dirs:
+        shutil.rmtree(os.path.join(post, d), ignore_errors=True)
+    n_enc = spark.read.parquet(seg).count()
+    return {
+        "encoded_rows": n_enc,
+        "book_rows_added": added,
+        "segments": len(segs) + 1,
+        "raw_dirs": len(raw_dirs),
+    }
 
 
 def ivfpq_inc_index(spark: SparkSession, sf_dir: str) -> str:
     """The incrementally-maintained IVFPQ index for ``sf_dir`` (built
     once per process, the ivf_inc_index contract): ``quantizer/`` (the
-    frozen shard-0 coarse centroids), ``codebooks/`` (the FROZEN
-    per-cell PQ books — hash-selected from shard 0's cell members,
-    k_c = clamp(8*sqrt(cell0_n), 16, 1024)), ``postings/epoch=e/``
-    (one append-only codes partition per arrival shard) and
-    ``tombstones/epoch=e/``. The deep difference vs ivf_inc_index: the
-    postings carry 2m-byte PQ codes, not embeddings — the maintenance
-    index stops being corpus-sized."""
+    frozen shard-0 coarse centroids, nlist sized for the ANTICIPATED
+    index — shard0_n * epochs), raw epochs folded O(shard) as the
+    write buffer (fold_ivfpq_epoch), then ONE encode rung
+    (encode_ivfpq_postings) quantizes them into a codes segment with
+    books selected from the full folded pool, and a deletion batch
+    lands as a tombstone partition. The steady-state payload is
+    ``codebooks/batch=N`` + ``postings/epoch=_codes-N`` — codes-sized,
+    not corpus-sized."""
     import hashlib
     import uuid
 
@@ -2473,23 +2664,17 @@ def ivfpq_inc_index(spark: SparkSession, sf_dir: str) -> str:
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         s = _normed(load_table(spark, sf_dir, "embeddings"))
         shard0 = s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0)
-        # the freeze: coarse quantizer AND per-cell codebooks from
-        # shard 0 alone — the only state later arrivals depend on
-        centroid_plan(shard0).write.parquet(os.path.join(tmp, "quantizer"))
+        nlist = _ivfpq_cells(shard0.count() * _IVFINC_EPOCHS)
+        centroid_plan(shard0, k=nlist).write.parquet(os.path.join(tmp, "quantizer"))
         cent_pdf = V._staged_pdf(os.path.join(tmp, "quantizer"))
-        asn0 = V.assign_nearest(
-            shard0.select("vec_id", "embedding", "nrm"), cent_pdf, out_col="cell"
-        )
-        cb_dir = os.path.join(tmp, "codebooks")
-        _cell_codebook_plan(asn0, growth=_IVFINC_EPOCHS).write.parquet(cb_dir)
         for e in range(_IVFINC_EPOCHS):
             fold_ivfpq_epoch(
                 s.where(F.col("vec_id") % _IVFINC_EPOCHS == e),
                 cent_pdf,
-                cb_dir,
                 os.path.join(tmp, "postings"),
                 e,
             )
+        encode_ivfpq_postings(spark, tmp)
         fold_ivf_tombstones(
             s.where(F.expr(_IVFINC_DEL)), os.path.join(tmp, "tombstones"), 0
         )
@@ -2508,14 +2693,16 @@ def ivfpq_inc_index(spark: SparkSession, sf_dir: str) -> str:
 def _probe_ivfpq_index(
     spark: SparkSession, d: str, q_pdf, nprobe: int = NPROBE_IVF
 ) -> DataFrame:
-    """Query an ivfpq_inc-shaped index directory (quantizer/ +
-    codebooks/ + codes postings/ [+ tombstones/]): raw queries
-    (``q_pdf`` — the caller owns the queries-are-not-deleted
-    invariant, like _probe_ivf_index's q_pdf contract) probe their
-    ``nprobe`` nearest frozen cells, ONLY probed cells' codes are
-    scanned (row-group-pruned via the fold-time cell clustering),
-    tombstones broadcast-anti-join out, and candidates score via the
-    gated ADC kernel — never a reconstruction."""
+    """Query an ivfpq_inc-shaped index (quantizer/ + codebooks/ +
+    postings with codes segments and possibly a raw write buffer
+    [+ tombstones/ + quantizer_splits/]): raw queries (``q_pdf`` — the
+    caller owns the queries-are-not-deleted invariant) probe their
+    ``nprobe`` nearest frozen cells (split nodes expand recursively to
+    live leaves), tombstones broadcast-anti-join out, and candidates
+    score on a TWO-PAYLOAD union: coded rows via the gated ADC kernel
+    against their gen-0 root's book, raw buffer rows via the exact
+    einsum pair scorer — the LSM read path (quantized segments + an
+    exactly-scored memtable)."""
     cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
     pairs = V.probe_cells(q_pdf, cent_pdf, nprobe)
     splits_dir = os.path.join(d, "quantizer_splits")
@@ -2524,27 +2711,14 @@ def _probe_ivfpq_index(
         os.path.join(d, "postings")
     )
     if parents:
-        # split-aware (r13): expand probes down the chain to live
-        # leaves, drop superseded leaf rows (cell ∈ split nodes), and
-        # score each candidate against its gen-0 ROOT's frozen book —
-        # "routing splits, frozen encoding": ADC pairs key on the LEAF
-        # the query actually probed, the book on the root the codes
-        # were encoded under (parent=root for routed rows).
         splits_pdf = V._read_parquet_dir(splits_dir)
         triples = _expand_probes(q_pdf, pairs, splits_pdf, set(parents), nprobe)
-        adc_pairs = [(qid, leaf) for qid, _par, leaf in triples]
-        probed = sorted({leaf for _q, _p, leaf in triples})
-        cand = (
-            posts.where(~F.col("cell").isin(parents))
-            .where(F.col("cell").isin(probed))
-            .withColumn("_book", F.coalesce(F.col("parent"), F.col("cell")))
-        )
-        book_col = "_book"
+        leaf_pairs = [(qid, leaf) for qid, _par, leaf in triples]
+        posts = posts.where(~F.col("cent_id").isin(parents))
     else:
-        adc_pairs = pairs
-        probed = sorted({int(c) for _q, c in pairs})
-        cand = posts.where(F.col("cell").isin(probed))
-        book_col = None
+        leaf_pairs = [(int(q), int(c)) for q, c in pairs]
+    probed = sorted({leaf for _q, leaf in leaf_pairs})
+    cand = posts.where(F.col("cent_id").isin(probed))
     tomb_dir = os.path.join(d, "tombstones")
     if os.path.isdir(tomb_dir):
         cand = cand.join(
@@ -2552,12 +2726,55 @@ def _probe_ivfpq_index(
             "vec_id",
             "left_anti",
         )
-    scored = V.ivfpq_adc_scores(
-        cand, os.path.join(d, "codebooks"), q_pdf, adc_pairs, m=_PQ_M,
-        book_col=book_col,
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
-    # compaction-crash duplicates are bit-exact copies — dedup the
-    # candidate-density set, the _probe_ivf_index defensive contract
+    cand = scoped_persist(cand, eager=False)
+    has_codes = "codes" in cand.columns
+    has_raw = "embedding" in cand.columns
+    roots = _leaf_root_map(splits_dir)
+    parts = []
+    cb_dir, token, _have, _nxt = _book_state(d)
+    if has_codes:
+        coded = cand.where(F.col("codes").isNotNull()).select(
+            "vec_id", "cent_id", "codes"
+        )
+        if roots:
+            rmap = F.create_map([F.lit(x) for kv in roots.items() for x in kv])
+            coded = coded.withColumn(
+                "_book", F.coalesce(rmap[F.col("cent_id")], F.col("cent_id"))
+            )
+        else:
+            coded = coded.withColumn("_book", F.col("cent_id"))
+        parts.append(
+            V.ivfpq_adc_scores(
+                coded, cb_dir, q_pdf, leaf_pairs, m=_PQ_M,
+                cell_col="cent_id", book_col="_book", cb_token=token,
+            )
+        )
+    if has_raw:
+        raw = cand.where(
+            F.col("codes").isNull() if has_codes else F.lit(True)
+        ).select("vec_id", "embedding", "nrm", "cent_id")
+        probes = spark.createDataFrame(leaf_pairs, "query_id long, qcent long")
+        q = spark.createDataFrame(q_pdf)
+        parts.append(
+            F.broadcast(probes)
+            .join(F.broadcast(q), "query_id")
+            .join(
+                raw,
+                (F.col("cent_id") == F.col("qcent"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _cos_pair().alias("cos_sim"),
+            )
+        )
+    scored = parts[0]
+    for p_ in parts[1:]:
+        scored = scored.unionByName(p_)
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    # compaction/encode-crash duplicates are bit-exact copies — dedup
+    # the candidate-density set, the _probe_ivf_index contract
     scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     return _topk(scored, 5)
 
@@ -2565,12 +2782,13 @@ def _probe_ivfpq_index(
 def sim_ivfpq_inc(
     spark: SparkSession, sf_dir: str, qwhere: str = "vec_id < 8", q_pdf=None
 ) -> DataFrame:
-    """Query the incrementally-folded IVFPQ index (r13): the ivf_inc
-    maintenance loop with the production payload — frozen quantizer +
-    frozen per-cell books, O(shard) codes folds, tombstones, ADC
-    probe. Gated hash-identical to the oracle's batch two-stage
-    build-minus-deletes (_ivfpq_inc_sql), proving append-only
-    maintenance over CODES loses nothing vs the batch index."""
+    """Query the incrementally-maintained IVFPQ index (r13): raw
+    O(shard) folds as the write buffer, books selected at the offline
+    encode rung from the full folded pool (static recall parity —
+    measured at 1M), packed codes probed via the gated ADC kernel,
+    tombstones anti-joined. Gated hash-identical to the oracle's batch
+    two-stage build-minus-deletes (_ivfpq_inc_sql), proving the
+    fold-then-encode maintenance loses nothing vs the batch index."""
     d = ivfpq_inc_index(spark, sf_dir)
     if q_pdf is None:
         # queries stay RAW (asymmetric ADC) — from the corpus, not the
@@ -2744,17 +2962,19 @@ _ANN_SQL = (
     "at 1M: probed fraction 12.2% -> 3.5%, recall@5 1.0 flat, "
     "post-split shard fold 1.13 s (STRESS.md r12); the drift trigger "
     "(max cell share > 4/nlist, stress_ann_drift) decides WHEN; "
-    "ivfpq_inc (r13) — incremental IVFPQ, the real FAISS maintenance "
-    "shape: the coarse quantizer AND the per-cell PQ codebooks freeze "
-    "on shard 0 (k_c = clamp(8*sqrt(cell0_n), 16, 1024) hash-selected "
-    "from the shard's own cell members), every later shard folds in "
-    "as its own (vec_id, cell, codes) partition — assign + encode, "
-    "one Arrow pass over the shard, 2m-byte packed payload, O(shard) "
-    "— and raw queries probe via the gated ADC kernel over codes with "
-    "tombstones anti-joined; the maintenance index stops being "
-    "corpus-sized (codes vs embeddings: ~16x). Oracle = the batch "
-    "two-stage frozen build, encode-the-union, ADC-score minus "
-    "deletions; hash equality proves codes folds lose nothing; "
+    "ivfpq_inc (r13) — incremental IVFPQ, the LSM-shaped maintenance "
+    "index: the coarse quantizer freezes on shard 0 (nlist sized for "
+    "the anticipated index), shards fold RAW as the O(shard) write "
+    "buffer, and the offline encode rung (encode_ivfpq_postings) "
+    "selects the per-cell books from the rows it encodes (books "
+    "frozen from the sample alone measured recall 0.575 vs 0.925 at "
+    "1M) and quantizes the buffer into slot-stable codes segments "
+    "(2m-byte packed payload); the probe unions ADC over codes with "
+    "exact scoring over the raw buffer, tombstones anti-joined; the "
+    "steady index is codes-sized (~8x smaller than raw at 1M). "
+    "Oracle = the batch two-stage frozen-quantizer build with "
+    "encode-rung books, ADC-score minus deletions; hash equality "
+    "proves fold-then-encode maintenance loses nothing; "
     "hardneg — "
     "hard-negative mining for dense-retrieval training: the brute "
     "scorer with the query's positive group (vec_id % 41 stand-in) "

@@ -772,31 +772,30 @@ def test_ivfpq_codes_payload_is_packed_binary(spark):
 # as 2m-byte packed codes, ADC probe.
 
 
-def _build_codes_index(spark, root: str) -> str:
+def _build_codes_index(spark, root: str, encode: bool = True) -> str:
     """A throwaway ivfpq_inc-shaped index built through the production
-    freeze/fold functions."""
+    freeze/fold/encode functions (r13 LSM shape: raw folds are the
+    write buffer; encode=False leaves the buffer unencoded)."""
     from etly_spark.queries.similarity import (
-        _cell_codebook_plan,
+        _ivfpq_cells,
+        encode_ivfpq_postings,
         fold_ivfpq_epoch,
     )
 
     s = _normed(load_table(spark, SF, "embeddings"))
     shard0 = s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0)
-    centroid_plan(shard0).write.parquet(os.path.join(root, "quantizer"))
+    nlist = _ivfpq_cells(shard0.count() * _IVFINC_EPOCHS)
+    centroid_plan(shard0, k=nlist).write.parquet(os.path.join(root, "quantizer"))
     cent_pdf = V._staged_pdf(os.path.join(root, "quantizer"))
-    asn0 = V.assign_nearest(
-        shard0.select("vec_id", "embedding", "nrm"), cent_pdf, out_col="cell"
-    )
-    cb_dir = os.path.join(root, "codebooks")
-    _cell_codebook_plan(asn0, growth=_IVFINC_EPOCHS).write.parquet(cb_dir)
     for e in range(_IVFINC_EPOCHS):
         fold_ivfpq_epoch(
             s.where(F.col("vec_id") % _IVFINC_EPOCHS == e),
             cent_pdf,
-            cb_dir,
             os.path.join(root, "postings"),
             e,
         )
+    if encode:
+        encode_ivfpq_postings(spark, root)
     fold_ivf_tombstones(
         s.where(F.expr(_IVFINC_DEL)), os.path.join(root, "tombstones"), 0
     )
@@ -834,31 +833,17 @@ def test_ivfpq_inc_matches_batch_oracle(spark):
 
 
 def test_ivfpq_inc_fold_append_only_and_codes_sized(spark, tmp_path):
-    """Folding a codes epoch touches ONLY that epoch, and the codes
-    postings are an ORDER OF MAGNITUDE smaller than the
-    embedding-payload maintenance postings over the same corpus — the
-    whole point: the maintenance index stops being corpus-sized."""
-
-    d = _build_codes_index(spark, str(tmp_path / "pq"))
-    post = os.path.join(d, "postings")
-    before = _mtimes(post)
-    time.sleep(0.05)
-    s = _normed(load_table(spark, SF, "embeddings"))
-    from etly_spark.queries.similarity import fold_ivfpq_epoch
-
-    cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
-    fold_ivfpq_epoch(
-        s.where(F.col("vec_id") % 101 == 7),
-        cent_pdf,
-        os.path.join(d, "codebooks"),
-        post,
-        99,
+    """r13 LSM shape: raw folds touch ONLY their own epoch (the write
+    buffer is O(shard)); after the encode rung the steady-state
+    postings are an ORDER OF MAGNITUDE smaller than the raw buffer —
+    the maintenance index stops being corpus-sized."""
+    from etly_spark.queries.similarity import (
+        encode_ivfpq_postings,
+        fold_ivfpq_epoch,
     )
-    after = _mtimes(post)
-    touched = {p for p in before if after.get(p) != before[p]}
-    assert not touched
 
-    emb = _build_index(spark, str(tmp_path / "emb"))
+    d = _build_codes_index(spark, str(tmp_path / "pq"), encode=False)
+    post = os.path.join(d, "postings")
 
     def _bytes(root):
         return sum(
@@ -867,9 +852,29 @@ def test_ivfpq_inc_fold_append_only_and_codes_sized(spark, tmp_path):
             for f in ff
         )
 
-    codes_b = _bytes(post)
-    emb_b = _bytes(os.path.join(emb, "postings"))
-    assert codes_b * 4 < emb_b, (codes_b, emb_b)
+    raw_bytes = _bytes(post)
+    before = _mtimes(post)
+    time.sleep(0.05)
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
+    fold_ivfpq_epoch(s.where(F.col("vec_id") % 101 == 7), cent_pdf, post, 99)
+    after = _mtimes(post)
+    touched = {p for p in before if after.get(p) != before[p]}
+    assert not touched
+
+    stats = encode_ivfpq_postings(spark, d)
+    assert stats["raw_dirs"] == _IVFINC_EPOCHS + 1
+    assert stats["encoded_rows"] > 0 and stats["book_rows_added"] > 0
+    loose = [
+        n for n in os.listdir(post)
+        if n.startswith("epoch=") and not n.startswith("epoch=_")
+    ]
+    assert not loose, "encode rung left raw dirs behind"
+    # postings payload shrinks even at this tiny SF (the codebook is
+    # corpus-size-INDEPENDENT and dominates only below ~10k vectors;
+    # the 1M measurement — 24 MB codes vs 190 MB raw — is STRESS.md's)
+    codes_bytes = _bytes(post)
+    assert codes_bytes * 2 < raw_bytes, (codes_bytes, raw_bytes)
 
 
 def test_ivfpq_inc_tombstones_remove_real_neighbor(spark, tmp_path):
@@ -891,31 +896,76 @@ def test_ivfpq_inc_tombstones_remove_real_neighbor(spark, tmp_path):
 
 
 def test_ivfpq_inc_compaction_and_purge_preserve_probe(spark, tmp_path):
-    """compact_ivf_postings and purge_ivf_tombstones are PAYLOAD-
-    agnostic (r13): over the codes table they fold/rewrite the binary
-    codes untouched; probe rows identical across both rungs, tombstone
-    side-table gone and bytes shrunk after the purge."""
+    """compact_ivf_postings and purge_ivf_tombstones over the LSM
+    index: raw buffer epochs folded after the encode rung compact like
+    any loose partitions, the two-payload probe answers identically
+    across compaction AND purge, and purge drops the tombstone
+    side-table + dead rows from the mixed payload."""
     from etly_spark.queries.similarity import (
         _probe_ivfpq_index,
+        fold_ivfpq_epoch,
         purge_ivf_tombstones,
     )
 
-    d = _build_codes_index(spark, str(tmp_path / "pq"))
+    d = _build_codes_index(spark, str(tmp_path / "pq"))  # encoded
+    post = os.path.join(d, "postings")
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
+    # two raw buffer epochs on top of the codes segment (mixed state)
+    fold_ivfpq_epoch(s.where(F.col("vec_id") % 101 == 7), cent_pdf, post, 90)
+    fold_ivfpq_epoch(s.where(F.col("vec_id") % 103 == 5), cent_pdf, post, 91)
     q_pdf = _qpdf(spark)
     before = _rows(_probe_ivfpq_index(spark, d, q_pdf))
+    assert len(before) > 0
     compact_ivf_postings(d, threshold=1)
     loose = [
-        n
-        for n in os.listdir(os.path.join(d, "postings"))
+        n for n in os.listdir(post)
         if n.startswith("epoch=") and not n.startswith("epoch=_")
     ]
     assert not loose
     assert _rows(_probe_ivfpq_index(spark, d, q_pdf)) == before
     stats = purge_ivf_tombstones(spark, d)
     assert stats["purged_rows"] > 0
-    assert stats["bytes_after"] < stats["bytes_before"]
     assert not os.path.isdir(os.path.join(d, "tombstones"))
-    assert _rows(_probe_ivfpq_index(spark, d, q_pdf)) == before and len(before) > 0
+    assert _rows(_probe_ivfpq_index(spark, d, q_pdf)) == before
+
+
+def test_encode_rung_two_payload_probe_and_book_topup(spark, tmp_path):
+    """The LSM read/merge cycle: a pure-raw buffer probes exactly; the
+    encode rung quantizes it (books selected from the full folded
+    pool); later raw folds serve EXACTLY from the buffer beside the
+    codes; a second encode adds a segment WITHOUT growing the books
+    when the target hasn't grown, and encodes under the same book
+    state (slot-stable appends)."""
+    from etly_spark.queries.similarity import (
+        _probe_ivfpq_index,
+        encode_ivfpq_postings,
+        fold_ivfpq_epoch,
+    )
+
+    d = _build_codes_index(spark, str(tmp_path / "pq"), encode=False)
+    post = os.path.join(d, "postings")
+    q_pdf = _qpdf(spark)
+    raw_rows = _rows(_probe_ivfpq_index(spark, d, q_pdf))
+    assert len(raw_rows) > 0  # pure write-buffer probe (exact scores)
+    st1 = encode_ivfpq_postings(spark, d)
+    assert st1["book_rows_added"] > 0 and st1["segments"] == 1
+    coded_rows = _rows(_probe_ivfpq_index(spark, d, q_pdf))
+    assert len(coded_rows) == len(raw_rows)  # quantized scores differ,
+    # the probe contract (Q x 5 rows) does not
+    s = _normed(load_table(spark, SF, "embeddings"))
+    cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
+    fold_ivfpq_epoch(s.where(F.col("vec_id") % 101 == 7), cent_pdf, post, 90)
+    mixed_rows = _rows(_probe_ivfpq_index(spark, d, q_pdf))
+    assert len(mixed_rows) == len(raw_rows)
+    st2 = encode_ivfpq_postings(spark, d)
+    # same corpus-size class: target unchanged -> no book growth, but
+    # the buffer epoch got its own codes segment
+    assert st2["segments"] == 2 and st2["raw_dirs"] == 1
+    assert _rows(_probe_ivfpq_index(spark, d, q_pdf)) is not None
+    # idempotence: nothing left to encode
+    st3 = encode_ivfpq_postings(spark, d)
+    assert st3["raw_dirs"] == 0 and st3["encoded_rows"] == 0
 
 
 def test_recursive_split_mints_negative_leaf_ids(spark, tmp_path):
@@ -973,18 +1023,22 @@ def test_recursive_split_mints_negative_leaf_ids(spark, tmp_path):
 
 def test_codes_split_routing_frozen_encoding(spark, tmp_path):
     """r13: splitting the CODES index re-clusters decoded vectors but
-    never re-encodes — sub leaves inherit the gen-0 root's book
-    (parent=root), so a probe wide enough to cover every leaf returns
-    BYTE-IDENTICAL rows before and after the split; folds after the
-    split route arrivals to sub leaves with the root riding along."""
+    never re-encodes — sub leaves inherit the gen-0 root's book (roots
+    re-derived from the splits chain), so a probe wide enough to cover
+    every leaf returns BYTE-IDENTICAL rows before and after the split;
+    raw folds after the split route to live leaves; a mixed buffer
+    rejects the split rung until encoded."""
+    import pytest
+
     from etly_spark.queries.similarity import (
         _probe_ivfpq_index,
         _splits_state,
+        encode_ivfpq_postings,
         fold_ivfpq_epoch,
         split_hot_cells,
     )
 
-    d = _build_codes_index(spark, str(tmp_path / "pq"))
+    d = _build_codes_index(spark, str(tmp_path / "pq"))  # encoded
     q_pdf = _qpdf(spark)
     wide_before = _rows(_probe_ivfpq_index(spark, d, q_pdf, nprobe=64))
     narrow_before = _rows(_probe_ivfpq_index(spark, d, q_pdf))
@@ -996,7 +1050,7 @@ def test_codes_split_routing_frozen_encoding(spark, tmp_path):
     assert _rows(_probe_ivfpq_index(spark, d, q_pdf, nprobe=64)) == wide_before
     narrow_after = _rows(_probe_ivfpq_index(spark, d, q_pdf))
     assert len(narrow_after) == len(narrow_before) > 0
-    # split segment rows carry (cell=sub leaf, parent=gen-0 root)
+    # split segment rows: (vec_id, cent_id=sub leaf, codes), no parent
     seg = [
         n
         for n in os.listdir(os.path.join(d, "postings"))
@@ -1004,17 +1058,18 @@ def test_codes_split_routing_frozen_encoding(spark, tmp_path):
     ]
     assert len(seg) == 1
     segdf = spark.read.parquet(os.path.join(d, "postings", seg[0]))
-    assert segdf.where(F.col("parent").isNull()).count() == 0
-    assert {int(r["parent"]) for r in segdf.select("parent").distinct().collect()} <= set(
-        stats["split"]
-    )
-    # fold after the split: routed rows land in live leaves, root rides
+    assert set(segdf.columns) == {"vec_id", "cent_id", "codes"}
+    landed_sub = {
+        int(r["cent_id"]) for r in segdf.select("cent_id").distinct().collect()
+    }
+    assert landed_sub and not landed_sub & set(stats["split"])
+    # a raw fold routed through the splits lands in live leaves; the
+    # MIXED state rejects a second split until encoded
     s = _normed(load_table(spark, SF, "embeddings"))
     cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
     fold_ivfpq_epoch(
         s.where(F.col("vec_id") % 97 == 13),
         cent_pdf,
-        os.path.join(d, "codebooks"),
         os.path.join(d, "postings"),
         87,
         splits_dir=splits_dir,
@@ -1022,12 +1077,12 @@ def test_codes_split_routing_frozen_encoding(spark, tmp_path):
     ep = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(d, "postings", "epoch=87")
     )
-    landed = {int(r["cell"]) for r in ep.select("cell").distinct().collect()}
+    landed = {int(r["cent_id"]) for r in ep.select("cent_id").distinct().collect()}
     assert not landed & set(parents)
-    routed = ep.where(F.col("parent").isNotNull())
-    assert routed.count() > 0
-    for r in routed.select("parent").distinct().collect():
-        assert int(r["parent"]) in set(stats["split"])
+    with pytest.raises(ValueError, match="encode_ivfpq_postings first"):
+        split_hot_cells(spark, d)
+    encode_ivfpq_postings(spark, d)
+    assert len(_rows(_probe_ivfpq_index(spark, d, q_pdf))) == len(narrow_before)
 
 
 def test_drift_trigger_fires_in_live_loop(spark, tmp_path):
