@@ -1763,22 +1763,73 @@ def _pq_lloyd_step(base: DataFrame, cent_pdf) -> "object":
     return pd.DataFrame({"cent_id": cids, "ce": [new_ce[c] for c in cids]})
 
 
+def _pq_codebook_path(
+    spark: SparkSession,
+    sf_dir: str,
+    nsrc: DataFrame,
+    n: int,
+    corpus_tag: str | None,
+) -> str:
+    """The TRAINED global PQ codebook as a STAGED artifact (r13):
+    hash-selected initialization refined by _PQ_TRAIN_ITERS
+    deterministic Lloyd iterations. Training is deterministic per
+    corpus, and each iteration is a full assign pass over the training
+    sample plus a bounded driver collect — work a production pipeline
+    runs ONCE when the index is (re)built, not once per query. The
+    product — a k x 64 float64 table, exact through the parquet
+    roundtrip — is staged like the IVFPQ books (_ivfpq_index) and
+    reused by every consumer in the process; per-branch profile at
+    sf0.1 had the in-call retrain at ~4.2 s of sim_pq's 4.7 s warm
+    wall, PER consumer of the un-persisted top-k. ``corpus_tag`` keys
+    the stage (the _ivfpq_index rule: untagged custom frames get a
+    fresh single-use uuid — never another corpus's codebook)."""
+    import math
+    import uuid as _uuid
+
+    from etly_spark.io.staging import stage_path
+
+    tag = corpus_tag if corpus_tag else _uuid.uuid4().hex
+
+    def build() -> DataFrame:
+        cent_pdf = select_centroids(nsrc, k=_pq_k(n))
+        # train on the deterministic hash sample (_pq_train_cap):
+        # identity at every gated SF, bounds the Lloyd joins at any N
+        d_tr = max(1, math.ceil(n / _pq_train_cap(n)))
+        tbase = nsrc.select("vec_id", "embedding").where(
+            (((F.col("vec_id") % 2147483648) * 48271) % 4294967296) % d_tr == 0
+        )
+        for _ in range(_PQ_TRAIN_ITERS):
+            cent_pdf = _pq_lloyd_step(tbase, cent_pdf)
+        return spark.createDataFrame(
+            cent_pdf[["cent_id", "ce"]], "cent_id long, ce array<double>"
+        )
+
+    return stage_path(
+        spark,
+        f"pq-cb:{sf_dir}:{tag}",
+        build,
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
+    )
+
+
 def sim_pq(
     spark: SparkSession,
     sf_dir: str,
     s: DataFrame | None = None,
     qwhere: str = "vec_id < 8",
+    corpus_tag: str | None = None,
 ) -> DataFrame:
-    """PQ ANN: hash-selected codebook INITIALIZATION refined by
-    _PQ_TRAIN_ITERS deterministic Lloyd iterations (r11 — the fixed
-    k=hash-sample rule measured 0.80 clustered recall@5 at 20x where
-    two training sweeps reach 0.90, STRESS.md), then encode+reconstruct
-    in one Arrow pass (functions.vector.pq_reconstruct — codebook in
-    the task closure, ties to smallest cent_id matching the oracle) and
-    the standard symmetric brute pipeline over the reconstructions.
-    The codebook size is corpus-scaled (_pq_k — one count() over the
-    shared persisted frame; capped so every training collect stays
-    bounded at any N)."""
+    """PQ ANN: the STAGED trained codebook (_pq_codebook_path —
+    hash-selected initialization + _PQ_TRAIN_ITERS deterministic Lloyd
+    iterations, r11; the fixed k=hash-sample rule measured 0.80
+    clustered recall@5 at 20x where two training sweeps reach 0.90,
+    STRESS.md), then encode+reconstruct in one Arrow pass
+    (functions.vector.pq_reconstruct — codebook in the task closure,
+    ties to smallest cent_id matching the oracle) and the standard
+    symmetric brute pipeline over the reconstructions. The codebook
+    size is corpus-scaled (_pq_k — one count() over the shared
+    persisted frame; capped so every training collect stays bounded
+    at any N)."""
     # standalone path: persist the normed frame BEFORE the sizing
     # count — it feeds count, centroid selection, per-iteration
     # assignment and encode. Caller-provided frames arrive already
@@ -1792,17 +1843,8 @@ def sim_pq(
     )
     base = nsrc.select("vec_id", "embedding")
     n = nsrc.count()
-    cent_pdf = select_centroids(nsrc, k=_pq_k(n))
-    # train on the deterministic hash sample (_pq_train_cap): identity
-    # at every gated SF, bounds the Lloyd joins at any corpus size
-    import math
-
-    d_tr = max(1, math.ceil(n / _pq_train_cap(n)))
-    tbase = base.where(
-        (((F.col("vec_id") % 2147483648) * 48271) % 4294967296) % d_tr == 0
-    )
-    for _ in range(_PQ_TRAIN_ITERS):
-        cent_pdf = _pq_lloyd_step(tbase, cent_pdf)
+    tag = corpus_tag if corpus_tag else ("iid" if s is None else None)
+    cent_pdf = V._staged_pdf(_pq_codebook_path(spark, sf_dir, nsrc, n, tag))
     sq = scoped_persist(
         _normed(V.pq_reconstruct(base, cent_pdf, m=_PQ_M)), eager=False
     )
@@ -3055,7 +3097,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_split = _keep(sim_ivf_split(spark, sf_dir, q_pdf=q_pdf))
     ivfpq_i = _keep(sim_ivfpq_inc(spark, sf_dir, q_pdf=q_pdf))
     sq8 = _keep(sim_sq8(spark, sf_dir, s))
-    pq8 = _keep(sim_pq(spark, sf_dir, s))
+    pq8 = _keep(sim_pq(spark, sf_dir, s, corpus_tag="iid"))
     ivfpq = _keep(sim_ivfpq(spark, sf_dir, s, corpus_tag="iid"))
     ivfpq_p = _keep(
         sim_ivfpq_probe(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
@@ -3121,7 +3163,9 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sq8_c = _keep(sim_sq8(spark, sf_dir, cb, qwhere=_QC_WHERE))
-    pq8_c = _keep(sim_pq(spark, sf_dir, cb, qwhere=_QC_WHERE))
+    pq8_c = _keep(
+        sim_pq(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
+    )
     ivfpq_c = _keep(
         sim_ivfpq(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
     )

@@ -244,3 +244,22 @@ def test_pq_lloyd_step_matches_numpy_reference(spark):
         assert np.allclose(got[c], want[c].reshape(d), atol=1e-12), c
     # the decoy codeword attracted nothing and survived verbatim
     assert np.array_equal(got[k - 1][:], C[k - 1])
+
+
+def test_trained_pq_codebook_is_staged_and_reused(spark):
+    """r13: the trained global PQ codebook is a staged artifact — the
+    two-Lloyd-iteration training chain runs once per (process, corpus
+    tag); a second sim_pq call with the same tag must hit the stage
+    (no retrain) and return identical rows through the float64-exact
+    parquet roundtrip."""
+    from etly_spark.io import staging
+    from etly_spark.queries.similarity import sim_pq
+
+    sf = "/root/testdata/sf0.001"
+    first = sim_pq(spark, sf, corpus_tag="pqstage-pin").collect()
+    misses = staging.stats["misses"]
+    hits = staging.stats["hits"]
+    second = sim_pq(spark, sf, corpus_tag="pqstage-pin").collect()
+    assert staging.stats["misses"] == misses  # nothing rebuilt
+    assert staging.stats["hits"] == hits + 1  # the codebook stage hit
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
