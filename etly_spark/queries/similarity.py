@@ -2020,6 +2020,53 @@ def _ivfpq_adc_sql(
     way: exactly the Spark kernel's vectorized m-ascending
     accumulation (functions/vector.ivfpq_adc_scores). No flattened
     reconstruction is ever built on either engine."""
+    return f"""{_ivfpq_adc_ranked(src, qwhere, nprobe)}
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _ivfpq_rerank_sql(
+    src: str = "embeddings",
+    qwhere: str = "vec_id < 8",
+    nprobe: int = 4,
+    r: int = 32,
+) -> str:
+    """Refine twin (r13): the ADC chain ranks candidates (UNROUNDED
+    scores — the Spark window's float comparisons), the top ``r`` per
+    query survive as the refine set, and each survivor is re-scored
+    EXACTLY against the raw corpus vector (the brute plan's ordered
+    dot fold) before the final top-5. The candidate cut at rank r
+    breaks ties on (cos_sim DESC, neighbor_id) on both engines and ADC
+    scores are bit-compatible cross-engine, so the refine sets are
+    identical by construction."""
+    return f"""{_ivfpq_adc_ranked(src, qwhere, nprobe)}, cand AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= {r}
+), q2 AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE {qwhere}
+), rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_sql_dot('q2.qe', 'n.embedding')} / (q2.qn * n.nrm) AS cos_sim
+  FROM cand c
+  JOIN q2 ON q2.query_id = c.query_id
+  JOIN s n ON n.vec_id = c.neighbor_id
+), rranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM rranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _ivfpq_adc_ranked(src: str, qwhere: str, nprobe: int) -> str:
+    """The shared ADC scoring chain through ``ranked`` (per-query
+    candidates ordered by the ordered-fold ADC cosine, UNROUNDED) —
+    consumed by the ADC top-5 twin (_ivfpq_adc_sql) and the refine
+    twin (_ivfpq_rerank_sql, which cuts at rank r instead of 5)."""
     return f"""{_ivfpq_chain(src)}, qp AS (
   SELECT s.vec_id AS query_id, s.embedding AS qe, s.nrm AS qn,
          c.cent_id AS pcell,
@@ -2053,11 +2100,7 @@ def _ivfpq_adc_sql(
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
-)
-SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
-FROM ranked WHERE rank <= 5
-ORDER BY query_id, rank
-"""
+)"""
 
 
 def sim_ivfpq(
@@ -2231,16 +2274,34 @@ def sim_ivfpq_adc(
     bit-compatible cross-engine at 6 dp like every other method (they
     legitimately differ in ULPs from the decode probe's 64-dim fold;
     the two paths are separate gated rows, each with its own oracle)."""
+    scored, _nsrc = _ivfpq_adc_scored(
+        spark, sf_dir, s, qwhere, corpus_tag, q_pdf, nprobe
+    )
+    return _topk(scored, 5)
+
+
+def _ivfpq_adc_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None,
+    qwhere: str,
+    corpus_tag: str | None,
+    q_pdf,
+    nprobe: int,
+):
+    """The shared ADC probe plan (unranked scored frame) + the normed
+    corpus frame — consumed by sim_ivfpq_adc (top-5) and
+    sim_ivfpq_rerank (top-R refine set)."""
     asn, cb_path, cent_pdf, tag = _ivfpq_index(spark, sf_dir, s, corpus_tag)
     codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, tag)
-    if q_pdf is None:
-        nsrc = (
-            s
-            if s is not None
-            else scoped_persist(
-                _normed(load_table(spark, sf_dir, "embeddings")), eager=False
-            )
+    nsrc = (
+        s
+        if s is not None
+        else scoped_persist(
+            _normed(load_table(spark, sf_dir, "embeddings")), eager=False
         )
+    )
+    if q_pdf is None:
         q_pdf = _query_pdf(nsrc, qwhere)
     pairs = V.probe_cells(q_pdf, cent_pdf, nprobe)
     probed = sorted({int(c) for _q, c in pairs})
@@ -2248,7 +2309,61 @@ def sim_ivfpq_adc(
     scored = V.ivfpq_adc_scores(cand, cb_path, q_pdf, pairs, m=_PQ_M).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    return _topk(scored, 5)
+    return scored, (nsrc, q_pdf)
+
+
+_RERANK_R = 32  # FAISS refine k_factor shape: re-score ~6x the final k
+
+
+def sim_ivfpq_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+    corpus_tag: str | None = None,
+    q_pdf=None,
+    nprobe: int = NPROBE_IVF,
+    refine_k: int = _RERANK_R,
+) -> DataFrame:
+    """ADC probe + EXACT re-rank (r13 — the FAISS refine step,
+    IndexRefineFlat): the quantized index is a RECALL device, not a
+    precision one — ADC's lookup-table cosines carry PQ quantization
+    error, so the production shape keeps the cheap ADC pass for
+    candidate GENERATION (top ``refine_k`` per query, ~6x the final k)
+    and re-scores only those candidates against their RAW stored
+    vectors before the final top-5. Cost at 100 TB: the ADC probe
+    (nprobe/nlist of a codes-sized index) + Q*refine_k point lookups
+    from the vector store (a pushed IN filter here — the probed-cells
+    contract; a key-value fetch on a cluster) + Q*refine_k exact dots
+    — refine work is independent of corpus size. The candidate ids
+    are a BOUNDED driver collect (Q*refine_k longs — the probe_cells
+    precedent), so the refine scan prunes instead of re-reading the
+    corpus. Final scores are the brute plan's exact ordered-fold
+    cosine, so rank-5 precision equals brute's wherever ADC's top-R
+    contains the true neighbors — the recall_ivfpq_rerank rows measure
+    exactly that lift over raw ADC."""
+    scored, (nsrc, q_pdf) = _ivfpq_adc_scored(
+        spark, sf_dir, s, qwhere, corpus_tag, q_pdf, nprobe
+    )
+    cand_rows = (
+        _topk(scored, refine_k).select("query_id", "neighbor_id").collect()
+    )
+    cand_pairs = [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows]
+    ids = sorted({n for _q, n in cand_pairs})
+    fetched = nsrc.where(F.col("vec_id").isin(ids)).select(
+        "vec_id", "embedding", "nrm"
+    )
+    pairs_df = spark.createDataFrame(
+        cand_pairs, "query_id long, neighbor_id long"
+    )
+    q = spark.createDataFrame(q_pdf)
+    rescored = (
+        F.broadcast(pairs_df)
+        .join(F.broadcast(q), "query_id")
+        .join(fetched, fetched.vec_id == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _cos_pair().alias("cos_sim"))
+    )
+    return _topk(rescored, 5)
 
 
 def sim_ivfpq_probe(
@@ -2928,6 +3043,7 @@ _ANN_METHODS = {
     "ivfpq": _ivfpq_sql(),
     "ivfpq_probe": _ivfpq_probe_sql(),
     "ivfpq_adc": _ivfpq_adc_sql(),
+    "ivfpq_rerank": _ivfpq_rerank_sql(),
     "brute_c": _bf_sql(_CEMB_SQL, _QC_WHERE),
     "lsh_c": _lsh_sql(_CEMB_SQL, _QC_WHERE),
     "ivf_c": _ivf_sql(_CEMB_SQL, _QC_WHERE),
@@ -2936,6 +3052,7 @@ _ANN_METHODS = {
     "ivfpq_c": _ivfpq_sql(_CEMB_SQL, _QC_WHERE),
     "ivfpq_probe_c": _ivfpq_probe_sql(_CEMB_SQL, _QC_WHERE),
     "ivfpq_adc_c": _ivfpq_adc_sql(_CEMB_SQL, _QC_WHERE),
+    "ivfpq_rerank_c": _ivfpq_rerank_sql(_CEMB_SQL, _QC_WHERE),
 }
 
 _ANN_SQL = (
@@ -2946,13 +3063,14 @@ _ANN_SQL = (
         [f"SELECT '{k}' AS method, * FROM m_{k}"
          for k in ("brute", "lsh", "ivf", "ivf_inc", "ivf_split", "ivfpq_inc",
                    "hardneg", "sq8", "pq8", "ivfpq", "ivfpq_probe",
-                   "ivfpq_adc")]
+                   "ivfpq_adc", "ivfpq_rerank")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute")
            for k in ("lsh", "ivf", "ivf_inc", "ivf_split", "ivfpq_inc", "sq8",
-                     "pq8", "ivfpq", "ivfpq_probe", "ivfpq_adc")]
+                     "pq8", "ivfpq", "ivfpq_probe", "ivfpq_adc",
+                     "ivfpq_rerank")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute_c")
            for k in ("lsh_c", "ivf_c", "sq8_c", "pq8_c", "ivfpq_c",
-                     "ivfpq_probe_c", "ivfpq_adc_c")]
+                     "ivfpq_probe_c", "ivfpq_adc_c", "ivfpq_rerank_c")]
     )
     + "\nORDER BY method, query_id, rank\n"
 )
@@ -3105,6 +3223,9 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_a = _keep(
         sim_ivfpq_adc(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
     )
+    ivfpq_r = _keep(
+        sim_ivfpq_rerank(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
+    )
 
     def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
@@ -3181,6 +3302,12 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_pdf=qc_pdf,
         )
     )
+    ivfpq_rc = _keep(
+        sim_ivfpq_rerank(
+            spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+            q_pdf=qc_pdf,
+        )
+    )
 
     tagged = [
         brute.select(F.lit("brute").alias("method"), "*"),
@@ -3195,6 +3322,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq.select(F.lit("ivfpq").alias("method"), "*"),
         ivfpq_p.select(F.lit("ivfpq_probe").alias("method"), "*"),
         ivfpq_a.select(F.lit("ivfpq_adc").alias("method"), "*"),
+        ivfpq_r.select(F.lit("ivfpq_rerank").alias("method"), "*"),
         recall_rows(lsh, "lsh"),
         recall_rows(ivf, "ivf"),
         recall_rows(ivf_inc, "ivf_inc"),
@@ -3205,6 +3333,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_rows(ivfpq, "ivfpq"),
         recall_rows(ivfpq_p, "ivfpq_probe"),
         recall_rows(ivfpq_a, "ivfpq_adc"),
+        recall_rows(ivfpq_r, "ivfpq_rerank"),
         recall_rows(lsh_c, "lsh_c", brute_c),
         recall_rows(ivf_c, "ivf_c", brute_c),
         recall_rows(sq8_c, "sq8_c", brute_c),
@@ -3212,6 +3341,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_rows(ivfpq_c, "ivfpq_c", brute_c),
         recall_rows(ivfpq_pc, "ivfpq_probe_c", brute_c),
         recall_rows(ivfpq_ac, "ivfpq_adc_c", brute_c),
+        recall_rows(ivfpq_rc, "ivfpq_rerank_c", brute_c),
     ]
     out = tagged[0]
     for t in tagged[1:]:

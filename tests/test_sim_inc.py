@@ -1146,3 +1146,45 @@ def test_drift_trigger_fires_in_live_loop(spark, tmp_path):
     assert abs(off["max_share"] - alert["share"]) < 1e-9
     comp = compact_ivf_postings(idx, threshold=1)
     assert comp["fired"] and comp["max_cell"] == 5
+
+
+def test_ivfpq_rerank_refines_within_adc_candidates(spark):
+    """r13: the refine step is a re-ORDERING device, not a new search —
+    every rerank top-5 pair must come from ADC's top-refine_k candidate
+    set, and its score must be the EXACT cosine (equal to the brute
+    plan's score for that pair, which ADC's quantized score generally
+    is not)."""
+    from etly_spark.queries.similarity import (
+        _RERANK_R,
+        sim_ivfpq_adc,
+        sim_ivfpq_rerank,
+        sim_topk_bruteforce,
+    )
+
+    rr = sim_ivfpq_rerank(spark, SF).collect()
+    assert len(rr) > 0
+    # candidate containment: rebuild ADC's refine set (top-R pairs)
+    from etly_spark.queries.similarity import _ivfpq_adc_scored, _topk
+
+    scored, _ = _ivfpq_adc_scored(spark, SF, None, "vec_id < 8", None, None, 4)
+    cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _topk(scored, _RERANK_R).collect()
+    }
+    assert all((r["query_id"], r["neighbor_id"]) in cand for r in rr)
+    # exactness: where rerank and brute agree on a pair, scores match
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim_topk_bruteforce(spark, SF).collect()
+    }
+    common = [r for r in rr if (r["query_id"], r["neighbor_id"]) in bf]
+    assert common, "rerank found none of brute's top-5 — broken refine"
+    for r in common:
+        assert r["cos_sim"] == bf[(r["query_id"], r["neighbor_id"])]
+    # and the refine must dominate raw ADC on recall vs brute
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ivfpq_adc(spark, SF).collect()
+    }
+    rr_pairs = {(r["query_id"], r["neighbor_id"]) for r in rr}
+    assert len(rr_pairs & set(bf)) >= len(adc & set(bf))

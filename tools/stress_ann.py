@@ -167,6 +167,28 @@ def main() -> int:
         ).count()
         out["ivfpq_adc_s"] = round(time.monotonic() - t0, 2)
 
+    if "ivfpq_rerank" in methods:
+        # ADC + exact refine (r13, the FAISS IndexRefineFlat shape):
+        # same staged index, top-R ADC candidates re-scored against
+        # their raw vectors. The lift over raw ADC is the fraction of
+        # true neighbors ADC SURFACES in its top-R but MISRANKS out of
+        # its top-5 — the quantization-error recovery the refine buys.
+        from etly_spark.queries.similarity import sim_ivfpq_rerank
+
+        t0 = time.monotonic()
+        r1 = sim_ivfpq_rerank(
+            spark, SF_DIR, corpus, qwhere=QC_WHERE,
+            corpus_tag=f"clustered-{n}",
+        )
+        out["recall_ivfpq_rerank"] = recall_at5(brute, r1)
+        out["ivfpq_rerank_first_s"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        sim_ivfpq_rerank(
+            spark, SF_DIR, corpus, qwhere=QC_WHERE,
+            corpus_tag=f"clustered-{n}",
+        ).count()
+        out["ivfpq_rerank_s"] = round(time.monotonic() - t0, 2)
+
     if "pq8" in methods:
         t0 = time.monotonic()
         pq8 = sim_pq(spark, SF_DIR, corpus, qwhere=QC_WHERE)
