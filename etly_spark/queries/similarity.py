@@ -2345,12 +2345,25 @@ def sim_ivfpq_rerank(
     scored, (nsrc, q_pdf) = _ivfpq_adc_scored(
         spark, sf_dir, s, qwhere, corpus_tag, q_pdf, nprobe
     )
+    return _exact_refine(spark, scored, refine_k, nsrc, q_pdf)
+
+
+def _exact_refine(
+    spark: SparkSession, scored: DataFrame, refine_k: int, src: DataFrame, q_pdf
+) -> DataFrame:
+    """The shared refine rung: cut the approximate ``scored`` frame at
+    top-``refine_k`` per query (deterministic ties), collect the
+    BOUNDED candidate id set driver-side (Q*refine_k longs — the
+    probe_cells contract), point-fetch their raw vectors from ``src``
+    via a pushed IN filter, and return the exact-cosine top-5. Used by
+    the static index (sim_ivfpq_rerank) and the LSM maintenance index
+    (_probe_ivfpq_index with refine_k set)."""
     cand_rows = (
         _topk(scored, refine_k).select("query_id", "neighbor_id").collect()
     )
     cand_pairs = [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows]
     ids = sorted({n for _q, n in cand_pairs})
-    fetched = nsrc.where(F.col("vec_id").isin(ids)).select(
+    fetched = src.where(F.col("vec_id").isin(ids)).select(
         "vec_id", "embedding", "nrm"
     )
     pairs_df = spark.createDataFrame(
@@ -2848,7 +2861,12 @@ def ivfpq_inc_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _probe_ivfpq_index(
-    spark: SparkSession, d: str, q_pdf, nprobe: int = NPROBE_IVF
+    spark: SparkSession,
+    d: str,
+    q_pdf,
+    nprobe: int = NPROBE_IVF,
+    refine_k: int | None = None,
+    refine_src: DataFrame | None = None,
 ) -> DataFrame:
     """Query an ivfpq_inc-shaped index (quantizer/ + codebooks/ +
     postings with codes segments and possibly a raw write buffer
@@ -2859,7 +2877,15 @@ def _probe_ivfpq_index(
     score on a TWO-PAYLOAD union: coded rows via the gated ADC kernel
     against their gen-0 root's book, raw buffer rows via the exact
     einsum pair scorer — the LSM read path (quantized segments + an
-    exactly-scored memtable)."""
+    exactly-scored memtable).
+
+    ``refine_k`` + ``refine_src`` (r13) add the exact re-rank rung over
+    the MAINTENANCE index: top-refine_k merged candidates (codes + raw
+    buffer, post-tombstone, post-split) are re-scored against their raw
+    vectors in ``refine_src`` — the source-of-truth vector store; the
+    LSM postings deliberately do NOT carry raw embeddings for coded
+    rows, that being the whole codes-sized-index point. Same
+    _exact_refine rung as the static index's sim_ivfpq_rerank."""
     cent_pdf = V._staged_pdf(os.path.join(d, "quantizer"))
     pairs = V.probe_cells(q_pdf, cent_pdf, nprobe)
     splits_dir = os.path.join(d, "quantizer_splits")
@@ -2933,6 +2959,10 @@ def _probe_ivfpq_index(
     # compaction/encode-crash duplicates are bit-exact copies — dedup
     # the candidate-density set, the _probe_ivf_index contract
     scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    if refine_k:
+        if refine_src is None:
+            raise ValueError("refine_k requires refine_src (the raw vector store)")
+        return _exact_refine(spark, scored, refine_k, refine_src, q_pdf)
     return _topk(scored, 5)
 
 

@@ -1188,3 +1188,45 @@ def test_ivfpq_rerank_refines_within_adc_candidates(spark):
     }
     rr_pairs = {(r["query_id"], r["neighbor_id"]) for r in rr}
     assert len(rr_pairs & set(bf)) >= len(adc & set(bf))
+
+
+def test_lsm_probe_refine_rung_is_exact_and_dominates(spark):
+    """r13: the refine rung composes with the MAINTENANCE index — the
+    top-R merged candidates (codes segments + raw write buffer, post-
+    tombstone) re-score against the source-of-truth vector store
+    (refine_src; the LSM postings deliberately carry no raw embeddings
+    for coded rows). Refined scores are exact (equal brute's for the
+    common pairs) and refined recall vs brute dominates the unrefined
+    probe's."""
+    from etly_spark.io.tables import load_table
+    from etly_spark.queries.similarity import (
+        _normed,
+        _probe_ivfpq_index,
+        _query_pdf,
+        ivfpq_inc_index,
+        sim_topk_bruteforce,
+    )
+
+    d = ivfpq_inc_index(spark, SF)
+    nsrc = _normed(load_table(spark, SF, "embeddings"))
+    q_pdf = _query_pdf(nsrc)
+    plain = _probe_ivfpq_index(spark, d, q_pdf).collect()
+    refined = _probe_ivfpq_index(
+        spark, d, q_pdf, refine_k=32, refine_src=nsrc
+    ).collect()
+    assert len(refined) == len(plain) > 0
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim_topk_bruteforce(spark, SF, nsrc, q_pdf).collect()
+    }
+    for r in refined:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in bf:
+            assert r["cos_sim"] == bf[k]
+    hits = lambda rows: len({(r["query_id"], r["neighbor_id"]) for r in rows} & set(bf))  # noqa: E731
+    assert hits(refined) >= hits(plain)
+    # missing refine_src is a loud config error, not a silent fallback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refine_src"):
+        _probe_ivfpq_index(spark, d, q_pdf, refine_k=32)

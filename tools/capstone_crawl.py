@@ -254,7 +254,11 @@ def main() -> None:
     # rides beside the documents one (falls back to the base testdata
     # when the scaled workdir has no embeddings table).
     t0 = time.time()
-    from etly_spark.queries.similarity import sim_ivfpq_adc, sim_ivfpq_probe
+    from etly_spark.queries.similarity import (
+        sim_ivfpq_adc,
+        sim_ivfpq_probe,
+        sim_ivfpq_rerank,
+    )
 
     emb_src = (
         src
@@ -269,6 +273,12 @@ def main() -> None:
     adc_pairs = {
         (r["query_id"], r["neighbor_id"], r["rank"])
         for r in sim_ivfpq_adc(spark, emb_src).collect()
+    }
+    # the full production form (r13): ADC candidates refined by exact
+    # re-scoring against the raw vector store before the final top-k
+    rerank_pairs = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim_ivfpq_rerank(spark, emb_src).collect()
     }
     t["ann_retrieval"] = round(time.time() - t0, 2)
 
@@ -316,6 +326,7 @@ def main() -> None:
                 "ann_neighbors": len(probe_pairs),
                 "ann_emb_src": emb_src,
                 "ann_adc_identical": adc_pairs == probe_pairs,
+                "ann_rerank_neighbors": len(rerank_pairs),
                 "shard_mb": round(shard_bytes / 1e6, 1),
                 "stage_s": t,
                 "end_to_end_s": round(wall, 1),
