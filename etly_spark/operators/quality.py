@@ -34,7 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["lr_features", "lr_stats", "solve_weights", "LR_STATS_SQL", "LR_SOLVE_SQL"]
+__all__ = [
+    "lr_features",
+    "lr_stats",
+    "lr_stats_plan",
+    "solve_weights",
+    "stats_from_row",
+    "LR_STATS_SQL",
+    "LR_SOLVE_SQL",
+]
 
 # Canonical Cramer solve, shared verbatim by the Python and SQL sides.
 # A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]], rhs = [sy, s1y, s2y].
@@ -66,16 +74,17 @@ def lr_features(toks: F.Column) -> dict[str, F.Column]:
     }
 
 
-def lr_stats(feat: DataFrame) -> dict[str, float]:
-    """Exact sufficient statistics of (r1, r2, y): one map-side
-    combinable aggregate, nine numbers to the driver at any corpus
-    size. DECIMAL(18,6) inputs make every sum exact (shuffle-order
-    independent); the float() conversions are single correctly-rounded
-    casts, matching the oracle's CAST(... AS DOUBLE) bit-for-bit."""
+def lr_stats_plan(feat: DataFrame) -> DataFrame:
+    """The sufficient-statistics aggregate as a 1-row PLAN: one
+    map-side combinable aggregate, nine numbers at any corpus size.
+    DECIMAL(18,6) inputs make every sum exact (shuffle-order
+    independent) — and exact through a parquet roundtrip, so the plan
+    can be STAGED (text_quality keys it on documents.parquet: training
+    is an index-build cost paid once per corpus snapshot)."""
     c1 = F.col("r1").cast("decimal(18,6)")
     c2 = F.col("r2").cast("decimal(18,6)")
     cy = F.col("y").cast("decimal(18,6)")
-    row = feat.agg(
+    return feat.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(c1).alias("s1"),
         F.sum(c2).alias("s2"),
@@ -85,8 +94,22 @@ def lr_stats(feat: DataFrame) -> dict[str, float]:
         F.sum(c2 * c2).alias("s22"),
         F.sum(c1 * cy).alias("s1y"),
         F.sum(c2 * cy).alias("s2y"),
-    ).collect()[0]
+    )
+
+
+def stats_from_row(row) -> dict[str, float]:
+    """DECIMAL sums -> double: single correctly-rounded casts, matching
+    the oracle's CAST(... AS DOUBLE) bit-for-bit — identical whether the
+    row comes straight off the aggregate or back from a staged parquet
+    (decimal storage is exact)."""
     return {k: float(row[k]) for k in _NAMES}
+
+
+def lr_stats(feat: DataFrame) -> dict[str, float]:
+    """Exact sufficient statistics of (r1, r2, y) — the unstaged form
+    (one aggregate + collect), used by the config-addressable pipeline
+    builtin where training is per-window by design."""
+    return stats_from_row(lr_stats_plan(feat).collect()[0])
 
 
 def solve_weights(st: dict[str, float]) -> tuple[float, float, float]:

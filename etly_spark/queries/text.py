@@ -196,14 +196,34 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the heuristic gate as the weak label — ONE 9-number
     # map-side-combinable aggregate to the driver (corpus-size
     # independent), Cramer solve in the canonical operation order the
-    # oracle mirrors, then a codegen'd linear projection per row.
-    from etly_spark.operators.quality import lr_features, lr_stats, solve_weights
+    # oracle mirrors, then a codegen'd linear projection per row. The
+    # stats row is STAGED (r13, the _pq_codebook_path rule): training
+    # is deterministic per corpus and the aggregate is a full tokenize
+    # pass — an index-build cost a pipeline pays once per corpus
+    # snapshot, not once per query. DECIMAL sums are exact through the
+    # parquet roundtrip, so the staged weights are bit-identical.
+    from etly_spark.io.staging import stage_table
+    from etly_spark.operators.quality import (
+        lr_features,
+        lr_stats_plan,
+        solve_weights,
+        stats_from_row,
+    )
 
     feats = lr_features(toks)
-    stats = lr_stats(
-        d.select(
-            feats["r1"].alias("r1"), feats["r2"].alias("r2"), feats["y"].alias("y")
-        )
+    stats = stats_from_row(
+        stage_table(
+            spark,
+            f"quality-lr-stats:{sf_dir}",
+            lambda: lr_stats_plan(
+                d.select(
+                    feats["r1"].alias("r1"),
+                    feats["r2"].alias("r2"),
+                    feats["y"].alias("y"),
+                )
+            ),
+            deps=[os.path.join(sf_dir, "documents.parquet")],
+        ).collect()[0]
     )
     w0, w1, w2 = solve_weights(stats)
     clf_raw = F.lit(w0) + F.lit(w1) * feats["r1"] + F.lit(w2) * feats["r2"]

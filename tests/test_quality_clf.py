@@ -243,3 +243,22 @@ def test_solve_weights_degenerate_corpus_null_model(spark):
     )
     assert {"clf_score", "clf_flag"} <= set(out.columns)
     assert out.count() == 5
+
+
+def test_text_quality_stats_are_staged_and_reused(spark):
+    """r13: the classifier's sufficient-stats row is a staged artifact
+    — a second text_quality call must hit the stage (no second training
+    aggregate) and return identical rows; decimal sums are exact
+    through the parquet roundtrip so the solved weights are
+    bit-identical."""
+    from etly_spark.io import staging
+    from etly_spark.queries.text import text_quality
+
+    sf = "/root/testdata/sf0.001"
+    first = text_quality(spark, sf).collect()
+    misses = staging.stats["misses"]
+    hits = staging.stats["hits"]
+    second = text_quality(spark, sf).collect()
+    assert staging.stats["misses"] == misses
+    assert staging.stats["hits"] == hits + 1
+    assert first == second
