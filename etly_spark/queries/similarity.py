@@ -1424,6 +1424,7 @@ def sim_sq8(
     sf_dir: str,
     s: DataFrame | None = None,
     qwhere: str = "vec_id < 8",
+    corpus_tag: str | None = None,
 ) -> DataFrame:
     """SQ8 scalar quantization — the memory-compression axis of
     100 TB ANN (FAISS's SQ8 baseline): per-dimension corpus min/max,
@@ -1432,26 +1433,38 @@ def sim_sq8(
     vectors (symmetric: queries quantized too). Codes are 4x smaller
     than float32 — at scale the index scan reads a quarter of the
     bytes and the codebook is 2 x dim doubles broadcast in the plan.
-    The (lo, hi) collect is one aggregate row (the IVF bounded-collect
-    precedent), read from the shared persisted corpus frame when
-    ``sim_ann_methods`` passes it (no extra parquet scan);
-    quantize/dequantize is a codegen'd ``transform`` with array
-    literals — floor() keeps the rounding rule identical across
-    engines (round() half-modes differ). Exact same top-k machinery as
-    brute-force, so the oracle checks the quantized scores
-    bit-for-bit at 6 dp."""
+    The (lo, hi) row is STAGED (r13, the _pq_codebook_path rule): the
+    per-dim extrema are deterministic per corpus and exact through a
+    parquet roundtrip (min/max copy input doubles), so the training
+    aggregate — one full corpus pass — runs once per corpus snapshot
+    instead of once per query; ``corpus_tag`` keys the stage, untagged
+    custom frames get a single-use uuid stage. quantize/dequantize is
+    a codegen'd ``transform`` with array literals — floor() keeps the
+    rounding rule identical across engines (round() half-modes
+    differ). Exact same top-k machinery as brute-force, so the oracle
+    checks the quantized scores bit-for-bit at 6 dp."""
+    import uuid as _uuid
+
+    from etly_spark.io.staging import stage_table
+
     e = (
         s.select("vec_id", "embedding")
         if s is not None
         else load_table(spark, sf_dir, "embeddings")
     )
-    b = e.agg(
-        F.array(
-            *[F.min(F.element_at("embedding", i + 1)) for i in range(_SQ_DIM)]
-        ).alias("lo"),
-        F.array(
-            *[F.max(F.element_at("embedding", i + 1)) for i in range(_SQ_DIM)]
-        ).alias("hi"),
+    tag = corpus_tag if corpus_tag else ("iid" if s is None else _uuid.uuid4().hex)
+    b = stage_table(
+        spark,
+        f"sq8-minmax:{sf_dir}:{tag}",
+        lambda: e.agg(
+            F.array(
+                *[F.min(F.element_at("embedding", i + 1)) for i in range(_SQ_DIM)]
+            ).alias("lo"),
+            F.array(
+                *[F.max(F.element_at("embedding", i + 1)) for i in range(_SQ_DIM)]
+            ).alias("hi"),
+        ),
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
     ).collect()[0]
     lo_arr = F.array(*[F.lit(float(v)) for v in b["lo"]])
     hi_arr = F.array(*[F.lit(float(v)) for v in b["hi"]])
@@ -3244,7 +3257,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_inc = _keep(sim_ivf_inc(spark, sf_dir, q_pdf=q_pdf))
     ivf_split = _keep(sim_ivf_split(spark, sf_dir, q_pdf=q_pdf))
     ivfpq_i = _keep(sim_ivfpq_inc(spark, sf_dir, q_pdf=q_pdf))
-    sq8 = _keep(sim_sq8(spark, sf_dir, s))
+    sq8 = _keep(sim_sq8(spark, sf_dir, s, corpus_tag="iid"))
     pq8 = _keep(sim_pq(spark, sf_dir, s, corpus_tag="iid"))
     ivfpq = _keep(sim_ivfpq(spark, sf_dir, s, corpus_tag="iid"))
     ivfpq_p = _keep(
@@ -3313,7 +3326,9 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             qwhere=_QC_WHERE,
         )
     )
-    sq8_c = _keep(sim_sq8(spark, sf_dir, cb, qwhere=_QC_WHERE))
+    sq8_c = _keep(
+        sim_sq8(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
+    )
     pq8_c = _keep(
         sim_pq(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
     )

@@ -263,3 +263,20 @@ def test_trained_pq_codebook_is_staged_and_reused(spark):
     assert staging.stats["misses"] == misses  # nothing rebuilt
     assert staging.stats["hits"] == hits + 1  # the codebook stage hit
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_sq8_minmax_is_staged_and_reused(spark):
+    """r13: sim_sq8's per-dim (lo, hi) training row is a staged
+    artifact — min/max copy input doubles, so the parquet roundtrip is
+    exact and a second call hits the stage with identical rows."""
+    from etly_spark.io import staging
+    from etly_spark.queries.similarity import sim_sq8
+
+    sf = "/root/testdata/sf0.001"
+    first = sim_sq8(spark, sf, corpus_tag="sq8stage-pin").collect()
+    misses = staging.stats["misses"]
+    hits = staging.stats["hits"]
+    second = sim_sq8(spark, sf, corpus_tag="sq8stage-pin").collect()
+    assert staging.stats["misses"] == misses
+    assert staging.stats["hits"] == hits + 1
+    assert first == second
