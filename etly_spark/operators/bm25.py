@@ -1,0 +1,161 @@
+"""Incremental BM25 index maintenance (r13) — the TEXT-side analog of
+the ANN maintenance loop (queries/similarity.fold_ivf_epoch): a
+retrieval index over a growing corpus is FOLDED, not rebuilt.
+
+BM25's statistics are all linear in documents, so — unlike the ANN
+index, which freezes a quantizer — append-only maintenance is exact by
+construction: the folded index equals the batch build over the union,
+minus deletions. Layout (one directory per index):
+
+- ``postings/epoch=N/``   (doc_id, term, tf)  — the arrival shard's own
+  inverted postings, tokenized ONCE at fold time (O(shard); earlier
+  epochs never read or rewritten). Rows are sorted by term within the
+  partition so parquet row-group min/max stats prune a term-probe's
+  read — the index-lookup plan at 100 TB.
+- ``doclen/epoch=N/``     (doc_id, dl)        — per-doc token counts,
+  the candidate-scoring join side.
+- ``stats/epoch=N/``      (n_docs, sum_dl)    — one-row partials; the
+  probe folds them into live n_docs/avgdl with two exact integer sums
+  and ONE double division (bit-compatible with the oracle's
+  SUM/COUNT form).
+- ``tombstones/epoch=N/`` (doc_id)            — the log-structured
+  deletes (the fold_ivf_tombstones shape): anti-joined at probe time,
+  subtracted from the stats partials; df is computed AT PROBE over the
+  live probed-term postings, so a delete immediately stops counting
+  toward idf with no index rewrite.
+
+Reference parity: the reference engine has no retrieval index at all —
+this extends the staged-BM25 probe (queries/text.bm25_postings, r12)
+with the maintenance loop a production corpus needs.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _commit(df: DataFrame, dest: str, sort_cols: list[str] | None = None) -> None:
+    """Write one epoch partition atomically (tmp + one rename — the
+    fold_ivf_epoch crash contract): a replayed epoch overwrites only
+    its own directory, never a neighbor's."""
+    tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+    w = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    w.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(dest):
+        import shutil
+
+        shutil.rmtree(dest)
+    os.rename(tmp, dest)
+
+
+def fold_bm25_epoch(docs: DataFrame, index_dir: str, epoch: int) -> None:
+    """Fold one arrival shard of (doc_id, text) into the index as that
+    epoch's own postings/doclen/stats partitions — O(shard) tokenize,
+    no earlier epoch read or rewritten. Replay-safe by epoch key."""
+    from etly_spark.functions import text as T
+    from etly_spark.queries.catalog import scoped_persist
+
+    tf = scoped_persist(
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        eager=False,
+    )
+    # term-sorted postings: a probe's term-IN filter prunes row groups
+    _commit(
+        tf.repartition(1), os.path.join(index_dir, "postings", f"epoch={epoch}"),
+        sort_cols=["term"],
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    _commit(dl, os.path.join(index_dir, "doclen", f"epoch={epoch}"))
+    _commit(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ),
+        os.path.join(index_dir, "stats", f"epoch={epoch}"),
+    )
+
+
+def fold_bm25_tombstones(doomed: DataFrame, index_dir: str, epoch: int) -> None:
+    """Append a deletion batch (doc_id rows) as that epoch's tombstone
+    partition — the log-structured remove_ids. The probe anti-joins
+    them out and subtracts their doclen from the live stats; nothing in
+    the index is rewritten."""
+    _commit(
+        doomed.select("doc_id").distinct(),
+        os.path.join(index_dir, "tombstones", f"epoch={epoch}"),
+    )
+
+
+def probe_bm25_index(
+    spark,
+    index_dir: str,
+    qterms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-docs per query term over the FOLDED index: one
+    pushed term-IN read of the postings epochs (term-sorted row groups
+    prune), tombstones anti-joined, df computed over the LIVE probed
+    postings (deletes stop counting toward idf immediately), dl joined
+    from the doclen epochs, n_docs/avgdl folded from the stats partials
+    minus the tombstoned docs' own (count, dl). Scores match the batch
+    build-minus-deletes bit-for-bit at 6 dp — BM25's statistics are
+    linear, so the fold IS the batch result (the gated 'bm25_inc'
+    variant of text_top_terms proves it cross-engine)."""
+    posts = spark.read.parquet(os.path.join(index_dir, "postings"))
+    dl = spark.read.parquet(os.path.join(index_dir, "doclen"))
+    stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    tot = stats.agg(
+        F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s")
+    )
+    if os.path.isdir(tomb_dir):
+        doomed = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        dead = dl.join(F.broadcast(doomed), "doc_id").agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("_dn"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("_ds"),
+        )
+        live_stats = tot.crossJoin(F.broadcast(dead)).select(
+            (F.col("_n") - F.col("_dn")).alias("n_docs"),
+            (
+                (F.col("_s") - F.col("_ds"))
+                / (F.col("_n") - F.col("_dn")).cast("double")
+            ).alias("avgdl"),
+        )
+        cand = posts.where(F.col("term").isin(qterms)).join(
+            F.broadcast(doomed), "doc_id", "left_anti"
+        )
+    else:
+        live_stats = tot.select(
+            F.col("_n").alias("n_docs"),
+            (F.col("_s") / F.col("_n").cast("double")).alias("avgdl"),
+        )
+        cand = posts.where(F.col("term").isin(qterms))
+    df_live = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        cand.join(F.broadcast(df_live), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(live_stats))
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )

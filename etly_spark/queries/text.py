@@ -345,6 +345,55 @@ def bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25INC_EPOCHS = 8  # arrival shards: doc_id % 8 stands in for order
+_BM25INC_DEL = "doc_id % 10 = 7"  # the checked deletion batch
+
+
+def bm25_inc_index(spark: SparkSession, sf_dir: str) -> str:
+    """The incrementally-maintained BM25 index for ``sf_dir`` (built
+    once per process — the ivfpq_inc_index contract): the corpus
+    arrives as _BM25INC_EPOCHS shards, each folded O(shard) as its own
+    postings/doclen/stats epoch partitions (operators/bm25.
+    fold_bm25_epoch — earlier epochs never read or rewritten), then a
+    deletion batch lands as a tombstone partition. BM25's statistics
+    are linear in documents, so unlike the ANN index there is nothing
+    to freeze: the folded index minus tombstones equals the batch
+    build over the live docs exactly — the gated 'bm25_inc' variant of
+    text_top_terms proves that cross-engine."""
+    import hashlib
+    import uuid
+
+    from etly_spark.io import staging as _st
+    from etly_spark.operators.bm25 import fold_bm25_epoch, fold_bm25_tombstones
+
+    dep = _st._dep_sig(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.sha1(f"bm25-inc::{dep}".encode()).hexdigest()[:24]
+    if fp in _BM25INC_CACHE:
+        return _BM25INC_CACHE[fp]
+    final = os.path.join(_st._root(), f"bm25inc-{fp}")
+    if not os.path.isdir(final):
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for e in range(_BM25INC_EPOCHS):
+            fold_bm25_epoch(
+                d.where(F.col("doc_id") % _BM25INC_EPOCHS == e), tmp, e
+            )
+        fold_bm25_tombstones(d.where(F.expr(_BM25INC_DEL)), tmp, 0)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            import shutil
+
+            if not os.path.isdir(final):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    _BM25INC_CACHE[fp] = final
+    return final
+
+
+_BM25INC_CACHE: dict[str, str] = {}
+
+
 def bm25_df_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged (term, df) — derived from the staged postings (one
     column-pruned scan at build), probed broadcast per query."""
@@ -420,6 +469,47 @@ def bm25_df_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN df ON df.term = q.term
         JOIN dl ON dl.doc_id = tf.doc_id
         CROSS JOIN nd CROSS JOIN stats
+      )
+      SELECT row_number() OVER (PARTITION BY sc.term
+                                ORDER BY score DESC, doc_id) AS rank,
+             sc.term || ':' || doc_id AS term,
+             CAST(round(score * 1000000) AS BIGINT) AS n
+      FROM sc
+      QUALIFY rank <= 10
+    )
+    UNION ALL
+    SELECT 'bm25_inc', rank, term, n FROM (
+      -- Incremental BM25 (r13): the engine probes a FOLDED index
+      -- (O(shard) epoch partitions + a doc tombstone batch,
+      -- operators/bm25.py); BM25 statistics are linear, so the fold
+      -- minus deletions equals THIS batch build over the live docs —
+      -- same formula as 'bm25', every statistic (tf/df/dl/avgdl/
+      -- n_docs) over documents excluding doc_id % 10 = 7. n_docs and
+      -- avgdl count docs with >= 1 token (the doclen table IS the doc
+      -- registry in a fold-only index).
+      WITH lt AS (
+        SELECT doc_id, term, tf FROM tf WHERE NOT (doc_id % 10 = 7)
+      ), ldf AS (
+        SELECT term, COUNT(*) AS df FROM lt GROUP BY term
+      ), ldl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM lt GROUP BY doc_id
+      ), lnd AS (
+        SELECT COUNT(*) AS n_docs FROM ldl
+      ), lstats AS (
+        SELECT SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ldl
+      ), q AS (
+        SELECT term FROM ranked WHERE rank IN (5, 10, 15)
+      ), sc AS (
+        SELECT q.term, lt.doc_id,
+               round(
+                 ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * ldl.dl / avgdl)), 6) AS score
+        FROM q
+        JOIN lt ON lt.term = q.term
+        JOIN ldf ON ldf.term = q.term
+        JOIN ldl ON ldl.doc_id = lt.doc_id
+        CROSS JOIN lnd CROSS JOIN lstats
       )
       SELECT row_number() OVER (PARTITION BY sc.term
                                 ORDER BY score DESC, doc_id) AS rank,
@@ -593,6 +683,25 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # bm25_inc (r13): the same retrieval, served from the FOLDED index
+    # (operators/bm25.py — O(shard) epoch partitions, doc tombstones,
+    # probe-time df over live postings). BM25 stats are linear, so
+    # fold-minus-deletes == batch-over-live-docs: the gate proves the
+    # maintenance loop loses nothing, the ivf_inc contract for text.
+    from etly_spark.operators.bm25 import probe_bm25_index
+
+    sc_inc = probe_bm25_index(spark, bm25_inc_index(spark, sf_dir), qterms)
+    bm25_inc_rows = (
+        sc_inc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.lit("bm25_inc").alias("variant"),
+            "rank",
+            F.concat_ws(":", "term", F.col("doc_id").cast("string")).alias("term"),
+            F.round(F.col("score") * 1000000).cast("long").alias("n"),
+        )
+    )
+
     from etly_spark.functions.url import url_host
 
     urls = d.select(
@@ -618,6 +727,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         freq_rows.unionByName(tfidf_rows)
         .unionByName(bm25_rows)
+        .unionByName(bm25_inc_rows)
         .unionByName(host_rows)
         .orderBy("variant", "rank", "term")
     )

@@ -122,3 +122,52 @@ def start_ivf_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_bm25_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+    """The BM25 maintenance loop as ONE Structured Streaming writer
+    (r13 — the start_ivf_index shape for the TEXT retrieval index): an
+    arriving (doc_id, text) stream folds each micro-batch as its own
+    postings/doclen/stats epoch partitions (operators/bm25.
+    fold_bm25_epoch — O(batch), earlier epochs never read or
+    rewritten; replay overwrites only the epoch's own partitions). A
+    stream carrying an ``op`` column is CDC: op='add' rows fold into
+    the index, op='del' rows into the same epoch's doc tombstone
+    partition; malformed op values fail loudly (the r12 ANN-loop
+    contract). BM25 has no quantizer to freeze, so there is no
+    first-batch commit step — every statistic the probe needs is a
+    linear fold."""
+    from pyspark.sql import functions as F
+
+    from etly_spark.operators.bm25 import fold_bm25_epoch, fold_bm25_tombstones
+
+    def fold(bdf: DataFrame, epoch_id: int) -> None:
+        adds, dels = bdf, None
+        if "op" in bdf.columns:
+            c = bdf.agg(
+                F.count(F.when(F.col("op") == "add", 1)).alias("n_add"),
+                F.count(F.when(F.col("op") == "del", 1)).alias("n_del"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            bad = c["n"] - c["n_add"] - c["n_del"]
+            if bad:
+                raise ValueError(
+                    f"CDC epoch {epoch_id}: {bad} row(s) with op not in "
+                    "('add','del') — refusing to silently drop documents"
+                )
+            has_adds, has_dels = c["n_add"] > 0, c["n_del"] > 0
+            adds = bdf.where(F.col("op") == "add").drop("op")
+            dels = bdf.where(F.col("op") == "del").select("doc_id")
+        else:
+            has_adds, has_dels = not bdf.isEmpty(), False
+        if has_adds:
+            fold_bm25_epoch(adds.select("doc_id", "text"), index_dir, epoch_id)
+        if has_dels:
+            fold_bm25_tombstones(dels, index_dir, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
