@@ -120,10 +120,17 @@ def next_segment(root: str, key: str) -> str:
     return os.path.join(root, f"{pre}{hi + 1:06d}")
 
 
-def compact_partitions(root: str, key: str, threshold: int) -> None:
+def compact_partitions(
+    root: str, key: str, threshold: int, sort_by: list[str] | None = None
+) -> None:
     """Fold loose ``<key>=value`` partitions under ``root`` into one
     compacted segment once their count exceeds ``threshold``. Always
-    runs crash recovery first (see module docstring)."""
+    runs crash recovery first (see module docstring). ``sort_by``
+    re-sorts the concatenated segment (r13 — the bm25 postings fold:
+    per-epoch files are term-sorted so row-group stats prune a term
+    probe; a plain concat would interleave sorted runs and forfeit the
+    pruning exactly when compaction makes the file big enough for it
+    to matter)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -157,10 +164,10 @@ def compact_partitions(root: str, key: str, threshold: int) -> None:
     # loose epochs have 4 — a plain concat raises ArrowInvalid the first
     # time both generations fold together; missing columns null-fill,
     # exactly how _read_postings' mergeSchema read treats them.
-    pq.write_table(
-        pa.concat_tables(tables, promote_options="default"),
-        os.path.join(tmp, "part-00000.parquet"),
-    )
+    merged = pa.concat_tables(tables, promote_options="default")
+    if sort_by:
+        merged = merged.sort_by([(c, "ascending") for c in sort_by])
+    pq.write_table(merged, os.path.join(tmp, "part-00000.parquet"))
     with open(os.path.join(tmp, _MANIFEST), "w") as f:
         json.dump(markers, f)
     os.rename(tmp, seg)

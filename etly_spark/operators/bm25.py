@@ -159,3 +159,21 @@ def probe_bm25_index(
             ).alias("score"),
         )
     )
+
+
+def compact_bm25_index(index_dir: str, threshold: int = 16) -> None:
+    """Fold the index's loose epoch partitions into never-rewritten
+    segments once they exceed ``threshold`` (the compact_ivf_postings
+    rung, payload-agnostic): postings re-sort by term at the merge so
+    the compacted segment keeps the row-group pruning the per-epoch
+    sort bought; doclen/stats fold as plain concats (their consumers
+    aggregate, order-free). Offline contract: no active writer.
+    Crash-safe via the shared manifest machinery (io/compact)."""
+    from etly_spark.io.compact import compact_partitions
+
+    compact_partitions(
+        os.path.join(index_dir, "postings"), "epoch", threshold,
+        sort_by=["term"],
+    )
+    compact_partitions(os.path.join(index_dir, "doclen"), "epoch", threshold)
+    compact_partitions(os.path.join(index_dir, "stats"), "epoch", threshold)

@@ -186,3 +186,41 @@ def test_probe_reads_prune_on_term(spark, tmp_path):
     fold_bm25_epoch(_docs(spark, range(0, 30)), d, 0)
     plan = probe_bm25_index(spark, d, ["alpha"])._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "alpha" in plan
+
+
+def test_compaction_preserves_probe_and_keeps_term_sort(spark, tmp_path):
+    """compact_bm25_index folds loose epochs into one segment with
+    probe rows identical pre/post; the compacted postings re-sort by
+    term so row-group pruning survives the merge."""
+    from etly_spark.operators.bm25 import (
+        compact_bm25_index,
+        fold_bm25_epoch,
+        fold_bm25_tombstones,
+        probe_bm25_index,
+    )
+
+    d = str(tmp_path / "idx")
+    for e in range(6):
+        fold_bm25_epoch(_docs(spark, range(e * 10, e * 10 + 10)), d, e)
+    fold_bm25_tombstones(
+        spark.createDataFrame([(3,), (17,)], "doc_id long"), d, 99
+    )
+    pre = sorted(
+        map(tuple, probe_bm25_index(spark, d, ["alpha", "doc2"]).collect())
+    )
+    compact_bm25_index(d, threshold=2)
+    post = sorted(
+        map(tuple, probe_bm25_index(spark, d, ["alpha", "doc2"]).collect())
+    )
+    assert pre == post and len(pre) > 0
+    pdirs = os.listdir(os.path.join(d, "postings"))
+    assert sum(1 for x in pdirs if not x.startswith("epoch=_")) == 0
+    seg = [x for x in pdirs if x.startswith("epoch=_")]
+    assert seg
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(d, "postings", seg[0], "part-00000.parquet")
+    )
+    terms = t.column("term").to_pylist()
+    assert terms == sorted(terms)
