@@ -177,3 +177,99 @@ def compact_bm25_index(index_dir: str, threshold: int = 16) -> None:
     )
     compact_partitions(os.path.join(index_dir, "doclen"), "epoch", threshold)
     compact_partitions(os.path.join(index_dir, "stats"), "epoch", threshold)
+
+
+def purge_bm25_tombstones(spark, index_dir: str) -> dict:
+    """Offline tombstone PURGE (the purge_ivf_tombstones rung for the
+    text index): rewrite live postings and doclen (each anti-joined
+    against the tombstone set — the probe's own filter) as one new
+    segment apiece, recompute the stats partials from the purged
+    doclen, then drop the tombstone side-table. After it the probe
+    scans no dead rows and broadcasts no tombstones.
+
+    Contract: offline (no active writer, no concurrent probe). The
+    three-table swap cannot be atomic, so the crash rule is
+    RE-RUN-TO-HEAL: each step is individually idempotent (re-purging
+    already-purged postings anti-joins nothing; stats always recompute
+    from the current doclen), so a half-finished purge is healed by
+    calling purge again — the compact_partitions
+    recover-on-next-call contract. A probe in a crash window
+    over-counts avgdl by at most the dead fraction, transiently.
+
+    Returns {"live_docs", "purged_docs", "bytes_before", "bytes_after"}.
+    """
+    import json as _json
+    import shutil
+
+    from etly_spark.io.compact import (
+        next_segment,
+        partition_marker,
+        recover_covered_partitions,
+    )
+
+    post = os.path.join(index_dir, "postings")
+    dlen = os.path.join(index_dir, "doclen")
+    stat = os.path.join(index_dir, "stats")
+    tomb = os.path.join(index_dir, "tombstones")
+    for root in (post, dlen, stat):
+        recover_covered_partitions(root, "epoch")
+
+    def _bytes(root: str) -> int:
+        if not os.path.isdir(root):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dd, ff in os.walk(root)
+            for f in ff
+        )
+
+    bytes_before = sum(_bytes(r) for r in (post, dlen, stat, tomb))
+    doomed = (
+        spark.read.parquet(tomb).select("doc_id").distinct()
+        if os.path.isdir(tomb)
+        else None
+    )
+    n_docs_before = spark.read.parquet(dlen).count()
+
+    def _swap(root: str, live_df, sort_cols=None) -> None:
+        superseded = [x for x in os.listdir(root) if x.startswith("epoch=")]
+        tmp = os.path.join(root, f"_purge-tmp-{uuid.uuid4().hex[:8]}")
+        # consolidate to ~the superseded partition count: the purge IS
+        # a compaction — spraying default-parallelism part files would
+        # swap dead rows for per-file overhead
+        w = live_df.coalesce(max(1, len(superseded)))
+        if sort_cols:
+            w = w.sortWithinPartitions(*sort_cols)
+        w.write.parquet(tmp)
+        with open(os.path.join(tmp, "_folded.json"), "w") as f:
+            _json.dump(
+                {x: partition_marker(os.path.join(root, x)) for x in superseded},
+                f,
+            )
+        os.rename(tmp, next_segment(root, "epoch"))
+        for x in superseded:
+            shutil.rmtree(os.path.join(root, x), ignore_errors=True)
+
+    posts = spark.read.parquet(post)
+    dls = spark.read.parquet(dlen)
+    if doomed is not None:
+        posts = posts.join(F.broadcast(doomed), "doc_id", "left_anti")
+        dls = dls.join(F.broadcast(doomed), "doc_id", "left_anti")
+    _swap(post, posts, sort_cols=["term"])
+    _swap(dlen, dls)
+    live_dl = spark.read.parquet(dlen)
+    _swap(
+        stat,
+        live_dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ),
+    )
+    if os.path.isdir(tomb):
+        shutil.rmtree(tomb, ignore_errors=True)
+    n_docs_after = spark.read.parquet(dlen).count()
+    return {
+        "live_docs": n_docs_after,
+        "purged_docs": n_docs_before - n_docs_after,
+        "bytes_before": bytes_before,
+        "bytes_after": sum(_bytes(r) for r in (post, dlen, stat)),
+    }

@@ -102,6 +102,17 @@ def main() -> int:
         for dp, _dd, ff in os.walk(idx)
         for f in ff
     )
+
+    from etly_spark.operators.bm25 import purge_bm25_tombstones
+
+    t0 = time.monotonic()
+    pst = purge_bm25_tombstones(spark, idx)
+    out["purge_s"] = round(time.monotonic() - t0, 2)
+    out["purge"] = pst
+    rows_purged = sorted(
+        map(tuple, probe_bm25_index(spark, idx, qterms).collect())
+    )
+    out["purge_identical"] = rows_purged == rows_after
     print(json.dumps(out))
     return 0
 
