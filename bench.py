@@ -36,10 +36,10 @@ NEW_BRANCHES: dict[str, str] = {
     "dedup_exact": "r11:+byte-offset-excision",
     "dedup_clusters": "r11:+hot-cell-recursion",
     "text_quality": "r9:+trained-lr-classifier",
-    "sim_ann_methods": "r13:+ivfpq-inc-codes-maintenance",
+    "sim_ann_methods": "r13:+ivfpq-inc-codes-maintenance+rerank",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
-    "text_top_terms": "r12:+staged-bm25-postings",
+    "text_top_terms": "r13:+bm25-inc-maintenance-variant",
     "text_curation_split": "r11:+dsir-importance-resampling",
 }
 
