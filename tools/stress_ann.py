@@ -189,6 +189,29 @@ def main() -> int:
         ).count()
         out["ivfpq_rerank_s"] = round(time.monotonic() - t0, 2)
 
+    if "rerank_ladder" in methods:
+        # design ladder: where is the (nprobe, refine_k) knee? Probe
+        # cost scales with nprobe (candidates scanned), refine cost
+        # with refine_k (exact dots) — both corpus-size-independent.
+        from etly_spark.queries.similarity import sim_ivfpq_rerank
+
+        ladder = {}
+        for np_ in (2, 4, 8):
+            for rk in (8, 32, 128):
+                t0 = time.monotonic()
+                r = recall_at5(
+                    brute,
+                    sim_ivfpq_rerank(
+                        spark, SF_DIR, corpus, qwhere=QC_WHERE,
+                        corpus_tag=f"clustered-{n}", nprobe=np_,
+                        refine_k=rk,
+                    ),
+                )
+                ladder[f"np{np_}_r{rk}"] = {
+                    "recall": r, "s": round(time.monotonic() - t0, 2)
+                }
+        out["rerank_ladder"] = ladder
+
     if "pq8" in methods:
         t0 = time.monotonic()
         pq8 = sim_pq(spark, SF_DIR, corpus, qwhere=QC_WHERE)
