@@ -2287,7 +2287,7 @@ def sim_ivfpq_adc(
     bit-compatible cross-engine at 6 dp like every other method (they
     legitimately differ in ULPs from the decode probe's 64-dim fold;
     the two paths are separate gated rows, each with its own oracle)."""
-    scored, _nsrc = _ivfpq_adc_scored(
+    scored, _ctx = _ivfpq_adc_scored(
         spark, sf_dir, s, qwhere, corpus_tag, q_pdf, nprobe
     )
     return _topk(scored, 5)
