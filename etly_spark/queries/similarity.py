@@ -2371,6 +2371,15 @@ def _exact_refine(
     via a pushed IN filter, and return the exact-cosine top-5. Used by
     the static index (sim_ivfpq_rerank) and the LSM maintenance index
     (_probe_ivfpq_index with refine_k set)."""
+    if refine_k < 5:
+        # a refine set narrower than the final k silently truncates the
+        # answer to refine_k rows per query — a config error, not a
+        # tuning choice (the Transfer.validate fail-loud philosophy)
+        raise ValueError(
+            f"refine_k={refine_k} is smaller than the final top-k (5): "
+            "the refine set must contain at least as many candidates "
+            "as the rows it is asked to produce"
+        )
     cand_rows = (
         _topk(scored, refine_k).select("query_id", "neighbor_id").collect()
     )

@@ -1230,3 +1230,14 @@ def test_lsm_probe_refine_rung_is_exact_and_dominates(spark):
 
     with _pytest.raises(ValueError, match="refine_src"):
         _probe_ivfpq_index(spark, d, q_pdf, refine_k=32)
+
+
+def test_refine_k_narrower_than_final_k_is_a_loud_error(spark):
+    """A refine set smaller than the final top-k would silently
+    truncate the answer — config error, not a tuning choice."""
+    import pytest as _pytest
+
+    from etly_spark.queries.similarity import sim_ivfpq_rerank
+
+    with _pytest.raises(ValueError, match="refine_k=3"):
+        sim_ivfpq_rerank(spark, SF, refine_k=3).collect()
