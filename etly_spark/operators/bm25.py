@@ -120,6 +120,19 @@ def probe_bm25_index(
             F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("_dn"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("_ds"),
         )
+        # BEFORE dividing (r14, ADVICE): a fully-tombstoned index makes
+        # the avgdl denominator zero — collect the one-row partials
+        # first and fail loudly instead of nulling every score. The
+        # stats partials and dead-doc totals are bounded (one row each).
+        _t, _d = tot.crossJoin(F.broadcast(dead)).first(), None
+        live_n = int(_t["_n"] or 0) - int(_t["_dn"] or 0)
+        if live_n <= 0:
+            raise ValueError(
+                f"probe_bm25_index({index_dir}): no live documents — "
+                "every indexed doc is tombstoned (or the stats table "
+                "is empty); run purge_bm25_tombstones or fold live "
+                "documents first"
+            )
         live_stats = tot.crossJoin(F.broadcast(dead)).select(
             (F.col("_n") - F.col("_dn")).alias("n_docs"),
             (
@@ -131,6 +144,12 @@ def probe_bm25_index(
             F.broadcast(doomed), "doc_id", "left_anti"
         )
     else:
+        _t = tot.first()
+        if _t is None or _t["_n"] is None or int(_t["_n"]) <= 0:
+            raise ValueError(
+                f"probe_bm25_index({index_dir}): no live documents — "
+                "the stats table is empty; fold documents first"
+            )
         live_stats = tot.select(
             F.col("_n").alias("n_docs"),
             (F.col("_s") / F.col("_n").cast("double")).alias("avgdl"),

@@ -2385,9 +2385,26 @@ def _exact_refine(
     )
     cand_pairs = [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows]
     ids = sorted({n for _q, n in cand_pairs})
-    fetched = src.where(F.col("vec_id").isin(ids)).select(
-        "vec_id", "embedding", "nrm"
-    )
+    fetched = scoped_persist(
+        src.where(F.col("vec_id").isin(ids)).select(
+            "vec_id", "embedding", "nrm"
+        ),
+        eager=False,
+    )  # persisted: consumed by the coverage check AND the rescore join
+    # fail-loud coverage check (r14, ADVICE): a stale/partial vector
+    # store would silently drop any candidate absent from ``src`` at
+    # the inner join below, returning fewer than top-5 rows per query.
+    # The fetch is bounded (Q*refine_k ids), so verifying it here is a
+    # bounded collect — matching the loud refine_k/refine_src
+    # validation instead of quietly shrinking the answer.
+    got = {int(r.vec_id) for r in fetched.select("vec_id").collect()}
+    missing = sorted(set(ids) - got)
+    if missing:
+        raise ValueError(
+            f"refine source is missing {len(missing)} candidate "
+            f"vector(s) (stale or partial vector store): "
+            f"vec_ids {missing[:20]}"
+        )
     pairs_df = spark.createDataFrame(
         cand_pairs, "query_id long, neighbor_id long"
     )

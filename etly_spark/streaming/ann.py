@@ -136,7 +136,21 @@ def start_bm25_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
     partition; malformed op values fail loudly (the r12 ANN-loop
     contract). BM25 has no quantizer to freeze, so there is no
     first-batch commit step — every statistic the probe needs is a
-    linear fold."""
+    linear fold.
+
+    CDC contract (r14, ADVICE — ADD-ONCE / DELETE-FINAL): tombstones
+    are a global doc_id set, not an epoch-ordered log, so a doc_id may
+    be added at most once and, once deleted, never re-added — an 'add'
+    of a tombstoned doc_id would fold postings the probe's anti-join
+    then hides FOREVER, and a duplicate 'add' of a live doc_id would
+    double-count n_docs/df silently. Re-adds of TOMBSTONED ids are
+    detected here and fail loudly (the tombstone set is bounded by
+    delete density — one broadcast-sized check per batch). Duplicate
+    'add's of live ids are the upstream writer's exactly-once duty:
+    detecting them would read every epoch's doc_id column per batch —
+    O(index) per fold, exactly what the O(batch) loop exists to avoid.
+    Upsert semantics = emit 'del' then re-key the new version (a fresh
+    doc_id), the standard LSM discipline."""
     from pyspark.sql import functions as F
 
     from etly_spark.operators.bm25 import fold_bm25_epoch, fold_bm25_tombstones
@@ -161,7 +175,28 @@ def start_bm25_index(stream: DataFrame, index_dir: str, checkpoint_dir: str):
         else:
             has_adds, has_dels = not bdf.isEmpty(), False
         if has_adds:
-            fold_bm25_epoch(adds.select("doc_id", "text"), index_dir, epoch_id)
+            adds = adds.select("doc_id", "text")
+            tomb = os.path.join(index_dir, "tombstones")
+            if os.path.isdir(tomb):
+                # ADD-ONCE/DELETE-FINAL enforcement (r14, ADVICE): an
+                # 'add' of an already-tombstoned doc_id would fold rows
+                # the probe's global anti-join hides forever — corrupt
+                # silently. The tombstone set is delete-density-sized,
+                # so this is one broadcast join per batch, not O(index).
+                spark_ = adds.sparkSession
+                doomed = spark_.read.parquet(tomb).select("doc_id")
+                readds = [
+                    r["doc_id"]
+                    for r in adds.join(F.broadcast(doomed), "doc_id")
+                    .select("doc_id").distinct().limit(20).collect()
+                ]
+                if readds:
+                    raise ValueError(
+                        f"CDC epoch {epoch_id}: add of tombstoned "
+                        f"doc_id(s) {readds} — deletes are final; "
+                        "re-key the new version with a fresh doc_id"
+                    )
+            fold_bm25_epoch(adds, index_dir, epoch_id)
         if has_dels:
             fold_bm25_tombstones(dels, index_dir, epoch_id)
 

@@ -268,3 +268,64 @@ def test_purge_drops_dead_rows_and_preserves_probe(spark, tmp_path):
         map(tuple, probe_bm25_index(spark, d, ["alpha", "doc2"]).collect())
     )
     assert again == post
+
+def test_probe_on_fully_tombstoned_index_fails_loudly(spark, tmp_path):
+    """r14 (ADVICE): with every indexed doc tombstoned, avgdl's
+    denominator is zero — the probe must raise, not emit null scores."""
+    from etly_spark.operators.bm25 import (
+        fold_bm25_epoch,
+        fold_bm25_tombstones,
+        probe_bm25_index,
+    )
+
+    d = str(tmp_path / "idx")
+    fold_bm25_epoch(_docs(spark, range(0, 10)), d, 0)
+    fold_bm25_tombstones(
+        spark.createDataFrame([(i,) for i in range(0, 10)], "doc_id long"),
+        d,
+        1,
+    )
+    with pytest.raises(ValueError, match="no live documents"):
+        probe_bm25_index(spark, d, ["alpha"])
+
+
+def test_streamed_readd_of_tombstoned_doc_fails_loudly(spark, tmp_path):
+    """r14 (ADVICE): tombstones are a global set (delete-final), so an
+    'add' of a tombstoned doc_id would fold postings the probe hides
+    forever — the writer must reject the batch loudly."""
+    from etly_spark.streaming.ann import start_bm25_index
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_shard(name: str, ids, op) -> None:
+        lines = [
+            json.dumps({"doc_id": i, "text": f"alpha doc{i}", "op": op})
+            for i in ids
+        ]
+        (src / name).write_text("\n".join(lines) + "\n")
+
+    write_shard("s1.json", range(0, 10), "add")
+    write_shard("s2.json", [3, 4], "del")
+    schema = "doc_id long, text string, op string"
+    idx = str(tmp_path / "idx")
+    q = start_bm25_index(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    write_shard("s3.json", [4], "add")  # re-add after delete: corrupt
+    q2 = start_bm25_index(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="deletes are final"):
+        q2.awaitTermination(120)
+        raise RuntimeError(str(q2.exception()) if q2.exception() else "no error")

@@ -1241,3 +1241,27 @@ def test_refine_k_narrower_than_final_k_is_a_loud_error(spark):
 
     with _pytest.raises(ValueError, match="refine_k=3"):
         sim_ivfpq_rerank(spark, SF, refine_k=3).collect()
+
+
+def test_refine_missing_candidate_vector_is_a_loud_error(spark):
+    """r14 (ADVICE): a stale/partial vector store must not silently
+    shrink the refined answer — the point-fetch asserts it covered the
+    whole candidate id set and raises naming the missing ids."""
+    import pytest as _pytest
+
+    from etly_spark.queries.similarity import (
+        _exact_refine,
+        _query_pdf,
+        sim_topk_bruteforce,
+    )
+
+    nsrc = _normed(load_table(spark, SF, "embeddings"))
+    q_pdf = _query_pdf(nsrc)
+    scored = sim_topk_bruteforce(spark, SF, nsrc, q_pdf).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+    # drop one candidate's vector from the "store": refine must notice
+    victim = scored.collect()[0]["neighbor_id"]
+    partial = nsrc.where(F.col("vec_id") != victim)
+    with _pytest.raises(ValueError, match="missing"):
+        _exact_refine(spark, scored, 8, partial, q_pdf)
