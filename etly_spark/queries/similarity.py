@@ -2075,11 +2075,23 @@ ORDER BY query_id, rank
 """
 
 
-def _ivfpq_adc_ranked(src: str, qwhere: str, nprobe: int) -> str:
+def _ivfpq_adc_ranked(
+    src: str,
+    qwhere: str,
+    nprobe: int,
+    cand_where: str = "TRUE",
+    nprobe_sql: str | None = None,
+) -> str:
     """The shared ADC scoring chain through ``ranked`` (per-query
     candidates ordered by the ordered-fold ADC cosine, UNROUNDED) —
-    consumed by the ADC top-5 twin (_ivfpq_adc_sql) and the refine
-    twin (_ivfpq_rerank_sql, which cuts at rank r instead of 5)."""
+    consumed by the ADC top-5 twin (_ivfpq_adc_sql), the refine twin
+    (_ivfpq_rerank_sql, which cuts at rank r instead of 5), the
+    filtered-search twin (_ivfpq_filtered_sql: ``cand_where``
+    restricts candidates to predicate matches and ``nprobe_sql``
+    replaces the static probe width with the selectivity-scaled
+    integer expression) and the radius twin (_ivfpq_radius_sql, which
+    cuts on an ADC score threshold instead of a rank)."""
+    limit = nprobe_sql if nprobe_sql is not None else str(nprobe)
     return f"""{_ivfpq_chain(src)}, qp AS (
   SELECT s.vec_id AS query_id, s.embedding AS qe, s.nrm AS qn,
          c.cent_id AS pcell,
@@ -2090,13 +2102,14 @@ def _ivfpq_adc_ranked(src: str, qwhere: str, nprobe: int) -> str:
   FROM s CROSS JOIN cent c
   WHERE {qwhere}
 ), probes AS (
-  SELECT query_id, qe, qn, pcell FROM qp WHERE prn <= {nprobe}
+  SELECT query_id, qe, qn, pcell FROM qp WHERE prn <= {limit}
 ), permdot AS (
   SELECT p.query_id, p.qn, a.vec_id, a.m,
          {_sql_dot(f'(p.qe[a.m*{_PQ_SUB}+1 : a.m*{_PQ_SUB}+{_PQ_SUB}])', 'c.cs')} AS dm,
          {_sql_dot('c.cs', 'c.cs')} AS nm2
   FROM probes p
   JOIN acell ac ON ac.cell = p.pcell AND ac.vec_id <> p.query_id
+                AND ({cand_where})
   JOIN asn a ON a.vec_id = ac.vec_id
   JOIN subc c ON c.cell = ac.cell AND c.m = a.m AND c.cb_id = a.cb_id
 ), scored AS (
@@ -2252,9 +2265,16 @@ def _ivfpq_codes_path(
         # m-longs-per-vector codes table buys clean pruned reads —
         # and the cell-sorted layout compresses 1.7x better (same-cell
         # codes share codewords; STRESS.md r12 A/B).
-        lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell").repartition(
-            "cell"
-        ),
+        # metadata rides the index (r14 — filtered search): each codes
+        # row carries its record's filterable attributes, so a search
+        # predicate composes with the cell filter INSIDE the pruned
+        # index scan instead of post-filtering results. In production
+        # these columns come from joining the document store at encode
+        # time; the gated stand-in derives the bucket from vec_id with
+        # integer arithmetic both engines reproduce exactly.
+        lambda: V.ivfpq_codes(asn, cb_path, m=_PQ_M, cell_col="cell")
+        .withColumn("mb", _mb_col())
+        .repartition("cell"),
         deps=[os.path.join(sf_dir, "embeddings.parquet")],
         # hive-partitioned on the coarse cell: the probe's cell filter
         # prunes DIRECTORIES (PartitionFilters in the scan) — an
@@ -2384,6 +2404,18 @@ def _exact_refine(
         _topk(scored, refine_k).select("query_id", "neighbor_id").collect()
     )
     cand_pairs = [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows]
+    return _topk(_rescore_pairs(spark, cand_pairs, src, q_pdf), 5)
+
+
+def _rescore_pairs(
+    spark: SparkSession, cand_pairs: list, src: DataFrame, q_pdf
+) -> DataFrame:
+    """Exact re-scoring of a BOUNDED candidate pair list against the
+    raw vector store: point-fetch the candidates' vectors via a pushed
+    IN filter and compute the brute plan's exact cosine per pair —
+    the shared tail of the refine rung (_exact_refine) and the radius
+    rung (_exact_threshold). ``cand_pairs`` is driver-side by contract
+    (Q*refine_k for refine; result-density-sized for radius)."""
     ids = sorted({n for _q, n in cand_pairs})
     fetched = scoped_persist(
         src.where(F.col("vec_id").isin(ids)).select(
@@ -2393,10 +2425,10 @@ def _exact_refine(
     )  # persisted: consumed by the coverage check AND the rescore join
     # fail-loud coverage check (r14, ADVICE): a stale/partial vector
     # store would silently drop any candidate absent from ``src`` at
-    # the inner join below, returning fewer than top-5 rows per query.
-    # The fetch is bounded (Q*refine_k ids), so verifying it here is a
-    # bounded collect — matching the loud refine_k/refine_src
-    # validation instead of quietly shrinking the answer.
+    # the inner join below, returning fewer rows per query than asked.
+    # The fetch is bounded, so verifying it here is a bounded collect —
+    # matching the loud refine_k/refine_src validation instead of
+    # quietly shrinking the answer.
     got = {int(r.vec_id) for r in fetched.select("vec_id").collect()}
     missing = sorted(set(ids) - got)
     if missing:
@@ -2409,13 +2441,422 @@ def _exact_refine(
         cand_pairs, "query_id long, neighbor_id long"
     )
     q = spark.createDataFrame(q_pdf)
-    rescored = (
+    return (
         F.broadcast(pairs_df)
         .join(F.broadcast(q), "query_id")
         .join(fetched, fetched.vec_id == F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _cos_pair().alias("cos_sim"))
     )
-    return _topk(rescored, 5)
+
+
+# ---------------------------------------------------------- filtered
+# Metadata-predicate top-k (r14 — verdict item 1): the most common real
+# retrieval shape a production vector index serves is top-k RESTRICTED
+# by a record predicate (lang = 'en', date < cutoff, source domain).
+# Post-filtering an unfiltered top-k collapses recall under selective
+# predicates (k survivors of a 5% filter ≈ k/20 rows), and
+# brute-forcing the filtered subset gives up the index. Here the
+# predicate is pushed INTO the staged probe:
+#
+# - the filterable attribute rides the codes stage as its own column
+#   (written at encode time — _ivfpq_codes_path), so the predicate
+#   composes with the cell IN/partition filter in ONE pruned scan;
+# - the probe width scales by MEASURED selectivity: nprobe_f =
+#   min(nlist, ceil(nprobe / sel)) with sel read from the index's
+#   staged per-bucket histogram (a bounded index statistic, maintained
+#   with the codes stage) — under a 5% filter each probed cell holds
+#   ~5% matching candidates, so the probe must visit ~20x the cells to
+#   keep the candidate pool at its unfiltered size (the FAISS
+#   filtered-search guidance);
+# - candidates score via the gated ADC kernel and the survivors take
+#   the exact re-rank rung (_exact_refine) — the ivfpq_rerank
+#   machinery, unchanged.
+#
+# The gated stand-in attribute is a deterministic 100-bucket hash of
+# vec_id (integer arithmetic, bit-identical cross-engine); the gated
+# predicate is mb < _FILTER_MB_LT (~5% selectivity). The oracle
+# (_ivfpq_filtered_sql) mirrors the scaled probe width and in-scan
+# predicate exactly; recall accounts against the filtered-brute base.
+_MB_MOD = 100
+_FILTER_MB_LT = 5
+
+
+def _mb_sql(idc: str = "vec_id") -> str:
+    """The metadata bucket of ``idc`` in SQL: a Lehmer-style modular
+    hash (multiplier 48271 — decorrelated from the 2654435761 centroid
+    hash) reduced to 100 buckets. Overflow-free in both engines via
+    the mod-2^31 pre-reduction (the _CENT_HASH_SQL rule)."""
+    return f"((({idc}) % 2147483648) * 48271) % 4294967296 % {_MB_MOD}"
+
+
+def _mb_col() -> F.Column:
+    """Spark twin of _mb_sql (same integer arithmetic)."""
+    return (
+        (((F.col("vec_id") % F.lit(2147483648)) * F.lit(48271)) % F.lit(4294967296))
+        % F.lit(_MB_MOD)
+    )
+
+
+def _bf_filtered_sql(
+    src: str = "embeddings",
+    qwhere: str = "vec_id < 8",
+    mb_lt: int = _FILTER_MB_LT,
+) -> str:
+    """Filtered-brute twin: exact top-5 over ONLY the corpus rows
+    matching the predicate (queries stay unfiltered — the query is
+    external to the corpus restriction)."""
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE {qwhere}
+), sf AS (
+  SELECT * FROM s WHERE {_mb_sql('vec_id')} < {mb_lt}
+), scored AS (
+  SELECT q.query_id, sf.vec_id AS neighbor_id,
+         {_sql_dot('q.qe', 'sf.embedding')} / (q.qn * sf.nrm) AS cos_sim
+  FROM q JOIN sf ON sf.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def sim_topk_brute_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame,
+    q_pdf,
+    mb_lt: int = _FILTER_MB_LT,
+) -> DataFrame:
+    """Exact filtered search (the filtered-brute baseline and the
+    recall base for ivfpq_filtered): one scan of the
+    predicate-restricted corpus, the brute scorer unchanged. At 100 TB
+    this is the right plan only when the predicate is very selective
+    AND pushed to the corpus scan — which it is here (a codegen'd
+    integer filter ahead of the matmul kernel)."""
+    corpus = s.where(_mb_col() < F.lit(mb_lt))
+    scored = V.matmul_scores(corpus, q_pdf).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _topk(scored, 5)
+
+
+def _ivfpq_filtered_sql(
+    src: str = "embeddings",
+    qwhere: str = "vec_id < 8",
+    nprobe: int = 4,
+    mb_lt: int = _FILTER_MB_LT,
+    r: int = _RERANK_R,
+) -> str:
+    """Filtered-probe twin: the ADC chain with (a) the probe width
+    scaled by exact selectivity — integer ceil-division, LEAST-clamped
+    to nlist, the same arithmetic the Spark side runs on the staged
+    histogram — and (b) the predicate applied to candidates INSIDE the
+    probed-cell join; then the refine tail (top-r ADC candidates
+    re-scored exactly, final top-5) — the _ivfpq_rerank_sql shape."""
+    match = f"(SELECT COUNT(*) FROM acell WHERE {_mb_sql('vec_id')} < {mb_lt})"
+    limit = (
+        f"LEAST((SELECT COUNT(*) FROM cent), "
+        f"(({nprobe} * (SELECT COUNT(*) FROM acell)) + {match} - 1) // {match})"
+    )
+    pred = f"{_mb_sql('ac.vec_id')} < {mb_lt}"
+    return f"""{_ivfpq_adc_ranked(src, qwhere, nprobe, cand_where=pred, nprobe_sql=limit)}, cand AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= {r}
+), q2 AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE {qwhere}
+), rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_sql_dot('q2.qe', 'n.embedding')} / (q2.qn * n.nrm) AS cos_sim
+  FROM cand c
+  JOIN q2 ON q2.query_id = c.query_id
+  JOIN s n ON n.vec_id = c.neighbor_id
+), rranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM rranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _mb_stats(spark: SparkSession, sf_dir: str, codes_path: str, tag: str):
+    """The index's staged per-bucket count histogram (mb -> n): the
+    BOUNDED index statistic the filtered probe scales its width from —
+    built once per corpus snapshot alongside the codes stage (one
+    column-pruned pass over the codes table's mb column; in production
+    it is maintained at encode time like the books)."""
+    from etly_spark.io.staging import stage_table
+
+    return stage_table(
+        spark,
+        f"ivfpq-mbstats:{sf_dir}:{tag}",
+        lambda: spark.read.parquet(codes_path)
+        .groupBy("mb")
+        .agg(F.count(F.lit(1)).alias("n")),
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
+    )
+
+
+def sim_ivfpq_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+    corpus_tag: str | None = None,
+    q_pdf=None,
+    nprobe: int = NPROBE_IVF,
+    mb_lt: int = _FILTER_MB_LT,
+    refine_k: int = _RERANK_R,
+) -> DataFrame:
+    """Metadata-filtered ANN over the staged IVFPQ index (r14 — the
+    filtered-search mode every production vector index exposes): the
+    predicate reaches the codes scan as a pushed filter COMPOSED with
+    the probed-cell IN/partition filter, the probe width scales by the
+    measured selectivity (nprobe_f = min(nlist, ceil(nprobe/sel)) from
+    the staged mb histogram — integer arithmetic mirrored by the
+    oracle), ADC scores the matching candidates, and the exact refine
+    rung re-ranks the top-refine_k before the final top-5. Cost at
+    100 TB: nprobe_f/nlist of the codes-sized index read with BOTH
+    filters pruning (partition dirs by cell, row groups by mb), plus
+    the refine's bounded point-fetch — never a corpus scan, never a
+    post-filtered recall collapse. An empty predicate bucket fails
+    loudly (the Transfer.validate philosophy)."""
+    asn, cb_path, cent_pdf, tag = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, tag)
+    hist = {
+        int(r["mb"]): int(r["n"])
+        for r in _mb_stats(spark, sf_dir, codes_path, tag).collect()
+    }
+    total = sum(hist.values())
+    matching = sum(n for b, n in hist.items() if b < mb_lt)
+    if matching == 0:
+        raise ValueError(
+            f"filtered ANN: predicate mb < {mb_lt} matches no indexed "
+            "vector — an empty filter bucket answers nothing; widen "
+            "the predicate or check the metadata column"
+        )
+    nlist = len(cent_pdf)
+    nprobe_f = min(nlist, (nprobe * total + matching - 1) // matching)
+    nsrc = (
+        s
+        if s is not None
+        else scoped_persist(
+            _normed(load_table(spark, sf_dir, "embeddings")), eager=False
+        )
+    )
+    if q_pdf is None:
+        q_pdf = _query_pdf(nsrc, qwhere)
+    pairs = V.probe_cells(q_pdf, cent_pdf, nprobe_f)
+    probed = sorted({int(c) for _q, c in pairs})
+    cand = (
+        spark.read.parquet(codes_path)
+        .where(F.col("cell").isin(probed))
+        .where(F.col("mb") < F.lit(mb_lt))
+        .select("vec_id", "cell", "codes")
+    )
+    scored = V.ivfpq_adc_scores(cand, cb_path, q_pdf, pairs, m=_PQ_M).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _exact_refine(spark, scored, refine_k, nsrc, q_pdf)
+
+
+# ------------------------------------------------------------ radius
+# Range search (r14 — verdict item 6): "all neighbors with cos >= tau",
+# the second standard index mode (FAISS range_search) — dedup-by-
+# threshold at query time. Rides the SAME staged ADC scores with a
+# threshold cut instead of a top-k: ADC survivors above tau - margin
+# (the margin absorbs PQ quantization error, the over-fetch knob) are
+# re-scored EXACTLY (the refine rung's point-fetch), and the answer is
+# every pair with exact cos >= tau, ranked per query. Result size is
+# density-bounded, not k-bounded — the driver-side candidate list is
+# proportional to the answer, the same contract as the refine rung.
+# Gated on the CLUSTERED fixture (tau = 0.7 recovers each query's
+# planted 16-cluster; i.i.d. cosines concentrate near 0, making iid
+# radius results SF-dependent noise).
+_RADIUS_TAU = 0.7
+_RADIUS_MARGIN = 0.15
+# computed ONCE and baked into both engines via repr(): 0.7 - 0.15 is
+# NOT the double 0.55, and each side re-deriving it could disagree
+_RADIUS_ADC_THR = _RADIUS_TAU - _RADIUS_MARGIN
+
+
+def _bf_radius_sql(
+    src: str = "embeddings",
+    qwhere: str = "vec_id < 8",
+    tau: float = _RADIUS_TAU,
+) -> str:
+    """Exact threshold-brute twin: every corpus pair with cos >= tau,
+    ranked per query (the radius-search ground truth)."""
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM {src}
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE {qwhere}
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         {_sql_dot('q.qe', 's.embedding')} / (q.qn * s.nrm) AS cos_sim
+  FROM q JOIN s ON s.vec_id <> q.query_id
+), hits AS (
+  SELECT * FROM scored WHERE cos_sim >= {tau!r}
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank,
+       round(cos_sim, 6) AS cos_sim
+FROM hits
+ORDER BY query_id, rank
+"""
+
+
+def sim_brute_radius(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame,
+    q_pdf,
+    tau: float = _RADIUS_TAU,
+) -> DataFrame:
+    """Exact radius search (threshold brute — the ground-truth baseline
+    and the density-accounting base for ivfpq_radius): one corpus scan,
+    keep every pair with cos >= tau. The threshold compares the
+    kernel's score against the same double literal the oracle uses;
+    the gated fixture's cosines sit far from tau (~0.94 in-cluster,
+    ~0 cross-cluster), so the cut is float-robust."""
+    scored = V.matmul_scores(s, q_pdf).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    hits = scored.filter(F.col("cos_sim") >= F.lit(tau))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_radius_sql(
+    src: str = "embeddings",
+    qwhere: str = "vec_id < 8",
+    nprobe: int = 4,
+    adc_thr: float = _RADIUS_ADC_THR,
+    tau: float = _RADIUS_TAU,
+) -> str:
+    """Radius twin: the ADC chain cut on score >= adc_thr (the margin
+    over-fetch), survivors re-scored exactly, final cut at tau, ranked
+    per query — mirrors sim_ivfpq_radius's plan exactly."""
+    return f"""{_ivfpq_adc_ranked(src, qwhere, nprobe)}, cand AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE cos_sim >= {adc_thr!r}
+), q2 AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM s WHERE {qwhere}
+), rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_sql_dot('q2.qe', 'n.embedding')} / (q2.qn * n.nrm) AS cos_sim
+  FROM cand c
+  JOIN q2 ON q2.query_id = c.query_id
+  JOIN s n ON n.vec_id = c.neighbor_id
+), hits AS (
+  SELECT * FROM rescored WHERE cos_sim >= {tau!r}
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank,
+       round(cos_sim, 6) AS cos_sim
+FROM hits
+ORDER BY query_id, rank
+"""
+
+
+def _exact_threshold(
+    spark: SparkSession,
+    scored: DataFrame,
+    adc_thr: float,
+    tau: float,
+    src: DataFrame,
+    q_pdf,
+) -> DataFrame:
+    """The radius rung: cut the approximate ``scored`` frame at
+    score >= adc_thr (over-fetch below tau by the quantization
+    margin), re-score the survivors exactly against the raw vector
+    store (_rescore_pairs — the refine rung's bounded point-fetch),
+    and keep every pair with exact cos >= tau, ranked per query."""
+    cand_rows = (
+        scored.filter(F.col("cos_sim") >= F.lit(adc_thr))
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    cand_pairs = [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows]
+    if not cand_pairs:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
+    rescored = _rescore_pairs(spark, cand_pairs, src, q_pdf)
+    hits = rescored.filter(F.col("cos_sim") >= F.lit(tau))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def sim_ivfpq_radius(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame | None = None,
+    qwhere: str = "vec_id < 8",
+    corpus_tag: str | None = None,
+    q_pdf=None,
+    nprobe: int = NPROBE_IVF,
+    tau: float = _RADIUS_TAU,
+    adc_thr: float = _RADIUS_ADC_THR,
+) -> DataFrame:
+    """Radius (range) search over the staged IVFPQ index (r14): every
+    neighbor with exact cos >= tau, found by thresholding the SAME
+    staged ADC probe the top-k path uses (candidates from the probed
+    cells' codes, scores from the gated ADC kernel) at tau - margin,
+    then exact-rescoring the survivors (the refine rung's bounded
+    point-fetch) and cutting at tau. Cost at 100 TB: identical to the
+    ADC probe (nprobe/nlist of a codes-sized index) + point lookups
+    proportional to the RESULT density — the radius answer itself —
+    so the rung stays bounded exactly when the query is sane."""
+    scored, (nsrc, q_pdf) = _ivfpq_adc_scored(
+        spark, sf_dir, s, qwhere, corpus_tag, q_pdf, nprobe
+    )
+    return _exact_threshold(spark, scored, adc_thr, tau, nsrc, q_pdf)
+
+
+def _radius_recall_sql(tag: str, approx_sql: str, bf_sql: str) -> str:
+    """Radius accounting row: per query, how many of the exact
+    threshold-brute's tau-neighbors the index path recovered.
+    neighbor_id = hits, rank = the TRUE neighbor count (the density
+    denominator — radius has no fixed k), cos_sim = the fraction."""
+    return f"""
+SELECT 'recall_{tag}' AS method, query_id,
+       CAST(COUNT(hit) AS BIGINT) AS neighbor_id,
+       CAST(COUNT(*) AS INTEGER) AS rank,
+       round(COUNT(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS cos_sim
+FROM (
+  SELECT b.query_id, a.neighbor_id AS hit
+  FROM ({bf_sql}) b
+  LEFT JOIN ({approx_sql}) a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+) GROUP BY query_id
+"""
 
 
 def sim_ivfpq_probe(
@@ -3113,6 +3554,8 @@ _ANN_METHODS = {
     "ivfpq_probe": _ivfpq_probe_sql(),
     "ivfpq_adc": _ivfpq_adc_sql(),
     "ivfpq_rerank": _ivfpq_rerank_sql(),
+    "brute_f": _bf_filtered_sql(),
+    "ivfpq_filtered": _ivfpq_filtered_sql(),
     "brute_c": _bf_sql(_CEMB_SQL, _QC_WHERE),
     "lsh_c": _lsh_sql(_CEMB_SQL, _QC_WHERE),
     "ivf_c": _ivf_sql(_CEMB_SQL, _QC_WHERE),
@@ -3122,6 +3565,8 @@ _ANN_METHODS = {
     "ivfpq_probe_c": _ivfpq_probe_sql(_CEMB_SQL, _QC_WHERE),
     "ivfpq_adc_c": _ivfpq_adc_sql(_CEMB_SQL, _QC_WHERE),
     "ivfpq_rerank_c": _ivfpq_rerank_sql(_CEMB_SQL, _QC_WHERE),
+    "brute_r_c": _bf_radius_sql(_CEMB_SQL, _QC_WHERE),
+    "ivfpq_radius_c": _ivfpq_radius_sql(_CEMB_SQL, _QC_WHERE),
 }
 
 _ANN_SQL = (
@@ -3132,14 +3577,20 @@ _ANN_SQL = (
         [f"SELECT '{k}' AS method, * FROM m_{k}"
          for k in ("brute", "lsh", "ivf", "ivf_inc", "ivf_split", "ivfpq_inc",
                    "hardneg", "sq8", "pq8", "ivfpq", "ivfpq_probe",
-                   "ivfpq_adc", "ivfpq_rerank")]
+                   "ivfpq_adc", "ivfpq_rerank", "brute_f", "ivfpq_filtered",
+                   "brute_r_c", "ivfpq_radius_c")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute")
            for k in ("lsh", "ivf", "ivf_inc", "ivf_split", "ivfpq_inc", "sq8",
                      "pq8", "ivfpq", "ivfpq_probe", "ivfpq_adc",
                      "ivfpq_rerank")]
+        + [_recall_sql("ivfpq_filtered", "SELECT * FROM m_ivfpq_filtered",
+                       "SELECT * FROM m_brute_f")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute_c")
            for k in ("lsh_c", "ivf_c", "sq8_c", "pq8_c", "ivfpq_c",
                      "ivfpq_probe_c", "ivfpq_adc_c", "ivfpq_rerank_c")]
+        + [_radius_recall_sql("ivfpq_radius_c",
+                              "SELECT * FROM m_ivfpq_radius_c",
+                              "SELECT * FROM m_brute_r_c")]
     )
     + "\nORDER BY method, query_id, rank\n"
 )
@@ -3256,7 +3707,28 @@ _ANN_SQL = (
     "vectors per cluster, integer-derived so both engines build "
     "bit-identical fixtures) — i.i.d. random embeddings are the ANN "
     "worst case, so the _c rows measure the regime users actually run "
-    "bucketed methods in: embeddings with neighborhood structure.",
+    "bucketed methods in: embeddings with neighborhood structure. "
+    "ivfpq_filtered (r14) — metadata-predicate top-k, the filtered-"
+    "search mode every production vector index exposes: the filterable "
+    "attribute rides the codes stage as its own column (written at "
+    "encode time), the predicate composes with the probed-cell "
+    "IN/partition filter inside ONE pruned index scan, the probe width "
+    "scales by MEASURED selectivity (nprobe_f = min(nlist, "
+    "ceil(nprobe/sel)) from the index's staged per-bucket histogram — "
+    "integer arithmetic the oracle mirrors exactly), and the ADC "
+    "survivors take the exact refine rung; brute_f is the filtered-"
+    "exact baseline and recall base (post-filtering an unfiltered "
+    "top-k would collapse recall under the ~5pct gated predicate). "
+    "ivfpq_radius_c (r14) — radius (range) search, the second standard "
+    "index mode (dedup-by-threshold at query time): the SAME staged "
+    "ADC probe cut at tau - margin (over-fetch absorbing PQ "
+    "quantization error), survivors exact-rescored via the refine "
+    "rung's bounded point-fetch, final cut at exact cos >= tau; gated "
+    "on the clustered fixture where tau = 0.7 recovers each query's "
+    "planted 16-cluster, with brute_r_c the exact threshold-brute "
+    "ground truth and recall_ivfpq_radius_c dividing by the TRUE "
+    "neighbor count per query (density accounting — radius has no "
+    "fixed k).",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan + one norm pass, shared by the brute/lsh branches
@@ -3294,6 +3766,12 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivfpq_r = _keep(
         sim_ivfpq_rerank(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
+    )
+    # filtered search (r14): the predicate-restricted exact baseline
+    # and the pushed-predicate probe with selectivity-scaled width
+    brute_f = _keep(sim_topk_brute_filtered(spark, sf_dir, s, q_pdf))
+    ivfpq_f = _keep(
+        sim_ivfpq_filtered(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
     )
 
     def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
@@ -3379,6 +3857,45 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_pdf=qc_pdf,
         )
     )
+    # radius search (r14): gated on the clustered fixture, where
+    # tau = 0.7 recovers each query's planted 16-cluster (stable
+    # density at any SF); the density accounting divides by the TRUE
+    # tau-neighbor count, not a fixed k
+    brute_rc = _keep(sim_brute_radius(spark, sf_dir, cb, qc_pdf))
+    ivfpq_radc = _keep(
+        sim_ivfpq_radius(
+            spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+            q_pdf=qc_pdf,
+        )
+    )
+
+    def radius_recall_rows(approx: DataFrame, tag: str, base: DataFrame) -> DataFrame:
+        # density accounting: hits / TRUE tau-neighbor count per query
+        # (rank carries the denominator — radius has no fixed k); both
+        # sides are result-density-sized, a broadcastable join
+        b = base.select("query_id", "neighbor_id")
+        a = approx.select(
+            F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n")
+        )
+        joined = b.join(
+            a, (b.query_id == a._q) & (b.neighbor_id == a._n), "left"
+        )
+        return (
+            joined.groupBy("query_id")
+            .agg(
+                F.count("_n").alias("_nh"),
+                F.count(F.lit(1)).alias("_nt"),
+            )
+            .select(
+                F.lit(f"recall_{tag}").alias("method"),
+                "query_id",
+                F.col("_nh").alias("neighbor_id"),
+                F.col("_nt").cast("int").alias("rank"),
+                F.round(
+                    F.col("_nh") / F.col("_nt").cast("double"), 6
+                ).alias("cos_sim"),
+            )
+        )
 
     tagged = [
         brute.select(F.lit("brute").alias("method"), "*"),
@@ -3394,6 +3911,10 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_p.select(F.lit("ivfpq_probe").alias("method"), "*"),
         ivfpq_a.select(F.lit("ivfpq_adc").alias("method"), "*"),
         ivfpq_r.select(F.lit("ivfpq_rerank").alias("method"), "*"),
+        brute_f.select(F.lit("brute_f").alias("method"), "*"),
+        ivfpq_f.select(F.lit("ivfpq_filtered").alias("method"), "*"),
+        brute_rc.select(F.lit("brute_r_c").alias("method"), "*"),
+        ivfpq_radc.select(F.lit("ivfpq_radius_c").alias("method"), "*"),
         recall_rows(lsh, "lsh"),
         recall_rows(ivf, "ivf"),
         recall_rows(ivf_inc, "ivf_inc"),
@@ -3405,6 +3926,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_rows(ivfpq_p, "ivfpq_probe"),
         recall_rows(ivfpq_a, "ivfpq_adc"),
         recall_rows(ivfpq_r, "ivfpq_rerank"),
+        recall_rows(ivfpq_f, "ivfpq_filtered", brute_f),
         recall_rows(lsh_c, "lsh_c", brute_c),
         recall_rows(ivf_c, "ivf_c", brute_c),
         recall_rows(sq8_c, "sq8_c", brute_c),
@@ -3413,6 +3935,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_rows(ivfpq_pc, "ivfpq_probe_c", brute_c),
         recall_rows(ivfpq_ac, "ivfpq_adc_c", brute_c),
         recall_rows(ivfpq_rc, "ivfpq_rerank_c", brute_c),
+        radius_recall_rows(ivfpq_radc, "ivfpq_radius_c", brute_rc),
     ]
     out = tagged[0]
     for t in tagged[1:]:

@@ -1265,3 +1265,95 @@ def test_refine_missing_candidate_vector_is_a_loud_error(spark):
     partial = nsrc.where(F.col("vec_id") != victim)
     with _pytest.raises(ValueError, match="missing"):
         _exact_refine(spark, scored, 8, partial, q_pdf)
+
+
+def test_filtered_ann_matches_filtered_brute_and_respects_predicate(spark):
+    """r14 (filtered search): every returned neighbor satisfies the
+    metadata predicate; with a 100%-selective predicate the filtered
+    path degenerates to exactly the unfiltered rerank plan (sel=1 →
+    nprobe_f=nprobe, no candidate dropped) — the scaling rule's
+    identity case."""
+    from etly_spark.queries.similarity import (
+        _FILTER_MB_LT,
+        _MB_MOD,
+        sim_ivfpq_filtered,
+        sim_ivfpq_rerank,
+    )
+
+    rows = sim_ivfpq_filtered(spark, SF).collect()
+    assert rows
+    mb = lambda v: ((v % 2147483648) * 48271) % 4294967296 % _MB_MOD  # noqa: E731
+    assert all(mb(r["neighbor_id"]) < _FILTER_MB_LT for r in rows)
+    # identity case: predicate matching everything == unfiltered rerank
+    full = sorted(
+        map(tuple, sim_ivfpq_filtered(spark, SF, mb_lt=_MB_MOD).collect())
+    )
+    rerank = sorted(map(tuple, sim_ivfpq_rerank(spark, SF).collect()))
+    assert full == rerank
+
+
+def test_filtered_ann_empty_bucket_fails_loudly(spark):
+    """r14: a predicate matching no indexed vector is a config error,
+    not an empty answer."""
+    import pytest as _pytest
+
+    from etly_spark.queries.similarity import sim_ivfpq_filtered
+
+    with _pytest.raises(ValueError, match="matches no indexed"):
+        sim_ivfpq_filtered(spark, SF, mb_lt=0)
+
+
+def test_filtered_ann_predicate_reaches_codes_scan(spark):
+    """r14: the metadata predicate must reach the staged codes scan as
+    a pushed filter COMPOSED with the cell IN filter — the one-pruned-
+    scan design, not a post-filter."""
+    from etly_spark.queries.similarity import sim_ivfpq_filtered
+
+    plan = (
+        sim_ivfpq_filtered(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "mb" in plan
+
+
+def test_radius_results_are_exact_and_contained_in_threshold_brute(spark):
+    """r14 (radius search): every returned pair is a TRUE tau-neighbor
+    with the exact cosine (contained in the threshold-brute ground
+    truth with equal scores), and an unreachable tau returns an empty
+    frame with the contract schema."""
+    from etly_spark.queries.similarity import (
+        _QC_WHERE,
+        _query_pdf,
+        clustered_embedding,
+        sim_brute_radius,
+        sim_ivfpq_radius,
+    )
+
+    cb = _normed(
+        load_table(spark, SF, "embeddings").select(
+            "vec_id", clustered_embedding().alias("embedding")
+        )
+    )
+    qc_pdf = _query_pdf(cb, _QC_WHERE)
+    approx = sim_ivfpq_radius(
+        spark, SF, cb, qwhere=_QC_WHERE, corpus_tag="clustered", q_pdf=qc_pdf
+    ).collect()
+    assert approx
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim_brute_radius(spark, SF, cb, qc_pdf).collect()
+    }
+    for r in approx:
+        k = (r["query_id"], r["neighbor_id"])
+        assert k in exact, f"radius returned a non-neighbor {k}"
+        assert r["cos_sim"] == exact[k]
+    # density: the probe recovers most of the planted clusters
+    assert len(approx) >= 0.7 * len(exact)
+    empty = sim_ivfpq_radius(
+        spark, SF, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+        q_pdf=qc_pdf, tau=0.999999, adc_thr=0.999999,
+    )
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cos_sim",
+    ]
