@@ -3533,6 +3533,189 @@ def clustered_embedding() -> F.Column:
     return F.transform(F.sequence(F.lit(1), F.lit(_SQ_DIM)), comp)
 
 
+# ------------------------------------------------------------ OPQ
+# Variance-balancing transform for PQ (r14 — verdict item 3). Plain PQ
+# slices the vector into contiguous subspaces; when the energy
+# spectrum DECAYS (PCA'd embeddings, whitened features), the first
+# subspace carries almost all of the cosine's weight while its k
+# codewords must jointly quantize 4 correlated high-variance dims, and
+# the tail subspaces spend 15/16 of the codebook on noise. The OPQ
+# family (Ge et al., "Optimized Product Quantization", CVPR 2013)
+# fixes the allocation with an orthogonal transform before slicing.
+# Implemented here: a data-derived PERMUTATION matrix (orthogonal,
+# det ±1) that ranks dims by a one-pass energy statistic and GROUPS
+# comparable-energy dims into the same subspace (energy-sorted
+# contiguous allocation).
+#
+# Why grouping and not OPQ-P's interleaved balancing: this engine's PQ
+# assigns codewords by per-slice COSINE (the metric the index serves),
+# and cosine is scale-blind WITHIN a slice — a slice mixing one
+# high-energy dim with three tiny ones collapses toward a ±1-D
+# direction set, so codeword assignment retains almost no information
+# about the dominant dim's magnitude. Measured (STRESS.md r14): on a
+# monotone 1/j spectrum — where contiguous slices are already
+# scale-homogeneous — snake-balanced interleaving DEGRADED recall@5
+# 0.925 -> 0.825 at 20k, exactly the degeneracy this predicts; on a
+# SHUFFLED spectrum (real embeddings don't arrive variance-sorted)
+# plain contiguous slices are the mixed-scale case (0.850) and the
+# energy-sorted grouping recovers the homogeneous layout (0.875 at
+# 20k; the scale ladder is in STRESS.md). For L2-assignment PQ the
+# balanced allocation is the published optimum; for cosine PQ the
+# grouping IS the eigenvalue-allocation principle (allocate comparable
+# eigenvalues together) applied to the right metric.
+#
+# The full learned rotation is deliberately NOT implemented: the
+# correctness gate requires the transform to be bit-identical
+# cross-engine, and a 64-dim eigendecomposition cannot be reproduced
+# exactly in the DuckDB oracle (every sum would need the ordered-fold
+# form over N*4096 covariance terms), while the permutation needs only
+# 64 robustly-separated energy sums and integer rank arithmetic. The
+# permutation is STAGED per corpus like the PQ codebook (the rotation
+# artifact of a production index).
+#
+# The gated fixture (_AEMB_SQL / aniso_embedding) is the clustered
+# fixture with dim j scaled by 1/(((37*j) mod 64) + 1) — a SHUFFLED
+# decaying spectrum (variance ratio 4096:1, scrambled across the dim
+# axis by a bijective multiplier), deterministic integer arithmetic so
+# both engines build bit-identical corpora.
+
+
+def aniso_embedding() -> F.Column:
+    """The anisotropic planted-cluster fixture vector: the clustered
+    fixture's component j scaled by 1/(((37*j) mod 64) + 1) — a
+    shuffled decaying energy spectrum (the _AEMB_SQL twin is the same
+    arithmetic verbatim — one extra exact-integer division per
+    component; 37 is coprime to 64, so the divisor map is a bijection
+    over 1..64)."""
+    anchor = F.col("vec_id") - (F.col("vec_id") % 16)
+
+    def comp(j):
+        a = (
+            (((anchor % 2147483648) * 2654435761 + j * 40503) % 4294967296) % 2001
+            - 1000
+        ) / 1000.0
+        p = (
+            (((F.col("vec_id") % 2147483648) * 48271 + j * 9301) % 4294967296) % 4096
+            - 2048
+        ) / 8000.0
+        return (a + p) / ((j * 37) % 64 + 1)
+
+    return F.transform(F.sequence(F.lit(1), F.lit(_SQ_DIM)), comp)
+
+
+_AEMB_SQL = f"""(
+  SELECT vec_id,
+         list_transform(generate_series(1, {_SQ_DIM}), j ->
+           ((((((vec_id - vec_id % 16) % 2147483648) * 2654435761 + j * 40503)
+              % 4294967296) % 2001 - 1000) / 1000.0
+           + ((((vec_id % 2147483648) * 48271 + j * 9301)
+              % 4294967296) % 4096 - 2048) / 8000.0) / ((j * 37) % 64 + 1)
+         ) AS embedding
+  FROM embeddings
+)"""
+
+# The permuted source as a subquery: per-dim energy (one SUM pass —
+# plain aggregation on BOTH engines: adjacent energies differ by the
+# spectrum's percent-level gaps while float-order noise is ~1e-15
+# relative, so the integer RANKS the permutation is built from are
+# identical cross-engine even though the sums differ in ULPs), then
+# the energy-sorted GROUPING: rank r (energy desc, ties by dim) maps
+# to position r+1, so each subspace holds 4 comparable-energy dims.
+_AOPQ_SRC_SQL = f"""(
+  WITH __an AS MATERIALIZED (
+    SELECT vec_id, embedding FROM {_AEMB_SQL}
+  ), __en AS (
+    SELECT g.j AS dim, SUM(embedding[g.j] * embedding[g.j]) AS e
+    FROM __an CROSS JOIN generate_series(1, {_SQ_DIM}) g(j)
+    GROUP BY g.j
+  ), __sl AS (
+    SELECT dim, row_number() OVER (ORDER BY e DESC, dim) AS newpos FROM __en
+  ), __pl AS (
+    SELECT list(dim ORDER BY newpos) AS p FROM __sl
+  )
+  SELECT vec_id, list_transform(p, d -> embedding[d]) AS embedding
+  FROM __an CROSS JOIN __pl
+)"""
+
+
+def _opq_perm_path(
+    spark: SparkSession, sf_dir: str, src: DataFrame, tag: str
+) -> str:
+    """The STAGED permutation artifact (slot, dim): one energy pass
+    over the corpus (64 sums — map-side-combinable, one aggregation at
+    any N), dims energy-sorted driver-side (64 ints) so each subspace
+    groups comparable-energy dims, the result staged like the PQ
+    codebook. Consumers apply it as 64 column gathers — no shuffle,
+    no UDF."""
+    from etly_spark.io.staging import stage_path
+
+    def build() -> DataFrame:
+        en = src.select(
+            *[
+                F.sum(
+                    F.element_at("embedding", j) * F.element_at("embedding", j)
+                ).alias(f"e{j}")
+                for j in range(1, _SQ_DIM + 1)
+            ]
+        ).first()
+        ranked = sorted(
+            range(1, _SQ_DIM + 1), key=lambda j: (-float(en[f"e{j}"]), j)
+        )
+        rows = [(r + 1, dim) for r, dim in enumerate(ranked)]
+        return spark.createDataFrame(sorted(rows), "slot long, dim long")
+
+    return stage_path(
+        spark,
+        f"opq-perm:{sf_dir}:{tag}",
+        build,
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
+    )
+
+
+def opq_permute(
+    spark: SparkSession, sf_dir: str, src: DataFrame, tag: str
+) -> DataFrame:
+    """Apply the staged OPQ permutation to ``src`` (vec_id, embedding
+    [, nrm]): reads the bounded 64-row artifact and emits the
+    re-ordered vectors (norm recomputed — invariant in value, but the
+    fold order over the permuted array must match the oracle's)."""
+    pdf = V._staged_pdf(_opq_perm_path(spark, sf_dir, src, tag))
+    dim_at = {int(s): int(d) for s, d in zip(pdf["slot"], pdf["dim"])}
+    perm = [dim_at[p] for p in range(1, _SQ_DIM + 1)]
+    return _normed(
+        src.select(
+            "vec_id",
+            F.array(
+                *[F.element_at("embedding", d) for d in perm]
+            ).alias("embedding"),
+        )
+    )
+
+
+def sim_opq(
+    spark: SparkSession,
+    sf_dir: str,
+    s: DataFrame,
+    qwhere: str = "vec_id < 8",
+    corpus_tag: str = "aniso",
+) -> DataFrame:
+    """PQ over the OPQ-permuted corpus: stage the permutation (one
+    energy pass), permute (64 column gathers — orthogonal, so cosine
+    semantics are unchanged), then the standard trained-PQ pipeline
+    (sim_pq) on the permuted vectors. The permutation only changes
+    WHICH dims share a subspace codebook — recall lift comes from
+    restoring scale-homogeneous slices for the cosine-assignment
+    kernel (energy-sorted grouping; the interleaved OPQ-P balancing
+    was measured WORSE under cosine and rejected — see the module
+    comment and STRESS.md)."""
+    permuted = scoped_persist(
+        opq_permute(spark, sf_dir, s, corpus_tag), eager=False
+    )
+    return sim_pq(
+        spark, sf_dir, permuted, qwhere=qwhere, corpus_tag=f"{corpus_tag}_opq"
+    )
+
+
 # Each method's result is computed ONCE as a MATERIALIZED CTE and
 # consumed by both its tagged rows and its recall accounting (r11).
 # The previous form embedded each method's full SQL textually per
@@ -3567,6 +3750,9 @@ _ANN_METHODS = {
     "ivfpq_rerank_c": _ivfpq_rerank_sql(_CEMB_SQL, _QC_WHERE),
     "brute_r_c": _bf_radius_sql(_CEMB_SQL, _QC_WHERE),
     "ivfpq_radius_c": _ivfpq_radius_sql(_CEMB_SQL, _QC_WHERE),
+    "brute_a": _bf_sql(_AEMB_SQL, _QC_WHERE),
+    "pq8_a": _pq_sql(_AEMB_SQL, _QC_WHERE),
+    "opq_a": _pq_sql(_AOPQ_SRC_SQL, _QC_WHERE),
 }
 
 _ANN_SQL = (
@@ -3578,7 +3764,8 @@ _ANN_SQL = (
          for k in ("brute", "lsh", "ivf", "ivf_inc", "ivf_split", "ivfpq_inc",
                    "hardneg", "sq8", "pq8", "ivfpq", "ivfpq_probe",
                    "ivfpq_adc", "ivfpq_rerank", "brute_f", "ivfpq_filtered",
-                   "brute_r_c", "ivfpq_radius_c")]
+                   "brute_r_c", "ivfpq_radius_c", "brute_a", "pq8_a",
+                   "opq_a")]
         + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute")
            for k in ("lsh", "ivf", "ivf_inc", "ivf_split", "ivfpq_inc", "sq8",
                      "pq8", "ivfpq", "ivfpq_probe", "ivfpq_adc",
@@ -3591,6 +3778,8 @@ _ANN_SQL = (
         + [_radius_recall_sql("ivfpq_radius_c",
                               "SELECT * FROM m_ivfpq_radius_c",
                               "SELECT * FROM m_brute_r_c")]
+        + [_recall_sql(k, f"SELECT * FROM m_{k}", "SELECT * FROM m_brute_a")
+           for k in ("pq8_a", "opq_a")]
     )
     + "\nORDER BY method, query_id, rank\n"
 )
@@ -3728,7 +3917,25 @@ _ANN_SQL = (
     "planted 16-cluster, with brute_r_c the exact threshold-brute "
     "ground truth and recall_ivfpq_radius_c dividing by the TRUE "
     "neighbor count per query (density accounting — radius has no "
-    "fixed k).",
+    "fixed k). pq8_a / opq_a (r14) — the OPQ rung: on a SHUFFLED "
+    "decaying energy spectrum (the aniso fixture: clustered "
+    "components scaled 1/(((37j) mod 64)+1), variance ratio 4096:1 "
+    "scrambled across the dim axis — real embeddings don't arrive "
+    "variance-sorted) plain PQ's contiguous slices mix scales, and "
+    "per-slice COSINE assignment is scale-blind within a slice, so "
+    "mixed slices collapse toward +-1-D direction sets and waste the "
+    "codebook; opq_a applies a STAGED data-derived permutation (one "
+    "energy pass, dims energy-sorted so each subspace groups "
+    "comparable-energy dims; an orthogonal matrix, so cosine "
+    "semantics are unchanged) before the standard trained-PQ "
+    "pipeline; brute_a is the fixture's exact base and "
+    "recall_{pq8_a,opq_a} account both against it. The interleaved "
+    "OPQ-P variance balancing was measured WORSE under cosine "
+    "(0.925 -> 0.825 on a monotone spectrum at 20k) and rejected; "
+    "the full learned rotation is out of scope (not reproducible "
+    "bit-identically in the SQL oracle, where the permutation needs "
+    "only 64 robustly-separated energy sums); ladder at 1x/10x/20x "
+    "in STRESS.md.",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan + one norm pass, shared by the brute/lsh branches
@@ -3857,6 +4064,25 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_pdf=qc_pdf,
         )
     )
+    # OPQ branch (r14): the anisotropic fixture (decaying spectrum —
+    # the regime where plain PQ misallocates its codebook), plain PQ
+    # vs permuted PQ, both tagged + recall-accounted vs the fixture's
+    # own exact brute (un-emitted, the _c-branch precedent)
+    ab = scoped_persist(
+        _normed(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", aniso_embedding().alias("embedding")
+            )
+        )
+    )
+    qa_pdf = _query_pdf(ab, _QC_WHERE)
+    brute_a = _keep(sim_topk_bruteforce(spark, sf_dir, ab, qa_pdf))
+    pq8_a = _keep(
+        sim_pq(spark, sf_dir, ab, qwhere=_QC_WHERE, corpus_tag="aniso")
+    )
+    opq_a = _keep(
+        sim_opq(spark, sf_dir, ab, qwhere=_QC_WHERE, corpus_tag="aniso")
+    )
     # radius search (r14): gated on the clustered fixture, where
     # tau = 0.7 recovers each query's planted 16-cluster (stable
     # density at any SF); the density accounting divides by the TRUE
@@ -3915,6 +4141,9 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_f.select(F.lit("ivfpq_filtered").alias("method"), "*"),
         brute_rc.select(F.lit("brute_r_c").alias("method"), "*"),
         ivfpq_radc.select(F.lit("ivfpq_radius_c").alias("method"), "*"),
+        brute_a.select(F.lit("brute_a").alias("method"), "*"),
+        pq8_a.select(F.lit("pq8_a").alias("method"), "*"),
+        opq_a.select(F.lit("opq_a").alias("method"), "*"),
         recall_rows(lsh, "lsh"),
         recall_rows(ivf, "ivf"),
         recall_rows(ivf_inc, "ivf_inc"),
@@ -3936,6 +4165,8 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_rows(ivfpq_ac, "ivfpq_adc_c", brute_c),
         recall_rows(ivfpq_rc, "ivfpq_rerank_c", brute_c),
         radius_recall_rows(ivfpq_radc, "ivfpq_radius_c", brute_rc),
+        recall_rows(pq8_a, "pq8_a", brute_a),
+        recall_rows(opq_a, "opq_a", brute_a),
     ]
     out = tagged[0]
     for t in tagged[1:]:

@@ -1357,3 +1357,62 @@ def test_radius_results_are_exact_and_contained_in_threshold_brute(spark):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "neighbor_id", "rank", "cos_sim",
     ]
+
+
+def test_opq_permutation_is_orthogonal_and_score_preserving(spark):
+    """r14 (OPQ): the staged artifact is a true permutation of the 64
+    dims (a bijection — an orthogonal matrix), so exact cosine top-k
+    over the permuted corpus equals top-k over the raw corpus; only
+    the PQ subspace ALLOCATION changes."""
+    from etly_spark.io.staging import stage_table  # noqa: F401
+    from etly_spark.queries.similarity import (
+        _QC_WHERE,
+        _SQ_DIM,
+        _opq_perm_path,
+        _query_pdf,
+        aniso_embedding,
+        opq_permute,
+        sim_topk_bruteforce,
+    )
+
+    ab = _normed(
+        load_table(spark, SF, "embeddings").select(
+            "vec_id", aniso_embedding().alias("embedding")
+        )
+    )
+    perm_path = _opq_perm_path(spark, SF, ab, "aniso")
+    pdf = spark.read.parquet(perm_path).toPandas()
+    assert sorted(pdf["slot"]) == list(range(1, _SQ_DIM + 1))
+    assert sorted(pdf["dim"]) == list(range(1, _SQ_DIM + 1))
+    # energy-sorted GROUPING: slot order must follow the MEASURED
+    # per-dim energies exactly (finite-sample variance makes adjacent
+    # theoretical divisors swap ranks, so check against the data, not
+    # the 1/divisor theory), and align with the divisor spectrum
+    # coarsely (the 16 highest-energy slots all come from the 32
+    # smallest divisors)
+    import numpy as np
+
+    by_slot = pdf.sort_values("slot")["dim"].tolist()
+    emb = np.array(
+        [list(r["embedding"]) for r in ab.select("embedding").collect()]
+    )
+    energy = (emb * emb).sum(axis=0)  # index j-1
+    want = sorted(
+        range(1, _SQ_DIM + 1), key=lambda j: (-float(energy[j - 1]), j)
+    )
+    assert by_slot == want, "grouping is not measured-energy-sorted"
+    divisors = [((d * 37) % 64) + 1 for d in by_slot[:16]]
+    assert max(divisors) <= 32, divisors
+    # score-preserving: exact top-k identical on raw vs permuted corpus
+    qa = _query_pdf(ab, _QC_WHERE)
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, SF, ab, qa).collect()
+    }
+    permuted = opq_permute(spark, SF, ab, "aniso")
+    qp = _query_pdf(permuted, _QC_WHERE)
+    per = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, SF, permuted, qp).collect()
+    }
+    assert raw == per

@@ -212,11 +212,148 @@ def main() -> int:
                 }
         out["rerank_ladder"] = ladder
 
+    if "filtered" in methods:
+        # filtered-search ladder (r14 — verdict item 1): recall vs
+        # predicate selectivity (1% / 10% / 50%). Per selectivity:
+        # the pushed-predicate probe with scaled width vs the filtered
+        # exact baseline, PLUS the naive post-filter baseline (filter
+        # the UNFILTERED top-5 by the predicate) whose recall collapse
+        # is the whole reason filtered search exists.
+        from etly_spark.queries.similarity import (
+            _mb_col,
+            sim_ivfpq_filtered,
+            sim_ivfpq_rerank,
+            sim_topk_brute_filtered,
+        )
+
+        q_pdf_f = q_pdf
+        unfiltered = sim_ivfpq_rerank(
+            spark, SF_DIR, corpus, qwhere=QC_WHERE,
+            corpus_tag=f"clustered-{n}", q_pdf=q_pdf_f,
+        ).persist()
+        unfiltered.count()
+        ladder = {}
+        for sel in (1, 10, 50):
+            bf = sim_topk_brute_filtered(
+                spark, SF_DIR, corpus, q_pdf_f, mb_lt=sel
+            ).persist()
+            bf.count()
+            t0 = time.monotonic()
+            fil = sim_ivfpq_filtered(
+                spark, SF_DIR, corpus, qwhere=QC_WHERE,
+                corpus_tag=f"clustered-{n}", q_pdf=q_pdf_f, mb_lt=sel,
+            )
+            rec = recall_at5(bf, fil)
+            wall = round(time.monotonic() - t0, 2)
+            # naive post-filter: unfiltered top-5 restricted by the
+            # predicate (_mb_col over the NEIGHBOR id), scored against
+            # the same filtered-exact base
+            post = unfiltered.where(
+                ((((F.col("neighbor_id") % F.lit(2147483648)) * F.lit(48271))
+                  % F.lit(4294967296)) % F.lit(100)) < F.lit(sel)
+            )
+            ladder[f"sel{sel}"] = {
+                "recall": rec,
+                "postfilter_recall": recall_at5(bf, post),
+                "s": wall,
+            }
+            bf.unpersist()
+        unfiltered.unpersist()
+        out["filtered_ladder"] = ladder
+
+    if "radius" in methods:
+        # radius-search density accounting (r14 — verdict item 6):
+        # result density per query, recall vs the exact threshold
+        # brute, and walls, at the gated tau and a tighter one (the
+        # density knob a dedup-by-threshold user actually turns).
+        from etly_spark.queries.similarity import (
+            sim_brute_radius,
+            sim_ivfpq_radius,
+        )
+
+        rad = {}
+        for tau, margin, np_ in (
+            (0.7, 0.15, 4),   # loose tau: corpus-wide diffuse neighbors
+            (0.9, 0.15, 4),
+            (0.9, 0.15, 16),  # recall ~ probed coverage for diffuse sets
+            (0.97, 0.1, 4),   # tight tau: cluster-local (the dedup regime)
+        ):
+            t0 = time.monotonic()
+            ex = sim_brute_radius(spark, SF_DIR, corpus, q_pdf, tau=tau).persist()
+            n_true = ex.count()
+            brute_s = round(time.monotonic() - t0, 2)
+            t0 = time.monotonic()
+            ap = sim_ivfpq_radius(
+                spark, SF_DIR, corpus, qwhere=QC_WHERE,
+                corpus_tag=f"clustered-{n}", q_pdf=q_pdf, nprobe=np_,
+                tau=tau, adc_thr=tau - margin,
+            ).persist()
+            n_found = ap.count()
+            probe_s = round(time.monotonic() - t0, 2)
+            b = ex.select("query_id", "neighbor_id")
+            a = ap.select(
+                F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n")
+            )
+            hits = b.join(
+                a, (b.query_id == a._q) & (b.neighbor_id == a._n), "left"
+            ).where(F.col("_n").isNotNull()).count()
+            rad[f"tau{tau}_np{np_}"] = {
+                "true_neighbors": n_true,
+                "found": n_found,
+                "recall": round(hits / n_true, 4) if n_true else None,
+                "per_query_density": round(n_true / 8.0, 1),
+                "brute_s": brute_s,
+                "probe_s": probe_s,
+            }
+            ex.unpersist()
+            ap.unpersist()
+        out["radius"] = rad
+
     if "pq8" in methods:
         t0 = time.monotonic()
         pq8 = sim_pq(spark, SF_DIR, corpus, qwhere=QC_WHERE)
         out["recall_pq8"] = recall_at5(brute, pq8)
         out["pq8_s"] = round(time.monotonic() - t0, 2)
+
+    if "opq" in methods:
+        # OPQ permutation ladder (r14 — verdict item 3): plain PQ vs
+        # variance-balanced (snake-permuted) PQ on the ANISOTROPIC
+        # planted-cluster corpus (decaying spectrum — the regime OPQ
+        # exists for). Run at 1x/10x/20x: past the 4096 codeword cap
+        # the codebook dilutes and the allocation choice is the recall
+        # lever the verdict predicted.
+        from etly_spark.queries.similarity import (
+            aniso_embedding,
+            sim_opq,
+        )
+
+        acorpus = _normed(
+            spark.range(n).select(
+                F.col("id").alias("vec_id"),
+                aniso_embedding().alias("embedding"),
+            )
+        ).persist()
+        acorpus.count()
+        # 32 queries (vs the gate's 8): recall@5 granularity 1/160 —
+        # the plain-vs-grouped deltas are a few pairs at 8 queries
+        qopq = "vec_id % 16 = 0 AND vec_id < 512"
+        qa = _query_pdf(acorpus, qopq)
+        brute_a = sim_topk_bruteforce(spark, SF_DIR, acorpus, qa).persist()
+        brute_a.count()
+        t0 = time.monotonic()
+        pq_a = sim_pq(
+            spark, SF_DIR, acorpus, qwhere=qopq, corpus_tag=f"aniso-{n}"
+        )
+        out["recall_pq8_aniso"] = recall_at5(brute_a, pq_a)
+        out["pq8_aniso_s"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        oq_a = sim_opq(
+            spark, SF_DIR, acorpus, qwhere=qopq, corpus_tag=f"aniso-{n}"
+        )
+        out["recall_opq_aniso"] = recall_at5(brute_a, oq_a)
+        out["opq_aniso_s"] = round(time.monotonic() - t0, 2)
+        brute_a.unpersist()
+        acorpus.unpersist()
 
     if "nprobe" in methods:
         # recall-vs-NPROBE ladder: is the gated default (4) the right
