@@ -352,3 +352,34 @@ def _normalize_text(df):
     from etly_spark.functions.text import normalize_text
 
     return df.withColumn("text", normalize_text("text"))
+
+
+# --- ANN index maintenance surface (r14) ---------------------------------
+# The record shape an annIndexFold Target consumes from ndjson shards:
+# {"vec_id": 7, "embedding": [..64 doubles..]} with an optional
+# "op": "add"|"del" CDC column. Registered here so a Transfer JSON can
+# own an index end-to-end with no Python at all:
+#   Source.DataType:       "etly.EmbeddingRecord"
+#   Target.TransferMethod: "annIndexFold"
+# (operators/ann_index_sink — the reference's special-sink dispatch
+# precedent is the BQ load path, transfer_service.go:566-663).
+def _embedding_record_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+            StructField("op", StringType()),
+        ]
+    )
+
+
+registry.schemas.register("etly.EmbeddingRecord", _embedding_record_schema)

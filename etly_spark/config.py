@@ -98,6 +98,11 @@ class Target(Resource):
     # pruning works on every listed column (operators/layout.py).
     cluster_by: list[str] = field(default_factory=list)
     cluster_files: int = 8
+    # annIndexFold targets (r14 — operators/ann_index_sink): knobs for
+    # the config-owned index maintenance loop. AnticipatedShards sizes
+    # the frozen quantizer; EncodeEvery / CompactThreshold schedule the
+    # offline rungs inline once that many loose partitions accumulate.
+    index_options: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -251,6 +256,7 @@ def _resource_from_dict(d: dict, cls=Resource):
             max_allowed_size=int(d.get("MaxAllowedSize", 0) or 0) or 64 * 1024 * 1024,
             cluster_by=list(d.get("ClusterBy", []) or []),
             cluster_files=int(d.get("ClusterFiles", 0) or 0) or 8,
+            index_options=dict(d.get("IndexOptions", {}) or {}),
         )
     return cls(**kw)
 

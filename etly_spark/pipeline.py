@@ -423,8 +423,34 @@ class TransferService:
             )
             out = observed.filter(~F.col(CORRUPT) & F.col(KEEP))
             out = self._transform(out, t)
-            key_col = self._routed_key_column(t, file_keys)
-            outputs = self._write_routed(out, key_col, t)
+            if (t.target.transfer_method or "").lower() == "annindexfold":
+                # config-owned ANN index maintenance (r14): the window
+                # folds into the Target index instead of a file sink —
+                # the reference's special-sink dispatch shape
+                # (transfer_service.go:566-663, the BQ load path).
+                # Epoch key = md5 of the window's sorted source set, so
+                # a crashed-then-retried window overwrites its own
+                # partition (the rollup per-file-epoch idempotence
+                # rule).
+                import hashlib as _hashlib
+
+                from etly_spark.operators.ann_index_sink import (
+                    fold_window_into_index,
+                )
+
+                epoch_key = _hashlib.md5(
+                    "|".join(sorted(_norm_file_url(u) for u in eligible)).encode()
+                ).hexdigest()[:12]
+                outputs = fold_window_into_index(
+                    self.spark,
+                    out,
+                    _local(target_template),
+                    epoch_key,
+                    t.target.index_options,
+                )
+            else:
+                key_col = self._routed_key_column(t, file_keys)
+                outputs = self._write_routed(out, key_col, t)
             counts = obs.get
             total_corrupt = int(counts["corrupt"] or 0)
             # E1 bounded error tolerance (transfer.go:17-25): nil ⇒ tolerate all
