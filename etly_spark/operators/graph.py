@@ -34,6 +34,23 @@ def connected_components(
     Iterates min-label propagation until a full round changes no label
     (guaranteed fixpoint: labels are monotone non-increasing and bounded
     below by the component minimum), with ``max_iter`` as a safety rail.
+
+    The rail FAILS LOUDLY (r14 — verdict item 7): rounds needed equal
+    the largest distance from any node to its component's minimum-label
+    node, so a component of diameter > max_iter would exit the loop
+    with nodes still carrying non-minimal labels — one cluster silently
+    reported as several. Raising is correct for the operator's actual
+    input contract: the pair graph here is the VERIFIED near-dup pair
+    set (post LSH + pairwise verify), whose components are similarity
+    cliques-with-holes — every member pair independently passed the
+    similarity threshold, so the min-label node is a verified neighbor
+    of most members and observed diameters are single digits (the 30x
+    stress corpus measured <= 4 rounds to converge). A diameter-50
+    component means the input was NOT a verified pair graph (e.g. raw
+    LSH candidates, or a threshold chained through drifting text) —
+    a contract violation worth stopping on, not papering over. For
+    genuinely deep graphs raise ``max_iter`` (cost is one small
+    shuffle per extra round) or use a pointer-doubling formulation.
     """
     nodes = (
         pairs.select(F.col(src).alias("doc_id"))
@@ -65,7 +82,15 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
-                break
-        return labels
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} label(s) still moving): a "
+            "component's diameter exceeds the rail, so returning now "
+            "would silently mislabel it as multiple clusters. Verified "
+            "near-dup pair graphs converge in single-digit rounds — "
+            "check that the input is the verified pair set, or raise "
+            "max_iter for genuinely deep graphs."
+        )
     finally:
         adj.unpersist()

@@ -231,3 +231,25 @@ def test_url_query_ignores_fragment_question_mark(spark):
     )
     got = [r.q for r in df.select(url_query("u").alias("q")).collect()]
     assert got == ["", "a=1"]
+
+
+def test_connected_components_deep_chain_fails_loudly(spark):
+    """r14 (verdict item 7): a component whose diameter exceeds the
+    max_iter rail must RAISE, not silently mislabel one cluster as
+    several — min-label propagation needs (distance to the component's
+    min-label node) rounds, so a 120-node path graph needs ~119 rounds
+    while verified near-dup pair graphs converge in single digits."""
+    import pytest as _pytest
+
+    from etly_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=50)
+    # the same graph converges (one component, labelled by its min)
+    # once the rail covers the diameter
+    labels = connected_components(chain, max_iter=130).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == 121
