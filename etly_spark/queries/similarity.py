@@ -2776,6 +2776,17 @@ ORDER BY query_id, rank
 """
 
 
+# Below this survivor count the radius rung point-fetches candidate
+# vectors via a pushed IN filter (bounded driver roundtrip, prunes the
+# store read); above it the driver roundtrip IS the bottleneck (the 1M
+# tau=0.7 probe spent most of its 230 s collecting ~700k pairs) and
+# the rung switches to a fully-distributed rescore join — one shuffle
+# of the density-sized survivor set against the vector store, nothing
+# density-sized on the driver. Same exact-cosine arithmetic either
+# way (the einsum pair scorer), so results are identical by plan.
+_RADIUS_COLLECT_CAP = 65536
+
+
 def _exact_threshold(
     spark: SparkSession,
     scored: DataFrame,
@@ -2787,19 +2798,46 @@ def _exact_threshold(
     """The radius rung: cut the approximate ``scored`` frame at
     score >= adc_thr (over-fetch below tau by the quantization
     margin), re-score the survivors exactly against the raw vector
-    store (_rescore_pairs — the refine rung's bounded point-fetch),
-    and keep every pair with exact cos >= tau, ranked per query."""
-    cand_rows = (
-        scored.filter(F.col("cos_sim") >= F.lit(adc_thr))
-        .select("query_id", "neighbor_id")
-        .collect()
+    store, and keep every pair with exact cos >= tau, ranked per
+    query. Survivor sets up to _RADIUS_COLLECT_CAP take the refine
+    rung's bounded point-fetch (pushed IN filter — the store read is
+    pruned to the candidates); denser sets take a distributed rescore
+    join so the driver never holds a density-sized list."""
+    surv = scoped_persist(
+        scored.filter(F.col("cos_sim") >= F.lit(adc_thr)).select(
+            "query_id", "neighbor_id"
+        ),
+        eager=False,
     )
-    cand_pairs = [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows]
-    if not cand_pairs:
+    n_surv = surv.count()
+    if n_surv == 0:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, cos_sim double"
         )
-    rescored = _rescore_pairs(spark, cand_pairs, src, q_pdf)
+    if n_surv <= _RADIUS_COLLECT_CAP:
+        cand_pairs = [
+            (int(r.query_id), int(r.neighbor_id)) for r in surv.collect()
+        ]
+        rescored = _rescore_pairs(spark, cand_pairs, src, q_pdf)
+    else:
+        # distributed path: broadcast the tiny query panel, shuffle-join
+        # the survivor pairs against the store. The fail-loud coverage
+        # check becomes a distributed anti-join count (still bounded
+        # output — one long).
+        missing = (
+            surv.join(src, surv.neighbor_id == src.vec_id, "left_anti").count()
+        )
+        if missing:
+            raise ValueError(
+                f"refine source is missing {missing} candidate vector(s) "
+                "(stale or partial vector store)"
+            )
+        q = spark.createDataFrame(q_pdf)
+        rescored = (
+            surv.join(F.broadcast(q), "query_id")
+            .join(src, src.vec_id == F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", _cos_pair().alias("cos_sim"))
+        )
     hits = rescored.filter(F.col("cos_sim") >= F.lit(tau))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

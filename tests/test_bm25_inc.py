@@ -305,27 +305,25 @@ def test_streamed_readd_of_tombstoned_doc_fails_loudly(spark, tmp_path):
         ]
         (src / name).write_text("\n".join(lines) + "\n")
 
-    write_shard("s1.json", range(0, 10), "add")
-    write_shard("s2.json", [3, 4], "del")
     schema = "doc_id long, text string, op string"
     idx = str(tmp_path / "idx")
-    q = start_bm25_index(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src)),
-        idx,
-        str(tmp_path / "ckpt"),
-    )
-    q.awaitTermination(120)
+
+    def drain():
+        # one drain per arrival: the file source's intra-drain order is
+        # not path-sorted, so adds/dels must arrive in separate drains
+        # for a deterministic tombstone state
+        q = start_bm25_index(
+            spark.readStream.schema(schema).json(str(src)),
+            idx,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write_shard("s1.json", range(0, 10), "add")
+    drain()
+    write_shard("s2.json", [3, 4], "del")
+    drain()
 
     write_shard("s3.json", [4], "add")  # re-add after delete: corrupt
-    q2 = start_bm25_index(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src)),
-        idx,
-        str(tmp_path / "ckpt"),
-    )
     with pytest.raises(Exception, match="deletes are final"):
-        q2.awaitTermination(120)
-        raise RuntimeError(str(q2.exception()) if q2.exception() else "no error")
+        drain()

@@ -1416,3 +1416,47 @@ def test_opq_permutation_is_orthogonal_and_score_preserving(spark):
         for r in sim_topk_bruteforce(spark, SF, permuted, qp).collect()
     }
     assert raw == per
+
+
+def test_radius_distributed_path_equals_point_fetch(spark, monkeypatch):
+    """r14: above _RADIUS_COLLECT_CAP survivors the radius rung must
+    switch to the distributed rescore join (no density-sized driver
+    list) and produce EXACTLY the point-fetch path's rows; the
+    fail-loud store-coverage check survives the switch."""
+    import etly_spark.queries.similarity as S
+
+    cb = S._normed(
+        load_table(spark, SF, "embeddings").select(
+            "vec_id", S.clustered_embedding().alias("embedding")
+        )
+    )
+    qc_pdf = S._query_pdf(cb, S._QC_WHERE)
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                S.sim_ivfpq_radius(
+                    spark, SF, cb, qwhere=S._QC_WHERE,
+                    corpus_tag="clustered", q_pdf=qc_pdf,
+                ).collect(),
+            )
+        )
+
+    point = run()
+    monkeypatch.setattr(S, "_RADIUS_COLLECT_CAP", 1)
+    distributed = run()
+    assert distributed == point and len(point) > 0
+    # coverage check on the distributed path: a store missing one
+    # candidate vector raises instead of silently shrinking the answer
+    victim = point[0][1]
+    import pytest as _pytest
+
+    scored, (nsrc, qp) = S._ivfpq_adc_scored(
+        spark, SF, cb, S._QC_WHERE, "clustered", qc_pdf, 4
+    )
+    partial = nsrc.where(F.col("vec_id") != victim)
+    with _pytest.raises(ValueError, match="missing"):
+        S._exact_threshold(
+            spark, scored, S._RADIUS_ADC_THR, S._RADIUS_TAU, partial, qp
+        )
