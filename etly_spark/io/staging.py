@@ -39,6 +39,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 from collections.abc import Callable
@@ -118,6 +119,26 @@ def stage_path(
         "\n".join([key, *(_dep_sig(d) for d in deps)]).encode()
     ).hexdigest()[:24]
     path = os.path.join(_root(), fp)
+    # Per-stage build lock (optimization r14): composite queries build
+    # branches from a driver thread pool, and two branches sharing a
+    # stage would otherwise BOTH run build() (the rename keeps it
+    # correct but the duplicate build wastes a full job). Second
+    # arrival blocks until the first commits, then takes the hit path.
+    with _BUILD_LOCKS_GUARD:
+        lock = _BUILD_LOCKS.setdefault(fp, threading.Lock())
+    with lock:
+        return _stage_path_locked(path, build, partition_by)
+
+
+_BUILD_LOCKS: dict[str, threading.Lock] = {}
+_BUILD_LOCKS_GUARD = threading.Lock()
+
+
+def _stage_path_locked(
+    path: str,
+    build: Callable[[], DataFrame],
+    partition_by: list[str] | tuple[str, ...] = (),
+) -> str:
     if not os.path.exists(path):
         stats["misses"] += 1
         t0 = time.monotonic()

@@ -53,6 +53,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 # silent slowdown, not a wrong answer).
 _CACHE_SCOPE: list[DataFrame] = []
 _SCOPE_LOCK = threading.Lock()
+# Per-thread scope stacks (optimization r14): composite queries build
+# their independent branches from a driver-side thread pool (guide
+# §2.6 — the serialized collect/persist jobs were 60% of
+# sim_ann_methods' wall), and the old single global stack let one
+# thread's stage-build release_scope() pop ANOTHER thread's live
+# persists (silent recompute). scope_mark/release_scope now operate on
+# the calling thread's own stack; the global list only backs
+# release_cache(), which still frees everything regardless of thread.
+_TLS = threading.local()
+
+
+def _tl_scope() -> list[DataFrame]:
+    lst = getattr(_TLS, "scope", None)
+    if lst is None:
+        lst = _TLS.scope = []
+    return lst
 
 
 def scoped_persist(df: DataFrame, *, eager: bool = True) -> DataFrame:
@@ -65,33 +81,49 @@ def scoped_persist(df: DataFrame, *, eager: bool = True) -> DataFrame:
         df.count()
     with _SCOPE_LOCK:
         _CACHE_SCOPE.append(df)
+        _tl_scope().append(df)
     return df
 
 
 def release_cache() -> None:
-    """Unpersist every scoped intermediate. Called automatically at the
-    start of each catalog query; call explicitly after collecting the
-    final query's result to leave the session cache-clean."""
-    release_scope(0)
+    """Unpersist every scoped intermediate — from every thread. Called
+    automatically at the start of each catalog query; call explicitly
+    after collecting the final query's result to leave the session
+    cache-clean."""
+    with _SCOPE_LOCK:
+        dfs = _CACHE_SCOPE[:]
+        _CACHE_SCOPE.clear()
+        _tl_scope().clear()
+    for df in dfs:
+        df.unpersist()
 
 
 def scope_mark() -> int:
-    """Current scope depth — pair with ``release_scope`` to free only
-    the intermediates persisted after the mark (used by stage builds:
-    once the stage is parquet-committed, its build-time persists are
-    dead, but the caller's earlier persists must survive)."""
+    """Current scope depth OF THIS THREAD — pair with ``release_scope``
+    to free only the intermediates this thread persisted after the mark
+    (used by stage builds: once the stage is parquet-committed, its
+    build-time persists are dead, but the caller's earlier persists must
+    survive)."""
     with _SCOPE_LOCK:
-        return len(_CACHE_SCOPE)
+        return len(_tl_scope())
 
 
 def release_scope(mark: int) -> None:
-    """Unpersist scoped intermediates registered after ``mark``."""
+    """Unpersist intermediates THIS THREAD registered after ``mark``."""
     while True:
         with _SCOPE_LOCK:
-            if len(_CACHE_SCOPE) <= mark:
+            lst = _tl_scope()
+            if len(lst) <= mark:
                 return
-            df = _CACHE_SCOPE.pop()
-        df.unpersist()
+            df = lst.pop()
+            for i, x in enumerate(_CACHE_SCOPE):
+                if x is df:
+                    del _CACHE_SCOPE[i]
+                    break
+            else:
+                df = None  # release_cache already freed it
+        if df is not None:
+            df.unpersist()
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):

@@ -3976,48 +3976,166 @@ _ANN_SQL = (
     "in STRESS.md.",
 )
 def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one scan + one norm pass, shared by the brute/lsh branches
-    # (persisted — the corpus sketch is the common input, materialized
-    # once; scoped: released at the next catalog query); the ivf branch
-    # reads its staged index instead
-    s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")))
-    q_pdf = _query_pdf(s)  # ONE collect of the tiny query set, shared
+    # Branch construction runs on a driver THREAD POOL (optimization
+    # r14, guide §2.6 "overlap independent jobs"): building this
+    # DataFrame issues ~50 small driver jobs (query-panel collects,
+    # staged-index reads, probe-cell picks, eager persists) that are
+    # independent across method branches, and running them sequentially
+    # measured 24-36 s of build wall vs 13-17 s of execution at sf0.1
+    # (cProfile: 21 s in py4j socket waits). Pooling the builders
+    # overlaps those jobs; each branch's PLAN is byte-identical, the
+    # union order below is fixed, so results are unchanged. The scope
+    # machinery (catalog.py) and stage builds (io/staging.py) are
+    # thread-aware: per-thread scope stacks, per-stage build locks.
+    from concurrent.futures import ThreadPoolExecutor
+
     # Each method's top-k output is consumed twice (its tagged rows +
     # the recall join against brute), so the lazy plans re-run their
     # corpus scorers per consumer. Measured A/B (STRESS.md r8): with
     # `s` persisted, recompute wins at sf0.1 (3.08 vs 4.44 s) AND at
     # the 10x corpus (5.62 vs 5.98 s) — the tiny-output persist inserts
-    # InMemoryRelation barriers that cost more than the re-scans save.
-    # At 100 TB the corpus frame cannot live in executor memory, so the
-    # re-scan side grows linearly while the output persist stays Q*k
-    # rows: ETLY_ANN_PERSIST_TOPK=1 flips to output-persist for that
-    # regime (same rows either way; the knob is pure performance).
+    # InMemoryRelation barriers that cost more than the re-scans save
+    # (re-measured r14 with 29 branches: persist 53-94 s vs recompute
+    # 41-67 s — still recompute). At 100 TB the corpus frame cannot
+    # live in executor memory, so the re-scan side grows linearly while
+    # the output persist stays Q*k rows: ETLY_ANN_PERSIST_TOPK=1 flips
+    # to output-persist for that regime (same rows either way; the knob
+    # is pure performance).
     _pt = os.environ.get("ETLY_ANN_PERSIST_TOPK", "0") == "1"
     _keep = (lambda df: scoped_persist(df, eager=False)) if _pt else (lambda df: df)
-    brute = _keep(sim_topk_bruteforce(spark, sf_dir, s, q_pdf))
-    lsh = _keep(sim_lsh_ann(spark, sf_dir, s))
-    ivf = _keep(sim_ivf_ann(spark, sf_dir, q_pdf))
-    ivf_inc = _keep(sim_ivf_inc(spark, sf_dir, q_pdf=q_pdf))
-    ivf_split = _keep(sim_ivf_split(spark, sf_dir, q_pdf=q_pdf))
-    ivfpq_i = _keep(sim_ivfpq_inc(spark, sf_dir, q_pdf=q_pdf))
-    sq8 = _keep(sim_sq8(spark, sf_dir, s, corpus_tag="iid"))
-    pq8 = _keep(sim_pq(spark, sf_dir, s, corpus_tag="iid"))
-    ivfpq = _keep(sim_ivfpq(spark, sf_dir, s, corpus_tag="iid"))
-    ivfpq_p = _keep(
-        sim_ivfpq_probe(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
-    )
-    ivfpq_a = _keep(
-        sim_ivfpq_adc(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
-    )
-    ivfpq_r = _keep(
-        sim_ivfpq_rerank(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
-    )
-    # filtered search (r14): the predicate-restricted exact baseline
-    # and the pushed-predicate probe with selectivity-scaled width
-    brute_f = _keep(sim_topk_brute_filtered(spark, sf_dir, s, q_pdf))
-    ivfpq_f = _keep(
-        sim_ivfpq_filtered(spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf)
-    )
+
+    # Phase 1 — the three corpus fixtures (one scan + norm pass each,
+    # persisted; the common input of every branch on that fixture) and
+    # their tiny query panels, built concurrently.
+    def _fix_iid():
+        s = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")))
+        return s, _query_pdf(s)
+
+    def _fix_clu():
+        cb = scoped_persist(
+            _normed(
+                load_table(spark, sf_dir, "embeddings").select(
+                    "vec_id", clustered_embedding().alias("embedding")
+                )
+            )
+        )
+        return cb, _query_pdf(cb, _QC_WHERE)
+
+    def _fix_ani():
+        ab = scoped_persist(
+            _normed(
+                load_table(spark, sf_dir, "embeddings").select(
+                    "vec_id", aniso_embedding().alias("embedding")
+                )
+            )
+        )
+        return ab, _query_pdf(ab, _QC_WHERE)
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    try:
+        f_iid = pool.submit(_fix_iid)
+        f_clu = pool.submit(_fix_clu)
+        f_ani = pool.submit(_fix_ani)
+        s, q_pdf = f_iid.result()
+        cb, qc_pdf = f_clu.result()
+        ab, qa_pdf = f_ani.result()
+
+        # Phase 2 — every method branch, concurrently (same builders,
+        # same arguments as the sequential form; slot names fix the
+        # union order below).
+        fns = {
+            "brute": lambda: sim_topk_bruteforce(spark, sf_dir, s, q_pdf),
+            "lsh": lambda: sim_lsh_ann(spark, sf_dir, s),
+            "ivf": lambda: sim_ivf_ann(spark, sf_dir, q_pdf),
+            "ivf_inc": lambda: sim_ivf_inc(spark, sf_dir, q_pdf=q_pdf),
+            "ivf_split": lambda: sim_ivf_split(spark, sf_dir, q_pdf=q_pdf),
+            "ivfpq_i": lambda: sim_ivfpq_inc(spark, sf_dir, q_pdf=q_pdf),
+            "hardneg": lambda: sim_hard_negatives(spark, sf_dir, s, q_pdf),
+            "sq8": lambda: sim_sq8(spark, sf_dir, s, corpus_tag="iid"),
+            "pq8": lambda: sim_pq(spark, sf_dir, s, corpus_tag="iid"),
+            "ivfpq": lambda: sim_ivfpq(spark, sf_dir, s, corpus_tag="iid"),
+            "ivfpq_p": lambda: sim_ivfpq_probe(
+                spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf
+            ),
+            "ivfpq_a": lambda: sim_ivfpq_adc(
+                spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf
+            ),
+            "ivfpq_r": lambda: sim_ivfpq_rerank(
+                spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf
+            ),
+            # filtered search (r14): the predicate-restricted exact
+            # baseline and the pushed-predicate probe
+            "brute_f": lambda: sim_topk_brute_filtered(spark, sf_dir, s, q_pdf),
+            "ivfpq_f": lambda: sim_ivfpq_filtered(
+                spark, sf_dir, s, corpus_tag="iid", q_pdf=q_pdf
+            ),
+            # clustered-fixture branch (r9): same bucketed methods on
+            # the planted-cluster corpus; only recall rows are emitted
+            "brute_c": lambda: sim_topk_bruteforce(spark, sf_dir, cb, qc_pdf),
+            "lsh_c": lambda: sim_lsh_ann(spark, sf_dir, cb, qwhere=_QC_WHERE),
+            "ivf_c": lambda: sim_ivf_ann(
+                spark,
+                sf_dir,
+                qc_pdf,
+                assign=ivf_assignments_clustered(spark, sf_dir),
+                qwhere=_QC_WHERE,
+            ),
+            "sq8_c": lambda: sim_sq8(
+                spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered"
+            ),
+            "pq8_c": lambda: sim_pq(
+                spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered"
+            ),
+            "ivfpq_c": lambda: sim_ivfpq(
+                spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered"
+            ),
+            "ivfpq_pc": lambda: sim_ivfpq_probe(
+                spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+                q_pdf=qc_pdf,
+            ),
+            "ivfpq_ac": lambda: sim_ivfpq_adc(
+                spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+                q_pdf=qc_pdf,
+            ),
+            "ivfpq_rc": lambda: sim_ivfpq_rerank(
+                spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+                q_pdf=qc_pdf,
+            ),
+            # OPQ branch (r14): plain vs permuted PQ on the aniso
+            # fixture, recall-accounted vs its own exact brute
+            "brute_a": lambda: sim_topk_bruteforce(spark, sf_dir, ab, qa_pdf),
+            "pq8_a": lambda: sim_pq(
+                spark, sf_dir, ab, qwhere=_QC_WHERE, corpus_tag="aniso"
+            ),
+            "opq_a": lambda: sim_opq(
+                spark, sf_dir, ab, qwhere=_QC_WHERE, corpus_tag="aniso"
+            ),
+            # radius search (r14): clustered fixture, tau = 0.7
+            "brute_rc": lambda: sim_brute_radius(spark, sf_dir, cb, qc_pdf),
+            "ivfpq_radc": lambda: sim_ivfpq_radius(
+                spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
+                q_pdf=qc_pdf,
+            ),
+        }
+        futs = {name: pool.submit(lambda f=fn: _keep(f())) for name, fn in fns.items()}
+        b = {name: fut.result() for name, fut in futs.items()}
+    finally:
+        pool.shutdown(wait=True)
+
+    brute = b["brute"]
+    lsh = b["lsh"]
+    ivf = b["ivf"]
+    ivf_inc = b["ivf_inc"]
+    ivf_split = b["ivf_split"]
+    ivfpq_i = b["ivfpq_i"]
+    sq8 = b["sq8"]
+    pq8 = b["pq8"]
+    ivfpq = b["ivfpq"]
+    ivfpq_p = b["ivfpq_p"]
+    ivfpq_a = b["ivfpq_a"]
+    ivfpq_r = b["ivfpq_r"]
+    brute_f = b["brute_f"]
+    ivfpq_f = b["ivfpq_f"]
 
     def recall_rows(approx: DataFrame, tag: str, base: DataFrame | None = None) -> DataFrame:
         # recall@5 vs the exact brute rows, inside the same DAG: both
@@ -4051,87 +4169,23 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus's own brute top-5. Only the recall accounting rows enter
     # the output (the per-neighbor lists would double the row count for
     # no extra signal). The fixture's IVF index is STAGED like the
-    # i.i.d. one (ivf_assignments_clustered — built once per process;
-    # its two probe consumers would otherwise re-run the assign matmul
-    # in-DAG twice per invocation); same assign kernel, same bounded
-    # centroid collect (select_centroids depends only on vec_id, so
-    # the cells are comparable across fixtures).
-    cb = scoped_persist(
-        _normed(
-            load_table(spark, sf_dir, "embeddings").select(
-                "vec_id", clustered_embedding().alias("embedding")
-            )
-        )
-    )
-    qc_pdf = _query_pdf(cb, _QC_WHERE)
-    brute_c = _keep(sim_topk_bruteforce(spark, sf_dir, cb, qc_pdf))
-    lsh_c = _keep(sim_lsh_ann(spark, sf_dir, cb, qwhere=_QC_WHERE))
-    ivf_c = _keep(
-        sim_ivf_ann(
-            spark,
-            sf_dir,
-            qc_pdf,
-            assign=ivf_assignments_clustered(spark, sf_dir),
-            qwhere=_QC_WHERE,
-        )
-    )
-    sq8_c = _keep(
-        sim_sq8(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
-    )
-    pq8_c = _keep(
-        sim_pq(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
-    )
-    ivfpq_c = _keep(
-        sim_ivfpq(spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered")
-    )
-    ivfpq_pc = _keep(
-        sim_ivfpq_probe(
-            spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
-            q_pdf=qc_pdf,
-        )
-    )
-    ivfpq_ac = _keep(
-        sim_ivfpq_adc(
-            spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
-            q_pdf=qc_pdf,
-        )
-    )
-    ivfpq_rc = _keep(
-        sim_ivfpq_rerank(
-            spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
-            q_pdf=qc_pdf,
-        )
-    )
-    # OPQ branch (r14): the anisotropic fixture (decaying spectrum —
-    # the regime where plain PQ misallocates its codebook), plain PQ
-    # vs permuted PQ, both tagged + recall-accounted vs the fixture's
-    # own exact brute (un-emitted, the _c-branch precedent)
-    ab = scoped_persist(
-        _normed(
-            load_table(spark, sf_dir, "embeddings").select(
-                "vec_id", aniso_embedding().alias("embedding")
-            )
-        )
-    )
-    qa_pdf = _query_pdf(ab, _QC_WHERE)
-    brute_a = _keep(sim_topk_bruteforce(spark, sf_dir, ab, qa_pdf))
-    pq8_a = _keep(
-        sim_pq(spark, sf_dir, ab, qwhere=_QC_WHERE, corpus_tag="aniso")
-    )
-    opq_a = _keep(
-        sim_opq(spark, sf_dir, ab, qwhere=_QC_WHERE, corpus_tag="aniso")
-    )
-    # radius search (r14): gated on the clustered fixture, where
-    # tau = 0.7 recovers each query's planted 16-cluster (stable
-    # density at any SF); the density accounting divides by the TRUE
-    # tau-neighbor count, not a fixed k
-    brute_rc = _keep(sim_brute_radius(spark, sf_dir, cb, qc_pdf))
-    ivfpq_radc = _keep(
-        sim_ivfpq_radius(
-            spark, sf_dir, cb, qwhere=_QC_WHERE, corpus_tag="clustered",
-            q_pdf=qc_pdf,
-        )
-    )
+    # i.i.d. one (ivf_assignments_clustered — built once per process);
+    # OPQ rides the anisotropic fixture, radius the clustered one.
+    # All built in phase 2 above; unpacked here for the fixed union.
+    brute_c = b["brute_c"]
+    lsh_c = b["lsh_c"]
+    ivf_c = b["ivf_c"]
+    sq8_c = b["sq8_c"]
+    pq8_c = b["pq8_c"]
+    ivfpq_c = b["ivfpq_c"]
+    ivfpq_pc = b["ivfpq_pc"]
+    ivfpq_ac = b["ivfpq_ac"]
+    ivfpq_rc = b["ivfpq_rc"]
+    brute_a = b["brute_a"]
+    pq8_a = b["pq8_a"]
+    opq_a = b["opq_a"]
+    brute_rc = b["brute_rc"]
+    ivfpq_radc = b["ivfpq_radc"]
 
     def radius_recall_rows(approx: DataFrame, tag: str, base: DataFrame) -> DataFrame:
         # density accounting: hits / TRUE tau-neighbor count per query
@@ -4168,7 +4222,7 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_inc.select(F.lit("ivf_inc").alias("method"), "*"),
         ivf_split.select(F.lit("ivf_split").alias("method"), "*"),
         ivfpq_i.select(F.lit("ivfpq_inc").alias("method"), "*"),
-        sim_hard_negatives(spark, sf_dir, s, q_pdf).select(F.lit("hardneg").alias("method"), "*"),
+        b["hardneg"].select(F.lit("hardneg").alias("method"), "*"),
         sq8.select(F.lit("sq8").alias("method"), "*"),
         pq8.select(F.lit("pq8").alias("method"), "*"),
         ivfpq.select(F.lit("ivfpq").alias("method"), "*"),

@@ -1791,28 +1791,41 @@ def text_curation_split(
     from etly_spark.operators.skew import split_broadcast_join
 
     tgt_sel = F.col("doc_id") % 10 == 0
-    t_tok = base.where(tgt_sel).select(F.explode("toks").alias("term"))
     r_docs = base.where(~tgt_sel)
-    r_tok = r_docs.select(F.explode("toks").alias("term"))
-    tot_t = t_tok.count()
-    tot_r = r_tok.count()
-    vocab = (
-        base.select(F.explode("toks").alias("term")).distinct().count()
+    # Both LMs in ONE tokenize+explode pass (optimization r14, guide
+    # §1.2 "don't compute things twice"): the old form ran the pass
+    # SEVEN times — three eager scalar jobs (t_tok.count, r_tok.count,
+    # vocab distinct-count) plus ct_t/ct_r rebuilt inside both
+    # consumers of the un-persisted full_outer join. The merged
+    # (term, ct, cr) table is vocabulary-sized (small at any corpus —
+    # it is the LM itself), so it persists cheaply and the three
+    # scalars read off it in one tiny cached-side job. A raw-only
+    # term's ct is 0 where the join produced NULL→coalesce(0) — the
+    # same value, so lp/_w8 and every downstream hash are unchanged.
+    counts = scoped_persist(
+        base.select(F.explode("toks").alias("term"), tgt_sel.alias("_t"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("_t").cast("long")).alias("ct"),
+            F.sum((~F.col("_t")).cast("long")).alias("cr"),
+        ),
+        eager=False,
     )
-    ct_t = t_tok.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
-    ct_r = r_tok.groupBy("term").agg(F.count(F.lit(1)).alias("cr"))
+    stats_row = counts.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    ).collect()[0]
+    vocab = int(stats_row["v"])
+    tot_t = int(stats_row["tt"])
+    tot_r = int(stats_row["tr"])
     den_t = F.lit(float(tot_t + vocab))
     den_r = F.lit(float(tot_r + vocab))
-    lm = (
-        ct_t.join(ct_r, "term", "full_outer")
-        .select(
-            "term",
-            (
-                F.log((F.coalesce("ct", F.lit(0)) + 1) / den_t)
-                - F.log((F.coalesce("cr", F.lit(0)) + 1) / den_r)
-            ).alias("lp"),
-            F.coalesce("cr", F.lit(0)).alias("_w8"),
-        )
+    lm = counts.select(
+        "term",
+        (
+            F.log((F.col("ct") + 1) / den_t)
+            - F.log((F.col("cr") + 1) / den_r)
+        ).alias("lp"),
+        F.col("cr").alias("_w8"),
     )
     rpos = r_docs.select("doc_id", F.posexplode("toks").alias("pos", "term"))
     per_doc_w = (
