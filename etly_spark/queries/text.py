@@ -1425,6 +1425,157 @@ def text_curation_split(
     if shared_base:
         base = scoped_persist(base, eager=False)
 
+    # The three branches whose CONSTRUCTION runs blocking driver jobs —
+    # sexact's partition-boundary collect (it materializes the suffix
+    # sort), dsir's one-job LM-stats aggregate, mix's per-lang count
+    # collect — overlap on a small thread pool (optimization r14, guide
+    # §2.6 "overlap independent jobs") instead of serializing ~4-6 s of
+    # build wall; every other branch is pure plan construction. Each
+    # closure is the former inline block verbatim, so plans and results
+    # are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etly_spark.operators.skew import split_broadcast_join
+    from etly_spark.queries.dedup import (
+        _SEXACT_FLAG,
+        exact_substr_lrs,
+        repeated_span_stats,
+    )
+
+    def _mk_sexact() -> DataFrame:
+        return (
+            exact_substr_lrs(spark, sf_dir, base)
+            .groupBy(
+                "lang",
+                F.when(F.col("lrs") >= _SEXACT_FLAG, F.lit("flagged"))
+                .otherwise(F.lit("clean"))
+                .alias("grp"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                (
+                    F.sum(F.col("lrs").cast("decimal(38,0)") * (F.col("doc_id") % 997))
+                    % F.lit(1000000007)
+                )
+                .cast("bigint")
+                .alias("measure"),
+                F.max("lrs").cast("double").alias("score"),
+            )
+            .select(
+                F.lit("spans_exact").alias("variant"), "lang", "grp", "n_docs",
+                "measure", "score",
+            )
+        )
+
+    def _mk_mix() -> DataFrame:
+        # mix — temperature-weighted multilingual sampling (mT5
+        # alpha=0.5, half-corpus budget): per-lang keep rates from the
+        # alpha-adjusted corpus shares, computed on the DRIVER by
+        # mix_thresholds (one bounded collect of #langs rows; exact
+        # cross-engine fold order — see its docstring), then one
+        # codegen'd scan aggregate. A NULL lang contributes to the
+        # shares/denominator but gets no output row — matching the
+        # oracle's GROUP BY lang + JOIN USING (lang).
+        thr_map = mix_thresholds(
+            [
+                (r["lang"], r["n"])
+                for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+            ]
+        )
+        mix_thr = F.lit(0).cast("long")
+        for lang in sorted(l for l in thr_map if l is not None):
+            mix_thr = F.when(F.col("lang") == lang, F.lit(thr_map[lang])).otherwise(
+                mix_thr
+            )
+        return (
+            d.filter(F.col("lang").isNotNull())
+            .select("lang", _salted_bucket("mix", 10000).alias("_mb"), mix_thr.alias("_mt"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("_mb") < F.col("_mt")).cast("long")).alias("measure"),
+                F.round(F.min("_mt") / 10000.0, 6).alias("score"),
+            )
+            .select(
+                F.lit("mix").alias("variant"),
+                "lang",
+                F.lit("corpus").alias("grp"),
+                "n_docs",
+                "measure",
+                "score",
+            )
+        )
+
+    def _mk_dsir() -> DataFrame:
+        # dsir (r11) — DSIR-style importance resampling (Xie et al.
+        # 2023): see the block comment on the sequential form in git
+        # history; the math is unchanged, the LM counts come from ONE
+        # tokenize pass (r14), and construction runs on the pool.
+        tgt_sel = F.col("doc_id") % 10 == 0
+        r_docs = base.where(~tgt_sel)
+        counts = scoped_persist(
+            base.select(F.explode("toks").alias("term"), tgt_sel.alias("_t"))
+            .groupBy("term")
+            .agg(
+                F.sum(F.col("_t").cast("long")).alias("ct"),
+                F.sum((~F.col("_t")).cast("long")).alias("cr"),
+            ),
+            eager=False,
+        )
+        stats_row = counts.agg(
+            F.count(F.lit(1)).alias("v"), F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+        ).collect()[0]
+        vocab = int(stats_row["v"])
+        tot_t = int(stats_row["tt"])
+        tot_r = int(stats_row["tr"])
+        den_t = F.lit(float(tot_t + vocab))
+        den_r = F.lit(float(tot_r + vocab))
+        lm = counts.select(
+            "term",
+            (
+                F.log((F.col("ct") + 1) / den_t)
+                - F.log((F.col("cr") + 1) / den_r)
+            ).alias("lp"),
+            F.col("cr").alias("_w8"),
+        )
+        rpos = r_docs.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        per_doc_w = (
+            split_broadcast_join(rpos, lm, "term", "_w8")
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                        F.lit(0.0),
+                        lambda a, x: a + x["lp"],
+                    ),
+                    6,
+                ).alias("w")
+            )
+        )
+        return (
+            r_docs.select("doc_id", "lang", F.size("toks").alias("n_toks"))
+            .join(per_doc_w, "doc_id", "left")
+            .withColumn("w", F.coalesce("w", F.lit(0.0)))
+            .groupBy(
+                "lang",
+                F.when(F.col("w") > 0, F.lit("selected"))
+                .otherwise(F.lit("rejected"))
+                .alias("grp"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_toks").alias("measure"),
+                F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"),
+            )
+            .select(F.lit("dsir").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+        )
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    f_sexact = pool.submit(_mk_sexact)
+    f_mix = pool.submit(_mk_mix)
+    f_dsir = pool.submit(_mk_dsir)
+
     split_rows = (
         d.groupBy("lang", _split_col().alias("grp"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("measure"))
@@ -1645,73 +1796,8 @@ def text_curation_split(
         )
     )
 
-    # mix — temperature-weighted multilingual sampling (mT5 alpha=0.5,
-    # half-corpus budget): per-lang keep rates from the alpha-adjusted
-    # corpus shares, computed on the DRIVER by mix_thresholds (one
-    # bounded collect of #langs rows; exact cross-engine fold order —
-    # see its docstring), then one codegen'd scan aggregate. A NULL
-    # lang contributes to the shares/denominator but gets no output
-    # row — matching the oracle's GROUP BY lang + JOIN USING (lang).
-    thr_map = mix_thresholds(
-        [
-            (r["lang"], r["n"])
-            for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
-        ]
-    )
-    mix_thr = F.lit(0).cast("long")
-    for lang in sorted(l for l in thr_map if l is not None):
-        mix_thr = F.when(F.col("lang") == lang, F.lit(thr_map[lang])).otherwise(mix_thr)
-    mix_rows = (
-        d.filter(F.col("lang").isNotNull())
-        .select("lang", _salted_bucket("mix", 10000).alias("_mb"), mix_thr.alias("_mt"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("_mb") < F.col("_mt")).cast("long")).alias("measure"),
-            F.round(F.min("_mt") / 10000.0, 6).alias("score"),
-        )
-        .select(
-            F.lit("mix").alias("variant"),
-            "lang",
-            F.lit("corpus").alias("grp"),
-            "n_docs",
-            "measure",
-            "score",
-        )
-    )
-
     # spans — 5-gram repeated-span coverage (builder in dedup.py);
-    # spans_exact (r9) — TRUE ExactSubstr: per-doc longest cross-doc
-    # verbatim token span via distributed suffix-ordering
-    from etly_spark.queries.dedup import (
-        _SEXACT_FLAG,
-        exact_substr_lrs,
-        repeated_span_stats,
-    )
-
-    sexact_rows = (
-        exact_substr_lrs(spark, sf_dir, base)
-        .groupBy(
-            "lang",
-            F.when(F.col("lrs") >= _SEXACT_FLAG, F.lit("flagged"))
-            .otherwise(F.lit("clean"))
-            .alias("grp"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (
-                F.sum(F.col("lrs").cast("decimal(38,0)") * (F.col("doc_id") % 997))
-                % F.lit(1000000007)
-            )
-            .cast("bigint")
-            .alias("measure"),
-            F.max("lrs").cast("double").alias("score"),
-        )
-        .select(
-            F.lit("spans_exact").alias("variant"), "lang", "grp", "n_docs", "measure", "score"
-        )
-    )
-
+    # spans_exact/mix/dsir resolve from the pool futures at union time
     span_rows = (
         repeated_span_stats(spark, sf_dir, base)
         .groupBy(
@@ -1775,90 +1861,14 @@ def text_curation_split(
         )
     )
 
-    # dsir (r11) — DSIR-style importance resampling (Xie et al. 2023,
-    # "Data Selection for Language Models via Importance Resampling"):
-    # score every raw-pool doc by how much likelier its tokens are
-    # under a TARGET unigram LM than under the raw-pool LM (add-1
-    # smoothing, shared vocab), select docs with positive log-ratio.
-    # The target stand-in is doc_id % 10 == 0 (a curated reference
-    # sample); both LMs are one groupBy each, the per-token log-ratio
-    # join routes through the skew split (hot tokens broadcast), and
-    # the per-doc weight is a POSITION-ORDERED fold of the token
-    # log-ratios (seeded 0.0 — the Lloyd-mean cross-engine float
-    # contract), rounded to 6 dp before the sign decision so ln() ULP
-    # drift cannot flip membership. Accounting per (lang,
-    # selected/rejected): docs, tokens, exact-DECIMAL weight sum.
-    from etly_spark.operators.skew import split_broadcast_join
-
-    tgt_sel = F.col("doc_id") % 10 == 0
-    r_docs = base.where(~tgt_sel)
-    # Both LMs in ONE tokenize+explode pass (optimization r14, guide
-    # §1.2 "don't compute things twice"): the old form ran the pass
-    # SEVEN times — three eager scalar jobs (t_tok.count, r_tok.count,
-    # vocab distinct-count) plus ct_t/ct_r rebuilt inside both
-    # consumers of the un-persisted full_outer join. The merged
-    # (term, ct, cr) table is vocabulary-sized (small at any corpus —
-    # it is the LM itself), so it persists cheaply and the three
-    # scalars read off it in one tiny cached-side job. A raw-only
-    # term's ct is 0 where the join produced NULL→coalesce(0) — the
-    # same value, so lp/_w8 and every downstream hash are unchanged.
-    counts = scoped_persist(
-        base.select(F.explode("toks").alias("term"), tgt_sel.alias("_t"))
-        .groupBy("term")
-        .agg(
-            F.sum(F.col("_t").cast("long")).alias("ct"),
-            F.sum((~F.col("_t")).cast("long")).alias("cr"),
-        ),
-        eager=False,
-    )
-    stats_row = counts.agg(
-        F.count(F.lit(1)).alias("v"), F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    ).collect()[0]
-    vocab = int(stats_row["v"])
-    tot_t = int(stats_row["tt"])
-    tot_r = int(stats_row["tr"])
-    den_t = F.lit(float(tot_t + vocab))
-    den_r = F.lit(float(tot_r + vocab))
-    lm = counts.select(
-        "term",
-        (
-            F.log((F.col("ct") + 1) / den_t)
-            - F.log((F.col("cr") + 1) / den_r)
-        ).alias("lp"),
-        F.col("cr").alias("_w8"),
-    )
-    rpos = r_docs.select("doc_id", F.posexplode("toks").alias("pos", "term"))
-    per_doc_w = (
-        split_broadcast_join(rpos, lm, "term", "_w8")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
-                    F.lit(0.0),
-                    lambda a, x: a + x["lp"],
-                ),
-                6,
-            ).alias("w")
-        )
-    )
-    dsir_rows = (
-        r_docs.select("doc_id", "lang", F.size("toks").alias("n_toks"))
-        .join(per_doc_w, "doc_id", "left")
-        .withColumn("w", F.coalesce("w", F.lit(0.0)))
-        .groupBy(
-            "lang",
-            F.when(F.col("w") > 0, F.lit("selected"))
-            .otherwise(F.lit("rejected"))
-            .alias("grp"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("measure"),
-            F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"),
-        )
-        .select(F.lit("dsir").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
-    )
+    # pool futures: the three construction-time-job branches (sexact,
+    # mix, dsir — built concurrently above)
+    try:
+        sexact_rows = f_sexact.result()
+        mix_rows = f_mix.result()
+        dsir_rows = f_dsir.result()
+    finally:
+        pool.shutdown(wait=True)
 
     return (
         split_rows.unionByName(sample_rows)
