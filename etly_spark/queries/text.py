@@ -573,19 +573,21 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.operators.skew import split_broadcast_join
 
     d = load_table(spark, sf_dir, "documents")
-    # One (doc, term) aggregate DEFINITION serves every consumer (freq
-    # rollup = sum of tf, df rollup = count of docs, both split-join
-    # probe sides). Deliberately NOT persisted: the explode + partial
-    # agg is a cheap scan-shaped stage, while caching the (doc, term)
-    # table — comparable in size to the token stream — measured SLOWER
-    # than recomputing it per consumer at sf0.1 (2.0 s vs 1.2 s), and
-    # the same trade holds at scale because the cache write is
-    # proportional to the very stream it would save.
-    tf = (
-        d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # One (doc, term) aggregate serves every consumer (freq rollup =
+    # sum of tf, df rollup = count of docs, both split-join probe
+    # sides) — and that aggregate IS the staged bm25 postings table
+    # (identical definition: explode(tokens) -> groupBy(doc_id, term)
+    # -> count, fingerprinted on documents.parquet), so read the stage
+    # instead of re-tokenizing the corpus per consumer (optimization
+    # r14, guide §1.2 "don't compute things twice" / §6 columnar
+    # reads). The before-plan scanned documents.parquet 9x (4 full
+    # tokenize passes: the top15 collect, freq, tfidf's tf and df);
+    # now those consumers scan the postings parquet — dictionary-
+    # encoded terms, no regex work. An in-memory persist of (doc,term)
+    # was measured SLOWER than recompute at sf0.1 (2.0 s vs 1.2 s,
+    # r12); the parquet stage costs one build per corpus snapshot
+    # (already paid by the bm25 branch) and columnar scans after.
+    tf = bm25_postings(spark, sf_dir)
     counts = tf.groupBy("term").agg(F.sum("tf").alias("n"))
     # top-20 via orderBy+limit (TakeOrderedAndProject — O(k) per task,
     # never a vocab-wide single-partition window sort), THEN rank the
@@ -598,7 +600,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("freq").alias("variant"), "rank", "term", "n")
     )
 
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df = bm25_df_table(spark, sf_dir)  # staged (term, df): == tf.groupBy(term).count
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         split_broadcast_join(tf, df, "term", "df", hot_k=1024)
@@ -642,8 +644,8 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degrade like the oracle's `rank IN (5, 10, 15)`: take whichever
     # of the three ranks exist in a small vocabulary
     qterms = [top15[i]["term"] for i in (4, 9, 14) if i < len(top15)]
-    tf_stage = bm25_postings(spark, sf_dir)
-    df_stage = bm25_df_table(spark, sf_dir)
+    tf_stage = tf  # same staged postings the freq/tfidf branches read
+    df_stage = df
     dl = tf_stage.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(
         (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl")
