@@ -63,6 +63,17 @@ def _root() -> str:
     return _STAGE_ROOT
 
 
+def run_scratch_dir(prefix: str) -> str:
+    """A fresh scratch directory under the per-process stage root
+    (auto-removed at interpreter exit). NOT fingerprinted: every call
+    returns a NEW directory — for per-invocation materializations that
+    must be recomputed on every run (the opposite contract of
+    stage_table: nothing here is ever reused across invocations)."""
+    path = os.path.join(_root(), f"{prefix}-{uuid.uuid4().hex[:12]}")
+    os.makedirs(path)
+    return path
+
+
 def _dep_sig(path: str) -> str:
     """(path, size, mtime_ns) for a file; recursed for a directory —
     any byte-level change to an input flips the stage fingerprint."""

@@ -23,14 +23,27 @@ once per vector; ranking ties broken by vec_id.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etly_spark.functions import vector as V
-from etly_spark.io.staging import stage_table
+from etly_spark.io.staging import run_scratch_dir, stage_table
 from etly_spark.io.tables import load_table
-from etly_spark.queries.catalog import query, release_scope, scope_mark, scoped_persist
+from etly_spark.queries.catalog import (
+    query,
+    release_cache,
+    release_scope,
+    scope_mark,
+    scoped_persist,
+)
+
+# previous sim_ann_methods invocation's materialization scratch (deleted
+# on the next invocation — catalog queries are sequential by contract,
+# so the prior run's parquet is dead by then; bounds tmp growth to one
+# invocation's ~35 tiny files)
+_ANN_SCRATCH: str | None = None
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -3989,20 +4002,46 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thread-aware: per-thread scope stacks, per-stage build locks.
     from concurrent.futures import ThreadPoolExecutor
 
-    # Each method's top-k output is consumed twice (its tagged rows +
-    # the recall join against brute), so the lazy plans re-run their
-    # corpus scorers per consumer. Measured A/B (STRESS.md r8): with
-    # `s` persisted, recompute wins at sf0.1 (3.08 vs 4.44 s) AND at
-    # the 10x corpus (5.62 vs 5.98 s) — the tiny-output persist inserts
-    # InMemoryRelation barriers that cost more than the re-scans save
-    # (re-measured r14 with 29 branches: persist 53-94 s vs recompute
-    # 41-67 s — still recompute). At 100 TB the corpus frame cannot
-    # live in executor memory, so the re-scan side grows linearly while
-    # the output persist stays Q*k rows: ETLY_ANN_PERSIST_TOPK=1 flips
-    # to output-persist for that regime (same rows either way; the knob
-    # is pure performance).
-    _pt = os.environ.get("ETLY_ANN_PERSIST_TOPK", "0") == "1"
-    _keep = (lambda df: scoped_persist(df, eager=False)) if _pt else (lambda df: df)
+    # Each method's Q·k output is MATERIALIZED to parquet once per
+    # invocation (r15, guide §1.2 don't-compute-twice / §2.4). Before:
+    # every output was consumed twice (its tagged rows + the recall
+    # join's probe side) and the recall BASES far more (brute 13x,
+    # brute_c 9x) — each consumer re-ran the full scorer subtree, so
+    # the final union job executed ~2x the method work. The r8/r14
+    # persist A/B (ETLY_ANN_PERSIST_TOPK, retired r15) lost because
+    # .persist() inserts InMemoryRelation barriers into the one big
+    # union job (53-94 s vs 41-67 s recompute at sf0.1); writing the
+    # Q·k rows (~40/method) to parquet DURING the pooled construction
+    # instead runs each scorer EXACTLY ONCE — in its branch's own
+    # labelled write job, overlapped on the pool — and the final plan
+    # is a union of tiny columnar scans. At 100 TB this is strictly
+    # dominant: the materialized output is Q·k rows on the cluster FS,
+    # vs either a second full corpus scan per consumer (recompute) or
+    # an executor-memory barrier (persist).
+    #
+    # NOT result caching: the scratch dir is per-INVOCATION (uuid-named
+    # via run_scratch_dir, never fingerprinted on the inputs), so every
+    # bench/oracle run recomputes every method from the parquet inputs;
+    # the previous invocation's scratch is deleted on entry (catalog
+    # queries are sequential by contract) and the stage root dies with
+    # the process.
+    global _ANN_SCRATCH
+    if _ANN_SCRATCH is not None:
+        shutil.rmtree(_ANN_SCRATCH, ignore_errors=True)
+    _ANN_SCRATCH = out_root = run_scratch_dir("annout")
+    _out_schema = "query_id long, neighbor_id long, rank int, cos_sim double"
+
+    def _run(name: str, fn) -> DataFrame:
+        # job descriptions are thread-local (guide §1.5): each pooled
+        # branch's construction + write job is attributable/cancellable
+        spark.sparkContext.setJobDescription(f"sim_ann_methods: {name}")
+        try:
+            df = fn().select("query_id", "neighbor_id", "rank", "cos_sim")
+            path = os.path.join(out_root, name)
+            df.write.parquet(path)
+            return spark.read.schema(_out_schema).parquet(path)
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     # Phase 1 — the three corpus fixtures (one scan + norm pass each,
     # persisted; the common input of every branch on that fixture) and
@@ -4031,11 +4070,18 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ab, _query_pdf(ab, _QC_WHERE)
 
+    def _label(name: str, fn):
+        spark.sparkContext.setJobDescription(f"sim_ann_methods: {name}")
+        try:
+            return fn()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
     pool = ThreadPoolExecutor(max_workers=8)
     try:
-        f_iid = pool.submit(_fix_iid)
-        f_clu = pool.submit(_fix_clu)
-        f_ani = pool.submit(_fix_ani)
+        f_iid = pool.submit(_label, "fixture iid", _fix_iid)
+        f_clu = pool.submit(_label, "fixture clustered", _fix_clu)
+        f_ani = pool.submit(_label, "fixture aniso", _fix_ani)
         s, q_pdf = f_iid.result()
         cb, qc_pdf = f_clu.result()
         ab, qa_pdf = f_ani.result()
@@ -4117,10 +4163,15 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q_pdf=qc_pdf,
             ),
         }
-        futs = {name: pool.submit(lambda f=fn: _keep(f())) for name, fn in fns.items()}
+        futs = {name: pool.submit(_run, name, fn) for name, fn in fns.items()}
         b = {name: fut.result() for name, fut in futs.items()}
     finally:
         pool.shutdown(wait=True)
+    # Every branch is parquet-committed now: the fixture/sketch persists
+    # are dead weight for the returned plan (tiny columnar scans only) —
+    # free the executor memory immediately instead of at the next
+    # catalog invocation.
+    release_cache()
 
     brute = b["brute"]
     lsh = b["lsh"]

@@ -1,20 +1,21 @@
-"""ETLY_ANN_PERSIST_TOPK crossover A/B (r14 — verdict item 5).
+"""sim_ann_methods at scaled corpora (r15 — closes the r14 verdict's
+ETLY_ANN_PERSIST_TOPK item).
 
-The knob (queries/similarity.sim_ann_methods) flips the per-method
-top-k outputs from RECOMPUTE (each lazy plan re-runs its corpus
-scorer for its second consumer — the recall join) to OUTPUT-PERSIST
-(Q*k rows cached, InMemoryRelation barriers inserted). The r8 A/B
-measured recompute winning at sf0.1 AND at 10x, and the knob's
-flip-at-huge-corpus default rested on an argument, not a number —
-this probe measures the actual crossover.
+The knob is RETIRED: since r15 every method's Q*k output is
+materialized to per-invocation parquet during construction, so each
+scorer subtree executes exactly once regardless of corpus size — the
+persist-vs-recompute dilemma the knob toggled no longer exists (the
+materialized output is Q*k rows on the stage FS: no InMemoryRelation
+barrier, no second corpus scan per consumer). This probe measures the
+materialized implementation at scaled corpora to pin the claim with
+numbers instead of the old knob's reasoning.
 
-Method: scale ONLY the embeddings table (sim_ann_methods' sole
-input) by unioning shifted copies (vec_id + i*10_000_000, dims
-circularly rotated by i — the build_scaled_corpus embedding rule, so
-cross-copy cosines are ~random), then run the full catalog row under
-each knob setting, interleaved 0/1/0/1 after one untimed warmup
-(stage artifacts build once and are shared by both settings — they
-are identical work either way). min-of-2 per setting.
+Method: scale ONLY the embeddings table (sim_ann_methods' sole input)
+by unioning shifted copies (vec_id + i*10_000_000, dims circularly
+rotated by i — the build_scaled_corpus embedding rule, so cross-copy
+cosines are ~random), then time the full catalog row after one untimed
+warmup run (stage artifacts build once; every timed run re-runs every
+scorer and rewrites the per-invocation materialization). min-of-2.
 
 Usage: python tools/stress_persist_ab.py [copies ...]   (default: 10 150)
 Writes one JSON line per scale.
@@ -71,8 +72,7 @@ def build_scaled_embeddings(spark, copies: int) -> str:
     return out
 
 
-def run_once(spark, sf_dir: str, persist: bool) -> float:
-    os.environ["ETLY_ANN_PERSIST_TOPK"] = "1" if persist else "0"
+def run_once(spark, sf_dir: str) -> float:
     spark.catalog.clearCache()
     from etly_spark.queries import REGISTRY
 
@@ -88,18 +88,14 @@ def main() -> int:
     spark = get_spark("stress-persist-ab")
     for copies in copies_list:
         sf_dir = build_scaled_embeddings(spark, copies)
-        run_once(spark, sf_dir, False)  # untimed: builds shared stages
-        walls = {"recompute": [], "persist": []}
-        for _ in range(2):
-            walls["recompute"].append(run_once(spark, sf_dir, False))
-            walls["persist"].append(run_once(spark, sf_dir, True))
+        run_once(spark, sf_dir)  # untimed: builds shared stages
+        walls = [run_once(spark, sf_dir) for _ in range(2)]
         print(
             json.dumps(
                 {
                     "copies": copies,
                     "n_vectors": copies * 20_000,
-                    "recompute_s": min(walls["recompute"]),
-                    "persist_s": min(walls["persist"]),
+                    "materialized_s": min(walls),
                     "walls": walls,
                 }
             ),
