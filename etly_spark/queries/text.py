@@ -179,18 +179,40 @@ _SQL_STOP = _sql_marker_hits(T.STOPWORDS)
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # materialize the token array as a CHILD projection column: lambda
-    # bodies then bind a cheap attribute, not the split+filter tree —
+    # Per-TERM signals come from the STAGED postings table (r15, guide
+    # §1.2 — the same move as text_top_terms): (doc_id, term, tf)
+    # already encodes total tokens (sum tf), distinct tokens (row
+    # count), stopword hits (sum tf over the 8 stopword terms) and the
+    # modal-token count (max tf) — re-deriving them per row re-did the
+    # regex tokenize + array_distinct + marker filter + sort-fold that
+    # the postings build already paid. All ratios divide the SAME
+    # integers as the in-row forms did, so the doubles are
+    # bit-identical. Bigram features need the raw adjacency stream, so
+    # ONE tokenize scan remains — it computes only the modal-bigram
+    # count, projected to a scalar before the join (guide §2.3).
+    per_doc = bm25_postings(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("tf").alias("_n"),
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum(
+            F.when(F.col("term").isin(*T.STOPWORDS), F.col("tf")).otherwise(F.lit(0))
+        ).alias("_ns"),
+        F.max("tf").alias("_nm"),
+    )
+    # the one remaining tokenize pass: token array materialized as a
+    # CHILD projection column (lambda bodies bind a cheap attribute —
     # inlined, element_at(tokens_expr, i) re-tokenizes per element,
-    # O(n^2) regex work per doc (measured 25x slower at sf0.1).
-    # CollapseProject keeps the step: the array is non-cheap and
-    # multi-referenced.
-    d = d.select("doc_id", T.tokens("text").alias("toks"))
-    toks = F.col("toks")
-    n = F.size(toks)
+    # O(n^2) regex work per doc, measured 25x slower at sf0.1)
+    bg = d.select("doc_id", T.tokens("text").alias("toks")).select(
+        "doc_id", T.modal_count(T.bigrams(F.col("toks"))).alias("_bm")
+    )
+    # empty docs have no postings rows: left join + n=0 defaults keep
+    # them (length_c 0, diversity 0, stop_c 1, fractions 0 — exactly
+    # the in-row forms' empty-array values)
+    d = bg.join(per_doc, "doc_id", "left")
+    n = F.coalesce(F.col("_n"), F.lit(0))
     length_c = F.least(n / F.lit(100.0), F.lit(1.0))
-    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
-    stop_c = F.lit(1.0) - T.stopword_ratio(toks)
+    diversity = F.when(n > 0, F.col("_nd") / n).otherwise(F.lit(0.0))
+    stop_c = F.lit(1.0) - F.when(n > 0, F.col("_ns") / n).otherwise(F.lit(0.0))
     raw = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
     # trained classifier (r9): closed-form least-squares over (r1, r2)
     # with the heuristic gate as the weak label — ONE 9-number
@@ -210,26 +232,42 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats_from_row,
     )
 
-    feats = lr_features(toks)
+    def _stats_plan():
+        # stage BUILD (once per corpus snapshot): the in-row feature
+        # forms over a tokenize pass — lr_features is the canonical
+        # definition the oracle mirrors, and the build cost is paid
+        # outside the per-query path
+        dd = load_table(spark, sf_dir, "documents").select(
+            "doc_id", T.tokens("text").alias("toks")
+        )
+        feats = lr_features(F.col("toks"))
+        return lr_stats_plan(
+            dd.select(
+                feats["r1"].alias("r1"),
+                feats["r2"].alias("r2"),
+                feats["y"].alias("y"),
+            )
+        )
+
     stats = stats_from_row(
         stage_table(
             spark,
             f"quality-lr-stats:{sf_dir}",
-            lambda: lr_stats_plan(
-                d.select(
-                    feats["r1"].alias("r1"),
-                    feats["r2"].alias("r2"),
-                    feats["y"].alias("y"),
-                )
-            ),
+            _stats_plan,
             deps=[os.path.join(sf_dir, "documents.parquet")],
         ).collect()[0]
     )
     w0, w1, w2 = solve_weights(stats)
-    clf_raw = F.lit(w0) + F.lit(w1) * feats["r1"] + F.lit(w2) * feats["r2"]
-    # modal-token / modal-bigram fractions, shuffle-free (see doc)
-    top_tok = F.when(n > 0, T.modal_count(toks) / n).otherwise(F.lit(0.0))
-    top_bg = F.when(n > 1, T.modal_count(T.bigrams(toks)) / (n - 1)).otherwise(F.lit(0.0))
+    # scoring features: the postings-derived ratios, rounded at the
+    # same 6-dp exactness boundary as lr_features' in-row forms (the
+    # integers dividing are identical, so the doubles are too)
+    r1 = F.round(diversity, 6)
+    r2 = F.round(stop_c, 6)
+    clf_raw = F.lit(w0) + F.lit(w1) * r1 + F.lit(w2) * r2
+    # modal-token fraction from the postings max-tf; modal-bigram from
+    # the one remaining tokenize scan (computed pre-join as _bm)
+    top_tok = F.when(n > 0, F.col("_nm") / n).otherwise(F.lit(0.0))
+    top_bg = F.when(n > 1, F.col("_bm") / (n - 1)).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
         F.round(raw, 6).alias("quality"),

@@ -260,5 +260,8 @@ def test_text_quality_stats_are_staged_and_reused(spark):
     hits = staging.stats["hits"]
     second = text_quality(spark, sf).collect()
     assert staging.stats["misses"] == misses
-    assert staging.stats["hits"] == hits + 1
+    # r15: text_quality consumes TWO staged artifacts per invocation —
+    # the lr-stats row and the bm25 postings table (the per-term
+    # signals now read the postings instead of re-tokenizing)
+    assert staging.stats["hits"] == hits + 2
     assert first == second
