@@ -65,18 +65,29 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
 
 def lsh_bands(signature: Column, bands: int = 2, rows: int = 4) -> Column:
     """Band the signature into `bands` structs (band_idx, band_key): key =
-    md5 of the band's `rows` comma-joined sig elements. Docs sharing any
-    (band_idx, band_key) become join candidates — the shuffle key that
-    replaces the O(n²) cross join. Unrolled Python-side (band count is a
-    small constant), so the whole thing is one codegen'd expression."""
+    md5 of the band's `rows` comma-joined sig elements, carried as the
+    16-byte BINARY digest (r15, guide §2.3 narrower types): band keys
+    are only ever compared for equality, and unhex(md5_hex) is a
+    bijection, so buckets are bit-identical while the staged band
+    table and the band self-join's shuffled key shrink from a 32-char
+    string to 16 bytes. Docs sharing any (band_idx, band_key) become
+    join candidates — the shuffle key that replaces the O(n²) cross
+    join. Unrolled Python-side (band count is a small constant), so
+    the whole thing is one codegen'd expression."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.element_at(signature, b * rows + r + 1) for r in range(rows)]
-                    ).cast("binary")
+                F.unhex(
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(signature, b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        ).cast("binary")
+                    )
                 ).alias("band_key"),
             )
             for b in range(bands)

@@ -786,18 +786,26 @@ def _verify_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sg = (
-        d.join(F.broadcast(need), "doc_id")
-        .select(
+    # Shingle sets built IN-ROW (r15, guide §2.4): array_distinct over
+    # a substring transform replaces explode → collect_set, so no
+    # shuffle of every shingle occurrence (the set is a per-document
+    # question); and the set table is PERSISTED because its two join
+    # consumers below (doc_a side, doc_b side) would otherwise each
+    # re-run the whole set build (§1.2) — measured 2x the verify wall.
+    # Same sets: collect_set(substr) and array_distinct(transform)
+    # produce identical distinct-element arrays, and the jaccard
+    # divides the same |∩| / |∪| integers.
+    sg = scoped_persist(
+        d.join(F.broadcast(need), "doc_id").select(
             "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
-            ).alias("i"),
-            "text",
-        )
-        .select("doc_id", F.substring("text", F.col("i"), 5).alias("s"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sg"))
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(5)),
+                )
+            ).alias("sg"),
+        ),
+        eager=False,
     )
     sa = sg.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sga"))
     sb = sg.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sgb"))
