@@ -130,6 +130,14 @@ def stage_path(
         "\n".join([key, *(_dep_sig(d) for d in deps)]).encode()
     ).hexdigest()[:24]
     path = os.path.join(_root(), fp)
+    # Committed-stage fast path (r15): the rename commit is atomic, so
+    # an existing path is always a complete stage — readers of a
+    # committed stage must not serialize behind another fingerprint's
+    # in-flight builder holding the lock dict's guard, nor behind a
+    # same-fingerprint hit.
+    if os.path.exists(path):
+        stats["hits"] += 1
+        return path
     # Per-stage build lock (optimization r14): composite queries build
     # branches from a driver thread pool, and two branches sharing a
     # stage would otherwise BOTH run build() (the rename keeps it
@@ -137,12 +145,31 @@ def stage_path(
     # arrival blocks until the first commits, then takes the hit path.
     with _BUILD_LOCKS_GUARD:
         lock = _BUILD_LOCKS.setdefault(fp, threading.Lock())
-    with lock:
-        return _stage_path_locked(path, build, partition_by)
+    try:
+        with lock:
+            return _stage_path_locked(path, build, partition_by)
+    finally:
+        # drop the lock entry once the stage is committed — the fast
+        # path above serves all later readers, and the dict would
+        # otherwise grow one entry per fingerprint forever
+        if os.path.exists(path):
+            with _BUILD_LOCKS_GUARD:
+                _BUILD_LOCKS.pop(fp, None)
 
 
 _BUILD_LOCKS: dict[str, threading.Lock] = {}
 _BUILD_LOCKS_GUARD = threading.Lock()
+
+
+def build_lock(fp: str) -> threading.Lock:
+    """The per-fingerprint build lock, for index builders that manage
+    their own commit directories (ivf_inc/ivf_split/ivfpq_inc/bm25_inc)
+    instead of going through stage_path: under a driver thread pool two
+    branches sharing an index would otherwise BOTH run the multi-epoch
+    fold (the rename race keeps it correct but wastes the full build's
+    Spark jobs). Callers re-check the committed dir after acquiring."""
+    with _BUILD_LOCKS_GUARD:
+        return _BUILD_LOCKS.setdefault(fp, threading.Lock())
 
 
 def _stage_path_locked(

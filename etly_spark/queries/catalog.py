@@ -52,7 +52,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # release the first thread's live intermediates (they recompute — a
 # silent slowdown, not a wrong answer).
 _CACHE_SCOPE: list[DataFrame] = []
-_SCOPE_LOCK = threading.Lock()
+# RLock: _tl_scope() registers new per-thread stacks under the lock and
+# is itself called from scoped_persist's locked section
+_SCOPE_LOCK = threading.RLock()
 # Per-thread scope stacks (optimization r14): composite queries build
 # their independent branches from a driver-side thread pool (guide
 # §2.6 — the serialized collect/persist jobs were 60% of
@@ -62,12 +64,28 @@ _SCOPE_LOCK = threading.Lock()
 # the calling thread's own stack; the global list only backs
 # release_cache(), which still frees everything regardless of thread.
 _TLS = threading.local()
+# Every thread's scope stack, registered at creation (r15 hardening —
+# r14 verdict item 8 / advice: release_cache() used to clear only the
+# CALLING thread's stack, so a pool worker's thread-local list kept
+# already-unpersisted DataFrame refs alive — a slow driver-memory leak
+# if a pool outlives its query, and stale entries if a pool is reused
+# across two catalog queries). release_cache() now empties every
+# registered stack; emptied stacks are dropped from the registry so
+# short-lived pool threads don't accumulate entries.
+_ALL_SCOPES: list[list[DataFrame]] = []
 
 
 def _tl_scope() -> list[DataFrame]:
     lst = getattr(_TLS, "scope", None)
     if lst is None:
         lst = _TLS.scope = []
+    with _SCOPE_LOCK:
+        # (re-)register: release_cache prunes stacks from the registry,
+        # and a pool thread REUSED across catalog queries must re-enter
+        # it or its later persists would never be released. The scan is
+        # O(live threads) — single digits.
+        if not any(x is lst for x in _ALL_SCOPES):
+            _ALL_SCOPES.append(lst)
     return lst
 
 
@@ -89,11 +107,17 @@ def release_cache() -> None:
     """Unpersist every scoped intermediate — from every thread. Called
     automatically at the start of each catalog query; call explicitly
     after collecting the final query's result to leave the session
-    cache-clean."""
+    cache-clean. Clears EVERY thread's scope stack (not just the
+    caller's), so pool workers' thread-local lists hold no dangling
+    refs; emptied stacks are dropped from the registry."""
     with _SCOPE_LOCK:
         dfs = _CACHE_SCOPE[:]
         _CACHE_SCOPE.clear()
-        _tl_scope().clear()
+        for lst in _ALL_SCOPES:
+            lst.clear()
+        keep = _tl_scope()  # keep the caller's (live) stack registered
+        _ALL_SCOPES.clear()
+        _ALL_SCOPES.append(keep)
     for df in dfs:
         df.unpersist()
 

@@ -1169,37 +1169,42 @@ def ivf_inc_index(spark: SparkSession, sf_dir: str) -> str:
     if fp in _IVFINC_CACHE:
         return _IVFINC_CACHE[fp]
     final = os.path.join(_st._root(), f"ivfinc-{fp}")
-    if not os.path.isdir(final):
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        s = _normed(load_table(spark, sf_dir, "embeddings"))
-        shard0 = s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0)
-        # the frozen quantizer: hash-selected from shard 0 alone — the
-        # only part of the index later arrivals depend on
-        centroid_plan(shard0).write.parquet(os.path.join(tmp, "quantizer"))
-        cent_pdf = V._staged_pdf(os.path.join(tmp, "quantizer"))
-        for e in range(_IVFINC_EPOCHS):
-            fold_ivf_epoch(
-                s.where(F.col("vec_id") % _IVFINC_EPOCHS == e),
-                cent_pdf,
-                os.path.join(tmp, "postings"),
-                e,
+    # per-fingerprint build lock (r15 advice): the now-concurrent
+    # ivf_inc/ivf_split branches share this index — without the lock
+    # both pool workers cold-build the full multi-epoch fold (rename
+    # keeps it correct, but the loser's build is wasted Spark jobs)
+    with _st.build_lock(fp):
+        if not os.path.isdir(final):
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            s = _normed(load_table(spark, sf_dir, "embeddings"))
+            shard0 = s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0)
+            # the frozen quantizer: hash-selected from shard 0 alone —
+            # the only part of the index later arrivals depend on
+            centroid_plan(shard0).write.parquet(os.path.join(tmp, "quantizer"))
+            cent_pdf = V._staged_pdf(os.path.join(tmp, "quantizer"))
+            for e in range(_IVFINC_EPOCHS):
+                fold_ivf_epoch(
+                    s.where(F.col("vec_id") % _IVFINC_EPOCHS == e),
+                    cent_pdf,
+                    os.path.join(tmp, "postings"),
+                    e,
+                )
+            # a deletion batch arrives after the inserts (the checked
+            # row's deterministic stand-in for a takedown/expiry feed)
+            fold_ivf_tombstones(
+                s.where(F.expr(_IVFINC_DEL)), os.path.join(tmp, "tombstones"), 0
             )
-        # a deletion batch arrives after the inserts (the checked
-        # row's deterministic stand-in for a takedown/expiry feed)
-        fold_ivf_tombstones(
-            s.where(F.expr(_IVFINC_DEL)), os.path.join(tmp, "tombstones"), 0
-        )
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            # concurrent-builder race (the stage_path contract): another
-            # process committed first — its artifact is equivalent;
-            # drop ours
-            import shutil
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                # concurrent-builder race (the stage_path contract):
+                # another PROCESS committed first — its artifact is
+                # equivalent; drop ours
+                import shutil
 
-            if not os.path.isdir(final):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(final):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
     _IVFINC_CACHE[fp] = final
     return final
 
@@ -1239,17 +1244,18 @@ def ivf_split_index(spark: SparkSession, sf_dir: str) -> str:
     if fp in _IVFSPLIT_CACHE:
         return _IVFSPLIT_CACHE[fp]
     final = os.path.join(_st._root(), f"ivfsplit-{fp}")
-    if not os.path.isdir(final):
-        base = ivf_inc_index(spark, sf_dir)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        shutil.copytree(base, tmp)
-        split_hot_cells(spark, tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            if not os.path.isdir(final):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
+    with _st.build_lock(fp):
+        if not os.path.isdir(final):
+            base = ivf_inc_index(spark, sf_dir)
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            shutil.copytree(base, tmp)
+            split_hot_cells(spark, tmp)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                if not os.path.isdir(final):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
     _IVFSPLIT_CACHE[fp] = final
     return final
 
@@ -3361,32 +3367,35 @@ def ivfpq_inc_index(spark: SparkSession, sf_dir: str) -> str:
     if fp in _IVFPQINC_CACHE:
         return _IVFPQINC_CACHE[fp]
     final = os.path.join(_st._root(), f"ivfpqinc-{fp}")
-    if not os.path.isdir(final):
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        s = _normed(load_table(spark, sf_dir, "embeddings"))
-        shard0 = s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0)
-        nlist = _ivfpq_cells(shard0.count() * _IVFINC_EPOCHS)
-        centroid_plan(shard0, k=nlist).write.parquet(os.path.join(tmp, "quantizer"))
-        cent_pdf = V._staged_pdf(os.path.join(tmp, "quantizer"))
-        for e in range(_IVFINC_EPOCHS):
-            fold_ivfpq_epoch(
-                s.where(F.col("vec_id") % _IVFINC_EPOCHS == e),
-                cent_pdf,
-                os.path.join(tmp, "postings"),
-                e,
+    with _st.build_lock(fp):
+        if not os.path.isdir(final):
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            s = _normed(load_table(spark, sf_dir, "embeddings"))
+            shard0 = s.where(F.col("vec_id") % _IVFINC_EPOCHS == 0)
+            nlist = _ivfpq_cells(shard0.count() * _IVFINC_EPOCHS)
+            centroid_plan(shard0, k=nlist).write.parquet(
+                os.path.join(tmp, "quantizer")
             )
-        encode_ivfpq_postings(spark, tmp)
-        fold_ivf_tombstones(
-            s.where(F.expr(_IVFINC_DEL)), os.path.join(tmp, "tombstones"), 0
-        )
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            import shutil
+            cent_pdf = V._staged_pdf(os.path.join(tmp, "quantizer"))
+            for e in range(_IVFINC_EPOCHS):
+                fold_ivfpq_epoch(
+                    s.where(F.col("vec_id") % _IVFINC_EPOCHS == e),
+                    cent_pdf,
+                    os.path.join(tmp, "postings"),
+                    e,
+                )
+            encode_ivfpq_postings(spark, tmp)
+            fold_ivf_tombstones(
+                s.where(F.expr(_IVFINC_DEL)), os.path.join(tmp, "tombstones"), 0
+            )
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                import shutil
 
-            if not os.path.isdir(final):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(final):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
     _IVFPQINC_CACHE[fp] = final
     return final
 

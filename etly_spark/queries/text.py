@@ -409,22 +409,25 @@ def bm25_inc_index(spark: SparkSession, sf_dir: str) -> str:
     if fp in _BM25INC_CACHE:
         return _BM25INC_CACHE[fp]
     final = os.path.join(_st._root(), f"bm25inc-{fp}")
-    if not os.path.isdir(final):
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        for e in range(_BM25INC_EPOCHS):
-            fold_bm25_epoch(
-                d.where(F.col("doc_id") % _BM25INC_EPOCHS == e), tmp, e
-            )
-        fold_bm25_tombstones(d.where(F.expr(_BM25INC_DEL)), tmp, 0)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            import shutil
+    # per-fingerprint build lock (r15 advice): concurrent pool branches
+    # sharing the index build it once, not twice
+    with _st.build_lock(fp):
+        if not os.path.isdir(final):
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            for e in range(_BM25INC_EPOCHS):
+                fold_bm25_epoch(
+                    d.where(F.col("doc_id") % _BM25INC_EPOCHS == e), tmp, e
+                )
+            fold_bm25_tombstones(d.where(F.expr(_BM25INC_DEL)), tmp, 0)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                import shutil
 
-            if not os.path.isdir(final):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(final):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
     _BM25INC_CACHE[fp] = final
     return final
 
@@ -1612,298 +1615,302 @@ def text_curation_split(
         )
 
     pool = ThreadPoolExecutor(max_workers=3)
-    f_sexact = pool.submit(_mk_sexact)
-    f_mix = pool.submit(_mk_mix)
-    f_dsir = pool.submit(_mk_dsir)
-
-    split_rows = (
-        d.groupBy("lang", _split_col().alias("grp"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("measure"))
-        .select(
-            F.lit("split").alias("variant"),
-            "lang",
-            "grp",
-            "n_docs",
-            "measure",
-            F.lit(0.0).alias("score"),
-        )
-    )
-
-    rate = F.lit(100)
-    for lang, pct in sorted(_SAMPLE_RATES.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
-    kept = (_sample_bucket() < rate).cast("long")
-    sample_rows = (
-        d.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(kept).alias("measure"),
-            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("score"),
-        )
-        .select(
-            F.lit("sample").alias("variant"),
-            "lang",
-            F.lit("corpus").alias("grp"),
-            "n_docs",
-            "measure",
-            "score",
-        )
-    )
-
-    toks = F.col("toks")
-    n = F.size(toks)
-    length_c = F.least(n / F.lit(100.0), F.lit(1.0))
-    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
-    stop_c = F.lit(1.0) - T.stopword_ratio(toks)
-    q = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
-    scored = base.select("doc_id", "lang", "_th", n.alias("n_toks"), q.alias("q"))
-    # exact-dup survivor = min-doc_id row per md5(text) (the base's _th
-    # column): a single map-side-combinable aggregate (min of a
-    # doc_id-led struct), NOT a per-hash window — a corpus with one text
-    # duplicated M times makes the hash a hot window partition (one task
-    # ranks M rows), while the aggregate pre-combines duplicates inside
-    # every map task
-    survivors = (
-        scored.filter(F.col("q") >= 0.55)
-        .groupBy(F.col("_th").alias("_h"))
-        .agg(F.min(F.struct("doc_id", "lang", "n_toks", "q")).alias("_s"))
-        .select("_s.doc_id", "_s.lang", "_s.n_toks", "_s.q")
-    )
-    curate_rows = (
-        survivors.groupBy("lang", _split_col().alias("grp"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("measure"),
-            F.sum(F.round("q", 6).cast("decimal(18,6)")).cast("double").alias("score"),
-        )
-        .select(F.lit("curate").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
-    )
-
-    # decontam — benchmark-contamination hygiene: docs with doc_id % 41
-    # == 0 stand in for the held-out eval set; a training doc is
-    # contaminated if it shares any whitespace 4-gram with it. Plan:
-    # the eval n-gram set is tiny relative to the corpus at any SF, so
-    # it BROADCASTS into the train-side n-gram stream — contamination
-    # checking at 100 TB is one map-side hash probe per n-gram, no
-    # corpus-vs-corpus shuffle (the GPT-3/Llama 13-gram overlap rule,
-    # shortened to 4 for this corpus's doc lengths).
-    ngrams = F.expr(
-        "transform(sequence(1, size(toks) - 3), i -> concat_ws(' ', slice(toks, i, 4)))"
-    )
-    ng = (
-        base.select("doc_id", "toks")
-        .filter(F.size("toks") >= 4)
-        .select("doc_id", F.explode(ngrams).alias("ng"))
-    )
-    eval_ng = ng.filter(F.col("doc_id") % 41 == 0).select("ng").distinct()
-    hits = (
-        ng.filter(F.col("doc_id") % 41 != 0)
-        .join(F.broadcast(eval_ng), "ng")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("ng").alias("n_hits"))
-    )
-    decon_rows = (
-        d.filter(F.col("doc_id") % 41 != 0)
-        .select("doc_id", "lang")
-        .join(hits, "doc_id", "left")
-        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
-        .groupBy(
-            "lang",
-            F.when(F.col("n_hits") > 0, F.lit("contaminated"))
-            .otherwise(F.lit("clean"))
-            .alias("grp"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_hits").alias("measure"),
-            F.round(F.sum("n_hits") / F.count(F.lit(1)), 6).alias("score"),
-        )
-        .select(F.lit("decontam").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
-    )
-
-    # pack — sequence packing for training: docs are concatenated in
-    # doc_id order per lang and split into fixed 2048-BPE-token
-    # sequences (the standard pretraining concat-and-split). Reports
-    # per lang: sequences produced + packing efficiency ('b2048' row)
-    # and how many docs straddle a sequence boundary ('straddle' row).
-    # The running token sum is the two-phase banded prefix sum
-    # (operators/prefix.py), NOT a per-lang window: doc_id range-bands
-    # (≤2048 per lang, order-preserving by construction) carry
-    # broadcast offsets, so the dominant language's cumsum runs across
-    # ~2048 tasks instead of one. Bit-identical to the windowed form.
-    # The (doc_id, lang, n_bpe) projection derives from the shared
-    # tokenized base (chunk-fold over toks — no second tokenizer pass)
-    # and is persisted lazily in its own right: the DAG consumes it
-    # thrice (range stats, band totals, final rows) and it is 3 numeric
-    # columns, far smaller than the token arrays it folds. Banding,
-    # offsets, and the cumsum are all declarative — no driver action.
-    from etly_spark.operators.prefix import banded_running_sum, with_range_band
-
-    bpe_base = scoped_persist(
-        base.select("doc_id", "lang", T.bpe_token_count_from("toks").alias("n_bpe")),
-        eager=False,
-    )
-    wdf = banded_running_sum(
-        with_range_band(bpe_base, ["lang"], "doc_id"),
-        ["lang"],
-        F.col("_band"),
-        [F.col("doc_id")],
-        F.col("n_bpe"),
-        "cum",
-    )
-    nseq = F.floor((F.col("cum") + 2047) / 2048)
-    straddle = (F.col("n_bpe") > 0) & (
-        F.floor((F.col("cum") - F.col("n_bpe")) / 2048) < F.floor((F.col("cum") - 1) / 2048)
-    )
-    pack_rows = (
-        wdf.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.max(nseq).alias("measure"),
-            F.round(F.max("cum") / (F.max(nseq) * F.lit(2048)), 6).alias("score"),
-        )
-        .select(F.lit("pack").alias("variant"), "lang", F.lit("b2048").alias("grp"),
-                "n_docs", "measure", "score")
-    )
-    straddle_rows = (
-        wdf.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(straddle.cast("long")).alias("measure"),
-            F.round(F.sum(straddle.cast("long")) / F.count(F.lit(1)), 6).alias("score"),
-        )
-        .select(F.lit("pack").alias("variant"), "lang", F.lit("straddle").alias("grp"),
-                "n_docs", "measure", "score")
-    )
-
-    # ppx — CCNet-style perplexity terciles (builder above), fed the
-    # shared tokenized base
-    ppx_rows = (
-        unigram_perplexity(spark, sf_dir, base)
-        .groupBy("lang", F.col("bucket").alias("grp"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("measure"),
-            F.sum(F.col("bits").cast("decimal(18,6)")).cast("double").alias("score"),
-        )
-        .select(F.lit("ppx").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
-    )
-
-    # shuffle — deterministic corpus shuffle: md5-keyed permutation,
-    # pinned by a positional checksum (see _SHUFFLE_SQL_BLOCK). The
-    # rank is the banded two-phase row_number: the md5 key's first
-    # byte is a uniform, order-preserving 256-way band (hex chars
-    # compare identically as text and as value), so no per-lang
-    # single-task sort — each window partition is 1/256 of a language.
-    from etly_spark.operators.prefix import banded_row_number
-
-    shuffle_key = F.md5(
-        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")).cast("binary")
-    )
-    # not persisted: the base is a column-pruned scan + one md5 — the
-    # band-totals subtree recomputes it concurrently for less than a
-    # cache round-trip costs
-    shuffle_rows = (
-        banded_row_number(
-            d.select("lang", "doc_id").withColumn("_sk", shuffle_key),
-            ["lang"],
-            F.conv(F.substring(F.col("_sk"), 1, 2), 16, 10).cast("long"),
-            [F.col("_sk"), F.col("doc_id")],
-            "rnk",
-        )
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            # DECIMAL(38,0) accumulation + mod-prime keeps the checksum
-            # exact AND inside int64 on BOTH engines at any corpus size
-            # (a raw long sum wraps silently in Spark past ~1.4e8 docs
-            # per lang while DuckDB's HUGEINT diverges — the similarity
-            # _CENT_HASH_SQL overflow lesson)
-            (
-                F.sum(F.col("rnk").cast("decimal(38,0)") * (F.col("doc_id") % 997))
-                % F.lit(1000000007)
-            )
-            .cast("bigint")
-            .alias("measure"),
-        )
-        .select(
-            F.lit("shuffle").alias("variant"),
-            "lang",
-            F.lit("order").alias("grp"),
-            "n_docs",
-            "measure",
-            F.lit(0.0).alias("score"),
-        )
-    )
-
-    # spans — 5-gram repeated-span coverage (builder in dedup.py);
-    # spans_exact/mix/dsir resolve from the pool futures at union time
-    span_rows = (
-        repeated_span_stats(spark, sf_dir, base)
-        .groupBy(
-            "lang",
-            F.when(F.col("flagged"), F.lit("flagged")).otherwise(F.lit("clean")).alias("grp"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_dup_spans").alias("measure"),
-            F.sum(F.col("dup_frac").cast("decimal(18,6)")).cast("double").alias("score"),
-        )
-        .select(F.lit("spans").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
-    )
-
-    # hostcap (r8): at most K docs per canonical host, kept-set decided
-    # by md5(doc_id) hash order. The per-host rank is a window over a
-    # LOW-NDV key (7 hosts here; real crawls are Zipf over hosts) — the
-    # exact shape the plan gates ban — so it runs through the banded
-    # two-phase machinery (operators/prefix.py), REUSING the de-skew
-    # operator on a second real key: band = md5 first byte (monotone in
-    # the window's ORDER BY), windows only within (host, band).
-    from etly_spark.functions.url import url_host
-    from etly_spark.operators.prefix import banded_row_number
-
-    hc = d.select(
-        "doc_id",
-        url_host(
-            F.concat(
-                F.lit("HTTPS://WWW.News-"),
-                (F.col("doc_id") % 7).cast("string"),
-                F.lit(".Example.COM:443/articles/"),
-                F.col("doc_id").cast("string"),
-                F.lit("?utm_source=feed&id="),
-                F.col("doc_id").cast("string"),
-                F.lit("#section-2"),
-            )
-        ).alias("grp"),
-        F.md5(F.col("doc_id").cast("string")).alias("_h"),
-    )
-    hc = banded_row_number(
-        hc,
-        ["grp"],
-        F.conv(F.substring("_h", 1, 2), 16, 10).cast("long"),
-        ["_h", "doc_id"],
-        "_rn",
-    )
-    hostcap_rows = (
-        hc.filter(F.col("_rn") <= 40)
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").alias("measure"),
-        )
-        .select(
-            F.lit("hostcap").alias("variant"),
-            F.lit("all").alias("lang"),
-            "grp",
-            "n_docs",
-            "measure",
-            F.lit(0.0).alias("score"),
-        )
-    )
-
-    # pool futures: the three construction-time-job branches (sexact,
-    # mix, dsir — built concurrently above)
+    # The pool's WHOLE lifetime is guarded (r15 advice): an exception
+    # during the main-thread construction below would otherwise leak
+    # the pool and leave the dsir branch's scoped persist running
+    # unobserved.
     try:
+        f_sexact = pool.submit(_mk_sexact)
+        f_mix = pool.submit(_mk_mix)
+        f_dsir = pool.submit(_mk_dsir)
+
+        split_rows = (
+            d.groupBy("lang", _split_col().alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("measure"))
+            .select(
+                F.lit("split").alias("variant"),
+                "lang",
+                "grp",
+                "n_docs",
+                "measure",
+                F.lit(0.0).alias("score"),
+            )
+        )
+
+        rate = F.lit(100)
+        for lang, pct in sorted(_SAMPLE_RATES.items()):
+            rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+        kept = (_sample_bucket() < rate).cast("long")
+        sample_rows = (
+            d.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(kept).alias("measure"),
+                F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("score"),
+            )
+            .select(
+                F.lit("sample").alias("variant"),
+                "lang",
+                F.lit("corpus").alias("grp"),
+                "n_docs",
+                "measure",
+                "score",
+            )
+        )
+
+        toks = F.col("toks")
+        n = F.size(toks)
+        length_c = F.least(n / F.lit(100.0), F.lit(1.0))
+        diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+        stop_c = F.lit(1.0) - T.stopword_ratio(toks)
+        q = length_c * 0.3 + diversity * 0.4 + stop_c * 0.3
+        scored = base.select("doc_id", "lang", "_th", n.alias("n_toks"), q.alias("q"))
+        # exact-dup survivor = min-doc_id row per md5(text) (the base's _th
+        # column): a single map-side-combinable aggregate (min of a
+        # doc_id-led struct), NOT a per-hash window — a corpus with one text
+        # duplicated M times makes the hash a hot window partition (one task
+        # ranks M rows), while the aggregate pre-combines duplicates inside
+        # every map task
+        survivors = (
+            scored.filter(F.col("q") >= 0.55)
+            .groupBy(F.col("_th").alias("_h"))
+            .agg(F.min(F.struct("doc_id", "lang", "n_toks", "q")).alias("_s"))
+            .select("_s.doc_id", "_s.lang", "_s.n_toks", "_s.q")
+        )
+        curate_rows = (
+            survivors.groupBy("lang", _split_col().alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_toks").alias("measure"),
+                F.sum(F.round("q", 6).cast("decimal(18,6)")).cast("double").alias("score"),
+            )
+            .select(F.lit("curate").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+        )
+
+        # decontam — benchmark-contamination hygiene: docs with doc_id % 41
+        # == 0 stand in for the held-out eval set; a training doc is
+        # contaminated if it shares any whitespace 4-gram with it. Plan:
+        # the eval n-gram set is tiny relative to the corpus at any SF, so
+        # it BROADCASTS into the train-side n-gram stream — contamination
+        # checking at 100 TB is one map-side hash probe per n-gram, no
+        # corpus-vs-corpus shuffle (the GPT-3/Llama 13-gram overlap rule,
+        # shortened to 4 for this corpus's doc lengths).
+        ngrams = F.expr(
+            "transform(sequence(1, size(toks) - 3), i -> concat_ws(' ', slice(toks, i, 4)))"
+        )
+        ng = (
+            base.select("doc_id", "toks")
+            .filter(F.size("toks") >= 4)
+            .select("doc_id", F.explode(ngrams).alias("ng"))
+        )
+        eval_ng = ng.filter(F.col("doc_id") % 41 == 0).select("ng").distinct()
+        hits = (
+            ng.filter(F.col("doc_id") % 41 != 0)
+            .join(F.broadcast(eval_ng), "ng")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("ng").alias("n_hits"))
+        )
+        decon_rows = (
+            d.filter(F.col("doc_id") % 41 != 0)
+            .select("doc_id", "lang")
+            .join(hits, "doc_id", "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+            .groupBy(
+                "lang",
+                F.when(F.col("n_hits") > 0, F.lit("contaminated"))
+                .otherwise(F.lit("clean"))
+                .alias("grp"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_hits").alias("measure"),
+                F.round(F.sum("n_hits") / F.count(F.lit(1)), 6).alias("score"),
+            )
+            .select(F.lit("decontam").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+        )
+
+        # pack — sequence packing for training: docs are concatenated in
+        # doc_id order per lang and split into fixed 2048-BPE-token
+        # sequences (the standard pretraining concat-and-split). Reports
+        # per lang: sequences produced + packing efficiency ('b2048' row)
+        # and how many docs straddle a sequence boundary ('straddle' row).
+        # The running token sum is the two-phase banded prefix sum
+        # (operators/prefix.py), NOT a per-lang window: doc_id range-bands
+        # (≤2048 per lang, order-preserving by construction) carry
+        # broadcast offsets, so the dominant language's cumsum runs across
+        # ~2048 tasks instead of one. Bit-identical to the windowed form.
+        # The (doc_id, lang, n_bpe) projection derives from the shared
+        # tokenized base (chunk-fold over toks — no second tokenizer pass)
+        # and is persisted lazily in its own right: the DAG consumes it
+        # thrice (range stats, band totals, final rows) and it is 3 numeric
+        # columns, far smaller than the token arrays it folds. Banding,
+        # offsets, and the cumsum are all declarative — no driver action.
+        from etly_spark.operators.prefix import banded_running_sum, with_range_band
+
+        bpe_base = scoped_persist(
+            base.select("doc_id", "lang", T.bpe_token_count_from("toks").alias("n_bpe")),
+            eager=False,
+        )
+        wdf = banded_running_sum(
+            with_range_band(bpe_base, ["lang"], "doc_id"),
+            ["lang"],
+            F.col("_band"),
+            [F.col("doc_id")],
+            F.col("n_bpe"),
+            "cum",
+        )
+        nseq = F.floor((F.col("cum") + 2047) / 2048)
+        straddle = (F.col("n_bpe") > 0) & (
+            F.floor((F.col("cum") - F.col("n_bpe")) / 2048) < F.floor((F.col("cum") - 1) / 2048)
+        )
+        pack_rows = (
+            wdf.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.max(nseq).alias("measure"),
+                F.round(F.max("cum") / (F.max(nseq) * F.lit(2048)), 6).alias("score"),
+            )
+            .select(F.lit("pack").alias("variant"), "lang", F.lit("b2048").alias("grp"),
+                    "n_docs", "measure", "score")
+        )
+        straddle_rows = (
+            wdf.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(straddle.cast("long")).alias("measure"),
+                F.round(F.sum(straddle.cast("long")) / F.count(F.lit(1)), 6).alias("score"),
+            )
+            .select(F.lit("pack").alias("variant"), "lang", F.lit("straddle").alias("grp"),
+                    "n_docs", "measure", "score")
+        )
+
+        # ppx — CCNet-style perplexity terciles (builder above), fed the
+        # shared tokenized base
+        ppx_rows = (
+            unigram_perplexity(spark, sf_dir, base)
+            .groupBy("lang", F.col("bucket").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_toks").alias("measure"),
+                F.sum(F.col("bits").cast("decimal(18,6)")).cast("double").alias("score"),
+            )
+            .select(F.lit("ppx").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+        )
+
+        # shuffle — deterministic corpus shuffle: md5-keyed permutation,
+        # pinned by a positional checksum (see _SHUFFLE_SQL_BLOCK). The
+        # rank is the banded two-phase row_number: the md5 key's first
+        # byte is a uniform, order-preserving 256-way band (hex chars
+        # compare identically as text and as value), so no per-lang
+        # single-task sort — each window partition is 1/256 of a language.
+        from etly_spark.operators.prefix import banded_row_number
+
+        shuffle_key = F.md5(
+            F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")).cast("binary")
+        )
+        # not persisted: the base is a column-pruned scan + one md5 — the
+        # band-totals subtree recomputes it concurrently for less than a
+        # cache round-trip costs
+        shuffle_rows = (
+            banded_row_number(
+                d.select("lang", "doc_id").withColumn("_sk", shuffle_key),
+                ["lang"],
+                F.conv(F.substring(F.col("_sk"), 1, 2), 16, 10).cast("long"),
+                [F.col("_sk"), F.col("doc_id")],
+                "rnk",
+            )
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                # DECIMAL(38,0) accumulation + mod-prime keeps the checksum
+                # exact AND inside int64 on BOTH engines at any corpus size
+                # (a raw long sum wraps silently in Spark past ~1.4e8 docs
+                # per lang while DuckDB's HUGEINT diverges — the similarity
+                # _CENT_HASH_SQL overflow lesson)
+                (
+                    F.sum(F.col("rnk").cast("decimal(38,0)") * (F.col("doc_id") % 997))
+                    % F.lit(1000000007)
+                )
+                .cast("bigint")
+                .alias("measure"),
+            )
+            .select(
+                F.lit("shuffle").alias("variant"),
+                "lang",
+                F.lit("order").alias("grp"),
+                "n_docs",
+                "measure",
+                F.lit(0.0).alias("score"),
+            )
+        )
+
+        # spans — 5-gram repeated-span coverage (builder in dedup.py);
+        # spans_exact/mix/dsir resolve from the pool futures at union time
+        span_rows = (
+            repeated_span_stats(spark, sf_dir, base)
+            .groupBy(
+                "lang",
+                F.when(F.col("flagged"), F.lit("flagged")).otherwise(F.lit("clean")).alias("grp"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_dup_spans").alias("measure"),
+                F.sum(F.col("dup_frac").cast("decimal(18,6)")).cast("double").alias("score"),
+            )
+            .select(F.lit("spans").alias("variant"), "lang", "grp", "n_docs", "measure", "score")
+        )
+
+        # hostcap (r8): at most K docs per canonical host, kept-set decided
+        # by md5(doc_id) hash order. The per-host rank is a window over a
+        # LOW-NDV key (7 hosts here; real crawls are Zipf over hosts) — the
+        # exact shape the plan gates ban — so it runs through the banded
+        # two-phase machinery (operators/prefix.py), REUSING the de-skew
+        # operator on a second real key: band = md5 first byte (monotone in
+        # the window's ORDER BY), windows only within (host, band).
+        from etly_spark.functions.url import url_host
+        from etly_spark.operators.prefix import banded_row_number
+
+        hc = d.select(
+            "doc_id",
+            url_host(
+                F.concat(
+                    F.lit("HTTPS://WWW.News-"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".Example.COM:443/articles/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?utm_source=feed&id="),
+                    F.col("doc_id").cast("string"),
+                    F.lit("#section-2"),
+                )
+            ).alias("grp"),
+            F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        hc = banded_row_number(
+            hc,
+            ["grp"],
+            F.conv(F.substring("_h", 1, 2), 16, 10).cast("long"),
+            ["_h", "doc_id"],
+            "_rn",
+        )
+        hostcap_rows = (
+            hc.filter(F.col("_rn") <= 40)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("measure"),
+            )
+            .select(
+                F.lit("hostcap").alias("variant"),
+                F.lit("all").alias("lang"),
+                "grp",
+                "n_docs",
+                "measure",
+                F.lit(0.0).alias("score"),
+            )
+        )
+
+        # pool futures: the three construction-time-job branches (sexact,
+        # mix, dsir — built concurrently above)
         sexact_rows = f_sexact.result()
         mix_rows = f_mix.result()
         dsir_rows = f_dsir.result()
