@@ -208,34 +208,42 @@ def excise_dup_spans(
             F.size("_ss") > 0,
             F.concat_ws("", F.transform(F.col("_segs"), _seg_keep)),
         ).otherwise(F.col(text_col))
-        return (
-            units.join(starts, key_col, "left")
-            .withColumn("_ss", F.coalesce("_ss", F.array()))
-            .withColumn("_iv", iv)
-            .withColumn(
-                # empty-token guard: sequence(1, 0) DESCENDS in Spark
-                "_kp",
-                F.when(n_t > 0, kept).otherwise(F.array().cast("array<int>")),
-            )
-            .withColumn("_segs", segs_col)
-            .withColumn("_off", off_col)
-            .withColumn("_txt", txt)
-            .drop("_segs", "_off")
+        # staged selects instead of a withColumn chain (r15, driver
+        # discipline): each withColumn re-analyzes the whole growing
+        # tree JVM-side; grouping the new columns by dependency level
+        # (_ss → _iv/_segs → _kp/_off → _txt) quarters the analysis
+        # passes for the same plan. _kp's n_t>0 guard: sequence(1, 0)
+        # DESCENDS in Spark.
+        base = units.join(starts, key_col, "left").withColumn(
+            "_ss", F.coalesce("_ss", F.array())
         )
+        lvl2 = base.select("*", iv.alias("_iv"), segs_col.alias("_segs"))
+        lvl3 = lvl2.select(
+            "*",
+            F.when(n_t > 0, kept)
+            .otherwise(F.array().cast("array<int>"))
+            .alias("_kp"),
+            off_col.alias("_off"),
+        )
+        keep_cols = [c for c in lvl3.columns if c not in ("_segs", "_off")]
+        return lvl3.select(*keep_cols, txt.alias("_txt"))
     txt = F.concat_ws(
         " ",
         F.transform(F.col("_kp"), lambda p: F.element_at(F.col(t_col), p)),
     )
+    base = units.join(starts, key_col, "left").withColumn(
+        "_ss", F.coalesce("_ss", F.array())
+    )
     return (
-        units.join(starts, key_col, "left")
-        .withColumn("_ss", F.coalesce("_ss", F.array()))
-        .withColumn("_iv", iv)
-        .withColumn(
+        base.select("*", iv.alias("_iv"))
+        .select(
+            "*",
             # empty-token guard: sequence(1, 0) DESCENDS in Spark
-            "_kp",
-            F.when(n_t > 0, kept).otherwise(F.array().cast("array<int>")),
+            F.when(n_t > 0, kept)
+            .otherwise(F.array().cast("array<int>"))
+            .alias("_kp"),
         )
-        .withColumn("_txt", txt)
+        .select("*", txt.alias("_txt"))
     )
 _MD5I = "CAST('0x' || substr(md5({x}), 1, 14) AS BIGINT)"
 _URL_SYN = (
@@ -462,156 +470,183 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).select(F.lit(tag).alias("variant"), "source", "n_units", "n_kept", "kept_checksum")
 
-    doc_v = doc_variant("doc", H.md5_hex(F.col("text")))
-    norm_v = doc_variant("doc_norm", H.md5_hex(T.normalize_text("text")))
+    # Variant construction runs on a 4-worker driver pool (r15, guide
+    # §2.6): there are no driver JOBS here, but building the six
+    # variants' expression trees is ~4600 py4j round-trips of JVM-side
+    # analysis (cProfile: recv_into dominates the 1.2 s build wall),
+    # and pinned-thread py4j gives each Python thread its own JVM
+    # thread, so the analysis overlaps. Plans are byte-identical; the
+    # union order below is fixed.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # --- line variant: C4-style segment dedup + reassembly ---
-    toks = d.select("doc_id", "source", "text", T.tokens("text").alias("t"))
-    n_segs = F.greatest(F.ceil(F.size("t") / F.lit(10.0)), F.lit(1))
-    segs = (
-        toks.select(
-            "doc_id",
-            "source",
-            F.explode(F.sequence(F.lit(1), n_segs.cast("int"))).alias("seg_no"),
-            F.col("t"),
+    pool = ThreadPoolExecutor(max_workers=4)
+    try:
+        f_doc = pool.submit(doc_variant, "doc", H.md5_hex(F.col("text")))
+        f_norm = pool.submit(
+            doc_variant, "doc_norm", H.md5_hex(T.normalize_text("text"))
         )
-        .select(
-            "doc_id",
-            "source",
-            "seg_no",
-            F.concat_ws(
-                " ", F.slice(F.col("t"), (F.col("seg_no") - 1) * 10 + 1, 10)
-            ).alias("seg"),
-        )
-    )
-    # ONE groupBy serves BOTH line rules: 'line' (plain global first
-    # occurrence) and 'line_incremental' (r9 — the ingest-time shape:
-    # incoming docs, doc_id % 10 >= 8 per the repo's incremental
-    # stand-in, keep a segment only when no EXISTING doc has it and no
-    # earlier incoming doc kept it). ord_inc pushes incoming ords past
-    # every existing ord (is_new * 2^62 — doc ords stay < 2^62 under
-    # the bounds documented above), so the old-priority rule is the
-    # same min aggregate and the shuffle count does not grow.
-    ordc = F.col("doc_id") * 1000000 + F.col("seg_no")
-    is_new = F.col("doc_id") % 10 >= 8
-    u = (
-        segs.withColumn("_h", H.md5_hex(F.col("seg")))
-        .withColumn("_ord", ordc)
-        .withColumn(
-            "_ordi", is_new.cast("long") * F.lit(4611686018427387904) + ordc
-        )
-    )
-    firsts = u.groupBy("_h").agg(
-        F.min("_ord").alias("_f"), F.min("_ordi").alias("_fi")
-    )
-    sk = (
-        u.join(firsts, "_h")
-        .withColumn("kept", F.col("_ord") == F.col("_f"))
-        .withColumn("kept_inc", is_new & (F.col("_ordi") == F.col("_fi")))
-    )
-    line_counts = sk.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_units"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
-        F.sum(is_new.cast("long")).alias("n_units_inc"),
-        F.sum(F.when(F.col("kept_inc"), 1).otherwise(0)).alias("n_kept_inc"),
-    )
 
-    def reassemble(kept_rows: DataFrame) -> DataFrame:
-        return kept_rows.groupBy("doc_id", "source").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
-                    lambda x: x["seg"],
+        # --- line variant: C4-style segment dedup + reassembly ---
+        toks = d.select("doc_id", "source", "text", T.tokens("text").alias("t"))
+        n_segs = F.greatest(F.ceil(F.size("t") / F.lit(10.0)), F.lit(1))
+        segs = (
+            toks.select(
+                "doc_id",
+                "source",
+                F.explode(F.sequence(F.lit(1), n_segs.cast("int"))).alias("seg_no"),
+                F.col("t"),
+            )
+            .select(
+                "doc_id",
+                "source",
+                "seg_no",
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), (F.col("seg_no") - 1) * 10 + 1, 10)
+                ).alias("seg"),
+            )
+        )
+        # ONE groupBy serves BOTH line rules: 'line' (plain global first
+        # occurrence) and 'line_incremental' (r9 — the ingest-time shape:
+        # incoming docs, doc_id % 10 >= 8 per the repo's incremental
+        # stand-in, keep a segment only when no EXISTING doc has it and no
+        # earlier incoming doc kept it). ord_inc pushes incoming ords past
+        # every existing ord (is_new * 2^62 — doc ords stay < 2^62 under
+        # the bounds documented above), so the old-priority rule is the
+        # same min aggregate and the shuffle count does not grow.
+        ordc = F.col("doc_id") * 1000000 + F.col("seg_no")
+        is_new = F.col("doc_id") % 10 >= 8
+        u = (
+            segs.withColumn("_h", H.md5_hex(F.col("seg")))
+            .withColumn("_ord", ordc)
+            .withColumn(
+                "_ordi", is_new.cast("long") * F.lit(4611686018427387904) + ordc
+            )
+        )
+        firsts = u.groupBy("_h").agg(
+            F.min("_ord").alias("_f"), F.min("_ordi").alias("_fi")
+        )
+        sk = (
+            u.join(firsts, "_h")
+            .withColumn("kept", F.col("_ord") == F.col("_f"))
+            .withColumn("kept_inc", is_new & (F.col("_ordi") == F.col("_fi")))
+        )
+        line_counts = sk.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(is_new.cast("long")).alias("n_units_inc"),
+            F.sum(F.when(F.col("kept_inc"), 1).otherwise(0)).alias("n_kept_inc"),
+        )
+
+        def reassemble(kept_rows: DataFrame) -> DataFrame:
+            return kept_rows.groupBy("doc_id", "source").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                        lambda x: x["seg"],
+                    ),
+                    " ",
+                ).alias("txt")
+            )
+
+        line_chk = reassemble(sk.where("kept")).groupBy("source").agg(
+            chk(md5i(F.col("txt"))).alias("kept_checksum")
+        )
+        line_v = line_counts.join(line_chk, "source").select(
+            F.lit("line").alias("variant"), "source", "n_units", "n_kept", "kept_checksum"
+        )
+        inc_chk = reassemble(sk.where("kept_inc")).groupBy("source").agg(
+            chk(md5i(F.col("txt"))).alias("kept_checksum")
+        )
+        inc_v = (
+            line_counts.join(inc_chk, "source", "left")
+            .select(
+                F.lit("line_incremental").alias("variant"),
+                "source",
+                F.col("n_units_inc").alias("n_units"),
+                F.col("n_kept_inc").alias("n_kept"),
+                F.coalesce("kept_checksum", F.lit(0)).alias("kept_checksum"),
+            )
+            .where(F.col("n_units") > 0)
+        )
+
+        # --- spans_remove variant (r10): ExactSubstr ACTION (Lee et al.
+        # 2022) — excise every cross-document verbatim token span of
+        # length >= _SPANR_T from EVERY occurrence and reassemble the doc
+        # order-preserving. Exactness via fixed-length window hashing: a
+        # token position is inside a maximal cross-doc duplicated span of
+        # length >= T iff it is covered by SOME duplicated T-window (every
+        # T-window of a duplicated span is itself duplicated), so the
+        # union of duplicated T-window extents IS the union of maximal
+        # >= T spans — no suffix machinery needed for the excision rule.
+        # Plan: one T-window explode -> min/max-doc groupBy on the window
+        # hash (cross-doc = endpoints differ; partial-agg collapses hot
+        # windows map-side) -> join back -> per-doc start-list collect ->
+        # a codegen'd higher-order filter rebuilds the kept token stream.
+        # The filter is O(doc_len x dup_starts) per doc — fine at any
+        # realistic doc length; a fully-duplicated 100k-token doc would
+        # want the starts folded to merged coverage intervals first (a
+        # sort + one list fold, SQL-expressible) — the known upgrade if a
+        # corpus ever hits that shape.
+        # Units are TOKENS (n_units/n_kept count them); kept_checksum sums
+        # md5 over the REBUILT texts so the oracle gates every document's
+        # post-excision bytes exactly. r11: rebuild is by CHARACTER
+        # OFFSETS (text_col) — kept regions byte-identical to the source,
+        # newlines and spacing preserved outside the removed spans.
+        def _mk_spanr() -> DataFrame:
+            excised = excise_dup_spans(toks, "doc_id", text_col="text")
+            return excised.groupBy("source").agg(
+                F.sum(F.size("t")).alias("n_units"),
+                F.sum(F.size("_kp")).alias("n_kept"),
+                chk(md5i(F.col("_txt"))).alias("kept_checksum"),
+            ).select(
+                F.lit("spans_remove").alias("variant"),
+                "source",
+                "n_units",
+                "n_kept",
+                "kept_checksum",
+            )
+
+        f_spanr = pool.submit(_mk_spanr)
+
+        # --- url variant: canonical (host, path) dedup over messy URLs ---
+        from etly_spark.functions.url import url_host, url_path
+
+        url = F.concat(
+            F.lit("HTTPS://WWW.News-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM:443/articles/"),
+            (F.col("doc_id") % 91).cast("string"),
+            F.lit("?utm_source=feed&sid="),
+            F.col("doc_id").cast("string"),
+            F.lit("#frag"),
+        )
+        def _mk_url() -> DataFrame:
+            uk = keep_first(
+                d.select(
+                    "doc_id",
+                    "source",
+                    F.concat(url_host(url), url_path(url)).alias("ck"),
                 ),
-                " ",
-            ).alias("txt")
-        )
+                F.col("ck"),
+                F.col("doc_id"),
+            )
+            return uk.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_units"),
+                F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+                chk(F.when(F.col("kept"), md5i(F.col("ck"))).otherwise(0)).alias(
+                    "kept_checksum"
+                ),
+            ).select(
+                F.lit("url").alias("variant"), "source", "n_units", "n_kept", "kept_checksum"
+            )
 
-    line_chk = reassemble(sk.where("kept")).groupBy("source").agg(
-        chk(md5i(F.col("txt"))).alias("kept_checksum")
-    )
-    line_v = line_counts.join(line_chk, "source").select(
-        F.lit("line").alias("variant"), "source", "n_units", "n_kept", "kept_checksum"
-    )
-    inc_chk = reassemble(sk.where("kept_inc")).groupBy("source").agg(
-        chk(md5i(F.col("txt"))).alias("kept_checksum")
-    )
-    inc_v = (
-        line_counts.join(inc_chk, "source", "left")
-        .select(
-            F.lit("line_incremental").alias("variant"),
-            "source",
-            F.col("n_units_inc").alias("n_units"),
-            F.col("n_kept_inc").alias("n_kept"),
-            F.coalesce("kept_checksum", F.lit(0)).alias("kept_checksum"),
-        )
-        .where(F.col("n_units") > 0)
-    )
-
-    # --- spans_remove variant (r10): ExactSubstr ACTION (Lee et al.
-    # 2022) — excise every cross-document verbatim token span of
-    # length >= _SPANR_T from EVERY occurrence and reassemble the doc
-    # order-preserving. Exactness via fixed-length window hashing: a
-    # token position is inside a maximal cross-doc duplicated span of
-    # length >= T iff it is covered by SOME duplicated T-window (every
-    # T-window of a duplicated span is itself duplicated), so the
-    # union of duplicated T-window extents IS the union of maximal
-    # >= T spans — no suffix machinery needed for the excision rule.
-    # Plan: one T-window explode -> min/max-doc groupBy on the window
-    # hash (cross-doc = endpoints differ; partial-agg collapses hot
-    # windows map-side) -> join back -> per-doc start-list collect ->
-    # a codegen'd higher-order filter rebuilds the kept token stream.
-    # The filter is O(doc_len x dup_starts) per doc — fine at any
-    # realistic doc length; a fully-duplicated 100k-token doc would
-    # want the starts folded to merged coverage intervals first (a
-    # sort + one list fold, SQL-expressible) — the known upgrade if a
-    # corpus ever hits that shape.
-    # Units are TOKENS (n_units/n_kept count them); kept_checksum sums
-    # md5 over the REBUILT texts so the oracle gates every document's
-    # post-excision bytes exactly. r11: rebuild is by CHARACTER
-    # OFFSETS (text_col) — kept regions byte-identical to the source,
-    # newlines and spacing preserved outside the removed spans.
-    excised = excise_dup_spans(toks, "doc_id", text_col="text")
-    spanr_v = excised.groupBy("source").agg(
-        F.sum(F.size("t")).alias("n_units"),
-        F.sum(F.size("_kp")).alias("n_kept"),
-        chk(md5i(F.col("_txt"))).alias("kept_checksum"),
-    ).select(
-        F.lit("spans_remove").alias("variant"),
-        "source",
-        "n_units",
-        "n_kept",
-        "kept_checksum",
-    )
-
-    # --- url variant: canonical (host, path) dedup over messy URLs ---
-    from etly_spark.functions.url import url_host, url_path
-
-    url = F.concat(
-        F.lit("HTTPS://WWW.News-"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit(".Example.COM:443/articles/"),
-        (F.col("doc_id") % 91).cast("string"),
-        F.lit("?utm_source=feed&sid="),
-        F.col("doc_id").cast("string"),
-        F.lit("#frag"),
-    )
-    uk = keep_first(
-        d.select(
-            "doc_id",
-            "source",
-            F.concat(url_host(url), url_path(url)).alias("ck"),
-        ),
-        F.col("ck"),
-        F.col("doc_id"),
-    )
-    url_v = uk.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_units"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
-        chk(F.when(F.col("kept"), md5i(F.col("ck"))).otherwise(0)).alias(
-            "kept_checksum"
-        ),
-    ).select(F.lit("url").alias("variant"), "source", "n_units", "n_kept", "kept_checksum")
+        f_url = pool.submit(_mk_url)
+        doc_v = f_doc.result()
+        norm_v = f_norm.result()
+        spanr_v = f_spanr.result()
+        url_v = f_url.result()
+    finally:
+        pool.shutdown(wait=True)
 
     return (
         doc_v.unionByName(norm_v)
