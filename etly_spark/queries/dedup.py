@@ -980,17 +980,23 @@ ORDER BY doc_a, doc_b
     "hamming <= 3 verify. Band join replaces all-pairs hamming scan.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Explode-token formulation (same reasoning as dedup_minhash_lsh):
-    # one codegen'd md5 per token occurrence, then 48 integer-sum
-    # aggregates vote the bits — all map-side combinable.
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-    h = tok.select("doc_id", H.token_hash(F.col("tok"), 12).alias("h"))
+    # Votes from the STAGED postings table (r15, guide §1.2 — the
+    # text_quality/ppx move): bit b's ±1 vote summed over token
+    # OCCURRENCES equals sum over distinct (doc, term) rows of
+    # tf * (bit(h)*2 - 1) — the same integers, with ONE md5 per
+    # distinct (doc, term) instead of per occurrence and the committed
+    # parquet read in place of a tokenize pass.
+    from etly_spark.queries.text import bm25_postings
+
+    h = bm25_postings(spark, sf_dir).select(
+        "doc_id", "tf", H.token_hash(F.col("term"), 12).alias("h")
+    )
     votes = h.groupBy("doc_id").agg(
         *[
-            F.sum((F.col("h").bitwiseAND(F.lit(1 << b)) != 0).cast("long") * 2 - 1).alias(
-                f"v{b}"
-            )
+            F.sum(
+                ((F.col("h").bitwiseAND(F.lit(1 << b)) != 0).cast("long") * 2 - 1)
+                * F.col("tf")
+            ).alias(f"v{b}")
             for b in range(48)
         ]
     )
@@ -1410,6 +1416,140 @@ ORDER BY variant, cluster_id
 """
 
 
+def _mk_semantic_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup variant rows of dedup_clusters, extracted so its
+    construction-time driver jobs can run on the query's pool
+    concurrently with the CC label loop (r15, guide §2.6)."""
+    spark.sparkContext.setJobDescription("dedup_clusters: semantic")
+    try:
+        # --- semantic variant (r10): SemDeDup (Abbas et al. 2023) — the
+        # embedding-space complement of the MinHash graph above. Cluster
+        # the embedding corpus into corpus-scaled cells (k = clamp(sqrt(N),
+        # 32, 4096) coarse centroids — the same hash-selection +
+        # cosine-argmax assignment the IVF rows prove cross-engine), then
+        # within each cell prune every vector that has a >= _SEM_EPS cosine
+        # neighbor with a smaller vec_id (keep-first; one BLAS gram per
+        # cell via bucket_pair_scores — no pair join materialized). Cells
+        # over _SEM_CAP are skipped (kept whole): with k ~ sqrt(N) the
+        # expected cell is sqrt(N) docs, so total gram work is ~N^1.5 —
+        # SemDeDup's own regime — and the cap bounds the worst skewed cell
+        # (the _EC_CAP precedent). Output per cell: n_docs = members,
+        # ref_doc = n_kept, ref_chars = mod-prime sum of KEPT vec_ids (an
+        # integer-exact checksum gating the exact kept set).
+        import math
+
+        from etly_spark.functions import vector as V
+        from etly_spark.queries.similarity import _normed, select_centroids
+
+        e = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")), eager=False)
+        k_sem = min(4096, max(32, int(math.floor(math.sqrt(float(e.count()))))))
+        asn = scoped_persist(
+            V.assign_nearest(e, select_centroids(e, k=k_sem), out_col="bucket"),
+            eager=False,
+        )
+        # --- r11 hot-cell recursion (verdict item 2): cells over _SEM_CAP
+        # re-cluster with k_c ~ sqrt(cell_n) sub-centroids hash-selected
+        # WITHIN the cell (banded rank — never a window on a potentially
+        # hot cell key), members reassigned per-cell via the staged
+        # grouped-assign kernel (executor-side centroid loading, nothing
+        # driver-sized), up to _SEM_DEPTH levels. The early-exit loop
+        # equals the oracle's fixed unroll: a level with no hot cells is a
+        # no-op there too.
+        from etly_spark.io.staging import stage_path
+        from etly_spark.operators.prefix import banded_row_number
+
+        emb_dep = os.path.join(sf_dir, "embeddings.parquet")
+        for lvl in range(1, _SEM_DEPTH + 1):
+            hot = (
+                asn.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > _SEM_CAP)
+            )
+            if hot.isEmpty():
+                break
+            kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+                4294967296
+            )
+            members = asn.join(F.broadcast(hot), "bucket")
+            ranked = banded_row_number(
+                members.withColumn("_kh", kh),
+                ["bucket"],
+                F.floor(F.col("_kh") / F.lit(2097152)),  # 2048 hash bands
+                [F.col("_kh"), F.col("vec_id")],
+                "_crn",
+            )
+            kc = F.least(
+                F.lit(4096),
+                F.greatest(
+                    F.lit(2), F.floor(F.sqrt(F.col("_n").cast("double"))).cast("long")
+                ),
+            )
+            subc = ranked.where(F.col("_crn") <= kc).select(
+                "bucket",
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("ce"),
+                F.col("nrm").alias("cn"),
+            )
+            sub_path = stage_path(
+                spark, f"semdedup-sub:{sf_dir}:{lvl}", lambda: subc, deps=[emb_dep]
+            )
+            re_asn = V.assign_nearest_grouped(
+                members.select("vec_id", "embedding", "nrm", "bucket"),
+                sub_path,
+                group_col="bucket",
+                out_col="_nb",
+            ).select("vec_id", "embedding", "nrm", F.col("_nb").alias("bucket"))
+            asn = scoped_persist(
+                asn.join(F.broadcast(hot.select("bucket")), "bucket", "left_anti")
+                .select("vec_id", "embedding", "nrm", "bucket")
+                .unionByName(re_asn),
+                eager=False,
+            )
+        cell_ok = (
+            asn.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= _SEM_CAP)
+            .select("bucket")
+        )
+        prn = (
+            V.bucket_pair_scores(asn.join(F.broadcast(cell_ok), "bucket"),
+                                 threshold=_SEM_EPS)
+            .select(F.col("vec_b").alias("vec_id"))
+            .distinct()
+            .withColumn("_p", F.lit(1))
+        )
+        sem = (
+            asn.join(prn, "vec_id", "left")
+            .groupBy(F.col("bucket").alias("cluster_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("ref_doc"),
+                (
+                    # cast per-TERM (the chk() rule): a raw BIGINT sum of
+                    # large ids could overflow under ANSI before the cast
+                    F.sum(
+                        F.when(F.col("_p").isNull(), F.col("vec_id"))
+                        .otherwise(0)
+                        .cast("decimal(38,0)")
+                    )
+                    % F.lit(1000000007)
+                )
+                .cast("bigint")
+                .alias("ref_chars"),
+            )
+            .select(
+                F.lit("semantic").alias("variant"),
+                "cluster_id",
+                "n_docs",
+                "ref_doc",
+                "ref_chars",
+            )
+        )
+        return sem
+    finally:
+        spark.sparkContext.setJobDescription(None)
+
+
 @query(
     "dedup_clusters",
     oracle=_CLUSTERS_SQL,
@@ -1441,13 +1581,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etly_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    # scoped (not raw .persist) — released at the next catalog query, so
-    # repeated catalog runs can't accumulate dead cache entries. Lazy:
-    # the CC loop's first join materializes it.
-    pairs = scoped_persist(
-        minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"), eager=False
-    )
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    # The two variant families' construction-time driver jobs run
+    # CONCURRENTLY (r15, guide §2.6): the CC label propagation is an
+    # iterative driver loop (join + convergence check per round) and
+    # the SemDeDup side issues its own jobs (corpus count, centroid
+    # collect, per-level hot-cell checks, sub-centroid stage builds) —
+    # sequential, they were ~3.0 s of build wall back-to-back; the two
+    # chains share nothing until the final union. Labelled per §1.5;
+    # the scope machinery is thread-safe (catalog.py r14/r15).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mk_cc():
+        spark.sparkContext.setJobDescription("dedup_clusters: cc labels")
+        try:
+            # scoped (not raw .persist) — released at the next catalog
+            # query, so repeated catalog runs can't accumulate dead
+            # cache entries. Lazy: the CC loop's first join
+            # materializes it.
+            pairs = scoped_persist(
+                minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"), eager=False
+            )
+            return connected_components(pairs, "doc_a", "doc_b")
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        f_labels = pool.submit(_mk_cc)
+        f_sem = pool.submit(_mk_semantic_variant, spark, sf_dir)
+        labels = f_labels.result()
+        sem = f_sem.result()
+    finally:
+        pool.shutdown(wait=True)
     summary = (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("ref_doc"))
@@ -1485,129 +1650,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.col("_top.doc_id").alias("ref_doc"),
             F.col("_top.n_chars").alias("ref_chars"),
-        )
-    )
-    # --- semantic variant (r10): SemDeDup (Abbas et al. 2023) — the
-    # embedding-space complement of the MinHash graph above. Cluster
-    # the embedding corpus into corpus-scaled cells (k = clamp(sqrt(N),
-    # 32, 4096) coarse centroids — the same hash-selection +
-    # cosine-argmax assignment the IVF rows prove cross-engine), then
-    # within each cell prune every vector that has a >= _SEM_EPS cosine
-    # neighbor with a smaller vec_id (keep-first; one BLAS gram per
-    # cell via bucket_pair_scores — no pair join materialized). Cells
-    # over _SEM_CAP are skipped (kept whole): with k ~ sqrt(N) the
-    # expected cell is sqrt(N) docs, so total gram work is ~N^1.5 —
-    # SemDeDup's own regime — and the cap bounds the worst skewed cell
-    # (the _EC_CAP precedent). Output per cell: n_docs = members,
-    # ref_doc = n_kept, ref_chars = mod-prime sum of KEPT vec_ids (an
-    # integer-exact checksum gating the exact kept set).
-    import math
-
-    from etly_spark.functions import vector as V
-    from etly_spark.queries.similarity import _normed, select_centroids
-
-    e = scoped_persist(_normed(load_table(spark, sf_dir, "embeddings")), eager=False)
-    k_sem = min(4096, max(32, int(math.floor(math.sqrt(float(e.count()))))))
-    asn = scoped_persist(
-        V.assign_nearest(e, select_centroids(e, k=k_sem), out_col="bucket"),
-        eager=False,
-    )
-    # --- r11 hot-cell recursion (verdict item 2): cells over _SEM_CAP
-    # re-cluster with k_c ~ sqrt(cell_n) sub-centroids hash-selected
-    # WITHIN the cell (banded rank — never a window on a potentially
-    # hot cell key), members reassigned per-cell via the staged
-    # grouped-assign kernel (executor-side centroid loading, nothing
-    # driver-sized), up to _SEM_DEPTH levels. The early-exit loop
-    # equals the oracle's fixed unroll: a level with no hot cells is a
-    # no-op there too.
-    from etly_spark.io.staging import stage_path
-    from etly_spark.operators.prefix import banded_row_number
-
-    emb_dep = os.path.join(sf_dir, "embeddings.parquet")
-    for lvl in range(1, _SEM_DEPTH + 1):
-        hot = (
-            asn.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > _SEM_CAP)
-        )
-        if hot.isEmpty():
-            break
-        kh = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
-            4294967296
-        )
-        members = asn.join(F.broadcast(hot), "bucket")
-        ranked = banded_row_number(
-            members.withColumn("_kh", kh),
-            ["bucket"],
-            F.floor(F.col("_kh") / F.lit(2097152)),  # 2048 hash bands
-            [F.col("_kh"), F.col("vec_id")],
-            "_crn",
-        )
-        kc = F.least(
-            F.lit(4096),
-            F.greatest(
-                F.lit(2), F.floor(F.sqrt(F.col("_n").cast("double"))).cast("long")
-            ),
-        )
-        subc = ranked.where(F.col("_crn") <= kc).select(
-            "bucket",
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cn"),
-        )
-        sub_path = stage_path(
-            spark, f"semdedup-sub:{sf_dir}:{lvl}", lambda: subc, deps=[emb_dep]
-        )
-        re_asn = V.assign_nearest_grouped(
-            members.select("vec_id", "embedding", "nrm", "bucket"),
-            sub_path,
-            group_col="bucket",
-            out_col="_nb",
-        ).select("vec_id", "embedding", "nrm", F.col("_nb").alias("bucket"))
-        asn = scoped_persist(
-            asn.join(F.broadcast(hot.select("bucket")), "bucket", "left_anti")
-            .select("vec_id", "embedding", "nrm", "bucket")
-            .unionByName(re_asn),
-            eager=False,
-        )
-    cell_ok = (
-        asn.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .filter(F.col("_sz") <= _SEM_CAP)
-        .select("bucket")
-    )
-    prn = (
-        V.bucket_pair_scores(asn.join(F.broadcast(cell_ok), "bucket"),
-                             threshold=_SEM_EPS)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_p", F.lit(1))
-    )
-    sem = (
-        asn.join(prn, "vec_id", "left")
-        .groupBy(F.col("bucket").alias("cluster_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("ref_doc"),
-            (
-                # cast per-TERM (the chk() rule): a raw BIGINT sum of
-                # large ids could overflow under ANSI before the cast
-                F.sum(
-                    F.when(F.col("_p").isNull(), F.col("vec_id"))
-                    .otherwise(0)
-                    .cast("decimal(38,0)")
-                )
-                % F.lit(1000000007)
-            )
-            .cast("bigint")
-            .alias("ref_chars"),
-        )
-        .select(
-            F.lit("semantic").alias("variant"),
-            "cluster_id",
-            "n_docs",
-            "ref_doc",
-            "ref_chars",
         )
     )
     return (

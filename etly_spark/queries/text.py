@@ -1027,19 +1027,23 @@ def _ppx_per_doc(
     tokenize-from-scratch scan — identical values by construction."""
     from etly_spark.operators.skew import split_broadcast_join
 
-    if base is None:
-        d = load_table(spark, sf_dir, "documents")
-        base = d.select("doc_id", "lang", T.tokens("text").alias("toks"))
-    # the per-doc aggregate below is NOT persisted here — same reasoning
-    # as text_top_terms' tf: the cheap explode+partial-agg recompute
-    # beats caching a token-stream-sized aggregate (measured at sf0.1);
-    # unigram_perplexity persists the RESULT (doc-count-sized) instead
-    tf = (
-        base.select("doc_id", "lang", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "lang", "tok")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # tf comes from the STAGED inverted-postings table (r15, guide §1.2
+    # — the text_top_terms/text_quality move): the explode + groupBy
+    # here re-derived the postings per consumer, and tf feeds BOTH the
+    # corpus frequency table and the scoring join, so the tokenize ran
+    # twice per invocation. The committed parquet encodes the identical
+    # (doc_id, term, count) integers (same tokenizer), with lang
+    # attached from a narrow documents scan. ``base`` (the curation
+    # split's shared tokenized base) is kept for signature
+    # compatibility — its token counts equal the postings by
+    # construction, so the postings path serves every caller.
+    del base
+    post = bm25_postings(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tf = post.join(langs, "doc_id").select(
+        "doc_id", "lang", F.col("term").alias("tok"), F.col("tf").alias("n")
     )
-    freq = tf.groupBy("tok").agg(F.sum("n").alias("cnt"))
+    freq = post.groupBy(F.col("term").alias("tok")).agg(F.sum("tf").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("n_total"))
     joined = split_broadcast_join(tf, freq, "tok", "cnt", hot_k=1024).crossJoin(
         F.broadcast(total)
@@ -1552,16 +1556,22 @@ def text_curation_split(
     def _mk_dsir() -> DataFrame:
         # dsir (r11) — DSIR-style importance resampling (Xie et al.
         # 2023): see the block comment on the sequential form in git
-        # history; the math is unchanged, the LM counts come from ONE
-        # tokenize pass (r14), and construction runs on the pool.
+        # history; the math is unchanged. The LM counts come from the
+        # STAGED postings table (r15, guide §1.2): ct/cr are exact long
+        # sums of the same per-(doc, term) counts the explode+groupBy
+        # re-derived, and the vocab/total collect below (a BUILD-time
+        # driver job) now aggregates the committed parquet instead of
+        # re-tokenizing the corpus. Per-doc scoring keeps the
+        # position-ordered token stream (the fold order is part of the
+        # checked value), so r_docs still reads the tokenized base.
         tgt_sel = F.col("doc_id") % 10 == 0
         r_docs = base.where(~tgt_sel)
         counts = scoped_persist(
-            base.select(F.explode("toks").alias("term"), tgt_sel.alias("_t"))
+            bm25_postings(spark, sf_dir)
             .groupBy("term")
             .agg(
-                F.sum(F.col("_t").cast("long")).alias("ct"),
-                F.sum((~F.col("_t")).cast("long")).alias("cr"),
+                F.sum(F.when(tgt_sel, F.col("tf")).otherwise(F.lit(0))).alias("ct"),
+                F.sum(F.when(~tgt_sel, F.col("tf")).otherwise(F.lit(0))).alias("cr"),
             ),
             eager=False,
         )
