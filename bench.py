@@ -160,7 +160,21 @@ def regressions_vs_previous(times: dict, sf: float, threshold: float = 1.25) -> 
     prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if not prior:
         return None
+    # Newest artifact from a COMPARABLE run: a driver record taken at a
+    # different core count (the r14_c8 8-core control glob-sorts after
+    # the 32-core r14 artifact) would flag per-query core-scaling as
+    # regression — ratios across core counts are not code deltas.
+    cpus_now = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
     prev = prior[-1]
+    for cand in reversed(prior):
+        try:
+            with open(cand) as fh:
+                cpus_prev = json.load(fh).get("cpus")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if cpus_prev is None or int(cpus_prev) == cpus_now:
+            prev = cand
+            break
     try:
         with open(prev) as fh:
             rec = json.load(fh)

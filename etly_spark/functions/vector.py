@@ -915,3 +915,109 @@ def pq_reconstruct(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def _sorted_book(cent_pdf: pd.DataFrame, m: int):
+    """The global codebook as a (k, m, sub) tensor in cent_id order —
+    the shared layout of the packed-codes encode and decode kernels
+    (slot = position in this ordering; argmax keeps the first maximum,
+    so slot order IS the oracle's ties-to-smallest-cent_id rule)."""
+    import numpy as np
+
+    order = np.argsort(cent_pdf["cent_id"].to_numpy(dtype="int64"), kind="stable")
+    C = _rows(cent_pdf["ce"])[order]
+    k, d = C.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    return np.ascontiguousarray(C.reshape(k, m, d // m))
+
+
+def pq_codes_packed(
+    corpus: DataFrame,
+    cent_pdf: pd.DataFrame,
+    *,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Global-codebook PQ ENCODE ONLY (r15 — the staged-codes form of
+    pq_reconstruct): EXACTLY pq_reconstruct's argmax (same blocked
+    einsum, same -2.0 zero-norm pin, same ties-to-smallest-cent_id via
+    the cent_id-sorted book), but emitting each vector's m dense SLOTS
+    packed into one 2m-byte uint16-LE binary (the ivfpq_codes payload
+    shape; the global k is capped at 4096, well inside uint16) instead
+    of materializing the reconstruction. At 100 TB THIS is the index
+    payload: the encode — the only super-linear kernel on the PQ path
+    (N·k·m slice cosines) — runs once per corpus snapshot when the
+    table is staged, and every query-time consumer re-creates vectors
+    with pq_decode's O(N·m) gathers."""
+    import numpy as np
+
+    Cs = _sorted_book(cent_pdf, m)
+    k, _, sub = Cs.shape
+    cn = np.sqrt(np.einsum("kms,kms->km", Cs, Cs))
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("codes", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blk = max(1, int(8_000_000 / (k * m)))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _rows(pdf[vec_col]).reshape(len(pdf), m, sub)
+            xn = np.sqrt(np.einsum("nms,nms->nm", X, X))
+            slots = np.empty((len(pdf), m), dtype="<u2")
+            for lo in range(0, len(pdf), blk):
+                Xb, xb = X[lo : lo + blk], xn[lo : lo + blk]
+                num = np.einsum("nms,kms->nkm", Xb, Cs)
+                den = xb[:, None, :] * cn[None, :, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den > 0, num / np.where(den > 0, den, 1.0), -2.0)
+                slots[lo : lo + blk] = cos.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    "codes": [row.tobytes() for row in slots],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def pq_decode(
+    codes_df: DataFrame,
+    cent_pdf: pd.DataFrame,
+    *,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct vectors from a pq_codes_packed table: gather each
+    row's m codebook slices by slot and concatenate — O(N·m) indexing,
+    no scoring. The book tensor is _sorted_book's cent_id order (the
+    slot bijection), so decode(encode(x)) is bit-identical to
+    pq_reconstruct(x) — same float64 slices, only read back from the
+    staged codes instead of re-derived by the argmax."""
+    import numpy as np
+
+    Cs = _sorted_book(cent_pdf, m)
+    d = Cs.shape[1] * Cs.shape[2]
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(vec_col, _ARR_D)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            slots = _unpack_codes(pdf["codes"], m)
+            rec = Cs[slots, np.arange(m)[None, :], :].reshape(len(pdf), d)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    vec_col: list(rec),
+                }
+            )
+
+    return codes_df.select(id_col, "codes").mapInPandas(run, schema)

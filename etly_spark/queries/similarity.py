@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -44,6 +46,9 @@ from etly_spark.queries.catalog import (
 # so the prior run's parquet is dead by then; bounds tmp growth to one
 # invocation's ~35 tiny files)
 _ANN_SCRATCH: str | None = None
+
+# opt-in stderr timing of each pooled branch build (profiling only)
+_ANN_PROFILE = os.environ.get("ETLY_ANN_PROFILE", "0") == "1"
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -1855,13 +1860,22 @@ def sim_pq(
     hash-selected initialization + _PQ_TRAIN_ITERS deterministic Lloyd
     iterations, r11; the fixed k=hash-sample rule measured 0.80
     clustered recall@5 at 20x where two training sweeps reach 0.90,
-    STRESS.md), then encode+reconstruct in one Arrow pass
-    (functions.vector.pq_reconstruct — codebook in the task closure,
-    ties to smallest cent_id matching the oracle) and the standard
-    symmetric brute pipeline over the reconstructions. The codebook
-    size is corpus-scaled (_pq_k — one count() over the shared
-    persisted frame; capped so every training collect stays bounded
-    at any N)."""
+    STRESS.md) and the STAGED packed codes table (r15, guide §1.2: the
+    encode argmax — N·k·m slice cosines, the only super-linear kernel
+    on this path and 4-8 s per invocation per corpus at sf0.1 — is
+    index-build work a production pipeline runs once per corpus
+    snapshot, not once per query; the codes are the 2m-byte/vector
+    index payload ivfpq_codes already established). Query time decodes
+    the codes with O(N·m) codebook gathers (functions.vector.pq_decode
+    — bit-identical float64 slices to the inline pq_reconstruct, same
+    ties-to-smallest-cent_id) and runs the standard symmetric brute
+    pipeline over the reconstructions. The codebook size is
+    corpus-scaled (_pq_k — one count() over the shared persisted
+    frame; capped so every training collect stays bounded at any N)."""
+    import uuid as _uuid
+
+    from etly_spark.io.staging import stage_table
+
     # standalone path: persist the normed frame BEFORE the sizing
     # count — it feeds count, centroid selection, per-iteration
     # assignment and encode. Caller-provided frames arrive already
@@ -1875,10 +1889,19 @@ def sim_pq(
     )
     base = nsrc.select("vec_id", "embedding")
     n = nsrc.count()
-    tag = corpus_tag if corpus_tag else ("iid" if s is None else None)
+    # resolve the tag ONCE (the _ivfpq_index rule): the codebook and
+    # codes stages must share one identity — an untagged custom frame
+    # gets a single-use uuid keying BOTH
+    tag = corpus_tag if corpus_tag else ("iid" if s is None else _uuid.uuid4().hex)
     cent_pdf = V._staged_pdf(_pq_codebook_path(spark, sf_dir, nsrc, n, tag))
+    codes = stage_table(
+        spark,
+        f"pq-codes:{sf_dir}:{tag}",
+        lambda: V.pq_codes_packed(base, cent_pdf, m=_PQ_M),
+        deps=[os.path.join(sf_dir, "embeddings.parquet")],
+    )
     sq = scoped_persist(
-        _normed(V.pq_reconstruct(base, cent_pdf, m=_PQ_M)), eager=False
+        _normed(V.pq_decode(codes, cent_pdf, m=_PQ_M)), eager=False
     )
     scored = V.matmul_scores(sq, _query_pdf(sq, qwhere)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -2167,10 +2190,25 @@ def sim_ivfpq(
     replicate-the-quantizer deployment shape) and the standard
     symmetric scoring. ``corpus_tag`` names the corpus derivation for
     the stage identity when ``s`` is caller-provided; untagged custom
-    frames get a fresh single-use stage."""
-    asn, cb_path, _cent_pdf, _tag = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    frames get a fresh single-use stage.
+
+    r15 (guide §1.2): the full-scan recall gate now reads the SAME
+    staged codes table the probe/ADC scorers consume
+    (_ivfpq_codes_path) and reconstructs via ivfpq_decode's O(N·m)
+    codebook gathers, instead of re-running the encode argmax
+    (N·k_c·m slice cosines) on every invocation — the encode is
+    index-build work, staged once per corpus snapshot and shared by
+    all six ivfpq-family branches. Decode gathers the identical
+    float64 slices the inline ivfpq_reconstruct produced (same books,
+    same argmax stored in the codes), so scores are bit-identical."""
+    asn, cb_path, _cent_pdf, tag = _ivfpq_index(spark, sf_dir, s, corpus_tag)
+    codes_path = _ivfpq_codes_path(spark, sf_dir, asn, cb_path, tag)
     rec = scoped_persist(
-        _normed(V.ivfpq_reconstruct(asn, cb_path, m=_PQ_M, cell_col="cell")),
+        _normed(
+            V.ivfpq_decode(
+                spark.read.parquet(codes_path), cb_path, m=_PQ_M, cell_col="cell"
+            )
+        ),
         eager=False,
     )
     scored = V.matmul_scores(rec, _query_pdf(rec, qwhere)).filter(
@@ -4045,9 +4083,17 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branch's construction + write job is attributable/cancellable
         spark.sparkContext.setJobDescription(f"sim_ann_methods: {name}")
         try:
+            t0 = time.monotonic()
             df = fn().select("query_id", "neighbor_id", "rank", "cos_sim")
+            t1 = time.monotonic()
             path = os.path.join(out_root, name)
             df.write.parquet(path)
+            if _ANN_PROFILE:
+                print(
+                    f"# ann-branch {name}: construct={t1 - t0:.2f}s "
+                    f"write={time.monotonic() - t1:.2f}s",
+                    file=sys.stderr,
+                )
             return spark.read.schema(_out_schema).parquet(path)
         finally:
             spark.sparkContext.setJobDescription(None)
@@ -4172,7 +4218,21 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q_pdf=qc_pdf,
             ),
         }
-        futs = {name: pool.submit(_run, name, fn) for name, fn in fns.items()}
+        # Submission order is LONGEST-FIRST (r15, guide §2.6: the pool
+        # is a makespan problem — dict order submitted the heavy
+        # probe/maintenance branches last, so the run's tail was one
+        # worker finishing a ~6 s branch while seven idled; ordering by
+        # the measured per-branch wall at sf0.1 lets short branches
+        # back-fill the heavy ones). Purely a scheduling hint: results
+        # are keyed by name and the union order below is fixed.
+        heavy_first = [
+            "ivfpq_r", "ivfpq_f", "ivfpq_radc", "ivfpq", "ivfpq_rc",
+            "ivf_split", "ivfpq_i", "ivf_inc", "ivf", "lsh", "sq8",
+            "ivfpq_p", "ivfpq_a", "ivfpq_pc", "ivfpq_ac", "ivfpq_c",
+            "lsh_c", "ivf_c", "sq8_c", "pq8", "pq8_c", "pq8_a", "opq_a",
+        ]
+        order = heavy_first + [n for n in fns if n not in heavy_first]
+        futs = {name: pool.submit(_run, name, fns[name]) for name in order}
         b = {name: fut.result() for name, fut in futs.items()}
     finally:
         pool.shutdown(wait=True)

@@ -261,7 +261,8 @@ def test_trained_pq_codebook_is_staged_and_reused(spark):
     hits = staging.stats["hits"]
     second = sim_pq(spark, sf, corpus_tag="pqstage-pin").collect()
     assert staging.stats["misses"] == misses  # nothing rebuilt
-    assert staging.stats["hits"] == hits + 1  # the codebook stage hit
+    # r15: the packed codes table is staged alongside the codebook
+    assert staging.stats["hits"] == hits + 2  # codebook + codes stages hit
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
 
 
@@ -279,4 +280,53 @@ def test_sq8_minmax_is_staged_and_reused(spark):
     second = sim_sq8(spark, sf, corpus_tag="sq8stage-pin").collect()
     assert staging.stats["misses"] == misses
     assert staging.stats["hits"] == hits + 1
+    assert first == second
+
+
+def test_pq_packed_codes_roundtrip_equals_reconstruct(spark):
+    """r15: the staged-codes path (pq_codes_packed -> pq_decode) must
+    be bit-identical to the inline encode+reconstruct — the catalog's
+    pq8/pq8_c/pq8_a/opq_a branches now read staged codes, and any
+    drift in the slot bijection or the gather would silently move
+    quantized scores."""
+    from etly_spark.functions.vector import pq_codes_packed, pq_decode
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 32))
+    X[7] = 0.0  # zero-norm row: the -2.0 pin must survive the packed path
+    C = rng.normal(size=(9, 32))
+    df = spark.createDataFrame(
+        [(i, list(map(float, x))) for i, x in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    # shuffled cent_id order: the slot bijection must be the sorted one
+    pdf = _cent_pdf(C).iloc[[4, 0, 8, 2, 6, 1, 7, 3, 5]].reset_index(drop=True)
+    inline = {
+        r.vec_id: np.array(r.embedding)
+        for r in pq_reconstruct(df, pdf, m=4).collect()
+    }
+    codes = pq_codes_packed(df, pdf, m=4)
+    roundtrip = {
+        r.vec_id: np.array(r.embedding)
+        for r in pq_decode(codes, pdf, m=4).collect()
+    }
+    assert set(roundtrip) == set(inline)
+    for i in inline:
+        assert np.array_equal(roundtrip[i], inline[i]), i
+
+
+def test_sim_pq_codes_are_staged_and_reused(spark):
+    """r15: sim_pq's packed codes table is a staged artifact — the
+    second call hits the stage (codebook + codes) and returns
+    identical rows."""
+    from etly_spark.io import staging
+    from etly_spark.queries.similarity import sim_pq
+
+    sf = "/root/testdata/sf0.001"
+    first = sim_pq(spark, sf, corpus_tag="pqcodes-pin").collect()
+    misses = staging.stats["misses"]
+    hits = staging.stats["hits"]
+    second = sim_pq(spark, sf, corpus_tag="pqcodes-pin").collect()
+    assert staging.stats["misses"] == misses  # nothing rebuilt
+    assert staging.stats["hits"] == hits + 2  # codebook + codes stages hit
     assert first == second
