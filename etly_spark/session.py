@@ -34,10 +34,28 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.cteRecursionRowLimit": "2000000000",
 }
 
+# Python-worker native-library thread cap (optimization r15, guide
+# §4.2): Spark tasks are the parallelism unit — every Arrow-batch
+# kernel (BLAS matmul scorers, codec walks) runs in its own worker
+# process, so a multithreaded BLAS inside each worker multiplies to
+# task_slots x blas_threads runnable threads (32 x 32 on local[32]:
+# measured sim_ann_methods pooled build 16.6-21 s -> 12.4-13.3 s and
+# exec 2.0-2.3 -> 1.7-1.8 s with the cap). Results are unchanged —
+# GEMM partitions output blocks per thread, each element's reduction
+# order is fixed (oracle hash re-verified on tuned AND vanilla
+# sessions either way). Parameterized for clusters where executors
+# get dedicated cores and a different split is wanted.
+_WORKER_BLAS = os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1")
+
 # Builder-time configs for sessions we create ourselves.
 BUILD_CONFS: dict[str, str] = {
     **RUNTIME_CONFS,
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # reaches Python workers in every deploy mode: pyspark copies
+    # spark.executorEnv.* into the worker env at task launch
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": _WORKER_BLAS,
+    "spark.executorEnv.OMP_NUM_THREADS": _WORKER_BLAS,
+    "spark.executorEnv.MKL_NUM_THREADS": _WORKER_BLAS,
     # keep managed tables (bucketing demos/tests) out of the repo tree
     "spark.sql.warehouse.dir": os.environ.get(
         "SPARK_GRAFT_WAREHOUSE", "/tmp/etly_spark_warehouse"
